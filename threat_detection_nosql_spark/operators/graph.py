@@ -1,0 +1,73 @@
+"""Property-graph views over the fact table (SURVEY.md §1.2, S3, J1–J4).
+
+The reference materializes a Neo4j multigraph row-by-row over Bolt
+(`neo4j_setup.py:43-95`, ~5 round trips per row). Because every log row
+produces exactly one edge of each of the four types, each edge table is a
+column projection of the fact table and each node table is a distinct —
+so the "graph load" costs nothing here: views are lazy projections.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# edge type -> (source column, destination column), mirroring
+# neo4j_setup.py:70-90 (PERFORMS/ACCESSES/USES/INVOLVES).
+EDGE_TYPES: dict[str, tuple[str, str]] = {
+    "PERFORMS": ("user", "activity"),
+    "ACCESSES": ("pc", "resource"),
+    "USES": ("user", "pc"),
+    "INVOLVES": ("activity", "resource"),
+}
+
+# node label -> key column (neo4j_setup.py:46-66)
+NODE_LABELS: dict[str, str] = {
+    "User": "user",
+    "System": "pc",
+    "Activity": "activity",
+    "Resource": "resource",
+}
+
+
+def edge_view(log: DataFrame, edge_type: str) -> DataFrame:
+    """One edge table = projection of the fact table, keeping the edge
+    properties the reference attaches (`neo4j_setup.py:70-75`: PERFORMS
+    carries the temporal flags; the other three carry only timestamp).
+    Multigraph semantics: one row per log row, duplicates preserved.
+    """
+    src, dst = EDGE_TYPES[edge_type]
+    props = (["ts", "hour_of_day", "is_after_hours", "is_weekend"]
+             if edge_type == "PERFORMS" else ["ts"])
+    return log.select(F.col(src).alias("src"), F.col(dst).alias("dst"), *props)
+
+
+def node_view(log: DataFrame, label: str) -> DataFrame:
+    """Node table = distinct key values (the client-side dedup dicts of
+    `neo4j_setup.py:36-39`, expressed as a hash-distinct)."""
+    key = NODE_LABELS[label]
+    type_prop = {"User": "employee", "System": "workstation",
+                 "Resource": "file"}.get(label)
+    out = log.select(F.col(key).alias("name")).distinct()
+    if type_prop:
+        out = out.withColumn("type", F.lit(type_prop))
+    return out
+
+
+def user_degree(log: DataFrame) -> DataFrame:
+    """Degree centrality per user (A12, `neo4j_analysis.py:67-83`):
+    count of edges incident to the User node across all edge types.
+
+    Users appear as source of PERFORMS and USES and never as destination,
+    so degree = out-degree. Implemented generically as a union of
+    endpoint projections → one hash agg (J4/U1): survives schema changes
+    where users gain inbound edges.
+    """
+    endpoints = None
+    for etype, (src, dst) in EDGE_TYPES.items():
+        for col in (src, dst):
+            if col == "user":
+                proj = log.select(F.col("user"))
+                endpoints = proj if endpoints is None \
+                    else endpoints.unionByName(proj)
+    return endpoints.groupBy("user").agg(F.count("*").alias("degree"))

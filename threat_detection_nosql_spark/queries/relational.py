@@ -1,0 +1,383 @@
+"""Generic relational operator coverage (SURVEY.md §2.2–§2.7) over the
+TPC-H-ish testdata — exercises every operator class the threat queries
+don't: multi-way joins, semi/anti joins, windows, rollup, pivot-style
+conditional aggregation, decorrelated scalar subqueries, set ops.
+
+Scale notes: dimension joins (region/nation/customer/supplier/part) are
+broadcast-eligible — Catalyst picks BroadcastHashJoin under the 64 MB
+threshold set in session.py; fact-fact joins (orders⋈lineitem) shuffle on
+the join key once and AQE coalesces post-shuffle partitions. Double
+aggregates are rounded so the DuckDB oracle hash is summation-order
+independent.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from threat_detection_nosql_spark.sources.readers import load_table
+
+
+# -- R1: TPC-H Q1-style pricing summary (A2/A9-class multi-agg) --------------
+
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+                 F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
+                 F.round(F.sum(F.col("l_extendedprice")
+                               * (1 - F.col("l_discount"))), 4)
+                  .alias("sum_disc_price"),
+                 F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+                 F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+                 F.count("*").alias("count_order")))
+
+
+_PRICING_SQL = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 4) AS sum_qty,
+       round(sum(l_extendedprice), 4) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+       round(avg(l_quantity), 4) AS avg_qty,
+       round(avg(l_discount), 4) AS avg_disc,
+       CAST(count(*) AS BIGINT) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# -- R2: 3-way join + top-10 revenue (J1-class, T1) --------------------------
+
+def top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """customer ⋈ orders ⋈ lineitem with segment/date filters. customer
+    is broadcast; orders⋈lineitem shuffles on orderkey (the natural key
+    both sides would be bucketed on at 100 TB)."""
+    cust = load_table(spark, sf_dir, "customer") \
+        .filter(F.col("c_mktsegment") == "BUILDING")
+    orders = load_table(spark, sf_dir, "orders") \
+        .filter(F.col("o_orderdate") < F.lit("1998-01-01"))
+    li = load_table(spark, sf_dir, "lineitem")
+    return (li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+            .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+            .groupBy("l_orderkey", "o_orderdate")
+            .agg(F.round(F.sum(F.col("l_extendedprice")
+                               * (1 - F.col("l_discount"))), 4)
+                  .alias("revenue"))
+            .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+            .limit(10))
+
+
+_TOP_REVENUE_SQL = """
+SELECT l_orderkey, o_orderdate,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY l_orderkey, o_orderdate
+ORDER BY revenue DESC, l_orderkey ASC
+LIMIT 10
+"""
+
+
+# -- R3: 5-way snowflake join, revenue per nation (J1 chain) -----------------
+
+def nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = load_table(spark, sf_dir, "region")
+    nation = load_table(spark, sf_dir, "nation")
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    dims = (cust
+            .join(F.broadcast(nation),
+                  F.col("c_nationkey") == F.col("n_nationkey"))
+            .join(F.broadcast(region),
+                  F.col("n_regionkey") == F.col("r_regionkey")))
+    return (li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+            .join(F.broadcast(dims), F.col("o_custkey") == F.col("c_custkey"))
+            .groupBy("r_name", "n_name")
+            .agg(F.round(F.sum(F.col("l_extendedprice")
+                               * (1 - F.col("l_discount"))), 4)
+                  .alias("revenue"),
+                 F.countDistinct("o_custkey").alias("n_customers")))
+
+
+_NATION_REVENUE_SQL = """
+SELECT r_name, n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+       CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+"""
+
+
+# -- R4: anti join — customers with no orders (`left_anti`) ------------------
+
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return (cust.join(orders, F.col("c_custkey") == F.col("o_custkey"),
+                      "left_anti")
+            .select("c_custkey", "c_name", "c_nationkey"))
+
+
+_NO_ORDERS_SQL = """
+SELECT c_custkey, c_name, c_nationkey
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+"""
+
+
+# -- R5: semi join — parts that appear in any lineitem -----------------------
+
+def parts_with_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (part.join(li, F.col("p_partkey") == F.col("l_partkey"),
+                      "left_semi")
+            .groupBy("p_brand")
+            .agg(F.count("*").alias("n_parts"),
+                 F.round(F.avg("p_retailprice"), 4).alias("avg_price")))
+
+
+_PARTS_WITH_SALES_SQL = """
+SELECT p_brand, CAST(count(*) AS BIGINT) AS n_parts,
+       round(avg(p_retailprice), 4) AS avg_price
+FROM part
+WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)
+GROUP BY p_brand
+"""
+
+
+# -- R6: window function — top-2 orders per customer (Top-K per group) -------
+
+def top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w = (Window.partitionBy("o_custkey")
+         .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey")))
+    return (orders
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= 2)
+            .select("o_custkey", "o_orderkey", "o_totalprice", "rn"))
+
+
+_TOP_ORDERS_PER_CUST_SQL = """
+SELECT o_custkey, o_orderkey, o_totalprice, rn
+FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+             CAST(row_number() OVER (PARTITION BY o_custkey
+                  ORDER BY o_totalprice DESC, o_orderkey ASC) AS INT) AS rn
+      FROM orders) t
+WHERE rn <= 2
+"""
+
+
+# -- R7: rolling window agg — running revenue per supplier -------------------
+
+def supplier_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    daily = (li.groupBy("l_suppkey", "l_shipdate")
+             .agg(F.sum(F.col("l_extendedprice")).alias("day_rev")))
+    w = (Window.partitionBy("l_suppkey").orderBy("l_shipdate")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    return (daily
+            .withColumn("running_rev", F.round(F.sum("day_rev").over(w), 2))
+            .select("l_suppkey", "l_shipdate", "running_rev"))
+
+
+_RUNNING_REV_SQL = """
+SELECT l_suppkey, l_shipdate,
+       round(sum(day_rev) OVER (PARTITION BY l_suppkey ORDER BY l_shipdate
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+         AS running_rev
+FROM (SELECT l_suppkey, l_shipdate, sum(l_extendedprice) AS day_rev
+      FROM lineitem GROUP BY l_suppkey, l_shipdate) daily
+"""
+
+
+# -- R8: rollup (grouping-sets class) ----------------------------------------
+
+def returnflag_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (li.rollup("l_returnflag", "l_linestatus")
+            .agg(F.count("*").alias("n"),
+                 F.round(F.sum("l_quantity"), 4).alias("sum_qty")))
+
+
+_ROLLUP_SQL = """
+SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS n,
+       round(sum(l_quantity), 4) AS sum_qty
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+# -- R9: pivot-style conditional aggregation (A10 class) ---------------------
+
+def status_by_priority_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    aggs = [
+        F.count(F.when(F.col("o_orderpriority") == p, True))
+         .alias(f"n_{p[0]}")
+        for p in ["1-URGENT", "2-HIGH", "3-MEDIUM",
+                  "4-NOT SPECIFIED", "5-LOW"]
+    ]
+    return orders.groupBy("o_orderstatus").agg(*aggs)
+
+
+_PIVOT_SQL = """
+SELECT o_orderstatus,
+       CAST(count(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 END) AS BIGINT) AS n_1,
+       CAST(count(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 END) AS BIGINT) AS n_2,
+       CAST(count(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 END) AS BIGINT) AS n_3,
+       CAST(count(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 END) AS BIGINT) AS n_4,
+       CAST(count(CASE WHEN o_orderpriority = '5-LOW' THEN 1 END) AS BIGINT) AS n_5
+FROM orders
+GROUP BY o_orderstatus
+"""
+
+
+# -- R10: decorrelated scalar subquery (J5 class) ----------------------------
+
+def above_nation_avg_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference pattern: correlated per-entity scalar subqueries
+    (`neo4j_analysis.py:134-175`). Spark side is written decorrelated —
+    one agg + broadcast join; the oracle keeps the correlated form to
+    prove equivalence."""
+    cust = load_table(spark, sf_dir, "customer")
+    nation_avg = (cust.groupBy("c_nationkey")
+                  .agg(F.avg("c_acctbal").alias("nation_avg")))
+    return (cust.join(F.broadcast(nation_avg), "c_nationkey")
+            .filter(F.col("c_acctbal") > F.col("nation_avg"))
+            .select("c_custkey", "c_name",
+                    F.round("c_acctbal", 4).alias("acctbal")))
+
+
+_ABOVE_AVG_SQL = """
+SELECT c_custkey, c_name, round(c_acctbal, 4) AS acctbal
+FROM customer c1
+WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer c2
+                   WHERE c2.c_nationkey = c1.c_nationkey)
+"""
+
+
+# -- R11: set ops — nations present among customers but not suppliers --------
+
+def customer_only_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    return (cust.select(F.col("c_nationkey").alias("nationkey")).distinct()
+            .exceptAll(supp.select(F.col("s_nationkey").alias("nationkey"))
+                       .distinct()))
+
+
+_CUSTOMER_ONLY_NATIONS_SQL = """
+SELECT DISTINCT c_nationkey AS nationkey FROM customer
+EXCEPT
+SELECT DISTINCT s_nationkey AS nationkey FROM supplier
+"""
+
+
+# -- R12: distinct-union (U1 class) ------------------------------------------
+
+def all_active_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    return (cust.select(F.col("c_nationkey").alias("nationkey"))
+            .unionByName(supp.select(F.col("s_nationkey").alias("nationkey")))
+            .distinct())
+
+
+_ALL_NATIONS_SQL = """
+SELECT DISTINCT nationkey FROM (
+  SELECT c_nationkey AS nationkey FROM customer
+  UNION ALL
+  SELECT s_nationkey AS nationkey FROM supplier
+) t
+"""
+
+
+# -- R13: percentile threshold (A16) + filter --------------------------------
+
+def high_value_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A16: percentile cutoff then flag — the reference's
+    `np.percentile(mse, 90)` anomaly threshold (`Comparaison_ML.py:281`).
+    Exact percentile here (sf-scale); percentile_approx is the
+    documented 100 TB swap."""
+    orders = load_table(spark, sf_dir, "orders")
+    p90 = orders.agg(F.percentile("o_totalprice", F.lit(0.9))
+                     .alias("p90"))
+    return (orders.join(F.broadcast(p90))
+            .filter(F.col("o_totalprice") > F.col("p90"))
+            .select("o_orderkey",
+                    F.round("o_totalprice", 4).alias("totalprice")))
+
+
+_HIGH_VALUE_SQL = """
+SELECT o_orderkey, round(o_totalprice, 4) AS totalprice
+FROM orders
+WHERE o_totalprice > (SELECT quantile_cont(o_totalprice, 0.9) FROM orders)
+"""
+
+
+# -- R14: min-max normalization (A17) ----------------------------------------
+
+def normalized_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    stats = cust.agg(F.min("c_acctbal").alias("mn"),
+                     F.max("c_acctbal").alias("mx"))
+    return (cust.join(F.broadcast(stats))
+            .select("c_custkey",
+                    F.round((F.col("c_acctbal") - F.col("mn"))
+                            / (F.col("mx") - F.col("mn")), 6)
+                    .alias("acctbal_norm")))
+
+
+_NORM_ACCTBAL_SQL = """
+SELECT c_custkey,
+       round((c_acctbal - mn) / (mx - mn), 6) AS acctbal_norm
+FROM customer
+CROSS JOIN (SELECT min(c_acctbal) AS mn, max(c_acctbal) AS mx FROM customer) s
+"""
+
+
+QUERIES = {
+    "pricing_summary": pricing_summary,
+    "top_revenue_orders": top_revenue_orders,
+    "nation_revenue": nation_revenue,
+    "customers_without_orders": customers_without_orders,
+    "parts_with_sales": parts_with_sales,
+    "top_orders_per_customer": top_orders_per_customer,
+    "supplier_running_revenue": supplier_running_revenue,
+    "returnflag_rollup": returnflag_rollup,
+    "status_by_priority_pivot": status_by_priority_pivot,
+    "above_nation_avg_customers": above_nation_avg_customers,
+    "customer_only_nations": customer_only_nations,
+    "all_active_nations": all_active_nations,
+    "high_value_orders": high_value_orders,
+    "normalized_acctbal": normalized_acctbal,
+}
+
+ORACLES = {
+    "pricing_summary": _PRICING_SQL,
+    "top_revenue_orders": _TOP_REVENUE_SQL,
+    "nation_revenue": _NATION_REVENUE_SQL,
+    "customers_without_orders": _NO_ORDERS_SQL,
+    "parts_with_sales": _PARTS_WITH_SALES_SQL,
+    "top_orders_per_customer": _TOP_ORDERS_PER_CUST_SQL,
+    "supplier_running_revenue": _RUNNING_REV_SQL,
+    "returnflag_rollup": _ROLLUP_SQL,
+    "status_by_priority_pivot": _PIVOT_SQL,
+    "above_nation_avg_customers": _ABOVE_AVG_SQL,
+    "customer_only_nations": _CUSTOMER_ONLY_NATIONS_SQL,
+    "all_active_nations": _ALL_NATIONS_SQL,
+    "high_value_orders": _HIGH_VALUE_SQL,
+    "normalized_acctbal": _NORM_ACCTBAL_SQL,
+}

@@ -1,0 +1,358 @@
+"""The reference's 10 analytic queries, Spark-first (SURVEY.md §2, §7.3).
+
+Each Cypher query from `neo4j_analysis.py` becomes ONE Catalyst plan over
+the fact table — the Bolt round trip, server-side eager aggregation and
+client-side Python post-processing all collapse into the same DataFrame.
+
+Scale notes (100 TB thinking):
+- every aggregation is a hash agg with map-side partial aggregation;
+- top-k compiles to TakeOrderedAndProject (no global sort);
+- the only joins are on `user` after pre-aggregation (small outputs) or
+  broadcast-sized; the fan-out 2-hop join (J2) pre-aggregates both sides
+  before joining so the shuffle carries (user, activity) groups, not raw
+  events.
+
+Determinism: every LIMIT query carries a total tie-break order (count
+DESC, user ASC) so the returned row *set* is reproducible across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from threat_detection_nosql_spark.operators.entropy import (
+    add_shannon_entropy,
+    entropy_oracle_sql,
+)
+from threat_detection_nosql_spark.operators.etl import (
+    ACTIVITY_LOG_ORACLE_SQL,
+    activity_log,
+)
+from threat_detection_nosql_spark.operators.graph import user_degree
+
+# Shared oracle CTE: the activity-log view in DuckDB terms.
+_LOG_CTE = f"WITH log AS ({ACTIVITY_LOG_ORACLE_SQL})"
+
+
+# -- Q1: top-10 users by after-hours activity (`neo4j_analysis.py:15-24`) ----
+
+def after_hours_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3 + A1 + T1: filter → hash agg → TakeOrderedAndProject."""
+    return (activity_log(spark, sf_dir)
+            .filter(F.col("is_after_hours") == 1)
+            .groupBy("user")
+            .agg(F.count("*").alias("after_hours_count"))
+            .orderBy(F.desc("after_hours_count"), F.asc("user"))
+            .limit(10))
+
+
+_AFTER_HOURS_SQL = f"""
+{_LOG_CTE}
+SELECT user, CAST(count(*) AS BIGINT) AS after_hours_count
+FROM log WHERE is_after_hours = 1
+GROUP BY user
+ORDER BY after_hours_count DESC, user ASC
+LIMIT 10
+"""
+
+
+# -- Q2: top-10 users by weekend activity (P4 variant, `:152`) ---------------
+
+def weekend_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (activity_log(spark, sf_dir)
+            .filter(F.col("is_weekend") == 1)
+            .groupBy("user")
+            .agg(F.count("*").alias("weekend_count"))
+            .orderBy(F.desc("weekend_count"), F.asc("user"))
+            .limit(10))
+
+
+_WEEKEND_SQL = f"""
+{_LOG_CTE}
+SELECT user, CAST(count(*) AS BIGINT) AS weekend_count
+FROM log WHERE is_weekend = 1
+GROUP BY user
+ORDER BY weekend_count DESC, user ASC
+LIMIT 10
+"""
+
+
+# -- Q3: top-10 users by total activity (`neo4j_analysis.py:42-50`) ----------
+
+def high_activity_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (activity_log(spark, sf_dir)
+            .groupBy("user")
+            .agg(F.count("*").alias("activity_count"))
+            .orderBy(F.desc("activity_count"), F.asc("user"))
+            .limit(10))
+
+
+_HIGH_ACTIVITY_SQL = f"""
+{_LOG_CTE}
+SELECT user, CAST(count(*) AS BIGINT) AS activity_count
+FROM log
+GROUP BY user
+ORDER BY activity_count DESC, user ASC
+LIMIT 10
+"""
+
+
+# -- Q4: top-10 users by distinct resources (`neo4j_analysis.py:27-39`) ------
+
+def unusual_resources_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6: exact countDistinct here; at 100 TB swap for
+    approx_count_distinct (rsd≈1%) — noted in SURVEY.md A6."""
+    return (activity_log(spark, sf_dir)
+            .groupBy("user")
+            .agg(F.countDistinct("resource").alias("unique_resources"))
+            .orderBy(F.desc("unique_resources"), F.asc("user"))
+            .limit(10))
+
+
+_UNUSUAL_RESOURCES_SQL = f"""
+{_LOG_CTE}
+SELECT user, CAST(count(DISTINCT resource) AS BIGINT) AS unique_resources
+FROM log
+GROUP BY user
+ORDER BY unique_resources DESC, user ASC
+LIMIT 10
+"""
+
+
+# -- Q5: per-user activity profile, frequency-ordered (`:53-64`, T2/A7) ------
+
+def activity_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered collect (T2): Cypher sorts before `collect(...)`;
+    `collect_list` does not preserve order, so the profile is built by
+    `array_sort` over (−count, activity) structs — deterministic and
+    shuffle-count identical (two hash aggs on user).
+
+    The profile is rendered "activity:count,..." (count DESC, activity
+    ASC) so the oracle can reproduce it with ordered string_agg.
+    """
+    per_activity = (activity_log(spark, sf_dir)
+                    .groupBy("user", "activity")
+                    .agg(F.count("*").alias("cnt")))
+    return (per_activity
+            .groupBy("user")
+            .agg(F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(
+                        F.struct((-F.col("cnt")).alias("neg"),
+                                 F.col("activity").alias("activity"),
+                                 F.col("cnt").alias("cnt")))),
+                    lambda x: F.concat_ws(":", x.activity, x.cnt)),
+                ",").alias("profile")))
+
+
+_ACTIVITY_PROFILES_SQL = f"""
+{_LOG_CTE}
+SELECT user,
+       string_agg(activity || ':' || cnt, ',' ORDER BY cnt DESC, activity ASC)
+         AS profile
+FROM (SELECT user, activity, count(*) AS cnt FROM log GROUP BY user, activity) t
+GROUP BY user
+"""
+
+
+# -- Q6: degree centrality top-10 (`neo4j_analysis.py:67-85`, A12/J4/U1) -----
+
+def degree_centrality_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (user_degree(activity_log(spark, sf_dir))
+            .orderBy(F.desc("degree"), F.asc("user"))
+            .limit(10))
+
+
+# Users are src of PERFORMS and USES ⇒ degree = 2 × row count; the oracle
+# mirrors the generic union-of-endpoints the Spark side executes.
+_DEGREE_SQL = f"""
+{_LOG_CTE}
+SELECT user, CAST(count(*) AS BIGINT) AS degree
+FROM (SELECT user FROM log UNION ALL SELECT user FROM log) edges
+GROUP BY user
+ORDER BY degree DESC, user ASC
+LIMIT 10
+"""
+
+
+# -- Q7/Q8/Q9: Shannon entropies (`:88-121, 199-247, 249-289`, A11) ----------
+
+def activity_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return add_shannon_entropy(activity_log(spark, sf_dir),
+                               "user", "activity", "activity_entropy")
+
+
+def temporal_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return add_shannon_entropy(activity_log(spark, sf_dir),
+                               "user", "hour_of_day", "temporal_entropy")
+
+
+def resource_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return add_shannon_entropy(activity_log(spark, sf_dir),
+                               "user", "resource", "resource_entropy")
+
+
+_LOG_SRC = ACTIVITY_LOG_ORACLE_SQL
+_ACTIVITY_ENTROPY_SQL = entropy_oracle_sql(_LOG_SRC, "user", "activity",
+                                           "activity_entropy")
+_TEMPORAL_ENTROPY_SQL = entropy_oracle_sql(_LOG_SRC, "user", "hour_of_day",
+                                           "temporal_entropy")
+_RESOURCE_ENTROPY_SQL = entropy_oracle_sql(_LOG_SRC, "user", "resource",
+                                           "resource_entropy")
+
+
+# -- Q10: 2-hop fan-out — resources reached via activities (`:27-39`, J2) ----
+
+def two_hop_resource_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cypher path counting over (u)-[:PERFORMS]->(a)-[:INVOLVES]->(r):
+    one path per (PERFORMS edge × INVOLVES edge) pair sharing the
+    activity. Naively that join fans out |events|² / |activities|; both
+    sides are pre-aggregated to (key, count) first so the join input is
+    |users×activities| + |activities×resources| rows and the path count
+    is Σ cnt_p × cnt_i — the only formulation that survives 100 TB.
+    """
+    log = activity_log(spark, sf_dir)
+    performs = log.groupBy("user", "activity").agg(F.count("*").alias("cnt_p"))
+    involves = log.groupBy("activity", "resource").agg(F.count("*").alias("cnt_i"))
+    return (performs.join(involves, "activity")
+            .groupBy("user", "resource")
+            .agg(F.sum(F.col("cnt_p") * F.col("cnt_i")).alias("path_count")))
+
+
+_TWO_HOP_SQL = f"""
+{_LOG_CTE},
+performs AS (SELECT user, activity, count(*) AS cnt_p FROM log
+             GROUP BY user, activity),
+involves AS (SELECT activity, resource, count(*) AS cnt_i FROM log
+             GROUP BY activity, resource)
+SELECT p.user, i.resource,
+       CAST(sum(p.cnt_p * i.cnt_i) AS BIGINT) AS path_count
+FROM performs p JOIN involves i USING (activity)
+GROUP BY p.user, i.resource
+"""
+
+
+# -- Q11: the full per-user feature matrix (`:124-247`, A10 + J5/J6) ---------
+
+def user_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference issues 6 correlated CALL{} subqueries per user plus
+    two client-side entropy loops (`neo4j_analysis.py:134-175,203-243`).
+    Decorrelated here into ONE multi-aggregate pass (A10) — six features
+    in a single shuffle — plus two entropy aggs joined on user (J6).
+    All three aggregations share the `user` key, so AQE plans
+    co-partitioned joins with no extra exchange.
+    """
+    log = activity_log(spark, sf_dir)
+    base = (log.groupBy("user").agg(
+        F.count("*").alias("total_activities"),
+        F.sum(F.when(F.col("is_after_hours") == 1, 1).otherwise(0))
+         .alias("after_hours_activities"),
+        F.sum(F.when(F.col("is_weekend") == 1, 1).otherwise(0))
+         .alias("weekend_activities"),
+        F.countDistinct("pc").alias("unique_systems"),
+        F.countDistinct("resource").alias("unique_resources"),
+        F.countDistinct("activity").alias("activity_types")))
+    # safe-divide ratio guard (F9, `neo4j_analysis.py:184-185`)
+    divisor = F.when(F.col("total_activities") > 0,
+                     F.col("total_activities")).otherwise(F.lit(1))
+    base = (base
+            .withColumn("after_hours_ratio",
+                        F.round(F.col("after_hours_activities") / divisor, 6))
+            .withColumn("weekend_ratio",
+                        F.round(F.col("weekend_activities") / divisor, 6)))
+    act_ent = add_shannon_entropy(log, "user", "activity", "activity_entropy")
+    tmp_ent = add_shannon_entropy(log, "user", "hour_of_day", "temporal_entropy")
+    return (base.join(act_ent, "user", "left")
+                .join(tmp_ent, "user", "left"))
+
+
+_USER_FEATURES_SQL = f"""
+{_LOG_CTE},
+base AS (
+  SELECT user,
+         CAST(count(*) AS BIGINT) AS total_activities,
+         CAST(sum(CASE WHEN is_after_hours = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS after_hours_activities,
+         CAST(sum(CASE WHEN is_weekend = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS weekend_activities,
+         CAST(count(DISTINCT pc) AS BIGINT) AS unique_systems,
+         CAST(count(DISTINCT resource) AS BIGINT) AS unique_resources,
+         CAST(count(DISTINCT activity) AS BIGINT) AS activity_types
+  FROM log GROUP BY user
+),
+act_freq AS (SELECT user, activity, count(*) AS freq FROM log
+             GROUP BY user, activity),
+act_ent AS (SELECT user,
+                   round(log2(sum(freq)) - sum(freq * log2(freq)) / sum(freq), 6)
+                     AS activity_entropy
+            FROM act_freq GROUP BY user),
+tmp_freq AS (SELECT user, hour_of_day, count(*) AS freq FROM log
+             GROUP BY user, hour_of_day),
+tmp_ent AS (SELECT user,
+                   round(log2(sum(freq)) - sum(freq * log2(freq)) / sum(freq), 6)
+                     AS temporal_entropy
+            FROM tmp_freq GROUP BY user)
+SELECT base.*,
+       round(after_hours_activities * 1.0 /
+             (CASE WHEN total_activities > 0 THEN total_activities ELSE 1 END), 6)
+         AS after_hours_ratio,
+       round(weekend_activities * 1.0 /
+             (CASE WHEN total_activities > 0 THEN total_activities ELSE 1 END), 6)
+         AS weekend_ratio,
+       act_ent.activity_entropy,
+       tmp_ent.temporal_entropy
+FROM base
+LEFT JOIN act_ent USING (user)
+LEFT JOIN tmp_ent USING (user)
+"""
+
+
+# -- Q12: null audit (P1, `data_preprocessing.py:24-26`) ---------------------
+
+def events_null_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from threat_detection_nosql_spark.operators.etl import null_audit
+    from threat_detection_nosql_spark.sources.readers import load_table
+    return null_audit(load_table(spark, sf_dir, "events"))
+
+
+_NULL_AUDIT_SQL = """
+SELECT CAST(sum(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls_event_id,
+       CAST(sum(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls_ts,
+       CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls_user_id,
+       CAST(sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls_event_type,
+       CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls_value,
+       CAST(sum(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls_props
+FROM events
+"""
+
+
+QUERIES = {
+    "after_hours_top10": after_hours_top10,
+    "weekend_top10": weekend_top10,
+    "high_activity_top10": high_activity_top10,
+    "unusual_resources_top10": unusual_resources_top10,
+    "activity_profiles": activity_profiles,
+    "degree_centrality_top10": degree_centrality_top10,
+    "activity_entropy": activity_entropy,
+    "temporal_entropy": temporal_entropy,
+    "resource_entropy": resource_entropy,
+    "two_hop_resource_paths": two_hop_resource_paths,
+    "user_features": user_features,
+    "events_null_audit": events_null_audit,
+}
+
+ORACLES = {
+    "after_hours_top10": _AFTER_HOURS_SQL,
+    "weekend_top10": _WEEKEND_SQL,
+    "high_activity_top10": _HIGH_ACTIVITY_SQL,
+    "unusual_resources_top10": _UNUSUAL_RESOURCES_SQL,
+    "activity_profiles": _ACTIVITY_PROFILES_SQL,
+    "degree_centrality_top10": _DEGREE_SQL,
+    "activity_entropy": _ACTIVITY_ENTROPY_SQL,
+    "temporal_entropy": _TEMPORAL_ENTROPY_SQL,
+    "resource_entropy": _RESOURCE_ENTROPY_SQL,
+    "two_hop_resource_paths": _TWO_HOP_SQL,
+    "user_features": _USER_FEATURES_SQL,
+    "events_null_audit": _NULL_AUDIT_SQL,
+}

@@ -1,0 +1,58 @@
+"""Sources (SURVEY.md §2.1 S1–S3).
+
+The reference eagerly materializes a CSV into driver RAM
+(`data_preprocessing.py:12`); here every source is a lazy DataFrame scan
+with an explicit schema so filter pushdown / column pruning reach the
+file format.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from threat_detection_nosql_spark import schemas
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Parquet scan of one driver-testdata table (S1 analog).
+
+    Parquet is already typed; the vectorized reader keeps the footer
+    schema. One normalization: `events.ts` is TIMESTAMP(NANOS) in the
+    files — Spark reads it as nanosecond longs
+    (`spark.sql.legacy.parquet.nanosAsLong`), converted here to a
+    microsecond timestamp with the same truncation DuckDB applies.
+    """
+    if name == "events":
+        # runtime-settable; required for TIMESTAMP(NANOS) columns even
+        # when the caller supplied a vanilla session (driver contract)
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str,
+                names: list[str] | None = None) -> dict[str, DataFrame]:
+    return {n: load_table(spark, sf_dir, n)
+            for n in (names or schemas.TABLES)}
+
+
+def read_activity_csv(spark: SparkSession, path: str) -> DataFrame:
+    """Reference-shaped CSV scan (S1, `data_preprocessing.py:12`).
+
+    Explicit schema (no pandas-style inference); `timestamp` is read as a
+    string and parsed downstream with null-on-invalid semantics (S2) to
+    mirror ``pd.to_datetime(errors='coerce')``.
+    """
+    return spark.read.csv(path, header=True, schema=schemas.ACTIVITY_LOG_RAW)
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Temp views for the SQL API, one per testdata table."""
+    for name in schemas.TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
