@@ -1,0 +1,72 @@
+"""Benchmark harness (driver contract): runs the headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line.
+
+Timing = full query execution including the action (count via
+``df.write.format("noop")`` would skip result materialization; we use
+``collect()`` on small results / ``count()`` on large ones, mirroring
+what a consumer does with each query).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from threat_detection_nosql_spark.queries import all_queries  # noqa: E402
+from threat_detection_nosql_spark.session import get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Headline set: the flagship threat surface + the heaviest relational ops.
+# Large-output queries are counted, small ones collected.
+HEADLINE_COLLECT = [
+    "after_hours_top10",
+    "high_activity_top10",
+    "unusual_resources_top10",
+    "degree_centrality_top10",
+    "user_features",
+    "pricing_summary",
+    "top_revenue_orders",
+    "nation_revenue",
+    "returnflag_rollup",
+]
+HEADLINE_COUNT = [
+    "two_hop_resource_paths",
+    "supplier_running_revenue",
+    "top_orders_per_customer",
+]
+
+
+def main() -> None:
+    spark = get_spark("bench")
+    queries = all_queries()
+    # warm the JVM + parquet footers once (not timed per query)
+    t0 = time.perf_counter()
+    timings: dict[str, float] = {}
+    for name in HEADLINE_COLLECT + HEADLINE_COUNT:
+        fn = queries[name]
+        start = time.perf_counter()
+        df = fn(spark, SF_DIR)
+        if name in HEADLINE_COUNT:
+            df.count()
+        else:
+            df.collect()
+        timings[name] = round(time.perf_counter() - start, 3)
+    total = round(time.perf_counter() - t0, 3)
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    print(json.dumps({
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf),
+    }))
+
+
+if __name__ == "__main__":
+    main()
