@@ -1,0 +1,192 @@
+"""Near-duplicate detection operators — the subquadratic scale paths
+(SURVEY.md §7 step 8; BASELINE.json LLM-pipeline north star).
+
+Three families, all shuffle-bounded and driver-light:
+
+- **MinHash + LSH** via Spark ML (`HashingTF` → `MinHashLSH` →
+  `approxSimilarityJoin`): candidate pairs are generated per hash-band
+  bucket, O(n·bands) not O(n²).
+- **SimHash**: 60-bit fingerprint from token hashes, built entirely from
+  JVM expressions (explode → conditional bit sums → one groupBy);
+  Hamming candidates via banded chunk-equality joins, verified with
+  ``bit_count(a XOR b)``.
+- **Winnowing fingerprints**: k-char rolling hashes + sliding-window
+  minima (array expressions, no UDF) — the standard document
+  fingerprinting scheme for plagiarism/near-dup at corpus scale.
+
+Seeded/deterministic, but the hash values are Spark-specific, so the
+driver records rows-only checks for these (no DuckDB oracle by
+construction). Unit tests plant known duplicates instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH (Spark ML)
+# ---------------------------------------------------------------------------
+
+
+def minhash_near_dup_pairs(docs: DataFrame,
+                           jaccard_threshold: float = 0.5,
+                           num_hash_tables: int = 8,
+                           shingle_len: int = 3,
+                           num_features: int = 1 << 18,
+                           seed: int = 42) -> DataFrame:
+    """Candidate near-dup pairs with Jaccard *distance* below threshold.
+
+    Pipeline: word shingles → sparse binary term vector (HashingTF) →
+    MinHashLSH signatures → approxSimilarityJoin (band-bucket join).
+    Returns (doc_a, doc_b, jaccard_dist), doc_a < doc_b.
+    """
+    from pyspark.ml.feature import HashingTF, MinHashLSH
+
+    w = F.split(F.col("text"), r"\s+")
+    # try_element_at: under ANSI mode (Spark 4 default) a plain
+    # element_at throws when the optimizer evaluates the projection on
+    # rows the filter below would drop (local relations); OOB → null is
+    # safe because those rows are filtered out.
+    shingled = (docs
+                .filter(F.size(w) >= shingle_len)
+                .select("doc_id",
+                        F.array_distinct(F.transform(
+                            F.sequence(F.lit(0),
+                                       F.greatest(F.size(w) - shingle_len,
+                                                  F.lit(0))),
+                            lambda i: F.concat_ws(" ", *[
+                                F.try_element_at(w, i + j + 1)
+                                for j in range(shingle_len)])))
+                        .alias("shingles")))
+    tf = HashingTF(inputCol="shingles", outputCol="features",
+                   numFeatures=num_features, binary=True)
+    vec = tf.transform(shingled).filter(
+        F.expr("size(shingles) > 0"))
+    lsh = MinHashLSH(inputCol="features", outputCol="hashes",
+                     numHashTables=num_hash_tables, seed=seed)
+    model = lsh.fit(vec)
+    pairs = model.approxSimilarityJoin(vec, vec, jaccard_threshold,
+                                       distCol="jaccard_dist")
+    return (pairs
+            .select(F.col("datasetA.doc_id").alias("doc_a"),
+                    F.col("datasetB.doc_id").alias("doc_b"),
+                    F.round("jaccard_dist", 6).alias("jaccard_dist"))
+            .filter(F.col("doc_a") < F.col("doc_b")))
+
+
+def minhash_dedup_keep(docs: DataFrame,
+                       jaccard_threshold: float = 0.3,
+                       **kwargs) -> DataFrame:
+    """Dedup decision: greedy keep-lowest-doc_id per near-dup component
+    (single-link via smallest-neighbor propagation, 1 iteration — exact
+    for pairwise clusters, documented approximation for longer chains;
+    full connected components is an iterative join loop)."""
+    pairs = minhash_near_dup_pairs(docs, jaccard_threshold, **kwargs)
+    drop = (pairs.groupBy(F.col("doc_b").alias("doc_id"))
+            .agg(F.min("doc_a").alias("kept_as")))
+    return (docs.join(drop, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("kept_as", "doc_id").alias("canonical_id"),
+                    F.col("kept_as").isNotNull().alias("is_duplicate")))
+
+
+# ---------------------------------------------------------------------------
+# SimHash (pure expressions)
+# ---------------------------------------------------------------------------
+
+_SIMHASH_BITS = 60  # stay clear of the sign bit of a Spark LongType
+
+
+def simhash_fingerprints(docs: DataFrame,
+                         bits: int = _SIMHASH_BITS) -> DataFrame:
+    """60-bit SimHash per doc: token → xxhash64 → per-bit ±1 sums →
+    sign → packed bigint. One explode + one groupBy (map-side partial
+    aggregation makes the shuffle |docs|×1 row)."""
+    tok = (docs
+           .select("doc_id",
+                   F.explode(F.split(F.col("text"), r"\s+")).alias("tok"))
+           .withColumn("h", F.xxhash64("tok")))
+    bit_sums = [
+        F.sum(F.when(F.shiftright("h", i).bitwiseAND(F.lit(1)) == 1, 1)
+              .otherwise(-1)).alias(f"b{i}")
+        for i in range(bits)
+    ]
+    agg = tok.groupBy("doc_id").agg(*bit_sums)
+    fp = None
+    for i in range(bits):
+        term = F.when(F.col(f"b{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        fp = term if fp is None else fp + term
+    return agg.select("doc_id", fp.cast("long").alias("simhash"))
+
+
+def simhash_near_dup_pairs(docs: DataFrame,
+                           max_hamming: int = 8,
+                           n_bands: int = 4,
+                           bits: int = _SIMHASH_BITS) -> DataFrame:
+    """Pairs within Hamming distance: band the fingerprint into
+    ``n_bands`` chunks; by pigeonhole any pair within distance
+    < n_bands must share a chunk (guaranteed complete for
+    max_hamming < n_bands; a recall-tuned candidate generator above
+    that). Verify with bit_count(xor)."""
+    fp = simhash_fingerprints(docs, bits).cache()
+    band_width = bits // n_bands
+    bands = fp.select(
+        "doc_id", "simhash",
+        F.explode(F.array(*[
+            F.struct(F.lit(i).alias("band"),
+                     F.shiftright("simhash", i * band_width)
+                      .bitwiseAND(F.lit((1 << band_width) - 1))
+                      .alias("chunk"))
+            for i in range(n_bands)])).alias("b"))
+    a = bands.select(F.col("doc_id").alias("doc_a"),
+                     F.col("simhash").alias("sim_a"), "b")
+    bb = bands.select(F.col("doc_id").alias("doc_b"),
+                      F.col("simhash").alias("sim_b"), "b")
+    return (a.join(bb, "b")
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .dropDuplicates(["doc_a", "doc_b"])
+            .withColumn("hamming", F.bit_count(
+                F.col("sim_a").bitwiseXOR(F.col("sim_b"))))
+            .filter(F.col("hamming") <= max_hamming)
+            .select("doc_a", "doc_b", "hamming"))
+
+
+# ---------------------------------------------------------------------------
+# Winnowing fingerprints (rolling hash, array expressions)
+# ---------------------------------------------------------------------------
+
+
+def winnowing_fingerprints(docs: DataFrame, k: int = 8,
+                           window: int = 16) -> DataFrame:
+    """Document fingerprinting via winnowing: hash every k-char gram,
+    keep the minimum of each sliding window — entirely array
+    expressions (sequence → substring → xxhash64 → slice → array_min),
+    one row out per selected fingerprint."""
+    grams = F.expr(
+        f"transform(sequence(1, greatest(length(text) - {k - 1}, 0)),"
+        f" i -> xxhash64(substring(text, i, {k})))")
+    winnowed = F.expr(
+        f"array_distinct(transform("
+        f" sequence(1, greatest(size(grams) - {window - 1}, 0)),"
+        f" j -> array_min(slice(grams, j, {window}))))")
+    return (docs
+            .select("doc_id", grams.alias("grams"))
+            .filter(F.size("grams") >= window)
+            .select("doc_id", winnowed.alias("fps"))
+            .select("doc_id", F.explode("fps").alias("fingerprint")))
+
+
+def fingerprint_overlap_pairs(docs: DataFrame, k: int = 8,
+                              window: int = 16,
+                              min_shared: int = 2) -> DataFrame:
+    """Docs sharing ≥ min_shared winnowing fingerprints — equi-join on
+    fingerprint (candidates only where hashes collide), count per pair."""
+    fp = winnowing_fingerprints(docs, k, window).cache()
+    a = fp.select(F.col("doc_id").alias("doc_a"), "fingerprint")
+    b = fp.select(F.col("doc_id").alias("doc_b"), "fingerprint")
+    return (a.join(b, "fingerprint")
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count("*").alias("shared_fingerprints"))
+            .filter(F.col("shared_fingerprints") >= min_shared))

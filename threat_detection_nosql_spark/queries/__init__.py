@@ -16,16 +16,26 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 
 
 def all_queries() -> dict[str, QueryFn]:
-    from threat_detection_nosql_spark.queries import pipeline, relational, threat
+    from threat_detection_nosql_spark.queries import (
+        advanced,
+        pipeline,
+        relational,
+        threat,
+    )
     out: dict[str, QueryFn] = {}
-    for mod in (threat, relational, pipeline):
+    for mod in (threat, relational, pipeline, advanced):
         out.update(mod.QUERIES)
     return out
 
 
 def all_oracles() -> dict[str, str]:
-    from threat_detection_nosql_spark.queries import pipeline, relational, threat
+    from threat_detection_nosql_spark.queries import (
+        advanced,
+        pipeline,
+        relational,
+        threat,
+    )
     out: dict[str, str] = {}
-    for mod in (threat, relational, pipeline):
+    for mod in (threat, relational, pipeline, advanced):
         out.update(mod.ORACLES)
     return out

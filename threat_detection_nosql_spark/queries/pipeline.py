@@ -1,2 +1,288 @@
-QUERIES = {}
-ORACLES = {}
+"""LLM-data-pipeline operators over `documents` / `embeddings`
+(BASELINE.json north star; SURVEY.md §7 step 8).
+
+Oracle-checked here: exact dedup, n-gram Jaccard similarity, token/
+quality stats, language-ID heuristic, brute-force cosine top-k,
+multimodal binary metadata. The hash-seeded ops (MinHash LSH, SimHash)
+live in ``operators/dedup.py`` and are registered rows-only (Spark and
+DuckDB disagree on hash functions by construction).
+
+Scale notes: the Jaccard join is shingle-partitioned — candidate pairs
+are generated only for docs sharing a shingle, never all-pairs; the
+cosine top-k broadcasts the (tiny) query set and never shuffles the
+corpus; both are the patterns that survive 100 TB, with LSH variants as
+the subquadratic path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from threat_detection_nosql_spark.sources.readers import load_table
+
+STOPWORDS = ("the", "a", "of", "and", "to", "is", "in", "it")
+
+
+# -- D1: exact deduplication (hash-groupBy) ----------------------------------
+
+def exact_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-hash dedup: md5(text) → group → representative = min
+    doc_id (the keep), n_copies. One shuffle on the 128-bit hash, never
+    on the full text — the only formulation that works when `text` is
+    megabytes."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (docs
+            .select(F.md5("text").alias("text_hash"), "doc_id")
+            .groupBy("text_hash")
+            .agg(F.min("doc_id").alias("keep_doc_id"),
+                 F.count("*").alias("n_copies")))
+
+
+_EXACT_DEDUP_SQL = """
+SELECT md5(text) AS text_hash,
+       min(doc_id) AS keep_doc_id,
+       CAST(count(*) AS BIGINT) AS n_copies
+FROM documents
+GROUP BY md5(text)
+"""
+
+
+# -- D2: n-gram Jaccard near-dup, top-20 most similar pairs ------------------
+
+def _shingles(docs: DataFrame) -> DataFrame:
+    """Distinct word-3-gram shingles per doc — array ops, no UDF."""
+    w = F.split(F.col("text"), r"\s+")
+    # guard: sequence(0, size-3) is DECREASING for size<3 in Spark, not
+    # empty — docs with <3 words must be filtered, matching DuckDB's
+    # empty range()
+    return (docs
+            .filter(F.size(w) >= 3)
+            .select("doc_id",
+                    F.explode(F.transform(
+                        F.sequence(F.lit(0),
+                                   F.greatest(F.size(w) - 3, F.lit(0))),
+                        lambda i: F.concat_ws(
+                            " ", F.try_element_at(w, i + 1),
+                            F.try_element_at(w, i + 2),
+                            F.try_element_at(w, i + 3)))).alias("shingle"))
+            .distinct())
+
+
+def ngram_jaccard_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jaccard over 3-gram shingle sets: shingle-equi-join generates
+    candidates (only docs sharing ≥1 shingle), intersection counts per
+    pair, |union| = |A|+|B|−|∩|. Top-20 pairs by similarity."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = _shingles(docs).cache()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (a.join(b, "shingle")
+             .filter(F.col("doc_a") < F.col("doc_b"))
+             .groupBy("doc_a", "doc_b")
+             .agg(F.count("*").alias("n_inter")))
+    sa = sizes.select(F.col("doc_id").alias("doc_a"),
+                      F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"),
+                      F.col("n_sh").alias("n_b"))
+    return (inter.join(F.broadcast(sa), "doc_a")
+            .join(F.broadcast(sb), "doc_b")
+            .select("doc_a", "doc_b",
+                    F.round(F.col("n_inter")
+                            / (F.col("n_a") + F.col("n_b")
+                               - F.col("n_inter")), 6).alias("jaccard"))
+            .orderBy(F.desc("jaccard"), F.asc("doc_a"), F.asc("doc_b"))
+            .limit(20))
+
+
+_JACCARD_SQL = r"""
+WITH w AS (SELECT doc_id, string_split_regex(text, '\s+') AS wds
+           FROM documents),
+sh AS (SELECT DISTINCT doc_id, wds[i] || ' ' || wds[i+1] || ' ' || wds[i+2]
+                AS shingle
+       FROM w, LATERAL (SELECT unnest(range(1, len(wds) - 1)) AS i) ix),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+          FROM sh a JOIN sh b USING (shingle)
+          WHERE a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id)
+SELECT doc_a, doc_b,
+       round(n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+ORDER BY jaccard DESC, doc_a ASC, doc_b ASC
+LIMIT 20
+"""
+
+
+# -- D3: token counting + quality scoring ------------------------------------
+
+def doc_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc text-quality features: token count (whitespace), char
+    count, punctuation count, stopword ratio, mean word length — all
+    built-in string/array expressions (codegen, no UDF)."""
+    docs = load_table(spark, sf_dir, "documents")
+    tokens = F.split(F.col("text"), r"\s+")
+    n_tok = F.size(tokens)
+    stop_list = ", ".join(f"'{s}'" for s in STOPWORDS)
+    n_stop = F.expr(
+        f"size(filter(split(text, '\\\\s+'), t -> t in ({stop_list})))")
+    n_punct = (F.length("text")
+               - F.length(F.regexp_replace("text", r"[.,!?;:]", "")))
+    n_nonspace = F.length(F.regexp_replace("text", r"\s", ""))
+    return docs.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        F.length("text").alias("n_chars_actual"),
+        n_punct.alias("n_punct"),
+        F.round(n_stop / n_tok, 6).alias("stopword_ratio"),
+        F.round(n_nonspace / n_tok, 6).alias("mean_word_len"))
+
+
+_QUALITY_SQL = r"""
+SELECT doc_id,
+       CAST(len(string_split_regex(text, '\s+')) AS INT) AS n_tokens,
+       CAST(length(text) AS INT) AS n_chars_actual,
+       CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g'))
+            AS INT) AS n_punct,
+       round(len(list_filter(string_split_regex(text, '\s+'),
+                             t -> t IN ('the','a','of','and','to','is','in','it')))
+             * 1.0 / len(string_split_regex(text, '\s+')), 6) AS stopword_ratio,
+       round(length(regexp_replace(text, '\s', '', 'g'))
+             * 1.0 / len(string_split_regex(text, '\s+')), 6) AS mean_word_len
+FROM documents
+"""
+
+
+# -- D4: language-ID heuristic ------------------------------------------------
+
+def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram-frequency language ID, reduced to a deterministic marker
+    heuristic (English function-word hits vs the labeled lang). Counts
+    occurrences of ' the ' / ' and ' / ' of ' as en-markers; exact
+    integer arithmetic so the oracle matches bit-for-bit."""
+    docs = load_table(spark, sf_dir, "documents")
+    padded = F.concat(F.lit(" "), F.col("text"), F.lit(" "))
+
+    def occurrences(marker: str):
+        return ((F.length(padded)
+                 - F.length(F.regexp_replace(padded, marker, "")))
+                / len(marker)).cast("int")
+
+    en_score = (occurrences(" the ") + occurrences(" and ")
+                + occurrences(" of "))
+    return docs.select(
+        "doc_id", "lang",
+        en_score.alias("en_marker_hits"),
+        F.when(en_score > 0, F.lit("en")).otherwise(F.lit("und"))
+         .alias("predicted_lang"))
+
+
+_LANG_ID_SQL = """
+WITH p AS (SELECT doc_id, lang, ' ' || text || ' ' AS pt FROM documents),
+s AS (SELECT doc_id, lang,
+             CAST((length(pt) - length(replace(pt, ' the ', ''))) / 5
+                  + (length(pt) - length(replace(pt, ' and ', ''))) / 5
+                  + (length(pt) - length(replace(pt, ' of ', ''))) / 4
+                  AS INT) AS en_marker_hits
+      FROM p)
+SELECT doc_id, lang, en_marker_hits,
+       CASE WHEN en_marker_hits > 0 THEN 'en' ELSE 'und' END AS predicted_lang
+FROM s
+"""
+
+
+# -- D5: brute-force cosine top-k (ANN baseline) -----------------------------
+
+def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact k-NN baseline: broadcast the query set (vec_id < 8) against
+    the corpus, dot product + norms as JVM array expressions
+    (`aggregate`/`zip_with`), top-5 per query via window. The corpus
+    never shuffles — the plan is scan → broadcast-nested-loop → window
+    on a |Q|·k result. LSH-bucketed variant in operators/similarity.py
+    is the subquadratic scale path."""
+    emb = (load_table(spark, sf_dir, "embeddings")
+           .select("vec_id", F.col("embedding").cast("array<double>")
+                   .alias("v")))
+    queries = (emb.filter(F.col("vec_id") < 8)
+               .select(F.col("vec_id").alias("q_id"),
+                       F.col("v").alias("q_v")))
+    dot = F.aggregate(F.zip_with("v", "q_v", lambda x, y: x * y),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    norm = lambda c: F.sqrt(F.aggregate(  # noqa: E731
+        F.transform(c, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))
+    scored = (emb.crossJoin(F.broadcast(queries))
+              .filter(F.col("vec_id") != F.col("q_id"))
+              .select("q_id", "vec_id",
+                      F.round(dot / (norm(F.col("v")) * norm(F.col("q_v"))),
+                              6).alias("cosine")))
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= 5)
+            .select("q_id", "vec_id", "cosine", "rank"))
+
+
+_COSINE_TOPK_SQL = """
+WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT vec_id AS q_id, v AS q_v FROM emb WHERE vec_id < 8),
+scored AS (
+  SELECT q_id, vec_id,
+         round(list_dot_product(v, q_v)
+               / (sqrt(list_dot_product(v, v))
+                  * sqrt(list_dot_product(q_v, q_v))), 6) AS cosine
+  FROM emb CROSS JOIN q
+  WHERE vec_id <> q_id)
+SELECT q_id, vec_id, cosine, rank FROM (
+  SELECT q_id, vec_id, cosine,
+         CAST(row_number() OVER (PARTITION BY q_id
+              ORDER BY cosine DESC, vec_id ASC) AS INT) AS rank
+  FROM scored) t
+WHERE rank <= 5
+"""
+
+
+# -- D6: multimodal binary-column plumbing -----------------------------------
+
+def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal pattern: media as opaque `binary` + typed metadata.
+    The blob here is the utf-8 encoding of `text` (the container has no
+    image/audio libs — decode itself is stubbed in
+    operators/multimodal.py); the Spark-side plumbing (binary column,
+    byte length, content hash, format tag) is real."""
+    docs = load_table(spark, sf_dir, "documents")
+    blob = F.encode(F.col("text"), "utf-8")
+    return docs.select(
+        "doc_id",
+        F.octet_length(blob).alias("blob_bytes"),
+        F.md5(blob).alias("blob_md5"),
+        F.lit("text/plain").alias("media_type"))
+
+
+_MULTIMODAL_SQL = """
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS INT) AS blob_bytes,
+       md5(text) AS blob_md5,
+       'text/plain' AS media_type
+FROM documents
+"""
+
+
+QUERIES = {
+    "exact_dedup_groups": exact_dedup_groups,
+    "ngram_jaccard_top_pairs": ngram_jaccard_top_pairs,
+    "doc_quality_stats": doc_quality_stats,
+    "lang_id_heuristic": lang_id_heuristic,
+    "cosine_topk": cosine_topk,
+    "multimodal_metadata": multimodal_metadata,
+}
+
+ORACLES = {
+    "exact_dedup_groups": _EXACT_DEDUP_SQL,
+    "ngram_jaccard_top_pairs": _JACCARD_SQL,
+    "doc_quality_stats": _QUALITY_SQL,
+    "lang_id_heuristic": _LANG_ID_SQL,
+    "cosine_topk": _COSINE_TOPK_SQL,
+    "multimodal_metadata": _MULTIMODAL_SQL,
+}
