@@ -1,0 +1,113 @@
+"""ML quality gates on the planted-anomaly fixture (BASELINE.md band:
+contamination-0.1 detectors flag ~10%; supervised F1 in the 0.4–1.0
+band on the 20-anomaly/200-row fixture)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from threat_detection_nosql_spark.ml import unsupervised as U
+from threat_detection_nosql_spark.ml.features import (
+    assemble_features,
+    scale_features,
+    synthetic_anomaly_fixture,
+)
+from threat_detection_nosql_spark.ml.supervised import (
+    confusion_matrix,
+    stratified_split,
+    supervised_report,
+    with_class_weights,
+)
+
+
+@pytest.fixture(scope="module")
+def fixture(spark):
+    fix = synthetic_anomaly_fixture(spark)
+    scaled = scale_features(assemble_features(
+        fix, cols=[f"f{i}" for i in range(8)])).cache()
+    labels = {r.user: r.is_anomaly
+              for r in fix.select("user", "is_anomaly").collect()}
+    return scaled, labels
+
+
+def _tp(df, flag, labels):
+    flagged = {r.user for r in df.collect() if r[flag] == 1}
+    return len(flagged), sum(1 for u in flagged if labels[u] == 1)
+
+
+def test_kmeans_detector_recovers_planted(spark, fixture):
+    scaled, labels = fixture
+    n, tp = _tp(U.kmeans_detector(scaled), "kmeans_anomaly", labels)
+    assert tp >= 18  # reference K-Means found the planted cluster
+
+def test_iforest_detector_contamination_and_quality(spark, fixture):
+    scaled, labels = fixture
+    n, tp = _tp(U.iforest_detector(scaled, n_trees=100),
+                "iforest_anomaly", labels)
+    assert n == 20          # contamination 0.1 of 200 (exact percentile)
+    assert tp >= 16         # ≥80% of planted anomalies recovered
+
+
+def test_mahalanobis_detector_quality(spark, fixture):
+    scaled, labels = fixture
+    n, tp = _tp(U.mahalanobis_detector(scaled), "maha_anomaly", labels)
+    assert n == 20 and tp >= 14
+
+
+def test_pca_detector_flags_contamination(spark, fixture):
+    scaled, labels = fixture
+    n, tp = _tp(U.pca_reconstruction_detector(scaled), "pca_anomaly", labels)
+    assert n == 20 and tp >= 8   # linear AE: weaker but in-band
+
+
+def test_dbscan_noise_recovers_all_planted(spark, fixture):
+    scaled, labels = fixture
+    n, tp = _tp(U.dbscan_noise_detector(scaled, eps=2.0),
+                "dbscan_anomaly", labels)
+    assert tp == 20              # planted points are isolated
+    assert n <= 60               # reference DBSCAN over-flags (74/100)
+
+
+def test_ensemble_majority_vote(spark, fixture):
+    scaled, labels = fixture
+    out = U.ensemble_detector(scaled)
+    n, tp = _tp(out, "ensemble_anomaly", labels)
+    assert tp == 20 and n <= 30
+    scores = out.select("ensemble_score").collect()
+    assert all(0.0 <= r.ensemble_score <= 1.0 for r in scores)
+
+
+def test_stratified_split_preserves_classes(spark, fixture):
+    scaled, _ = fixture
+    train, test = stratified_split(scaled)
+    assert train.count() + test.count() == 200
+    assert test.filter(F.col("is_anomaly") == 1).count() >= 1
+
+
+def test_class_weights_balanced(spark, fixture):
+    scaled, _ = fixture
+    w = with_class_weights(scaled)
+    rows = w.select("is_anomaly", "weight").distinct().collect()
+    weights = {r.is_anomaly: r.weight for r in rows}
+    assert weights[1] > weights[0]  # minority upweighted
+
+
+def test_supervised_report_quality(spark, fixture):
+    scaled, _ = fixture
+    rep = {r.model: r for r in supervised_report(scaled).collect()}
+    assert set(rep) == {"random_forest", "gbt", "linear_svc"}
+    # planted anomalies are separable: accuracy ≥ reference band (0.85+)
+    for r in rep.values():
+        assert r.accuracy >= 0.85
+        assert r.f1 >= 0.4  # reference SVM F1=0.40 is the floor
+
+
+def test_confusion_matrix_sums_to_n(spark, fixture):
+    scaled, _ = fixture
+    from threat_detection_nosql_spark.ml.supervised import (
+        _fit_svc, stratified_split as split)
+    train, test = split(scaled)
+    model = _fit_svc(with_class_weights(train), "is_anomaly", 42)
+    cm = confusion_matrix(model.transform(test))
+    assert cm.agg(F.sum("n")).first()[0] == test.count()

@@ -1,0 +1,399 @@
+"""Unsupervised anomaly detectors (SURVEY.md §2.8 M2–M7).
+
+Reference stack: sklearn/TF on a driver-RAM matrix
+(`Comparaison_ML.py:113-322`). Spark-first re-expression:
+
+- KMeans-distance (M4): Spark ML KMeans, smaller cluster = anomaly,
+  min-centroid-distance score (broadcast centers, JVM expressions).
+- PCA reconstruction error (M6 substitute for the deep autoencoder — a
+  linear autoencoder): Spark ML PCA, reconstruction in closed form.
+- Mahalanobis distance (M3 substitute for kernel OCSVM — no kernel SVM
+  exists in Spark ML; documented deviation): covariance from a single
+  distributed pass, inverse on the driver (d×d), broadcast quadratic
+  form.
+- Isolation Forest (M2): no Spark-native impl and no sklearn in the
+  container → from-scratch numpy forest fit on a driver-collected
+  SAMPLE (iForest subsamples ≤256 rows/tree by design, so the driver
+  never holds more than n_trees×256 rows), broadcast trees, scoring
+  via Arrow-batched pandas UDF.
+- DBSCAN-noise (M5 approx): ε-neighbor counting via LSH
+  approxSimilarityJoin (candidate pairs from bucket collisions only) —
+  noise points (< min_samples neighbors) = anomalies. Documented
+  deviation: no full cluster assignment (the reference uses DBSCAN
+  solely to flag noise + a distance score).
+- Ensemble (M7): majority vote ≥3-of-5 (A14) + weighted mean score
+  (A15) as column arithmetic.
+
+Every detector returns (user, <score>, is_anomaly int) with scores
+min-max normalized (A17) so the vote/weighting matches the reference's
+semantics.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+CONTAMINATION = 0.1  # reference default (`Comparaison_ML.py:134`)
+
+
+def _minmax(df: DataFrame, col: str) -> DataFrame:
+    """A17: global min-max normalize one column (broadcast 1-row stats)."""
+    stats = df.agg(F.min(col).alias("_mn"), F.max(col).alias("_mx"))
+    return (df.join(F.broadcast(stats))
+            .withColumn(col, F.when(
+                F.col("_mx") > F.col("_mn"),
+                (F.col(col) - F.col("_mn")) / (F.col("_mx") - F.col("_mn")))
+                .otherwise(F.lit(0.0)))
+            .drop("_mn", "_mx"))
+
+
+def _threshold_flag(df: DataFrame, score_col: str, flag_col: str,
+                    contamination: float = CONTAMINATION) -> DataFrame:
+    """A16: flag the top `contamination` fraction by score via an exact
+    percentile cutoff (percentile_approx at 100 TB)."""
+    thr = df.agg(F.percentile(score_col, F.lit(1 - contamination))
+                 .alias("_thr"))
+    return (df.join(F.broadcast(thr))
+            .withColumn(flag_col,
+                        (F.col(score_col) > F.col("_thr")).cast("int"))
+            .drop("_thr"))
+
+
+# ---------------------------------------------------------------------------
+# M4: KMeans distance detector
+# ---------------------------------------------------------------------------
+
+
+def kmeans_detector(scaled: DataFrame, k: int = 2, seed: int = 42,
+                    key: str = "user") -> DataFrame:
+    """`Comparaison_ML.py:174-197`: k=2 KMeans; anomaly = smaller
+    cluster (A13); score = distance to own centroid, min-max normalized."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import vector_to_array
+
+    km = KMeans(k=k, seed=seed, featuresCol="scaled",
+                predictionCol="cluster")
+    model = km.fit(scaled)
+    pred = model.transform(scaled)
+    centers = [c.tolist() for c in model.clusterCenters()]
+    centers_df = F.broadcast(scaled.sparkSession.createDataFrame(
+        [(i, c) for i, c in enumerate(centers)],
+        "cluster int, center array<double>"))
+    # smaller cluster = anomaly cluster (A13: bincount→argmin)
+    sizes = pred.groupBy("cluster").count().collect()
+    anomaly_cluster = min(sizes, key=lambda r: (r["count"], r["cluster"]))[
+        "cluster"]
+    dist = F.sqrt(F.aggregate(
+        F.zip_with(vector_to_array("scaled"), F.col("center"),
+                   lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0), lambda a, x: a + x))
+    out = (pred.join(centers_df, "cluster")
+           .withColumn("kmeans_score", dist)
+           .select(key, "cluster", "kmeans_score"))
+    out = _minmax(out, "kmeans_score")
+    return out.withColumn("kmeans_anomaly",
+                          (F.col("cluster") == anomaly_cluster).cast("int")) \
+              .drop("cluster")
+
+
+# ---------------------------------------------------------------------------
+# M6 substitute: PCA reconstruction error (linear autoencoder)
+# ---------------------------------------------------------------------------
+
+
+def pca_reconstruction_detector(scaled: DataFrame, k: int = 3,
+                                contamination: float = CONTAMINATION,
+                                key: str = "user") -> DataFrame:
+    """Autoencoder substitute (`Comparaison_ML.py:253-289`): project to
+    k principal components and back; score = per-row reconstruction MSE;
+    flag above the (1−contamination) percentile (A16). On z-scored
+    input, PCA reconstruction is x̂ = V Vᵀ x — computed as one matrix
+    expression via broadcast V (d×k doubles)."""
+    from pyspark.ml.feature import PCA
+    from pyspark.ml.functions import vector_to_array
+
+    pca = PCA(k=k, inputCol="scaled", outputCol="pc")
+    model = pca.fit(scaled)
+    v = np.array(model.pc.toArray())          # d×k
+    proj = v @ v.T                            # d×d reconstruction map
+    d = proj.shape[0]
+    x = vector_to_array(F.col("scaled"))
+    recon = F.array(*[
+        F.aggregate(
+            F.zip_with(x, F.array(*[F.lit(float(proj[i, j]))
+                                    for j in range(d)]),
+                       lambda xv, pv: xv * pv),
+            F.lit(0.0), lambda a, b: a + b)
+        for i in range(d)
+    ])
+    mse = (F.aggregate(F.zip_with(x, recon, lambda a, b: (a - b) * (a - b)),
+                       F.lit(0.0), lambda a, b: a + b) / d)
+    out = scaled.withColumn("pca_mse", mse).select(key, "pca_mse")
+    out = _threshold_flag(out, "pca_mse", "pca_anomaly", contamination)
+    out = _minmax(out, "pca_mse")
+    return out.withColumnRenamed("pca_mse", "pca_score")
+
+
+# ---------------------------------------------------------------------------
+# M3 substitute: Mahalanobis distance
+# ---------------------------------------------------------------------------
+
+
+def mahalanobis_detector(scaled: DataFrame,
+                         contamination: float = CONTAMINATION,
+                         key: str = "user",
+                         reg: float = 1e-6) -> DataFrame:
+    """OCSVM substitute (documented deviation, SURVEY.md M3): squared
+    Mahalanobis distance to the fitted Gaussian. Covariance via one
+    distributed pass (Summarizer), d×d inverse on the driver,
+    broadcast quadratic form evaluated as expressions."""
+    from pyspark.ml.stat import Summarizer
+    from pyspark.ml.functions import vector_to_array
+
+    row = scaled.select(Summarizer.mean(F.col("scaled")).alias("mu")).first()
+    mu = np.array(row["mu"].toArray())
+    # covariance: E[xxᵀ] − μμᵀ via RowMatrix-free aggregation
+    d = len(mu)
+    x = vector_to_array(F.col("scaled"))
+    sums = scaled.select(*[
+        F.sum(F.element_at(x, i + 1) * F.element_at(x, j + 1))
+         .alias(f"s_{i}_{j}")
+        for i in range(d) for j in range(i, d)
+    ], F.count("*").alias("n")).first()
+    n = sums["n"]
+    cov = np.zeros((d, d))
+    for i in range(d):
+        for j in range(i, d):
+            c = sums[f"s_{i}_{j}"] / n - mu[i] * mu[j]
+            cov[i, j] = cov[j, i] = c
+    inv = np.linalg.inv(cov + reg * np.eye(d))
+    # quadratic form (x−μ)ᵀ Σ⁻¹ (x−μ) as nested expressions
+    diff = F.zip_with(x, F.array(*[F.lit(float(m)) for m in mu]),
+                      lambda a, b: a - b)
+    rows_m = [F.aggregate(
+        F.zip_with(diff, F.array(*[F.lit(float(inv[i, j]))
+                                   for j in range(d)]),
+                   lambda a, b: a * b),
+        F.lit(0.0), lambda a, b: a + b) for i in range(d)]
+    quad = F.aggregate(F.zip_with(diff, F.array(*rows_m),
+                                  lambda a, b: a * b),
+                       F.lit(0.0), lambda a, b: a + b)
+    out = scaled.withColumn("maha_score", quad).select(key, "maha_score")
+    out = _threshold_flag(out, "maha_score", "maha_anomaly", contamination)
+    return _minmax(out, "maha_score")
+
+
+# ---------------------------------------------------------------------------
+# M2: Isolation Forest (from scratch — no sklearn in the container)
+# ---------------------------------------------------------------------------
+
+
+def _build_iforest(sample: np.ndarray, n_trees: int, max_samples: int,
+                   rng: np.random.Generator):
+    """Fit isolation trees on a numpy sample. Each tree: recursive
+    random (feature, split) until isolation or depth limit. Stored as
+    flat arrays for cheap broadcast. Standard iForest per Liu et al.
+    2008 (public algorithm)."""
+    trees = []
+    depth_limit = int(np.ceil(np.log2(max(max_samples, 2))))
+
+    def build(sub: np.ndarray, idx: np.ndarray, depth: int,
+              nodes: list) -> int:
+        node_id = len(nodes)
+        nodes.append(None)
+        if depth >= depth_limit or len(idx) <= 1:
+            nodes[node_id] = (-1, float(len(idx)), -1, -1)  # leaf
+            return node_id
+        cols = np.where(sub[idx].min(0) < sub[idx].max(0))[0]
+        if len(cols) == 0:
+            nodes[node_id] = (-1, float(len(idx)), -1, -1)
+            return node_id
+        f = int(rng.choice(cols))
+        lo, hi = sub[idx, f].min(), sub[idx, f].max()
+        s = float(rng.uniform(lo, hi))
+        left = idx[sub[idx, f] < s]
+        right = idx[sub[idx, f] >= s]
+        li = build(sub, left, depth + 1, nodes)
+        ri = build(sub, right, depth + 1, nodes)
+        nodes[node_id] = (f, s, li, ri)
+        return node_id
+
+    for _ in range(n_trees):
+        take = rng.choice(len(sample), size=min(max_samples, len(sample)),
+                          replace=False)
+        sub = sample[take]
+        nodes: list = []
+        build(sub, np.arange(len(sub)), 0, nodes)
+        trees.append(nodes)
+    return trees, depth_limit
+
+
+def _avg_path_len(n: float) -> float:
+    """c(n): expected path length of unsuccessful BST search."""
+    if n <= 1:
+        return 0.0
+    h = np.log(n - 1) + 0.5772156649
+    return 2.0 * h - 2.0 * (n - 1) / n
+
+
+def _iforest_path(xrow: np.ndarray, nodes) -> float:
+    node = nodes[0]
+    depth = 0
+    i = 0
+    while node[0] >= 0:
+        f, s, li, ri = node
+        i = li if xrow[int(f)] < s else ri
+        node = nodes[i]
+        depth += 1
+    leaf_n = node[1]
+    return depth + _avg_path_len(leaf_n)
+
+
+def iforest_detector(scaled: DataFrame, n_trees: int = 200,
+                     max_samples: int = 256,
+                     contamination: float = CONTAMINATION,
+                     seed: int = 42, key: str = "user") -> DataFrame:
+    """M2 (`Comparaison_ML.py:134-149`): contamination=0.1,
+    n_estimators=200. Fit on a driver sample bounded by
+    n_trees×max_samples rows (iForest's own subsampling design);
+    scoring is distributed via an Arrow-batched pandas UDF over the
+    broadcast forest. Score = 2^(−E[path]/c(ψ)) ∈ (0,1), higher =
+    more anomalous."""
+    import pandas as pd
+    from pyspark.ml.functions import vector_to_array
+
+    fit_n = n_trees * max_samples
+    pdf = (scaled.select(vector_to_array("scaled").alias("x"))
+           .limit(fit_n).toPandas())
+    mat = np.array(pdf["x"].tolist())
+    rng = np.random.default_rng(seed)
+    forests, _ = _build_iforest(mat, n_trees, max_samples, rng)
+    c_norm = _avg_path_len(min(max_samples, len(mat)))
+    sc = scaled.sparkSession.sparkContext
+    b_forest = sc.broadcast(forests)
+
+    key_type = dict(scaled.dtypes)[key]
+    proj = scaled.select(F.col(key), vector_to_array("scaled").alias("x"))
+
+    # mapInPandas (not pandas_udf): Arrow-batched, and immune to
+    # `from __future__ import annotations` stringifying the type hints
+    def score_batches(it):
+        for batch in it:
+            trees = b_forest.value
+            scores = [
+                float(2.0 ** (-np.mean([_iforest_path(np.asarray(x), t)
+                                        for t in trees]) / c_norm))
+                for x in batch["x"]
+            ]
+            yield pd.DataFrame({key: batch[key],
+                                "iforest_score": scores})
+
+    out = proj.mapInPandas(
+        score_batches, schema=f"{key} {key_type}, iforest_score double")
+    out = _threshold_flag(out, "iforest_score", "iforest_anomaly",
+                          contamination)
+    return _minmax(out, "iforest_score")
+
+
+# ---------------------------------------------------------------------------
+# M5 approx: DBSCAN-noise via LSH neighbor counting
+# ---------------------------------------------------------------------------
+
+
+def dbscan_noise_detector(scaled: DataFrame, eps: float = 0.5,
+                          min_samples: int | None = None,
+                          key: str = "user",
+                          exact: bool | None = None) -> DataFrame:
+    """`Comparaison_ML.py:204-251`: eps=0.5, min_samples = max(5, 1% n);
+    noise points = anomalies; score = mean distance to the eps-ball
+    members (0 for isolated points → min-maxed so noise scores high).
+
+    Neighbor pairs via BucketedRandomProjectionLSH approxSimilarityJoin
+    (bucket-collision candidates only — subquadratic); `exact=True`
+    forces a broadcast self-join for small inputs/tests.
+    """
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.functions import vector_to_array
+
+    n = scaled.count()
+    if min_samples is None:
+        min_samples = max(5, int(0.01 * n))
+    if exact is None:
+        exact = n <= 100_000
+
+    pts = scaled.select(F.col(key), F.col("scaled"))
+    if exact:
+        a = pts.select(F.col(key).alias("a"),
+                       vector_to_array("scaled").alias("va"))
+        b = pts.select(F.col(key).alias("b"),
+                       vector_to_array("scaled").alias("vb"))
+        dist = F.sqrt(F.aggregate(
+            F.zip_with("va", "vb", lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0), lambda acc, x: acc + x))
+        pairs = (a.join(F.broadcast(b), F.col("a") != F.col("b"))
+                 .withColumn("d", dist)
+                 .filter(F.col("d") <= eps)
+                 .select("a", "d"))
+    else:
+        lsh = BucketedRandomProjectionLSH(
+            inputCol="scaled", outputCol="hashes",
+            bucketLength=eps * 2, numHashTables=4, seed=42)
+        model = lsh.fit(pts)
+        joined = model.approxSimilarityJoin(pts, pts, eps, distCol="d")
+        pairs = (joined
+                 .select(F.col(f"datasetA.{key}").alias("a"),
+                         F.col(f"datasetB.{key}").alias("b"), "d")
+                 .filter(F.col("a") != F.col("b"))
+                 .select("a", "d"))
+    counts = (pairs.groupBy("a")
+              .agg(F.count("*").alias("n_neighbors"),
+                   F.avg("d").alias("mean_dist")))
+    out = (pts.select(key)
+           .join(counts, F.col(key) == F.col("a"), "left")
+           .select(key,
+                   F.coalesce("n_neighbors", F.lit(0)).alias("n_neighbors"),
+                   F.coalesce("mean_dist", F.lit(0.0)).alias("dbscan_score"))
+           .withColumn("dbscan_anomaly",
+                       (F.col("n_neighbors") < min_samples).cast("int"))
+           .drop("n_neighbors"))
+    return _minmax(out, "dbscan_score")
+
+
+# ---------------------------------------------------------------------------
+# M7: ensemble vote + weighted score
+# ---------------------------------------------------------------------------
+
+ENSEMBLE_WEIGHTS = {  # `Comparaison_ML.py:306-317`
+    "iforest_score": 0.25,
+    "maha_score": 0.20,
+    "kmeans_score": 0.15,
+    "dbscan_score": 0.20,
+    "pca_score": 0.20,
+}
+
+
+def ensemble_detector(scaled: DataFrame, key: str = "user",
+                      contamination: float = CONTAMINATION,
+                      seed: int = 42) -> DataFrame:
+    """Run all 5 detectors and combine: majority vote ≥3/5 (A14) and
+    weighted mean of normalized scores (A15) — all column arithmetic
+    after joining on the key (J7 done relationally, not positionally)."""
+    km = kmeans_detector(scaled, seed=seed, key=key)
+    pca = pca_reconstruction_detector(scaled, contamination=contamination,
+                                      key=key)
+    maha = mahalanobis_detector(scaled, contamination=contamination, key=key)
+    iso = iforest_detector(scaled, contamination=contamination, seed=seed,
+                           key=key)
+    dbs = dbscan_noise_detector(scaled, key=key)
+    out = (km.join(pca, key).join(maha, key).join(iso, key).join(dbs, key))
+    votes = (F.col("kmeans_anomaly") + F.col("pca_anomaly")
+             + F.col("maha_anomaly") + F.col("iforest_anomaly")
+             + F.col("dbscan_anomaly"))
+    wsum = sum(ENSEMBLE_WEIGHTS.values())
+    wscore = sum(F.col(c) * w for c, w in ENSEMBLE_WEIGHTS.items()) / wsum
+    return (out
+            .withColumn("votes", votes)
+            .withColumn("ensemble_anomaly", (votes >= 3).cast("int"))
+            .withColumn("ensemble_score", F.round(wscore, 6)))

@@ -18,12 +18,13 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 def all_queries() -> dict[str, QueryFn]:
     from threat_detection_nosql_spark.queries import (
         advanced,
+        ml_queries,
         pipeline,
         relational,
         threat,
     )
     out: dict[str, QueryFn] = {}
-    for mod in (threat, relational, pipeline, advanced):
+    for mod in (threat, relational, pipeline, advanced, ml_queries):
         out.update(mod.QUERIES)
     return out
 
@@ -31,11 +32,12 @@ def all_queries() -> dict[str, QueryFn]:
 def all_oracles() -> dict[str, str]:
     from threat_detection_nosql_spark.queries import (
         advanced,
+        ml_queries,
         pipeline,
         relational,
         threat,
     )
     out: dict[str, str] = {}
-    for mod in (threat, relational, pipeline, advanced):
+    for mod in (threat, relational, pipeline, advanced, ml_queries):
         out.update(mod.ORACLES)
     return out
