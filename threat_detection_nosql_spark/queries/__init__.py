@@ -21,10 +21,12 @@ def all_queries() -> dict[str, QueryFn]:
         ml_queries,
         pipeline,
         relational,
+        streaming_queries,
         threat,
     )
     out: dict[str, QueryFn] = {}
-    for mod in (threat, relational, pipeline, advanced, ml_queries):
+    for mod in (threat, relational, pipeline, advanced, ml_queries,
+                streaming_queries):
         out.update(mod.QUERIES)
     return out
 
@@ -35,9 +37,11 @@ def all_oracles() -> dict[str, str]:
         ml_queries,
         pipeline,
         relational,
+        streaming_queries,
         threat,
     )
     out: dict[str, str] = {}
-    for mod in (threat, relational, pipeline, advanced, ml_queries):
+    for mod in (threat, relational, pipeline, advanced, ml_queries,
+                streaming_queries):
         out.update(mod.ORACLES)
     return out

@@ -1,0 +1,129 @@
+"""Streaming queries for the driver contract: each drives a finite
+file-stream to completion (memory sink, complete/update mode) and
+returns the materialized DataFrame — so windowed results ARE
+oracle-checkable against batch time-bucket SQL (the gate the reference
+never had: its pipeline is batch-only).
+
+Oracle notes: Spark tumbling windows align to the Unix epoch in the
+UTC session timezone → window_start = floor(epoch/len)·len, which
+DuckDB reproduces with make_timestamp(); session windows use the
+gaps-and-islands rewrite (new session when the gap ≥ the timeout).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from threat_detection_nosql_spark.streaming import stream_queries as S
+
+_EVENTS_CTE = """
+WITH ev AS (
+  SELECT user_id AS user, ts,
+         CASE WHEN hour(ts) < 8 OR hour(ts) > 18 THEN 1 ELSE 0 END
+           AS is_after_hours,
+         event_type AS activity
+  FROM events
+)
+"""
+
+
+def stream_windowed_user_counts(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    return S.windowed_user_counts(spark, sf_dir)
+
+
+_WINDOWED_SQL = _EVENTS_CTE + """
+SELECT make_timestamp(CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT)
+                      * 1000000) AS window_start,
+       user,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(is_after_hours) AS BIGINT) AS n_after_hours
+FROM ev
+GROUP BY 1, 2
+"""
+
+
+def stream_sliding_type_counts(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    return S.sliding_type_counts(spark, sf_dir)
+
+
+_SLIDING_SQL = _EVENTS_CTE + """
+, slid AS (
+  SELECT activity,
+         make_timestamp((CAST(floor(epoch(ts) / 3600) AS BIGINT) - off)
+                        * 3600 * 1000000) AS window_start
+  FROM ev CROSS JOIN (SELECT unnest([0, 1]) AS off) o
+)
+SELECT window_start,
+       window_start + INTERVAL '2 hours' AS window_end,
+       activity,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM slid
+GROUP BY window_start, activity
+"""
+
+
+def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return S.session_windows_per_user(spark, sf_dir)
+
+
+_SESSION_SQL = _EVENTS_CTE + """
+, marked AS (
+  SELECT user, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts - lag(ts) OVER w >= INTERVAL '30 minutes'
+              THEN 1 ELSE 0 END AS new_session
+  FROM ev
+  WINDOW w AS (PARTITION BY user ORDER BY ts)
+),
+sessions AS (
+  SELECT user, ts,
+         sum(new_session) OVER (PARTITION BY user ORDER BY ts
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM marked
+)
+SELECT min(ts) AS session_start,
+       max(ts) + INTERVAL '30 minutes' AS session_end,
+       user,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM sessions
+GROUP BY user, sid
+"""
+
+
+def stream_anomaly_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return S.streaming_anomaly_flags(spark, sf_dir, threshold=3)
+
+
+_ANOMALY_FLAGS_SQL = _EVENTS_CTE + """
+SELECT make_timestamp(CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT)
+                      * 1000000) AS window_start,
+       user,
+       CAST(count(*) AS BIGINT) AS n_after_hours
+FROM ev
+WHERE is_after_hours = 1
+GROUP BY 1, 2
+HAVING count(*) >= 3
+"""
+
+
+def stream_stateful_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return S.stateful_user_profiles(spark, sf_dir)
+
+
+QUERIES = {
+    "stream_windowed_user_counts": stream_windowed_user_counts,
+    "stream_sliding_type_counts": stream_sliding_type_counts,
+    "stream_session_windows": stream_session_windows,
+    "stream_anomaly_flags": stream_anomaly_flags,
+    "stream_stateful_profiles": stream_stateful_profiles,
+}
+
+ORACLES = {
+    "stream_windowed_user_counts": _WINDOWED_SQL,
+    "stream_sliding_type_counts": _SLIDING_SQL,
+    "stream_session_windows": _SESSION_SQL,
+    "stream_anomaly_flags": _ANOMALY_FLAGS_SQL,
+    # stream_stateful_profiles: rows-only (applyInPandasWithState)
+}

@@ -1,0 +1,168 @@
+"""Structured Streaming surface (SURVEY.md §2.9, §7 step 7 — the
+north-star extension: the reference is batch-only, BASELINE.json asks
+for "Spark Streaming + DataFrame anomaly detection").
+
+The same activity-log fact schema flows as a stream: file source here
+(tests drive a finite parquet dir through ``processAllAvailable``), a
+Kafka/socket source in production — the transformations are identical.
+Event-time semantics: watermark on ``ts``, tumbling/sliding/session
+windows, and an ``applyInPandasWithState`` stateful per-user profile
+(state schema = the running feature row).
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from threat_detection_nosql_spark.operators.etl import derive_temporal_features
+
+# stream-source schema: ts is TIMESTAMP(NANOS) in the driver parquet →
+# read as long (nanosAsLong), converted below
+_EVENTS_STREAM_SCHEMA = T.StructType([
+    T.StructField("event_id", T.LongType()),
+    T.StructField("ts", T.LongType()),
+    T.StructField("user_id", T.LongType()),
+    T.StructField("event_type", T.StringType()),
+    T.StructField("value", T.DoubleType()),
+    T.StructField("props", T.StringType()),
+])
+
+
+def events_stream(spark: SparkSession, sf_dir: str,
+                  watermark: str = "1 hour") -> DataFrame:
+    """`events` as a file stream with event-time watermark — the
+    streaming twin of operators.etl.activity_log."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # the file-stream source requires a directory; point it at the sf
+    # dir and glob-filter to the events file
+    raw = (spark.readStream
+           .schema(_EVENTS_STREAM_SCHEMA)
+           .option("pathGlobFilter", "events.parquet")
+           .parquet(sf_dir))
+    df = (raw
+          .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+          .withColumn("user", F.col("user_id"))
+          .withColumn("activity", F.col("event_type")))
+    return derive_temporal_features(df, "ts").withWatermark("ts", watermark)
+
+
+def run_stream_to_table(stream_df: DataFrame, *,
+                        mode: str = "complete") -> DataFrame:
+    """Drive a finite stream to completion through a memory sink and
+    return the materialized result (test/driver harness; production
+    uses kafka/parquet sinks + real triggers)."""
+    name = f"s_{uuid.uuid4().hex[:12]}"
+    q = (stream_df.writeStream.outputMode(mode)
+         .format("memory").queryName(name).start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return stream_df.sparkSession.table(name)
+
+
+def windowed_user_counts(spark: SparkSession, sf_dir: str,
+                         window: str = "1 hour") -> DataFrame:
+    """Tumbling event-time window per user — the streaming analog of
+    the per-user activity counts (A2). Complete mode: every window is
+    emitted, making the result oracle-checkable against a batch
+    time-bucket GROUP BY."""
+    ev = events_stream(spark, sf_dir)
+    agg = (ev.groupBy(F.window("ts", window), "user")
+           .agg(F.count("*").alias("n_events"),
+                F.sum(F.col("is_after_hours")).alias("n_after_hours")))
+    out = agg.select(F.col("window.start").alias("window_start"),
+                     "user", "n_events", "n_after_hours")
+    return run_stream_to_table(out, mode="complete")
+
+
+def sliding_type_counts(spark: SparkSession, sf_dir: str,
+                        window: str = "2 hours",
+                        slide: str = "1 hour") -> DataFrame:
+    """Sliding windows per activity type (each event lands in
+    window/slide overlapping windows)."""
+    ev = events_stream(spark, sf_dir)
+    agg = (ev.groupBy(F.window("ts", window, slide), "activity")
+           .agg(F.count("*").alias("n_events")))
+    out = agg.select(F.col("window.start").alias("window_start"),
+                     F.col("window.end").alias("window_end"),
+                     "activity", "n_events")
+    return run_stream_to_table(out, mode="complete")
+
+
+def session_windows_per_user(spark: SparkSession, sf_dir: str,
+                             gap: str = "30 minutes") -> DataFrame:
+    """Event-time session windows (gap-based) per user — Spark's
+    native ``session_window``; the batch oracle is the classic
+    gaps-and-islands rewrite."""
+    ev = events_stream(spark, sf_dir)
+    agg = (ev.groupBy(F.session_window("ts", gap), "user")
+           .agg(F.count("*").alias("n_events")))
+    out = agg.select(F.col("session_window.start").alias("session_start"),
+                     F.col("session_window.end").alias("session_end"),
+                     "user", "n_events")
+    return run_stream_to_table(out, mode="complete")
+
+
+_PROFILE_STATE_SCHEMA = ("total long, after_hours long, weekend long")
+_PROFILE_OUT_SCHEMA = (
+    "user long, total_activities long, after_hours_activities long, "
+    "weekend_activities long, after_hours_ratio double")
+
+
+def stateful_user_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator (`applyInPandasWithState`): running
+    per-user behavioral profile — the streaming version of the
+    user_features aggregate (A10), state schema = the running counts.
+    Emits the updated profile row on every batch; with update mode the
+    memory sink holds the latest profile per user."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    ev = events_stream(spark, sf_dir).select(
+        "user", "is_after_hours", "is_weekend")
+
+    def update(key, pdfs, state: GroupState):
+        total = ah = we = 0
+        if state.exists:
+            total, ah, we = state.get
+        for pdf in pdfs:
+            total += len(pdf)
+            ah += int(pdf["is_after_hours"].sum())
+            we += int(pdf["is_weekend"].sum())
+        state.update((total, ah, we))
+        yield pd.DataFrame({
+            "user": [key[0]],
+            "total_activities": [total],
+            "after_hours_activities": [ah],
+            "weekend_activities": [we],
+            "after_hours_ratio": [ah / total if total else 0.0],
+        })
+
+    profiles = ev.groupBy("user").applyInPandasWithState(
+        update,
+        outputStructType=_PROFILE_OUT_SCHEMA,
+        stateStructType=_PROFILE_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout)
+    return run_stream_to_table(profiles, mode="update")
+
+
+def streaming_anomaly_flags(spark: SparkSession, sf_dir: str,
+                            window: str = "1 hour",
+                            threshold: int = 5) -> DataFrame:
+    """Streaming threat rule: flag (window, user) cells whose
+    after-hours count exceeds a threshold — the real-time version of
+    the flagship after-hours query, expressed on the same stream."""
+    ev = events_stream(spark, sf_dir)
+    agg = (ev.filter(F.col("is_after_hours") == 1)
+           .groupBy(F.window("ts", window), "user")
+           .agg(F.count("*").alias("n_after_hours")))
+    out = (agg.filter(F.col("n_after_hours") >= threshold)
+           .select(F.col("window.start").alias("window_start"), "user",
+                   "n_after_hours"))
+    return run_stream_to_table(out, mode="complete")
