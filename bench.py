@@ -45,7 +45,10 @@ HEADLINE_COUNT = [
 def main() -> None:
     spark = get_spark("bench")
     queries = all_queries()
-    # warm the JVM + parquet footers once (not timed per query)
+    # warm the JVM (codegen, Arrow, parquet reader) once so per-query
+    # timings reflect steady state, not first-query class loading
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    queries["after_hours_top10"](spark, SF_DIR).limit(1).collect()
     t0 = time.perf_counter()
     timings: dict[str, float] = {}
     for name in HEADLINE_COLLECT + HEADLINE_COUNT:

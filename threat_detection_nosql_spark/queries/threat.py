@@ -235,24 +235,40 @@ GROUP BY p.user, i.resource
 
 # -- Q11: the full per-user feature matrix (`:124-247`, A10 + J5/J6) ---------
 
-def user_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+def user_features(spark: SparkSession, sf_dir: str,
+                  approx: bool = False) -> DataFrame:
     """The reference issues 6 correlated CALL{} subqueries per user plus
     two client-side entropy loops (`neo4j_analysis.py:134-175,203-243`).
     Decorrelated here into ONE multi-aggregate pass (A10) — six features
-    in a single shuffle — plus two entropy aggs joined on user (J6).
-    All three aggregations share the `user` key, so AQE plans
-    co-partitioned joins with no extra exchange.
+    in a single shuffle — plus two entropy aggs joined on user (J6);
+    the entropy outputs are tiny (|users| rows) so they broadcast.
+
+    ``approx=True`` is the 100 TB mode: the three exact countDistincts
+    force an Expand (3× shuffle rows); approx_count_distinct (HLL,
+    rsd 1%) keeps the aggregation single-pass with fixed-size state.
     """
     log = activity_log(spark, sf_dir)
+    if approx:
+        distinct_aggs = [
+            F.approx_count_distinct("pc", 0.01).alias("unique_systems"),
+            F.approx_count_distinct("resource", 0.01)
+             .alias("unique_resources"),
+            F.approx_count_distinct("activity", 0.01)
+             .alias("activity_types"),
+        ]
+    else:
+        distinct_aggs = [
+            F.countDistinct("pc").alias("unique_systems"),
+            F.countDistinct("resource").alias("unique_resources"),
+            F.countDistinct("activity").alias("activity_types"),
+        ]
     base = (log.groupBy("user").agg(
         F.count("*").alias("total_activities"),
         F.sum(F.when(F.col("is_after_hours") == 1, 1).otherwise(0))
          .alias("after_hours_activities"),
         F.sum(F.when(F.col("is_weekend") == 1, 1).otherwise(0))
          .alias("weekend_activities"),
-        F.countDistinct("pc").alias("unique_systems"),
-        F.countDistinct("resource").alias("unique_resources"),
-        F.countDistinct("activity").alias("activity_types")))
+        *distinct_aggs))
     # safe-divide ratio guard (F9, `neo4j_analysis.py:184-185`)
     divisor = F.when(F.col("total_activities") > 0,
                      F.col("total_activities")).otherwise(F.lit(1))
