@@ -1,0 +1,34 @@
+"""Evaluation-statistics queries (A16/A19/A20/A21/A22) vs oracle."""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.conftest import compare_query_to_oracle
+from threat_detection_nosql_spark.queries import metrics
+
+
+@pytest.mark.parametrize("name", sorted(metrics.QUERIES))
+def test_metrics_query_matches_oracle(spark, ddb, name):
+    compare_query_to_oracle(spark, ddb, metrics.QUERIES[name],
+                            metrics.ORACLES[name])
+
+
+def test_auc_in_unit_interval(spark):
+    row = metrics.rule_auc(spark, "/root/testdata/sf0.01").first()
+    assert 0.0 <= row["auc"] <= 1.0
+    assert row["npos"] > 0 and row["nneg"] > 0
+
+
+def test_confusion_matrix_totals(spark):
+    rows = metrics.rule_confusion_matrix(
+        spark, "/root/testdata/sf0.01").collect()
+    assert sum(r["n"] for r in rows) == 150  # one cell per (label, pred)
+
+
+def test_percentile_flags_about_ten_percent(spark):
+    df = metrics.percentile_threshold_flags(spark, "/root/testdata/sf0.01")
+    rows = df.collect()
+    n_anom = sum(r["is_anomaly"] for r in rows)
+    # P90 threshold ⇒ ≈10% above it (ties can pull it below)
+    assert 0 < n_anom <= len(rows) * 0.15

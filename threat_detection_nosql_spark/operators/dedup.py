@@ -160,29 +160,57 @@ def simhash_near_dup_pairs(docs: DataFrame,
 def winnowing_fingerprints(docs: DataFrame, k: int = 8,
                            window: int = 16) -> DataFrame:
     """Document fingerprinting via winnowing: hash every k-char gram,
-    keep the minimum of each sliding window — entirely array
-    expressions (sequence → substring → xxhash64 → slice → array_min),
-    one row out per selected fingerprint."""
-    grams = F.expr(
+    keep the minimum of each sliding window, distinct per doc.
+
+    Formulated as posexplode → sliding-window ``min`` (rowsBetween) →
+    distinct, NOT as nested array expressions: an array formulation
+    (`transform(sequence(...), j -> array_min(slice(grams, j, w)))`)
+    gets its `grams` subexpression inlined by Catalyst's
+    CollapseProject into the per-window lambda, re-hashing every k-gram
+    once per window — O(len²·k) interpreted work (measured 60s for 500
+    short docs). The row formulation hashes each gram exactly once,
+    runs the window min in one pass, and keeps per-doc state bounded
+    (no giant arrays) — the shape that survives book-length documents.
+    """
+    from pyspark.sql.window import Window
+
+    gram_hashes = F.expr(
         f"transform(sequence(1, greatest(length(text) - {k - 1}, 0)),"
         f" i -> xxhash64(substring(text, i, {k})))")
-    winnowed = F.expr(
-        f"array_distinct(transform("
-        f" sequence(1, greatest(size(grams) - {window - 1}, 0)),"
-        f" j -> array_min(slice(grams, j, {window}))))")
-    return (docs
-            .select("doc_id", grams.alias("grams"))
-            .filter(F.size("grams") >= window)
-            .select("doc_id", winnowed.alias("fps"))
-            .select("doc_id", F.explode("fps").alias("fingerprint")))
+    grams = (docs
+             .select("doc_id", F.posexplode(gram_hashes)
+                     .alias("pos", "h")))
+    w = (Window.partitionBy("doc_id").orderBy("pos")
+         .rowsBetween(Window.currentRow, window - 1))
+    n = Window.partitionBy("doc_id")
+    return (grams
+            .withColumn("winmin", F.min("h").over(w))
+            .withColumn("n_grams", F.count("*").over(n))
+            .filter(F.col("pos") <= F.col("n_grams") - window)
+            .select("doc_id", F.col("winmin").alias("fingerprint"))
+            .distinct())
 
 
 def fingerprint_overlap_pairs(docs: DataFrame, k: int = 8,
                               window: int = 16,
-                              min_shared: int = 2) -> DataFrame:
+                              min_shared: int = 2,
+                              max_df: int = 64) -> DataFrame:
     """Docs sharing ≥ min_shared winnowing fingerprints — equi-join on
-    fingerprint (candidates only where hashes collide), count per pair."""
+    fingerprint (candidates only where hashes collide), count per pair.
+
+    ``max_df`` drops *stop fingerprints* (present in > max_df docs)
+    before the self-join — the standard winnowing-corpus practice
+    (MOSS-style): a fingerprint shared by half the corpus carries no
+    near-dup signal but contributes df² join pairs. Without the cap a
+    hot fingerprint makes the join quadratic in corpus size; with it
+    the pair count is bounded by |fingerprints| × max_df². Fingerprints
+    with df == 1 can't form a pair and are dropped for the same reason.
+    """
     fp = winnowing_fingerprints(docs, k, window).cache()
+    df_count = (fp.groupBy("fingerprint")
+                .agg(F.count("*").alias("df"))
+                .filter((F.col("df") >= 2) & (F.col("df") <= max_df)))
+    fp = fp.join(df_count.select("fingerprint"), "fingerprint")
     a = fp.select(F.col("doc_id").alias("doc_a"), "fingerprint")
     b = fp.select(F.col("doc_id").alias("doc_b"), "fingerprint")
     return (a.join(b, "fingerprint")

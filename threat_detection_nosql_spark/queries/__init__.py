@@ -18,6 +18,7 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 def all_queries() -> dict[str, QueryFn]:
     from threat_detection_nosql_spark.queries import (
         advanced,
+        metrics,
         ml_queries,
         pipeline,
         relational,
@@ -25,8 +26,8 @@ def all_queries() -> dict[str, QueryFn]:
         threat,
     )
     out: dict[str, QueryFn] = {}
-    for mod in (threat, relational, pipeline, advanced, ml_queries,
-                streaming_queries):
+    for mod in (threat, relational, pipeline, advanced, metrics,
+                ml_queries, streaming_queries):
         out.update(mod.QUERIES)
     return out
 
@@ -34,6 +35,7 @@ def all_queries() -> dict[str, QueryFn]:
 def all_oracles() -> dict[str, str]:
     from threat_detection_nosql_spark.queries import (
         advanced,
+        metrics,
         ml_queries,
         pipeline,
         relational,
@@ -41,7 +43,7 @@ def all_oracles() -> dict[str, str]:
         threat,
     )
     out: dict[str, str] = {}
-    for mod in (threat, relational, pipeline, advanced, ml_queries,
-                streaming_queries):
+    for mod in (threat, relational, pipeline, advanced, metrics,
+                ml_queries, streaming_queries):
         out.update(mod.ORACLES)
     return out

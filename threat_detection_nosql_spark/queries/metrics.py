@@ -1,0 +1,239 @@
+"""Evaluation-statistics operators, oracle-checkable (SURVEY.md §2.4
+A16/A19/A20/A21/A22).
+
+The reference computes these with sklearn on driver-resident numpy
+arrays (`Comparaison_ML.py:281,379-382,461,513-514,958`); here each is
+a single distributed plan over the per-user feature matrix, and —
+because sklearn value parity is impossible for model *predictions* —
+the label/prediction inputs are deterministic rules over exact-integer
+features, so DuckDB can replay every number bit-for-bit.
+
+Rule fixture (mixed classes at every SF, see threat.user_features):
+- ``label``  = after_hours_ratio > 0.55   (~40% positive)
+- ``pred``   = weekend_ratio     > 0.28   (~50% positive)
+- AUC score  = weekend_ratio (continuous, vs ``label``)
+
+Scale notes: every query below aggregates the |users|-row feature
+matrix — tiny relative to the fact table; the heavy lifting (one
+shuffle over raw events) happens inside user_features and is shared.
+Confusion counts / corr / rank stats are single hash-agg or one
+window pass; nothing collects to the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from threat_detection_nosql_spark.queries.threat import (
+    _USER_FEATURES_SQL,
+    user_features,
+)
+
+_FEATS_CTE = f"WITH feats AS ({_USER_FEATURES_SQL})"
+
+_LABEL_SQL = "CASE WHEN after_hours_ratio > 0.55 THEN 1 ELSE 0 END"
+_PRED_SQL = "CASE WHEN weekend_ratio > 0.28 THEN 1 ELSE 0 END"
+
+
+def _labeled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Column exprs built lazily (module import must not need a live JVM)
+    label = (F.col("after_hours_ratio") > 0.55).cast("int")
+    pred = (F.col("weekend_ratio") > 0.28).cast("int")
+    return (user_features(spark, sf_dir)
+            .select("user", "weekend_ratio",
+                    label.alias("label"), pred.alias("pred")))
+
+
+# -- A20: confusion matrix (`Comparaison_ML.py:461,502,918-920`) -------------
+
+def rule_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2×2 label-vs-pred counts = one hash agg (groupBy label, pred)."""
+    return (_labeled(spark, sf_dir)
+            .groupBy("label", "pred")
+            .agg(F.count("*").alias("n")))
+
+
+_CONFUSION_SQL = f"""
+{_FEATS_CTE}
+SELECT {_LABEL_SQL} AS label, {_PRED_SQL} AS pred,
+       CAST(count(*) AS BIGINT) AS n
+FROM feats GROUP BY 1, 2
+"""
+
+
+# -- A21: accuracy / precision / recall / F1 (`:379-382,535-543`) ------------
+
+def rule_classification_metrics(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """Metrics from confusion counts via conditional sums — one agg
+    pass, no evaluator object, no driver math."""
+    lab = _labeled(spark, sf_dir)
+    tp = F.sum(((F.col("label") == 1) & (F.col("pred") == 1)).cast("int"))
+    fp_ = F.sum(((F.col("label") == 0) & (F.col("pred") == 1)).cast("int"))
+    fn = F.sum(((F.col("label") == 1) & (F.col("pred") == 0)).cast("int"))
+    tn = F.sum(((F.col("label") == 0) & (F.col("pred") == 0)).cast("int"))
+    agg = lab.agg(tp.alias("tp"), fp_.alias("fp"),
+                  fn.alias("fn"), tn.alias("tn"))
+    prec = F.col("tp") / F.greatest(F.col("tp") + F.col("fp"), F.lit(1))
+    rec = F.col("tp") / F.greatest(F.col("tp") + F.col("fn"), F.lit(1))
+    return agg.select(
+        "tp", "fp", "fn", "tn",
+        F.round((F.col("tp") + F.col("tn"))
+                / (F.col("tp") + F.col("fp") + F.col("fn") + F.col("tn")),
+                6).alias("accuracy"),
+        F.round(prec, 6).alias("precision"),
+        F.round(rec, 6).alias("recall"),
+        F.round(2 * prec * rec
+                / F.greatest(prec + rec, F.lit(1e-12)), 6).alias("f1"))
+
+
+_CLS_METRICS_SQL = f"""
+{_FEATS_CTE},
+lab AS (SELECT {_LABEL_SQL} AS label, {_PRED_SQL} AS pred FROM feats),
+c AS (SELECT
+        CAST(sum(CASE WHEN label = 1 AND pred = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+        CAST(sum(CASE WHEN label = 0 AND pred = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+        CAST(sum(CASE WHEN label = 1 AND pred = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+        CAST(sum(CASE WHEN label = 0 AND pred = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tn
+      FROM lab)
+SELECT tp, fp, fn, tn,
+       round((tp + tn) * 1.0 / (tp + fp + fn + tn), 6) AS accuracy,
+       round(tp * 1.0 / greatest(tp + fp, 1), 6) AS precision,
+       round(tp * 1.0 / greatest(tp + fn, 1), 6) AS recall,
+       round(2.0 * (tp * 1.0 / greatest(tp + fp, 1))
+                 * (tp * 1.0 / greatest(tp + fn, 1))
+             / greatest(tp * 1.0 / greatest(tp + fp, 1)
+                        + tp * 1.0 / greatest(tp + fn, 1), 1e-12), 6) AS f1
+FROM c
+"""
+
+
+# -- A22: ROC AUC via the Mann-Whitney rank statistic (`:353-354,513`) -------
+
+def rule_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AUC without a curve: AUC = (Σ midrank⁺ − n⁺(n⁺+1)/2) / (n⁺·n⁻).
+    Midranks (ties → average rank) from one window pass:
+    rank() + (tie_count − 1)/2. O(n log n), no driver collect — the
+    formulation that survives a billion scored rows (sklearn's
+    roc_curve materializes every threshold on the driver instead).
+    """
+    scored = _labeled(spark, sf_dir).select(
+        F.col("weekend_ratio").alias("score"), "label")
+    w = Window.orderBy("score")
+    wt = Window.partitionBy("score")
+    ranked = scored.select(
+        "label",
+        (F.rank().over(w)
+         + (F.count("*").over(wt) - F.lit(1)) / F.lit(2.0)).alias("midrank"))
+    agg = ranked.agg(
+        F.sum(F.when(F.col("label") == 1, F.col("midrank"))).alias("rpos"),
+        F.sum((F.col("label") == 1).cast("long")).alias("npos"),
+        F.sum((F.col("label") == 0).cast("long")).alias("nneg"))
+    return agg.select(
+        "npos", "nneg",
+        F.round((F.col("rpos") - F.col("npos") * (F.col("npos") + 1) / 2.0)
+                / (F.col("npos") * F.col("nneg")), 6).alias("auc"))
+
+
+_AUC_SQL = f"""
+{_FEATS_CTE},
+scored AS (SELECT weekend_ratio AS score, {_LABEL_SQL} AS label FROM feats),
+ranked AS (SELECT label,
+                  rank() OVER (ORDER BY score)
+                  + (count(*) OVER (PARTITION BY score) - 1) / 2.0 AS midrank
+           FROM scored),
+agg AS (SELECT sum(CASE WHEN label = 1 THEN midrank END) AS rpos,
+               CAST(sum(CASE WHEN label = 1 THEN 1 ELSE 0 END) AS BIGINT) AS npos,
+               CAST(sum(CASE WHEN label = 0 THEN 1 ELSE 0 END) AS BIGINT) AS nneg
+        FROM ranked)
+SELECT npos, nneg,
+       round((rpos - npos * (npos + 1) / 2.0) / (npos * nneg), 6) AS auc
+FROM agg
+"""
+
+
+# -- A16: exact percentile threshold flags (`Comparaison_ML.py:281`) ---------
+
+def percentile_threshold_flags(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """np.percentile((1-contamination)·100) analogue: exact interpolated
+    P90 of an integer feature, broadcast back as a scalar (crossJoin of
+    a 1-row agg — Catalyst broadcasts it), flag rows above it. The score
+    is the exact-integer total_activities so both engines interpolate
+    identical doubles."""
+    feats = user_features(spark, sf_dir).select("user", "total_activities")
+    thr = feats.agg(F.expr("percentile(total_activities, 0.9)")
+                    .alias("p90"))
+    return (feats.crossJoin(F.broadcast(thr))
+            .select("user", "total_activities",
+                    F.round("p90", 6).alias("p90"),
+                    (F.col("total_activities") > F.col("p90"))
+                    .cast("int").alias("is_anomaly")))
+
+
+_PCTL_SQL = f"""
+{_FEATS_CTE},
+thr AS (SELECT quantile_cont(total_activities, 0.9) AS p90 FROM feats)
+SELECT user, total_activities, round(p90, 6) AS p90,
+       CASE WHEN total_activities > p90 THEN 1 ELSE 0 END AS is_anomaly
+FROM feats CROSS JOIN thr
+"""
+
+
+# -- A19: pairwise Pearson correlation matrix (`:958`) -----------------------
+
+_CORR_COLS = ("total_activities", "after_hours_activities",
+              "weekend_activities", "unique_systems",
+              "unique_resources", "activity_types")
+
+
+def feature_correlation_matrix(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """All 15 pairwise Pearson correlations in ONE aggregation pass
+    (every corr() is an algebraic aggregate → single shuffle of
+    fixed-size state), then unpivoted to (feat_a, feat_b, corr) long
+    form. The reference's df.corr() materializes the matrix on the
+    driver; this stays distributed until the 15-row result."""
+    feats = user_features(spark, sf_dir)
+    pairs = [(a, b) for i, a in enumerate(_CORR_COLS)
+             for b in _CORR_COLS[i + 1:]]
+    # corr = covar_pop/(σa·σb) with try_divide: a zero-variance column
+    # (e.g. activity_types when every user hits all 6 types) yields NULL
+    # — DuckDB's corr() semantics — where ANSI-mode F.corr throws.
+    agg = feats.agg(*[
+        F.round(F.try_divide(F.covar_pop(a, b),
+                             F.stddev_pop(a) * F.stddev_pop(b)),
+                6).alias(f"{a}__{b}") for a, b in pairs])
+    stack_args = ", ".join(
+        f"'{a}', '{b}', `{a}__{b}`" for a, b in pairs)
+    return agg.select(F.expr(
+        f"stack({len(pairs)}, {stack_args}) AS (feat_a, feat_b, corr)"))
+
+
+def _corr_sql() -> str:
+    pairs = [(a, b) for i, a in enumerate(_CORR_COLS)
+             for b in _CORR_COLS[i + 1:]]
+    selects = " UNION ALL ".join(
+        f"SELECT '{a}' AS feat_a, '{b}' AS feat_b, "
+        f"round(corr({a}, {b}), 6) AS corr FROM feats"
+        for a, b in pairs)
+    return f"{_FEATS_CTE} {selects}"
+
+
+QUERIES = {
+    "rule_confusion_matrix": rule_confusion_matrix,
+    "rule_classification_metrics": rule_classification_metrics,
+    "rule_auc": rule_auc,
+    "percentile_threshold_flags": percentile_threshold_flags,
+    "feature_correlation_matrix": feature_correlation_matrix,
+}
+
+ORACLES = {
+    "rule_confusion_matrix": _CONFUSION_SQL,
+    "rule_classification_metrics": _CLS_METRICS_SQL,
+    "rule_auc": _AUC_SQL,
+    "percentile_threshold_flags": _PCTL_SQL,
+    "feature_correlation_matrix": _corr_sql(),
+}

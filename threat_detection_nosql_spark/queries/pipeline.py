@@ -243,6 +243,86 @@ WHERE rank <= 5
 """
 
 
+# -- D5b: BPE-ish regex token counting ---------------------------------------
+
+# GPT-2-style pre-tokenizer shape, ASCII-restricted so the Java (Spark)
+# and RE2 (DuckDB) regex dialects agree: contraction tails, space+letters,
+# space+digits, space+other-symbols. No lookarounds (RE2 has none).
+_BPE_PAT = r"'(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s']+"
+
+
+def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting both ways (LLM-pipeline D-spec): whitespace split
+    and a BPE-ish regex pre-tokenizer — pure regexp_extract_all, stays
+    in codegen; a real BPE merge table would layer on top of these
+    pre-tokens as a lookup join."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(F.split(F.col("text"), r"\s+")).alias("ws_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit(_BPE_PAT), 0))
+         .alias("bpe_tokens"))
+
+
+_TOKEN_COUNTS_SQL = rf"""
+SELECT doc_id,
+       CAST(len(string_split_regex(text, '\s+')) AS INT) AS ws_tokens,
+       CAST(len(regexp_extract_all(text, '{_BPE_PAT.replace("'", "''")}'))
+            AS INT) AS bpe_tokens
+FROM documents
+"""
+
+
+# -- D5c: embedding-cosine near-dup (nearest neighbor + threshold flag) ------
+
+def embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup (dedup family, D-spec): each vector's
+    exact nearest neighbor by cosine, flagged when cosine ≥ 0.4.
+
+    This is the exact O(n²) verification kernel — correct at any SF but
+    quadratic; at 100 TB the LSH-bucketed candidate generator
+    (operators/similarity.py lsh_cosine_neighbors) produces the
+    candidate pairs and THIS scoring expression verifies only those.
+    The n² here is the oracle-checkable baseline of that pipeline.
+    """
+    emb = (load_table(spark, sf_dir, "embeddings")
+           .select("vec_id", F.col("embedding").cast("array<double>")
+                   .alias("v")))
+    b = emb.select(F.col("vec_id").alias("nn_id"), F.col("v").alias("nv"))
+    dot = F.aggregate(F.zip_with("v", "nv", lambda x, y: x * y),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    norm = lambda c: F.sqrt(F.aggregate(  # noqa: E731
+        F.transform(c, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))
+    scored = (emb.crossJoin(F.broadcast(b))
+              .filter(F.col("vec_id") != F.col("nn_id"))
+              .select("vec_id", "nn_id",
+                      F.round(dot / (norm(F.col("v")) * norm(F.col("nv"))),
+                              6).alias("cosine")))
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cosine"), F.asc("nn_id"))
+    return (scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "nn_id", "cosine",
+                    (F.col("cosine") >= 0.4).cast("int")
+                    .alias("is_near_dup")))
+
+
+_EMB_NEAR_DUP_SQL = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+scored AS (
+  SELECT a.vec_id, b.vec_id AS nn_id,
+         round(list_dot_product(a.v, b.v)
+               / (sqrt(list_dot_product(a.v, a.v))
+                  * sqrt(list_dot_product(b.v, b.v))), 6) AS cosine
+  FROM e a JOIN e b ON a.vec_id <> b.vec_id)
+SELECT vec_id, nn_id, cosine,
+       CASE WHEN cosine >= 0.4 THEN 1 ELSE 0 END AS is_near_dup
+FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+            ORDER BY cosine DESC, nn_id ASC) AS rn
+      FROM scored) t
+WHERE rn = 1
+"""
+
+
 # -- D6: multimodal binary-column plumbing -----------------------------------
 
 def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -275,10 +355,14 @@ QUERIES = {
     "doc_quality_stats": doc_quality_stats,
     "lang_id_heuristic": lang_id_heuristic,
     "cosine_topk": cosine_topk,
+    "token_counts": token_counts,
+    "embedding_near_dups": embedding_near_dups,
     "multimodal_metadata": multimodal_metadata,
 }
 
 ORACLES = {
+    "token_counts": _TOKEN_COUNTS_SQL,
+    "embedding_near_dups": _EMB_NEAR_DUP_SQL,
     "exact_dedup_groups": _EXACT_DEDUP_SQL,
     "ngram_jaccard_top_pairs": _JACCARD_SQL,
     "doc_quality_stats": _QUALITY_SQL,
