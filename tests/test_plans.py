@@ -1,0 +1,110 @@
+"""Physical-plan assertions (SURVEY.md §4): the scale properties the
+engine depends on — pushdown, pruning, broadcast, top-k, partial agg —
+pinned as tests so a refactor that silently degrades the plan fails CI,
+not the 1000-executor run.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+from tests.conftest import SF_DIR
+from threat_detection_nosql_spark.queries.pipeline import cosine_topk
+from threat_detection_nosql_spark.queries.relational import (
+    pricing_summary,
+    top_revenue_orders,
+)
+from threat_detection_nosql_spark.queries.threat import (
+    after_hours_top10,
+    two_hop_resource_paths,
+    user_features,
+)
+
+
+def formatted_plan(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def final_adaptive_plan(df) -> str:
+    df.collect()
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_topk_compiles_to_take_ordered(spark):
+    """T1: ORDER BY/LIMIT must be TakeOrderedAndProject (per-partition
+    heap + driver merge of k rows), never a global Sort."""
+    plan = formatted_plan(after_hours_top10(spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort [" not in plan  # no global sort node
+
+
+def test_events_scan_prunes_columns(spark):
+    """The flagship query needs ts + user_id; `value`/`props` (the wide
+    payload columns) must not reach the parquet reader."""
+    plan = formatted_plan(after_hours_top10(spark, SF_DIR))
+    scan = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert scan, plan
+    schema_line = scan[0]
+    assert "value" not in schema_line and "props" not in schema_line
+
+
+def test_literal_filters_push_to_parquet(spark):
+    """P-class predicates on raw columns must reach the scan as
+    PushedFilters (row-group min/max skipping at scale)."""
+    plan = formatted_plan(top_revenue_orders(spark, SF_DIR))
+    assert "PushedFilters: [" in plan
+    assert "c_mktsegment" in plan[plan.index("PushedFilters"):].split("\n")[0] \
+        or "EqualTo(c_mktsegment" in plan
+
+
+def test_dim_joins_broadcast(spark):
+    """J1-class joins against small dims must be broadcast, not
+    shuffled: the fact side stays in place."""
+    plan = final_adaptive_plan(top_revenue_orders(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_aggregation_is_partial_then_final(spark):
+    """A-class aggs must map-side combine (HashAggregate partial +
+    final) inside whole-stage codegen."""
+    plan = final_adaptive_plan(pricing_summary(spark, SF_DIR))
+    assert plan.count("HashAggregate") >= 2
+    # whole-stage codegen spans render as "*(n) Operator" in the tree
+    assert "*(" in plan
+
+
+def test_two_hop_preaggregates_before_join(spark):
+    """J2: the fan-out join must see (key, count) groups, not raw
+    events — both join inputs are aggregates (4+ HashAggregate nodes:
+    partial+final per side, plus the final path-count agg)."""
+    plan = final_adaptive_plan(two_hop_resource_paths(spark, SF_DIR))
+    assert plan.count("HashAggregate") >= 4
+
+
+def test_entropy_joins_broadcast_user_features(spark):
+    """J6: the per-user entropy sides are |users| rows — AQE must pick
+    broadcast joins for them, never a shuffle of the base agg."""
+    plan = final_adaptive_plan(user_features(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_ann_baseline_broadcasts_queries(spark):
+    """The exact k-NN baseline must broadcast the tiny query set and
+    keep the corpus unshuffled (BroadcastNestedLoopJoin)."""
+    plan = formatted_plan(cosine_topk(spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "Exchange hashpartitioning" not in plan.split("Window")[0]
+
+
+def test_approx_user_features_avoids_expand(spark):
+    """A6 scale mode: exact multi-countDistinct needs an Expand (3×
+    shuffle volume); the HLL path must not."""
+    exact = formatted_plan(user_features(spark, SF_DIR))
+    approx = formatted_plan(user_features(spark, SF_DIR, approx=True))
+    assert "Expand" in exact
+    assert "Expand" not in approx

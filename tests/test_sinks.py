@@ -1,0 +1,69 @@
+"""Sinks (SURVEY.md §2.1 S5–S7): parquet/CSV round trips, overwrite
+semantics, partitioned layout, ML model persistence."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMALL
+from threat_detection_nosql_spark.sources.readers import load_table
+from threat_detection_nosql_spark.sources.writers import write_results
+
+
+def test_parquet_round_trip(spark, tmp_path):
+    df = load_table(spark, SF_SMALL, "nation")
+    out = str(tmp_path / "nation_pq")
+    write_results(df, out)
+    back = spark.read.parquet(out)
+    assert back.count() == df.count()
+    assert set(back.columns) == set(df.columns)
+
+
+def test_csv_round_trip(spark, tmp_path):
+    df = load_table(spark, SF_SMALL, "region").select("r_regionkey", "r_name")
+    out = str(tmp_path / "region_csv")
+    write_results(df, out, fmt="csv")
+    back = spark.read.option("header", True).csv(out)
+    assert back.count() == df.count()
+    assert back.columns == ["r_regionkey", "r_name"]
+
+
+def test_overwrite_replaces_previous_content(spark, tmp_path):
+    """S5: the reference's MATCH (n) DETACH DELETE n reload analog."""
+    out = str(tmp_path / "ow")
+    write_results(load_table(spark, SF_SMALL, "nation"), out)
+    one_row = load_table(spark, SF_SMALL, "nation").limit(1)
+    write_results(one_row, out)
+    assert spark.read.parquet(out).count() == 1
+
+
+def test_partitioned_layout_prunes(spark, tmp_path):
+    df = load_table(spark, SF_SMALL, "nation")
+    out = str(tmp_path / "by_region")
+    write_results(df, out, partition_by=["n_regionkey"])
+    pruned = (spark.read.parquet(out)
+              .filter(F.col("n_regionkey") == 0))
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    # partition filter must reach the scan, not a post-scan Filter
+    assert pruned.count() == df.filter(F.col("n_regionkey") == 0).count()
+    assert "PartitionFilters: [" in plan
+
+
+def test_model_save_load(spark, tmp_path):
+    """S7: the joblib-artifact analog — Spark ML native persistence."""
+    from pyspark.ml.clustering import KMeans, KMeansModel
+
+    from threat_detection_nosql_spark.ml.features import (
+        assemble_features,
+        scale_features,
+        synthetic_anomaly_fixture,
+    )
+    scaled = scale_features(assemble_features(
+        synthetic_anomaly_fixture(spark, n=50, n_anomalies=5),
+        cols=[f"f{i}" for i in range(8)]))
+    model = KMeans(k=2, seed=42, featuresCol="scaled").fit(scaled)
+    path = str(tmp_path / "kmeans_model")
+    model.write().overwrite().save(path)
+    back = KMeansModel.load(path)
+    assert [list(c) for c in back.clusterCenters()] == \
+        [list(c) for c in model.clusterCenters()]

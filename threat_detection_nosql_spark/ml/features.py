@@ -59,7 +59,10 @@ def synthetic_anomaly_fixture(spark: SparkSession, n: int = 200,
     Distribution-equivalent Spark version (randn streams differ from
     numpy's RNG — detection *quality* on the planted anomalies is the
     parity gate, per BASELINE.md)."""
-    df = spark.range(n).withColumnRenamed("id", "user")
+    # single partition: the fixture is O(100) rows by definition, and
+    # iterative fits (GBT: one job per tree) otherwise schedule
+    # default-parallelism empty tasks every iteration
+    df = spark.range(0, n, 1, 1).withColumnRenamed("id", "user")
     is_anom = (F.col("user") >= n - n_anomalies).cast("int")
     for i in range(n_features):
         base = F.randn(seed + i)
