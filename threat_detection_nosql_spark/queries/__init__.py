@@ -18,6 +18,7 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 def all_queries() -> dict[str, QueryFn]:
     from threat_detection_nosql_spark.queries import (
         advanced,
+        graph_queries,
         metrics,
         ml_queries,
         pipeline,
@@ -26,8 +27,8 @@ def all_queries() -> dict[str, QueryFn]:
         threat,
     )
     out: dict[str, QueryFn] = {}
-    for mod in (threat, relational, pipeline, advanced, metrics,
-                ml_queries, streaming_queries):
+    for mod in (threat, relational, pipeline, advanced, graph_queries,
+                metrics, ml_queries, streaming_queries):
         out.update(mod.QUERIES)
     return out
 
@@ -35,6 +36,7 @@ def all_queries() -> dict[str, QueryFn]:
 def all_oracles() -> dict[str, str]:
     from threat_detection_nosql_spark.queries import (
         advanced,
+        graph_queries,
         metrics,
         ml_queries,
         pipeline,
@@ -43,7 +45,7 @@ def all_oracles() -> dict[str, str]:
         threat,
     )
     out: dict[str, str] = {}
-    for mod in (threat, relational, pipeline, advanced, metrics,
-                ml_queries, streaming_queries):
+    for mod in (threat, relational, pipeline, advanced, graph_queries,
+                metrics, ml_queries, streaming_queries):
         out.update(mod.ORACLES)
     return out

@@ -1,0 +1,95 @@
+"""Property-graph surface queries (SURVEY.md §1.2, S3/S8/F7, J1/J4).
+
+The reference materializes a Neo4j multigraph row-by-row
+(`neo4j_setup.py:43-95`) then sanity-checks it with count queries
+(`neo4j_setup.py:107`). Here the graph is lazy projections of the fact
+table (operators/graph.py), so the "load" is free and these queries
+verify the *model*: node cardinalities, edge multiplicities, and the
+edge property payload (ISO-string timestamps, `neo4j_setup.py:71`).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from threat_detection_nosql_spark.operators.etl import (
+    ACTIVITY_LOG_ORACLE_SQL,
+    activity_log,
+)
+from threat_detection_nosql_spark.operators.graph import (
+    EDGE_TYPES,
+    NODE_LABELS,
+    edge_view,
+    node_view,
+)
+
+_LOG_CTE = f"WITH log AS ({ACTIVITY_LOG_ORACLE_SQL})"
+
+
+def graph_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8 count verification, generalized: one row per node label
+    (distinct keys — the dedup-dict cardinality) and per edge type
+    (row count — multigraph multiplicity). Each count is an independent
+    1-row aggregate; the union is 8 rows total, so this is 8 cheap
+    scans of one column each, not a wide shuffle."""
+    log = activity_log(spark, sf_dir)
+    parts = []
+    for label in sorted(NODE_LABELS):
+        parts.append(node_view(log, label).agg(
+            F.lit("node").alias("kind"), F.lit(label).alias("name"),
+            F.count("*").alias("n")))
+    for etype in sorted(EDGE_TYPES):
+        parts.append(edge_view(log, etype).agg(
+            F.lit("edge").alias("kind"), F.lit(etype).alias("name"),
+            F.count("*").alias("n")))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def _graph_summary_sql() -> str:
+    selects = []
+    for label, key in sorted(NODE_LABELS.items()):
+        selects.append(
+            f"SELECT 'node' AS kind, '{label}' AS name, "
+            f"CAST(count(DISTINCT {key}) AS BIGINT) AS n FROM log")
+    for etype in sorted(EDGE_TYPES):
+        selects.append(
+            f"SELECT 'edge' AS kind, '{etype}' AS name, "
+            f"CAST(count(*) AS BIGINT) AS n FROM log")
+    return f"{_LOG_CTE} " + " UNION ALL ".join(selects)
+
+
+def performs_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PERFORMS edge table as the reference stores it: ISO-8601
+    *string* timestamp (`timestamp.isoformat()`, `neo4j_setup.py:71` —
+    F7) plus the temporal flags. Pure projection: no shuffle, columns
+    prune to exactly the edge payload."""
+    log = activity_log(spark, sf_dir)
+    return (edge_view(log, "PERFORMS")
+            .select("src", "dst",
+                    F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss")
+                     .alias("ts_iso"),
+                    "hour_of_day", "is_after_hours", "is_weekend"))
+
+
+_PERFORMS_SQL = f"""
+{_LOG_CTE}
+SELECT user AS src, activity AS dst,
+       strftime(ts, '%Y-%m-%dT%H:%M:%S') AS ts_iso,
+       hour_of_day, is_after_hours, is_weekend
+FROM log
+"""
+
+
+QUERIES = {
+    "graph_summary": graph_summary,
+    "performs_edges": performs_edges,
+}
+
+ORACLES = {
+    "graph_summary": _graph_summary_sql(),
+    "performs_edges": _PERFORMS_SQL,
+}
