@@ -40,7 +40,10 @@ def preprocess_activity_log(df: DataFrame) -> DataFrame:
     semantics), derive temporal features, drop rows null in the key
     columns (P2).
     """
-    parsed = df.withColumn("timestamp", F.to_timestamp("timestamp"))
+    # try_to_timestamp, not to_timestamp: under ANSI mode (Spark 4
+    # default) to_timestamp THROWS on malformed input; try_ gives the
+    # reference's errors='coerce' null-on-invalid semantics
+    parsed = df.withColumn("timestamp", F.try_to_timestamp("timestamp"))
     featured = derive_temporal_features(parsed, "timestamp")
     return featured.na.drop(subset=["user", "pc", "activity", "resource"])
 
