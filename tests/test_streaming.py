@@ -25,3 +25,37 @@ def test_stateful_profiles_match_batch_counts(spark):
     for u, r in rows.items():
         assert r.total_activities == batch[u].total_activities
         assert r.after_hours_activities == batch[u].after_hours_activities
+
+
+def test_stream_model_scores_match_batch(spark):
+    """Batch-trained model applied to the stream must produce exactly
+    the scores batch inference produces on the same finite input."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.feature import VectorAssembler
+    from pyspark.sql import functions as F
+
+    from tests.conftest import SF_SMALL
+    from threat_detection_nosql_spark.operators.etl import activity_log
+
+    streamed = {(r["window_start"], r["user"]): r["is_anomaly"]
+                for r in SQ.stream_model_scores(spark, SF_SMALL).collect()}
+
+    batch = (activity_log(spark, SF_SMALL)
+             .groupBy(F.window("ts", "1 hour"), "user")
+             .agg(F.count("*").alias("n_events"),
+                  F.sum("is_after_hours").alias("n_after_hours"))
+             .select(F.col("window.start").alias("window_start"), "user",
+                     F.col("n_events").cast("double").alias("n_events"),
+                     F.col("n_after_hours").cast("double")
+                      .alias("n_after_hours")))
+    asm = VectorAssembler(inputCols=["n_events", "n_after_hours"],
+                          outputCol="features")
+    train = asm.transform(batch)
+    model = KMeans(k=2, seed=42, featuresCol="features",
+                   predictionCol="cluster").fit(train)
+    sizes = model.transform(train).groupBy("cluster").count().collect()
+    anom = min(sizes, key=lambda r: (r["count"], r["cluster"]))["cluster"]
+    expected = {(r["window_start"], r["user"]): int(r["cluster"] == anom)
+                for r in model.transform(train).collect()}
+    assert streamed == expected
+    assert sum(streamed.values()) > 0  # some windows flag as anomalous

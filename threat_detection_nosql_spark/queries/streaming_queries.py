@@ -112,12 +112,20 @@ def stream_stateful_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.stateful_user_profiles(spark, sf_dir)
 
 
+def stream_model_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-trained KMeans scoring a live windowed feature stream
+    (rows-only: cluster assignments are model-specific; batch/stream
+    parity is pinned in tests/test_streaming.py)."""
+    return S.model_scored_stream(spark, sf_dir)
+
+
 QUERIES = {
     "stream_windowed_user_counts": stream_windowed_user_counts,
     "stream_sliding_type_counts": stream_sliding_type_counts,
     "stream_session_windows": stream_session_windows,
     "stream_anomaly_flags": stream_anomaly_flags,
     "stream_stateful_profiles": stream_stateful_profiles,
+    "stream_model_scores": stream_model_scores,
 }
 
 ORACLES = {

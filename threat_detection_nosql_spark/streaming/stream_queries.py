@@ -166,3 +166,56 @@ def streaming_anomaly_flags(spark: SparkSession, sf_dir: str,
            .select(F.col("window.start").alias("window_start"), "user",
                    "n_after_hours"))
     return run_stream_to_table(out, mode="complete")
+
+
+def model_scored_stream(spark: SparkSession, sf_dir: str,
+                        window: str = "1 hour", k: int = 2,
+                        seed: int = 42) -> DataFrame:
+    """Batch-trained model scores the stream (the north-star pattern:
+    train offline, serve online on the same feature schema).
+
+    Batch side: per-(window, user) counts → KMeans(k) fit once; the
+    anomaly cluster is the smaller one (A13). Stream side: the SAME
+    feature derivation as a windowed streaming agg, scored by the
+    fitted model — ``KMeansModel.transform`` is a stateless vector op,
+    so it runs inside the micro-batch plan with the centers broadcast;
+    nothing about serving touches the driver per-row. Deterministic
+    parity with batch scoring is pinned by
+    tests/test_streaming.py::test_stream_model_scores_match_batch.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.feature import VectorAssembler
+
+    from threat_detection_nosql_spark.operators.etl import activity_log
+
+    # ---- batch training on the same windowed feature shape
+    batch = (activity_log(spark, sf_dir)
+             .groupBy(F.window("ts", window), "user")
+             .agg(F.count("*").alias("n_events"),
+                  F.sum("is_after_hours").alias("n_after_hours"))
+             .select(F.col("n_events").cast("double"),
+                     F.col("n_after_hours").cast("double")))
+    asm = VectorAssembler(inputCols=["n_events", "n_after_hours"],
+                          outputCol="features")
+    train = asm.transform(batch)
+    model = KMeans(k=k, seed=seed, featuresCol="features",
+                   predictionCol="cluster").fit(train)
+    sizes = (model.transform(train).groupBy("cluster").count().collect())
+    anomaly_cluster = min(sizes, key=lambda r: (r["count"], r["cluster"]))[
+        "cluster"]
+
+    # ---- streaming serve path
+    ev = events_stream(spark, sf_dir)
+    agg = (ev.groupBy(F.window("ts", window), "user")
+           .agg(F.count("*").alias("n_events"),
+                F.sum("is_after_hours").alias("n_after_hours")))
+    feats = agg.select(F.col("window.start").alias("window_start"), "user",
+                       F.col("n_events").cast("double").alias("n_events"),
+                       F.col("n_after_hours").cast("double")
+                        .alias("n_after_hours"))
+    scored = model.transform(asm.transform(feats))
+    out = scored.select(
+        "window_start", "user", "n_events", "n_after_hours",
+        (F.col("cluster") == anomaly_cluster).cast("int")
+         .alias("is_anomaly"))
+    return run_stream_to_table(out, mode="complete")
