@@ -1,0 +1,58 @@
+"""SMOTE-style oversampling + undersampling (M10) semantics."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from threat_detection_nosql_spark.ml.features import (
+    synthetic_anomaly_fixture,
+)
+from threat_detection_nosql_spark.ml.resample import (
+    smote_oversample,
+    undersample_majority,
+)
+
+FEATS = [f"f{i}" for i in range(8)]
+
+
+def test_smote_reaches_target_ratio(spark):
+    fix = synthetic_anomaly_fixture(spark)  # 180 normal / 20 anomalies
+    out = smote_oversample(fix, FEATS, ratio=0.7, seed=42)
+    n = {r["is_anomaly"]: r["n"] for r in
+         out.groupBy("is_anomaly").agg(F.count("*").alias("n")).collect()}
+    assert n[0] == 180                      # majority untouched
+    assert n[1] == int(0.7 * 180)           # minority lifted to ratio
+
+def test_smote_synthetics_are_convex_combinations(spark):
+    fix = synthetic_anomaly_fixture(spark)
+    out = smote_oversample(fix, FEATS, ratio=0.7, seed=42)
+    # synthetic rows have NULL user (non-feature column)
+    syn = out.filter(F.col("user").isNull())
+    assert syn.count() == int(0.7 * 180) - 20
+    # convexity: every synthetic feature value lies inside the minority
+    # class's min/max envelope (interpolation cannot extrapolate)
+    real = fix.filter(F.col("is_anomaly") == 1)
+    bounds = real.agg(*[F.min(c).alias(f"mn_{c}") for c in FEATS],
+                      *[F.max(c).alias(f"mx_{c}") for c in FEATS]).first()
+    checks = syn.agg(*[
+        F.sum(((F.col(c) < bounds[f"mn_{c}"] - 1e-9)
+               | (F.col(c) > bounds[f"mx_{c}"] + 1e-9)).cast("int"))
+        .alias(c) for c in FEATS]).first()
+    assert all(checks[c] == 0 for c in FEATS)
+
+
+def test_smote_deterministic(spark):
+    fix = synthetic_anomaly_fixture(spark)
+    a = smote_oversample(fix, FEATS, seed=7).count()
+    b = smote_oversample(fix, FEATS, seed=7).count()
+    assert a == b
+
+
+def test_undersample_majority(spark):
+    fix = synthetic_anomaly_fixture(spark)
+    out = undersample_majority(fix, ratio=0.8, seed=42)
+    n = {r["is_anomaly"]: r["n"] for r in
+         out.groupBy("is_anomaly").agg(F.count("*").alias("n")).collect()}
+    assert n[1] == 20                       # minority kept whole
+    # majority sampled toward n_min/ratio = 25 (Bernoulli, so approx)
+    assert n[0] < 60

@@ -3,8 +3,10 @@
 Reference: SMOTE-resampled sklearn GridSearchCV stack
 (`Comparaison_ML.py:551-701`). Spark-first substitutions (documented):
 
-- M10 SMOTE → class-weight column (`weightCol`) — Spark ML's native
-  imbalance mechanism; no synthetic row interpolation.
+- M10 SMOTE → two paths: class-weight column (`weightCol`, the default
+  here — Spark ML's native imbalance mechanism), and a real distributed
+  SMOTE (synthetic kNN interpolation) + random undersampler in
+  ml/resample.py matching imblearn's sampling_strategy semantics.
 - M11 stratified 80/20 split → per-label `sampleBy` with fixed seed.
 - M12 RandomForest + grid CV → `RandomForestClassifier` +
   `CrossValidator(numFolds=3)` on an f1 evaluator.

@@ -42,6 +42,27 @@ def ensemble_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     return U.ensemble_detector(scaled_user_features(spark, sf_dir))
 
 
+def smote_resampled_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M10 as a queryable op: SMOTE(0.7) + undersample(0.8) on the
+    planted-anomaly fixture (`Comparaison_ML.py:568-582` pipeline),
+    returning per-class counts before/after. Deterministic given the
+    fixed seeds; rows-only (interpolated values are RNG-stream
+    specific)."""
+    from pyspark.sql import functions as F
+
+    from threat_detection_nosql_spark.ml.resample import (
+        smote_oversample,
+        undersample_majority,
+    )
+    fix = synthetic_anomaly_fixture(spark)
+    res = undersample_majority(
+        smote_oversample(fix, [f"f{i}" for i in range(8)], ratio=0.7),
+        ratio=0.8)
+    before = fix.groupBy("is_anomaly").agg(F.count("*").alias("n_before"))
+    after = res.groupBy("is_anomaly").agg(F.count("*").alias("n_after"))
+    return before.join(after, "is_anomaly")
+
+
 def supervised_model_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trains on the reference's planted-anomaly fixture (M16) — the
     `rapport_performances.csv` analog, independent of sf_dir."""
@@ -58,6 +79,7 @@ QUERIES = {
     "mahalanobis_anomalies": mahalanobis_anomalies,
     "dbscan_noise_anomalies": dbscan_noise_anomalies,
     "ensemble_anomalies": ensemble_anomalies,
+    "smote_resampled_counts": smote_resampled_counts,
     "supervised_model_report": supervised_model_report,
 }
 
