@@ -24,11 +24,12 @@ def all_queries() -> dict[str, QueryFn]:
         pipeline,
         relational,
         streaming_queries,
+        temporal,
         threat,
     )
     out: dict[str, QueryFn] = {}
     for mod in (threat, relational, pipeline, advanced, graph_queries,
-                metrics, ml_queries, streaming_queries):
+                metrics, ml_queries, streaming_queries, temporal):
         out.update(mod.QUERIES)
     return out
 
@@ -42,10 +43,11 @@ def all_oracles() -> dict[str, str]:
         pipeline,
         relational,
         streaming_queries,
+        temporal,
         threat,
     )
     out: dict[str, str] = {}
     for mod in (threat, relational, pipeline, advanced, graph_queries,
-                metrics, ml_queries, streaming_queries):
+                metrics, ml_queries, streaming_queries, temporal):
         out.update(mod.ORACLES)
     return out
