@@ -219,6 +219,24 @@ GROUP BY ROLLUP (l_returnflag, l_linestatus)
 """
 
 
+def order_cube_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (status, priority): all 4 grouping-set combinations in
+    one pass — Spark expands the input once per set (Expand node) and
+    hash-aggregates; same shuffle bound as a single groupBy ×4."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (orders.cube("o_orderstatus", "o_orderpriority")
+            .agg(F.count("*").alias("n"),
+                 F.round(F.sum("o_totalprice"), 4).alias("sum_price")))
+
+
+_CUBE_SQL = """
+SELECT o_orderstatus, o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+       round(sum(o_totalprice), 4) AS sum_price
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+
 # -- R9: pivot-style conditional aggregation (A10 class) ---------------------
 
 def status_by_priority_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -357,6 +375,7 @@ QUERIES = {
     "top_orders_per_customer": top_orders_per_customer,
     "supplier_running_revenue": supplier_running_revenue,
     "returnflag_rollup": returnflag_rollup,
+    "order_cube_counts": order_cube_counts,
     "status_by_priority_pivot": status_by_priority_pivot,
     "above_nation_avg_customers": above_nation_avg_customers,
     "customer_only_nations": customer_only_nations,
@@ -374,6 +393,7 @@ ORACLES = {
     "top_orders_per_customer": _TOP_ORDERS_PER_CUST_SQL,
     "supplier_running_revenue": _RUNNING_REV_SQL,
     "returnflag_rollup": _ROLLUP_SQL,
+    "order_cube_counts": _CUBE_SQL,
     "status_by_priority_pivot": _PIVOT_SQL,
     "above_nation_avg_customers": _ABOVE_AVG_SQL,
     "customer_only_nations": _CUSTOMER_ONLY_NATIONS_SQL,
