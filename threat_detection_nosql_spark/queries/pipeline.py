@@ -203,20 +203,22 @@ def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     never shuffles — the plan is scan → broadcast-nested-loop → window
     on a |Q|·k result. LSH-bucketed variant in operators/similarity.py
     is the subquadratic scale path."""
-    emb = (load_table(spark, sf_dir, "embeddings")
-           .select("vec_id", F.col("embedding").cast("array<double>")
-                   .alias("v")))
-    queries = (emb.filter(F.col("vec_id") < 8)
-               .select(F.col("vec_id").alias("q_id"),
-                       F.col("v").alias("q_v")))
-    dot = F.aggregate(F.zip_with("v", "q_v", lambda x, y: x * y),
-                      F.lit(0.0), lambda acc, x: acc + x)
+    # per-row norms precomputed before the join (see embedding_near_dups)
     norm = lambda c: F.sqrt(F.aggregate(  # noqa: E731
         F.transform(c, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))
+    emb = (load_table(spark, sf_dir, "embeddings")
+           .select("vec_id", F.col("embedding").cast("array<double>")
+                   .alias("v"))
+           .withColumn("nv", norm(F.col("v"))))
+    queries = (emb.filter(F.col("vec_id") < 8)
+               .select(F.col("vec_id").alias("q_id"),
+                       F.col("v").alias("q_v"), F.col("nv").alias("nq")))
+    dot = F.aggregate(F.zip_with("v", "q_v", lambda x, y: x * y),
+                      F.lit(0.0), lambda acc, x: acc + x)
     scored = (emb.crossJoin(F.broadcast(queries))
               .filter(F.col("vec_id") != F.col("q_id"))
               .select("q_id", "vec_id",
-                      F.round(dot / (norm(F.col("v")) * norm(F.col("q_v"))),
+                      F.round(dot / (F.col("nv") * F.col("nq")),
                               6).alias("cosine")))
     w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
     return (scored.withColumn("rank", F.row_number().over(w))
@@ -285,18 +287,25 @@ def embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate pairs and THIS scoring expression verifies only those.
     The n² here is the oracle-checkable baseline of that pipeline.
     """
-    emb = (load_table(spark, sf_dir, "embeddings")
-           .select("vec_id", F.col("embedding").cast("array<double>")
-                   .alias("v")))
-    b = emb.select(F.col("vec_id").alias("nn_id"), F.col("v").alias("nv"))
-    dot = F.aggregate(F.zip_with("v", "nv", lambda x, y: x * y),
-                      F.lit(0.0), lambda acc, x: acc + x)
+    # norms are computed ONCE PER ROW before the join (a Project under
+    # a join boundary can't be collapsed into the per-pair expression);
+    # inlining norm(v) into the pair projection would recompute it
+    # |corpus| times per vector. cosine = dot/(na·nb) is the identical
+    # scalar expression, so results are bit-equal to the naive form.
     norm = lambda c: F.sqrt(F.aggregate(  # noqa: E731
         F.transform(c, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))
+    emb = (load_table(spark, sf_dir, "embeddings")
+           .select("vec_id", F.col("embedding").cast("array<double>")
+                   .alias("v"))
+           .withColumn("na", norm(F.col("v"))))
+    b = emb.select(F.col("vec_id").alias("nn_id"), F.col("v").alias("nv"),
+                   F.col("na").alias("nb"))
+    dot = F.aggregate(F.zip_with("v", "nv", lambda x, y: x * y),
+                      F.lit(0.0), lambda acc, x: acc + x)
     scored = (emb.crossJoin(F.broadcast(b))
               .filter(F.col("vec_id") != F.col("nn_id"))
               .select("vec_id", "nn_id",
-                      F.round(dot / (norm(F.col("v")) * norm(F.col("nv"))),
+                      F.round(dot / (F.col("na") * F.col("nb")),
                               6).alias("cosine")))
     w = Window.partitionBy("vec_id").orderBy(F.desc("cosine"), F.asc("nn_id"))
     return (scored.withColumn("rn", F.row_number().over(w))
