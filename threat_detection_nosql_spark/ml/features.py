@@ -24,9 +24,18 @@ FEATURE_COLS = [
 
 
 def assemble_features(df: DataFrame, cols: list[str] | None = None,
-                      out_col: str = "features") -> DataFrame:
+                      out_col: str = "features",
+                      exclude: tuple[str, ...] = ("is_anomaly",)
+                      ) -> DataFrame:
+    """Explicit cols win; else the known feature schema; else the P5
+    dtype rule itself (`Comparaison_ML.py:125`: select numeric dtypes,
+    drop the label)."""
     from pyspark.ml.feature import VectorAssembler
-    cols = cols or [c for c in FEATURE_COLS if c in df.columns]
+    from pyspark.sql import types as T
+    cols = (cols or [c for c in FEATURE_COLS if c in df.columns]
+            or [f.name for f in df.schema.fields
+                if isinstance(f.dataType, T.NumericType)
+                and f.name not in exclude])
     df = df.na.fill(0.0, subset=cols)
     return VectorAssembler(inputCols=cols, outputCol=out_col) \
         .transform(df)
