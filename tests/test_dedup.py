@@ -71,3 +71,31 @@ def test_fingerprint_overlap_pairs(spark, planted):
              for r in dedup.fingerprint_overlap_pairs(planted).collect()}
     assert (0, 1) in pairs            # exact dups share everything
     assert (0, 3) not in pairs        # disjoint vocab → no collisions
+
+
+def test_connected_components_chain(spark):
+    """A~B, B~C, D~E: chain collapses to one component even though A,C
+    never pair directly; singleton F untouched (left join keeps id)."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "doc_a long, doc_b long")
+    comp = {r["doc_id"]: r["comp"]
+            for r in dedup.connected_components(pairs).collect()}
+    assert comp[1] == comp[2] == comp[3] == 1
+    assert comp[10] == comp[11] == 10
+
+
+def test_dedup_keep_merges_chains(spark):
+    """Three docs where consecutive ones are near-dups but the ends are
+    not: all must share one canonical id via component merging."""
+    # four disjoint 30-word blocks; consecutive docs share one block
+    # (Jaccard ≈ 0.32 between neighbors, 0 between the ends)
+    blocks = [[f"w{b}_{i}" for i in range(30)] for b in range(4)]
+    docs = spark.createDataFrame(
+        [(0, " ".join(blocks[0] + blocks[1])),
+         (1, " ".join(blocks[1] + blocks[2])),
+         (2, " ".join(blocks[2] + blocks[3]))], "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           dedup.minhash_dedup_keep(docs, jaccard_threshold=0.75).collect()}
+    assert out[0]["canonical_id"] == 0 and not out[0]["is_duplicate"]
+    assert out[1]["canonical_id"] == 0 and out[1]["is_duplicate"]
+    assert out[2]["canonical_id"] == 0 and out[2]["is_duplicate"]

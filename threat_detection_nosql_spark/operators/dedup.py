@@ -78,17 +78,18 @@ def minhash_near_dup_pairs(docs: DataFrame,
 def minhash_dedup_keep(docs: DataFrame,
                        jaccard_threshold: float = 0.3,
                        **kwargs) -> DataFrame:
-    """Dedup decision: greedy keep-lowest-doc_id per near-dup component
-    (single-link via smallest-neighbor propagation, 1 iteration — exact
-    for pairwise clusters, documented approximation for longer chains;
-    full connected components is an iterative join loop)."""
+    """Dedup decision: keep-lowest-doc_id per near-dup *component*
+    (single-link clusters via full connected components — a chain
+    A~B~C collapses to one canonical doc even though A and C never
+    pair directly)."""
     pairs = minhash_near_dup_pairs(docs, jaccard_threshold, **kwargs)
-    drop = (pairs.groupBy(F.col("doc_b").alias("doc_id"))
-            .agg(F.min("doc_a").alias("kept_as")))
-    return (docs.join(drop, "doc_id", "left")
+    comp = connected_components(pairs)
+    return (docs.join(comp, "doc_id", "left")
             .select("doc_id",
-                    F.coalesce("kept_as", "doc_id").alias("canonical_id"),
-                    F.col("kept_as").isNotNull().alias("is_duplicate")))
+                    F.coalesce("comp", "doc_id").alias("canonical_id"),
+                    (F.col("comp").isNotNull()
+                     & (F.col("comp") != F.col("doc_id")))
+                    .alias("is_duplicate")))
 
 
 # ---------------------------------------------------------------------------
@@ -218,3 +219,41 @@ def fingerprint_overlap_pairs(docs: DataFrame, k: int = 8,
             .groupBy("doc_a", "doc_b")
             .agg(F.count("*").alias("shared_fingerprints"))
             .filter(F.col("shared_fingerprints") >= min_shared))
+
+
+# ---------------------------------------------------------------------------
+# Connected components (for dedup clusters)
+# ---------------------------------------------------------------------------
+
+
+def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
+    """Label propagation to a fixpoint: each node's component id is the
+    minimum doc_id reachable from it. Iterative (comp := min over
+    neighbors), converging in O(component diameter) rounds — dedup
+    components are shallow (dup clusters), so this terminates in a few
+    joins; the cap is a safety bound. Returns (doc_id, component).
+
+    At extreme scale the alternating large-star/small-star algorithm
+    (Kiveris et al., "Connected Components in MapReduce and Beyond")
+    halves rounds; the propagation join below is the same primitive.
+    """
+    edges = pairs.select(F.col("doc_a").cast("long").alias("src"),
+                         F.col("doc_b").cast("long").alias("dst"))
+    sym = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    labels = (sym.select(F.col("src").alias("id")).distinct()
+              .withColumn("comp", F.col("id")))
+    for _ in range(max_iter):
+        prop = (sym.join(labels.withColumnRenamed("id", "src"), "src")
+                .select(F.col("dst").alias("id"), "comp"))
+        new = (labels.unionByName(prop)
+               .groupBy("id").agg(F.min("comp").alias("comp"))
+               .cache())
+        changed = (new.withColumnRenamed("comp", "new_comp")
+                   .join(labels, "id")
+                   .filter(F.col("new_comp") != F.col("comp")).count())
+        labels.unpersist()
+        labels = new
+        if changed == 0:
+            break
+    return labels.select(F.col("id").alias("doc_id"), "comp")
