@@ -49,18 +49,22 @@ def main() -> None:
     # timings reflect steady state, not first-query class loading
     spark.range(1_000_000).selectExpr("sum(id)").collect()
     queries["after_hours_top10"](spark, SF_DIR).limit(1).collect()
-    t0 = time.perf_counter()
+    # median of 3 runs per query: single-run numbers on a shared box
+    # jitter ±20%; the median is the standard steady-state estimate
     timings: dict[str, float] = {}
     for name in HEADLINE_COLLECT + HEADLINE_COUNT:
         fn = queries[name]
-        start = time.perf_counter()
-        df = fn(spark, SF_DIR)
-        if name in HEADLINE_COUNT:
-            df.count()
-        else:
-            df.collect()
-        timings[name] = round(time.perf_counter() - start, 3)
-    total = round(time.perf_counter() - t0, 3)
+        runs = []
+        for _ in range(3):
+            start = time.perf_counter()
+            df = fn(spark, SF_DIR)
+            if name in HEADLINE_COUNT:
+                df.count()
+            else:
+                df.collect()
+            runs.append(time.perf_counter() - start)
+        timings[name] = round(sorted(runs)[1], 3)
+    total = round(sum(timings.values()), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(json.dumps({
         "metric": "headline_queries_total",

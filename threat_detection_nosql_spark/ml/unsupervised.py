@@ -321,7 +321,10 @@ def dbscan_noise_detector(scaled: DataFrame, eps: float = 0.5,
     if min_samples is None:
         min_samples = max(5, int(0.01 * n))
     if exact is None:
-        exact = n <= 100_000
+        # all-pairs is n² candidate rows: 10k ⇒ 10⁸ pairs is the
+        # practical ceiling for the exact path; beyond that the LSH
+        # candidate join is mandatory
+        exact = n <= 10_000
 
     pts = scaled.select(F.col(key), F.col("scaled"))
     if exact:
