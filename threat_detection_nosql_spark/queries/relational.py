@@ -366,6 +366,30 @@ CROSS JOIN (SELECT min(c_acctbal) AS mn, max(c_acctbal) AS mx FROM customer) s
 """
 
 
+def value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated quantiles of events.value in one pass
+    (percentile with an array argument = single sort-based agg).
+    The 100 TB mode is approx_percentile (GK sketch, bounded state);
+    tests assert the sketch lands within 1% rank error of these."""
+    from threat_detection_nosql_spark.sources.readers import load_table
+    ev = load_table(spark, sf_dir, "events")
+    qs = [0.25, 0.5, 0.75, 0.95, 0.99]
+    pct = F.percentile("value", F.array(*[F.lit(q) for q in qs]))
+    return ev.agg(*[
+        F.round(F.element_at(pct, i + 1), 6).alias(f"p{int(q * 100)}")
+        for i, q in enumerate(qs)])
+
+
+_VALUE_QUANTILES_SQL = """
+SELECT round(quantile_cont(value, 0.25), 6) AS p25,
+       round(quantile_cont(value, 0.50), 6) AS p50,
+       round(quantile_cont(value, 0.75), 6) AS p75,
+       round(quantile_cont(value, 0.95), 6) AS p95,
+       round(quantile_cont(value, 0.99), 6) AS p99
+FROM events
+"""
+
+
 QUERIES = {
     "pricing_summary": pricing_summary,
     "top_revenue_orders": top_revenue_orders,
@@ -382,6 +406,7 @@ QUERIES = {
     "all_active_nations": all_active_nations,
     "high_value_orders": high_value_orders,
     "normalized_acctbal": normalized_acctbal,
+    "value_quantiles": value_quantiles,
 }
 
 ORACLES = {
@@ -394,6 +419,7 @@ ORACLES = {
     "supplier_running_revenue": _RUNNING_REV_SQL,
     "returnflag_rollup": _ROLLUP_SQL,
     "order_cube_counts": _CUBE_SQL,
+    "value_quantiles": _VALUE_QUANTILES_SQL,
     "status_by_priority_pivot": _PIVOT_SQL,
     "above_nation_avg_customers": _ABOVE_AVG_SQL,
     "customer_only_nations": _CUSTOMER_ONLY_NATIONS_SQL,
