@@ -61,8 +61,11 @@ def minhash_near_dup_pairs(docs: DataFrame,
                         .alias("shingles")))
     tf = HashingTF(inputCol="shingles", outputCol="features",
                    numFeatures=num_features, binary=True)
+    # cache: the shingle+TF projection is the expensive stage (array
+    # lambdas are interpreted), and approxSimilarityJoin scans it once
+    # per side — uncached it re-vectorizes the corpus 2-3×
     vec = tf.transform(shingled).filter(
-        F.expr("size(shingles) > 0"))
+        F.expr("size(shingles) > 0")).cache()
     lsh = MinHashLSH(inputCol="features", outputCol="hashes",
                      numHashTables=num_hash_tables, seed=seed)
     model = lsh.fit(vec)
@@ -239,8 +242,12 @@ def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     """
     edges = pairs.select(F.col("doc_a").cast("long").alias("src"),
                          F.col("doc_b").cast("long").alias("dst"))
+    # cache: the edge list is scanned every propagation round — without
+    # this the upstream pair generator (e.g. an LSH join) re-runs per
+    # iteration
     sym = edges.unionByName(
-        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        edges.select(F.col("dst").alias("src"),
+                     F.col("src").alias("dst"))).cache()
     labels = (sym.select(F.col("src").alias("id")).distinct()
               .withColumn("comp", F.col("id")))
     for _ in range(max_iter):
