@@ -275,6 +275,33 @@ FROM documents
 """
 
 
+def top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token frequency top-20 (explode → hash agg → top-k).
+    The explode fans each doc into |tokens| rows, but map-side partial
+    aggregation collapses them to |vocab| per partition before the
+    shuffle — corpus-size-independent shuffle volume."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (docs
+            .select(F.explode(F.split(F.col("text"), r"\s+"))
+                    .alias("token"))
+            .filter(F.col("token") != "")
+            .groupBy("token")
+            .agg(F.count("*").alias("n"))
+            .orderBy(F.desc("n"), F.asc("token"))
+            .limit(20))
+
+
+_TOP_TOKENS_SQL = r"""
+SELECT token, CAST(count(*) AS BIGINT) AS n
+FROM (SELECT unnest(string_split_regex(text, '\s+')) AS token
+      FROM documents)
+WHERE token <> ''
+GROUP BY token
+ORDER BY n DESC, token ASC
+LIMIT 20
+"""
+
+
 # -- D5c: embedding-cosine near-dup (nearest neighbor + threshold flag) ------
 
 def embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -365,12 +392,14 @@ QUERIES = {
     "lang_id_heuristic": lang_id_heuristic,
     "cosine_topk": cosine_topk,
     "token_counts": token_counts,
+    "top_tokens": top_tokens,
     "embedding_near_dups": embedding_near_dups,
     "multimodal_metadata": multimodal_metadata,
 }
 
 ORACLES = {
     "token_counts": _TOKEN_COUNTS_SQL,
+    "top_tokens": _TOP_TOKENS_SQL,
     "embedding_near_dups": _EMB_NEAR_DUP_SQL,
     "exact_dedup_groups": _EXACT_DEDUP_SQL,
     "ngram_jaccard_top_pairs": _JACCARD_SQL,
