@@ -366,6 +366,64 @@ CROSS JOIN (SELECT min(c_acctbal) AS mn, max(c_acctbal) AS mx FROM customer) s
 """
 
 
+def props_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-path surface: events.props is a JSON string; parse it three
+    ways (typed from_json, path get_json_object, schema discovery via
+    json_object_keys) — all JVM expressions, pushdown-friendly."""
+    from pyspark.sql import types as T
+
+    from threat_detection_nosql_spark.sources.readers import load_table
+    ev = load_table(spark, sf_dir, "events")
+    schema = T.StructType([T.StructField("k", T.LongType())])
+    return ev.select(
+        "event_id",
+        F.from_json("props", schema)["k"].alias("k_typed"),
+        F.get_json_object("props", "$.k").cast("long").alias("k_path"),
+        F.json_object_keys("props").alias("keys"))
+
+
+_PROPS_JSON_SQL = """
+SELECT event_id,
+       TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_typed,
+       TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_path,
+       json_keys(props) AS keys
+FROM events
+"""
+
+
+def user_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lead/lag window surface: per-user inter-event gaps (lag over
+    event time), aggregated to mean/max gap — a burstiness profile.
+    One shuffle on user, sort within partition, no self-join."""
+    from threat_detection_nosql_spark.operators.etl import activity_log
+    log = activity_log(spark, sf_dir)
+    w = Window.partitionBy("user").orderBy(F.asc("ts"), F.asc("event_id"))
+    gaps = (log.select(
+        "user",
+        (F.unix_micros("ts")
+         - F.lag(F.unix_micros("ts")).over(w)).alias("gap_us")))
+    return (gaps.filter(F.col("gap_us").isNotNull())
+            .groupBy("user")
+            .agg(F.count("*").alias("n_gaps"),
+                 F.round(F.avg("gap_us") / 1e6, 4).alias("mean_gap_s"),
+                 F.round(F.max("gap_us") / 1e6, 4).alias("max_gap_s")))
+
+
+_EVENT_GAPS_SQL = """
+WITH log AS (SELECT event_id, user_id AS user, ts FROM events),
+gaps AS (
+  SELECT user,
+         epoch_us(ts) - lag(epoch_us(ts)) OVER (
+             PARTITION BY user ORDER BY ts ASC, event_id ASC) AS gap_us
+  FROM log)
+SELECT user, CAST(count(*) AS BIGINT) AS n_gaps,
+       round(avg(gap_us) / 1e6, 4) AS mean_gap_s,
+       round(max(gap_us) / 1e6, 4) AS max_gap_s
+FROM gaps WHERE gap_us IS NOT NULL
+GROUP BY user
+"""
+
+
 def value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated quantiles of events.value in one pass
     (percentile with an array argument = single sort-based agg).
@@ -407,6 +465,8 @@ QUERIES = {
     "high_value_orders": high_value_orders,
     "normalized_acctbal": normalized_acctbal,
     "value_quantiles": value_quantiles,
+    "props_json_extract": props_json_extract,
+    "user_event_gaps": user_event_gaps,
 }
 
 ORACLES = {
@@ -420,6 +480,8 @@ ORACLES = {
     "returnflag_rollup": _ROLLUP_SQL,
     "order_cube_counts": _CUBE_SQL,
     "value_quantiles": _VALUE_QUANTILES_SQL,
+    "props_json_extract": _PROPS_JSON_SQL,
+    "user_event_gaps": _EVENT_GAPS_SQL,
     "status_by_priority_pivot": _PIVOT_SQL,
     "above_nation_avg_customers": _ABOVE_AVG_SQL,
     "customer_only_nations": _CUSTOMER_ONLY_NATIONS_SQL,
