@@ -424,6 +424,49 @@ GROUP BY user
 """
 
 
+def error_without_purchase_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-operation family (EXCEPT/INTERSECT): heavy-error users who
+    are not heavy purchasers — both compile to hash-based
+    left-anti/semi joins under Catalyst, not sort-based set ops.
+    (Thresholded at >=13 events so the sets differ at every SF.)"""
+    err, buy = _heavy_user_sets(spark, sf_dir)
+    return err.exceptAll(buy).orderBy("user")
+
+
+def _heavy_user_sets(spark: SparkSession, sf_dir: str):
+    from threat_detection_nosql_spark.operators.etl import activity_log
+    log = activity_log(spark, sf_dir)
+
+    def heavy(act):
+        return (log.filter(F.col("activity") == act)
+                .groupBy("user").agg(F.count("*").alias("n"))
+                .filter(F.col("n") >= 13).select("user"))
+    return heavy("error"), heavy("purchase")
+
+
+_HEAVY_CTE = """
+WITH log AS (SELECT user_id AS user, event_type AS activity FROM events),
+err AS (SELECT user FROM log WHERE activity = 'error'
+        GROUP BY user HAVING count(*) >= 13),
+buy AS (SELECT user FROM log WHERE activity = 'purchase'
+        GROUP BY user HAVING count(*) >= 13)
+"""
+
+_EXCEPT_SQL = _HEAVY_CTE + """
+SELECT user FROM err EXCEPT SELECT user FROM buy ORDER BY user
+"""
+
+
+def error_and_purchase_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    err, buy = _heavy_user_sets(spark, sf_dir)
+    return err.intersect(buy).orderBy("user")
+
+
+_INTERSECT_SQL = _HEAVY_CTE + """
+SELECT user FROM err INTERSECT SELECT user FROM buy ORDER BY user
+"""
+
+
 def value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated quantiles of events.value in one pass
     (percentile with an array argument = single sort-based agg).
@@ -467,6 +510,8 @@ QUERIES = {
     "value_quantiles": value_quantiles,
     "props_json_extract": props_json_extract,
     "user_event_gaps": user_event_gaps,
+    "error_without_purchase_users": error_without_purchase_users,
+    "error_and_purchase_users": error_and_purchase_users,
 }
 
 ORACLES = {
@@ -482,6 +527,8 @@ ORACLES = {
     "value_quantiles": _VALUE_QUANTILES_SQL,
     "props_json_extract": _PROPS_JSON_SQL,
     "user_event_gaps": _EVENT_GAPS_SQL,
+    "error_without_purchase_users": _EXCEPT_SQL,
+    "error_and_purchase_users": _INTERSECT_SQL,
     "status_by_priority_pivot": _PIVOT_SQL,
     "above_nation_avg_customers": _ABOVE_AVG_SQL,
     "customer_only_nations": _CUSTOMER_ONLY_NATIONS_SQL,
