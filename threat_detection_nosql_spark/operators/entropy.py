@@ -26,12 +26,20 @@ def add_shannon_entropy(df: DataFrame, group_col: str, value_col: str,
     plans a single exchange on ``group_col``.
     """
     freq = df.groupBy(group_col, value_col).agg(F.count("*").alias("freq"))
-    # −Σ (f/T)·log2(f/T) = log2(T) − (Σ f·log2 f)/T  — one grouped agg,
-    # no self-join/window needed, single exchange on group_col.
+    return entropy_from_freq(freq, group_col, "freq", out_col, round_to)
+
+
+def entropy_from_freq(freq: DataFrame, group_col: str,
+                      freq_col: str = "freq", out_col: str = "entropy",
+                      round_to: int | None = 6) -> DataFrame:
+    """Entropy from a pre-computed (group, value, freq) table — lets
+    several entropies share ONE pass over the raw data (the fused
+    user_features path): −Σ (f/T)·log2(f/T) = log2(T) − (Σ f·log2 f)/T,
+    one grouped agg, no self-join/window."""
     ent = (freq
            .groupBy(group_col)
-           .agg(F.sum("freq").alias("_total"),
-                F.sum(F.col("freq") * F.log2("freq")).alias("_flogf"))
+           .agg(F.sum(freq_col).alias("_total"),
+                F.sum(F.col(freq_col) * F.log2(freq_col)).alias("_flogf"))
            .select(F.col(group_col),
                    (F.log2("_total")
                     - F.col("_flogf") / F.col("_total")).alias(out_col)))

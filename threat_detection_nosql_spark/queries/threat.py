@@ -277,8 +277,21 @@ def user_features(spark: SparkSession, sf_dir: str,
                         F.round(F.col("after_hours_activities") / divisor, 6))
             .withColumn("weekend_ratio",
                         F.round(F.col("weekend_activities") / divisor, 6)))
-    act_ent = add_shannon_entropy(log, "user", "activity", "activity_entropy")
-    tmp_ent = add_shannon_entropy(log, "user", "hour_of_day", "temporal_entropy")
+    # fused entropy path: both entropies derive from ONE pass over the
+    # fact table — a (user, activity, hour) pre-agg whose exchange
+    # Catalyst dedupes via ReuseExchange, then two tiny re-aggregations.
+    # Frequencies (and hence values) are identical to the direct form.
+    from threat_detection_nosql_spark.operators.entropy import (
+        entropy_from_freq,
+    )
+    g = (log.groupBy("user", "activity", "hour_of_day")
+         .agg(F.count("*").alias("c")))
+    act_freq = g.groupBy("user", "activity").agg(F.sum("c").alias("freq"))
+    tmp_freq = g.groupBy("user", "hour_of_day").agg(F.sum("c").alias("freq"))
+    act_ent = entropy_from_freq(act_freq, "user",
+                                out_col="activity_entropy")
+    tmp_ent = entropy_from_freq(tmp_freq, "user",
+                                out_col="temporal_entropy")
     return (base.join(act_ent, "user", "left")
                 .join(tmp_ent, "user", "left"))
 
