@@ -251,6 +251,42 @@ def _iforest_path(xrow: np.ndarray, nodes) -> float:
     return depth + _avg_path_len(leaf_n)
 
 
+def _tree_arrays(nodes) -> tuple[np.ndarray, ...]:
+    """Flatten one tree to parallel arrays for vectorized traversal."""
+    a = np.array(nodes, dtype=float)  # columns: f, s, li, ri
+    return (a[:, 0].astype(int), a[:, 1], a[:, 2].astype(int),
+            a[:, 3].astype(int))
+
+
+def _iforest_paths_batch(x: np.ndarray, trees) -> np.ndarray:
+    """Mean path length for a whole batch at once: every row walks each
+    tree simultaneously via index arrays (depth ≤ log2(ψ) iterations of
+    O(batch) numpy ops) — replaces the per-row Python loop, ~50× less
+    interpreter overhead in the scoring UDF."""
+    n = len(x)
+    total = np.zeros(n)
+    for nodes in trees:
+        feat, split, left, right = _tree_arrays(nodes)
+        idx = np.zeros(n, dtype=int)
+        depth = np.zeros(n)
+        active = feat[idx] >= 0
+        while active.any():
+            ai = np.where(active)[0]
+            cur = idx[ai]
+            go_left = x[ai, feat[cur]] < split[cur]
+            idx[ai] = np.where(go_left, left[cur], right[cur])
+            depth[ai] += 1
+            active[ai] = feat[idx[ai]] >= 0
+        leaf_sizes = split[idx]  # leaves store |idx| in the split slot
+        c = np.where(
+            leaf_sizes > 1,
+            2.0 * (np.log(np.maximum(leaf_sizes - 1, 1)) + 0.5772156649)
+            - 2.0 * (leaf_sizes - 1) / np.maximum(leaf_sizes, 1),
+            0.0)
+        total += depth + c
+    return total / len(trees)
+
+
 def iforest_detector(scaled: DataFrame, n_trees: int = 200,
                      max_samples: int = 256,
                      contamination: float = CONTAMINATION,
@@ -282,11 +318,9 @@ def iforest_detector(scaled: DataFrame, n_trees: int = 200,
     def score_batches(it):
         for batch in it:
             trees = b_forest.value
-            scores = [
-                float(2.0 ** (-np.mean([_iforest_path(np.asarray(x), t)
-                                        for t in trees]) / c_norm))
-                for x in batch["x"]
-            ]
+            x = np.array(batch["x"].tolist())
+            mean_paths = _iforest_paths_batch(x, trees)
+            scores = 2.0 ** (-mean_paths / c_norm)
             yield pd.DataFrame({key: batch[key],
                                 "iforest_score": scores})
 

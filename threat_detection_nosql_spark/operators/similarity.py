@@ -74,7 +74,7 @@ def ivf_cosine_neighbors(emb: DataFrame, queries: DataFrame,
     pruned partitions — no corpus-wide shuffle per query batch.
     """
     from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector, vector_to_array
+    from pyspark.ml.functions import array_to_vector
 
     corpus = _l2_normalize(emb).withColumn("features",
                                            array_to_vector("v"))
