@@ -59,3 +59,34 @@ def test_stream_model_scores_match_batch(spark):
                 for r in model.transform(train).collect()}
     assert streamed == expected
     assert sum(streamed.values()) > 0  # some windows flag as anomalous
+
+
+def test_stream_dedup_drops_redelivered_events(spark, tmp_path):
+    """Planted redelivery: the same event_id arrives twice (second copy
+    within the watermark window) — dropDuplicatesWithinWatermark must
+    keep exactly one."""
+    from pyspark.sql import functions as F
+
+    src = str(tmp_path / "dups")
+    rows = [(1, "2024-01-01 10:00:00", 7),
+            (2, "2024-01-01 10:01:00", 7),
+            (1, "2024-01-01 10:02:00", 7),   # redelivery of event 1
+            (3, "2024-01-01 10:03:00", 8)]
+    (spark.createDataFrame(rows, "event_id long, ts_s string, user long")
+     .select("event_id", F.to_timestamp("ts_s").alias("ts"), "user")
+     .coalesce(1).write.mode("overwrite").parquet(src))
+
+    stream = (spark.readStream
+              .schema("event_id long, ts timestamp, user long")
+              .parquet(src)
+              .withWatermark("ts", "10 minutes")
+              .dropDuplicatesWithinWatermark(["event_id"])
+              .groupBy("user").agg(F.count("*").alias("n")))
+    q = (stream.writeStream.outputMode("complete")
+         .format("memory").queryName("dedup_test").start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {r["user"]: r["n"] for r in spark.table("dedup_test").collect()}
+    assert got == {7: 2, 8: 1}

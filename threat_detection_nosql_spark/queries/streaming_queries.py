@@ -112,6 +112,14 @@ def stream_stateful_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.stateful_user_profiles(spark, sf_dir)
 
 
+def stream_deduped_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dedup (dropDuplicatesWithinWatermark) then per-user
+    counts; the testdata has unique event_ids so the batch oracle is a
+    DISTINCT-then-count — the planted-duplicate semantics are pinned in
+    tests/test_streaming.py."""
+    return S.deduped_event_counts(spark, sf_dir)
+
+
 def stream_model_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch-trained KMeans scoring a live windowed feature stream
     (rows-only: cluster assignments are model-specific; batch/stream
@@ -126,6 +134,7 @@ QUERIES = {
     "stream_anomaly_flags": stream_anomaly_flags,
     "stream_stateful_profiles": stream_stateful_profiles,
     "stream_model_scores": stream_model_scores,
+    "stream_deduped_counts": stream_deduped_counts,
 }
 
 ORACLES = {
@@ -134,4 +143,8 @@ ORACLES = {
     "stream_session_windows": _SESSION_SQL,
     "stream_anomaly_flags": _ANOMALY_FLAGS_SQL,
     # stream_stateful_profiles: rows-only (applyInPandasWithState)
+    "stream_deduped_counts": """
+WITH d AS (SELECT DISTINCT ON (event_id) user_id AS user FROM events)
+SELECT user, CAST(count(*) AS BIGINT) AS n_events FROM d GROUP BY user
+""",
 }

@@ -219,3 +219,18 @@ def model_scored_stream(spark: SparkSession, sf_dir: str,
         (F.col("cluster") == anomaly_cluster).cast("int")
          .alias("is_anomaly"))
     return run_stream_to_table(out, mode="complete")
+
+
+def deduped_event_counts(spark: SparkSession, sf_dir: str,
+                         watermark: str = "1 hour") -> DataFrame:
+    """Streaming exactly-once event dedup: at-least-once sources
+    (kafka redeliveries, retried file batches) re-emit events;
+    ``dropDuplicatesWithinWatermark`` on the event key keeps one copy
+    with state bounded by the watermark horizon (a plain
+    dropDuplicates would grow state forever). Downstream: per-user
+    counts over the deduped stream."""
+    ev = events_stream(spark, sf_dir, watermark=watermark)
+    deduped = ev.dropDuplicatesWithinWatermark(["event_id"])
+    out = (deduped.groupBy("user")
+           .agg(F.count("*").alias("n_events")))
+    return run_stream_to_table(out, mode="complete")
