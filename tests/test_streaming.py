@@ -61,6 +61,46 @@ def test_stream_model_scores_match_batch(spark):
     assert sum(streamed.values()) > 0  # some windows flag as anomalous
 
 
+def test_stream_stream_join_respects_interval_bounds(spark, tmp_path):
+    """Planted pairs: only same-user errors within the 30-minute gap
+    after a purchase may join; later errors and other users' errors
+    must not."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from threat_detection_nosql_spark.streaming.stream_queries import (
+        purchase_error_pairs)
+
+    def ns(hhmm):
+        h, m = hhmm.split(":")
+        base = 1704096000  # 2024-01-01 08:00:00 UTC
+        return (base + int(h) * 3600 + int(m) * 60) * 1_000_000_000
+
+    rows = [  # (event_id, ts_ns, user_id, event_type)
+        (100, ns("2:00"), 1, "purchase"),
+        (200, ns("2:10"), 1, "error"),     # in window -> pair
+        (201, ns("3:00"), 1, "error"),     # > 30 min -> no pair
+        (202, ns("2:05"), 2, "error"),     # other user -> no pair
+        (101, ns("2:50"), 2, "purchase"),
+        (203, ns("2:55"), 2, "error"),     # in window -> pair
+    ]
+    table = pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([r[1] for r in rows],
+                       pa.timestamp("ns")),
+        "user_id": pa.array([r[2] for r in rows], pa.int64()),
+        "event_type": pa.array([r[3] for r in rows], pa.string()),
+        "value": pa.array([0.0] * len(rows), pa.float64()),
+        "props": pa.array(["{}"] * len(rows), pa.string()),
+    })
+    pq.write_table(table, str(tmp_path / "events.parquet"))
+
+    got = {(r["user"], r["purchase_event_id"], r["error_event_id"],
+            r["gap_us"])
+           for r in purchase_error_pairs(spark, str(tmp_path)).collect()}
+    assert got == {(1, 100, 200, 600 * 1_000_000),
+                   (2, 101, 203, 300 * 1_000_000)}
+
+
 def test_stream_dedup_drops_redelivered_events(spark, tmp_path):
     """Planted redelivery: the same event_id arrives twice (second copy
     within the watermark window) — dropDuplicatesWithinWatermark must

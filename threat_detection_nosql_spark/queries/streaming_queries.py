@@ -120,6 +120,14 @@ def stream_deduped_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.deduped_event_counts(spark, sf_dir)
 
 
+def stream_purchase_error_pairs(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """Stream-stream interval join: purchases matched to same-user
+    errors within 30 minutes; the batch oracle is the equivalent
+    interval self-join."""
+    return S.purchase_error_pairs(spark, sf_dir)
+
+
 def stream_model_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch-trained KMeans scoring a live windowed feature stream
     (rows-only: cluster assignments are model-specific; batch/stream
@@ -135,6 +143,7 @@ QUERIES = {
     "stream_stateful_profiles": stream_stateful_profiles,
     "stream_model_scores": stream_model_scores,
     "stream_deduped_counts": stream_deduped_counts,
+    "stream_purchase_error_pairs": stream_purchase_error_pairs,
 }
 
 ORACLES = {
@@ -146,5 +155,19 @@ ORACLES = {
     "stream_deduped_counts": """
 WITH d AS (SELECT DISTINCT ON (event_id) user_id AS user FROM events)
 SELECT user, CAST(count(*) AS BIGINT) AS n_events FROM d GROUP BY user
+""",
+    "stream_purchase_error_pairs": """
+WITH p AS (SELECT user_id, event_id, ts FROM events
+           WHERE event_type = 'purchase'),
+     e AS (SELECT user_id, event_id, ts FROM events
+           WHERE event_type = 'error')
+SELECT p.user_id AS user,
+       p.event_id AS purchase_event_id,
+       e.event_id AS error_event_id,
+       CAST(epoch_us(e.ts) - epoch_us(p.ts) AS BIGINT) AS gap_us
+FROM p JOIN e
+  ON p.user_id = e.user_id
+ AND e.ts >= p.ts
+ AND e.ts <= p.ts + INTERVAL 30 MINUTE
 """,
 }

@@ -33,9 +33,11 @@ _EVENTS_STREAM_SCHEMA = T.StructType([
 
 
 def events_stream(spark: SparkSession, sf_dir: str,
-                  watermark: str = "1 hour") -> DataFrame:
+                  watermark: str | None = "1 hour") -> DataFrame:
     """`events` as a file stream with event-time watermark — the
-    streaming twin of operators.etl.activity_log."""
+    streaming twin of operators.etl.activity_log. ``watermark=None``
+    defers watermarking to the caller (e.g. stream-stream joins must
+    watermark the renamed per-side time columns instead)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     # the file-stream source requires a directory; point it at the sf
     # dir and glob-filter to the events file
@@ -47,7 +49,8 @@ def events_stream(spark: SparkSession, sf_dir: str,
           .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
           .withColumn("user", F.col("user_id"))
           .withColumn("activity", F.col("event_type")))
-    return derive_temporal_features(df, "ts").withWatermark("ts", watermark)
+    out = derive_temporal_features(df, "ts")
+    return out.withWatermark("ts", watermark) if watermark else out
 
 
 def run_stream_to_table(stream_df: DataFrame, *,
@@ -219,6 +222,39 @@ def model_scored_stream(spark: SparkSession, sf_dir: str,
         (F.col("cluster") == anomaly_cluster).cast("int")
          .alias("is_anomaly"))
     return run_stream_to_table(out, mode="complete")
+
+
+def purchase_error_pairs(spark: SparkSession, sf_dir: str,
+                         max_gap_minutes: int = 30) -> DataFrame:
+    """Stream-stream interval join (append mode): correlate each
+    purchase with the errors the same user hits within the next
+    ``max_gap_minutes``. Both sides carry watermarks and the join
+    condition bounds event time on both ends, so Spark can evict join
+    state (a purchase older than watermark-minus-gap can never match a
+    future error); without the time-range condition the join state
+    grows without bound. Inner join => matches emit as soon as both
+    sides arrive — no watermark-delay on output."""
+    pur = (events_stream(spark, sf_dir, watermark=None)
+           .where(F.col("activity") == "purchase")
+           .select(F.col("user").alias("p_user"),
+                   F.col("event_id").alias("purchase_event_id"),
+                   F.col("ts").alias("p_ts"))
+           .withWatermark("p_ts", "1 hour"))
+    err = (events_stream(spark, sf_dir, watermark=None)
+           .where(F.col("activity") == "error")
+           .select(F.col("user").alias("e_user"),
+                   F.col("event_id").alias("error_event_id"),
+                   F.col("ts").alias("e_ts"))
+           .withWatermark("e_ts", "1 hour"))
+    joined = pur.join(err, F.expr(f"""
+        p_user = e_user
+        AND e_ts >= p_ts
+        AND e_ts <= p_ts + INTERVAL {int(max_gap_minutes)} MINUTES"""))
+    out = joined.select(
+        F.col("p_user").alias("user"),
+        "purchase_event_id", "error_event_id",
+        (F.unix_micros("e_ts") - F.unix_micros("p_ts")).alias("gap_us"))
+    return run_stream_to_table(out, mode="append")
 
 
 def deduped_event_counts(spark: SparkSession, sf_dir: str,
