@@ -44,21 +44,19 @@ def minhash_near_dup_pairs(docs: DataFrame,
     from pyspark.ml.feature import HashingTF, MinHashLSH
 
     w = F.split(F.col("text"), r"\s+")
-    # try_element_at: under ANSI mode (Spark 4 default) a plain
-    # element_at throws when the optimizer evaluates the projection on
-    # rows the filter below would drop (local relations); OOB → null is
-    # safe because those rows are filtered out.
+    # k-grams via zip_with over k shifted slices: the lambda bodies
+    # reference only lambda variables, so the split is evaluated O(k)
+    # times per row. The element_at-inside-transform formulation gets
+    # the outer `w` inlined by CollapseProject and re-splits the text
+    # once per element access (~10× slower on this corpus).
+    n_sh = F.greatest(F.size(w) - shingle_len + 1, F.lit(0))
+    grams = F.slice(w, 1, n_sh)
+    for j in range(1, shingle_len):
+        grams = F.zip_with(grams, F.slice(w, j + 1, n_sh),
+                           lambda a, b: F.concat_ws(" ", a, b))
     shingled = (docs
                 .filter(F.size(w) >= shingle_len)
-                .select("doc_id",
-                        F.array_distinct(F.transform(
-                            F.sequence(F.lit(0),
-                                       F.greatest(F.size(w) - shingle_len,
-                                                  F.lit(0))),
-                            lambda i: F.concat_ws(" ", *[
-                                F.try_element_at(w, i + j + 1)
-                                for j in range(shingle_len)])))
-                        .alias("shingles")))
+                .select("doc_id", F.array_distinct(grams).alias("shingles")))
     tf = HashingTF(inputCol="shingles", outputCol="features",
                    numFeatures=num_features, binary=True)
     # cache: the shingle+TF projection is the expensive stage (array

@@ -23,8 +23,14 @@ _DOT = "aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0D, (acc, x) -> acc + x)"
 def _l2_normalize(df: DataFrame, vec_col: str = "v") -> DataFrame:
     norm = F.sqrt(F.aggregate(F.transform(F.col(vec_col), lambda x: x * x),
                               F.lit(0.0), lambda a, x: a + x))
+    # divide via zip_with against a repeated-norm array: `norm` appears
+    # as a plain (non-lambda) argument, so it evaluates once per row —
+    # inside a transform lambda CollapseProject would inline it and
+    # recompute the full O(d) aggregate per element (O(d²) per row)
     return df.withColumn(
-        vec_col, F.transform(F.col(vec_col), lambda x: x / norm))
+        vec_col, F.zip_with(F.col(vec_col),
+                            F.array_repeat(norm, F.size(F.col(vec_col))),
+                            lambda x, n: x / n))
 
 
 def lsh_cosine_neighbors(emb: DataFrame, queries: DataFrame,

@@ -53,19 +53,20 @@ GROUP BY md5(text)
 def _shingles(docs: DataFrame) -> DataFrame:
     """Distinct word-3-gram shingles per doc — array ops, no UDF."""
     w = F.split(F.col("text"), r"\s+")
-    # guard: sequence(0, size-3) is DECREASING for size<3 in Spark, not
-    # empty — docs with <3 words must be filtered, matching DuckDB's
-    # empty range()
+    # 3-grams via zip_with over shifted slices: lambda bodies reference
+    # only lambda variables, so the split runs O(k) times per row — an
+    # element_at-inside-transform lambda would get `w` inlined by
+    # CollapseProject and re-split the text once per element access.
+    # Docs with <3 words must be filtered (slice length must be ≥ 0,
+    # and DuckDB's range() is empty there).
+    n_sh = F.greatest(F.size(w) - 2, F.lit(0))
+    grams = F.zip_with(
+        F.zip_with(F.slice(w, 1, n_sh), F.slice(w, 2, n_sh),
+                   lambda a, b: F.concat_ws(" ", a, b)),
+        F.slice(w, 3, n_sh), lambda ab, c: F.concat_ws(" ", ab, c))
     return (docs
             .filter(F.size(w) >= 3)
-            .select("doc_id",
-                    F.explode(F.transform(
-                        F.sequence(F.lit(0),
-                                   F.greatest(F.size(w) - 3, F.lit(0))),
-                        lambda i: F.concat_ws(
-                            " ", F.try_element_at(w, i + 1),
-                            F.try_element_at(w, i + 2),
-                            F.try_element_at(w, i + 3)))).alias("shingle"))
+            .select("doc_id", F.explode(grams).alias("shingle"))
             .distinct())
 
 
