@@ -1,0 +1,114 @@
+"""Local replica of the driver's correctness gate.
+
+Runs every ``queries()`` entry at sf0.01, canonicalizes the result the
+way the driver does (toPandas → columns sorted by name → sort_values
+over all columns → rounded floats), and hash-compares against the
+DuckDB ``oracle_sql()`` entry when present. Rows-only queries are still
+canonicalized so list-typed/unhashable columns are caught locally
+before the driver sees them.
+
+Deliberately uses a VANILLA SparkSession (not session.get_spark) — the
+driver brings its own session, so config-dependent code must work
+without ours (.claude/skills/verify/SKILL.md).
+
+Usage: python scripts/check_all.py [--sf DIR] [name_filter ...]
+"""
+from __future__ import annotations
+
+import hashlib
+import json
+import sys
+import time
+import traceback
+
+import duckdb
+import pandas as pd
+
+SF_DIR = "/root/testdata/sf0.01"
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def _canon(pdf: pd.DataFrame, float_round: int = 6) -> pd.DataFrame:
+    pdf = pdf[sorted(pdf.columns)]
+    for c in pdf.columns:
+        if pdf[c].dtype.kind == "f":
+            pdf[c] = pdf[c].round(float_round)
+    pdf = pdf.sort_values(list(pdf.columns), kind="mergesort")
+    return pdf.reset_index(drop=True)
+
+
+def _hash(pdf: pd.DataFrame) -> str:
+    return hashlib.md5(
+        pdf.to_csv(index=False, float_format="%.6f").encode()).hexdigest()
+
+
+def main() -> int:
+    args = sys.argv[1:]
+    sf_dir = SF_DIR
+    if args and args[0] == "--sf":
+        sf_dir = args[1]
+        args = args[2:]
+    filters = args
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as entrymod
+    from pyspark.sql import SparkSession
+
+    spark = (SparkSession.builder.master("local[8]")
+             .config("spark.sql.shuffle.partitions", "8")
+             .config("spark.ui.enabled", "false")
+             .appName("check_all").getOrCreate())
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    results: dict[str, dict] = {}
+    n_bad = 0
+    for name, fn in qs.items():
+        if filters and not any(f in name for f in filters):
+            continue
+        t0 = time.time()
+        rec: dict = {}
+        try:
+            sdf = fn(spark, sf_dir)
+            spdf = _canon(sdf.toPandas())
+            rec["spark_rows"] = len(spdf)
+            rec["spark_s"] = round(time.time() - t0, 2)
+            if name in oracles:
+                opdf = _canon(con.sql(oracles[name]).df())
+                rec["oracle_rows"] = len(opdf)
+                rec["rows_match"] = len(spdf) == len(opdf)
+                rec["schema_match"] = list(spdf.columns) == list(opdf.columns)
+                rec["hash_match"] = (rec["schema_match"]
+                                     and _hash(spdf) == _hash(opdf))
+                if not rec["hash_match"]:
+                    n_bad += 1
+                    if rec["schema_match"] and rec["rows_match"]:
+                        neq = spdf.compare(opdf) if len(spdf) == len(opdf) \
+                            else None
+                        if neq is not None and len(neq):
+                            rec["first_diff"] = neq.head(3).to_dict()
+            else:
+                rec["check"] = "rows_only"
+        except Exception:
+            rec["err"] = traceback.format_exc()[-1500:]
+            n_bad += 1
+        results[name] = rec
+        status = ("OK " if rec.get("hash_match") else
+                  "ro " if rec.get("check") else "BAD")
+        print(f"{status} {name:35s} {rec.get('spark_s', '-'):>7} "
+              f"rows={rec.get('spark_rows')}", flush=True)
+        if rec.get("err"):
+            print(rec["err"][-600:], flush=True)
+
+    with open("/tmp/check_all.json", "w") as f:
+        json.dump(results, f, indent=1, default=str)
+    print(f"\n{n_bad} problem(s); detail in /tmp/check_all.json")
+    return 1 if n_bad else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

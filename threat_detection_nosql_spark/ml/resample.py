@@ -38,16 +38,25 @@ def smote_oversample(df: DataFrame, feature_cols: list[str],
     n_by_class = {r[label]: r["n"] for r in
                   df.groupBy(label).agg(F.count("*").alias("n")).collect()}
     n_min = n_by_class.get(minority, 0)
-    n_maj = max(n for c, n in n_by_class.items() if c != minority)
+    majorities = [n for c, n in n_by_class.items() if c != minority]
+    if not majorities:  # input holds only the minority class
+        return df
+    n_maj = max(majorities)
     target = int(ratio * n_maj)
     n_new = max(0, target - n_min)
     if n_new == 0 or n_min < 2:
         return df
 
     feats = F.array(*[F.col(c).cast("double") for c in feature_cols])
+    # deterministic _id (dense rank over the feature vector): recomputed
+    # identically on every derivation of this plan, unlike
+    # monotonically_increasing_id which depends on the physical
+    # partitioning. Ties are exact-duplicate vectors — interchangeable
+    # as kNN anchors/neighbors, so row_number among them is harmless.
     mino = (df.filter(F.col(label) == minority)
-            .select(F.monotonically_increasing_id().alias("_id"),
-                    feats.alias("_x")))
+            .select(feats.alias("_x"))
+            .withColumn("_id", F.row_number().over(
+                Window.orderBy(F.asc("_x")))))
 
     b = mino.select(F.col("_id").alias("_nid"), F.col("_x").alias("_nx"))
     dist = F.aggregate(F.zip_with("_x", "_nx", lambda a, c: (a - c) * (a - c)),

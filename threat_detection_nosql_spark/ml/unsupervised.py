@@ -341,12 +341,19 @@ def dbscan_noise_detector(scaled: DataFrame, eps: float = 0.5,
                           key: str = "user",
                           exact: bool | None = None) -> DataFrame:
     """`Comparaison_ML.py:204-251`: eps=0.5, min_samples = max(5, 1% n);
-    noise points = anomalies; score = mean distance to the eps-ball
-    members (0 for isolated points → min-maxed so noise scores high).
+    noise points = anomalies. Scores follow the reference's semantics:
+    cluster points score their mean distance to eps-ball members
+    (< eps by construction), noise points score the distance to their
+    NEAREST CORE point (≥ eps by DBSCAN's definition of noise) — so
+    after min-max normalization noise ranks highest, matching
+    `Comparaison_ML.py:213-242`.
 
     Neighbor pairs via BucketedRandomProjectionLSH approxSimilarityJoin
     (bucket-collision candidates only — subquadratic); `exact=True`
-    forces a broadcast self-join for small inputs/tests.
+    forces a broadcast self-join for small inputs/tests. The
+    noise-to-core distance pass joins the (contamination-sized) noise
+    set against core points with the noise side broadcast — O(|core|)
+    scan, |noise| output rows, no quadratic blowup.
     """
     from pyspark.ml.feature import BucketedRandomProjectionLSH
     from pyspark.ml.functions import vector_to_array
@@ -387,14 +394,39 @@ def dbscan_noise_detector(scaled: DataFrame, eps: float = 0.5,
     counts = (pairs.groupBy("a")
               .agg(F.count("*").alias("n_neighbors"),
                    F.avg("d").alias("mean_dist")))
-    out = (pts.select(key)
-           .join(counts, F.col(key) == F.col("a"), "left")
-           .select(key,
-                   F.coalesce("n_neighbors", F.lit(0)).alias("n_neighbors"),
-                   F.coalesce("mean_dist", F.lit(0.0)).alias("dbscan_score"))
-           .withColumn("dbscan_anomaly",
-                       (F.col("n_neighbors") < min_samples).cast("int"))
-           .drop("n_neighbors"))
+    flagged = (pts
+               .join(counts, F.col(key) == F.col("a"), "left")
+               .select(key, "scaled",
+                       F.coalesce("n_neighbors", F.lit(0))
+                        .alias("n_neighbors"),
+                       F.coalesce("mean_dist", F.lit(0.0)).alias("mean_dist"))
+               .withColumn("dbscan_anomaly",
+                           (F.col("n_neighbors") < min_samples).cast("int")))
+    # noise score = distance to nearest core point (reference
+    # Comparaison_ML.py:213-242). Noise is the small side (~contamination
+    # fraction) → broadcast it against the core set; one scan of core.
+    from pyspark.ml.functions import vector_to_array
+    core = (flagged.filter(F.col("dbscan_anomaly") == 0)
+            .select(vector_to_array("scaled").alias("vc")))
+    noise = (flagged.filter(F.col("dbscan_anomaly") == 1)
+             .select(F.col(key).alias("nk"),
+                     vector_to_array("scaled").alias("vn")))
+    ndist = F.sqrt(F.aggregate(
+        F.zip_with("vn", "vc", lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0), lambda acc, x: acc + x))
+    core_dist = (core.join(F.broadcast(noise))
+                 .select("nk", ndist.alias("cd"))
+                 .groupBy("nk")
+                 .agg(F.min("cd").alias("core_dist")))
+    out = (flagged
+           .join(core_dist, F.col(key) == F.col("nk"), "left")
+           .select(key, "dbscan_anomaly",
+                   F.when(F.col("dbscan_anomaly") == 1,
+                          # no core points at all → fall back to eps (a
+                          # lower bound on the true noise-core distance)
+                          F.coalesce("core_dist", F.lit(float(eps))))
+                    .otherwise(F.col("mean_dist"))
+                    .alias("dbscan_score")))
     return _minmax(out, "dbscan_score")
 
 

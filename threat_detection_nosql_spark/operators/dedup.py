@@ -124,21 +124,33 @@ def simhash_fingerprints(docs: DataFrame,
 
 def simhash_near_dup_pairs(docs: DataFrame,
                            max_hamming: int = 8,
-                           n_bands: int = 4,
+                           n_bands: int | None = None,
                            bits: int = _SIMHASH_BITS) -> DataFrame:
     """Pairs within Hamming distance: band the fingerprint into
-    ``n_bands`` chunks; by pigeonhole any pair within distance
-    < n_bands must share a chunk (guaranteed complete for
-    max_hamming < n_bands; a recall-tuned candidate generator above
-    that). Verify with bit_count(xor)."""
+    ``n_bands`` chunks that PARTITION all ``bits`` (uneven widths when
+    they don't divide evenly); by pigeonhole any pair within distance
+    < n_bands must share a chunk. ``n_bands`` defaults to
+    ``max_hamming + 1`` so the default configuration is exact;
+    passing a smaller ``n_bands`` opts into the recall-tuned
+    (incomplete, cheaper) candidate generator explicitly. Verify with
+    bit_count(xor)."""
+    if n_bands is None:
+        n_bands = max_hamming + 1
     fp = simhash_fingerprints(docs, bits).cache()
-    band_width = bits // n_bands
+    # partition [0, bits) into n_bands contiguous chunks covering every
+    # bit: first (bits % n_bands) bands get an extra bit
+    base, extra = divmod(bits, n_bands)
+    starts, s = [], 0
+    widths = [base + (1 if i < extra else 0) for i in range(n_bands)]
+    for wd in widths:
+        starts.append(s)
+        s += wd
     bands = fp.select(
         "doc_id", "simhash",
         F.explode(F.array(*[
             F.struct(F.lit(i).alias("band"),
-                     F.shiftright("simhash", i * band_width)
-                      .bitwiseAND(F.lit((1 << band_width) - 1))
+                     F.shiftright("simhash", starts[i])
+                      .bitwiseAND(F.lit((1 << widths[i]) - 1))
                       .alias("chunk"))
             for i in range(n_bands)])).alias("b"))
     a = bands.select(F.col("doc_id").alias("doc_a"),

@@ -67,7 +67,14 @@ def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     media = multimodal.attach_fake_media(docs)
-    return multimodal.extract_media_features(media)
+    feats = multimodal.extract_media_features(media)
+    # the driver's canonicalizer hashes atomic columns only; serialize
+    # the feature vector to a rounded JSON string at the query surface
+    return feats.select(
+        "doc_id", "media_type", "feat_dim",
+        F.to_json(F.transform("features",
+                              lambda x: F.round(x.cast("double"), 6)))
+         .alias("features_json"))
 
 
 def media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -330,6 +330,15 @@ def embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = (load_table(spark, sf_dir, "embeddings")
            .select("vec_id", F.col("embedding").cast("array<double>")
                    .alias("v")))
+    # the broadcast-corpus kernel collects the matrix to the driver:
+    # enforce the documented cap (~100 MB at d=64) — beyond it the
+    # LSH-bucketed generator (operators/similarity.py) is the scale path
+    n_corpus = emb.count()
+    if n_corpus > 200_000:
+        raise ValueError(
+            f"embedding_near_dups exact kernel capped at 200k vectors "
+            f"(got {n_corpus}); use lsh_cosine_neighbors for larger "
+            f"corpora")
     corpus = emb.orderBy("vec_id").toPandas()
     ids = corpus["vec_id"].to_numpy()
     C = np.stack(corpus["v"].to_numpy()).astype(np.float64)
@@ -343,7 +352,12 @@ def embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
                 continue
             Q = np.stack(pdf["v"].to_numpy()).astype(np.float64)
             nq = np.sqrt((Q * Q).sum(axis=1))
-            S = np.round((Q @ C_c.T) / np.outer(nq, nc_c), 6)
+            S = (Q @ C_c.T) / np.outer(nq, nc_c)
+            # round half-away-from-zero (np.round is half-to-even):
+            # DuckDB's round() and Spark's F.round are half-away, so a
+            # cosine landing exactly on a 0.0000005 boundary must not
+            # flip the argmax tie-break vs the oracle
+            S = np.sign(S) * np.floor(np.abs(S) * 1e6 + 0.5) / 1e6
             qids = pdf["vec_id"].to_numpy()
             S[qids[:, None] == ids_c[None, :]] = -np.inf  # mask self
             best = S.argmax(axis=1)

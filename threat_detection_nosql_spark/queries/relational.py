@@ -375,18 +375,20 @@ def props_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     from threat_detection_nosql_spark.sources.readers import load_table
     ev = load_table(spark, sf_dir, "events")
     schema = T.StructType([T.StructField("k", T.LongType())])
+    # keys joined to a flat string: the driver's canonicalizer hashes
+    # atomic columns only (list-typed cells are unhashable in pandas)
     return ev.select(
         "event_id",
         F.from_json("props", schema)["k"].alias("k_typed"),
         F.get_json_object("props", "$.k").cast("long").alias("k_path"),
-        F.json_object_keys("props").alias("keys"))
+        F.array_join(F.json_object_keys("props"), ",").alias("keys"))
 
 
 _PROPS_JSON_SQL = """
 SELECT event_id,
        TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_typed,
        TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_path,
-       json_keys(props) AS keys
+       array_to_string(json_keys(props), ',') AS keys
 FROM events
 """
 

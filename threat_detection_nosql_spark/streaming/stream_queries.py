@@ -14,7 +14,7 @@ from __future__ import annotations
 
 import uuid
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -121,8 +121,11 @@ def stateful_user_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful operator (`applyInPandasWithState`): running
     per-user behavioral profile — the streaming version of the
     user_features aggregate (A10), state schema = the running counts.
-    Emits the updated profile row on every batch; with update mode the
-    memory sink holds the latest profile per user."""
+    Emits the updated profile row on every micro-batch; the update-mode
+    memory sink APPENDS those rows (it does not upsert), so a
+    multi-batch source yields several rows per user — the result is
+    deduped to the latest profile (max total_activities, which is
+    monotone in batch order) after materializing."""
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
@@ -152,7 +155,12 @@ def stateful_user_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         stateStructType=_PROFILE_STATE_SCHEMA,
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout)
-    return run_stream_to_table(profiles, mode="update")
+    out = run_stream_to_table(profiles, mode="update")
+    # keep only each user's latest emitted profile (the memory sink
+    # appends one row per user per micro-batch; counts are monotone)
+    w = Window.partitionBy("user").orderBy(F.desc("total_activities"))
+    return (out.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1).drop("_rn"))
 
 
 def streaming_anomaly_flags(spark: SparkSession, sf_dir: str,
