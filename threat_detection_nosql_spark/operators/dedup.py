@@ -14,15 +14,31 @@ Three families, all shuffle-bounded and driver-light:
   minima (array expressions, no UDF) — the standard document
   fingerprinting scheme for plagiarism/near-dup at corpus scale.
 
-Seeded/deterministic, but the hash values are Spark-specific, so the
-driver records rows-only checks for these (no DuckDB oracle by
-construction). Unit tests plant known duplicates instead.
+Hashing is PORTABLE by default: a 60-bit value drawn from md5 hex
+(`_portable_hash60`), which Spark and DuckDB compute bit-identically —
+so SimHash, winnowing, and the signature-based MinHash are fully
+oracle-checkable. The Spark-ML MinHashLSH path (xxhash64/MLlib
+signatures, engine-specific by construction) remains as the
+`minhash_near_dup_pairs` alternative and is checked rows-only.
+Unit tests plant known duplicates for the semantics either way.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+
+def _portable_hash60(c: Column | str) -> Column:
+    """60-bit hash = first 15 hex digits of md5, as a BIGINT.
+
+    md5 is the one hash both engines expose identically, so every
+    operator built on this is reproducible in the DuckDB oracle:
+    Spark `conv(substring(md5(x),1,15),16,10)` ==
+    DuckDB `CAST(('0x' || substr(md5(x),1,15)) AS BIGINT)`.
+    60 bits stays clear of the BIGINT sign bit.
+    """
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
 
 # ---------------------------------------------------------------------------
 # MinHash + LSH (Spark ML)
@@ -94,6 +110,78 @@ def minhash_dedup_keep(docs: DataFrame,
 
 
 # ---------------------------------------------------------------------------
+# MinHash signatures (portable hash — oracle-checkable LSH)
+# ---------------------------------------------------------------------------
+
+
+def minhash_signatures(docs: DataFrame, n_hashes: int = 16,
+                       shingle_len: int = 3) -> DataFrame:
+    """Classic k-permutation MinHash signature per doc: for each of
+    ``n_hashes`` seeded hash functions, the min over the doc's distinct
+    word-shingles of hash60(seed || ':' || shingle). One explode + ONE
+    groupBy computing all components (n_hashes min-aggregates in a
+    single pass; map-side partials make the shuffle |docs|×1 row).
+    Portable md5-based hashing → bit-identical in the DuckDB oracle.
+    Returns (doc_id, s0..s{n-1})."""
+    w = F.split(F.col("text"), r"\s+")
+    # k-grams via zip_with over shifted slices (see minhash_near_dup_pairs)
+    n_sh = F.greatest(F.size(w) - shingle_len + 1, F.lit(0))
+    grams = F.slice(w, 1, n_sh)
+    for j in range(1, shingle_len):
+        grams = F.zip_with(grams, F.slice(w, j + 1, n_sh),
+                           lambda a, b: F.concat_ws(" ", a, b))
+    sh = (docs
+          .filter(F.size(w) >= shingle_len)
+          .select("doc_id",
+                  F.explode(F.array_distinct(grams)).alias("shingle")))
+    aggs = [
+        F.min(_portable_hash60(
+            F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"s{i}")
+        for i in range(n_hashes)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_signature_near_dups(docs: DataFrame, n_hashes: int = 16,
+                                n_bands: int = 8, shingle_len: int = 3,
+                                min_est_jaccard: float = 0.0) -> DataFrame:
+    """Banded-LSH candidate pairs with estimated Jaccard, end-to-end
+    deterministic: signatures → band keys (rows_per_band = n_hashes /
+    n_bands consecutive components per band) → equi-join on the band
+    struct (candidates ONLY where a full band collides — O(n·bands)
+    rows, never all-pairs) → estimated Jaccard = fraction of agreeing
+    signature components. Pairs with est < (1/r)-ish similarity are
+    unlikely to share a band — the standard LSH S-curve tradeoff.
+    Returns (doc_a, doc_b, est_jaccard), doc_a < doc_b."""
+    assert n_hashes % n_bands == 0, "n_bands must divide n_hashes"
+    r = n_hashes // n_bands
+    sig = minhash_signatures(docs, n_hashes, shingle_len).cache()
+    bands = sig.select(
+        "doc_id",
+        F.explode(F.array(*[
+            F.struct(F.lit(b).alias("band"),
+                     *[F.col(f"s{b * r + j}").alias(f"v{j}")
+                       for j in range(r)])
+            for b in range(n_bands)])).alias("bk"))
+    a = bands.select(F.col("doc_id").alias("doc_a"), "bk")
+    bb = bands.select(F.col("doc_id").alias("doc_b"), "bk")
+    cand = (a.join(bb, "bk")
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .select("doc_a", "doc_b").distinct())
+    sa = sig.select(F.col("doc_id").alias("doc_a"),
+                    *[F.col(f"s{i}").alias(f"_a{i}")
+                      for i in range(n_hashes)])
+    sb = sig.select(F.col("doc_id").alias("doc_b"),
+                    *[F.col(f"s{i}").alias(f"_b{i}")
+                      for i in range(n_hashes)])
+    est = sum(F.when(F.col(f"_a{i}") == F.col(f"_b{i}"), 1).otherwise(0)
+              for i in range(n_hashes)) / float(n_hashes)
+    return (cand.join(sa, "doc_a").join(sb, "doc_b")
+            .select("doc_a", "doc_b", F.round(est, 6).alias("est_jaccard"))
+            .filter(F.col("est_jaccard") >= min_est_jaccard))
+
+
+# ---------------------------------------------------------------------------
 # SimHash (pure expressions)
 # ---------------------------------------------------------------------------
 
@@ -102,13 +190,14 @@ _SIMHASH_BITS = 60  # stay clear of the sign bit of a Spark LongType
 
 def simhash_fingerprints(docs: DataFrame,
                          bits: int = _SIMHASH_BITS) -> DataFrame:
-    """60-bit SimHash per doc: token → xxhash64 → per-bit ±1 sums →
-    sign → packed bigint. One explode + one groupBy (map-side partial
-    aggregation makes the shuffle |docs|×1 row)."""
+    """60-bit SimHash per doc: token → portable md5-based hash60 →
+    per-bit ±1 sums → sign → packed bigint. One explode + one groupBy
+    (map-side partial aggregation makes the shuffle |docs|×1 row).
+    Oracle-checkable: DuckDB reproduces the hash bit-for-bit."""
     tok = (docs
            .select("doc_id",
                    F.explode(F.split(F.col("text"), r"\s+")).alias("tok"))
-           .withColumn("h", F.xxhash64("tok")))
+           .withColumn("h", _portable_hash60(F.col("tok"))))
     bit_sums = [
         F.sum(F.when(F.shiftright("h", i).bitwiseAND(F.lit(1)) == 1, 1)
               .otherwise(-1)).alias(f"b{i}")
@@ -190,7 +279,8 @@ def winnowing_fingerprints(docs: DataFrame, k: int = 8,
 
     gram_hashes = F.expr(
         f"transform(sequence(1, greatest(length(text) - {k - 1}, 0)),"
-        f" i -> xxhash64(substring(text, i, {k})))")
+        f" i -> cast(conv(substr(md5(substring(text, i, {k})), 1, 15),"
+        f" 16, 10) as bigint))")
     grams = (docs
              .select("doc_id", F.posexplode(gram_hashes)
                      .alias("pos", "h")))

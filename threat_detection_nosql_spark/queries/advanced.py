@@ -1,9 +1,17 @@
-"""Rows-only queries: hash-seeded / ML-backed operators whose values
-are Spark-specific by construction (MinHash/SimHash/LSH use Spark's
-xxhash64 & MLlib signatures; no DuckDB oracle can reproduce them).
-The driver records rows-only checks; unit tests with planted
-duplicates assert the semantics (tests/test_dedup.py,
-tests/test_similarity.py).
+"""Hash-seeded / ML-backed dedup & ANN queries.
+
+Most of these are ORACLE-CHECKED since the operators moved to the
+portable md5-derived hash (`operators/dedup._portable_hash60`): SimHash
+fingerprints/pairs, winnowing fingerprints/overlap, and the
+signature-based MinHash LSH are reproduced bit-for-bit by generated
+DuckDB SQL below.
+
+Still rows-only by construction: the Spark-ML MinHashLSH pair
+(`minhash_near_dups`/`minhash_dedup`, MLlib xxhash64 signatures),
+the ANN variants (`lsh_ann_topk` random hyperplanes / `ivf_ann_topk`
+KMeans centroids — iterative/model-state, not SQL-expressible), and
+the stubbed media kernels. Unit tests with planted duplicates assert
+their semantics (tests/test_dedup.py, tests/test_similarity.py).
 """
 
 from __future__ import annotations
@@ -23,6 +31,11 @@ def minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 def minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return dedup.minhash_dedup_keep(docs, jaccard_threshold=0.5)
+
+
+def minhash_sig_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.minhash_signature_near_dups(docs)
 
 
 def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -82,9 +95,119 @@ def media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.frame_sample(multimodal.attach_fake_media(docs))
 
 
+# ---------------------------------------------------------------------------
+# Generated DuckDB oracles (mirror operators/dedup.py bit-for-bit)
+# ---------------------------------------------------------------------------
+
+def _h60(x: str) -> str:
+    """DuckDB spelling of operators/dedup._portable_hash60."""
+    return f"CAST(('0x' || substr(md5({x}), 1, 15)) AS BIGINT)"
+
+
+_BITS = 60
+
+# SimHash fingerprint CTE: token explode → hash60 → 60 ±1 bit sums →
+# packed bigint (same shape as dedup.simhash_fingerprints)
+_SIMHASH_BITSUMS = ",\n         ".join(
+    f"sum(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS b{i}"
+    for i in range(_BITS))
+_SIMHASH_PACK = "\n           + ".join(
+    f"CASE WHEN b{i} > 0 THEN {1 << i} ELSE 0 END" for i in range(_BITS))
+_SIMHASH_CTE = rf"""
+tok AS (SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS tok
+        FROM documents),
+h AS (SELECT doc_id, {_h60('tok')} AS h FROM tok),
+bs AS (SELECT doc_id,
+         {_SIMHASH_BITSUMS}
+       FROM h GROUP BY doc_id),
+fp AS (SELECT doc_id, CAST({_SIMHASH_PACK} AS BIGINT) AS simhash FROM bs)
+"""
+
+_SIMHASH_FP_SQL = f"WITH {_SIMHASH_CTE} SELECT doc_id, simhash FROM fp"
+
+# pairs: the Spark banding is exact for max_hamming=3 (n_bands=4 covers
+# all bits), so brute-force Hamming ≤ 3 is the semantic ground truth
+_SIMHASH_PAIRS_SQL = f"""
+WITH {_SIMHASH_CTE}
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+"""
+
+# Winnowing (k=8, window=16): 1-based k-gram positions; a window starts
+# at pos while pos + window - 1 ≤ n_grams (Spark's posexplode pos is
+# 0-based, hence its `pos <= n_grams - window` is this same bound)
+_WINNOW_K = 8
+_WINNOW_W = 16
+_WINNOW_CTE = f"""
+g AS (SELECT doc_id, i AS pos,
+             {_h60(f'substring(text, i, {_WINNOW_K})')} AS h
+      FROM documents,
+           LATERAL (SELECT unnest(range(1,
+                    greatest(length(text) - {_WINNOW_K - 1}, 0) + 1)) AS i)
+                    ix),
+wm AS (SELECT doc_id, pos,
+              min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                           ROWS BETWEEN CURRENT ROW
+                           AND {_WINNOW_W - 1} FOLLOWING) AS winmin,
+              count(*) OVER (PARTITION BY doc_id) AS n_grams
+       FROM g),
+fps AS (SELECT DISTINCT doc_id, winmin AS fingerprint
+        FROM wm WHERE pos <= n_grams - {_WINNOW_W} + 1)
+"""
+
+_WINNOW_FP_SQL = f"WITH {_WINNOW_CTE} SELECT doc_id, fingerprint FROM fps"
+
+_FP_OVERLAP_SQL = f"""
+WITH {_WINNOW_CTE},
+df AS (SELECT fingerprint FROM fps
+       GROUP BY fingerprint HAVING count(*) BETWEEN 2 AND 64),
+ff AS (SELECT fps.doc_id, fps.fingerprint FROM fps JOIN df USING (fingerprint))
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(count(*) AS BIGINT) AS shared_fingerprints
+FROM ff a JOIN ff b
+  ON a.fingerprint = b.fingerprint AND a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id
+HAVING count(*) >= 2
+"""
+
+# MinHash signatures (n_hashes=16, shingle_len=3, bands of r=2)
+_MH_N = 16
+_MH_R = 2
+_MH_SIG = ",\n        ".join(
+    f"min({_h60(repr(str(i) + ':') + ' || shingle')}) AS s{i}"
+    for i in range(_MH_N))
+_MH_BAND_COND = "\n    OR ".join(
+    "(" + " AND ".join(f"a.s{b * _MH_R + j} = b.s{b * _MH_R + j}"
+                       for j in range(_MH_R)) + ")"
+    for b in range(_MH_N // _MH_R))
+_MH_EST = " + ".join(
+    f"CASE WHEN sa.s{i} = sb.s{i} THEN 1 ELSE 0 END" for i in range(_MH_N))
+_MINHASH_SIG_SQL = rf"""
+WITH w AS (SELECT doc_id, string_split_regex(text, '\s+') AS wds
+           FROM documents),
+sh AS (SELECT DISTINCT doc_id,
+              wds[i] || ' ' || wds[i+1] || ' ' || wds[i+2] AS shingle
+       FROM w, LATERAL (SELECT unnest(range(1, len(wds) - 1)) AS i) ix),
+sig AS (SELECT doc_id,
+        {_MH_SIG}
+        FROM sh GROUP BY doc_id),
+cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+         AND ({_MH_BAND_COND}))
+SELECT c.doc_a, c.doc_b,
+       round(({_MH_EST}) / {_MH_N}.0, 6) AS est_jaccard
+FROM cand c
+JOIN sig sa ON sa.doc_id = c.doc_a
+JOIN sig sb ON sb.doc_id = c.doc_b
+"""
+
+
 QUERIES = {
     "minhash_near_dups": minhash_near_dups,
     "minhash_dedup": minhash_dedup,
+    "minhash_sig_near_dups": minhash_sig_near_dups,
     "simhash_fingerprints": simhash_fingerprints,
     "simhash_near_dups": simhash_near_dups,
     "winnowing_fingerprints": winnowing_fingerprints,
@@ -95,4 +218,10 @@ QUERIES = {
     "media_frame_sample": media_frame_sample,
 }
 
-ORACLES: dict[str, str] = {}  # rows-only by construction (see module doc)
+ORACLES: dict[str, str] = {
+    "minhash_sig_near_dups": _MINHASH_SIG_SQL,
+    "simhash_fingerprints": _SIMHASH_FP_SQL,
+    "simhash_near_dups": _SIMHASH_PAIRS_SQL,
+    "winnowing_fingerprints": _WINNOW_FP_SQL,
+    "fingerprint_overlap": _FP_OVERLAP_SQL,
+}
