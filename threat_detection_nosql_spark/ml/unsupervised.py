@@ -445,17 +445,26 @@ ENSEMBLE_WEIGHTS = {  # `Comparaison_ML.py:306-317`
 
 def ensemble_detector(scaled: DataFrame, key: str = "user",
                       contamination: float = CONTAMINATION,
-                      seed: int = 42) -> DataFrame:
+                      seed: int = 42,
+                      parts: dict[str, DataFrame] | None = None) -> DataFrame:
     """Run all 5 detectors and combine: majority vote ≥3/5 (A14) and
     weighted mean of normalized scores (A15) — all column arithmetic
-    after joining on the key (J7 done relationally, not positionally)."""
-    km = kmeans_detector(scaled, seed=seed, key=key)
-    pca = pca_reconstruction_detector(scaled, contamination=contamination,
-                                      key=key)
-    maha = mahalanobis_detector(scaled, contamination=contamination, key=key)
-    iso = iforest_detector(scaled, contamination=contamination, seed=seed,
-                           key=key)
-    dbs = dbscan_noise_detector(scaled, key=key)
+    after joining on the key (J7 done relationally, not positionally).
+
+    ``parts`` lets a caller hand in already-computed detector outputs
+    (keys: kmeans, pca, maha, iforest, dbscan) so the ensemble is a
+    5-way join of cached 1-row-per-key frames instead of five re-fits —
+    the query registry uses this to avoid re-running detectors the
+    individual queries just materialized."""
+    parts = parts or {}
+    km = parts.get("kmeans") or kmeans_detector(scaled, seed=seed, key=key)
+    pca = parts.get("pca") or pca_reconstruction_detector(
+        scaled, contamination=contamination, key=key)
+    maha = parts.get("maha") or mahalanobis_detector(
+        scaled, contamination=contamination, key=key)
+    iso = parts.get("iforest") or iforest_detector(
+        scaled, contamination=contamination, seed=seed, key=key)
+    dbs = parts.get("dbscan") or dbscan_noise_detector(scaled, key=key)
     out = (km.join(pca, key).join(maha, key).join(iso, key).join(dbs, key))
     votes = (F.col("kmeans_anomaly") + F.col("pca_anomaly")
              + F.col("maha_anomaly") + F.col("iforest_anomaly")

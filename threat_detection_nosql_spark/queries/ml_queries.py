@@ -1,6 +1,13 @@
 """ML queries (rows-only: RNG/algorithm-specific values — the
 correctness gate is detection quality on the planted-anomaly fixture,
-per BASELINE.md; see tests/test_ml.py)."""
+per BASELINE.md; see tests/test_ml.py).
+
+Detector outputs are memoized per (session, sf_dir) and persisted:
+the registry runs the five individual detector queries and then the
+ensemble, which would otherwise re-fit all five — with the memo the
+ensemble is a 5-way join of cached 150-row frames. Outputs are tiny
+(one row per user), so the cache cost is negligible.
+"""
 
 from __future__ import annotations
 
@@ -15,31 +22,50 @@ from threat_detection_nosql_spark.ml.features import (
 )
 from threat_detection_nosql_spark.ml.supervised import supervised_report
 
+_DETECTORS = {
+    "kmeans": lambda scaled: U.kmeans_detector(scaled),
+    "iforest": lambda scaled: U.iforest_detector(scaled),
+    "pca": lambda scaled: U.pca_reconstruction_detector(scaled),
+    "maha": lambda scaled: U.mahalanobis_detector(scaled),
+    "dbscan": lambda scaled: U.dbscan_noise_detector(scaled),
+}
+
+_memo: dict[tuple, DataFrame] = {}
+
+
+def _detector(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    key = (id(spark), sf_dir, name)
+    if key not in _memo:
+        scaled = scaled_user_features(spark, sf_dir)
+        _memo[key] = _DETECTORS[name](scaled).cache()
+    return _memo[key]
+
 
 def kmeans_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return U.kmeans_detector(scaled_user_features(spark, sf_dir))
+    return _detector(spark, sf_dir, "kmeans")
 
 
 def iforest_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return U.iforest_detector(scaled_user_features(spark, sf_dir),
-                              n_trees=100)
+    return _detector(spark, sf_dir, "iforest")
 
 
 def pca_reconstruction_anomalies(spark: SparkSession,
                                  sf_dir: str) -> DataFrame:
-    return U.pca_reconstruction_detector(scaled_user_features(spark, sf_dir))
+    return _detector(spark, sf_dir, "pca")
 
 
 def mahalanobis_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return U.mahalanobis_detector(scaled_user_features(spark, sf_dir))
+    return _detector(spark, sf_dir, "maha")
 
 
 def dbscan_noise_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return U.dbscan_noise_detector(scaled_user_features(spark, sf_dir))
+    return _detector(spark, sf_dir, "dbscan")
 
 
 def ensemble_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return U.ensemble_detector(scaled_user_features(spark, sf_dir))
+    parts = {name: _detector(spark, sf_dir, name) for name in _DETECTORS}
+    return U.ensemble_detector(scaled_user_features(spark, sf_dir),
+                               parts=parts)
 
 
 def smote_resampled_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
