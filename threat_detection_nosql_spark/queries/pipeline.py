@@ -391,6 +391,101 @@ WHERE rn = 1
 """
 
 
+# -- D5d: TF-IDF term weighting ----------------------------------------------
+
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc top-3 terms by smoothed TF-IDF
+    (idf = ln((N+1)/(df+1)) + 1, sklearn's smooth_idf formula — public
+    knowledge). Shape: explode → (doc,token) hash agg → token df agg →
+    join → per-doc window top-k. Both aggregations are map-side
+    combinable; the tf↔df join is on `token` (vocab-sized, AQE picks
+    broadcast while the vocab fits, shuffle-hash beyond). No UDF."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = (docs
+           .select("doc_id", F.explode(F.split(F.col("text"), r"\s+"))
+                   .alias("token"))
+           .filter(F.col("token") != ""))
+    tf = tok.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    n_docs = docs.count()
+    dfreq = tf.groupBy("token").agg(F.count("*").alias("df"))
+    idf = F.log((F.lit(float(n_docs)) + 1.0) / (F.col("df") + 1.0)) + 1.0
+    scored = (tf.join(dfreq, "token")
+              .select("doc_id", "token",
+                      F.round(F.col("tf") * idf, 6).alias("tfidf")))
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"),
+                                             F.asc("token"))
+    return (scored.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= 3))
+
+
+_TFIDF_SQL = r"""
+WITH tok AS (SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS token
+             FROM documents),
+tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+       FROM tok WHERE token <> '' GROUP BY doc_id, token),
+n AS (SELECT count(*) AS n_docs FROM documents),
+dfq AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+scored AS (
+  SELECT doc_id, tf.token,
+         round(tf * (ln((n_docs + 1.0) / (df + 1.0)) + 1.0), 6) AS tfidf
+  FROM tf JOIN dfq USING (token) CROSS JOIN n)
+SELECT doc_id, token, tfidf, rk FROM (
+  SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
+             ORDER BY tfidf DESC, token ASC) AS INT) AS rk
+  FROM scored) t
+WHERE rk <= 3
+"""
+
+
+# -- D5e: quality-filter decision --------------------------------------------
+
+def quality_filter_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-corpus keep/drop decision from the quality features:
+    rule thresholds over token count and mean word length, with a
+    machine-readable reason list. Pure expressions over one scan — the
+    shape of every at-scale corpus filter (flag, don't delete; the
+    keep=1 subset is the training view)."""
+    docs = load_table(spark, sf_dir, "documents")
+    tokens = F.split(F.col("text"), r"\s+")
+    n_tok = F.size(tokens)
+    mwl = F.length(F.regexp_replace("text", r"\s", "")) / n_tok
+    too_short = n_tok < 25
+    too_long = n_tok > 90
+    bad_words = (mwl < 3.0) | (mwl > 9.0)
+    keep = ~(too_short | too_long | bad_words)
+    return docs.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        F.round(mwl, 6).alias("mean_word_len"),
+        keep.cast("int").alias("keep"),
+        F.concat_ws(",",
+                    F.when(too_short, F.lit("too_short")),
+                    F.when(too_long, F.lit("too_long")),
+                    F.when(bad_words, F.lit("word_len_outlier")))
+         .alias("fail_reasons"))
+
+
+_QUALITY_FILTER_SQL = r"""
+WITH s AS (
+  SELECT doc_id,
+         CAST(len(string_split_regex(text, '\s+')) AS INT) AS n_tokens,
+         length(regexp_replace(text, '\s', '', 'g'))
+           * 1.0 / len(string_split_regex(text, '\s+')) AS mwl
+  FROM documents)
+SELECT doc_id, n_tokens,
+       round(mwl, 6) AS mean_word_len,
+       CASE WHEN NOT (n_tokens < 25 OR n_tokens > 90
+                      OR mwl < 3.0 OR mwl > 9.0)
+            THEN 1 ELSE 0 END AS keep,
+       concat_ws(',',
+                 CASE WHEN n_tokens < 25 THEN 'too_short' END,
+                 CASE WHEN n_tokens > 90 THEN 'too_long' END,
+                 CASE WHEN mwl < 3.0 OR mwl > 9.0
+                      THEN 'word_len_outlier' END) AS fail_reasons
+FROM s
+"""
+
+
 # -- D6: multimodal binary-column plumbing -----------------------------------
 
 def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -425,6 +520,8 @@ QUERIES = {
     "cosine_topk": cosine_topk,
     "token_counts": token_counts,
     "top_tokens": top_tokens,
+    "tfidf_top_terms": tfidf_top_terms,
+    "quality_filter_flags": quality_filter_flags,
     "embedding_near_dups": embedding_near_dups,
     "multimodal_metadata": multimodal_metadata,
 }
@@ -432,6 +529,8 @@ QUERIES = {
 ORACLES = {
     "token_counts": _TOKEN_COUNTS_SQL,
     "top_tokens": _TOP_TOKENS_SQL,
+    "tfidf_top_terms": _TFIDF_SQL,
+    "quality_filter_flags": _QUALITY_FILTER_SQL,
     "embedding_near_dups": _EMB_NEAR_DUP_SQL,
     "exact_dedup_groups": _EXACT_DEDUP_SQL,
     "ngram_jaccard_top_pairs": _JACCARD_SQL,

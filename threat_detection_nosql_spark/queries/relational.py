@@ -393,6 +393,33 @@ FROM events
 """
 
 
+def customer_value_ntiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-family window suite (ntile / percent_rank / cume_dist) over
+    customers within their nation — partitioned windows, so the sort is
+    per-nation and the plan scales horizontally (a single global window
+    would serialize into one partition; for global quantiles at scale
+    use value_quantiles' percentile sketch instead)."""
+    cust = load_table(spark, sf_dir, "customer")
+    w = (Window.partitionBy("c_nationkey")
+         .orderBy(F.desc("c_acctbal"), F.asc("c_custkey")))
+    return cust.select(
+        "c_custkey", "c_nationkey",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"))
+
+
+_NTILES_SQL = """
+SELECT c_custkey, c_nationkey,
+       CAST(ntile(4) OVER w AS INT) AS quartile,
+       round(percent_rank() OVER w, 6) AS pct_rank,
+       round(cume_dist() OVER w, 6) AS cume
+FROM customer
+WINDOW w AS (PARTITION BY c_nationkey
+             ORDER BY c_acctbal DESC, c_custkey ASC)
+"""
+
+
 def user_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """lead/lag window surface: per-user inter-event gaps (lag over
     event time), aggregated to mean/max gap — a burstiness profile.
@@ -511,6 +538,7 @@ QUERIES = {
     "normalized_acctbal": normalized_acctbal,
     "value_quantiles": value_quantiles,
     "props_json_extract": props_json_extract,
+    "customer_value_ntiles": customer_value_ntiles,
     "user_event_gaps": user_event_gaps,
     "error_without_purchase_users": error_without_purchase_users,
     "error_and_purchase_users": error_and_purchase_users,
@@ -528,6 +556,7 @@ ORACLES = {
     "order_cube_counts": _CUBE_SQL,
     "value_quantiles": _VALUE_QUANTILES_SQL,
     "props_json_extract": _PROPS_JSON_SQL,
+    "customer_value_ntiles": _NTILES_SQL,
     "user_event_gaps": _EVENT_GAPS_SQL,
     "error_without_purchase_users": _EXCEPT_SQL,
     "error_and_purchase_users": _INTERSECT_SQL,

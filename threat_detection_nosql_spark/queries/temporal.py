@@ -67,12 +67,36 @@ GROUP BY a.user
 """
 
 
+def hourly_event_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time histogram: events + distinct users per wall-clock
+    hour bucket (`date_trunc`) — the time-series the reference's
+    temporal plots consume, as one map-combinable aggregation. The
+    bucket count is bounded by the time span, so the shuffle is tiny
+    regardless of corpus size."""
+    log = activity_log(spark, sf_dir)
+    return (log.groupBy(F.date_trunc("hour", "ts").alias("hour_bucket"))
+            .agg(F.count("*").alias("n_events"),
+                 F.countDistinct("user").alias("n_users")))
+
+
+_HISTOGRAM_SQL = f"""
+{_LOG_CTE}
+SELECT date_trunc('hour', ts) AS hour_bucket,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(DISTINCT user) AS BIGINT) AS n_users
+FROM log
+GROUP BY date_trunc('hour', ts)
+"""
+
+
 QUERIES = {
     "time_since_last_error": time_since_last_error,
     "burst_pair_counts": burst_pair_counts,
+    "hourly_event_histogram": hourly_event_histogram,
 }
 
 ORACLES = {
     "time_since_last_error": _ASOF_SQL,
     "burst_pair_counts": _RANGE_SQL,
+    "hourly_event_histogram": _HISTOGRAM_SQL,
 }
