@@ -101,6 +101,31 @@ def test_ann_baseline_broadcasts_queries(spark):
     assert "Exchange hashpartitioning" not in plan.split("Window")[0]
 
 
+def test_tfidf_topk_uses_window_group_limit(spark):
+    """The per-doc top-3 must prune map-side (WindowGroupLimit
+    Partial): the window exchange carries ≤k rows per (doc, task),
+    not every (doc, token) score."""
+    from threat_detection_nosql_spark.queries.pipeline import (
+        tfidf_top_terms)
+    plan = final_adaptive_plan(tfidf_top_terms(spark, SF_DIR))
+    assert "WindowGroupLimit" in plan
+
+
+def test_minhash_signatures_single_exchange(spark):
+    """All 16 signature components must compute as map-side partial
+    mins of ONE exploded scan — exactly one shuffle, keyed by doc."""
+    from threat_detection_nosql_spark.operators.dedup import (
+        minhash_signatures)
+    from threat_detection_nosql_spark.sources.readers import load_table
+    docs = load_table(spark, SF_DIR, "documents")
+    # keep only the Final Plan section (the string also embeds the
+    # pre-AQE Initial Plan, which would double-count exchanges)
+    plan = final_adaptive_plan(minhash_signatures(docs)) \
+        .split("Initial Plan")[0]
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "partial_min" in plan
+
+
 def test_approx_user_features_avoids_expand(spark):
     """A6 scale mode: exact multi-countDistinct needs an Expand (3×
     shuffle volume); the HLL path must not."""
