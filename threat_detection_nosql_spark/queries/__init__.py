@@ -18,6 +18,7 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 def all_queries() -> dict[str, QueryFn]:
     from threat_detection_nosql_spark.queries import (
         advanced,
+        corpus,
         graph_queries,
         metrics,
         ml_queries,
@@ -28,8 +29,9 @@ def all_queries() -> dict[str, QueryFn]:
         threat,
     )
     out: dict[str, QueryFn] = {}
-    for mod in (threat, relational, pipeline, advanced, graph_queries,
-                metrics, ml_queries, streaming_queries, temporal):
+    for mod in (threat, relational, pipeline, corpus, advanced,
+                graph_queries, metrics, ml_queries, streaming_queries,
+                temporal):
         out.update(mod.QUERIES)
     return out
 
@@ -37,6 +39,7 @@ def all_queries() -> dict[str, QueryFn]:
 def all_oracles() -> dict[str, str]:
     from threat_detection_nosql_spark.queries import (
         advanced,
+        corpus,
         graph_queries,
         metrics,
         ml_queries,
@@ -47,7 +50,8 @@ def all_oracles() -> dict[str, str]:
         threat,
     )
     out: dict[str, str] = {}
-    for mod in (threat, relational, pipeline, advanced, graph_queries,
-                metrics, ml_queries, streaming_queries, temporal):
+    for mod in (threat, relational, pipeline, corpus, advanced,
+                graph_queries, metrics, ml_queries, streaming_queries,
+                temporal):
         out.update(mod.ORACLES)
     return out

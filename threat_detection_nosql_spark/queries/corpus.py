@@ -1,0 +1,264 @@
+"""Corpus-curation queries (training-data pipeline surface, round 2).
+
+These extend the LLM-pipeline family (queries/pipeline.py) with the
+curation stages a 100 TB pretraining corpus needs between raw crawl
+and tokenizer: deterministic sampling / corpus mixing, composition
+reporting, repetition-based quality signals (Gopher-style), text
+normalization + redaction, and token-budget sequence packing. All are
+pure JVM expressions (no Python UDF); every query has a bit-exact
+DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from threat_detection_nosql_spark.operators import packing, sampling, skew
+from threat_detection_nosql_spark.sources.readers import load_table
+
+# ---------------------------------------------------------------------------
+# C1: deterministic (hash-mod) stratified sampling — corpus mixing
+# ---------------------------------------------------------------------------
+
+_RATES = {"src0": 0.5}  # downweight one source, keep the rest at 10%
+_DEFAULT_RATE = 0.1
+
+
+def deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified hash-mod sample of `documents`: src0 kept at 50%,
+    every other source at 10%. The keep decision is a pure function of
+    doc_id (portable md5 bucket) — invariant under repartitioning,
+    rerun, and engine, unlike seeded rand()-sampling. Scan-level
+    predicate: no shuffle, pushdown-friendly."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = sampling.stratified_hash_sample(
+        docs, key="doc_id", stratum="source",
+        fractions=_RATES, default=_DEFAULT_RATE)
+    return out.select("doc_id", "source", "lang")
+
+
+_SAMPLE_SQL = """
+SELECT doc_id, source, lang
+FROM documents
+WHERE CAST(('0x' || substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 15))
+           AS BIGINT) % 10000
+      < CASE WHEN source = 'src0' THEN 5000 ELSE 1000 END
+"""
+
+
+# ---------------------------------------------------------------------------
+# C2: corpus composition report — what a data-mixing decision reads
+# ---------------------------------------------------------------------------
+
+def corpus_composition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per (source, lang): doc count, token total, mean chars, and the
+    cell's share of all corpus tokens. One hash agg (map-side partial)
+    + a broadcast of the single global total via a window over the
+    tiny aggregated frame — the fact table is scanned once."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(F.split(F.col("text"), r"\s+"))
+    agg = (docs.groupBy("source", "lang")
+           .agg(F.count("*").alias("n_docs"),
+                F.sum(n_tok).alias("total_tokens"),
+                F.round(F.avg(F.length("text")), 6).alias("avg_chars")))
+    from pyspark.sql.window import Window
+    total = F.sum("total_tokens").over(Window.partitionBy())
+    return agg.select(
+        "source", "lang", "n_docs", "total_tokens", "avg_chars",
+        F.round(F.col("total_tokens") / total, 6).alias("token_share"))
+
+
+_COMPOSITION_SQL = r"""
+WITH a AS (
+  SELECT source, lang,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(len(string_split_regex(text, '\s+'))) AS BIGINT)
+           AS total_tokens,
+         round(avg(length(text)), 6) AS avg_chars
+  FROM documents GROUP BY source, lang)
+SELECT source, lang, n_docs, total_tokens, avg_chars,
+       round(total_tokens * 1.0 / sum(total_tokens) OVER (), 6)
+         AS token_share
+FROM a
+"""
+
+
+# ---------------------------------------------------------------------------
+# C3: repetition stats — Gopher-style quality signals
+# ---------------------------------------------------------------------------
+
+def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc repetition signals (the Gopher/RefinedWeb filter
+    family): distinct-token ratio, most-frequent-token share, and
+    duplicate-2-gram fraction. Token mode needs a (doc, token) count →
+    per-doc max (two map-side-combinable aggs); the n-gram ratios are
+    array expressions computed in the same scan and carried through
+    a doc_id join of two pre-aggregated (thus tiny) sides."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = F.split(F.col("text"), r"\s+")
+    n = F.size(w)
+    grams = F.zip_with(F.slice(w, 1, F.greatest(n - 1, F.lit(0))),
+                       F.slice(w, 2, F.greatest(n - 1, F.lit(0))),
+                       lambda a, b: F.concat_ws(" ", a, b))
+    arr = docs.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        F.round(F.size(F.array_distinct(w)) / n, 6)
+         .alias("distinct_token_ratio"),
+        F.round(F.when(n >= 2,
+                       1 - F.size(F.array_distinct(grams))
+                       / (n - 1)).otherwise(0.0), 6)
+         .alias("dup_2gram_frac"))
+    tok = docs.select("doc_id", F.explode(w).alias("tok"))
+    tc = tok.groupBy("doc_id", "tok").agg(F.count("*").alias("c"))
+    top = (tc.groupBy("doc_id")
+           .agg((F.max("c") / F.sum("c")).alias("_top")))
+    return (arr.join(top, "doc_id")
+            .select("doc_id", "n_tokens", "distinct_token_ratio",
+                    F.round("_top", 6).alias("top_token_frac"),
+                    "dup_2gram_frac"))
+
+
+_REPETITION_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(text, '\s+') AS w FROM documents),
+arr AS (
+  SELECT doc_id,
+         CAST(len(w) AS INT) AS n_tokens,
+         round(len(list_distinct(w)) * 1.0 / len(w), 6)
+           AS distinct_token_ratio,
+         w
+  FROM toks),
+grams AS (
+  SELECT doc_id, w[i] || ' ' || w[i+1] AS g
+  FROM toks, unnest(range(1, len(w))) AS t(i)),
+g2 AS (
+  SELECT doc_id,
+         round(1 - count(DISTINCT g) * 1.0 / count(*), 6)
+           AS dup_2gram_frac
+  FROM grams GROUP BY doc_id),
+tc AS (
+  SELECT doc_id, unnest(w) AS tok FROM toks),
+tcc AS (
+  SELECT doc_id, tok, count(*) AS c FROM tc GROUP BY doc_id, tok),
+top AS (
+  SELECT doc_id, round(max(c) * 1.0 / sum(c), 6) AS top_token_frac
+  FROM tcc GROUP BY doc_id)
+SELECT a.doc_id, a.n_tokens, a.distinct_token_ratio, top.top_token_frac,
+       coalesce(g2.dup_2gram_frac, 0.0) AS dup_2gram_frac
+FROM arr a
+JOIN top USING (doc_id)
+LEFT JOIN g2 USING (doc_id)
+"""
+
+
+# ---------------------------------------------------------------------------
+# C4: normalization + redaction → canonical text hash
+# ---------------------------------------------------------------------------
+
+def normalized_text_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cleaning stage: lowercase, collapse whitespace, redact digit
+    runs to a placeholder (the PII-redaction pattern — emails/URLs are
+    the same regexp_replace shape), then emit the canonical md5 and
+    length. The hash is what exact-dedup keys on after cleaning, so
+    this composes with exact_dedup_groups. Pure codegen expressions."""
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    redacted = F.regexp_replace(norm, "[0-9]+", "<num>")
+    return docs.select(
+        "doc_id",
+        F.md5(redacted).alias("norm_hash"),
+        F.length(redacted).alias("norm_len"))
+
+
+_NORMALIZE_SQL = r"""
+SELECT doc_id,
+       md5(regexp_replace(trim(regexp_replace(lower(text), '\s+', ' ', 'g')),
+                          '[0-9]+', '<num>', 'g')) AS norm_hash,
+       CAST(length(regexp_replace(
+              trim(regexp_replace(lower(text), '\s+', ' ', 'g')),
+              '[0-9]+', '<num>', 'g')) AS INT) AS norm_len
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# C5: token-budget sequence packing
+# ---------------------------------------------------------------------------
+
+_PACK_BUDGET = 512
+
+
+def packed_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assign each doc to a token-budget bin, packed per source shard
+    in doc_id order (operators/packing.py). The per-shard window keeps
+    the sort distributed — no global ordering ever materializes."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(F.split(F.col("text"), r"\s+"))
+    with_tok = docs.select("doc_id", "source", n_tok.alias("n_tokens"))
+    return packing.pack_by_budget(
+        with_tok, tokens_col="n_tokens", budget=_PACK_BUDGET,
+        shard="source", order="doc_id")
+
+
+_PACK_SQL = rf"""
+WITH t AS (
+  SELECT doc_id, source,
+         CAST(len(string_split_regex(text, '\s+')) AS INT) AS n_tokens
+  FROM documents)
+SELECT doc_id, source, n_tokens,
+       CAST(floor((sum(n_tokens) OVER (PARTITION BY source
+                                       ORDER BY doc_id
+                                       ROWS UNBOUNDED PRECEDING)
+                   - n_tokens) / {_PACK_BUDGET}) AS BIGINT) AS bin
+FROM t
+"""
+
+
+# ---------------------------------------------------------------------------
+# C6: salted join correctness surface (operators/skew.py)
+# ---------------------------------------------------------------------------
+
+def salted_event_nation_counts(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """Events joined to the customer dim THROUGH the salted-join
+    operator (hot user_ids scatter over 8 sub-keys), then nation
+    rollup. The oracle is the plain join — pinning that salting is
+    semantics-preserving end-to-end at the query surface, not just in
+    unit tests."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "value")
+    cust = (load_table(spark, sf_dir, "customer")
+            .select(F.col("c_custkey").alias("user_id"), "c_nationkey"))
+    joined = skew.salted_join(ev, cust, "user_id", n_salts=8)
+    return (joined.groupBy("c_nationkey")
+            .agg(F.count("*").alias("n_events"),
+                 F.round(F.sum("value"), 4).alias("total_value")))
+
+
+_SALTED_SQL = """
+SELECT c_nationkey,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 4) AS total_value
+FROM events JOIN customer ON user_id = c_custkey
+GROUP BY c_nationkey
+"""
+
+
+QUERIES = {
+    "deterministic_sample": deterministic_sample,
+    "corpus_composition": corpus_composition,
+    "repetition_stats": repetition_stats,
+    "normalized_text_hash": normalized_text_hash,
+    "packed_sequences": packed_sequences,
+    "salted_event_nation_counts": salted_event_nation_counts,
+}
+
+ORACLES = {
+    "deterministic_sample": _SAMPLE_SQL,
+    "corpus_composition": _COMPOSITION_SQL,
+    "repetition_stats": _REPETITION_SQL,
+    "normalized_text_hash": _NORMALIZE_SQL,
+    "packed_sequences": _PACK_SQL,
+    "salted_event_nation_counts": _SALTED_SQL,
+}
