@@ -130,3 +130,20 @@ def test_stream_dedup_drops_redelivered_events(spark, tmp_path):
         q.stop()
     got = {r["user"]: r["n"] for r in spark.table("dedup_test").collect()}
     assert got == {7: 2, 8: 1}
+
+
+def test_stream_static_join_matches_batch(spark):
+    from threat_detection_nosql_spark.streaming import stream_queries as S
+    sf = "/root/testdata/sf0.001"
+    out = S.static_enriched_nation_counts(spark, sf).toPandas()
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    cust = spark.read.parquet(f"{sf}/customer.parquet")
+    import pyspark.sql.functions as F
+    batch = (ev.join(cust, ev.user_id == cust.c_custkey)
+             .groupBy("c_nationkey")
+             .agg(F.count("*").alias("n_events"),
+                  F.round(F.sum("value"), 4).alias("total_value"))
+             .toPandas())
+    a = out.sort_values("c_nationkey").reset_index(drop=True)
+    b = batch.sort_values("c_nationkey").reset_index(drop=True)
+    assert a.equals(b)

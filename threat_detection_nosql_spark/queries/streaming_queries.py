@@ -135,7 +135,22 @@ def stream_model_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.model_scored_stream(spark, sf_dir)
 
 
+def stream_static_enriched_counts(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    return S.static_enriched_nation_counts(spark, sf_dir)
+
+
+_STATIC_ENRICHED_SQL = """
+SELECT c_nationkey,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 4) AS total_value
+FROM events JOIN customer ON user_id = c_custkey
+GROUP BY c_nationkey
+"""
+
+
 QUERIES = {
+    "stream_static_enriched_counts": stream_static_enriched_counts,
     "stream_windowed_user_counts": stream_windowed_user_counts,
     "stream_sliding_type_counts": stream_sliding_type_counts,
     "stream_session_windows": stream_session_windows,
@@ -147,6 +162,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "stream_static_enriched_counts": _STATIC_ENRICHED_SQL,
     "stream_windowed_user_counts": _WINDOWED_SQL,
     "stream_sliding_type_counts": _SLIDING_SQL,
     "stream_session_windows": _SESSION_SQL,

@@ -278,3 +278,24 @@ def deduped_event_counts(spark: SparkSession, sf_dir: str,
     out = (deduped.groupBy("user")
            .agg(F.count("*").alias("n_events")))
     return run_stream_to_table(out, mode="complete")
+
+
+def static_enriched_nation_counts(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """Stream-static join: the event stream enriched against the
+    static customer dimension (user_id → nation), then a per-nation
+    rollup. The static side is broadcast — each micro-batch plans a
+    broadcast-hash join with NO stream-state (stream-static inner
+    joins are stateless by construction), which is the 100 TB shape:
+    the dim re-broadcasts per batch while the unbounded side never
+    shuffles for the join. AQE doesn't re-plan inside micro-batches,
+    so the explicit broadcast hint matters here more than in batch."""
+    ev = events_stream(spark, sf_dir)
+    cust = (spark.read.parquet(f"{sf_dir}/customer.parquet")
+            .select(F.col("c_custkey"), F.col("c_nationkey")))
+    joined = ev.join(F.broadcast(cust),
+                     ev["user_id"] == cust["c_custkey"])
+    agg = (joined.groupBy("c_nationkey")
+           .agg(F.count("*").alias("n_events"),
+                F.round(F.sum("value"), 4).alias("total_value")))
+    return run_stream_to_table(agg, mode="complete")
