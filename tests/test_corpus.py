@@ -100,3 +100,24 @@ def test_normalized_hash_collapses_case_and_digits(spark):
         out = corpus.normalized_text_hash(spark, d).collect()
     hashes = {r.doc_id: r.norm_hash for r in out}
     assert hashes[1] == hashes[2]  # same canonical form
+
+
+def test_split_assignment_stable_and_exhaustive(spark):
+    from threat_detection_nosql_spark.queries import corpus
+    out = corpus.dataset_split_assignment(spark, SF).toPandas()
+    assert set(out["split"]) <= {"train", "valid", "test"}
+    # heavily skewed toward train (98/1/1 buckets)
+    assert (out["split"] == "train").mean() > 0.9
+    again = corpus.dataset_split_assignment(spark, SF).toPandas()
+    assert out.sort_values("doc_id").reset_index(drop=True).equals(
+        again.sort_values("doc_id").reset_index(drop=True))
+
+
+def test_semantic_dedup_pairs_only_within_cluster(spark):
+    from threat_detection_nosql_spark.queries import corpus
+    out = corpus.semantic_cluster_dedup(spark, SF)
+    pdf = out.toPandas()
+    assert len(pdf) == spark.read.parquet(
+        f"{SF}/embeddings.parquet").count()
+    assert set(pdf["cluster_id"]) <= set(range(corpus._N_SEEDS))
+    assert pdf["is_semantic_dup"].isin([0, 1]).all()

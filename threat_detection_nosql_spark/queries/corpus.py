@@ -262,3 +262,132 @@ ORACLES = {
     "packed_sequences": _PACK_SQL,
     "salted_event_nation_counts": _SALTED_SQL,
 }
+
+
+# ---------------------------------------------------------------------------
+# C7: deterministic train/valid/test split
+# ---------------------------------------------------------------------------
+
+def dataset_split_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """98/1/1 train/valid/test assignment from the same portable hash
+    bucket as C1 (different salt → independent of the sampling
+    decision). Membership is a pure function of doc_id: adding data or
+    re-sharding the corpus never moves an existing doc across splits —
+    the property that prevents eval-set contamination over corpus
+    versions."""
+    docs = load_table(spark, sf_dir, "documents")
+    b = sampling.hash_bucket(F.col("doc_id"), salt="split")
+    return docs.select(
+        "doc_id",
+        F.when(b < 9800, "train")
+         .when(b < 9900, "valid")
+         .otherwise("test").alias("split"))
+
+
+_SPLIT_SQL = """
+SELECT doc_id,
+       CASE
+         WHEN b < 9800 THEN 'train'
+         WHEN b < 9900 THEN 'valid'
+         ELSE 'test'
+       END AS split
+FROM (SELECT doc_id,
+             CAST(('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)),
+                                  1, 15)) AS BIGINT) % 10000 AS b
+      FROM documents) t
+"""
+
+
+# ---------------------------------------------------------------------------
+# C8: semantic (embedding-cluster) dedup — SemDeDup-shaped
+# ---------------------------------------------------------------------------
+
+_N_SEEDS = 8
+_SEM_THRESHOLD = 0.35
+
+
+def semantic_cluster_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-shaped dedup: coarse-cluster embeddings, then flag a
+    vector as duplicate when a smaller-id member of ITS OWN cluster is
+    within cosine ≥ threshold. Pairwise work is bounded to
+    within-cluster — the property that makes semantic dedup feasible
+    at corpus scale (Σ|cluster|² ≪ n²); the cluster id doubles as the
+    shuffle key so each cluster dedups independently.
+
+    For oracle determinism the coarse quantizer is seeded-assignment
+    (centroids := the first ``_N_SEEDS`` vectors, broadcast; nearest
+    by rounded cosine, seed-id tie-break) rather than trained KMeans —
+    the assignment/join/flag dataflow is identical to a trained
+    quantizer, which is what a production run would fit first."""
+    emb = (load_table(spark, sf_dir, "embeddings")
+           .select("vec_id",
+                   F.col("embedding").cast("array<double>").alias("v")))
+    from threat_detection_nosql_spark.operators.similarity import (
+        _l2_normalize,
+    )
+    nemb = _l2_normalize(emb)
+    seeds = (nemb.filter(F.col("vec_id") < _N_SEEDS)
+             .select(F.col("vec_id").alias("seed_id"),
+                     F.col("v").alias("sv")))
+    dot = F.aggregate(F.zip_with("v", "sv", lambda x, y: x * y),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    from pyspark.sql.window import Window
+    w = Window.partitionBy("vec_id").orderBy(
+        F.desc("cos"), F.asc("seed_id"))
+    assign = (nemb.join(F.broadcast(seeds))
+              .withColumn("cos", F.round(dot, 6))
+              .withColumn("_rn", F.row_number().over(w))
+              .filter(F.col("_rn") == 1)
+              .select("vec_id", F.col("seed_id").alias("cluster_id"), "v"))
+    a = assign.select("vec_id", "cluster_id", "v")
+    b = assign.select(F.col("vec_id").alias("b_id"), "cluster_id",
+                      F.col("v").alias("sv"))
+    pair_cos = F.round(dot, 6)
+    dups = (a.join(b, "cluster_id")
+            .filter(F.col("b_id") < F.col("vec_id"))
+            .withColumn("pcos", pair_cos)
+            .filter(F.col("pcos") >= _SEM_THRESHOLD)
+            .select("vec_id").distinct()
+            .withColumn("is_semantic_dup", F.lit(1)))
+    return (assign.join(dups, "vec_id", "left")
+            .select("vec_id", "cluster_id",
+                    F.coalesce("is_semantic_dup", F.lit(0))
+                     .alias("is_semantic_dup")))
+
+
+_SEMANTIC_DEDUP_SQL = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+n AS (SELECT vec_id,
+             list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS v
+      FROM e),
+s AS (SELECT vec_id AS seed_id, v AS sv FROM n WHERE vec_id < {_N_SEEDS}),
+scored AS (SELECT a.vec_id, s.seed_id,
+                  round(list_dot_product(a.v, s.sv), 6) AS cos
+           FROM n a CROSS JOIN s),
+assign AS (
+  SELECT vec_id, seed_id AS cluster_id
+  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                  ORDER BY cos DESC, seed_id ASC) AS rn
+        FROM scored) t
+  WHERE rn = 1),
+m AS (SELECT a.vec_id, a.cluster_id, n.v
+      FROM assign a JOIN n USING (vec_id)),
+dups AS (
+  SELECT DISTINCT x.vec_id
+  FROM m x JOIN m y
+    ON x.cluster_id = y.cluster_id AND y.vec_id < x.vec_id
+  WHERE round(list_dot_product(x.v, y.v), 6) >= {_SEM_THRESHOLD})
+SELECT a.vec_id, a.cluster_id,
+       CASE WHEN d.vec_id IS NULL THEN 0 ELSE 1 END AS is_semantic_dup
+FROM assign a LEFT JOIN dups d ON a.vec_id = d.vec_id
+"""
+
+QUERIES.update({
+    "dataset_split_assignment": dataset_split_assignment,
+    "semantic_cluster_dedup": semantic_cluster_dedup,
+})
+
+ORACLES.update({
+    "dataset_split_assignment": _SPLIT_SQL,
+    "semantic_cluster_dedup": _SEMANTIC_DEDUP_SQL,
+})
