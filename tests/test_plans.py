@@ -133,3 +133,37 @@ def test_approx_user_features_avoids_expand(spark):
     approx = formatted_plan(user_features(spark, SF_DIR, approx=True))
     assert "Expand" in exact
     assert "Expand" not in approx
+
+
+def test_hash_sample_is_scan_level_predicate(spark):
+    """C1: deterministic sampling must stay a single codegen stage on
+    the scan — no Exchange, no shuffle, nothing driver-side."""
+    from threat_detection_nosql_spark.queries.corpus import (
+        deterministic_sample,
+    )
+    plan = final_adaptive_plan(deterministic_sample(spark, SF_DIR))
+    assert "Exchange" not in plan
+    assert "FileScan parquet" in plan
+
+
+def test_packing_shuffles_once_on_shard(spark):
+    """C5: per-shard packing = exactly one hash exchange on the shard
+    key; the window sort is per-partition, never global."""
+    from threat_detection_nosql_spark.queries.corpus import packed_sequences
+    plan = final_adaptive_plan(packed_sequences(spark, SF_DIR))
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("Exchange hashpartitioning") == 1
+    assert "hashpartitioning(source" in final
+    assert "rangepartitioning" not in final  # no global sort
+
+
+def test_semantic_dedup_prunes_argmax_before_shuffle(spark):
+    """C8: nearest-seed assignment must use WindowGroupLimit (per-map
+    top-1 pruning) so the shuffle carries ≤|seeds| candidate rows per
+    vector, and the seed cross-join must broadcast the seed side."""
+    from threat_detection_nosql_spark.queries.corpus import (
+        semantic_cluster_dedup,
+    )
+    plan = final_adaptive_plan(semantic_cluster_dedup(spark, SF_DIR))
+    assert "WindowGroupLimit" in plan
+    assert "BroadcastNestedLoopJoin BuildRight" in plan
