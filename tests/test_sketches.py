@@ -1,0 +1,52 @@
+"""Sketch rollups (operators/sketches.py): merged-estimate accuracy
+vs exact, and the mergeability property itself (union of daily
+sketches == sketch of the union)."""
+
+import pyspark.sql.functions as F
+
+from threat_detection_nosql_spark.operators import sketches
+from threat_detection_nosql_spark.sources.readers import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_hll_rollup_close_to_exact(spark):
+    ev = load_table(spark, SF, "events")
+    daily = sketches.daily_user_sketches(ev)
+    est = {r.event_type: r.est_distinct_users
+           for r in sketches.rollup_distinct_users(daily).collect()}
+    exact = {r.event_type: r.n
+             for r in ev.groupBy("event_type")
+             .agg(F.countDistinct("user_id").alias("n")).collect()}
+    for t, n in exact.items():
+        assert abs(est[t] - n) / n < 0.05, (t, est[t], n)
+
+
+def test_hll_merge_equals_direct_sketch(spark):
+    ev = load_table(spark, SF, "events")
+    daily = sketches.daily_user_sketches(ev)
+    merged = {r.event_type: r.est_distinct_users
+              for r in sketches.rollup_distinct_users(daily).collect()}
+    direct = {r.event_type: r.est
+              for r in ev.groupBy("event_type")
+              .agg(F.hll_sketch_estimate(
+                  F.hll_sketch_agg("user_id", F.lit(12))).alias("est"))
+              .collect()}
+    assert merged == direct  # lossless mergeability, not approximation
+
+
+def test_kll_quantiles_close_to_exact(spark):
+    ev = load_table(spark, SF, "events")
+    daily = sketches.daily_value_sketches(ev)
+    out = {r.event_type: (r.p50, r.p99)
+           for r in sketches.rollup_value_quantiles(daily).collect()}
+    # KLL guarantees RANK accuracy (~1.65% at k=200), not value
+    # accuracy — in a long tail a tiny rank error is a big value gap.
+    # Assert: the exact rank of each estimated quantile is within 3%
+    # of the requested rank.
+    for t, (p50, p99) in out.items():
+        sub = ev.filter(F.col("event_type") == t)
+        n = sub.count()
+        for q, est in ((0.5, p50), (0.99, p99)):
+            rank = sub.filter(F.col("value") <= est).count() / n
+            assert abs(rank - q) < 0.03, (t, q, est, rank)

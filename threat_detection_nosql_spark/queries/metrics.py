@@ -222,7 +222,32 @@ def _corr_sql() -> str:
     return f"{_FEATS_CTE} {selects}"
 
 
+def sketch_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch rollup surface (operators/sketches.py): daily
+    HLL sketches of user_id unioned to per-type distinct estimates.
+    Rows-only check (estimates are engine-specific); accuracy vs exact
+    is pinned by tests/test_sketches.py at rsd ~2%."""
+    from threat_detection_nosql_spark.operators import sketches
+    from threat_detection_nosql_spark.sources.readers import load_table
+    ev = load_table(spark, sf_dir, "events")
+    daily = sketches.daily_user_sketches(ev)
+    return sketches.rollup_distinct_users(daily).orderBy("event_type")
+
+
+def sketch_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merged KLL quantiles per event_type from daily sketches —
+    rows-only, tolerance-tested against exact percentile."""
+    from threat_detection_nosql_spark.operators import sketches
+    from threat_detection_nosql_spark.sources.readers import load_table
+    ev = load_table(spark, sf_dir, "events")
+    daily = sketches.daily_value_sketches(ev)
+    return (sketches.rollup_value_quantiles(daily)
+            .orderBy("event_type"))
+
+
 QUERIES = {
+    "sketch_distinct_users": sketch_distinct_users,
+    "sketch_value_quantiles": sketch_value_quantiles,
     "rule_confusion_matrix": rule_confusion_matrix,
     "rule_classification_metrics": rule_classification_metrics,
     "rule_auc": rule_auc,
