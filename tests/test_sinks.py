@@ -67,3 +67,23 @@ def test_model_save_load(spark, tmp_path):
     back = KMeansModel.load(path)
     assert [list(c) for c in back.clusterCenters()] == \
         [list(c) for c in model.clusterCenters()]
+
+
+def test_json_round_trip(spark, tmp_path):
+    from threat_detection_nosql_spark.sources.writers import write_results
+    df = spark.range(50).selectExpr("id", "id * 2 AS v")
+    path = str(tmp_path / "out_json")
+    write_results(df, path, fmt="json")
+    back = spark.read.json(path)
+    assert back.count() == 50
+    assert {r.id for r in back.collect()} == set(range(50))
+
+
+def test_orc_round_trip(spark, tmp_path):
+    from threat_detection_nosql_spark.sources.writers import write_results
+    df = spark.range(50).selectExpr("id", "cast(id AS double) AS v")
+    path = str(tmp_path / "out_orc")
+    write_results(df, path, fmt="orc")
+    back = spark.read.orc(path)
+    assert back.count() == 50
+    assert dict(back.dtypes) == {"id": "bigint", "v": "double"}

@@ -147,3 +147,19 @@ def test_stream_static_join_matches_batch(spark):
     a = out.sort_values("c_nationkey").reset_index(drop=True)
     b = batch.sort_values("c_nationkey").reset_index(drop=True)
     assert a.equals(b)
+
+
+def test_available_now_trigger_drains_and_stops(spark):
+    """Trigger.AvailableNow: the production batch-over-stream pattern —
+    drain everything available with checkpointed exactly-once batches,
+    then self-terminate (cron-scheduled incremental jobs)."""
+    from threat_detection_nosql_spark.streaming.stream_queries import (
+        events_stream,
+    )
+    ev = events_stream(spark, "/root/testdata/sf0.001")
+    agg = ev.groupBy("user").count()
+    q = (agg.writeStream.outputMode("complete").format("memory")
+         .queryName("avnow").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    assert not q.isActive
+    assert spark.table("avnow").count() > 0

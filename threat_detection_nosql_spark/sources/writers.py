@@ -14,10 +14,16 @@ from pyspark.sql import DataFrame
 def write_results(df: DataFrame, path: str, fmt: str = "parquet",
                   mode: str = "overwrite",
                   partition_by: list[str] | None = None) -> None:
+    """fmt ∈ {parquet, csv, json, orc}: the columnar pair for
+    analytics storage, line-delimited JSON for interchange."""
     writer = df.write.mode(mode)
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     if fmt == "csv":
         writer.option("header", True).csv(path)
+    elif fmt == "json":
+        writer.json(path)
+    elif fmt == "orc":
+        writer.orc(path)
     else:
         writer.parquet(path)
