@@ -10,6 +10,8 @@ from threat_detection_nosql_spark.queries import metrics
 
 @pytest.mark.parametrize("name", sorted(metrics.QUERIES))
 def test_metrics_query_matches_oracle(spark, ddb, name):
+    if name not in metrics.ORACLES:  # sketch rollups: rows-only
+        pytest.skip(f"{name} has no SQL oracle (tests/test_sketches.py)")
     compare_query_to_oracle(spark, ddb, metrics.QUERIES[name],
                             metrics.ORACLES[name])
 

@@ -391,3 +391,164 @@ ORACLES.update({
     "dataset_split_assignment": _SPLIT_SQL,
     "semantic_cluster_dedup": _SEMANTIC_DEDUP_SQL,
 })
+
+
+# ---------------------------------------------------------------------------
+# C9: context-window chunking (RAG / training-sequence prep)
+# ---------------------------------------------------------------------------
+
+_CHUNK_SIZE = 64
+_CHUNK_STRIDE = 32
+
+
+def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping fixed-size word-window chunks per document
+    (size 64, stride 32) — the chunking stage of a RAG/embedding
+    pipeline. One generate (explode of the start-position sequence) +
+    slice per chunk, all JVM expressions; chunk identity is the md5 of
+    the joined window so downstream chunk-level dedup keys on it.
+    Scales linearly: output rows = Σ ceil(n_tokens/stride), no
+    shuffle at all (chunking is embarrassingly row-parallel)."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = F.split(F.col("text"), r"\s+")
+    n = F.size(w)
+    starts = F.sequence(F.lit(1), n, F.lit(_CHUNK_STRIDE))
+    chunked = (docs
+               .select("doc_id", w.alias("w"),
+                       F.explode(starts).alias("start")))
+    chunk = F.slice("w", F.col("start"), _CHUNK_SIZE)
+    return chunked.select(
+        "doc_id",
+        ((F.col("start") - 1) / _CHUNK_STRIDE).cast("int")
+         .alias("chunk_idx"),
+        F.size(chunk).alias("chunk_tokens"),
+        F.md5(F.concat_ws(" ", chunk)).alias("chunk_hash"))
+
+
+_CHUNKS_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(text, '\s+') AS w FROM documents)
+SELECT doc_id,
+       CAST((s - 1) / {_CHUNK_STRIDE} AS INT) AS chunk_idx,
+       CAST(len(w[s : s + {_CHUNK_SIZE} - 1]) AS INT) AS chunk_tokens,
+       md5(array_to_string(w[s : s + {_CHUNK_SIZE} - 1], ' ')) AS chunk_hash
+FROM toks, unnest(range(1, len(w) + 1, {_CHUNK_STRIDE})) AS t(s)
+"""
+
+QUERIES["doc_chunks"] = doc_chunks
+ORACLES["doc_chunks"] = _CHUNKS_SQL
+
+
+# ---------------------------------------------------------------------------
+# C10: one-pass column profiler (data-quality audit surface)
+# ---------------------------------------------------------------------------
+
+def orders_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generic table profiler over `orders`: per column null count +
+    distinct count, plus numeric min/max — the schema-drift /
+    data-quality audit a pipeline runs on every new data drop. ALL
+    statistics come out of ONE aggregation pass (no per-column jobs
+    like pandas-style .describe() loops); the exact countDistincts
+    share a single Expand. Output is long-form (one row per column)
+    via an unpivot so new columns never change the schema."""
+    orders = load_table(spark, sf_dir, "orders")
+    cols = ["o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"]
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__nulls"),
+            F.countDistinct(c).alias(f"{c}__distinct"),
+        ]
+    aggs += [F.min("o_totalprice").alias("num__min"),
+             F.max("o_totalprice").alias("num__max")]
+    wide = orders.agg(*aggs)
+    rows = [
+        F.struct(F.lit(c).alias("column"),
+                 F.col(f"{c}__nulls").alias("n_nulls"),
+                 F.col(f"{c}__distinct").alias("n_distinct"))
+        for c in cols
+    ]
+    return (wide.select(F.explode(F.array(*rows)).alias("r"),
+                        "num__min", "num__max")
+            .select(F.col("r.column").alias("column"),
+                    F.col("r.n_nulls").alias("n_nulls"),
+                    F.col("r.n_distinct").alias("n_distinct"),
+                    F.when(F.col("r.column") == "o_totalprice",
+                           F.round("num__min", 4)).alias("num_min"),
+                    F.when(F.col("r.column") == "o_totalprice",
+                           F.round("num__max", 4)).alias("num_max")))
+
+
+_PROFILE_SQL = """
+WITH w AS (
+  SELECT
+    CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS k_n,
+    CAST(count(DISTINCT o_orderkey) AS BIGINT) AS k_d,
+    CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS c_n,
+    CAST(count(DISTINCT o_custkey) AS BIGINT) AS c_d,
+    CAST(sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS t_n,
+    CAST(count(DISTINCT o_totalprice) AS BIGINT) AS t_d,
+    CAST(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS s_n,
+    CAST(count(DISTINCT o_orderstatus) AS BIGINT) AS s_d,
+    round(min(o_totalprice), 4) AS mn,
+    round(max(o_totalprice), 4) AS mx
+  FROM orders)
+SELECT 'o_orderkey' AS "column", k_n AS n_nulls, k_d AS n_distinct,
+       NULL::DOUBLE AS num_min, NULL::DOUBLE AS num_max FROM w
+UNION ALL
+SELECT 'o_custkey', c_n, c_d, NULL, NULL FROM w
+UNION ALL
+SELECT 'o_totalprice', t_n, t_d, mn, mx FROM w
+UNION ALL
+SELECT 'o_orderstatus', s_n, s_d, NULL, NULL FROM w
+"""
+
+
+# ---------------------------------------------------------------------------
+# C11: unpivot / melt (wide → long reshaping)
+# ---------------------------------------------------------------------------
+
+def user_features_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long melt of the per-user feature matrix (native
+    ``DataFrame.unpivot`` — compiles to Expand, one pass, no join):
+    the shape feature stores and plotting layers consume."""
+    from threat_detection_nosql_spark.queries.threat import user_features
+    feats = user_features(spark, sf_dir)
+    value_cols = ["total_activities", "after_hours_activities",
+                  "weekend_activities", "unique_systems"]
+    out = feats.select("user", *value_cols).unpivot(
+        "user", value_cols, "feature", "value")
+    return out.withColumn("value", F.col("value").cast("double"))
+
+
+_UNPIVOT_SQL = """
+WITH f AS (SELECT user, total_activities, after_hours_activities,
+                  weekend_activities, unique_systems
+           FROM ({base}) t)
+SELECT user, 'total_activities' AS feature,
+       CAST(total_activities AS DOUBLE) AS value FROM f
+UNION ALL
+SELECT user, 'after_hours_activities', CAST(after_hours_activities AS DOUBLE) FROM f
+UNION ALL
+SELECT user, 'weekend_activities', CAST(weekend_activities AS DOUBLE) FROM f
+UNION ALL
+SELECT user, 'unique_systems', CAST(unique_systems AS DOUBLE) FROM f
+"""
+
+
+def _unpivot_sql() -> str:
+    from threat_detection_nosql_spark.queries.threat import (
+        _USER_FEATURES_SQL,
+    )
+    return _UNPIVOT_SQL.format(base=_USER_FEATURES_SQL)
+
+
+QUERIES.update({
+    "orders_profile": orders_profile,
+    "user_features_unpivot": user_features_unpivot,
+})
+
+ORACLES.update({
+    "orders_profile": _PROFILE_SQL,
+})
+ORACLES["user_features_unpivot"] = _unpivot_sql()

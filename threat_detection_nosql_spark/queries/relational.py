@@ -87,6 +87,14 @@ LIMIT 10
 # -- R3: 5-way snowflake join, revenue per nation (J1 chain) -----------------
 
 def nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q5-shaped rollup. Lineitem is pre-aggregated to
+    (l_orderkey, order_rev) BEFORE the fact-fact join: the map-side
+    partial sum means the only lineitem-sized shuffle carries
+    |orders| rows, the orderkey join input shrinks ~4×, and the
+    countDistinct Expand downstream runs over order-grain rows
+    instead of line-grain — the dominant term at 100 TB. Revenue is
+    unchanged (sum is associative; rounding happens once at the
+    end)."""
     region = load_table(spark, sf_dir, "region")
     nation = load_table(spark, sf_dir, "nation")
     cust = load_table(spark, sf_dir, "customer")
@@ -97,12 +105,15 @@ def nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
                   F.col("c_nationkey") == F.col("n_nationkey"))
             .join(F.broadcast(region),
                   F.col("n_regionkey") == F.col("r_regionkey")))
-    return (li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+    order_rev = (li.groupBy("l_orderkey")
+                 .agg(F.sum(F.col("l_extendedprice")
+                            * (1 - F.col("l_discount")))
+                       .alias("order_rev")))
+    return (order_rev
+            .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
             .join(F.broadcast(dims), F.col("o_custkey") == F.col("c_custkey"))
             .groupBy("r_name", "n_name")
-            .agg(F.round(F.sum(F.col("l_extendedprice")
-                               * (1 - F.col("l_discount"))), 4)
-                  .alias("revenue"),
+            .agg(F.round(F.sum("order_rev"), 4).alias("revenue"),
                  F.countDistinct("o_custkey").alias("n_customers")))
 
 

@@ -26,6 +26,8 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     (`spark.sql.legacy.parquet.nanosAsLong`), converted here to a
     microsecond timestamp with the same truncation DuckDB applies.
     """
+    from threat_detection_nosql_spark.deploy import ensure_package_on_workers
+    ensure_package_on_workers(spark)
     if name == "events":
         # runtime-settable; required for TIMESTAMP(NANOS) columns even
         # when the caller supplied a vanilla session (driver contract)
