@@ -18,6 +18,7 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 def all_queries() -> dict[str, QueryFn]:
     from threat_detection_nosql_spark.queries import (
         advanced,
+        cleaning,
         corpus,
         graph_queries,
         metrics,
@@ -27,11 +28,12 @@ def all_queries() -> dict[str, QueryFn]:
         streaming_queries,
         temporal,
         threat,
+        tpch,
     )
     out: dict[str, QueryFn] = {}
     for mod in (threat, relational, pipeline, corpus, advanced,
                 graph_queries, metrics, ml_queries, streaming_queries,
-                temporal):
+                temporal, tpch, cleaning):
         out.update(mod.QUERIES)
     return out
 
@@ -39,6 +41,7 @@ def all_queries() -> dict[str, QueryFn]:
 def all_oracles() -> dict[str, str]:
     from threat_detection_nosql_spark.queries import (
         advanced,
+        cleaning,
         corpus,
         graph_queries,
         metrics,
@@ -48,10 +51,11 @@ def all_oracles() -> dict[str, str]:
         streaming_queries,
         temporal,
         threat,
+        tpch,
     )
     out: dict[str, str] = {}
     for mod in (threat, relational, pipeline, corpus, advanced,
                 graph_queries, metrics, ml_queries, streaming_queries,
-                temporal):
+                temporal, tpch, cleaning):
         out.update(mod.ORACLES)
     return out

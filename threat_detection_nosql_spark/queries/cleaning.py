@@ -1,0 +1,142 @@
+"""Corpus-cleaning queries: PII redaction and benchmark decontamination.
+
+Two training-data-pipeline stages the reference has no analog for
+(its corpus is synthetic activity logs): scrubbing personal data before
+training, and removing documents that leak evaluation benchmarks into
+the training set. Both are pure JVM expression pipelines (regex /
+n-gram joins — no UDFs), so they hold up at 100 TB: redaction is
+embarrassingly parallel per document, and decontamination shuffles only
+distinct n-grams, never document text.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from threat_detection_nosql_spark.sources.readers import load_table
+
+# Patterns deliberately restricted to syntax with identical semantics in
+# Java regex (Spark) and RE2 (DuckDB): char classes, bounded repeats,
+# word boundaries. No backrefs / lookaround (RE2 has neither).
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PHONE_RE = r"\b555-\d{4}\b"
+
+
+def _with_planted_pii(docs: DataFrame) -> DataFrame:
+    """The synthetic corpus carries no PII; plant a deterministic
+    email + phone tail on every 7th doc so the redaction path is
+    actually exercised (and oracle-checked) end to end."""
+    tail = F.concat(
+        F.col("text"), F.lit(" contact: user"), F.col("doc_id"),
+        F.lit("@example.com or 555-"),
+        F.lpad(((F.col("doc_id") * 7) % 10000).cast("string"), 4, "0"))
+    return docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 7 == 0, tail).otherwise(F.col("text"))
+         .alias("text"))
+
+
+def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc PII inventory + redacted-content hash. Counting and
+    replacement are single-pass regex expressions inside whole-stage
+    codegen; the output carries a hash, not the text, so the result
+    set stays small however large the corpus."""
+    base = _with_planted_pii(load_table(spark, sf_dir, "documents"))
+    redacted = F.regexp_replace(
+        F.regexp_replace("text", _EMAIL_RE, "<EMAIL>"),
+        _PHONE_RE, "<PHONE>")
+    return base.select(
+        "doc_id",
+        F.regexp_count("text", F.lit(_EMAIL_RE)).alias("n_emails"),
+        F.regexp_count("text", F.lit(_PHONE_RE)).alias("n_phones"),
+        F.md5(redacted).alias("redacted_hash"))
+
+
+_PII_BASE_CTE = """
+base AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0
+              THEN text || ' contact: user' || doc_id
+                   || '@example.com or 555-'
+                   || lpad(CAST((doc_id * 7) % 10000 AS VARCHAR), 4, '0')
+              ELSE text END AS text
+  FROM documents)
+"""
+
+_PII_SQL = f"""
+WITH {_PII_BASE_CTE}
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{_EMAIL_RE}')) AS INT)
+         AS n_emails,
+       CAST(len(regexp_extract_all(text, '{_PHONE_RE}')) AS INT)
+         AS n_phones,
+       md5(regexp_replace(
+             regexp_replace(text, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+             '{_PHONE_RE}', '<PHONE>', 'g')) AS redacted_hash
+FROM base
+"""
+
+
+def _word_ngrams(docs: DataFrame, n: int) -> DataFrame:
+    """Distinct word-n-grams per doc, as array expressions. Same
+    zip_with-over-shifted-slices shape as pipeline._shingles (and the
+    same CollapseProject caveat: lambdas only touch lambda variables,
+    so the text is split O(n) times per row, not per element)."""
+    w = F.split(F.col("text"), r"\s+")
+    n_g = F.greatest(F.size(w) - (n - 1), F.lit(0))
+    acc: Column = F.slice(w, 1, n_g)
+    for j in range(2, n + 1):
+        acc = F.zip_with(acc, F.slice(w, j, n_g),
+                         lambda a, b: F.concat_ws(" ", a, b))
+    return (docs.filter(F.size(w) >= n)
+            .select("doc_id", F.explode(acc).alias("gram"))
+            .distinct())
+
+
+_DECON_N = 8          # n-gram length (WMDP/GPT-3-style 8-gram overlap)
+_DECON_BENCH = 50     # doc_id % _DECON_BENCH == 0 plays the benchmark set
+
+
+def benchmark_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train-set decontamination by 8-gram collision: every doc sharing
+    a word-8-gram with the (held-out) benchmark slice is flagged with
+    its overlap count. The benchmark n-gram set is orders of magnitude
+    smaller than the corpus → broadcast; the corpus side streams through
+    map-side, so the only shuffle is the per-doc overlap count."""
+    docs = load_table(spark, sf_dir, "documents")
+    grams = _word_ngrams(docs, _DECON_N)
+    bench = (grams.filter(F.col("doc_id") % _DECON_BENCH == 0)
+             .select("gram").distinct())
+    return (grams.filter(F.col("doc_id") % _DECON_BENCH != 0)
+            .join(F.broadcast(bench), "gram")
+            .groupBy("doc_id")
+            .agg(F.count("*").alias("n_overlap")))
+
+
+_DECON_GRAM = " || ' ' || ".join(
+    f"wds[i+{j}]" if j else "wds[i]" for j in range(_DECON_N))
+
+_DECON_SQL = rf"""
+WITH w AS (SELECT doc_id, string_split_regex(text, '\s+') AS wds
+           FROM documents),
+g AS (SELECT DISTINCT doc_id, {_DECON_GRAM} AS gram
+      FROM w, LATERAL (SELECT unnest(range(1, len(wds) - {_DECON_N - 2}))
+                       AS i) ix),
+bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % {_DECON_BENCH} = 0)
+SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_overlap
+FROM g JOIN bench USING (gram)
+WHERE g.doc_id % {_DECON_BENCH} <> 0
+GROUP BY g.doc_id
+"""
+
+
+QUERIES = {
+    "pii_redaction": pii_redaction,
+    "benchmark_decontamination": benchmark_decontamination,
+}
+
+ORACLES = {
+    "pii_redaction": _PII_SQL,
+    "benchmark_decontamination": _DECON_SQL,
+}

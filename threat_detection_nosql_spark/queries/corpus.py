@@ -552,3 +552,36 @@ ORACLES.update({
     "orders_profile": _PROFILE_SQL,
 })
 ORACLES["user_features_unpivot"] = _unpivot_sql()
+
+
+# ---------------------------------------------------------------------------
+# C10: Z-order (Morton) clustering value — multi-column data skipping
+# ---------------------------------------------------------------------------
+
+def event_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-value of (user, hour_of_day) per event — the clustering key
+    operators/layout.zorder_layout range-partitions on so scans
+    filtered on EITHER column prune files (tests/test_layout.py pins
+    the span-tightening property). Pure bit-interleave expression, so
+    it is oracle-checkable bit-for-bit."""
+    from threat_detection_nosql_spark.operators.etl import activity_log
+    from threat_detection_nosql_spark.operators.layout import zorder_value
+    log = activity_log(spark, sf_dir)
+    return log.select(
+        "event_id",
+        zorder_value(F.col("user"), F.col("hour_of_day"), bits=16)
+        .alias("zval"))
+
+
+def _zorder_sql() -> str:
+    from threat_detection_nosql_spark.operators.etl import (
+        ACTIVITY_LOG_ORACLE_SQL,
+    )
+    from threat_detection_nosql_spark.operators.layout import zorder_sql
+    z = zorder_sql("log.user", "hour_of_day", bits=16)
+    return (f"WITH log AS ({ACTIVITY_LOG_ORACLE_SQL}) "
+            f"SELECT event_id, CAST({z} AS BIGINT) AS zval FROM log")
+
+
+QUERIES["event_zorder"] = event_zorder
+ORACLES["event_zorder"] = _zorder_sql()

@@ -89,14 +89,65 @@ GROUP BY date_trunc('hour', ts)
 """
 
 
+_SESSION_GAP_US = 30 * 60 * 1_000_000  # 30-minute inactivity gap
+
+
+def event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization (gaps-and-islands): a session breaks after
+    30 min of user inactivity. Both windows partition by user, so the
+    sort is per-user and the stage scales horizontally; the session
+    summary is a map-combinable re-aggregation of the same shuffle."""
+    from pyspark.sql.window import Window
+    log = activity_log(spark, sf_dir)
+    w = Window.partitionBy("user").orderBy("ts", "event_id")
+    gap = F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+    marked = log.select(
+        "user", "ts", "event_id",
+        F.when(gap.isNull() | (gap > _SESSION_GAP_US), 1).otherwise(0)
+         .alias("is_new"))
+    sess = marked.withColumn(
+        "session_id",
+        F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    return (sess.groupBy("user", "session_id")
+            .agg(F.min("ts").alias("session_start"),
+                 F.max("ts").alias("session_end"),
+                 F.count("*").alias("n_events"),
+                 (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts")))
+                 .alias("duration_us")))
+
+
+_SESSIONS_SQL = f"""
+{_LOG_CTE},
+l AS (SELECT user, ts, event_id,
+             CASE WHEN lag(ts) OVER uw IS NULL
+                    OR epoch_us(ts) - epoch_us(lag(ts) OVER uw)
+                       > {_SESSION_GAP_US}
+                  THEN 1 ELSE 0 END AS is_new
+      FROM log
+      WINDOW uw AS (PARTITION BY user ORDER BY ts, event_id)),
+s AS (SELECT user, ts,
+             CAST(sum(is_new) OVER (PARTITION BY user ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS session_id
+      FROM l)
+SELECT user, session_id,
+       min(ts) AS session_start, max(ts) AS session_end,
+       CAST(count(*) AS BIGINT) AS n_events,
+       epoch_us(max(ts)) - epoch_us(min(ts)) AS duration_us
+FROM s GROUP BY user, session_id
+"""
+
+
 QUERIES = {
     "time_since_last_error": time_since_last_error,
     "burst_pair_counts": burst_pair_counts,
     "hourly_event_histogram": hourly_event_histogram,
+    "event_sessions": event_sessions,
 }
 
 ORACLES = {
     "time_since_last_error": _ASOF_SQL,
     "burst_pair_counts": _RANGE_SQL,
     "hourly_event_histogram": _HISTOGRAM_SQL,
+    "event_sessions": _SESSIONS_SQL,
 }
