@@ -59,3 +59,18 @@ def test_ivf_returns_k_per_query(spark, emb_queries):
     out = similarity.ivf_cosine_neighbors(emb, qs, k=5).groupBy("q_id") \
         .count().collect()
     assert all(r["count"] == 5 for r in out)
+
+
+def test_srp_ann_recall(spark, emb_queries, exact_topk):
+    emb, qs = emb_queries
+    rows = similarity.srp_lsh_neighbors(emb, qs, k=5).collect()
+    assert _recall(rows, exact_topk) >= 0.6
+
+
+def test_srp_planes_portable_and_bounded():
+    planes = similarity.srp_planes(4, 8)
+    flat = [w for p in planes for w in p]
+    assert all(-1.0 <= w < 1.0 for w in flat)
+    # derived from md5 of "p:j" — stable across processes/engines
+    assert planes == similarity.srp_planes(4, 8)
+    assert len({tuple(p) for p in planes}) == 4

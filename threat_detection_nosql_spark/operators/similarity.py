@@ -110,3 +110,87 @@ def ivf_cosine_neighbors(emb: DataFrame, queries: DataFrame,
     w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
     return (scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k))
+
+
+# ---------------------------------------------------------------------------
+# Signed-random-projection LSH with PORTABLE hyperplanes
+# ---------------------------------------------------------------------------
+
+def srp_planes(n_planes: int, dim: int) -> list[list[float]]:
+    """Deterministic hyperplanes derived from md5 (the same portable
+    hash family as operators/dedup._portable_hash60): component (p, j)
+    is hash60(f"{p}:{j}") mapped linearly onto [-1, 1). No engine RNG
+    anywhere, so an oracle can reproduce the planes bit-for-bit from
+    the same literals."""
+    import hashlib
+    return [
+        [(int(hashlib.md5(f"{p}:{j}".encode()).hexdigest()[:15], 16)
+          / float(1 << 59)) - 1.0
+         for j in range(dim)]
+        for p in range(n_planes)]
+
+
+def srp_signatures(emb: DataFrame, planes: list[list[float]],
+                   band_bits: int = 4, vec_col: str = "v",
+                   id_col: str = "vec_id") -> DataFrame:
+    """(id, band, sig) per input row: sign bit of the dot product with
+    each plane, packed ``band_bits`` bits per band. All 
+    n_planes dot products are sibling expressions in ONE projection —
+    a single corpus scan, no join, no shuffle; the explode emits
+    n_planes/band_bits rows per vector (the LSH index)."""
+    dots = [
+        F.aggregate(
+            F.zip_with(F.col(vec_col),
+                       F.array(*[F.lit(w) for w in plane]),
+                       lambda x, y: x * y),
+            F.lit(0.0), lambda acc, x: acc + x)
+        for plane in planes]
+    bits = [(d > 0).cast("long") for d in dots]
+    n_bands = len(planes) // band_bits
+    sigs = [
+        sum((bits[b * band_bits + j] * F.lit(1 << j)
+             for j in range(1, band_bits)),
+            start=bits[b * band_bits]).alias(f"_sig{b}")
+        for b in range(n_bands)]
+    bands = F.explode(F.array(*[
+        F.struct(F.lit(b).alias("band"), F.col(f"_sig{b}").alias("sig"))
+        for b in range(n_bands)])).alias("bs")
+    return (emb.select(id_col, vec_col, *sigs)
+            .select(id_col, bands)
+            .select(id_col, "bs.band", "bs.sig"))
+
+
+def srp_lsh_neighbors(emb: DataFrame, queries: DataFrame, k: int = 5,
+                      n_planes: int = 24, band_bits: int = 3,
+                      dim: int = 64) -> DataFrame:
+    """ANN top-k via portable signed-random-projection LSH: candidates
+    are (query, corpus) pairs agreeing on at least one band signature;
+    only candidates are cosine-scored. The banded index join shuffles
+    (id, band, sig) triples — never vectors; vectors are re-attached to
+    the candidate pairs by id. Deterministic end-to-end, so the DuckDB
+    oracle replays it exactly (queries/advanced.srp_ann_topk)."""
+    planes = srp_planes(n_planes, dim)
+    c_sig = srp_signatures(emb, planes, band_bits)
+    q_sig = (srp_signatures(queries, planes, band_bits, id_col="q_id")
+             .withColumnRenamed("q_id", "_qid"))
+    cand = (c_sig.join(q_sig, (c_sig.band == q_sig.band)
+                       & (c_sig.sig == q_sig.sig))
+            .filter(F.col("_qid") != F.col("vec_id"))
+            .select(F.col("_qid").alias("q_id"), "vec_id")
+            .distinct())
+    norm = F.sqrt(F.aggregate(F.transform(F.col("v"), lambda x: x * x),
+                              F.lit(0.0), lambda acc, x: acc + x))
+    corpus = emb.select("vec_id", "v", norm.alias("nv"))
+    qv = queries.select(F.col("q_id").alias("_qid"),
+                        F.col("v").alias("q_v"), norm.alias("nq"))
+    dot = F.aggregate(F.zip_with("v", "q_v", lambda x, y: x * y),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    scored = (cand.join(corpus, "vec_id")
+              .join(qv, F.col("q_id") == F.col("_qid"))
+              .select("q_id", "vec_id",
+                      F.round(dot / (F.col("nv") * F.col("nq")), 6)
+                      .alias("cosine")))
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("q_id", "vec_id", "cosine", "rank"))

@@ -8,10 +8,13 @@ DuckDB SQL below.
 
 Still rows-only by construction: the Spark-ML MinHashLSH pair
 (`minhash_near_dups`/`minhash_dedup`, MLlib xxhash64 signatures),
-the ANN variants (`lsh_ann_topk` random hyperplanes / `ivf_ann_topk`
-KMeans centroids — iterative/model-state, not SQL-expressible), and
-the stubbed media kernels. Unit tests with planted duplicates assert
-their semantics (tests/test_dedup.py, tests/test_similarity.py).
+the engine-seeded ANN variants (`lsh_ann_topk` Spark-RNG hyperplanes /
+`ivf_ann_topk` KMeans centroids — iterative/model-state, not
+SQL-expressible), and the stubbed media kernels. Unit tests with
+planted duplicates assert their semantics (tests/test_dedup.py,
+tests/test_similarity.py). `srp_ann_topk` is the oracle-checked ANN:
+same banded-LSH shape, but its hyperplanes derive from the portable
+md5 hash, so DuckDB replays candidate generation + scoring exactly.
 """
 
 from __future__ import annotations
@@ -225,3 +228,57 @@ ORACLES: dict[str, str] = {
     "winnowing_fingerprints": _WINNOW_FP_SQL,
     "fingerprint_overlap": _FP_OVERLAP_SQL,
 }
+
+
+# ---------------------------------------------------------------------------
+# Portable SRP-LSH ANN — oracle-checked (deterministic hyperplanes)
+# ---------------------------------------------------------------------------
+
+_SRP_PLANES = 24
+_SRP_BAND_BITS = 3
+_SRP_DIM = 64
+
+
+def srp_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb, qs = _emb_and_queries(spark, sf_dir)
+    return similarity.srp_lsh_neighbors(
+        emb, qs.withColumnRenamed("v", "v"), k=5,
+        n_planes=_SRP_PLANES, band_bits=_SRP_BAND_BITS, dim=_SRP_DIM)
+
+
+def _srp_sql() -> str:
+    planes = similarity.srp_planes(_SRP_PLANES, _SRP_DIM)
+    rows = ",\n  ".join(
+        f"({p}, {p // _SRP_BAND_BITS}, {p % _SRP_BAND_BITS}, "
+        f"[{', '.join(repr(w) for w in plane)}]::DOUBLE[])"
+        for p, plane in enumerate(planes))
+    return f"""
+WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+planes(plane, band, pos, w) AS (VALUES
+  {rows}),
+bits AS (SELECT vec_id, band, pos,
+                CASE WHEN list_dot_product(v, w) > 0 THEN 1 ELSE 0 END AS bit
+         FROM emb CROSS JOIN planes),
+sigs AS (SELECT vec_id, band, CAST(sum(bit << pos) AS BIGINT) AS sig
+         FROM bits GROUP BY vec_id, band),
+cand AS (SELECT DISTINCT q.vec_id AS q_id, c.vec_id AS vec_id
+         FROM sigs q JOIN sigs c ON q.band = c.band AND q.sig = c.sig
+         WHERE q.vec_id < 8 AND c.vec_id <> q.vec_id),
+scored AS (SELECT q_id, cand.vec_id,
+                  round(list_dot_product(a.v, b.v)
+                        / (sqrt(list_dot_product(a.v, a.v))
+                           * sqrt(list_dot_product(b.v, b.v))), 6) AS cosine
+           FROM cand
+           JOIN emb a ON a.vec_id = cand.q_id
+           JOIN emb b ON b.vec_id = cand.vec_id)
+SELECT q_id, vec_id, cosine, rank FROM (
+  SELECT q_id, vec_id, cosine,
+         CAST(row_number() OVER (PARTITION BY q_id
+              ORDER BY cosine DESC, vec_id ASC) AS INT) AS rank
+  FROM scored) t
+WHERE rank <= 5
+"""
+
+
+QUERIES["srp_ann_topk"] = srp_ann_topk
+ORACLES["srp_ann_topk"] = _srp_sql()
