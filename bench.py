@@ -41,6 +41,22 @@ HEADLINE_COUNT = [
     "top_orders_per_customer",
 ]
 
+# Training-data-pipeline surface, reported separately so the headline
+# total stays comparable across rounds ("value" = headline only;
+# "pipeline_total" covers this group).
+PIPELINE_COLLECT = [
+    "cosine_topk",
+    "srp_ann_topk",
+    "shipping_priority_top10",
+]
+PIPELINE_COUNT = [
+    "exact_dedup_groups",
+    "token_counts",
+    "minhash_sig_near_dups",
+    "event_sessions",
+    "benchmark_decontamination",
+]
+
 
 def main() -> None:
     spark = get_spark("bench")
@@ -51,26 +67,31 @@ def main() -> None:
     queries["after_hours_top10"](spark, SF_DIR).limit(1).collect()
     # median of 3 runs per query: single-run numbers on a shared box
     # jitter ±20%; the median is the standard steady-state estimate
-    timings: dict[str, float] = {}
-    for name in HEADLINE_COLLECT + HEADLINE_COUNT:
+    def median_time(name: str, count_it: bool) -> float:
         fn = queries[name]
         runs = []
         for _ in range(3):
             start = time.perf_counter()
             df = fn(spark, SF_DIR)
-            if name in HEADLINE_COUNT:
-                df.count()
-            else:
-                df.collect()
+            df.count() if count_it else df.collect()
             runs.append(time.perf_counter() - start)
-        timings[name] = round(sorted(runs)[1], 3)
+        return round(sorted(runs)[1], 3)
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE_COLLECT + HEADLINE_COUNT:
+        timings[name] = median_time(name, name in HEADLINE_COUNT)
     total = round(sum(timings.values()), 3)
+    for name in PIPELINE_COLLECT + PIPELINE_COUNT:
+        timings[name] = median_time(name, name in PIPELINE_COUNT)
+    pipeline_total = round(sum(timings[n] for n in
+                               PIPELINE_COLLECT + PIPELINE_COUNT), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(json.dumps({
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "pipeline_total": pipeline_total,
         "sf": float(sf),
     }))
 

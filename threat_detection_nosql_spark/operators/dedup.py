@@ -123,6 +123,8 @@ def minhash_signatures(docs: DataFrame, n_hashes: int = 16,
     single pass; map-side partials make the shuffle |docs|×1 row).
     Portable md5-based hashing → bit-identical in the DuckDB oracle.
     Returns (doc_id, s0..s{n-1})."""
+    from threat_detection_nosql_spark.sources.readers import spread
+    docs = spread(docs)
     w = F.split(F.col("text"), r"\s+")
     # k-grams via zip_with over shifted slices (see minhash_near_dup_pairs)
     n_sh = F.greatest(F.size(w) - shingle_len + 1, F.lit(0))
@@ -194,6 +196,8 @@ def simhash_fingerprints(docs: DataFrame,
     per-bit ±1 sums → sign → packed bigint. One explode + one groupBy
     (map-side partial aggregation makes the shuffle |docs|×1 row).
     Oracle-checkable: DuckDB reproduces the hash bit-for-bit."""
+    from threat_detection_nosql_spark.sources.readers import spread
+    docs = spread(docs)
     tok = (docs
            .select("doc_id",
                    F.explode(F.split(F.col("text"), r"\s+")).alias("tok"))
@@ -276,6 +280,9 @@ def winnowing_fingerprints(docs: DataFrame, k: int = 8,
     (no giant arrays) — the shape that survives book-length documents.
     """
     from pyspark.sql.window import Window
+
+    from threat_detection_nosql_spark.sources.readers import spread
+    docs = spread(docs)
 
     gram_hashes = F.expr(
         f"transform(sequence(1, greatest(length(text) - {k - 1}, 0)),"

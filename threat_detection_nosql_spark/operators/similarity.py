@@ -138,6 +138,8 @@ def srp_signatures(emb: DataFrame, planes: list[list[float]],
     n_planes dot products are sibling expressions in ONE projection —
     a single corpus scan, no join, no shuffle; the explode emits
     n_planes/band_bits rows per vector (the LSH index)."""
+    from threat_detection_nosql_spark.sources.readers import spread
+    emb = spread(emb)
     dots = [
         F.aggregate(
             F.zip_with(F.col(vec_col),
@@ -162,7 +164,8 @@ def srp_signatures(emb: DataFrame, planes: list[list[float]],
 
 def srp_lsh_neighbors(emb: DataFrame, queries: DataFrame, k: int = 5,
                       n_planes: int = 24, band_bits: int = 3,
-                      dim: int = 64) -> DataFrame:
+                      dim: int = 64,
+                      queries_in_corpus: bool = False) -> DataFrame:
     """ANN top-k via portable signed-random-projection LSH: candidates
     are (query, corpus) pairs agreeing on at least one band signature;
     only candidates are cosine-scored. The banded index join shuffles
@@ -171,8 +174,15 @@ def srp_lsh_neighbors(emb: DataFrame, queries: DataFrame, k: int = 5,
     oracle replays it exactly (queries/advanced.srp_ann_topk)."""
     planes = srp_planes(n_planes, dim)
     c_sig = srp_signatures(emb, planes, band_bits)
-    q_sig = (srp_signatures(queries, planes, band_bits, id_col="q_id")
-             .withColumnRenamed("q_id", "_qid"))
+    if queries_in_corpus:
+        # query ids ⊆ corpus ids: reuse the corpus signatures instead
+        # of compiling the n_planes-dot expression tree a second time
+        q_ids = queries.select(F.col("q_id").alias("vec_id"))
+        q_sig = (c_sig.join(F.broadcast(q_ids), "vec_id")
+                 .withColumnRenamed("vec_id", "_qid"))
+    else:
+        q_sig = (srp_signatures(queries, planes, band_bits, id_col="q_id")
+                 .withColumnRenamed("q_id", "_qid"))
     cand = (c_sig.join(q_sig, (c_sig.band == q_sig.band)
                        & (c_sig.sig == q_sig.sig))
             .filter(F.col("_qid") != F.col("vec_id"))

@@ -242,8 +242,8 @@ _SRP_DIM = 64
 def srp_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb, qs = _emb_and_queries(spark, sf_dir)
     return similarity.srp_lsh_neighbors(
-        emb, qs.withColumnRenamed("v", "v"), k=5,
-        n_planes=_SRP_PLANES, band_bits=_SRP_BAND_BITS, dim=_SRP_DIM)
+        emb, qs, k=5, n_planes=_SRP_PLANES, band_bits=_SRP_BAND_BITS,
+        dim=_SRP_DIM, queries_in_corpus=True)
 
 
 def _srp_sql() -> str:

@@ -83,6 +83,8 @@ def _word_ngrams(docs: DataFrame, n: int) -> DataFrame:
     zip_with-over-shifted-slices shape as pipeline._shingles (and the
     same CollapseProject caveat: lambdas only touch lambda variables,
     so the text is split O(n) times per row, not per element)."""
+    from threat_detection_nosql_spark.sources.readers import spread
+    docs = spread(docs)
     w = F.split(F.col("text"), r"\s+")
     n_g = F.greatest(F.size(w) - (n - 1), F.lit(0))
     acc: Column = F.slice(w, 1, n_g)

@@ -52,6 +52,8 @@ GROUP BY md5(text)
 
 def _shingles(docs: DataFrame) -> DataFrame:
     """Distinct word-3-gram shingles per doc — array ops, no UDF."""
+    from threat_detection_nosql_spark.sources.readers import spread
+    docs = spread(docs)
     w = F.split(F.col("text"), r"\s+")
     # 3-grams via zip_with over shifted slices: lambda bodies reference
     # only lambda variables, so the split runs O(k) times per row — an

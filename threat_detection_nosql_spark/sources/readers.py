@@ -58,3 +58,18 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Temp views for the SQL API, one per testdata table."""
     for name in schemas.TABLES:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def spread(df: DataFrame, min_parts: int | None = None) -> DataFrame:
+    """Round-robin repartition IFF the plan currently has fewer input
+    partitions than cores. At real scale (100 TB = tens of thousands of
+    parquet splits) this is a no-op; it exists because a single small
+    parquet file scans as ONE partition, serializing per-row-heavy
+    operators (minhash signatures, n-gram explosions, SRP dot products)
+    onto one core at test scale. Only those CPU-bound operators call
+    it — plain relational queries never pay the extra exchange."""
+    sc = df.sparkSession.sparkContext
+    target = min_parts or sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
