@@ -50,3 +50,35 @@ def test_kll_quantiles_close_to_exact(spark):
         for q, est in ((0.5, p50), (0.99, p99)):
             rank = sub.filter(F.col("value") <= est).count() / n
             assert abs(rank - q) < 0.03, (t, q, est, rank)
+
+
+def test_misra_gries_recovers_planted_heavy_hitter(spark):
+    # 1000 distinct light keys + one key at 30% frequency; k=16
+    # counters (far below cardinality) must still surface it with a
+    # certified bound: est <= true <= est + err_bound
+    light = spark.range(7000).select(
+        (F.col("id") % 1000).cast("string").alias("v"))
+    heavy = spark.range(3000).select(F.lit("HOT").alias("v"))
+    df = light.unionByName(heavy).repartition(8)
+    out = sketches.misra_gries_heavy_hitters(df, "v", k=16).collect()
+    top = out[0]
+    assert top.v == "HOT"
+    assert top.est_count <= 3000 <= top.est_count + top.err_bound
+
+
+def test_misra_gries_error_bound_certified_for_all_survivors(spark):
+    df = spark.range(20000).select(
+        (F.floor(F.pow(F.rand(7) , 3) * 50)).cast("string").alias("v"))
+    exact = {r.v: r.cnt for r in
+             df.groupBy("v").agg(F.count("*").alias("cnt")).collect()}
+    out = sketches.misra_gries_heavy_hitters(df, "v", k=8).collect()
+    for r in out:
+        assert r.est_count <= exact[r.v] <= r.est_count + r.err_bound, r
+
+
+def test_misra_gries_bounded_output(spark):
+    # summaries carry at most k counters per partition
+    df = spark.range(50000).select(
+        (F.col("id") % 5000).cast("string").alias("v")).repartition(4)
+    out = sketches.misra_gries_heavy_hitters(df, "v", k=10).collect()
+    assert len(out) <= 4 * 10

@@ -69,3 +69,58 @@ def rollup_value_quantiles(daily: DataFrame,
              .alias(f"p{int(q * 100)}")
             for q in quantiles]
     return merged.select("event_type", *cols)
+
+
+def misra_gries_heavy_hitters(df: DataFrame, col: str,
+                              k: int = 64) -> DataFrame:
+    """Heavy hitters with BOUNDED per-task state: Misra-Gries summaries
+    of at most ``k`` counters per partition (mapInPandas — the decrement
+    step is inherently sequential), merged by key-summing the partition
+    summaries. Estimates are lower bounds; each partition's decrement
+    total bounds its undercount, so `err_bound` = Σ per-partition
+    decrements is a certified error: true_count ∈ [est, est + err].
+
+    This is the shape that works when `groupBy(col).count()` can't: a
+    100 TB corpus with billions of distinct tokens shuffles billions of
+    (token, count) partials, while the MG merge shuffles ≤ k rows per
+    partition, regardless of cardinality. The exact re-aggregation of a
+    candidate set (two-pass refinement) stays cheap because the
+    candidates number ≤ k.
+    """
+    import pandas as pd
+
+    def summarize(batches):
+        counters: dict = {}
+        decrements = 0
+        for batch in batches:
+            for v in batch[col]:
+                if v in counters:
+                    counters[v] += 1
+                elif len(counters) < k:
+                    counters[v] = 1
+                else:
+                    # decrement-all: the classic MG step, O(k) amortized
+                    decrements += 1
+                    dead = []
+                    for key in counters:
+                        counters[key] -= 1
+                        if counters[key] == 0:
+                            dead.append(key)
+                    for key in dead:
+                        del counters[key]
+        if counters:
+            # decrement total rides on exactly ONE row per partition so
+            # the global error bound is a plain sum
+            yield pd.DataFrame({
+                col: list(counters.keys()),
+                "est": list(counters.values()),
+                "dec": [decrements] + [0] * (len(counters) - 1)})
+
+    key_type = dict(df.dtypes)[col]
+    summaries = df.select(col).mapInPandas(
+        summarize, schema=f"{col} {key_type}, est long, dec long").cache()
+    err = summaries.agg(F.sum("dec").alias("err_bound"))
+    return (summaries.groupBy(col)
+            .agg(F.sum("est").alias("est_count"))
+            .crossJoin(F.broadcast(err))
+            .orderBy(F.desc("est_count"), F.asc(col)))

@@ -245,9 +245,25 @@ def sketch_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("event_type"))
 
 
+def heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Misra-Gries heavy-hitter tokens over the corpus (bounded-state
+    alternative to the exact `top_tokens` groupBy). Rows-only: the
+    surviving-counter set depends on partition boundaries; the
+    certified error bound and planted-key recovery are pinned by
+    tests/test_sketches.py."""
+    from threat_detection_nosql_spark.operators import sketches
+    from threat_detection_nosql_spark.sources.readers import load_table, spread
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    toks = docs.select(
+        F.explode(F.split(F.col("text"), r"\s+")).alias("token"))
+    return (sketches.misra_gries_heavy_hitters(toks, "token", k=64)
+            .limit(20))
+
+
 QUERIES = {
     "sketch_distinct_users": sketch_distinct_users,
     "sketch_value_quantiles": sketch_value_quantiles,
+    "heavy_hitter_tokens": heavy_hitter_tokens,
     "rule_confusion_matrix": rule_confusion_matrix,
     "rule_classification_metrics": rule_classification_metrics,
     "rule_auc": rule_auc,
