@@ -167,3 +167,53 @@ def test_semantic_dedup_prunes_argmax_before_shuffle(spark):
     plan = final_adaptive_plan(semantic_cluster_dedup(spark, SF_DIR))
     assert "WindowGroupLimit" in plan
     assert "BroadcastNestedLoopJoin BuildRight" in plan
+
+
+def test_q3_pushes_dates_and_broadcasts_segment_dim(spark):
+    """TPC-H Q3 shape: date predicates reach the parquet scans; the
+    segment-filtered customer dim joins broadcast; top-10 compiles to
+    TakeOrderedAndProject."""
+    from threat_detection_nosql_spark.queries.tpch import (
+        shipping_priority_top10,
+    )
+    plan = formatted_plan(shipping_priority_top10(spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert any("l_shipdate" in ln for ln in pushed), plan
+    assert any("o_orderdate" in ln for ln in pushed), plan
+
+
+def test_q4_exists_is_left_semi(spark):
+    """The EXISTS must execute as a left-semi join (lineitem rows are
+    never materialized as join payload)."""
+    from threat_detection_nosql_spark.queries.tpch import (
+        order_priority_counts,
+    )
+    plan = formatted_plan(order_priority_counts(spark, SF_DIR))
+    assert "LeftSemi" in plan
+
+
+def test_pii_redaction_is_scan_side_only(spark):
+    """Redaction must be a single stage: scan → project, no Exchange
+    (embarrassingly parallel at any scale)."""
+    from threat_detection_nosql_spark.queries.cleaning import pii_redaction
+    plan = formatted_plan(pii_redaction(spark, SF_DIR))
+    assert "Exchange" not in plan
+
+
+def test_zorder_query_is_scan_side_only(spark):
+    """The Morton key is a pure projection — no shuffle in the plan."""
+    from threat_detection_nosql_spark.queries.corpus import event_zorder
+    plan = formatted_plan(event_zorder(spark, SF_DIR))
+    assert "Exchange" not in plan
+
+
+def test_decontamination_broadcasts_benchmark_grams(spark):
+    """The benchmark n-gram set must broadcast; the corpus-side n-gram
+    stream must not shuffle before the join."""
+    from threat_detection_nosql_spark.queries.cleaning import (
+        benchmark_decontamination,
+    )
+    plan = formatted_plan(benchmark_decontamination(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
