@@ -71,3 +71,40 @@ def user_degree(log: DataFrame) -> DataFrame:
                 endpoints = proj if endpoints is None \
                     else endpoints.unionByName(proj)
     return endpoints.groupBy("user").agg(F.count("*").alias("degree"))
+
+
+def pagerank_fixed(edges: DataFrame, n_iters: int = 3,
+                   damping: float = 0.85) -> DataFrame:
+    """Synchronous PageRank for a FIXED iteration count over distinct
+    directed ``(src, dst)`` edges — deterministic (uniform init, no
+    convergence test), so a SQL oracle can replay it by unrolling the
+    loop. Callers guarantee every node has out-degree ≥ 1 (symmetric
+    edge sets do); dangling-mass redistribution is then unnecessary.
+
+    Scale shape: each iteration is one equi-join of the edge list with
+    the |nodes|-sized rank table plus a map-combined sum — the classic
+    iterative-join PageRank. The rank side is orders of magnitude
+    smaller than the edges; Spark broadcasts it automatically when it
+    fits, and the edge list itself never re-shuffles (its partitioning
+    on src is reused across iterations).
+    """
+    nodes = (edges.select(F.col("src").alias("node"))
+             .unionByName(edges.select(F.col("dst").alias("node")))
+             .distinct())
+    n = nodes.count()
+    out_deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    # pre-divide: contributions need rank/deg; attaching deg once to
+    # the edge list keeps the per-iteration join single-key
+    e = edges.join(out_deg, "src")
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+    for _ in range(n_iters):
+        contrib = (e.join(ranks, e["src"] == ranks["node"])
+                   .select(F.col("dst").alias("node"),
+                           (F.col("rank") / F.col("deg")).alias("c")))
+        summed = contrib.groupBy("node").agg(F.sum("c").alias("s"))
+        ranks = (nodes.join(summed, "node", "left")
+                 .select("node",
+                         (F.lit((1.0 - damping) / n)
+                          + F.lit(damping) * F.coalesce("s", F.lit(0.0)))
+                         .alias("rank")))
+    return ranks

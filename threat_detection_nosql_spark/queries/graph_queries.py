@@ -93,3 +93,69 @@ ORACLES = {
     "graph_summary": _graph_summary_sql(),
     "performs_edges": _PERFORMS_SQL,
 }
+
+
+# ---------------------------------------------------------------------------
+# Fixed-iteration PageRank over the user↔resource access graph
+# ---------------------------------------------------------------------------
+
+_PR_ITERS = 3
+_PR_DAMP = 0.85
+
+
+def pagerank_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (3 synchronous iterations, d=0.85) over the symmetric
+    bipartite user↔resource access graph — 'which users/resources are
+    structurally central', the graph-centrality question the
+    reference's degree query (`neo4j_analysis.py:67-83`) approximates
+    with local counts. Node ids are namespaced ('u:'/'r:') so the two
+    key spaces can't collide. Deterministic → DuckDB oracle unrolls the
+    same three iterations."""
+    from threat_detection_nosql_spark.operators.graph import pagerank_fixed
+    log = activity_log(spark, sf_dir).filter(F.col("resource").isNotNull())
+    ur = (log.select(
+        F.concat(F.lit("u:"), F.col("user")).alias("src"),
+        F.concat(F.lit("r:"), F.col("resource")).alias("dst"))
+        .distinct())
+    edges = ur.unionByName(
+        ur.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    ranks = pagerank_fixed(edges, n_iters=_PR_ITERS, damping=_PR_DAMP)
+    return (ranks.select("node", F.round("rank", 6).alias("rank"))
+            .orderBy(F.desc("rank"), F.asc("node"))
+            .limit(20))
+
+
+def _pagerank_sql() -> str:
+    base = (1.0 - _PR_DAMP)
+    prev = "r0"
+    iters = []
+    for i in range(1, _PR_ITERS + 1):
+        iters.append(f"""
+r{i} AS (SELECT nodes.node,
+         ({base} / (SELECT n FROM nn))
+           + {_PR_DAMP} * coalesce(c.s, 0.0) AS rank
+         FROM nodes LEFT JOIN (
+           SELECT e.dst AS node, sum({prev}.rank / deg.deg) AS s
+           FROM e JOIN {prev} ON e.src = {prev}.node
+                JOIN deg ON e.src = deg.src
+           GROUP BY e.dst) c ON nodes.node = c.node)""")
+        prev = f"r{i}"
+    return f"""
+{_LOG_CTE},
+ur AS (SELECT DISTINCT 'u:' || user AS src, 'r:' || resource AS dst
+       FROM log WHERE resource IS NOT NULL),
+e AS (SELECT src, dst FROM ur UNION ALL SELECT dst, src FROM ur),
+nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+nn AS (SELECT count(*) AS n FROM nodes),
+deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+r0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS rank FROM nodes),
+{",".join(iters)}
+SELECT node, round(rank, 6) AS rank
+FROM {prev}
+ORDER BY rank DESC, node ASC
+LIMIT 20
+"""
+
+
+QUERIES["pagerank_top20"] = pagerank_top20
+ORACLES["pagerank_top20"] = _pagerank_sql()
