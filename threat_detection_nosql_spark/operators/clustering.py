@@ -1,0 +1,59 @@
+"""Deterministic fixed-iteration Lloyd clustering (KMeans without RNG).
+
+Spark ML's KMeans is model-state + engine RNG — correct, but not
+oracle-checkable. This variant pins every source of nondeterminism:
+initial centroids are the vectors of the ``k`` smallest ids, iteration
+count is fixed (no convergence test), and argmin ties break on cell id
+— so a SQL engine can replay the exact assignment. It is the coarse
+quantizer behind the oracle-checked IVF ANN query
+(queries/advanced.ivf_fixed_ann_topk).
+
+Scale shape per iteration: the centroid table is k rows → broadcast;
+assignment is a map-side argmin over k array expressions (no shuffle of
+the corpus); the update is one map-combined (cell, pos) average — the
+shuffle carries k·dim rows. The corpus is scanned once per iteration,
+exactly like production distributed Lloyd.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _sq_dist(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+                       F.lit(0.0), lambda acc, x: acc + x)
+
+
+def kmeans_fixed(emb: DataFrame, k: int = 8, n_iters: int = 2,
+                 vec_col: str = "v", id_col: str = "vec_id"
+                 ) -> tuple[DataFrame, DataFrame]:
+    """Run ``n_iters`` synchronous Lloyd steps from the deterministic
+    seed (vectors with the ``k`` smallest ids). Returns
+    ``(assigned, centroids)``: (id, v, cell, dist) with dist = Euclidean
+    distance to the final centroid, and (cell, cv) centroid arrays."""
+    cent = (emb.filter(F.col(id_col) < k)
+            .select(F.col(id_col).cast("int").alias("cell"),
+                    F.col(vec_col).alias("cv")))
+
+    def assign(centroids: DataFrame) -> DataFrame:
+        d = F.sqrt(_sq_dist(F.col(vec_col), F.col("cv")))
+        w = Window.partitionBy(id_col).orderBy(F.asc("dist"), F.asc("cell"))
+        return (emb.crossJoin(F.broadcast(centroids))
+                .withColumn("dist", d)
+                .withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") == 1)
+                .select(id_col, vec_col, "cell", "dist"))
+
+    for _ in range(n_iters):
+        assigned = assign(cent)
+        cent = (assigned
+                .select("cell", F.posexplode(vec_col).alias("pos", "val"))
+                .groupBy("cell", "pos")
+                .agg(F.avg("val").alias("w"))
+                .groupBy("cell")
+                .agg(F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "w"))),
+                    lambda s: s["w"]).alias("cv")))
+    return assign(cent), cent
