@@ -1,0 +1,17 @@
+"""TPC-H classic queries (queries/tpch.py) vs DuckDB oracle —
+the same order-insensitive value-hash comparison the driver runs."""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.conftest import compare_query_to_oracle
+from threat_detection_nosql_spark.queries import tpch
+
+
+@pytest.mark.parametrize("name", sorted(tpch.QUERIES))
+def test_tpch_query_matches_oracle(spark, ddb, name):
+    if name not in tpch.ORACLES:
+        pytest.skip(f"{name} has no SQL oracle")
+    compare_query_to_oracle(spark, ddb, tpch.QUERIES[name],
+                            tpch.ORACLES[name])

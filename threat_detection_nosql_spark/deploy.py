@@ -18,6 +18,7 @@ through — so any session, however constructed, is covered.
 
 from __future__ import annotations
 
+import atexit
 import os
 import tempfile
 import zipfile
@@ -25,10 +26,16 @@ import zipfile
 from pyspark.sql import SparkSession
 
 _SHIPPED: set[str] = set()  # applicationIds already covered
+_ZIP_PATH: str | None = None  # one zip per process, removed at exit
 
 
 def _build_zip() -> str:
-    """Zip the package source tree (importable at archive root)."""
+    """Zip the package source tree (importable at archive root).
+    Built once per process; the temp file is cleaned up at exit so
+    repeated sessions (test runs) don't leak zips in the temp dir."""
+    global _ZIP_PATH
+    if _ZIP_PATH is not None and os.path.exists(_ZIP_PATH):
+        return _ZIP_PATH
     pkg_dir = os.path.dirname(os.path.abspath(__file__))
     pkg_name = os.path.basename(pkg_dir)
     fd, zip_path = tempfile.mkstemp(suffix=".zip",
@@ -45,6 +52,8 @@ def _build_zip() -> str:
                 rel = os.path.join(
                     pkg_name, os.path.relpath(full, pkg_dir))
                 zf.write(full, rel)
+    _ZIP_PATH = zip_path
+    atexit.register(lambda p=zip_path: os.path.exists(p) and os.remove(p))
     return zip_path
 
 

@@ -57,3 +57,41 @@ def kmeans_fixed(emb: DataFrame, k: int = 8, n_iters: int = 2,
                     F.array_sort(F.collect_list(F.struct("pos", "w"))),
                     lambda s: s["w"]).alias("cv")))
     return assign(cent), cent
+
+
+def ivf_fixed_neighbors(assigned: DataFrame, centroids: DataFrame,
+                        queries: DataFrame, k: int = 5,
+                        n_probe: int = 2) -> DataFrame:
+    """IVF probe over a ``kmeans_fixed`` index: each query searches only
+    the ``n_probe`` cells whose centroids are closest (ties on cell id),
+    then cosine-scores the vectors assigned to those cells. Fully
+    deterministic, so the whole index+search replays in SQL
+    (queries/advanced.ivf_fixed_ann_topk).
+
+    Scale shape: centroid table is k rows → broadcast against the query
+    batch; (q_id, cell) probes broadcast against the corpus, which at
+    production scale is WRITTEN partitioned by cell — the probe join
+    prunes to n_probe partitions per query, no corpus-wide shuffle.
+    """
+    d = F.sqrt(_sq_dist(F.col("v"), F.col("cv")))
+    w = Window.partitionBy("q_id").orderBy(F.asc("qc_dist"), F.asc("cell"))
+    q_cells = (queries.crossJoin(F.broadcast(centroids))
+               .withColumn("qc_dist", d)
+               .withColumn("_rn", F.row_number().over(w))
+               .filter(F.col("_rn") <= n_probe)
+               .select("q_id", F.col("v").alias("q_v"), "cell"))
+
+    dot = F.aggregate(F.zip_with("v", "q_v", lambda x, y: x * y),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    norm = lambda c: F.sqrt(F.aggregate(  # noqa: E731
+        F.transform(F.col(c), lambda x: x * x),
+        F.lit(0.0), lambda acc, x: acc + x))
+    scored = (assigned.join(F.broadcast(q_cells), "cell")
+              .filter(F.col("q_id") != F.col("vec_id"))
+              .select("q_id", "vec_id",
+                      F.round(dot / (norm("v") * norm("q_v")), 6)
+                      .alias("cosine")))
+    rw = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (scored.withColumn("rank", F.row_number().over(rw))
+            .filter(F.col("rank") <= k)
+            .select("q_id", "vec_id", "cosine", "rank"))

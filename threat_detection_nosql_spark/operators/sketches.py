@@ -19,6 +19,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+_MG_LAST_CACHE: DataFrame | None = None
+
 
 def daily_user_sketches(events: DataFrame,
                         lg_k: int = 12) -> DataFrame:
@@ -119,6 +121,16 @@ def misra_gries_heavy_hitters(df: DataFrame, col: str,
     key_type = dict(df.dtypes)[col]
     summaries = df.select(col).mapInPandas(
         summarize, schema=f"{col} {key_type}, est long, dec long").cache()
+    # the cache is read twice (err scalar + merge) inside this one plan;
+    # evict the previous call's blocks so a long-lived session holds at
+    # most one summaries cache, not one per invocation
+    global _MG_LAST_CACHE
+    if _MG_LAST_CACHE is not None:
+        try:
+            _MG_LAST_CACHE.unpersist()
+        except Exception:
+            pass  # session of the old DF may already be stopped
+    _MG_LAST_CACHE = summaries
     err = summaries.agg(F.sum("dec").alias("err_bound"))
     return (summaries.groupBy(col)
             .agg(F.sum("est").alias("est_count"))

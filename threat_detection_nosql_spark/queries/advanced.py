@@ -61,11 +61,17 @@ def fingerprint_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.fingerprint_overlap_pairs(docs)
 
 
+# query set = the N_QUERIES smallest vec_ids; the DuckDB oracles below
+# (_srp_sql, _ivf_fixed_sql) interpolate this same constant, so the
+# Spark query and the oracle can never drift apart
+_N_QUERIES = 8
+
+
 def _emb_and_queries(spark: SparkSession, sf_dir: str):
     emb = (load_table(spark, sf_dir, "embeddings")
            .select("vec_id",
                    F.col("embedding").cast("array<double>").alias("v")))
-    qs = (emb.filter(F.col("vec_id") < 8)
+    qs = (emb.filter(F.col("vec_id") < _N_QUERIES)
           .select(F.col("vec_id").alias("q_id"), "v"))
     return emb, qs
 
@@ -263,7 +269,7 @@ sigs AS (SELECT vec_id, band, CAST(sum(bit << pos) AS BIGINT) AS sig
          FROM bits GROUP BY vec_id, band),
 cand AS (SELECT DISTINCT q.vec_id AS q_id, c.vec_id AS vec_id
          FROM sigs q JOIN sigs c ON q.band = c.band AND q.sig = c.sig
-         WHERE q.vec_id < 8 AND c.vec_id <> q.vec_id),
+         WHERE q.vec_id < {_N_QUERIES} AND c.vec_id <> q.vec_id),
 scored AS (SELECT q_id, cand.vec_id,
                   round(list_dot_product(a.v, b.v)
                         / (sqrt(list_dot_product(a.v, a.v))
@@ -282,3 +288,81 @@ WHERE rank <= 5
 
 QUERIES["srp_ann_topk"] = srp_ann_topk
 ORACLES["srp_ann_topk"] = _srp_sql()
+
+
+# ---------------------------------------------------------------------------
+# Deterministic IVF ANN — oracle-checked (fixed-iteration Lloyd quantizer)
+# ---------------------------------------------------------------------------
+
+_IVF_K = 8        # coarse-quantizer cells
+_IVF_ITERS = 2    # fixed Lloyd iterations (no convergence test)
+_IVF_PROBE = 2    # cells searched per query
+_IVF_TOPK = 5
+
+
+def ivf_fixed_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN whose index is fully replayable in SQL: the coarse
+    quantizer is operators/clustering.kmeans_fixed (deterministic seed =
+    the _IVF_K smallest vec_ids, _IVF_ITERS synchronous Lloyd steps, no
+    RNG), so the DuckDB oracle below unrolls the same iterations and
+    reproduces index + probe + scoring end-to-end — unlike ivf_ann_topk,
+    whose Spark-ML KMeans state is engine-seeded (rows-only check)."""
+    from threat_detection_nosql_spark.operators import clustering
+    emb, qs = _emb_and_queries(spark, sf_dir)
+    assigned, cent = clustering.kmeans_fixed(
+        emb, k=_IVF_K, n_iters=_IVF_ITERS)
+    return clustering.ivf_fixed_neighbors(
+        assigned, cent, qs, k=_IVF_TOPK, n_probe=_IVF_PROBE)
+
+
+def _ivf_fixed_sql() -> str:
+    """Unroll _IVF_ITERS Lloyd steps as CTE pairs (assign_i, cent_i):
+    assignment = argmin Euclidean distance (ties on cell id), update =
+    per-position mean reassembled in position order — bit-compatible
+    with clustering.kmeans_fixed."""
+    assign = (
+        "{out} AS (SELECT vec_id, v, cell FROM (\n"
+        "  SELECT e.vec_id, e.v, c.cell,\n"
+        "         row_number() OVER (PARTITION BY e.vec_id\n"
+        "           ORDER BY list_distance(e.v, c.cv), c.cell) AS rn\n"
+        "  FROM emb e CROSS JOIN {cent} c) t WHERE rn = 1)")
+    update = (
+        "{out} AS (SELECT cell, list(val ORDER BY pos) AS cv FROM (\n"
+        "  SELECT cell, pos, avg(v[pos]) AS val\n"
+        "  FROM {asg}, LATERAL (SELECT unnest(range(1, len(v) + 1))\n"
+        "                       AS pos) ix\n"
+        "  GROUP BY cell, pos) s GROUP BY cell)")
+    ctes = ["emb AS (SELECT vec_id, embedding::DOUBLE[] AS v "
+            "FROM embeddings)",
+            f"c0 AS (SELECT CAST(vec_id AS INT) AS cell, v AS cv "
+            f"FROM emb WHERE vec_id < {_IVF_K})"]
+    for i in range(_IVF_ITERS):
+        ctes.append(assign.format(out=f"a{i + 1}", cent=f"c{i}"))
+        ctes.append(update.format(out=f"c{i + 1}", asg=f"a{i + 1}"))
+    final_asg, final_cent = f"a{_IVF_ITERS + 1}", f"c{_IVF_ITERS}"
+    ctes.append(assign.format(out=final_asg, cent=final_cent))
+    ctes.append(f"""
+qc AS (SELECT q_id, q_v, cell FROM (
+  SELECT q.vec_id AS q_id, q.v AS q_v, c.cell,
+         row_number() OVER (PARTITION BY q.vec_id
+           ORDER BY list_distance(q.v, c.cv), c.cell) AS rn
+  FROM (SELECT * FROM emb WHERE vec_id < {_N_QUERIES}) q
+  CROSS JOIN {final_cent} c) t WHERE rn <= {_IVF_PROBE})""")
+    ctes.append(f"""
+scored AS (SELECT qc.q_id, a.vec_id,
+  round(list_dot_product(qc.q_v, a.v)
+        / (sqrt(list_dot_product(qc.q_v, qc.q_v))
+           * sqrt(list_dot_product(a.v, a.v))), 6) AS cosine
+  FROM qc JOIN {final_asg} a USING (cell)
+  WHERE a.vec_id <> qc.q_id)""")
+    return ("WITH " + ",\n".join(ctes) + f"""
+SELECT q_id, vec_id, cosine, rank FROM (
+  SELECT q_id, vec_id, cosine,
+         CAST(row_number() OVER (PARTITION BY q_id
+              ORDER BY cosine DESC, vec_id ASC) AS INT) AS rank
+  FROM scored) t
+WHERE rank <= {_IVF_TOPK}""")
+
+
+QUERIES["ivf_fixed_ann_topk"] = ivf_fixed_ann_topk
+ORACLES["ivf_fixed_ann_topk"] = _ivf_fixed_sql()

@@ -23,6 +23,7 @@ from threat_detection_nosql_spark.operators.graph import (
     edge_view,
     node_view,
 )
+from threat_detection_nosql_spark.sources.readers import load_table
 
 _LOG_CTE = f"WITH log AS ({ACTIVITY_LOG_ORACLE_SQL})"
 
@@ -159,3 +160,54 @@ LIMIT 20
 
 QUERIES["pagerank_top20"] = pagerank_top20
 ORACLES["pagerank_top20"] = _pagerank_sql()
+
+
+# ---------------------------------------------------------------------------
+# Triangle counting over the part co-purchase graph
+# ---------------------------------------------------------------------------
+
+def copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global triangle count on the part co-purchase graph (parts are
+    adjacent when some order contains both) — the classic heavy graph
+    aggregate, as two self-joins over an ORIENTED edge list.
+
+    Orientation (p1 < p2) makes every triangle appear exactly once as
+    e(a,b), e(b,c), e(a,c) with a<b<c — no post-hoc dedup by 6
+    permutations. Scale shape: the edge list is built by a per-order
+    pair expansion (bounded by lines-per-order²), deduped before the
+    wedge join; the wedge join shuffles on single part keys and the
+    closing join on (a, c) pairs. At production scale the edge list
+    would additionally be degree-oriented (low→high) to bound the
+    wedge count per node by O(sqrt(m)) — noted, not needed at sf≤0.1.
+    """
+    li = (load_table(spark, sf_dir, "lineitem")
+          .select("l_orderkey", "l_partkey").distinct())
+    a, b = li.alias("a"), li.alias("b")
+    edges = (a.join(b, (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+                    & (F.col("a.l_partkey") < F.col("b.l_partkey")))
+             .select(F.col("a.l_partkey").alias("p1"),
+                     F.col("b.l_partkey").alias("p2"))
+             .distinct())
+    e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
+    tri = (e1.join(e2, F.col("e1.p2") == F.col("e2.p1"))
+           .join(e3, (F.col("e3.p1") == F.col("e1.p1"))
+                 & (F.col("e3.p2") == F.col("e2.p2"))))
+    return tri.agg(F.count("*").alias("n_triangles")).crossJoin(
+        edges.agg(F.count("*").alias("n_edges")))
+
+
+_TRIANGLES_SQL = """
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+edges AS (SELECT DISTINCT a.l_partkey AS p1, b.l_partkey AS p2
+          FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+                             AND a.l_partkey < b.l_partkey)
+SELECT (SELECT CAST(count(*) AS BIGINT)
+        FROM edges e1
+        JOIN edges e2 ON e1.p2 = e2.p1
+        JOIN edges e3 ON e3.p1 = e1.p1 AND e3.p2 = e2.p2) AS n_triangles,
+       (SELECT CAST(count(*) AS BIGINT) FROM edges) AS n_edges
+"""
+
+
+QUERIES["copurchase_triangles"] = copurchase_triangles
+ORACLES["copurchase_triangles"] = _TRIANGLES_SQL

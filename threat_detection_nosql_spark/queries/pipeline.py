@@ -514,8 +514,51 @@ FROM documents
 """
 
 
+def unigram_logprob_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram LM quality score (perplexity's memoryless cousin, the
+    cheap first-pass LM filter in training-data pipelines): train a
+    unigram model on the corpus itself, score each document by its
+    average negative log-probability. Low = stereotyped/repetitive,
+    high = rare-token-heavy (both tails are what quality filters cut).
+
+    Two aggregations over one tokenization: the vocab table is a
+    map-combined (token, count) agg whose shuffle is bounded by |vocab|
+    per partition, and the scoring pass joins tokens back to it —
+    skew-robust because stop-word keys are exactly the map-combinable
+    ones. The corpus total rides on one broadcast scalar row.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = (docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), r"\s+")).alias("token"))
+        .filter(F.col("token") != ""))
+    vocab = toks.groupBy("token").agg(F.count("*").alias("tf"))
+    total = vocab.agg(F.sum("tf").alias("corpus_tokens"))
+    return (toks.join(vocab, "token")
+            .crossJoin(F.broadcast(total))
+            .groupBy("doc_id")
+            .agg(F.count("*").alias("n_tokens"),
+                 F.round(F.avg(-F.log(F.col("tf")
+                                      / F.col("corpus_tokens"))), 6)
+                 .alias("avg_neg_logprob")))
+
+
+_UNIGRAM_LP_SQL = r"""
+WITH toks AS (SELECT doc_id,
+                     unnest(string_split_regex(text, '\s+')) AS token
+              FROM documents),
+t AS (SELECT * FROM toks WHERE token <> ''),
+vocab AS (SELECT token, count(*) AS tf FROM t GROUP BY token),
+total AS (SELECT sum(tf) AS corpus_tokens FROM vocab)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       round(avg(-ln(tf / corpus_tokens)), 6) AS avg_neg_logprob
+FROM t JOIN vocab USING (token) CROSS JOIN total
+GROUP BY doc_id
+"""
+
+
 QUERIES = {
     "exact_dedup_groups": exact_dedup_groups,
+    "unigram_logprob_scores": unigram_logprob_scores,
     "ngram_jaccard_top_pairs": ngram_jaccard_top_pairs,
     "doc_quality_stats": doc_quality_stats,
     "lang_id_heuristic": lang_id_heuristic,
@@ -530,6 +573,7 @@ QUERIES = {
 
 ORACLES = {
     "token_counts": _TOKEN_COUNTS_SQL,
+    "unigram_logprob_scores": _UNIGRAM_LP_SQL,
     "top_tokens": _TOP_TOKENS_SQL,
     "tfidf_top_terms": _TFIDF_SQL,
     "quality_filter_flags": _QUALITY_FILTER_SQL,

@@ -138,11 +138,100 @@ FROM s GROUP BY user, session_id
 """
 
 
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential funnel view → click → purchase: a user converts a
+    stage only with an event STRICTLY AFTER reaching the previous stage
+    (the classic ordered-funnel semantics, not mere set membership).
+
+    One shuffle total: all three stage timestamps are conditional mins
+    over the same user partition — the dependency chain (t2 needs t1)
+    is expressed as three stacked window projections on one partitioning,
+    so Catalyst plans a single sort+exchange, then scans the partition
+    three times in memory. A 100 TB log shuffles once, by user.
+    """
+    from pyspark.sql.window import Window
+    log = activity_log(spark, sf_dir)
+    w = Window.partitionBy("user")
+    t1 = (log.withColumn(
+        "t1", F.min(F.when(F.col("activity") == "view", F.col("ts")))
+        .over(w)))
+    t2 = t1.withColumn(
+        "t2", F.min(F.when((F.col("activity") == "click")
+                           & (F.col("ts") > F.col("t1")), F.col("ts")))
+        .over(w))
+    t3 = t2.withColumn(
+        "t3", F.min(F.when((F.col("activity") == "purchase")
+                           & (F.col("ts") > F.col("t2")), F.col("ts")))
+        .over(w))
+    per_user = t3.groupBy("user").agg(F.first("t1").alias("t1"),
+                                      F.first("t2").alias("t2"),
+                                      F.first("t3").alias("t3"))
+    return per_user.agg(
+        F.count(F.col("t1")).alias("viewed"),
+        F.count(F.col("t2")).alias("clicked_after_view"),
+        F.count(F.col("t3")).alias("purchased_after_click"))
+
+
+_FUNNEL_SQL = f"""
+{_LOG_CTE},
+w1 AS (SELECT user, ts, activity,
+              min(CASE WHEN activity = 'view' THEN ts END)
+                OVER (PARTITION BY user) AS t1
+       FROM log),
+w2 AS (SELECT *, min(CASE WHEN activity = 'click' AND ts > t1 THEN ts END)
+                   OVER (PARTITION BY user) AS t2
+       FROM w1),
+w3 AS (SELECT *, min(CASE WHEN activity = 'purchase' AND ts > t2 THEN ts END)
+                   OVER (PARTITION BY user) AS t3
+       FROM w2),
+pu AS (SELECT user, any_value(t1) AS t1, any_value(t2) AS t2,
+              any_value(t3) AS t3
+       FROM w3 GROUP BY user)
+SELECT CAST(count(t1) AS BIGINT) AS viewed,
+       CAST(count(t2) AS BIGINT) AS clicked_after_view,
+       CAST(count(t3) AS BIGINT) AS purchased_after_click
+FROM pu
+"""
+
+
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-cohort retention triangle: users grouped by first-activity
+    day; for each (cohort_day, day_offset), how many came back. Two
+    aggregations on the same user key — the (user, day) dedup and the
+    cohort min reuse one shuffle; the final matrix is bounded by
+    span² / 2 rows regardless of corpus size."""
+    log = activity_log(spark, sf_dir)
+    user_days = (log.select("user", F.date_trunc("day", "ts").alias("day"))
+                 .distinct())
+    cohorts = (user_days.groupBy("user")
+               .agg(F.min("day").alias("cohort_day")))
+    return (user_days.join(cohorts, "user")
+            .groupBy("cohort_day",
+                     F.datediff("day", "cohort_day").alias("day_offset"))
+            .agg(F.countDistinct("user").alias("n_users")))
+
+
+_COHORT_SQL = f"""
+{_LOG_CTE},
+user_days AS (SELECT DISTINCT user,
+                     CAST(date_trunc('day', ts) AS TIMESTAMP) AS day
+              FROM log),
+cohorts AS (SELECT user, min(day) AS cohort_day FROM user_days GROUP BY user)
+SELECT cohort_day,
+       CAST(date_diff('day', cohort_day, day) AS INT) AS day_offset,
+       CAST(count(DISTINCT ud.user) AS BIGINT) AS n_users
+FROM user_days ud JOIN cohorts c ON ud.user = c.user
+GROUP BY cohort_day, date_diff('day', cohort_day, day)
+"""
+
+
 QUERIES = {
     "time_since_last_error": time_since_last_error,
     "burst_pair_counts": burst_pair_counts,
     "hourly_event_histogram": hourly_event_histogram,
     "event_sessions": event_sessions,
+    "funnel_conversion": funnel_conversion,
+    "cohort_retention": cohort_retention,
 }
 
 ORACLES = {
@@ -150,4 +239,6 @@ ORACLES = {
     "burst_pair_counts": _RANGE_SQL,
     "hourly_event_histogram": _HISTOGRAM_SQL,
     "event_sessions": _SESSIONS_SQL,
+    "funnel_conversion": _FUNNEL_SQL,
+    "cohort_retention": _COHORT_SQL,
 }

@@ -154,11 +154,420 @@ WHERE total_rev = (SELECT max(total_rev) FROM rev)
 """
 
 
+def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q5 shape: revenue by nation for one region/year where customer
+    and supplier share the nation. Region→nation is a two-level
+    broadcast chain pruning both dim sides before the fact join; the
+    c_nationkey = s_nationkey equality rides the join condition, so no
+    post-join filter materializes the mismatched pairs."""
+    nations = (load_table(spark, sf_dir, "nation")
+               .join(F.broadcast(load_table(spark, sf_dir, "region")
+                                 .filter(F.col("r_name") == "ASIA")),
+                     F.col("n_regionkey") == F.col("r_regionkey"))
+               .select("n_nationkey", "n_name"))
+    cust = (load_table(spark, sf_dir, "customer")
+            .select("c_custkey", "c_nationkey"))
+    sup = (load_table(spark, sf_dir, "supplier")
+           .select("s_suppkey", "s_nationkey"))
+    orders = (load_table(spark, sf_dir, "orders")
+              .filter((F.col("o_orderdate") >= "1997-01-01")
+                      & (F.col("o_orderdate") < "1998-01-01"))
+              .select("o_orderkey", "o_custkey"))
+    li = (load_table(spark, sf_dir, "lineitem")
+          .select("l_orderkey", "l_suppkey", "l_extendedprice",
+                  "l_discount"))
+    return (li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+            .join(F.broadcast(cust),
+                  F.col("o_custkey") == F.col("c_custkey"))
+            .join(F.broadcast(sup),
+                  (F.col("l_suppkey") == F.col("s_suppkey"))
+                  & (F.col("c_nationkey") == F.col("s_nationkey")))
+            .join(F.broadcast(nations),
+                  F.col("s_nationkey") == F.col("n_nationkey"))
+            .groupBy("n_name")
+            .agg(F.round(F.sum(F.col("l_extendedprice")
+                               * (1 - F.col("l_discount"))), 4)
+                 .alias("revenue")))
+
+
+_Q5_SQL = """
+SELECT n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1997-01-01'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY n_name
+"""
+
+
+def revenue_change_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q6 shape: revenue delta from eliminating small discounts — a
+    pure scan-aggregate. Every predicate (date range, discount band,
+    quantity cap) pushes to the parquet reader; the whole query is one
+    map-combined scalar, the canonical zero-shuffle shape."""
+    li = (load_table(spark, sf_dir, "lineitem")
+          .filter((F.col("l_shipdate") >= "1997-01-01")
+                  & (F.col("l_shipdate") < "1998-01-01")
+                  & (F.col("l_discount") >= 0.05)
+                  & (F.col("l_discount") <= 0.07)
+                  & (F.col("l_quantity") < 24)))
+    return li.agg(F.round(F.sum(F.col("l_extendedprice")
+                                * F.col("l_discount")), 4)
+                  .alias("revenue_delta"))
+
+
+_Q6_SQL = """
+SELECT round(sum(l_extendedprice * l_discount), 4) AS revenue_delta
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate < TIMESTAMP '1998-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+def nation_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q7 shape: bilateral trade volume between two nations by ship
+    year. Both nation filters collapse the supplier/customer dims to a
+    few hundred keys → broadcast; the symmetric pair condition is an
+    OR inside the join, evaluated on broadcast rows, never a cross."""
+    nation = load_table(spark, sf_dir, "nation")
+    sup = (load_table(spark, sf_dir, "supplier")
+           .join(F.broadcast(nation),
+                 F.col("s_nationkey") == F.col("n_nationkey"))
+           .select("s_suppkey", F.col("n_name").alias("supp_nation")))
+    cust = (load_table(spark, sf_dir, "customer")
+            .join(F.broadcast(nation),
+                  F.col("c_nationkey") == F.col("n_nationkey"))
+            .select("c_custkey", F.col("n_name").alias("cust_nation")))
+    orders = (load_table(spark, sf_dir, "orders")
+              .select("o_orderkey", "o_custkey"))
+    li = (load_table(spark, sf_dir, "lineitem")
+          .filter((F.col("l_shipdate") >= "1996-01-01")
+                  & (F.col("l_shipdate") < "1998-01-01")))
+    pair = (((F.col("supp_nation") == "NATION_5")
+             & (F.col("cust_nation") == "NATION_10"))
+            | ((F.col("supp_nation") == "NATION_10")
+               & (F.col("cust_nation") == "NATION_5")))
+    return (li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+            .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+            .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+            .filter(pair)
+            .groupBy("supp_nation", "cust_nation",
+                     F.year("l_shipdate").cast("long").alias("l_year"))
+            .agg(F.round(F.sum(F.col("l_extendedprice")
+                               * (1 - F.col("l_discount"))), 4)
+                 .alias("revenue")))
+
+
+_Q7_SQL = """
+SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS BIGINT) AS l_year,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation sn ON s_nationkey = sn.n_nationkey
+JOIN nation cn ON c_nationkey = cn.n_nationkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1998-01-01'
+  AND ((sn.n_name = 'NATION_5' AND cn.n_name = 'NATION_10')
+       OR (sn.n_name = 'NATION_10' AND cn.n_name = 'NATION_5'))
+GROUP BY sn.n_name, cn.n_name, year(l_shipdate)
+"""
+
+
+def nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q8 shape: one nation's share of a region's revenue in one part
+    type, by order year. The share is a conditional aggregate over the
+    joined rows — numerator and denominator in a single pass."""
+    nation = load_table(spark, sf_dir, "nation")
+    region = (load_table(spark, sf_dir, "region")
+              .filter(F.col("r_name") == "EUROPE"))
+    cust = (load_table(spark, sf_dir, "customer")
+            .join(F.broadcast(
+                nation.join(F.broadcast(region),
+                            F.col("n_regionkey") == F.col("r_regionkey"))
+                .select("n_nationkey")),
+                F.col("c_nationkey") == F.col("n_nationkey"))
+            .select("c_custkey"))
+    sup = (load_table(spark, sf_dir, "supplier")
+           .join(F.broadcast(nation),
+                 F.col("s_nationkey") == F.col("n_nationkey"))
+           .select("s_suppkey", F.col("n_name").alias("supp_nation")))
+    part = (load_table(spark, sf_dir, "part")
+            .filter(F.col("p_type") == "ECONOMY")
+            .select("p_partkey"))
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate")
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (li.join(F.broadcast(part),
+                    F.col("l_partkey") == F.col("p_partkey"))
+            .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+            .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+            .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+            .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+            .agg(F.round(
+                F.sum(F.when(F.col("supp_nation") == "NATION_10", rev)
+                      .otherwise(0.0)) / F.sum(rev), 6)
+                .alias("mkt_share")))
+
+
+_Q8_SQL = """
+SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       round(sum(CASE WHEN sn.n_name = 'NATION_10'
+                      THEN l_extendedprice * (1 - l_discount)
+                      ELSE 0.0 END)
+             / sum(l_extendedprice * (1 - l_discount)), 6) AS mkt_share
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation sn ON s_nationkey = sn.n_nationkey
+JOIN nation cn ON c_nationkey = cn.n_nationkey
+JOIN region ON cn.n_regionkey = r_regionkey
+WHERE r_name = 'EUROPE' AND p_type = 'ECONOMY'
+GROUP BY year(o_orderdate)
+"""
+
+
+def product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q9 shape (adapted: the testdata has no partsupp, so profit =
+    discounted revenue rather than revenue − ps_supplycost·qty): profit
+    by supplier nation and order year over a part-name subset. Part is
+    filtered then broadcast; nation rides on the supplier broadcast."""
+    part = (load_table(spark, sf_dir, "part")
+            .filter(F.col("p_name").contains("red"))
+            .select("p_partkey"))
+    sup = (load_table(spark, sf_dir, "supplier")
+           .join(F.broadcast(load_table(spark, sf_dir, "nation")),
+                 F.col("s_nationkey") == F.col("n_nationkey"))
+           .select("s_suppkey", F.col("n_name").alias("nation")))
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (li.join(F.broadcast(part),
+                    F.col("l_partkey") == F.col("p_partkey"))
+            .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+            .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+            .groupBy("nation", F.year("o_orderdate").cast("long").alias("o_year"))
+            .agg(F.round(F.sum(F.col("l_extendedprice")
+                               * (1 - F.col("l_discount"))), 4)
+                 .alias("profit")))
+
+
+_Q9_SQL = """
+SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS profit
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN orders ON l_orderkey = o_orderkey
+WHERE p_name LIKE '%red%'
+GROUP BY n_name, year(o_orderdate)
+"""
+
+
+def returned_items_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q10 shape: customers ranked by revenue lost to returns in one
+    quarter. The quarter+returnflag predicates push to the lineitem
+    scan; customer/nation attach by broadcast AFTER the heavy agg, so
+    the shuffle carries (custkey, revenue) pairs only."""
+    orders = (load_table(spark, sf_dir, "orders")
+              .filter((F.col("o_orderdate") >= "1997-01-01")
+                      & (F.col("o_orderdate") < "1997-04-01"))
+              .select("o_orderkey", "o_custkey"))
+    li = (load_table(spark, sf_dir, "lineitem")
+          .filter(F.col("l_returnflag") == "R")
+          .select("l_orderkey", "l_extendedprice", "l_discount"))
+    lost = (li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+            .groupBy("o_custkey")
+            .agg(F.round(F.sum(F.col("l_extendedprice")
+                               * (1 - F.col("l_discount"))), 4)
+                 .alias("revenue")))
+    cust = (load_table(spark, sf_dir, "customer")
+            .join(F.broadcast(load_table(spark, sf_dir, "nation")),
+                  F.col("c_nationkey") == F.col("n_nationkey"))
+            .select("c_custkey", "c_name", "c_acctbal", "n_name"))
+    return (lost.join(F.broadcast(cust),
+                      F.col("o_custkey") == F.col("c_custkey"))
+            .select("c_custkey", "c_name", "c_acctbal", "n_name", "revenue")
+            .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+            .limit(20))
+
+
+_Q10_SQL = """
+SELECT c_custkey, c_name, c_acctbal, n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1997-01-01'
+  AND o_orderdate < TIMESTAMP '1997-04-01'
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 20
+"""
+
+
+def customer_order_distribution(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """Q13 shape: histogram of customers by order count, including the
+    zero bucket via left outer join. Two cascaded aggs: per-customer
+    count (shuffle on custkey), then the tiny count-of-counts."""
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    orders = (load_table(spark, sf_dir, "orders")
+              .filter(F.col("o_orderpriority") != "1-URGENT")
+              .select("o_orderkey", "o_custkey"))
+    per_cust = (cust.join(orders, F.col("c_custkey") == F.col("o_custkey"),
+                          "left")
+                .groupBy("c_custkey")
+                .agg(F.count("o_orderkey").alias("c_count")))
+    return (per_cust.groupBy("c_count")
+            .agg(F.count("*").alias("custdist")))
+
+
+_Q13_SQL = """
+SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+FROM (SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+      FROM customer
+      LEFT JOIN orders ON c_custkey = o_custkey
+                      AND o_orderpriority <> '1-URGENT'
+      GROUP BY c_custkey) c_orders
+GROUP BY c_count
+"""
+
+
+def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q17 shape (adapted: brand-only filter — testdata has no
+    p_container): yearly revenue from orders below 20% of a part's
+    average quantity. The per-part average is a second aggregate over
+    the same filtered join — Catalyst reuses the scan; the final figure
+    divides by 7 per the TPC-H definition."""
+    part = (load_table(spark, sf_dir, "part")
+            .filter(F.col("p_brand") == "Brand#13")
+            .select("p_partkey"))
+    li = (load_table(spark, sf_dir, "lineitem")
+          .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+          .select("l_partkey", "l_quantity", "l_extendedprice"))
+    avg_qty = (li.groupBy("l_partkey")
+               .agg((0.2 * F.avg("l_quantity")).alias("qty_cap"))
+               .withColumnRenamed("l_partkey", "a_partkey"))
+    return (li.join(F.broadcast(avg_qty),
+                    F.col("l_partkey") == F.col("a_partkey"))
+            .filter(F.col("l_quantity") < F.col("qty_cap"))
+            .agg(F.round(F.sum("l_extendedprice") / 7.0, 4)
+                 .alias("avg_yearly")))
+
+
+_Q17_SQL = """
+SELECT round(sum(l_extendedprice) / 7.0, 4) AS avg_yearly
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE p_brand = 'Brand#13'
+  AND l_quantity < (SELECT 0.2 * avg(l2.l_quantity) FROM lineitem l2
+                    WHERE l2.l_partkey = lineitem.l_partkey)
+"""
+
+
+def large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q18 shape: customers whose single orders exceed a quantity
+    threshold. The HAVING runs on the (orderkey) grain BEFORE customer
+    attaches — the broadcast join sees only the surviving handful."""
+    big = (load_table(spark, sf_dir, "lineitem")
+           .groupBy("l_orderkey")
+           .agg(F.sum("l_quantity").alias("total_qty"))
+           .filter(F.col("total_qty") > 250))
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name")
+    return (orders.join(big, F.col("o_orderkey") == F.col("l_orderkey"))
+            .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+            .select("c_custkey", "c_name", "o_orderkey", "o_orderdate",
+                    "o_totalprice", "total_qty")
+            .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+            .limit(100))
+
+
+_Q18_SQL = """
+SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice,
+       total_qty
+FROM orders
+JOIN (SELECT l_orderkey AS bok, sum(l_quantity) AS total_qty
+      FROM lineitem GROUP BY l_orderkey
+      HAVING sum(l_quantity) > 250) big ON o_orderkey = bok
+JOIN customer ON o_custkey = c_custkey
+ORDER BY o_totalprice DESC, o_orderkey ASC
+LIMIT 100
+"""
+
+
+def discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q19 shape (adapted: p_size bands replace p_container): revenue
+    from an OR-of-ANDs predicate across three brand/size/quantity
+    bands. The whole disjunction is one join condition — Catalyst
+    extracts the common l_partkey = p_partkey equi-part and evaluates
+    the residual on broadcast part rows."""
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", "p_size")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+
+    def band(brand, qlo, qhi, slo, shi):
+        return ((F.col("p_brand") == brand)
+                & (F.col("l_quantity") >= qlo) & (F.col("l_quantity") <= qhi)
+                & (F.col("p_size") >= slo) & (F.col("p_size") <= shi))
+
+    cond = (F.col("l_partkey") == F.col("p_partkey")) & (
+        band("Brand#13", 1, 11, 1, 5)
+        | band("Brand#20", 10, 20, 1, 10)
+        | band("Brand#25", 20, 30, 1, 15))
+    return (li.join(F.broadcast(part), cond)
+            .agg(F.round(F.sum(F.col("l_extendedprice")
+                               * (1 - F.col("l_discount"))), 4)
+                 .alias("revenue")))
+
+
+_Q19_SQL = """
+SELECT round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#13' AND l_quantity BETWEEN 1 AND 11
+       AND p_size BETWEEN 1 AND 5)
+   OR (p_brand = 'Brand#20' AND l_quantity BETWEEN 10 AND 20
+       AND p_size BETWEEN 1 AND 10)
+   OR (p_brand = 'Brand#25' AND l_quantity BETWEEN 20 AND 30
+       AND p_size BETWEEN 1 AND 15)
+"""
+
+
 QUERIES = {
     "shipping_priority_top10": shipping_priority_top10,
     "order_priority_counts": order_priority_counts,
     "promo_revenue_ratio": promo_revenue_ratio,
     "top_supplier_by_revenue": top_supplier_by_revenue,
+    "local_supplier_volume": local_supplier_volume,
+    "revenue_change_forecast": revenue_change_forecast,
+    "nation_volume_shipping": nation_volume_shipping,
+    "nation_market_share": nation_market_share,
+    "product_type_profit": product_type_profit,
+    "returned_items_top20": returned_items_top20,
+    "customer_order_distribution": customer_order_distribution,
+    "small_quantity_revenue": small_quantity_revenue,
+    "large_volume_customers": large_volume_customers,
+    "discounted_revenue": discounted_revenue,
 }
 
 ORACLES = {
@@ -166,4 +575,14 @@ ORACLES = {
     "order_priority_counts": _Q4_SQL,
     "promo_revenue_ratio": _Q14_SQL,
     "top_supplier_by_revenue": _Q15_SQL,
+    "local_supplier_volume": _Q5_SQL,
+    "revenue_change_forecast": _Q6_SQL,
+    "nation_volume_shipping": _Q7_SQL,
+    "nation_market_share": _Q8_SQL,
+    "product_type_profit": _Q9_SQL,
+    "returned_items_top20": _Q10_SQL,
+    "customer_order_distribution": _Q13_SQL,
+    "small_quantity_revenue": _Q17_SQL,
+    "large_volume_customers": _Q18_SQL,
+    "discounted_revenue": _Q19_SQL,
 }

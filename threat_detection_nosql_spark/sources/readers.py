@@ -29,12 +29,24 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     from threat_detection_nosql_spark.deploy import ensure_package_on_workers
     ensure_package_on_workers(spark)
     if name == "events":
-        # runtime-settable; required for TIMESTAMP(NANOS) columns even
-        # when the caller supplied a vanilla session (driver contract)
+        # effective only if no parquet read happened yet on this session;
+        # harmless otherwise (the NTZ branch below covers that path)
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if name == "events":
+        dt = df.schema["ts"].dataType
+        if isinstance(dt, T.LongType):
+            # session built with nanosAsLong=true (session.get_spark)
+            df = df.withColumn("ts",
+                               F.timestamp_micros(F.expr("ts div 1000")))
+        elif isinstance(dt, T.TimestampNTZType):
+            # vanilla session (driver contract): Spark 4.1 reads
+            # TIMESTAMP(NANOS) as micro-truncated TIMESTAMP_NTZ; cast to
+            # the session-zoned type every downstream temporal function
+            # (unix_micros, window, watermark) expects — the cast
+            # interprets NTZ wall-clock in the session timezone, which
+            # matches DuckDB's zoneless read when the session is UTC
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

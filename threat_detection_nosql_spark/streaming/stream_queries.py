@@ -20,16 +20,18 @@ from pyspark.sql import types as T
 
 from threat_detection_nosql_spark.operators.etl import derive_temporal_features
 
-# stream-source schema: ts is TIMESTAMP(NANOS) in the driver parquet →
-# read as long (nanosAsLong), converted below
-_EVENTS_STREAM_SCHEMA = T.StructType([
-    T.StructField("event_id", T.LongType()),
-    T.StructField("ts", T.LongType()),
-    T.StructField("user_id", T.LongType()),
-    T.StructField("event_type", T.StringType()),
-    T.StructField("value", T.DoubleType()),
-    T.StructField("props", T.StringType()),
-])
+def _events_stream_schema(ts_type: T.DataType) -> T.StructType:
+    """events stream-source schema; ``ts`` is TIMESTAMP(NANOS) in the
+    driver parquet, whose Spark-side type depends on the session (see
+    events_stream)."""
+    return T.StructType([
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", ts_type),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ])
 
 
 def events_stream(spark: SparkSession, sf_dir: str,
@@ -37,16 +39,26 @@ def events_stream(spark: SparkSession, sf_dir: str,
     """`events` as a file stream with event-time watermark — the
     streaming twin of operators.etl.activity_log. ``watermark=None``
     defers watermarking to the caller (e.g. stream-stream joins must
-    watermark the renamed per-side time columns instead)."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    # the file-stream source requires a directory; point it at the sf
-    # dir and glob-filter to the events file
+    watermark the renamed per-side time columns instead).
+
+    TIMESTAMP(NANOS) handling mirrors sources.readers.load_table: a
+    session built with ``nanosAsLong=true`` surfaces ``ts`` as nano
+    longs, a vanilla Spark 4.1 session as micro-truncated
+    TIMESTAMP_NTZ — and the conf cannot be flipped after session
+    creation, so the stream-source schema must match the session. A
+    one-row batch probe of the same file decides which.
+    """
+    probe = (spark.read.parquet(f"{sf_dir}/events.parquet")
+             .schema["ts"].dataType)
     raw = (spark.readStream
-           .schema(_EVENTS_STREAM_SCHEMA)
+           .schema(_events_stream_schema(probe))
            .option("pathGlobFilter", "events.parquet")
            .parquet(sf_dir))
+    ts = (F.timestamp_micros(F.expr("ts div 1000"))
+          if isinstance(probe, T.LongType)
+          else F.col("ts").cast("timestamp"))
     df = (raw
-          .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+          .withColumn("ts", ts)
           .withColumn("user", F.col("user_id"))
           .withColumn("activity", F.col("event_type")))
     out = derive_temporal_features(df, "ts")
