@@ -57,6 +57,22 @@ PIPELINE_COUNT = [
     "benchmark_decontamination",
 ]
 
+# Round-3 surface, its own group ("extended_total") so headline and
+# pipeline totals stay comparable across rounds.
+EXTENDED_COLLECT = [
+    "funnel_conversion",
+    "copurchase_triangles",
+    "local_supplier_volume",
+    "nation_market_share",
+    "ivf_fixed_ann_topk",
+]
+EXTENDED_COUNT = [
+    "cohort_retention",
+    "unigram_logprob_scores",
+    "customer_order_distribution",
+    "returned_items_top20",
+]
+
 
 def main() -> None:
     spark = get_spark("bench")
@@ -85,6 +101,10 @@ def main() -> None:
         timings[name] = median_time(name, name in PIPELINE_COUNT)
     pipeline_total = round(sum(timings[n] for n in
                                PIPELINE_COLLECT + PIPELINE_COUNT), 3)
+    for name in EXTENDED_COLLECT + EXTENDED_COUNT:
+        timings[name] = median_time(name, name in EXTENDED_COUNT)
+    extended_total = round(sum(timings[n] for n in
+                               EXTENDED_COLLECT + EXTENDED_COUNT), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(json.dumps({
         "metric": "headline_queries_total",
@@ -92,6 +112,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "pipeline_total": pipeline_total,
+        "extended_total": extended_total,
         "sf": float(sf),
     }))
 

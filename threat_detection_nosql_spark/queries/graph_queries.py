@@ -173,21 +173,27 @@ def copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Orientation (p1 < p2) makes every triangle appear exactly once as
     e(a,b), e(b,c), e(a,c) with a<b<c — no post-hoc dedup by 6
-    permutations. Scale shape: the edge list is built by a per-order
-    pair expansion (bounded by lines-per-order²), deduped before the
-    wedge join; the wedge join shuffles on single part keys and the
-    closing join on (a, c) pairs. At production scale the edge list
-    would additionally be degree-oriented (low→high) to bound the
-    wedge count per node by O(sqrt(m)) — noted, not needed at sf≤0.1.
+    permutations. The graph keeps only edges with co-purchase support
+    ≥ 2 (the standard market-basket prune): the raw one-co-occurrence
+    graph is noise and nearly complete (1.2M edges over 2k parts at
+    sf0.1, blowing the wedge join to ~10⁹ rows), while the support
+    filter is a map-combinable HAVING on the pair agg that cuts it to
+    ~3.5k meaningful edges. Scale shape: pair expansion bounded by
+    lines-per-order², the wedge join shuffles on single part keys, the
+    closing join on (a, c) pairs; at production scale the edge list
+    would additionally be degree-oriented (low→high) to bound wedges
+    per node by O(sqrt(m)).
     """
     li = (load_table(spark, sf_dir, "lineitem")
           .select("l_orderkey", "l_partkey").distinct())
     a, b = li.alias("a"), li.alias("b")
     edges = (a.join(b, (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
                     & (F.col("a.l_partkey") < F.col("b.l_partkey")))
-             .select(F.col("a.l_partkey").alias("p1"),
-                     F.col("b.l_partkey").alias("p2"))
-             .distinct())
+             .groupBy(F.col("a.l_partkey").alias("p1"),
+                      F.col("b.l_partkey").alias("p2"))
+             .agg(F.count("*").alias("support"))
+             .filter(F.col("support") >= 2)
+             .select("p1", "p2"))
     e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
     tri = (e1.join(e2, F.col("e1.p2") == F.col("e2.p1"))
            .join(e3, (F.col("e3.p1") == F.col("e1.p1"))
@@ -198,9 +204,11 @@ def copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _TRIANGLES_SQL = """
 WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-edges AS (SELECT DISTINCT a.l_partkey AS p1, b.l_partkey AS p2
+edges AS (SELECT a.l_partkey AS p1, b.l_partkey AS p2
           FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
-                             AND a.l_partkey < b.l_partkey)
+                             AND a.l_partkey < b.l_partkey
+          GROUP BY a.l_partkey, b.l_partkey
+          HAVING count(*) >= 2)
 SELECT (SELECT CAST(count(*) AS BIGINT)
         FROM edges e1
         JOIN edges e2 ON e1.p2 = e2.p1
