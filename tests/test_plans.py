@@ -217,3 +217,66 @@ def test_decontamination_broadcasts_benchmark_grams(spark):
     )
     plan = formatted_plan(benchmark_decontamination(spark, SF_DIR))
     assert "BroadcastHashJoin" in plan
+
+
+def test_funnel_shuffles_once_with_stacked_windows(spark):
+    """The three stage timestamps must ride ONE user-keyed exchange
+    (three Window operators stacked on the same partitioning), plus a
+    single-partition exchange for the final scalar agg — a 100 TB log
+    shuffles exactly once."""
+    from threat_detection_nosql_spark.queries.temporal import (
+        funnel_conversion,
+    )
+    plan = final_adaptive_plan(
+        funnel_conversion(spark, SF_DIR)).split("== Initial Plan ==")[0]
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("Window") == 3
+
+
+def test_triangles_broadcast_after_support_prune(spark):
+    """After the support >= 2 prune the edge list is tiny — AQE must
+    plan every wedge/closing join as broadcast (no sort-merge of the
+    raw pair expansion, no cartesian)."""
+    from threat_detection_nosql_spark.queries.graph_queries import (
+        copurchase_triangles,
+    )
+    plan = final_adaptive_plan(
+        copurchase_triangles(spark, SF_DIR)).split("== Initial Plan ==")[0]
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_q6_is_zero_shuffle_scan_aggregate(spark):
+    """Q6 must compile to scan → filter → partial/final agg with NO
+    hash exchange; every predicate reaches the parquet scan."""
+    from threat_detection_nosql_spark.queries.tpch import (
+        revenue_change_forecast,
+    )
+    plan = final_adaptive_plan(revenue_change_forecast(spark, SF_DIR))
+    assert "Exchange hashpartitioning" not in plan
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert any("l_shipdate" in ln for ln in pushed), plan
+
+
+def test_q17_reuses_scan_for_avg_subquery(spark):
+    """The per-part average must reuse the filtered lineitem×part scan
+    (ReusedExchange), not re-read the table."""
+    from threat_detection_nosql_spark.queries.tpch import (
+        small_quantity_revenue,
+    )
+    plan = final_adaptive_plan(
+        small_quantity_revenue(spark, SF_DIR)).split("== Initial Plan ==")[0]
+    assert "ReusedExchange" in plan
+
+
+def test_q5_broadcasts_every_dim(spark):
+    """Q5's five joins must all be broadcast — the lineitem side never
+    shuffles on a join key."""
+    from threat_detection_nosql_spark.queries.tpch import (
+        local_supplier_volume,
+    )
+    plan = final_adaptive_plan(
+        local_supplier_volume(spark, SF_DIR)).split("== Initial Plan ==")[0]
+    assert plan.count("BroadcastHashJoin") == 5
+    assert "SortMergeJoin" not in plan
