@@ -51,3 +51,52 @@ def stratified_hash_sample(df: DataFrame, key: str, stratum: str,
         thresh = F.when(F.col(stratum) == val,
                         int(round(frac * _MOD))).otherwise(thresh)
     return df.filter(hash_bucket(F.col(key), salt) < thresh)
+
+
+def temperature_mixture_rates(df: DataFrame, stratum: str,
+                              weight_col: Column,
+                              alpha: float = 0.3,
+                              budget_frac: float = 0.5) -> DataFrame:
+    """Temperature-based mixture reweighting (the multilingual-LM
+    standard: sampling share ∝ mass^alpha, alpha<1 upweights small
+    sources) with a token budget: given per-stratum mass (token
+    counts), compute each stratum's temperature share p_s and the
+    deterministic per-stratum keep rate that realizes the mixture at
+    ``budget_frac`` of the corpus — rate_s = min(1, budget·p_s/n_s).
+
+    One map-combined agg to |strata| rows; the share normalization is
+    a window over that tiny frame (no second scan). The output is the
+    broadcast side of the join `mixture_hash_sample` applies — at
+    100 TB the rate table is bytes, the corpus never shuffles.
+    """
+    from pyspark.sql.window import Window
+    agg = (df.groupBy(stratum)
+           .agg(F.count("*").alias("n_docs"),
+                F.sum(weight_col).alias("mass")))
+    w = Window.partitionBy()
+    powed = F.pow(F.col("mass").cast("double"), F.lit(alpha))
+    out = (agg
+           .withColumn("share", F.col("mass") / F.sum("mass").over(w))
+           .withColumn("t_share", powed / F.sum(powed).over(w))
+           .withColumn("rate", F.least(
+               F.lit(1.0),
+               F.lit(budget_frac) * F.col("t_share")
+               * F.sum("mass").over(w) / F.col("mass"))))
+    return out.select(stratum, "n_docs", "mass",
+                      F.round("share", 6).alias("share"),
+                      F.round("t_share", 6).alias("t_share"),
+                      F.round("rate", 6).alias("rate"))
+
+
+def mixture_hash_sample(df: DataFrame, key: str, stratum: str,
+                        rates: DataFrame,
+                        salt: str = "mix") -> DataFrame:
+    """Apply data-dependent per-stratum rates (e.g. from
+    ``temperature_mixture_rates``) as a deterministic hash-mod filter.
+    Unlike ``stratified_hash_sample`` the rates are a DataFrame, so
+    the decision is a broadcast join + scan-level predicate — still no
+    corpus shuffle, still engine-reproducible."""
+    thresh = F.floor(F.round(F.col("rate") * _MOD, 3)).cast("long")
+    return (df.join(F.broadcast(rates.select(stratum, "rate")), stratum)
+            .filter(hash_bucket(F.col(key), salt) < thresh)
+            .drop("rate"))

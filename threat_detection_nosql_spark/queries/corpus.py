@@ -585,3 +585,137 @@ def _zorder_sql() -> str:
 
 QUERIES["event_zorder"] = event_zorder
 ORACLES["event_zorder"] = _zorder_sql()
+
+
+# ---------------------------------------------------------------------------
+# C10: temperature-based mixture reweighting (sampling share ∝ mass^α)
+# ---------------------------------------------------------------------------
+
+_MIX_ALPHA = 0.3
+_MIX_BUDGET = 0.5
+def _n_tok():
+    return F.size(F.split(F.col("text"), r"\s+"))
+
+
+def temperature_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture-rebalancing plan per source: raw token share, the
+    α=0.3 temperature share (the multilingual-LM upweighting of small
+    sources), and the deterministic keep-rate realizing that mixture
+    at half the corpus budget. |sources| output rows — the broadcast
+    side of the sampling join."""
+    docs = load_table(spark, sf_dir, "documents")
+    return sampling.temperature_mixture_rates(
+        docs, "source", _n_tok(),
+        alpha=_MIX_ALPHA, budget_frac=_MIX_BUDGET)
+
+
+_MIX_RATES_CTE = rf"""
+d AS (SELECT doc_id, source,
+             len(string_split_regex(text, '\s+')) AS n_tok
+      FROM documents),
+agg AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_tok) AS BIGINT) AS mass
+        FROM d GROUP BY source),
+tot AS (SELECT CAST(sum(mass) AS DOUBLE) AS tm,
+               sum(pow(CAST(mass AS DOUBLE), {_MIX_ALPHA})) AS tp
+        FROM agg),
+rates AS (SELECT source, n_docs, mass,
+                 round(mass / tm, 6) AS share,
+                 round(pow(CAST(mass AS DOUBLE), {_MIX_ALPHA}) / tp, 6)
+                   AS t_share,
+                 round(least(1.0,
+                       {_MIX_BUDGET} * (pow(CAST(mass AS DOUBLE),
+                                            {_MIX_ALPHA}) / tp)
+                       * tm / mass), 6) AS rate
+          FROM agg, tot)
+"""
+
+_MIX_PLAN_SQL = f"""
+WITH {_MIX_RATES_CTE}
+SELECT source, n_docs, mass, share, t_share, rate FROM rates
+"""
+
+
+def temperature_mixture_sample(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """The plan applied: per-source kept docs/tokens after the
+    hash-mod filter at the computed rates. The rate table broadcasts;
+    the corpus-side decision is one scan-level predicate — a 100 TB
+    corpus is rebalanced without a single fact shuffle (the output agg
+    is map-combined to |sources| rows)."""
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "n_tok", _n_tok())
+    rates = sampling.temperature_mixture_rates(
+        docs, "source", F.col("n_tok"),
+        alpha=_MIX_ALPHA, budget_frac=_MIX_BUDGET)
+    kept = sampling.mixture_hash_sample(
+        docs, key="doc_id", stratum="source", rates=rates)
+    return (kept.groupBy("source")
+            .agg(F.count("*").alias("kept_docs"),
+                 F.sum("n_tok").alias("kept_tokens")))
+
+
+_MIX_SAMPLE_SQL = f"""
+WITH {_MIX_RATES_CTE}
+SELECT source, CAST(count(*) AS BIGINT) AS kept_docs,
+       CAST(sum(n_tok) AS BIGINT) AS kept_tokens
+FROM d JOIN rates USING (source)
+WHERE CAST(('0x' || substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 15))
+           AS BIGINT) % 10000
+      < CAST(floor(round(rate * 10000, 3)) AS BIGINT)
+GROUP BY source
+"""
+
+
+# ---------------------------------------------------------------------------
+# C11: length-bucketed batch planning (padding-efficient batching)
+# ---------------------------------------------------------------------------
+
+_BATCH_TOKEN_BUDGET = 4096
+
+
+def length_bucket_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Power-of-two length buckets (bucket = floor(log2(n_tokens)))
+    with per-bucket batch counts at a fixed token budget — the batch
+    plan that minimizes padding waste when sequences batch with their
+    own length class. One map-combined agg to ~log2(max_len) rows;
+    exact powers of two are float-safe in both engines (log2 is exact
+    there)."""
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "n_tok", _n_tok()).filter(F.col("n_tok") > 0)
+    bucket = F.floor(F.log2("n_tok")).cast("int")
+    return (docs.groupBy(bucket.alias("len_bucket"))
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("n_tok").alias("total_tokens"),
+                 F.min("n_tok").alias("min_tokens"),
+                 F.max("n_tok").alias("max_tokens"),
+                 F.ceil(F.sum("n_tok") / F.lit(_BATCH_TOKEN_BUDGET))
+                 .cast("long").alias("n_batches")))
+
+
+_LENGTH_BUCKETS_SQL = rf"""
+WITH d AS (SELECT len(string_split_regex(text, '\s+')) AS n_tok
+           FROM documents)
+SELECT CAST(floor(log2(n_tok)) AS INT) AS len_bucket,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+       CAST(min(n_tok) AS INT) AS min_tokens,
+       CAST(max(n_tok) AS INT) AS max_tokens,
+       CAST(ceil(CAST(sum(n_tok) AS DOUBLE) / {_BATCH_TOKEN_BUDGET})
+            AS BIGINT) AS n_batches
+FROM d WHERE n_tok > 0
+GROUP BY floor(log2(n_tok))
+"""
+
+
+QUERIES.update({
+    "temperature_mixture_plan": temperature_mixture_plan,
+    "temperature_mixture_sample": temperature_mixture_sample,
+    "length_bucket_batches": length_bucket_batches,
+})
+
+ORACLES.update({
+    "temperature_mixture_plan": _MIX_PLAN_SQL,
+    "temperature_mixture_sample": _MIX_SAMPLE_SQL,
+    "length_bucket_batches": _LENGTH_BUCKETS_SQL,
+})
