@@ -464,6 +464,113 @@ GROUP BY user
 """
 
 
+def user_modal_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group mode with a total tie-break (count DESC, activity
+    ASC): each user's most frequent activity. Compiles to count-agg →
+    WindowGroupLimit(top-1) — the exchange after the agg carries one
+    candidate row per (user, task), not the full (user, activity)
+    matrix."""
+    from threat_detection_nosql_spark.operators.etl import activity_log
+    log = activity_log(spark, sf_dir)
+    counts = log.groupBy("user", "activity").agg(
+        F.count("*").alias("n"))
+    w = Window.partitionBy("user").orderBy(F.desc("n"), F.asc("activity"))
+    return (counts.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select("user", F.col("activity").alias("modal_activity"),
+                    F.col("n").alias("n_events")))
+
+
+_MODAL_SQL = """
+WITH counts AS (
+  SELECT user_id AS user, event_type AS activity,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY user_id, event_type)
+SELECT user, activity AS modal_activity, n AS n_events
+FROM (SELECT *, row_number() OVER (PARTITION BY user
+                ORDER BY n DESC, activity ASC) AS rn
+      FROM counts) t
+WHERE rn = 1
+"""
+
+
+def rolling_week_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-RANGE window frame (vs the ROWS frame of
+    supplier_running_revenue): per customer, each order's trailing
+    7-day spend. The frame bound is event-time, not row-count — Spark
+    expresses it as rangeBetween over epoch seconds, engines with
+    interval frames (the oracle) as RANGE INTERVAL PRECEDING; both are
+    the same closed interval [t − 7d, t]. One shuffle on custkey."""
+    orders = load_table(spark, sf_dir, "orders")
+    # o_orderdate arrives as TIMESTAMP_NTZ (parquet micros, no UTC
+    # adjustment) — epoch micros via the session-zoned cast
+    w = (Window.partitionBy("o_custkey")
+         .orderBy(F.unix_micros(F.col("o_orderdate").cast("timestamp")))
+         .rangeBetween(-7 * 86400 * 1_000_000, 0))
+    return (orders.select(
+        "o_orderkey", "o_custkey", "o_orderdate",
+        F.round(F.sum("o_totalprice").over(w), 4).alias("week_value"),
+        F.count("*").over(w).alias("week_orders")))
+
+
+_ROLLING_WEEK_SQL = """
+SELECT o_orderkey, o_custkey, o_orderdate,
+       round(sum(o_totalprice) OVER w, 4) AS week_value,
+       CAST(count(*) OVER w AS BIGINT) AS week_orders
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate
+             RANGE BETWEEN INTERVAL 7 DAYS PRECEDING AND CURRENT ROW)
+"""
+
+
+def customer_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch MERGE / SCD-type-2 upsert: a deterministic updates slice
+    (every 7th custkey gets a +100 balance restatement) merged into the
+    customer dimension keeping history — updated keys contribute a
+    closed version-1 row plus a current version-2 row; untouched keys
+    stay current at version 1.
+
+    Expressed as filter-derived branches unioned back — each branch is
+    a scan-level predicate on the same dimension, no join at all (the
+    general MERGE with an external updates table is the same plan with
+    the branches as semi/anti joins, which customers_without_orders /
+    parts_with_sales already pin). At 100 TB this is the idiomatic
+    copy-on-write table rewrite: one scan in, partitioned write out.
+    """
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_acctbal", "c_mktsegment")
+    is_upd = F.col("c_custkey") % 7 == 0
+    unchanged = (cust.filter(~is_upd)
+                 .select("c_custkey", "c_acctbal", "c_mktsegment",
+                         F.lit(1).alias("version"),
+                         F.lit(1).alias("is_current")))
+    closed = (cust.filter(is_upd)
+              .select("c_custkey", "c_acctbal", "c_mktsegment",
+                      F.lit(1).alias("version"),
+                      F.lit(0).alias("is_current")))
+    updated = (cust.filter(is_upd)
+               .select("c_custkey",
+                       F.round(F.col("c_acctbal") + 100.0, 2)
+                       .alias("c_acctbal"),
+                       "c_mktsegment",
+                       F.lit(2).alias("version"),
+                       F.lit(1).alias("is_current")))
+    return unchanged.unionByName(closed).unionByName(updated)
+
+
+_SCD2_SQL = """
+SELECT c_custkey, c_acctbal, c_mktsegment,
+       1 AS version, 1 AS is_current
+FROM customer WHERE c_custkey % 7 <> 0
+UNION ALL
+SELECT c_custkey, c_acctbal, c_mktsegment, 1, 0
+FROM customer WHERE c_custkey % 7 = 0
+UNION ALL
+SELECT c_custkey, round(c_acctbal + 100.0, 2), c_mktsegment, 2, 1
+FROM customer WHERE c_custkey % 7 = 0
+"""
+
+
 def error_without_purchase_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Set-operation family (EXCEPT/INTERSECT): heavy-error users who
     are not heavy purchasers — both compile to hash-based
@@ -553,6 +660,9 @@ QUERIES = {
     "user_event_gaps": user_event_gaps,
     "error_without_purchase_users": error_without_purchase_users,
     "error_and_purchase_users": error_and_purchase_users,
+    "user_modal_activity": user_modal_activity,
+    "rolling_week_order_value": rolling_week_order_value,
+    "customer_scd2_merge": customer_scd2_merge,
 }
 
 ORACLES = {
@@ -577,4 +687,7 @@ ORACLES = {
     "all_active_nations": _ALL_NATIONS_SQL,
     "high_value_orders": _HIGH_VALUE_SQL,
     "normalized_acctbal": _NORM_ACCTBAL_SQL,
+    "user_modal_activity": _MODAL_SQL,
+    "rolling_week_order_value": _ROLLING_WEEK_SQL,
+    "customer_scd2_merge": _SCD2_SQL,
 }
