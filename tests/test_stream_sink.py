@@ -43,3 +43,41 @@ def test_stream_parquet_sink_exactly_once(spark, tmp_path):
     assert result.count() == 150
     assert result.select(F.sum("doubled")).first()[0] == sum(
         2 * i for i in range(150))
+
+
+def test_foreach_batch_upsert_is_exactly_once(spark, tmp_path):
+    """foreachBatch MERGE-into-parquet: additive per-key totals stay
+    correct across a second run on the same checkpoint (committed
+    batches must not re-apply)."""
+    from threat_detection_nosql_spark.streaming.stream_queries import (
+        run_foreach_batch_upsert,
+    )
+    src = str(tmp_path / "src")
+    target = str(tmp_path / "target")
+    ckpt = str(tmp_path 
+               / "ckpt")
+
+    def stream():
+        return (spark.readStream.schema("user long, v long")
+                .parquet(f"{src}/b*"))
+
+    rows1 = [(u, 1) for u in range(10) for _ in range(3)]
+    (spark.createDataFrame(rows1, "user long, v long")
+     .coalesce(1).write.mode("overwrite").parquet(f"{src}/b1"))
+    run_foreach_batch_upsert(stream(), ["user"], ["v"], target, ckpt)
+    got = {r["user"]: r["v"] for r in spark.read.parquet(target).collect()}
+    assert got == {u: 3 for u in range(10)}
+
+    # second batch touches half the keys; a fresh query on the SAME
+    # checkpoint must apply it once and never re-apply batch 1
+    rows2 = [(u, 5) for u in range(5)]
+    (spark.createDataFrame(rows2, "user long, v long")
+     .coalesce(1).write.mode("overwrite").parquet(f"{src}/b2"))
+    run_foreach_batch_upsert(stream(), ["user"], ["v"], target, ckpt)
+    got = {r["user"]: r["v"] for r in spark.read.parquet(target).collect()}
+    assert got == {**{u: 8 for u in range(5)}, **{u: 3 for u in range(5, 10)}}
+
+    # idempotent no-op drain: nothing new, totals unchanged
+    run_foreach_batch_upsert(stream(), ["user"], ["v"], target, ckpt)
+    got = {r["user"]: r["v"] for r in spark.read.parquet(target).collect()}
+    assert got == {**{u: 8 for u in range(5)}, **{u: 3 for u in range(5, 10)}}

@@ -142,3 +142,94 @@ ORACLES = {
     "pii_redaction": _PII_SQL,
     "benchmark_decontamination": _DECON_SQL,
 }
+
+
+# ---------------------------------------------------------------------------
+# Data-quality gate: declarative constraint report over the fact tables
+# ---------------------------------------------------------------------------
+
+def data_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Constraint-violation report (the pre-ingest gate a production
+    pipeline runs before training-data promotion): null checks, value
+    ranges, key uniqueness, and referential integrity, one row per
+    rule with its violation count.
+
+    Shape: the null/range rules are conditional aggregates fused into
+    ONE scan per table; uniqueness is a count-per-key agg re-aggregated
+    (map-combined both levels); the FK orphan check is a left-anti
+    join against the parent keys. Every rule is expressible as a
+    count, so the report unions tiny 1-row aggregates — at 100 TB each
+    input table is still scanned at most twice (once fused rules, once
+    the key agg), never per-rule.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+
+    def rule(name, cnt):
+        return cnt.select(F.lit(name).alias("rule"),
+                          F.col("violations").cast("long")
+                          .alias("violations"))
+
+    li_scan = li.agg(
+        F.sum(F.when(F.col("l_quantity") <= 0, 1).otherwise(0))
+        .alias("bad_qty"),
+        F.sum(F.when(F.col("l_extendedprice") < 0, 1).otherwise(0))
+        .alias("bad_price"),
+        F.sum(F.when(F.col("l_discount").between(0.0, 1.0), 0).otherwise(1))
+        .alias("bad_discount"),
+        F.sum(F.when(F.col("l_shipdate").isNull(), 1).otherwise(0))
+        .alias("null_shipdate"))
+    ord_dup = (orders.groupBy("o_orderkey").agg(F.count("*").alias("n"))
+               .agg(F.sum(F.when(F.col("n") > 1, F.col("n") - 1)
+                          .otherwise(0)).alias("violations")))
+    orphans = (li.select("l_orderkey")
+               .join(orders.select("o_orderkey"),
+                     F.col("l_orderkey") == F.col("o_orderkey"),
+                     "left_anti")
+               .agg(F.count("*").alias("violations")))
+    return (rule("lineitem_quantity_positive",
+                 li_scan.select(F.col("bad_qty").alias("violations")))
+            .unionByName(rule(
+                "lineitem_price_nonnegative",
+                li_scan.select(F.col("bad_price").alias("violations"))))
+            .unionByName(rule(
+                "lineitem_discount_in_unit_range",
+                li_scan.select(F.col("bad_discount").alias("violations"))))
+            .unionByName(rule(
+                "lineitem_shipdate_not_null",
+                li_scan.select(F.col("null_shipdate").alias("violations"))))
+            .unionByName(rule("orders_orderkey_unique", ord_dup))
+            .unionByName(rule("lineitem_orderkey_fk", orphans)))
+
+
+_QUALITY_REPORT_SQL = """
+SELECT 'lineitem_quantity_positive' AS rule,
+       CAST(sum(CASE WHEN l_quantity <= 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS violations
+FROM lineitem
+UNION ALL
+SELECT 'lineitem_price_nonnegative',
+       CAST(sum(CASE WHEN l_extendedprice < 0 THEN 1 ELSE 0 END) AS BIGINT)
+FROM lineitem
+UNION ALL
+SELECT 'lineitem_discount_in_unit_range',
+       CAST(sum(CASE WHEN l_discount BETWEEN 0.0 AND 1.0
+                     THEN 0 ELSE 1 END) AS BIGINT)
+FROM lineitem
+UNION ALL
+SELECT 'lineitem_shipdate_not_null',
+       CAST(sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+FROM lineitem
+UNION ALL
+SELECT 'orders_orderkey_unique',
+       CAST(sum(CASE WHEN n > 1 THEN n - 1 ELSE 0 END) AS BIGINT)
+FROM (SELECT o_orderkey, count(*) AS n FROM orders GROUP BY o_orderkey)
+UNION ALL
+SELECT 'lineitem_orderkey_fk',
+       CAST(count(*) AS BIGINT)
+FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+"""
+
+
+QUERIES["data_quality_report"] = data_quality_report
+ORACLES["data_quality_report"] = _QUALITY_REPORT_SQL
