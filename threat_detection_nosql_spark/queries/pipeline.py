@@ -585,3 +585,55 @@ ORACLES = {
     "cosine_topk": _COSINE_TOPK_SQL,
     "multimodal_metadata": _MULTIMODAL_SQL,
 }
+
+
+# -- D5d: edit-distance near-dup (blocked Levenshtein) -----------------------
+
+_ED_BLOCK = 16   # chars of the normalized prefix used as the block key
+_ED_PREFIX = 64  # chars compared by edit distance
+_ED_MAX = 8
+
+
+def edit_distance_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy near-dup pairs by bounded edit distance — the dedup-family
+    member that catches single-character drift (OCR noise, version
+    strings) that token-level MinHash/SimHash miss.
+
+    Levenshtein is O(len²) per pair, so all-pairs is never an option:
+    candidates come from an equi-join on a normalized prefix block key
+    (pairs must agree on their first 16 lowercased chars), which makes
+    the join a plain hash join whose volume is Σ|block|² — the same
+    blocking idea production fuzzy-dedup uses (sorted-neighborhood /
+    prefix blocking). The distance then runs only on candidate pairs,
+    over capped 64-char prefixes so the per-pair cost is bounded."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.lower(F.col("text"))
+    d = docs.select("doc_id",
+                    F.substring(t, 1, _ED_BLOCK).alias("blk"),
+                    F.substring(t, 1, _ED_PREFIX).alias("pre"))
+    a = d.select(F.col("doc_id").alias("doc_a"), "blk",
+                 F.col("pre").alias("pre_a"))
+    b = d.select(F.col("doc_id").alias("doc_b"),
+                 F.col("blk").alias("blk_b"),
+                 F.col("pre").alias("pre_b"))
+    return (a.join(b, (F.col("blk") == F.col("blk_b"))
+                   & (F.col("doc_a") < F.col("doc_b")))
+            .select("doc_a", "doc_b",
+                    F.levenshtein("pre_a", "pre_b").alias("edit_distance"))
+            .filter(F.col("edit_distance") <= _ED_MAX))
+
+
+_EDIT_DIST_SQL = f"""
+WITH d AS (SELECT doc_id,
+                  substr(lower(text), 1, {_ED_BLOCK}) AS blk,
+                  substr(lower(text), 1, {_ED_PREFIX}) AS pre
+           FROM documents)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(levenshtein(a.pre, b.pre) AS INT) AS edit_distance
+FROM d a JOIN d b ON a.blk = b.blk AND a.doc_id < b.doc_id
+WHERE levenshtein(a.pre, b.pre) <= {_ED_MAX}
+"""
+
+
+QUERIES["edit_distance_near_dups"] = edit_distance_near_dups
+ORACLES["edit_distance_near_dups"] = _EDIT_DIST_SQL
