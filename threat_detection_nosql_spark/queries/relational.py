@@ -691,3 +691,36 @@ ORACLES = {
     "rolling_week_order_value": _ROLLING_WEEK_SQL,
     "customer_scd2_merge": _SCD2_SQL,
 }
+
+
+# -- R-SQL: the same engine through the SQL front door -----------------------
+
+_SEGMENT_SUMMARY_SQL = """
+WITH rev AS (
+  SELECT o_custkey,
+         round(sum(o_totalprice), 4) AS cust_rev,
+         CAST(count(*) AS BIGINT) AS n_orders
+  FROM orders GROUP BY o_custkey
+)
+SELECT c_mktsegment,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       round(sum(cust_rev), 4) AS segment_rev,
+       round(avg(n_orders), 6) AS avg_orders
+FROM customer JOIN rev ON c_custkey = o_custkey
+GROUP BY c_mktsegment
+"""
+
+
+def sql_segment_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-API parity probe: ONE ANSI statement is both the Spark
+    query (``spark.sql`` over registered temp views) and the DuckDB
+    oracle — by construction the two front doors can never drift.
+    Catalyst plans it identically to the DataFrame build (same
+    broadcast dim join, same partial/final aggs)."""
+    from threat_detection_nosql_spark.sources.readers import register_views
+    register_views(spark, sf_dir)
+    return spark.sql(_SEGMENT_SUMMARY_SQL)
+
+
+QUERIES["sql_segment_summary"] = sql_segment_summary
+ORACLES["sql_segment_summary"] = _SEGMENT_SUMMARY_SQL

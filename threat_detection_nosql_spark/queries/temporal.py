@@ -149,27 +149,37 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     so Catalyst plans a single sort+exchange, then scans the partition
     three times in memory. A 100 TB log shuffles once, by user.
     """
-    from pyspark.sql.window import Window
     log = activity_log(spark, sf_dir)
-    w = Window.partitionBy("user")
-    t1 = (log.withColumn(
-        "t1", F.min(F.when(F.col("activity") == "view", F.col("ts")))
-        .over(w)))
-    t2 = t1.withColumn(
-        "t2", F.min(F.when((F.col("activity") == "click")
-                           & (F.col("ts") > F.col("t1")), F.col("ts")))
-        .over(w))
-    t3 = t2.withColumn(
-        "t3", F.min(F.when((F.col("activity") == "purchase")
-                           & (F.col("ts") > F.col("t2")), F.col("ts")))
-        .over(w))
-    per_user = t3.groupBy("user").agg(F.first("t1").alias("t1"),
-                                      F.first("t2").alias("t2"),
-                                      F.first("t3").alias("t3"))
+    per_user = funnel_stage_times(log, ["view", "click", "purchase"])
     return per_user.agg(
         F.count(F.col("t1")).alias("viewed"),
         F.count(F.col("t2")).alias("clicked_after_view"),
         F.count(F.col("t3")).alias("purchased_after_click"))
+
+
+def funnel_stage_times(log: DataFrame, stages: list[str],
+                       key: str = "user", ts: str = "ts",
+                       act: str = "activity") -> DataFrame:
+    """Per-key ordered-funnel stage times: t1 = first stages[0] event,
+    t_i = first stages[i-1] event strictly after t_{i-1} (NULL once a
+    stage is never reached). One exchange on ``key`` with |stages|
+    stacked windows (tests/test_plans.py pins the single shuffle);
+    property-tested against a brute-force reference on arbitrary
+    inputs (tests/test_property_funnel.py)."""
+    from pyspark.sql.window import Window
+    w = Window.partitionBy(key)
+    out = log
+    prev = None
+    for i, stage in enumerate(stages, start=1):
+        cond = F.col(act) == stage
+        if prev is not None:
+            cond = cond & (F.col(ts) > F.col(prev))
+        out = out.withColumn(
+            f"t{i}", F.min(F.when(cond, F.col(ts))).over(w))
+        prev = f"t{i}"
+    cols = [f"t{i}" for i in range(1, len(stages) + 1)]
+    return out.groupBy(key).agg(
+        *[F.first(c).alias(c) for c in cols])
 
 
 _FUNNEL_SQL = f"""
