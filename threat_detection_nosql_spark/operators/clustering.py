@@ -56,6 +56,14 @@ def kmeans_fixed(emb: DataFrame, k: int = 8, n_iters: int = 2,
                 .agg(F.transform(
                     F.array_sort(F.collect_list(F.struct("pos", "w"))),
                     lambda s: s["w"]).alias("cv")))
+    # Deliberately fully lazy: the two consumers (final assignment +
+    # query probe) each replay the iteration lineage inside one job,
+    # which measures FASTER at this state size (k·dim doubles) than
+    # collecting centroids per iteration or once at the end — the
+    # duplicated in-job compute is 16k-row crossjoins, while every
+    # collect adds a job round trip (~0.7s measured at sf0.1). On a
+    # real cluster with big k·dim, flip to per-iteration collect like
+    # Spark ML's Lloyd.
     return assign(cent), cent
 
 
