@@ -719,3 +719,102 @@ ORACLES.update({
     "temperature_mixture_sample": _MIX_SAMPLE_SQL,
     "length_bucket_batches": _LENGTH_BUCKETS_SQL,
 })
+
+
+# ---------------------------------------------------------------------------
+# C12: the composed curation pipeline (filter → dedup → mix) as ONE query
+# ---------------------------------------------------------------------------
+
+_PIPE_MIN_TOK = 5
+_PIPE_MAX_MWL = 15.0
+
+
+def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full curation pass composed end-to-end — quality filter →
+    exact dedup (keep min doc_id per content hash) → temperature
+    mixture sampling — reported as a per-source stage funnel
+    (n_input → n_quality → n_deduped → n_sampled + surviving tokens).
+
+    One lazy plan: Catalyst fuses the filter into the scan, the dedup
+    is the only content shuffle, the rate table is a broadcast, and
+    the four stage counts are map-combined aggs over shared lineage —
+    demonstrating that the pipeline operators COMPOSE without
+    materialization barriers between stages."""
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "n_tok", _n_tok())
+    mwl = (F.length(F.regexp_replace("text", r"\s", ""))
+           / F.col("n_tok"))
+    quality = docs.filter((F.col("n_tok") >= _PIPE_MIN_TOK)
+                          & (mwl <= _PIPE_MAX_MWL))
+    keep = (quality.groupBy(F.md5("text").alias("h"))
+            .agg(F.min("doc_id").alias("keep_id")))
+    deduped = (quality.withColumn("h", F.md5("text"))
+               .join(keep, "h")
+               .filter(F.col("doc_id") == F.col("keep_id"))
+               .drop("h", "keep_id"))
+    rates = sampling.temperature_mixture_rates(
+        deduped, "source", F.col("n_tok"),
+        alpha=_MIX_ALPHA, budget_frac=_MIX_BUDGET)
+    sampled = sampling.mixture_hash_sample(
+        deduped, key="doc_id", stratum="source", rates=rates)
+
+    def stage(df: DataFrame, name: str, with_tokens: bool = False):
+        aggs = [F.count("*").alias(name)]
+        if with_tokens:
+            aggs.append(F.sum("n_tok").alias("sampled_tokens"))
+        return df.groupBy("source").agg(*aggs)
+
+    return (stage(docs, "n_input")
+            .join(stage(quality, "n_quality"), "source", "left")
+            .join(stage(deduped, "n_deduped"), "source", "left")
+            .join(stage(sampled, "n_sampled", with_tokens=True),
+                  "source", "left"))
+
+
+_PIPELINE_SQL = rf"""
+WITH d AS (SELECT doc_id, source, text,
+                  len(string_split_regex(text, '\s+')) AS n_tok
+           FROM documents),
+q AS (SELECT * FROM d
+      WHERE n_tok >= {_PIPE_MIN_TOK}
+        AND length(regexp_replace(text, '\s', '', 'g')) * 1.0 / n_tok
+            <= {_PIPE_MAX_MWL}),
+keep AS (SELECT md5(text) AS h, min(doc_id) AS keep_id
+         FROM q GROUP BY md5(text)),
+dd AS (SELECT q.* FROM q JOIN keep ON md5(q.text) = keep.h
+       WHERE q.doc_id = keep.keep_id),
+agg AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_tok) AS BIGINT) AS mass
+        FROM dd GROUP BY source),
+tot AS (SELECT CAST(sum(mass) AS DOUBLE) AS tm,
+               sum(pow(CAST(mass AS DOUBLE), {_MIX_ALPHA})) AS tp
+        FROM agg),
+rates AS (SELECT source,
+                 round(least(1.0,
+                       {_MIX_BUDGET} * (pow(CAST(mass AS DOUBLE),
+                                            {_MIX_ALPHA}) / tp)
+                       * tm / mass), 6) AS rate
+          FROM agg, tot),
+sampled AS (SELECT dd.source, dd.doc_id, dd.n_tok
+            FROM dd JOIN rates USING (source)
+            WHERE CAST(('0x' || substr(md5('mix:' ||
+                        CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+                  % 10000
+                  < CAST(floor(round(rate * 10000, 3)) AS BIGINT))
+SELECT i.source,
+       i.n_input, qq.n_quality, ddc.n_deduped, s.n_sampled,
+       s.sampled_tokens
+FROM (SELECT source, CAST(count(*) AS BIGINT) AS n_input
+      FROM d GROUP BY source) i
+LEFT JOIN (SELECT source, CAST(count(*) AS BIGINT) AS n_quality
+           FROM q GROUP BY source) qq USING (source)
+LEFT JOIN (SELECT source, CAST(count(*) AS BIGINT) AS n_deduped
+           FROM dd GROUP BY source) ddc USING (source)
+LEFT JOIN (SELECT source, CAST(count(*) AS BIGINT) AS n_sampled,
+                  CAST(sum(n_tok) AS BIGINT) AS sampled_tokens
+           FROM sampled GROUP BY source) s USING (source)
+"""
+
+
+QUERIES["corpus_curation_pipeline"] = corpus_curation_pipeline
+ORACLES["corpus_curation_pipeline"] = _PIPELINE_SQL

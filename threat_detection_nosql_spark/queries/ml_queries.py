@@ -110,3 +110,147 @@ QUERIES = {
 }
 
 ORACLES: dict[str, str] = {}  # rows-only by construction
+
+
+# ---------------------------------------------------------------------------
+# Deterministic, ORACLE-CHECKED KMeans anomaly detector (A13/M4 on the
+# fixed-iteration Lloyd quantizer — the one detector whose every value a
+# SQL engine can replay, unlike the Spark-ML/RNG-backed family above)
+# ---------------------------------------------------------------------------
+
+_KF_FEATURES = [
+    "total_activities", "after_hours_activities", "weekend_activities",
+    "unique_systems", "unique_resources", "activity_types",
+    "after_hours_ratio", "weekend_ratio",
+]
+_KF_K = 2
+_KF_ITERS = 2
+
+
+def kmeans_fixed_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end oracle-checkable anomaly detection: the A10 per-user
+    feature matrix → exact min-max scaling (A17) → k=2 fixed-iteration
+    Lloyd (deterministic seeds, no RNG) → smaller cluster = anomaly
+    (A13). Every intermediate is IEEE-reproducible, so the DuckDB
+    oracle replays feature build, scaling, both Lloyd iterations and
+    the final flags value-for-value — the correctness standard the
+    RNG-backed detectors can only meet with planted-fixture tests."""
+    from pyspark.sql import functions as F
+
+    from threat_detection_nosql_spark.operators.clustering import (
+        kmeans_fixed,
+    )
+    from threat_detection_nosql_spark.operators.etl import activity_log
+
+    log = activity_log(spark, sf_dir)
+    divisor = F.when(F.col("total_activities") > 0,
+                     F.col("total_activities")).otherwise(F.lit(1))
+    base = (log.groupBy("user").agg(
+        F.count("*").alias("total_activities"),
+        F.sum(F.when(F.col("is_after_hours") == 1, 1).otherwise(0))
+         .alias("after_hours_activities"),
+        F.sum(F.when(F.col("is_weekend") == 1, 1).otherwise(0))
+         .alias("weekend_activities"),
+        F.countDistinct("pc").alias("unique_systems"),
+        F.countDistinct("resource").alias("unique_resources"),
+        F.countDistinct("activity").alias("activity_types"))
+        .withColumn("after_hours_ratio",
+                    F.round(F.col("after_hours_activities") / divisor, 6))
+        .withColumn("weekend_ratio",
+                    F.round(F.col("weekend_activities") / divisor, 6)))
+    mm = base.agg(*[f for c in _KF_FEATURES
+                    for f in (F.min(c).alias(f"mn_{c}"),
+                              F.max(c).alias(f"mx_{c}"))])
+    span = {c: F.when(F.col(f"mx_{c}") > F.col(f"mn_{c}"),
+                      F.col(f"mx_{c}") - F.col(f"mn_{c}"))
+            .otherwise(F.lit(1.0)) for c in _KF_FEATURES}
+    vecs = (base.crossJoin(F.broadcast(mm))
+            .select(F.col("user").alias("vec_id"),
+                    F.array(*[((F.col(c) - F.col(f"mn_{c}")) / span[c])
+                              .cast("double")
+                              for c in _KF_FEATURES]).alias("v")))
+    assigned, _cent = kmeans_fixed(vecs, k=_KF_K, n_iters=_KF_ITERS)
+    sizes = assigned.groupBy("cell").agg(F.count("*").alias("n"))
+    pick = sizes.agg(
+        F.min_by("cell", F.struct("n", "cell")).alias("anom_cell"))
+    return (assigned.crossJoin(F.broadcast(pick))
+            .select(F.col("vec_id").alias("user"),
+                    F.col("cell").alias("cluster"),
+                    (F.col("cell") == F.col("anom_cell")).cast("int")
+                    .alias("is_anomaly"),
+                    F.round("dist", 6).alias("dist_to_centroid")))
+
+
+def _kf_sql() -> str:
+    feats = _KF_FEATURES
+    mins = ",\n         ".join(
+        f"min({c}) AS mn_{c}, max({c}) AS mx_{c}" for c in feats)
+    scaled = ",\n        ".join(
+        f"(({c} - mn_{c}) / CASE WHEN mx_{c} > mn_{c} "
+        f"THEN mx_{c} - mn_{c} ELSE 1.0 END)::DOUBLE AS {c}"
+        for c in feats)
+    vec = ", ".join(feats)
+    assign = (
+        "{out} AS (SELECT vec_id, v, cell, dist FROM (\n"
+        "  SELECT e.vec_id, e.v, c.cell, list_distance(e.v, c.cv) AS dist,\n"
+        "         row_number() OVER (PARTITION BY e.vec_id\n"
+        "           ORDER BY list_distance(e.v, c.cv), c.cell) AS rn\n"
+        "  FROM emb e CROSS JOIN {cent} c) t WHERE rn = 1)")
+    update = (
+        "{out} AS (SELECT cell, list(val ORDER BY pos) AS cv FROM (\n"
+        "  SELECT cell, pos, avg(v[pos]) AS val\n"
+        "  FROM {asg}, LATERAL (SELECT unnest(range(1, len(v) + 1))\n"
+        "                       AS pos) ix\n"
+        "  GROUP BY cell, pos) s GROUP BY cell)")
+    ctes = [
+        """log AS (
+  SELECT user_id AS user, event_id % 13 AS pc, event_type AS activity,
+         TRY_CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT)
+           AS resource,
+         CASE WHEN isodow(ts) - 1 >= 5 THEN 1 ELSE 0 END AS is_weekend,
+         CASE WHEN hour(ts) < 8 OR hour(ts) > 18 THEN 1 ELSE 0 END
+           AS is_after_hours
+  FROM events)""",
+        """base AS (
+  SELECT user,
+         count(*) AS total_activities,
+         sum(CASE WHEN is_after_hours = 1 THEN 1 ELSE 0 END)
+           AS after_hours_activities,
+         sum(CASE WHEN is_weekend = 1 THEN 1 ELSE 0 END)
+           AS weekend_activities,
+         count(DISTINCT pc) AS unique_systems,
+         count(DISTINCT resource) AS unique_resources,
+         count(DISTINCT activity) AS activity_types,
+         round(sum(CASE WHEN is_after_hours = 1 THEN 1 ELSE 0 END) * 1.0
+               / (CASE WHEN count(*) > 0 THEN count(*) ELSE 1 END), 6)
+           AS after_hours_ratio,
+         round(sum(CASE WHEN is_weekend = 1 THEN 1 ELSE 0 END) * 1.0
+               / (CASE WHEN count(*) > 0 THEN count(*) ELSE 1 END), 6)
+           AS weekend_ratio
+  FROM log GROUP BY user)""",
+        f"mm AS (SELECT {mins} FROM base)",
+        f"""sc AS (SELECT user,
+        {scaled}
+        FROM base CROSS JOIN mm)""",
+        f"emb AS (SELECT user AS vec_id, [{vec}]::DOUBLE[] AS v FROM sc)",
+        f"c0 AS (SELECT CAST(vec_id AS INT) AS cell, v AS cv FROM emb "
+        f"WHERE vec_id < {_KF_K})",
+    ]
+    for i in range(_KF_ITERS):
+        ctes.append(assign.format(out=f"a{i + 1}", cent=f"c{i}"))
+        ctes.append(update.format(out=f"c{i + 1}", asg=f"a{i + 1}"))
+    final = f"a{_KF_ITERS + 1}"
+    ctes.append(assign.format(out=final, cent=f"c{_KF_ITERS}"))
+    ctes.append(f"sizes AS (SELECT cell, count(*) AS n FROM {final} "
+                f"GROUP BY cell)")
+    ctes.append("pick AS (SELECT cell AS anom_cell FROM sizes "
+                "ORDER BY n, cell LIMIT 1)")
+    return ("WITH " + ",\n".join(ctes) + f"""
+SELECT vec_id AS user, cell AS cluster,
+       CASE WHEN cell = anom_cell THEN 1 ELSE 0 END AS is_anomaly,
+       round(dist, 6) AS dist_to_centroid
+FROM {final} CROSS JOIN pick""")
+
+
+QUERIES["kmeans_fixed_anomalies"] = kmeans_fixed_anomalies
+ORACLES["kmeans_fixed_anomalies"] = _kf_sql()
