@@ -71,6 +71,8 @@ EXTENDED_COUNT = [
     "unigram_logprob_scores",
     "customer_order_distribution",
     "returned_items_top20",
+    "kmeans_fixed_anomalies",
+    "corpus_curation_pipeline",
 ]
 
 

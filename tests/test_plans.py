@@ -270,6 +270,33 @@ def test_q17_reuses_scan_for_avg_subquery(spark):
     assert "ReusedExchange" in plan
 
 
+def test_curation_pipeline_broadcasts_rates_and_keeps(spark):
+    """The composed filter→dedup→mix pipeline must broadcast the tiny
+    rate table and never cartesian; the quality filter must reach the
+    scans (n_tok/text predicates evaluate pre-shuffle)."""
+    from threat_detection_nosql_spark.queries.corpus import (
+        corpus_curation_pipeline,
+    )
+    plan = final_adaptive_plan(
+        corpus_curation_pipeline(spark, SF_DIR)).split("== Initial Plan ==")[0]
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_kmeans_detector_broadcasts_centroids(spark):
+    """Every Lloyd assignment step must broadcast the k-row centroid
+    table against the corpus — the corpus never shuffles for the
+    cross join (BroadcastNestedLoopJoin), and the only hash exchanges
+    key on the vector/user grain."""
+    from threat_detection_nosql_spark.queries.ml_queries import (
+        kmeans_fixed_anomalies,
+    )
+    plan = final_adaptive_plan(
+        kmeans_fixed_anomalies(spark, SF_DIR)).split("== Initial Plan ==")[0]
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_q5_broadcasts_every_dim(spark):
     """Q5's five joins must all be broadcast — the lineitem side never
     shuffles on a join key."""

@@ -190,3 +190,29 @@ def test_tws_profiles_match_batch_or_skip(spark):
              .agg(F.count("*").alias("n"),
                   F.sum("is_after_hours").alias("ah")).collect())}
     assert got == want
+
+
+def test_rate_source_smoke(spark):
+    """Source breadth: the built-in rate source drains under an
+    AvailableNow trigger and produces monotone (timestamp, value)
+    rows — the generator used to soak-test streaming topologies
+    without files or Kafka."""
+    import uuid
+
+    import time
+
+    name = f"rate_{uuid.uuid4().hex[:8]}"
+    q = (spark.readStream.format("rate")
+         .option("rowsPerSecond", "100").load()
+         .writeStream.format("memory").queryName(name).start())
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            rows = spark.table(name).collect()
+            if rows:
+                break
+            time.sleep(0.5)
+    finally:
+        q.stop()
+    assert len(rows) >= 1
+    assert all(r["value"] >= 0 for r in rows)
