@@ -637,3 +637,97 @@ WHERE levenshtein(a.pre, b.pre) <= {_ED_MAX}
 
 QUERIES["edit_distance_near_dups"] = edit_distance_near_dups
 ORACLES["edit_distance_near_dups"] = _EDIT_DIST_SQL
+
+
+# -- D6: word-vocab construction + coverage (tokenizer-prep stats) -----------
+
+_VOCAB_SIZE = 256
+
+
+def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-prep report: build the top-N word vocabulary (count
+    desc, token asc — the deterministic truncation every tokenizer
+    trainer runs first), then measure per-source coverage: what
+    fraction of token OCCURRENCES the vocab captures and the OOV rate
+    a word-level model would face.
+
+    Two aggs over one tokenization: the vocab is a map-combined count
+    + TakeOrdered truncation (driver holds N rows, broadcast back);
+    coverage joins tokens→vocab per source — the stopword-heavy keys
+    are exactly the map-combinable ones, so the shuffle stays
+    |vocab|-bounded per partition."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = (docs.select(
+        "source", F.explode(F.split(F.col("text"), r"\s+")).alias("token"))
+        .filter(F.col("token") != ""))
+    vocab = (toks.groupBy("token").agg(F.count("*").alias("tf"))
+             .orderBy(F.desc("tf"), F.asc("token"))
+             .limit(_VOCAB_SIZE)
+             .select("token"))
+    flagged = toks.join(F.broadcast(vocab.withColumn("in_vocab", F.lit(1))),
+                        "token", "left")
+    return (flagged.groupBy("source")
+            .agg(F.count("*").alias("n_tokens"),
+                 F.countDistinct("token").alias("n_types"),
+                 F.round(F.sum(F.coalesce(F.col("in_vocab"), F.lit(0)))
+                         / F.count("*"), 6).alias("vocab_coverage"),
+                 F.round(F.sum(F.when(F.col("in_vocab").isNull(), 1)
+                               .otherwise(0)) / F.count("*"), 6)
+                 .alias("oov_rate")))
+
+
+_VOCAB_COVERAGE_SQL = rf"""
+WITH toks AS (SELECT source,
+                     unnest(string_split_regex(text, '\s+')) AS token
+              FROM documents),
+t AS (SELECT * FROM toks WHERE token <> ''),
+vocab AS (SELECT token FROM (
+            SELECT token, count(*) AS tf FROM t GROUP BY token
+            ORDER BY tf DESC, token ASC LIMIT {_VOCAB_SIZE})),
+flagged AS (SELECT t.source, t.token,
+                   CASE WHEN v.token IS NULL THEN 0 ELSE 1 END AS in_vocab
+            FROM t LEFT JOIN vocab v ON t.token = v.token)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(count(DISTINCT token) AS BIGINT) AS n_types,
+       round(sum(in_vocab) * 1.0 / count(*), 6) AS vocab_coverage,
+       round(sum(1 - in_vocab) * 1.0 / count(*), 6) AS oov_rate
+FROM flagged GROUP BY source
+"""
+
+
+# -- D7: cross-source duplicate leakage (train/eval contamination check) -----
+
+def cross_source_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-content collisions across DIFFERENT sources — the
+    train/eval leakage a split-by-source design must audit before
+    training. One hash agg: groups whose docs span ≥2 sources, with
+    the colliding source set (sorted for determinism)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (docs.groupBy(F.md5("text").alias("text_hash"))
+            .agg(F.countDistinct("source").alias("n_sources"),
+                 F.count("*").alias("n_docs"),
+                 F.array_sort(F.collect_set("source")).alias("sources"),
+                 F.min("doc_id").alias("min_doc_id"))
+            .filter(F.col("n_sources") >= 2)
+            .select("text_hash", "n_sources", "n_docs",
+                    F.to_json("sources").alias("sources_json"),
+                    "min_doc_id"))
+
+
+_LEAKAGE_SQL = """
+SELECT md5(text) AS text_hash,
+       CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       to_json(list_sort(list_distinct(list(source)))) AS sources_json,
+       min(doc_id) AS min_doc_id
+FROM documents
+GROUP BY md5(text)
+HAVING count(DISTINCT source) >= 2
+"""
+
+
+QUERIES["vocab_coverage"] = vocab_coverage
+QUERIES["cross_source_leakage"] = cross_source_leakage
+ORACLES["vocab_coverage"] = _VOCAB_COVERAGE_SQL
+ORACLES["cross_source_leakage"] = _LEAKAGE_SQL
