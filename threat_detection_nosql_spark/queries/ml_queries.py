@@ -168,7 +168,12 @@ def kmeans_fixed_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.col("user").alias("vec_id"),
                     F.array(*[((F.col(c) - F.col(f"mn_{c}")) / span[c])
                               .cast("double")
-                              for c in _KF_FEATURES]).alias("v")))
+                              for c in _KF_FEATURES]).alias("v"))
+            # |users| rows; the lazy Lloyd lineage references this
+            # subtree once per iteration branch — cached, the heavy
+            # events scan + Expand agg underneath runs once, not ~8×
+            # (measured 4.0s → ~1s at sf0.1)
+            .cache())
     assigned, _cent = kmeans_fixed(vecs, k=_KF_K, n_iters=_KF_ITERS)
     sizes = assigned.groupBy("cell").agg(F.count("*").alias("n"))
     pick = sizes.agg(
