@@ -297,6 +297,65 @@ def test_kmeans_detector_broadcasts_centroids(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_rolling_week_is_single_exchange_range_frame(spark):
+    """The trailing-7-day window must be a RANGE frame over ONE
+    custkey exchange — event-time frames never fall back to a
+    self-join."""
+    from threat_detection_nosql_spark.queries.relational import (
+        rolling_week_order_value,
+    )
+    plan = final_adaptive_plan(
+        rolling_week_order_value(spark, SF_DIR)).split("== Initial Plan ==")[0]
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "rangeframe" in plan.lower()  # specifiedwindowframe(RangeFrame,…)
+
+
+def test_modal_activity_prunes_via_window_group_limit(spark):
+    """Per-group mode must prune map-side (WindowGroupLimit): the
+    window exchange carries candidate rows, not the full (user,
+    activity) count matrix."""
+    from threat_detection_nosql_spark.queries.relational import (
+        user_modal_activity,
+    )
+    plan = final_adaptive_plan(
+        user_modal_activity(spark, SF_DIR)).split("== Initial Plan ==")[0]
+    assert "WindowGroupLimit" in plan
+
+
+def test_vocab_truncation_is_topk_and_broadcast(spark):
+    """Vocab build must truncate via TakeOrderedAndProject (driver
+    holds N rows) and re-attach as a broadcast join — the token stream
+    never shuffles on the join."""
+    from threat_detection_nosql_spark.queries.pipeline import vocab_coverage
+    plan = final_adaptive_plan(
+        vocab_coverage(spark, SF_DIR)).split("== Initial Plan ==")[0]
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_scd2_merge_is_zero_exchange(spark):
+    """The SCD2 upsert must compile to unioned scan branches — zero
+    exchanges, the copy-on-write rewrite shape."""
+    from threat_detection_nosql_spark.queries.relational import (
+        customer_scd2_merge,
+    )
+    plan = final_adaptive_plan(customer_scd2_merge(spark, SF_DIR))
+    assert "Exchange" not in plan
+    assert "Union" in plan
+
+
+def test_quality_report_fk_check_is_broadcast_anti(spark):
+    """The FK-orphan rule must run as a broadcast left-anti join; the
+    per-rule counts union tiny aggregates."""
+    from threat_detection_nosql_spark.queries.cleaning import (
+        data_quality_report,
+    )
+    plan = final_adaptive_plan(
+        data_quality_report(spark, SF_DIR)).split("== Initial Plan ==")[0]
+    assert "LeftAnti" in plan
+    assert "BroadcastHashJoin" in plan
+
+
 def test_q5_broadcasts_every_dim(spark):
     """Q5's five joins must all be broadcast — the lineitem side never
     shuffles on a join key."""
