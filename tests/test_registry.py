@@ -1,0 +1,46 @@
+"""Registry invariants the driver contract depends on: every oracle
+belongs to a registered query, names never collide across modules, and
+every query is a callable with the (spark, sf_dir) signature."""
+
+from __future__ import annotations
+
+import inspect
+
+from threat_detection_nosql_spark import queries as Q
+
+_MODULES = ["threat", "relational", "pipeline", "corpus", "advanced",
+            "graph_queries", "metrics", "ml_queries",
+            "streaming_queries", "temporal", "tpch", "cleaning"]
+
+
+def _modules():
+    import importlib
+    return {m: importlib.import_module(
+        f"threat_detection_nosql_spark.queries.{m}") for m in _MODULES}
+
+
+def test_every_oracle_has_a_query():
+    for name, mod in _modules().items():
+        missing = set(mod.ORACLES) - set(mod.QUERIES)
+        assert not missing, f"{name}: oracles without queries {missing}"
+
+
+def test_no_cross_module_name_collisions():
+    seen: dict[str, str] = {}
+    for name, mod in _modules().items():
+        for q in mod.QUERIES:
+            assert q not in seen, \
+                f"{q} defined in both {seen[q]} and {name}"
+            seen[q] = name
+
+
+def test_all_queries_merge_is_complete():
+    merged = Q.all_queries()
+    per_module = sum(len(m.QUERIES) for m in _modules().values())
+    assert len(merged) == per_module
+
+
+def test_queries_take_spark_and_sf_dir():
+    for q, fn in Q.all_queries().items():
+        params = list(inspect.signature(fn).parameters)
+        assert len(params) >= 2, f"{q} has signature {params}"
