@@ -141,6 +141,21 @@ FROM ev GROUP BY user
 """
 
 
+def stream_after_hours_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship threat query as a live complete-mode leaderboard
+    (streaming sort+limit)."""
+    return S.streaming_after_hours_top10(spark, sf_dir)
+
+
+_STREAM_TOP10_SQL = _EVENTS_CTE + """
+SELECT user, CAST(count(*) AS BIGINT) AS after_hours_count
+FROM ev WHERE is_after_hours = 1
+GROUP BY user
+ORDER BY after_hours_count DESC, user ASC
+LIMIT 10
+"""
+
+
 def stream_deduped_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming dedup (dropDuplicatesWithinWatermark) then per-user
     counts; the testdata has unique event_ids so the batch oracle is a
@@ -188,6 +203,7 @@ QUERIES = {
     "stream_model_scores": stream_model_scores,
     "stream_deduped_counts": stream_deduped_counts,
     "stream_purchase_error_pairs": stream_purchase_error_pairs,
+    "stream_after_hours_top10": stream_after_hours_top10,
 }
 
 if _tws_available():
@@ -199,6 +215,7 @@ ORACLES = {
     "stream_sliding_type_counts": _SLIDING_SQL,
     "stream_session_windows": _SESSION_SQL,
     "stream_anomaly_flags": _ANOMALY_FLAGS_SQL,
+    "stream_after_hours_top10": _STREAM_TOP10_SQL,
     # stream_stateful_profiles: rows-only (applyInPandasWithState)
     "stream_deduped_counts": """
 WITH d AS (SELECT DISTINCT ON (event_id) user_id AS user FROM events)

@@ -417,3 +417,20 @@ def tws_user_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("user").orderBy(F.desc("total_activities"))
     return (out.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") == 1).drop("_rn"))
+
+
+def streaming_after_hours_top10(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """The flagship reference query (top-10 users by after-hours
+    activity, `neo4j_analysis.py:15-22`) as a LIVE leaderboard:
+    complete-mode streaming aggregation + sort + limit — the only
+    output mode where ordering/limit are legal, and the right one for
+    a small always-current ranking (state = |users| counts, output =
+    10 rows per trigger)."""
+    ev = events_stream(spark, sf_dir)
+    top = (ev.filter(F.col("is_after_hours") == 1)
+           .groupBy("user")
+           .agg(F.count("*").alias("after_hours_count"))
+           .orderBy(F.desc("after_hours_count"), F.asc("user"))
+           .limit(10))
+    return run_stream_to_table(top, mode="complete")
