@@ -818,3 +818,48 @@ LEFT JOIN (SELECT source, CAST(count(*) AS BIGINT) AS n_sampled,
 
 QUERIES["corpus_curation_pipeline"] = corpus_curation_pipeline
 ORACLES["corpus_curation_pipeline"] = _PIPELINE_SQL
+
+
+# ---------------------------------------------------------------------------
+# C13: per-domain capping (deterministic "reservoir": keep K per stratum)
+# ---------------------------------------------------------------------------
+
+_CAP_PER_SOURCE = 40
+
+
+def domain_capped_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cap every source at K documents — the anti-domination rule of
+    web-corpus curation (no crawl domain may swamp the mixture). The
+    kept set is the K smallest portable hashes per source: exactly a
+    K-item reservoir sample, but partition-invariant and replayable
+    (a seeded reservoir depends on encounter order; the hash rank does
+    not). WindowGroupLimit prunes to ≤K rows per map task before the
+    per-source exchange."""
+    from pyspark.sql.window import Window as W
+    docs = load_table(spark, sf_dir, "documents")
+    h = sampling.hash_bucket(F.col("doc_id"), salt="cap")
+    w = W.partitionBy("source").orderBy(F.asc("h"), F.asc("doc_id"))
+    return (docs.select("doc_id", "source", h.alias("h"))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= _CAP_PER_SOURCE)
+            .select("doc_id", "source",
+                    F.col("rn").cast("int").alias("rank_in_source")))
+
+
+_DOMAIN_CAP_SQL = f"""
+WITH h AS (SELECT doc_id, source,
+                  CAST(('0x' || substr(md5('cap:' ||
+                       CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+                  % 10000 AS h
+           FROM documents)
+SELECT doc_id, source, CAST(rn AS INT) AS rank_in_source
+FROM (SELECT doc_id, source,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY h ASC, doc_id ASC) AS rn
+      FROM h) t
+WHERE rn <= {_CAP_PER_SOURCE}
+"""
+
+
+QUERIES["domain_capped_sample"] = domain_capped_sample
+ORACLES["domain_capped_sample"] = _DOMAIN_CAP_SQL

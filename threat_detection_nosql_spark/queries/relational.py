@@ -724,3 +724,67 @@ def sql_segment_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["sql_segment_summary"] = sql_segment_summary
 ORACLES["sql_segment_summary"] = _SEGMENT_SUMMARY_SQL
+
+
+# -- R-hist: equi-width + equi-depth value histograms ------------------------
+
+_HIST_BUCKETS = 10
+_HIST_LO, _HIST_HI = 0.0, 60000.0
+
+
+def order_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both histogram families over o_totalprice in one pass: the
+    equi-width bucket is a pure `width_bucket` expression (scan-side,
+    map-combined counts), the equi-depth bucket an `ntile` window
+    (one global sort exchange — the price of exact quantile edges;
+    the approx path is percentile_approx in value_quantiles). Output:
+    one row per (kind, bucket) with count + value span."""
+    orders = load_table(spark, sf_dir, "orders")
+    ew = (orders
+          .select(F.width_bucket("o_totalprice", F.lit(_HIST_LO),
+                                 F.lit(_HIST_HI), F.lit(_HIST_BUCKETS))
+                  .cast("int").alias("bucket"),
+                  "o_totalprice")
+          .groupBy("bucket")
+          .agg(F.count("*").alias("n"),
+               F.round(F.min("o_totalprice"), 4).alias("lo"),
+               F.round(F.max("o_totalprice"), 4).alias("hi"))
+          .withColumn("kind", F.lit("equi_width")))
+    ed = (orders
+          .select(F.ntile(_HIST_BUCKETS).over(
+              Window.orderBy(F.asc("o_totalprice"), F.asc("o_orderkey")))
+              .alias("bucket"), "o_totalprice")
+          .groupBy("bucket")
+          .agg(F.count("*").alias("n"),
+               F.round(F.min("o_totalprice"), 4).alias("lo"),
+               F.round(F.max("o_totalprice"), 4).alias("hi"))
+          .withColumn("kind", F.lit("equi_depth")))
+    return ew.unionByName(ed).select("kind", "bucket", "n", "lo", "hi")
+
+
+_HISTOGRAM_SQL = f"""
+SELECT 'equi_width' AS kind,
+       CAST(CASE WHEN o_totalprice < {_HIST_LO} THEN 0
+                 WHEN o_totalprice >= {_HIST_HI} THEN {_HIST_BUCKETS} + 1
+                 ELSE 1 + floor((o_totalprice - {_HIST_LO})
+                           / (({_HIST_HI} - {_HIST_LO})
+                              / {_HIST_BUCKETS}))
+            END AS INT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n,
+       round(min(o_totalprice), 4) AS lo,
+       round(max(o_totalprice), 4) AS hi
+FROM orders GROUP BY 2
+UNION ALL
+SELECT 'equi_depth', bucket, CAST(count(*) AS BIGINT),
+       round(min(o_totalprice), 4), round(max(o_totalprice), 4)
+FROM (SELECT CAST(ntile({_HIST_BUCKETS}) OVER (
+               ORDER BY o_totalprice ASC, o_orderkey ASC) AS INT)
+               AS bucket,
+             o_totalprice
+      FROM orders) t
+GROUP BY bucket
+"""
+
+
+QUERIES["order_value_histogram"] = order_value_histogram
+ORACLES["order_value_histogram"] = _HISTOGRAM_SQL
