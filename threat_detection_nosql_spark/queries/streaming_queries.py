@@ -109,7 +109,27 @@ HAVING count(*) >= 3
 
 
 def stream_stateful_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """applyInPandasWithState running profile, deduped to each user's
+    final emitted row — counts are monotone in batch order, so the
+    post-drain state equals the batch aggregate and the custom
+    stateful operator is fully oracle-checkable (the ratio is one
+    exact integer division, IEEE-identical in both engines)."""
     return S.stateful_user_profiles(spark, sf_dir)
+
+
+_STATEFUL_PROFILES_SQL = _EVENTS_CTE + """
+, we AS (
+  SELECT user, is_after_hours,
+         CASE WHEN isodow(ts) - 1 >= 5 THEN 1 ELSE 0 END AS is_weekend
+  FROM ev
+)
+SELECT user,
+       CAST(count(*) AS BIGINT) AS total_activities,
+       CAST(sum(is_after_hours) AS BIGINT) AS after_hours_activities,
+       CAST(sum(is_weekend) AS BIGINT) AS weekend_activities,
+       sum(is_after_hours) * 1.0 / count(*) AS after_hours_ratio
+FROM we GROUP BY user
+"""
 
 
 def _tws_available() -> bool:
@@ -216,7 +236,7 @@ ORACLES = {
     "stream_session_windows": _SESSION_SQL,
     "stream_anomaly_flags": _ANOMALY_FLAGS_SQL,
     "stream_after_hours_top10": _STREAM_TOP10_SQL,
-    # stream_stateful_profiles: rows-only (applyInPandasWithState)
+    "stream_stateful_profiles": _STATEFUL_PROFILES_SQL,
     "stream_deduped_counts": """
 WITH d AS (SELECT DISTINCT ON (event_id) user_id AS user FROM events)
 SELECT user, CAST(count(*) AS BIGINT) AS n_events FROM d GROUP BY user
