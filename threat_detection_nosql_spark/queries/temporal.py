@@ -252,3 +252,44 @@ ORACLES = {
     "funnel_conversion": _FUNNEL_SQL,
     "cohort_retention": _COHORT_SQL,
 }
+
+
+def weekly_revenue_wow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week revenue delta: weekly rollup (map-combined, one
+    tiny exchange on the truncated week) then lag over the ordered
+    week series — the standard KPI time-series shape. The lag window
+    is a single global partition, but over |weeks| rows, not |orders|:
+    aggregate first, window the aggregate."""
+    from pyspark.sql.window import Window as W
+
+    from threat_detection_nosql_spark.sources.readers import load_table
+    orders = load_table(spark, sf_dir, "orders")
+    weekly = (orders
+              .groupBy(F.date_trunc("week", "o_orderdate").alias("week"))
+              .agg(F.round(F.sum("o_totalprice"), 4).alias("revenue"),
+                   F.count("*").alias("n_orders")))
+    w = W.orderBy("week")
+    prev = F.lag("revenue").over(w)
+    return (weekly
+            .withColumn("prev_revenue", prev)
+            .withColumn("wow_pct",
+                        F.round(100.0 * (F.col("revenue") - prev)
+                                / prev, 6)))
+
+
+_WOW_SQL = """
+WITH weekly AS (
+  SELECT CAST(date_trunc('week', o_orderdate) AS TIMESTAMP) AS week,
+         round(sum(o_totalprice), 4) AS revenue,
+         CAST(count(*) AS BIGINT) AS n_orders
+  FROM orders GROUP BY 1)
+SELECT week, revenue, n_orders,
+       lag(revenue) OVER (ORDER BY week) AS prev_revenue,
+       round(100.0 * (revenue - lag(revenue) OVER (ORDER BY week))
+             / lag(revenue) OVER (ORDER BY week), 6) AS wow_pct
+FROM weekly
+"""
+
+
+QUERIES["weekly_revenue_wow"] = weekly_revenue_wow
+ORACLES["weekly_revenue_wow"] = _WOW_SQL
