@@ -158,16 +158,18 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def funnel_stage_times(log: DataFrame, stages: list[str],
-                       key: str = "user", ts: str = "ts",
+                       key: str | list[str] = "user", ts: str = "ts",
                        act: str = "activity") -> DataFrame:
     """Per-key ordered-funnel stage times: t1 = first stages[0] event,
     t_i = first stages[i-1] event strictly after t_{i-1} (NULL once a
-    stage is never reached). One exchange on ``key`` with |stages|
-    stacked windows (tests/test_plans.py pins the single shuffle);
+    stage is never reached). ``key`` may be composite (e.g.
+    [user, session]). One exchange on the key with |stages| stacked
+    windows (tests/test_plans.py pins the single shuffle);
     property-tested against a brute-force reference on arbitrary
     inputs (tests/test_property_funnel.py)."""
     from pyspark.sql.window import Window
-    w = Window.partitionBy(key)
+    keys = [key] if isinstance(key, str) else list(key)
+    w = Window.partitionBy(*keys)
     out = log
     prev = None
     for i, stage in enumerate(stages, start=1):
@@ -178,7 +180,7 @@ def funnel_stage_times(log: DataFrame, stages: list[str],
             f"t{i}", F.min(F.when(cond, F.col(ts))).over(w))
         prev = f"t{i}"
     cols = [f"t{i}" for i in range(1, len(stages) + 1)]
-    return out.groupBy(key).agg(
+    return out.groupBy(*keys).agg(
         *[F.first(c).alias(c) for c in cols])
 
 
@@ -293,3 +295,107 @@ FROM weekly
 
 QUERIES["weekly_revenue_wow"] = weekly_revenue_wow
 ORACLES["weekly_revenue_wow"] = _WOW_SQL
+
+
+def session_funnel_conversion(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """Within-session ordered funnel: the view→click→purchase chain
+    must complete INSIDE one 30-minute session (the product-analytics
+    definition of a converting visit, stricter than the lifetime
+    funnel above). Sessionization and the stacked stage windows share
+    one user-keyed sort: the session id is a running sum over the same
+    (user, ts) ordering the funnel windows use."""
+    from pyspark.sql.window import Window
+    log = activity_log(spark, sf_dir)
+    w = Window.partitionBy("user").orderBy("ts", "event_id")
+    gap = F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+    sess = (log.select(
+        "user", "ts", "event_id", "activity",
+        F.when(gap.isNull() | (gap > _SESSION_GAP_US), 1).otherwise(0)
+        .alias("is_new"))
+        .withColumn("session_id", F.sum("is_new").over(
+            w.rowsBetween(Window.unboundedPreceding, 0))))
+    per_session = funnel_stage_times(
+        sess, ["view", "click", "purchase"], key=["user", "session_id"])
+    return per_session.agg(
+        F.count("*").alias("sessions"),
+        F.count(F.col("t1")).alias("viewed"),
+        F.count(F.col("t2")).alias("clicked_after_view"),
+        F.count(F.col("t3")).alias("purchased_after_click"))
+
+
+_SESSION_FUNNEL_SQL = f"""
+{_LOG_CTE},
+l AS (SELECT user, ts, event_id, activity,
+             CASE WHEN lag(ts) OVER uw IS NULL
+                    OR epoch_us(ts) - epoch_us(lag(ts) OVER uw)
+                       > {_SESSION_GAP_US}
+                  THEN 1 ELSE 0 END AS is_new
+      FROM log
+      WINDOW uw AS (PARTITION BY user ORDER BY ts, event_id)),
+s AS (SELECT user, ts, activity,
+             sum(is_new) OVER (PARTITION BY user ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM l),
+w1 AS (SELECT *, min(CASE WHEN activity = 'view' THEN ts END)
+                   OVER sw AS t1
+       FROM s WINDOW sw AS (PARTITION BY user, session_id)),
+w2 AS (SELECT *, min(CASE WHEN activity = 'click' AND ts > t1 THEN ts END)
+                   OVER sw AS t2
+       FROM w1 WINDOW sw AS (PARTITION BY user, session_id)),
+w3 AS (SELECT *, min(CASE WHEN activity = 'purchase' AND ts > t2 THEN ts
+                     END) OVER sw AS t3
+       FROM w2 WINDOW sw AS (PARTITION BY user, session_id)),
+ps AS (SELECT user, session_id, any_value(t1) AS t1, any_value(t2) AS t2,
+              any_value(t3) AS t3
+       FROM w3 GROUP BY user, session_id)
+SELECT CAST(count(*) AS BIGINT) AS sessions,
+       CAST(count(t1) AS BIGINT) AS viewed,
+       CAST(count(t2) AS BIGINT) AS clicked_after_view,
+       CAST(count(t3) AS BIGINT) AS purchased_after_click
+FROM ps
+"""
+
+
+def purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: each purchase credits the user's most
+    recent preceding click (the as-of backward join again, with a
+    different payload), rolled up per user — n_purchases, how many had
+    an attributable click, and the mean click→purchase gap."""
+    from threat_detection_nosql_spark.operators.temporal_joins import (
+        asof_backward_join,
+    )
+    log = activity_log(spark, sf_dir)
+    purchases = (log.filter(F.col("activity") == "purchase")
+                 .select("event_id", "user", "ts"))
+    clicks = (log.filter(F.col("activity") == "click")
+              .select("user", "ts").distinct()
+              .withColumn("click_ts", F.col("ts")))
+    att = asof_backward_join(purchases, clicks, key="user", ts="ts",
+                             payload="click_ts")
+    gap = F.unix_micros("ts") - F.unix_micros("asof_click_ts")
+    return (att.groupBy("user")
+            .agg(F.count("*").alias("n_purchases"),
+                 F.count("asof_click_ts").alias("n_attributed"),
+                 F.round(F.avg(gap) / 1e6, 4).alias("mean_gap_s")))
+
+
+_ATTRIBUTION_SQL = f"""
+{_LOG_CTE},
+p AS (SELECT event_id, user, ts FROM log WHERE activity = 'purchase'),
+c AS (SELECT DISTINCT user, ts FROM log WHERE activity = 'click'),
+att AS (SELECT p.user, p.ts, c.ts AS click_ts
+        FROM p ASOF LEFT JOIN c
+          ON p.user = c.user AND p.ts >= c.ts)
+SELECT user, CAST(count(*) AS BIGINT) AS n_purchases,
+       CAST(count(click_ts) AS BIGINT) AS n_attributed,
+       round(avg(epoch_us(ts) - epoch_us(click_ts)) / 1e6, 4)
+         AS mean_gap_s
+FROM att GROUP BY user
+"""
+
+
+QUERIES["session_funnel_conversion"] = session_funnel_conversion
+QUERIES["purchase_attribution"] = purchase_attribution
+ORACLES["session_funnel_conversion"] = _SESSION_FUNNEL_SQL
+ORACLES["purchase_attribution"] = _ATTRIBUTION_SQL
