@@ -385,3 +385,35 @@ ORACLES = {
     "user_features": _USER_FEATURES_SQL,
     "events_null_audit": _NULL_AUDIT_SQL,
 }
+
+
+def user_peak_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each user's most active hour via `max_by` (argmax WITHOUT a
+    window): two map-combined aggs, no sort anywhere. The tie-break is
+    encoded into the ordering value itself (count·100 + (23 − hour) →
+    earliest hour wins ties), because bare max_by/arg_max tie behavior
+    is engine-nondeterministic — the one rule that makes argmax
+    aggregates oracle-safe."""
+    log = activity_log(spark, sf_dir)
+    counts = (log.groupBy("user", "hour_of_day")
+              .agg(F.count("*").alias("c")))
+    ordv = F.col("c") * 100 + (23 - F.col("hour_of_day"))
+    return (counts.groupBy("user")
+            .agg(F.max_by("hour_of_day", ordv).cast("long")
+                 .alias("peak_hour"),
+                 F.max("c").alias("peak_count")))
+
+
+_PEAK_HOUR_SQL = f"""
+{_LOG_CTE},
+counts AS (SELECT user, hour_of_day, count(*) AS c
+           FROM log GROUP BY user, hour_of_day)
+SELECT user,
+       arg_max(hour_of_day, c * 100 + (23 - hour_of_day)) AS peak_hour,
+       CAST(max(c) AS BIGINT) AS peak_count
+FROM counts GROUP BY user
+"""
+
+
+QUERIES["user_peak_hour"] = user_peak_hour
+ORACLES["user_peak_hour"] = _PEAK_HOUR_SQL
