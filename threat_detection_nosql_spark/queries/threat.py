@@ -417,3 +417,43 @@ FROM counts GROUP BY user
 
 QUERIES["user_peak_hour"] = user_peak_hour
 ORACLES["user_peak_hour"] = _PEAK_HOUR_SQL
+
+
+_DORMANT_DAYS = 7
+
+
+def dormant_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Churn/offboarding signal: users whose LAST activity is more
+    than N days before the corpus horizon (max ts) — in insider-threat
+    terms, accounts gone quiet whose credentials still work. Per-user
+    max is one map-combined agg; the horizon is a 1-row broadcast
+    (scalar subquery), so no second fact scan."""
+    log = activity_log(spark, sf_dir)
+    last = log.groupBy("user").agg(F.max("ts").alias("last_ts"),
+                                   F.count("*").alias("lifetime_events"))
+    horizon = log.agg(F.max("ts").alias("horizon"))
+    idle_us = F.unix_micros("horizon") - F.unix_micros("last_ts")
+    return (last.crossJoin(F.broadcast(horizon))
+            .withColumn("idle_days",
+                        F.round(idle_us / (86400 * 1e6), 4))
+            .filter(F.col("idle_days") > _DORMANT_DAYS)
+            .select("user", "last_ts", "lifetime_events", "idle_days"))
+
+
+_DORMANT_SQL = f"""
+{_LOG_CTE},
+last AS (SELECT user, max(ts) AS last_ts,
+                CAST(count(*) AS BIGINT) AS lifetime_events
+         FROM log GROUP BY user),
+h AS (SELECT max(ts) AS horizon FROM log)
+SELECT user, last_ts, lifetime_events,
+       round((epoch_us(horizon) - epoch_us(last_ts)) / (86400 * 1e6), 4)
+         AS idle_days
+FROM last CROSS JOIN h
+WHERE (epoch_us(horizon) - epoch_us(last_ts)) / (86400 * 1e6)
+      > {_DORMANT_DAYS}
+"""
+
+
+QUERIES["dormant_users"] = dormant_users
+ORACLES["dormant_users"] = _DORMANT_SQL

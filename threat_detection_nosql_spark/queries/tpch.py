@@ -586,3 +586,42 @@ ORACLES = {
     "large_volume_customers": _Q18_SQL,
     "discounted_revenue": _Q19_SQL,
 }
+
+
+def monthly_return_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Return-rate time series: per ship month, the fraction of line
+    items (and of revenue) flagged 'R' — one conditional aggregate per
+    month bucket, the canonical ratio-over-time rollup. Shuffle is
+    |months| rows; everything else is map-side."""
+    li = load_table(spark, sf_dir, "lineitem")
+    ret = F.when(F.col("l_returnflag") == "R", 1).otherwise(0)
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (li.groupBy(F.date_trunc("month", "l_shipdate").alias("month"))
+            .agg(F.count("*").alias("n_lines"),
+                 F.sum(ret).alias("n_returned"),
+                 F.round(F.sum(ret) / F.count("*"), 6)
+                 .alias("return_rate"),
+                 F.round(F.sum(F.when(F.col("l_returnflag") == "R", rev)
+                               .otherwise(0.0)) / F.sum(rev), 6)
+                 .alias("returned_revenue_share")))
+
+
+_RETURN_RATE_SQL = """
+SELECT CAST(date_trunc('month', l_shipdate) AS TIMESTAMP) AS month,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_returned,
+       round(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) * 1.0
+             / count(*), 6) AS return_rate,
+       round(sum(CASE WHEN l_returnflag = 'R'
+                      THEN l_extendedprice * (1 - l_discount)
+                      ELSE 0.0 END)
+             / sum(l_extendedprice * (1 - l_discount)), 6)
+         AS returned_revenue_share
+FROM lineitem
+GROUP BY date_trunc('month', l_shipdate)
+"""
+
+
+QUERIES["monthly_return_rate"] = monthly_return_rate
+ORACLES["monthly_return_rate"] = _RETURN_RATE_SQL
