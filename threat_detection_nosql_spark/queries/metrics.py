@@ -278,3 +278,95 @@ ORACLES = {
     "percentile_threshold_flags": _PCTL_SQL,
     "feature_correlation_matrix": _corr_sql(),
 }
+
+
+def value_robust_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-type outlier screen: median + MAD (median absolute
+    deviation) and the count outside median ± 3·MAD — the
+    location/scale estimators that survive the very outliers they
+    hunt, unlike mean/stddev. Two exact-percentile aggregates chained
+    by broadcast joins (each stats side is |event_types| rows); at
+    100 TB both become percentile_approx with identical shape."""
+    from pyspark.sql import functions as F
+
+    from threat_detection_nosql_spark.sources.readers import load_table
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    med = (ev.groupBy("event_type")
+           .agg(F.expr("percentile(value, 0.5)").alias("med")))
+    dev = (ev.join(F.broadcast(med), "event_type")
+           .withColumn("adev", F.abs(F.col("value") - F.col("med"))))
+    mad = (dev.groupBy("event_type")
+           .agg(F.expr("percentile(adev, 0.5)").alias("mad")))
+    return (dev.join(F.broadcast(mad), "event_type")
+            .groupBy("event_type")
+            .agg(F.count("*").alias("n"),
+                 F.round(F.first("med"), 6).alias("median"),
+                 F.round(F.first("mad"), 6).alias("mad"),
+                 F.sum(F.when(F.col("adev") > 3 * F.col("mad"), 1)
+                       .otherwise(0)).alias("n_outliers")))
+
+
+_ROBUST_SQL = """
+WITH med AS (SELECT event_type, median(value) AS med
+             FROM events GROUP BY event_type),
+dev AS (SELECT e.event_type, abs(e.value - m.med) AS adev, m.med
+        FROM events e JOIN med m USING (event_type)),
+mad AS (SELECT event_type, median(adev) AS mad
+        FROM dev GROUP BY event_type)
+SELECT d.event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       round(any_value(d.med), 6) AS median,
+       round(any_value(ma.mad), 6) AS mad,
+       CAST(sum(CASE WHEN d.adev > 3 * ma.mad THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_outliers
+FROM dev d JOIN mad ma USING (event_type)
+GROUP BY d.event_type
+"""
+
+
+def benford_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law screen over order totals — the classic
+    book-cooking detector: observed first-significant-digit shares vs
+    the log10(1 + 1/d) expectation, with per-digit chi-square
+    contributions. Pure expressions (digit = first char of the
+    scientific mantissa); one 9-row aggregate."""
+    from pyspark.sql import functions as F
+
+    from threat_detection_nosql_spark.sources.readers import load_table
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice") > 0)
+    digit = F.substring(
+        F.format_string("%.6e", F.col("o_totalprice")), 1, 1).cast("int")
+    counts = (orders.select(digit.alias("digit"))
+              .groupBy("digit").agg(F.count("*").alias("n")))
+    total = counts.agg(F.sum("n").alias("total"))
+    exp_p = F.log10(1 + 1 / F.col("digit"))
+    return (counts.crossJoin(F.broadcast(total))
+            .select("digit", "n",
+                    F.round(F.col("n") / F.col("total"), 6)
+                    .alias("observed_p"),
+                    F.round(exp_p, 6).alias("expected_p"),
+                    F.round(F.pow(F.col("n") / F.col("total") - exp_p, 2)
+                            / exp_p, 6).alias("chi2_term")))
+
+
+_BENFORD_SQL = """
+WITH d AS (SELECT CAST(substr(format('{:.6e}', o_totalprice), 1, 1)
+                       AS INT) AS digit
+           FROM orders WHERE o_totalprice > 0),
+counts AS (SELECT digit, CAST(count(*) AS BIGINT) AS n
+           FROM d GROUP BY digit),
+tot AS (SELECT sum(n) AS total FROM counts)
+SELECT digit, n,
+       round(n / total, 6) AS observed_p,
+       round(log10(1 + 1.0 / digit), 6) AS expected_p,
+       round(pow(n / total - log10(1 + 1.0 / digit), 2)
+             / log10(1 + 1.0 / digit), 6) AS chi2_term
+FROM counts CROSS JOIN tot
+"""
+
+
+QUERIES["value_robust_stats"] = value_robust_stats
+QUERIES["benford_deviation"] = benford_deviation
+ORACLES["value_robust_stats"] = _ROBUST_SQL
+ORACLES["benford_deviation"] = _BENFORD_SQL
