@@ -370,3 +370,64 @@ QUERIES["value_robust_stats"] = value_robust_stats
 QUERIES["benford_deviation"] = benford_deviation
 ORACLES["value_robust_stats"] = _ROBUST_SQL
 ORACLES["benford_deviation"] = _BENFORD_SQL
+
+
+def spend_acctbal_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between customer account balance and
+    total spend — the monotone-association test that ignores the
+    heavy-tailed spend distribution (Pearson over average ranks).
+    Ranks are windowed (`rank + (ties−1)/2` = the canonical average
+    rank), the correlation is one algebraic aggregate over them; both
+    steps replay exactly in SQL, unlike sampled/approximate
+    correlation estimators."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from threat_detection_nosql_spark.sources.readers import load_table
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_acctbal")
+    spend = (load_table(spark, sf_dir, "orders")
+             .groupBy("o_custkey")
+             .agg(F.round(F.sum("o_totalprice"), 4).alias("spend")))
+    both = cust.join(spend, F.col("c_custkey") == F.col("o_custkey"))
+
+    def avg_rank(col):
+        return (F.rank().over(W.orderBy(F.col(col)))
+                + (F.count("*").over(W.partitionBy(F.col(col))) - 1) / 2.0)
+
+    ranked = both.select(avg_rank("c_acctbal").alias("rx"),
+                         avg_rank("spend").alias("ry"))
+    n = F.count("*")
+    sx = F.sum("rx")
+    sy = F.sum("ry")
+    sxy = F.sum(F.col("rx") * F.col("ry"))
+    sxx = F.sum(F.col("rx") * F.col("rx"))
+    syy = F.sum(F.col("ry") * F.col("ry"))
+    rho = ((n * sxy - sx * sy)
+           / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)))
+    return ranked.agg(n.alias("n_customers"),
+                      F.round(rho, 6).alias("spearman_rho"))
+
+
+_SPEARMAN_SQL = """
+WITH spend AS (SELECT o_custkey, round(sum(o_totalprice), 4) AS spend
+               FROM orders GROUP BY o_custkey),
+b AS (SELECT c_acctbal, spend
+      FROM customer JOIN spend ON c_custkey = o_custkey),
+ranked AS (
+  SELECT rank() OVER (ORDER BY c_acctbal)
+           + (count(*) OVER (PARTITION BY c_acctbal) - 1) / 2.0 AS rx,
+         rank() OVER (ORDER BY spend)
+           + (count(*) OVER (PARTITION BY spend) - 1) / 2.0 AS ry
+  FROM b)
+SELECT CAST(count(*) AS BIGINT) AS n_customers,
+       round((count(*) * sum(rx * ry) - sum(rx) * sum(ry))
+             / sqrt((count(*) * sum(rx * rx) - sum(rx) * sum(rx))
+                    * (count(*) * sum(ry * ry) - sum(ry) * sum(ry))), 6)
+         AS spearman_rho
+FROM ranked
+"""
+
+
+QUERIES["spend_acctbal_spearman"] = spend_acctbal_spearman
+ORACLES["spend_acctbal_spearman"] = _SPEARMAN_SQL
