@@ -114,15 +114,35 @@ def minhash_dedup_keep(docs: DataFrame,
 # ---------------------------------------------------------------------------
 
 
+_MH_PRIME = 2147483647  # 2^31 − 1: a_i·x stays < 2^62, BIGINT-safe
+
+
+def minhash_params(n_hashes: int) -> list[tuple[int, int]]:
+    """Deterministic (aᵢ, bᵢ) for the affine permutation family
+    hᵢ(x) = (aᵢ·x + bᵢ) mod p over GF(2³¹−1) — a universal hash
+    family, derived from md5 like operators/similarity.srp_planes so
+    the oracle reproduces the constants from the same literals."""
+    import hashlib
+
+    def h60(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    return [(h60(f"mh_a{i}") % (_MH_PRIME - 1) + 1,
+             h60(f"mh_b{i}") % _MH_PRIME)
+            for i in range(n_hashes)]
+
+
 def minhash_signatures(docs: DataFrame, n_hashes: int = 16,
                        shingle_len: int = 3) -> DataFrame:
-    """Classic k-permutation MinHash signature per doc: for each of
-    ``n_hashes`` seeded hash functions, the min over the doc's distinct
-    word-shingles of hash60(seed || ':' || shingle). One explode + ONE
-    groupBy computing all components (n_hashes min-aggregates in a
-    single pass; map-side partials make the shuffle |docs|×1 row).
-    Portable md5-based hashing → bit-identical in the DuckDB oracle.
-    Returns (doc_id, s0..s{n-1})."""
+    """Classic k-permutation MinHash signature per doc: the min over
+    the doc's distinct word-shingles of ``n_hashes`` permutations of a
+    SINGLE base hash — hᵢ(x) = (aᵢ·x + bᵢ) mod 2³¹−1 over
+    x = hash60(shingle) mod p (an affine universal family). One md5
+    per shingle instead of n_hashes md5s (md5 was ~95% of the stage
+    cost); the permutations are integer multiply-adds inside codegen.
+    One explode + ONE groupBy computing all components (map-side
+    partials make the shuffle |docs|×1 row). Deterministic constants →
+    bit-identical in the DuckDB oracle. Returns (doc_id, s0..s{n-1})."""
     from threat_detection_nosql_spark.sources.readers import spread
     docs = spread(docs)
     w = F.split(F.col("text"), r"\s+")
@@ -135,11 +155,13 @@ def minhash_signatures(docs: DataFrame, n_hashes: int = 16,
     sh = (docs
           .filter(F.size(w) >= shingle_len)
           .select("doc_id",
-                  F.explode(F.array_distinct(grams)).alias("shingle")))
+                  F.explode(F.array_distinct(grams)).alias("shingle"))
+          .withColumn("x", _portable_hash60(F.col("shingle"))
+                      % F.lit(_MH_PRIME)))
     aggs = [
-        F.min(_portable_hash60(
-            F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"s{i}")
-        for i in range(n_hashes)
+        F.min((F.lit(a) * F.col("x") + F.lit(b)) % F.lit(_MH_PRIME))
+        .alias(f"s{i}")
+        for i, (a, b) in enumerate(minhash_params(n_hashes))
     ]
     return sh.groupBy("doc_id").agg(*aggs)
 

@@ -181,12 +181,15 @@ GROUP BY a.doc_id, b.doc_id
 HAVING count(*) >= 2
 """
 
-# MinHash signatures (n_hashes=16, shingle_len=3, bands of r=2)
+# MinHash signatures (n_hashes=16, shingle_len=3, bands of r=2):
+# one base hash per shingle, affine permutations over GF(2^31−1) with
+# the same md5-derived constants as operators/dedup.minhash_params
 _MH_N = 16
 _MH_R = 2
+_MH_P = dedup._MH_PRIME
 _MH_SIG = ",\n        ".join(
-    f"min({_h60(repr(str(i) + ':') + ' || shingle')}) AS s{i}"
-    for i in range(_MH_N))
+    f"min(({a} * ({_h60('shingle')} % {_MH_P}) + {b}) % {_MH_P}) AS s{i}"
+    for i, (a, b) in enumerate(dedup.minhash_params(_MH_N)))
 _MH_BAND_COND = "\n    OR ".join(
     "(" + " AND ".join(f"a.s{b * _MH_R + j} = b.s{b * _MH_R + j}"
                        for j in range(_MH_R)) + ")"
