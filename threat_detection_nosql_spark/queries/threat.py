@@ -450,7 +450,7 @@ SELECT user, last_ts, lifetime_events,
        round((epoch_us(horizon) - epoch_us(last_ts)) / (86400 * 1e6), 4)
          AS idle_days
 FROM last CROSS JOIN h
-WHERE (epoch_us(horizon) - epoch_us(last_ts)) / (86400 * 1e6)
+WHERE round((epoch_us(horizon) - epoch_us(last_ts)) / (86400 * 1e6), 4)
       > {_DORMANT_DAYS}
 """
 
