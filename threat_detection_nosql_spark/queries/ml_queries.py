@@ -175,6 +175,10 @@ def kmeans_fixed_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
             # (measured 4.0s → ~1s at sf0.1)
             .cache())
     assigned, _cent = kmeans_fixed(vecs, k=_KF_K, n_iters=_KF_ITERS)
+    # |users| rows again: the two consumers below (cluster sizes +
+    # flag projection) would otherwise each replay the full Lloyd
+    # lineage; cached, the iteration DAG executes once
+    assigned = assigned.cache()
     sizes = assigned.groupBy("cell").agg(F.count("*").alias("n"))
     pick = sizes.agg(
         F.min_by("cell", F.struct("n", "cell")).alias("anom_cell"))
