@@ -788,3 +788,54 @@ GROUP BY bucket
 
 QUERIES["order_value_histogram"] = order_value_histogram
 ORACLES["order_value_histogram"] = _HISTOGRAM_SQL
+
+
+# -- R-page: keyset-stable pagination (LIMIT/OFFSET) -------------------------
+
+def top_orders_second_page(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pagination: rows 11-20 of the revenue ranking via
+    ``offset(10).limit(10)`` — a distinct operator from plain top-k
+    (the driver-side skip must still see a TOTAL order, so the
+    tie-break matters doubly here: an unstable sort would shuffle rows
+    BETWEEN pages). At scale the plan is still a per-partition top-20
+    heap; only 20 rows reach the driver before the skip."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (orders
+            .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+            .offset(10).limit(10)
+            .select("o_orderkey", "o_custkey", "o_totalprice"))
+
+
+_PAGE2_SQL = """
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey ASC
+LIMIT 10 OFFSET 10
+"""
+
+
+def part_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS — the general form rollup/cube only
+    special-case: per-brand totals, per-type totals, and the grand
+    total, WITHOUT the (brand, type) cross cells a cube would add.
+    grouping_id() disambiguates the null-as-aggregate rows from real
+    nulls. One Expand + hash agg."""
+    from threat_detection_nosql_spark.sources.readers import register_views
+    register_views(spark, sf_dir)
+    return spark.sql(_GROUPING_SETS_SQL)
+
+
+_GROUPING_SETS_SQL = """
+SELECT p_brand, p_type,
+       CAST(grouping_id(p_brand, p_type) AS BIGINT) AS gid,
+       CAST(count(*) AS BIGINT) AS n_parts,
+       round(avg(p_retailprice), 4) AS avg_price
+FROM part
+GROUP BY GROUPING SETS ((p_brand), (p_type), ())
+"""
+
+
+QUERIES["top_orders_second_page"] = top_orders_second_page
+QUERIES["part_grouping_sets"] = part_grouping_sets
+ORACLES["top_orders_second_page"] = _PAGE2_SQL
+ORACLES["part_grouping_sets"] = _GROUPING_SETS_SQL
