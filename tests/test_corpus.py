@@ -121,3 +121,21 @@ def test_semantic_dedup_pairs_only_within_cluster(spark):
         f"{SF}/embeddings.parquet").count()
     assert set(pdf["cluster_id"]) <= set(range(corpus._N_SEEDS))
     assert pdf["is_semantic_dup"].isin([0, 1]).all()
+
+
+def test_curation_pipeline_stage_monotonicity(spark):
+    """The stage funnel must only shrink: sampled ⊆ deduped ⊆ quality
+    ⊆ input per source, and sampled token mass is positive wherever
+    docs survive."""
+    from tests.conftest import SF_DIR
+    from threat_detection_nosql_spark.queries.corpus import (
+        corpus_curation_pipeline,
+    )
+    for r in corpus_curation_pipeline(spark, SF_DIR).collect():
+        n_input = r["n_input"]
+        n_quality = r["n_quality"] or 0
+        n_deduped = r["n_deduped"] or 0
+        n_sampled = r["n_sampled"] or 0
+        assert n_input >= n_quality >= n_deduped >= n_sampled >= 0
+        if n_sampled:
+            assert r["sampled_tokens"] > 0
