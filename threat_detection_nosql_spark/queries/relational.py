@@ -839,3 +839,53 @@ QUERIES["top_orders_second_page"] = top_orders_second_page
 QUERIES["part_grouping_sets"] = part_grouping_sets
 ORACLES["top_orders_second_page"] = _PAGE2_SQL
 ORACLES["part_grouping_sets"] = _GROUPING_SETS_SQL
+
+
+# -- R-diff: snapshot reconciliation (full-outer diff report) ----------------
+
+def customer_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table-diff report between the customer dimension and its
+    SCD2-current slice (which restates every 7th key): per-status
+    counts of only_left / only_right / changed / equal rows via one
+    full-outer join on the key — the reconciliation primitive behind
+    migration sign-offs and replication checks. The classification is
+    a pure projection; the summary is a 4-row aggregate."""
+    left = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k"),
+        F.col("c_acctbal").alias("bal_l"),
+        F.col("c_mktsegment").alias("seg_l"))
+    right = (customer_scd2_merge(spark, sf_dir)
+             .filter(F.col("is_current") == 1)
+             .select(F.col("c_custkey").alias("k2"),
+                     F.col("c_acctbal").alias("bal_r"),
+                     F.col("c_mktsegment").alias("seg_r")))
+    joined = left.join(right, F.col("k") == F.col("k2"), "full_outer")
+    status = (F.when(F.col("k2").isNull(), "only_left")
+              .when(F.col("k").isNull(), "only_right")
+              .when((F.col("bal_l") == F.col("bal_r"))
+                    & (F.col("seg_l") == F.col("seg_r")), "equal")
+              .otherwise("changed"))
+    return (joined.groupBy(status.alias("status"))
+            .agg(F.count("*").alias("n")))
+
+
+_SNAPSHOT_DIFF_SQL = """
+WITH cur AS (
+  SELECT c_custkey, c_acctbal, c_mktsegment FROM customer
+  WHERE c_custkey % 7 <> 0
+  UNION ALL
+  SELECT c_custkey, round(c_acctbal + 100.0, 2), c_mktsegment
+  FROM customer WHERE c_custkey % 7 = 0)
+SELECT CASE WHEN r.c_custkey IS NULL THEN 'only_left'
+            WHEN l.c_custkey IS NULL THEN 'only_right'
+            WHEN l.c_acctbal = r.c_acctbal
+                 AND l.c_mktsegment = r.c_mktsegment THEN 'equal'
+            ELSE 'changed' END AS status,
+       CAST(count(*) AS BIGINT) AS n
+FROM customer l FULL OUTER JOIN cur r ON l.c_custkey = r.c_custkey
+GROUP BY 1
+"""
+
+
+QUERIES["customer_snapshot_diff"] = customer_snapshot_diff
+ORACLES["customer_snapshot_diff"] = _SNAPSHOT_DIFF_SQL
