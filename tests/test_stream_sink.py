@@ -81,3 +81,66 @@ def test_foreach_batch_upsert_is_exactly_once(spark, tmp_path):
     run_foreach_batch_upsert(stream(), ["user"], ["v"], target, ckpt)
     got = {r["user"]: r["v"] for r in spark.read.parquet(target).collect()}
     assert got == {**{u: 8 for u in range(5)}, **{u: 3 for u in range(5, 10)}}
+
+
+def test_foreach_batch_upsert_replay_is_idempotent(spark, tmp_path):
+    """At-least-once replay: if the checkpoint commit is lost AFTER the
+    target swap (crash window), the replayed batch must be skipped via
+    the _applied_batch_id sidecar, not double-added."""
+    import shutil
+
+    from threat_detection_nosql_spark.streaming.stream_queries import (
+        run_foreach_batch_upsert,
+    )
+    src = str(tmp_path / "src")
+    target = str(tmp_path / "target")
+    ckpt = str(tmp_path / "ckpt")
+
+    def stream():
+        return (spark.readStream.schema("user long, v long")
+                .parquet(f"{src}/b*"))
+
+    rows = [(u, 2) for u in range(8)]
+    (spark.createDataFrame(rows, "user long, v long")
+     .coalesce(1).write.mode("overwrite").parquet(f"{src}/b1"))
+    run_foreach_batch_upsert(stream(), ["user"], ["v"], target, ckpt)
+    got = {r["user"]: r["v"] for r in spark.read.parquet(target).collect()}
+    assert got == {u: 2 for u in range(8)}
+
+    # simulate the crash: target was swapped in but the checkpoint
+    # commit never landed -> the whole batch replays with the same id
+    shutil.rmtree(ckpt)
+    run_foreach_batch_upsert(stream(), ["user"], ["v"], target, ckpt)
+    got = {r["user"]: r["v"] for r in spark.read.parquet(target).collect()}
+    assert got == {u: 2 for u in range(8)}, "replayed batch double-added"
+
+
+def test_foreach_batch_upsert_recovers_from_backup(spark, tmp_path):
+    """Crash between rename(target, backup) and rename(staged, target):
+    the next batch must restore the target from the backup first."""
+    import os
+
+    from threat_detection_nosql_spark.streaming.stream_queries import (
+        run_foreach_batch_upsert,
+    )
+    src = str(tmp_path / "src")
+    target = str(tmp_path / "target")
+    ckpt = str(tmp_path / "ckpt")
+
+    def stream():
+        return (spark.readStream.schema("user long, v long")
+                .parquet(f"{src}/b*"))
+
+    (spark.createDataFrame([(u, 1) for u in range(5)], "user long, v long")
+     .coalesce(1).write.mode("overwrite").parquet(f"{src}/b1"))
+    run_foreach_batch_upsert(stream(), ["user"], ["v"], target, ckpt)
+
+    # simulate the torn swap: target vanished mid-rename, backup holds it
+    os.rename(target, f"{target}__backup")
+
+    (spark.createDataFrame([(u, 4) for u in range(5)], "user long, v long")
+     .coalesce(1).write.mode("overwrite").parquet(f"{src}/b2"))
+    run_foreach_batch_upsert(stream(), ["user"], ["v"], target, ckpt)
+    got = {r["user"]: r["v"] for r in spark.read.parquet(target).collect()}
+    assert got == {u: 5 for u in range(5)}
+    assert not os.path.exists(f"{target}__backup")

@@ -85,11 +85,17 @@ def minhash_near_dup_pairs(docs: DataFrame,
     model = lsh.fit(vec)
     pairs = model.approxSimilarityJoin(vec, vec, jaccard_threshold,
                                        distCol="jaccard_dist")
-    return (pairs
-            .select(F.col("datasetA.doc_id").alias("doc_a"),
-                    F.col("datasetB.doc_id").alias("doc_b"),
-                    F.round("jaccard_dist", 6).alias("jaccard_dist"))
-            .filter(F.col("doc_a") < F.col("doc_b")))
+    out = (pairs
+           .select(F.col("datasetA.doc_id").alias("doc_a"),
+                   F.col("datasetB.doc_id").alias("doc_b"),
+                   F.round("jaccard_dist", 6).alias("jaccard_dist"))
+           .filter(F.col("doc_a") < F.col("doc_b")))
+    # scope the TF cache to this call: materialize the (near-dup-pair)
+    # result eagerly, then release the vectorized-corpus blocks so
+    # repeated invocations don't accumulate cached storage
+    out = out.localCheckpoint(eager=True)
+    vec.unpersist()
+    return out
 
 
 def minhash_dedup_keep(docs: DataFrame,

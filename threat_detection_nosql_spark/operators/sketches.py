@@ -19,7 +19,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-_MG_LAST_CACHE: DataFrame | None = None
 
 
 def daily_user_sketches(events: DataFrame,
@@ -122,17 +121,15 @@ def misra_gries_heavy_hitters(df: DataFrame, col: str,
     summaries = df.select(col).mapInPandas(
         summarize, schema=f"{col} {key_type}, est long, dec long").cache()
     # the cache is read twice (err scalar + merge) inside this one plan;
-    # evict the previous call's blocks so a long-lived session holds at
-    # most one summaries cache, not one per invocation
-    global _MG_LAST_CACHE
-    if _MG_LAST_CACHE is not None:
-        try:
-            _MG_LAST_CACHE.unpersist()
-        except Exception:
-            pass  # session of the old DF may already be stopped
-    _MG_LAST_CACHE = summaries
+    # scope it to the call: materialize the ≤ k·partitions-row result
+    # eagerly (localCheckpoint), then release the summaries blocks —
+    # both reads see the SAME materialized summaries, and nothing is
+    # left cached after return
     err = summaries.agg(F.sum("dec").alias("err_bound"))
-    return (summaries.groupBy(col)
-            .agg(F.sum("est").alias("est_count"))
-            .crossJoin(F.broadcast(err))
-            .orderBy(F.desc("est_count"), F.asc(col)))
+    out = (summaries.groupBy(col)
+           .agg(F.sum("est").alias("est_count"))
+           .crossJoin(F.broadcast(err))
+           .orderBy(F.desc("est_count"), F.asc(col))
+           .localCheckpoint(eager=True))
+    summaries.unpersist()
+    return out

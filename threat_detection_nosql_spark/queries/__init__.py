@@ -31,11 +31,30 @@ def all_queries() -> dict[str, QueryFn]:
         tpch,
     )
     out: dict[str, QueryFn] = {}
-    for mod in (threat, relational, pipeline, corpus, advanced,
-                graph_queries, metrics, ml_queries, streaming_queries,
-                temporal, tpch, cleaning):
+    for mod in _MERGE_ORDER(threat, relational, pipeline, corpus, advanced,
+                            graph_queries, metrics, ml_queries,
+                            streaming_queries, temporal, tpch, cleaning):
         out.update(mod.QUERIES)
     return out
+
+
+def _MERGE_ORDER(threat, relational, pipeline, corpus, advanced,
+                 graph_queries, metrics, ml_queries, streaming_queries,
+                 temporal, tpch, cleaning):
+    """Registry merge order.
+
+    The driver's correctness gate hashes the FIRST 50 queries in merge
+    order at each round, so ordering is the sampling policy.  Rounds 1-3
+    verified the threat/relational/pipeline families (green in
+    CORRECTNESS_r01-r03); round 4 rotates the never-driver-sampled
+    families to the front: advanced (portable ANN + fingerprint dedup),
+    graph, metrics, ml, cleaning, temporal — 49 queries — then tpch
+    (so #50 = shipping_priority_top10), streaming, corpus, and finally
+    the already-proven threat/relational/pipeline at the back.
+    """
+    return (advanced, graph_queries, metrics, ml_queries, cleaning,
+            temporal, tpch, streaming_queries, corpus, threat,
+            relational, pipeline)
 
 
 def all_oracles() -> dict[str, str]:
@@ -54,8 +73,8 @@ def all_oracles() -> dict[str, str]:
         tpch,
     )
     out: dict[str, str] = {}
-    for mod in (threat, relational, pipeline, corpus, advanced,
-                graph_queries, metrics, ml_queries, streaming_queries,
-                temporal, tpch, cleaning):
+    for mod in _MERGE_ORDER(threat, relational, pipeline, corpus, advanced,
+                            graph_queries, metrics, ml_queries,
+                            streaming_queries, temporal, tpch, cleaning):
         out.update(mod.ORACLES)
     return out

@@ -182,12 +182,20 @@ def kmeans_fixed_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     sizes = assigned.groupBy("cell").agg(F.count("*").alias("n"))
     pick = sizes.agg(
         F.min_by("cell", F.struct("n", "cell")).alias("anom_cell"))
-    return (assigned.crossJoin(F.broadcast(pick))
-            .select(F.col("vec_id").alias("user"),
-                    F.col("cell").alias("cluster"),
-                    (F.col("cell") == F.col("anom_cell")).cast("int")
-                    .alias("is_anomaly"),
-                    F.round("dist", 6).alias("dist_to_centroid")))
+    out = (assigned.crossJoin(F.broadcast(pick))
+           .select(F.col("vec_id").alias("user"),
+                   F.col("cell").alias("cluster"),
+                   (F.col("cell") == F.col("anom_cell")).cast("int")
+                   .alias("is_anomaly"),
+                   F.round("dist", 6).alias("dist_to_centroid")))
+    # Scope both caches to this call: materialize the (|users|-row)
+    # result eagerly, then release the cached blocks so repeated
+    # invocations (bench medians, test suite) don't accumulate storage
+    # for the session lifetime.
+    out = out.localCheckpoint(eager=True)
+    assigned.unpersist()
+    vecs.unpersist()
+    return out
 
 
 def _kf_sql() -> str:

@@ -307,24 +307,33 @@ LIMIT 20
 
 # -- D5c: embedding-cosine near-dup (nearest neighbor + threshold flag) ------
 
+_EMB_BLOCKS = 16  # G: G² block pairs; grow with corpus size at scale
+
+
 def embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup (dedup family, D-spec): each vector's
     exact nearest neighbor by cosine, flagged when cosine ≥ 0.4.
 
-    Exact O(n²) verification kernel as a blocked GEMM: the corpus
-    matrix is broadcast once (n×d float64 — the same memory class as
-    the broadcast side of the join it replaces) and each Arrow batch of
-    query rows computes `Q @ Cᵀ` through BLAS in a `mapInPandas`
-    scorer — one matrix multiply replaces |batch|·|corpus| interpreted
-    per-pair array folds (~7× faster at sf0.1). The corpus side never
-    shuffles. At 100 TB the corpus no longer fits a broadcast and the
-    LSH-bucketed candidate generator (operators/similarity.py
-    lsh_cosine_neighbors) bounds the pair set instead; this kernel then
-    scores candidates only.
+    Distributed blocked GEMM — NO driver materialization: vectors hash
+    into G blocks, each block packs to ONE row (ids array + flattened
+    row-major matrix), the G×G block-pair cross join fans the O(n²)
+    score space across the cluster, and each pair computes its partial
+    per-query argmax through one BLAS matrix multiply in `mapInPandas`.
+    A final `groupBy(vec_id).max(struct(cosine, -nn_id))` merges the G
+    partials per query into the exact global nearest neighbor. Unlike
+    the broadcast-corpus kernel this has no driver collect and no
+    single-executor memory ceiling: peak per-task memory is two blocks
+    (n/G rows each), and G scales with the corpus. Exact NN is
+    inherently O(n²) — for corpora where that is unaffordable the
+    LSH/IVF candidate generators (operators/similarity.py,
+    operators/clustering.py) bound the pair set and this kernel's
+    scorer re-scores candidates only.
 
-    Tie-break parity with the SQL oracle: ranking uses the ROUNDED
-    cosine with smallest-nn_id tie-break — corpus rows are sorted by
-    vec_id so argmax's first-hit IS the smallest id.
+    Tie-break parity with the SQL oracle: partials rank by ROUNDED
+    cosine; within a block np.argmax's first hit is the smallest nn_id
+    (blocks are packed sorted by vec_id), and the merge struct orders
+    by (cosine, -nn_id), so ties resolve to the smallest id globally —
+    same as the oracle's `ORDER BY cosine DESC, nn_id ASC`.
     """
     import numpy as np
     import pandas as pd
@@ -332,15 +341,76 @@ def embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = (load_table(spark, sf_dir, "embeddings")
            .select("vec_id", F.col("embedding").cast("array<double>")
                    .alias("v")))
-    # the broadcast-corpus kernel collects the matrix to the driver:
-    # enforce the documented cap (~100 MB at d=64) — beyond it the
-    # LSH-bucketed generator (operators/similarity.py) is the scale path
+    blk = (emb.groupBy(F.pmod(F.hash("vec_id"), F.lit(_EMB_BLOCKS))
+                       .alias("gid"))
+           .agg(F.array_sort(F.collect_list(F.struct("vec_id", "v")))
+                .alias("b"))
+           .select("gid",
+                   F.transform("b", lambda x: x["vec_id"]).alias("ids"),
+                   F.flatten(F.transform("b", lambda x: x["v"]))
+                   .alias("flat")))
+    pairs = (blk.select(F.col("ids").alias("qids"),
+                        F.col("flat").alias("qflat"))
+             .crossJoin(blk.select(F.col("ids").alias("cids"),
+                                   F.col("flat").alias("cflat"))))
+
+    def score(batches):
+        for pdf in batches:
+            for qids_l, qflat, cids_l, cflat in zip(
+                    pdf["qids"], pdf["qflat"], pdf["cids"], pdf["cflat"]):
+                qids = np.asarray(qids_l, dtype=np.int64)
+                cids = np.asarray(cids_l, dtype=np.int64)
+                Q = np.asarray(qflat, dtype=np.float64).reshape(
+                    len(qids), -1)
+                C = np.asarray(cflat, dtype=np.float64).reshape(
+                    len(cids), -1)
+                nq = np.sqrt((Q * Q).sum(axis=1))
+                nc = np.sqrt((C * C).sum(axis=1))
+                S = (Q @ C.T) / np.outer(nq, nc)
+                # round half-away-from-zero (np.round is half-to-even):
+                # DuckDB's round() and Spark's F.round are half-away, so
+                # a cosine landing exactly on a 0.0000005 boundary must
+                # not flip the argmax tie-break vs the oracle
+                S = np.sign(S) * np.floor(np.abs(S) * 1e6 + 0.5) / 1e6
+                S[qids[:, None] == cids[None, :]] = -np.inf  # mask self
+                best = S.argmax(axis=1)
+                cos = S[np.arange(len(qids)), best]
+                keep = np.isfinite(cos)  # self-only block pairs
+                yield pd.DataFrame({
+                    "vec_id": qids[keep],
+                    "nn_id": cids[best][keep],
+                    "cosine": cos[keep],
+                })
+
+    partials = pairs.mapInPandas(
+        score, schema="vec_id long, nn_id long, cosine double")
+    best = (partials.groupBy("vec_id")
+            .agg(F.max(F.struct(F.col("cosine"),
+                                (-F.col("nn_id")).alias("neg_nn")))
+                 .alias("t")))
+    return best.select(
+        "vec_id",
+        (-F.col("t.neg_nn")).alias("nn_id"),
+        F.col("t.cosine").alias("cosine"),
+        (F.col("t.cosine") >= 0.4).cast("int").alias("is_near_dup"))
+
+
+def embedding_near_dups_broadcast_kernel(spark: SparkSession,
+                                         sf_dir: str) -> DataFrame:
+    """Test-side verifier for :func:`embedding_near_dups`: the original
+    broadcast-corpus GEMM kernel (collects the corpus matrix to the
+    driver — capped, NOT registered; the distributed blocked version
+    above is the product path)."""
+    import numpy as np
+    import pandas as pd
+
+    emb = (load_table(spark, sf_dir, "embeddings")
+           .select("vec_id", F.col("embedding").cast("array<double>")
+                   .alias("v")))
     n_corpus = emb.count()
     if n_corpus > 200_000:
         raise ValueError(
-            f"embedding_near_dups exact kernel capped at 200k vectors "
-            f"(got {n_corpus}); use lsh_cosine_neighbors for larger "
-            f"corpora")
+            f"broadcast kernel capped at 200k vectors (got {n_corpus})")
     corpus = emb.orderBy("vec_id").toPandas()
     ids = corpus["vec_id"].to_numpy()
     C = np.stack(corpus["v"].to_numpy()).astype(np.float64)
@@ -355,10 +425,6 @@ def embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
             Q = np.stack(pdf["v"].to_numpy()).astype(np.float64)
             nq = np.sqrt((Q * Q).sum(axis=1))
             S = (Q @ C_c.T) / np.outer(nq, nc_c)
-            # round half-away-from-zero (np.round is half-to-even):
-            # DuckDB's round() and Spark's F.round are half-away, so a
-            # cosine landing exactly on a 0.0000005 boundary must not
-            # flip the argmax tie-break vs the oracle
             S = np.sign(S) * np.floor(np.abs(S) * 1e6 + 0.5) / 1e6
             qids = pdf["vec_id"].to_numpy()
             S[qids[:, None] == ids_c[None, :]] = -np.inf  # mask self

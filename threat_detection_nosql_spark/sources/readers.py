@@ -44,8 +44,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             # TIMESTAMP(NANOS) as micro-truncated TIMESTAMP_NTZ; cast to
             # the session-zoned type every downstream temporal function
             # (unix_micros, window, watermark) expects — the cast
-            # interprets NTZ wall-clock in the session timezone, which
-            # matches DuckDB's zoneless read when the session is UTC
+            # interprets NTZ wall-clock in the session timezone. DuckDB's
+            # read is zoneless, so parity requires UTC; session.timeZone
+            # is runtime-settable (unlike nanosAsLong), so pin it here
+            # rather than trusting the host JVM default.
+            spark.conf.set("spark.sql.session.timeZone", "UTC")
             df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 

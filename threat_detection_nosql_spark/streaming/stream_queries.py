@@ -50,6 +50,10 @@ def events_stream(spark: SparkSession, sf_dir: str,
     """
     probe = (spark.read.parquet(f"{sf_dir}/events.parquet")
              .schema["ts"].dataType)
+    if not isinstance(probe, T.LongType):
+        # NTZ→timestamp cast parity with DuckDB needs a UTC session
+        # (same reasoning as sources.readers.load_table)
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
     raw = (spark.readStream
            .schema(_events_stream_schema(probe))
            .option("pathGlobFilter", "events.parquet")
@@ -322,10 +326,21 @@ def run_foreach_batch_upsert(stream_df: DataFrame, keys: list[str],
     commit. This is the production pattern when the sink store has no
     native upsert (plain parquet/object storage): the stream stays
     append-only and tiny (per-batch partials), the target is rewritten
-    copy-on-write, and the checkpoint makes the whole pipeline
-    exactly-once across restarts — a replayed batch is skipped by the
-    commit log, never double-added (pinned by
-    tests/test_stream_sink.py::test_foreach_batch_upsert_is_exactly_once).
+    copy-on-write.
+
+    ``foreachBatch`` itself is only at-least-once — a crash after the
+    target swap but before the checkpoint commit replays the batch on
+    restart, and an additive merge would double-add. The sink is
+    therefore made idempotent explicitly: the max applied ``batch_id``
+    is staged WITH the data (``_applied_batch_id`` sidecar inside the
+    target directory, written before the atomic rename) and replayed
+    batches with ``batch_id <= stored`` are skipped, which upgrades the
+    end-to-end guarantee to effectively-once (pinned by
+    tests/test_stream_sink.py::test_foreach_batch_upsert_is_exactly_once
+    and ``..._replay_is_idempotent``). The swap itself is
+    rename-to-backup → rename-staged-in → drop-backup, with crash
+    recovery from the backup on the next batch, so no window loses the
+    target entirely.
 
     The merge is union + re-aggregate rather than a join: additive
     merges commute, so the plan is two map-combined aggs and no join
@@ -335,8 +350,22 @@ def run_foreach_batch_upsert(stream_df: DataFrame, keys: list[str],
     import os
     import shutil
 
+    marker = "_applied_batch_id"
+    backup = f"{target_path}__backup"
+
+    def _applied(path: str) -> int:
+        try:
+            with open(os.path.join(path, marker)) as f:
+                return int(f.read().strip())
+        except (OSError, ValueError):
+            return -1
+
     def upsert(batch_df: DataFrame, batch_id: int) -> None:
         sp = batch_df.sparkSession
+        if not os.path.exists(target_path) and os.path.exists(backup):
+            os.rename(backup, target_path)  # crash between the two renames
+        if batch_id <= _applied(target_path):
+            return  # at-least-once replay of an already-merged batch
         inc = batch_df.groupBy(*keys).agg(
             *[F.sum(c).alias(c) for c in sums])
         if os.path.exists(target_path):
@@ -348,9 +377,15 @@ def run_foreach_batch_upsert(stream_df: DataFrame, keys: list[str],
             merged = inc
         staged = f"{target_path}__staged"
         merged.write.mode("overwrite").parquet(staged)
+        with open(os.path.join(staged, marker), "w") as f:
+            f.write(str(batch_id))
+        if os.path.exists(backup):
+            shutil.rmtree(backup)
         if os.path.exists(target_path):
-            shutil.rmtree(target_path)
+            os.rename(target_path, backup)
         os.rename(staged, target_path)
+        if os.path.exists(backup):
+            shutil.rmtree(backup)
 
     q = (stream_df.writeStream
          .foreachBatch(upsert)
