@@ -91,9 +91,12 @@ def _word_ngrams(docs: DataFrame, n: int) -> DataFrame:
     for j in range(2, n + 1):
         acc = F.zip_with(acc, F.slice(w, j, n_g),
                          lambda a, b: F.concat_ws(" ", a, b))
+    # per-doc dedup BEFORE the explode: array_distinct runs map-side,
+    # so no (doc_id, gram) shuffle ever happens just to dedup — at
+    # corpus scale that shuffle is the whole query's bottleneck
     return (docs.filter(F.size(w) >= n)
-            .select("doc_id", F.explode(acc).alias("gram"))
-            .distinct())
+            .select("doc_id",
+                    F.explode(F.array_distinct(acc)).alias("gram")))
 
 
 _DECON_N = 8          # n-gram length (WMDP/GPT-3-style 8-gram overlap)

@@ -178,11 +178,21 @@ def copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     graph is noise and nearly complete (1.2M edges over 2k parts at
     sf0.1, blowing the wedge join to ~10⁹ rows), while the support
     filter is a map-combinable HAVING on the pair agg that cuts it to
-    ~3.5k meaningful edges. Scale shape: pair expansion bounded by
-    lines-per-order², the wedge join shuffles on single part keys, the
-    closing join on (a, c) pairs; at production scale the edge list
-    would additionally be degree-oriented (low→high) to bound wedges
-    per node by O(sqrt(m)).
+    ~3.5k meaningful edges.
+
+    The edge list is then DEGREE-ORIENTED (each edge points from its
+    lower-(degree, id) endpoint to the higher one — a total order, so
+    the orientation is acyclic and every triangle still appears exactly
+    once, as u→v, u→w, v→w with u ≺ v ≺ w). Wedges are built only from
+    a node's out-neighbors, and a node's out-degree under this
+    orientation is O(√m), so the wedge join is bounded by O(m^1.5)
+    regardless of hubs — the skew-proof shape for 100× the data, where
+    an id-oriented wedge join melts down on the first hub node. The
+    triangle/edge counts are orientation-invariant, so the exact-SQL
+    oracle is unchanged. Scale shape: pair expansion bounded by
+    lines-per-order², the degree join broadcasts (|nodes| rows), the
+    wedge join shuffles on single part keys, the closing join on
+    (v, w) pairs.
     """
     li = (load_table(spark, sf_dir, "lineitem")
           .select("l_orderkey", "l_partkey").distinct())
@@ -194,10 +204,28 @@ def copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
              .agg(F.count("*").alias("support"))
              .filter(F.col("support") >= 2)
              .select("p1", "p2"))
-    e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
-    tri = (e1.join(e2, F.col("e1.p2") == F.col("e2.p1"))
-           .join(e3, (F.col("e3.p1") == F.col("e1.p1"))
-                 & (F.col("e3.p2") == F.col("e2.p2"))))
+    deg = (edges.select(F.col("p1").alias("node"))
+           .unionAll(edges.select(F.col("p2").alias("node")))
+           .groupBy("node").agg(F.count("*").alias("deg")))
+    ed = (edges
+          .join(F.broadcast(deg.withColumnRenamed("node", "p1")
+                            .withColumnRenamed("deg", "d1")), "p1")
+          .join(F.broadcast(deg.withColumnRenamed("node", "p2")
+                            .withColumnRenamed("deg", "d2")), "p2"))
+    k1 = F.struct(F.col("d1").alias("d"), F.col("p1").alias("n"))
+    k2 = F.struct(F.col("d2").alias("d"), F.col("p2").alias("n"))
+    oriented = ed.select(
+        F.when(k1 < k2, F.col("p1")).otherwise(F.col("p2")).alias("src"),
+        F.when(k1 < k2, k2).otherwise(k1).alias("dk"))
+    # dk = the (deg, id) key of the edge head: the wedge join orders the
+    # two out-neighbors by it so each triangle closes exactly once
+    e1, e2 = oriented.alias("e1"), oriented.alias("e2")
+    e3 = oriented.select(F.col("src").alias("v"),
+                         F.col("dk.n").alias("w")).alias("e3")
+    tri = (e1.join(e2, (F.col("e1.src") == F.col("e2.src"))
+                   & (F.col("e1.dk") < F.col("e2.dk")))
+           .join(e3, (F.col("e3.v") == F.col("e1.dk.n"))
+                 & (F.col("e3.w") == F.col("e2.dk.n"))))
     return tri.agg(F.count("*").alias("n_triangles")).crossJoin(
         edges.agg(F.count("*").alias("n_edges")))
 
