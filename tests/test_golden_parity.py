@@ -1,0 +1,127 @@
+"""Golden-band parity against the reference's committed result CSVs.
+
+The reference commits de-facto golden outputs (SURVEY.md §5.1):
+`rapport_performances.csv` holds per-model anomaly counts and
+supervised metrics from its 100-user run (`Comparaison_ML.py:
+1166-1201`). Exact score equality is out of reach by construction
+(different RNG streams, different kernels — BASELINE.md), so the
+parity gate is the BANDS those numbers define, parsed from the CSV
+itself rather than hardcoded:
+
+- contamination-driven detectors (IsolationForest, One-Class SVM
+  analog) flag the same fraction the reference flags (10/100);
+- clustering-driven detectors (K-Means smaller cluster, DBSCAN noise)
+  flag at most the reference's fraction (42/100, 74/100 — both ran on
+  un-separated real features; on the planted fixture the fraction can
+  only be tighter);
+- supervised accuracy/F1 meet or beat the reference's weakest model
+  (SVM: accuracy 0.85, F1 0.40).
+
+Runs on the replicated M16 fixture (seed 42, 200×8, 20 planted —
+`Comparaison_ML.py:79-109`). Skips wherever the reference snapshot
+isn't mounted.
+"""
+
+from __future__ import annotations
+
+import csv
+import os
+
+import pytest
+
+from threat_detection_nosql_spark.ml import unsupervised as U
+from threat_detection_nosql_spark.ml.features import (
+    assemble_features,
+    scale_features,
+    synthetic_anomaly_fixture,
+)
+from threat_detection_nosql_spark.ml.supervised import supervised_report
+
+_RAPPORT = "/root/reference/rapport_performances.csv"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.exists(_RAPPORT),
+    reason="reference snapshot not mounted")
+
+
+@pytest.fixture(scope="module")
+def golden():
+    """rapport_performances.csv rows keyed by model name (French
+    headers: Modèle / Type / Anomalies détectées / Exactitude /
+    F1-Score)."""
+    with open(_RAPPORT, encoding="utf-8") as f:
+        rows = list(csv.reader(f))
+    head, body = rows[0], rows[1:]
+    out = {}
+    for r in body:
+        rec = dict(zip(head, r))
+        out[r[0]] = rec
+    return out
+
+
+@pytest.fixture(scope="module")
+def fixture(spark):
+    fix = synthetic_anomaly_fixture(spark)  # seed 42, 200×8, 20 planted
+    scaled = scale_features(assemble_features(
+        fix, cols=[f"f{i}" for i in range(8)])).cache()
+    return fix, scaled
+
+
+# The reference's unsupervised run covered 100 users
+# (resultats_non_supervise.csv); fractions below are per-model
+# anomaly count / 100.
+_REF_N = 100
+
+
+def _frac(golden, model):
+    return int(golden[model]["Anomalies détectées"]) / _REF_N
+
+
+def test_contamination_detectors_match_reference_fraction(
+        spark, fixture, golden):
+    """IsolationForest and the OCSVM substitute flag exactly the
+    reference's contamination fraction (10%)."""
+    fix, scaled = fixture
+    n = fix.count()
+    for det, flag, ref_model in (
+            (lambda df: U.iforest_detector(df, n_trees=100),
+             "iforest_anomaly", "Isolation Forest"),
+            (U.mahalanobis_detector, "maha_anomaly", "One-Class SVM")):
+        want = round(_frac(golden, ref_model) * n)
+        got = det(scaled).filter(f"{flag} = 1").count()
+        assert got == want, (ref_model, got, want)
+
+
+def test_cluster_detectors_within_reference_fraction(
+        spark, fixture, golden):
+    """K-Means smaller-cluster and DBSCAN-noise flag at most the
+    reference's fractions (42%, 74%) — the planted fixture is cleanly
+    separable, so these can only be tighter, never looser."""
+    fix, scaled = fixture
+    n = fix.count()
+    km = U.kmeans_detector(scaled).filter("kmeans_anomaly = 1").count()
+    assert 0 < km <= _frac(golden, "K-Means") * n
+    # eps=2.0: the reference's eps=0.5 is tuned to ITS feature scale —
+    # on the 8-d scaled fixture everything is farther than 0.5 from
+    # everything (degenerate all-noise), so the established fixture eps
+    # (tests/test_ml.py) is used; the band stays the reference's 74%
+    db = (U.dbscan_noise_detector(scaled, eps=2.0)
+          .filter("dbscan_anomaly = 1").count())
+    assert 0 < db <= _frac(golden, "DBSCAN") * n
+
+
+def test_supervised_metrics_meet_reference_band(spark, fixture, golden):
+    """Every supervised model meets the reference's WEAKEST committed
+    metrics (SVM: accuracy 0.85 / F1 0.40) and the strongest committed
+    F1 (0.667) is met by at least one model."""
+    _, scaled = fixture
+    sup = {m: golden[m] for m in ("Random Forest", "SVM", "XGBoost")}
+    floor_acc = min(float(r["Exactitude"]) for r in sup.values())
+    floor_f1 = min(float(r["F1-Score"]) for r in sup.values())
+    best_f1 = max(float(r["F1-Score"]) for r in sup.values())
+    rep = {r.model: r for r in supervised_report(scaled).collect()}
+    assert set(rep) == {"random_forest", "gbt", "linear_svc"}
+    for r in rep.values():
+        assert r.accuracy >= floor_acc, (r.model, r.accuracy)
+        assert r.f1 >= floor_f1, (r.model, r.f1)
+    assert max(r.f1 for r in rep.values()) >= best_f1

@@ -111,3 +111,20 @@ def test_confusion_matrix_sums_to_n(spark, fixture):
     model = _fit_svc(with_class_weights(train), "is_anomaly", 42)
     cm = confusion_matrix(model.transform(test))
     assert cm.agg(F.sum("n")).first()[0] == test.count()
+
+
+def test_sparkxgb_used_when_importable(spark, fixture):
+    """M14 parity gate: the moment `xgboost.spark` is importable,
+    _fit_gbt must train a real SparkXGBClassifier (reference:
+    `Comparaison_ML.py:643-688`) and its predictions must hold the
+    reference band. Skips (not passes) wherever the library is absent
+    so parity flips on automatically with the dependency."""
+    pytest.importorskip("xgboost.spark")
+    from threat_detection_nosql_spark.ml.supervised import (
+        _fit_gbt, classification_metrics, stratified_split as split)
+    scaled, _ = fixture
+    train, test = split(scaled)
+    model = _fit_gbt(with_class_weights(train), "is_anomaly", 42)
+    assert type(model).__name__ == "SparkXGBClassifierModel"
+    m = classification_metrics(model.transform(test))
+    assert m["accuracy"] >= 0.85 and m["f1"] >= 0.4
