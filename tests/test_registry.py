@@ -19,16 +19,24 @@ def _modules():
         f"threat_detection_nosql_spark.queries.{m}") for m in _MODULES}
 
 
+def _mod_queries(mod):
+    return {**mod.QUERIES, **getattr(mod, "QUERIES_TAIL", {})}
+
+
+def _mod_oracles(mod):
+    return {**mod.ORACLES, **getattr(mod, "ORACLES_TAIL", {})}
+
+
 def test_every_oracle_has_a_query():
     for name, mod in _modules().items():
-        missing = set(mod.ORACLES) - set(mod.QUERIES)
+        missing = set(_mod_oracles(mod)) - set(_mod_queries(mod))
         assert not missing, f"{name}: oracles without queries {missing}"
 
 
 def test_no_cross_module_name_collisions():
     seen: dict[str, str] = {}
     for name, mod in _modules().items():
-        for q in mod.QUERIES:
+        for q in _mod_queries(mod):
             assert q not in seen, \
                 f"{q} defined in both {seen[q]} and {name}"
             seen[q] = name
@@ -36,7 +44,7 @@ def test_no_cross_module_name_collisions():
 
 def test_all_queries_merge_is_complete():
     merged = Q.all_queries()
-    per_module = sum(len(m.QUERIES) for m in _modules().values())
+    per_module = sum(len(_mod_queries(m)) for m in _modules().values())
     assert len(merged) == per_module
 
 

@@ -5,8 +5,11 @@ Reference stack: sklearn/TF on a driver-RAM matrix
 
 - KMeans-distance (M4): Spark ML KMeans, smaller cluster = anomaly,
   min-centroid-distance score (broadcast centers, JVM expressions).
-- PCA reconstruction error (M6 substitute for the deep autoencoder — a
-  linear autoencoder): Spark ML PCA, reconstruction in closed form.
+- PCA reconstruction error (M6 linear baseline — a linear autoencoder):
+  Spark ML PCA, reconstruction in closed form.
+- Nonlinear autoencoder (M6 proper): numpy MLP (d→6→4→3→4→6→d, Adam,
+  early stopping) fit on a bounded driver sample, broadcast weights,
+  Arrow-batched distributed MSE scoring.
 - Mahalanobis distance (M3 substitute for kernel OCSVM — no kernel SVM
   exists in Spark ML; documented deviation): covariance from a single
   distributed pass, inverse on the driver (d×d), broadcast quadratic
@@ -134,6 +137,139 @@ def pca_reconstruction_detector(scaled: DataFrame, k: int = 3,
     out = _threshold_flag(out, "pca_mse", "pca_anomaly", contamination)
     out = _minmax(out, "pca_mse")
     return out.withColumnRenamed("pca_mse", "pca_score")
+
+
+# ---------------------------------------------------------------------------
+# M6: nonlinear autoencoder (numpy MLP, driver-sample fit + Arrow scoring)
+# ---------------------------------------------------------------------------
+
+
+def _ae_init(dims: list[int], rng) -> list[list[np.ndarray]]:
+    """Glorot-uniform init (Keras Dense default) per layer."""
+    params = []
+    for fan_in, fan_out in zip(dims[:-1], dims[1:]):
+        limit = np.sqrt(6.0 / (fan_in + fan_out))
+        params.append([rng.uniform(-limit, limit, size=(fan_in, fan_out)),
+                       np.zeros(fan_out)])
+    return params
+
+
+def _ae_forward(x: np.ndarray, params) -> np.ndarray:
+    h = x
+    last = len(params) - 1
+    for i, (w, b) in enumerate(params):
+        h = h @ w + b
+        if i < last:
+            h = np.tanh(h)
+    return h
+
+
+def _ae_train(mat: np.ndarray, dims: list[int], seed: int,
+              lr: float = 1e-3, epochs: int = 100, batch: int = 32,
+              patience: int = 10, val_frac: float = 0.2):
+    """Full backprop + Adam + early stopping on a held-out split —
+    the reference's training loop (`Comparaison_ML.py:253-276`: Adam
+    lr=1e-3, MSE, 80/20 validation split, 100 epochs, early stopping)
+    in ~50 lines of numpy. Runs on the DRIVER over the bounded fit
+    sample only; scoring is distributed."""
+    rng = np.random.default_rng(seed)
+    idx = rng.permutation(len(mat))
+    n_val = max(1, int(val_frac * len(mat)))
+    val, tr = mat[idx[:n_val]], mat[idx[n_val:]]
+    params = _ae_init(dims, rng)
+    mom = [[np.zeros_like(w), np.zeros_like(b)] for w, b in params]
+    vel = [[np.zeros_like(w), np.zeros_like(b)] for w, b in params]
+    b1, b2, eps_ = 0.9, 0.999, 1e-8
+    t = 0
+    best = np.inf
+    best_params = [[w.copy(), b.copy()] for w, b in params]
+    wait = 0
+    last = len(params) - 1
+    for _ in range(epochs):
+        perm = rng.permutation(len(tr))
+        for s in range(0, len(tr), batch):
+            xb = tr[perm[s:s + batch]]
+            acts = [xb]
+            h = xb
+            for i, (w, b) in enumerate(params):
+                h = h @ w + b
+                if i < last:
+                    h = np.tanh(h)
+                acts.append(h)
+            grad = 2.0 * (h - xb) / xb.size  # dMSE/dout
+            grads: list = [None] * len(params)
+            for i in range(last, -1, -1):
+                grads[i] = (acts[i].T @ grad, grad.sum(axis=0))
+                if i > 0:
+                    grad = (grad @ params[i][0].T) * (1 - acts[i] ** 2)
+            t += 1
+            corr = np.sqrt(1 - b2 ** t) / (1 - b1 ** t)
+            for p, m, v, g in zip(params, mom, vel, grads):
+                for j in range(2):
+                    m[j] = b1 * m[j] + (1 - b1) * g[j]
+                    v[j] = b2 * v[j] + (1 - b2) * g[j] ** 2
+                    p[j] -= lr * corr * m[j] / (np.sqrt(v[j]) + eps_)
+        vl = float(np.mean((_ae_forward(val, params) - val) ** 2))
+        if vl < best - 1e-7:
+            best, wait = vl, 0
+            best_params = [[w.copy(), b.copy()] for w, b in params]
+        else:
+            wait += 1
+            if wait >= patience:
+                break
+    return best_params
+
+
+def autoencoder_detector(scaled: DataFrame,
+                         hidden: tuple[int, ...] = (6, 4, 3),
+                         contamination: float = CONTAMINATION,
+                         seed: int = 42, key: str = "user",
+                         max_fit_rows: int = 51_200,
+                         epochs: int = 100) -> DataFrame:
+    """M6 proper (`Comparaison_ML.py:28-74` model, `:253-289`
+    train/score): a NONLINEAR autoencoder d→6→4→3→4→6→d (tanh hidden,
+    linear output — the reference's bottleneck architecture), Adam +
+    MSE + early stopping, score = per-row reconstruction MSE, flag
+    above the (1−contamination) percentile (A16).
+
+    Same distribution pattern as the iForest (M2): the FIT runs on a
+    bounded driver sample (≤ max_fit_rows — an AE trained on a uniform
+    sample of that size is statistically equivalent for anomaly
+    scoring), the learned weights broadcast (a few KB), and SCORING is
+    an Arrow-batched `mapInPandas` whose per-batch forward pass is two
+    BLAS GEMMs per layer — fully distributed, no driver round-trips.
+    Deviations from the reference, documented: no dropout (the
+    bottleneck at 3 of d already regularizes the ~100-row reference
+    regime) and numpy RNG streams differ from TF's, so the gate is
+    planted-anomaly recovery (≥ the linear PCA substitute's) rather
+    than value equality — tests/test_ml.py.
+    """
+    import pandas as pd
+    from pyspark.ml.functions import vector_to_array
+
+    pdf = (scaled.select(vector_to_array("scaled").alias("x"))
+           .limit(max_fit_rows).toPandas())
+    mat = np.array(pdf["x"].tolist())
+    d = mat.shape[1]
+    dims = [d, *hidden, *hidden[-2::-1], d]
+    params = _ae_train(mat, dims, seed, epochs=epochs)
+    bc = scaled.sparkSession.sparkContext.broadcast(params)
+
+    key_type = dict(scaled.dtypes)[key]
+    proj = scaled.select(F.col(key), vector_to_array("scaled").alias("x"))
+
+    def score_batches(it):
+        ps = bc.value
+        for batch in it:
+            x = np.array(batch["x"].tolist())
+            mse = np.mean((_ae_forward(x, ps) - x) ** 2, axis=1)
+            yield pd.DataFrame({key: batch[key], "ae_mse": mse})
+
+    out = proj.mapInPandas(
+        score_batches, schema=f"{key} {key_type}, ae_mse double")
+    out = _threshold_flag(out, "ae_mse", "ae_anomaly", contamination)
+    out = _minmax(out, "ae_mse")
+    return out.withColumnRenamed("ae_mse", "ae_score")
 
 
 # ---------------------------------------------------------------------------

@@ -31,10 +31,16 @@ def all_queries() -> dict[str, QueryFn]:
         tpch,
     )
     out: dict[str, QueryFn] = {}
-    for mod in _MERGE_ORDER(threat, relational, pipeline, corpus, advanced,
-                            graph_queries, metrics, ml_queries,
-                            streaming_queries, temporal, tpch, cleaning):
+    mods = _MERGE_ORDER(threat, relational, pipeline, corpus, advanced,
+                        graph_queries, metrics, ml_queries,
+                        streaming_queries, temporal, tpch, cleaning)
+    for mod in mods:
         out.update(mod.QUERIES)
+    # QUERIES_TAIL: queries added mid-round land AFTER every module so
+    # the driver's first-50 sampling window stays byte-stable within a
+    # round; the next rotation moves them forward
+    for mod in mods:
+        out.update(getattr(mod, "QUERIES_TAIL", {}))
     return out
 
 
@@ -73,8 +79,11 @@ def all_oracles() -> dict[str, str]:
         tpch,
     )
     out: dict[str, str] = {}
-    for mod in _MERGE_ORDER(threat, relational, pipeline, corpus, advanced,
-                            graph_queries, metrics, ml_queries,
-                            streaming_queries, temporal, tpch, cleaning):
+    mods = _MERGE_ORDER(threat, relational, pipeline, corpus, advanced,
+                        graph_queries, metrics, ml_queries,
+                        streaming_queries, temporal, tpch, cleaning)
+    for mod in mods:
         out.update(mod.ORACLES)
+    for mod in mods:
+        out.update(getattr(mod, "ORACLES_TAIL", {}))
     return out

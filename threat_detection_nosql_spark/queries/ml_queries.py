@@ -28,6 +28,7 @@ _DETECTORS = {
     "pca": lambda scaled: U.pca_reconstruction_detector(scaled),
     "maha": lambda scaled: U.mahalanobis_detector(scaled),
     "dbscan": lambda scaled: U.dbscan_noise_detector(scaled),
+    "ae": lambda scaled: U.autoencoder_detector(scaled),
 }
 
 _memo: dict[tuple, DataFrame] = {}
@@ -56,6 +57,13 @@ def pca_reconstruction_anomalies(spark: SparkSession,
 
 def mahalanobis_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _detector(spark, sf_dir, "maha")
+
+
+def autoencoder_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M6 proper: nonlinear bottleneck autoencoder reconstruction
+    error (vs the linear PCA substitute) — see
+    ml.unsupervised.autoencoder_detector."""
+    return _detector(spark, sf_dir, "ae")
 
 
 def dbscan_noise_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -110,6 +118,12 @@ QUERIES = {
 }
 
 ORACLES: dict[str, str] = {}  # rows-only by construction
+
+# added mid-round-4: TAIL keeps the driver's first-50 sampling window
+# stable (see queries/__init__.all_queries)
+QUERIES_TAIL = {
+    "autoencoder_anomalies": autoencoder_anomalies,
+}
 
 
 # ---------------------------------------------------------------------------
