@@ -86,7 +86,8 @@ def test_contamination_detectors_match_reference_fraction(
     for det, flag, ref_model in (
             (lambda df: U.iforest_detector(df, n_trees=100),
              "iforest_anomaly", "Isolation Forest"),
-            (U.mahalanobis_detector, "maha_anomaly", "One-Class SVM")):
+            (U.mahalanobis_detector, "maha_anomaly", "One-Class SVM"),
+            (U.rff_ocsvm_detector, "ocsvm_anomaly", "One-Class SVM")):
         want = round(_frac(golden, ref_model) * n)
         got = det(scaled).filter(f"{flag} = 1").count()
         assert got == want, (ref_model, got, want)
@@ -120,7 +121,7 @@ def test_supervised_metrics_meet_reference_band(spark, fixture, golden):
     floor_f1 = min(float(r["F1-Score"]) for r in sup.values())
     best_f1 = max(float(r["F1-Score"]) for r in sup.values())
     rep = {r.model: r for r in supervised_report(scaled).collect()}
-    assert set(rep) == {"random_forest", "gbt", "linear_svc"}
+    assert set(rep) == {"random_forest", "gbt", "linear_svc", "rbf_rff_lr"}
     for r in rep.values():
         assert r.accuracy >= floor_acc, (r.model, r.accuracy)
         assert r.f1 >= floor_f1, (r.model, r.f1)

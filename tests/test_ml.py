@@ -49,6 +49,15 @@ def test_iforest_detector_contamination_and_quality(spark, fixture):
     assert tp >= 16         # ≥80% of planted anomalies recovered
 
 
+def test_rff_ocsvm_detector_quality(spark, fixture):
+    """M3 proper: RFF one-class SVM flags exactly the nu fraction of
+    the fit sample (KKT rho) and recovers most planted anomalies."""
+    scaled, labels = fixture
+    n, tp = _tp(U.rff_ocsvm_detector(scaled), "ocsvm_anomaly", labels)
+    assert n == 20               # nu-property, exact on the fit sample
+    assert tp >= 14
+
+
 def test_mahalanobis_detector_quality(spark, fixture):
     scaled, labels = fixture
     n, tp = _tp(U.mahalanobis_detector(scaled), "maha_anomaly", labels)
@@ -108,7 +117,7 @@ def test_class_weights_balanced(spark, fixture):
 def test_supervised_report_quality(spark, fixture):
     scaled, _ = fixture
     rep = {r.model: r for r in supervised_report(scaled).collect()}
-    assert set(rep) == {"random_forest", "gbt", "linear_svc"}
+    assert set(rep) == {"random_forest", "gbt", "linear_svc", "rbf_rff_lr"}
     # planted anomalies are separable: accuracy ≥ reference band (0.85+)
     for r in rep.values():
         assert r.accuracy >= 0.85

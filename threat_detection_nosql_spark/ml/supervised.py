@@ -10,7 +10,10 @@ Reference: SMOTE-resampled sklearn GridSearchCV stack
 - M11 stratified 80/20 split → per-label `sampleBy` with fixed seed.
 - M12 RandomForest + grid CV → `RandomForestClassifier` +
   `CrossValidator(numFolds=3)` on an f1 evaluator.
-- M13 RBF-kernel SVC → `LinearSVC` (Spark ML has no kernel SVM).
+- M13 RBF-kernel SVC → two models: `LinearSVC` (margin baseline) and
+  `rbf_rff_lr` — LogisticRegression on random Fourier features, which
+  approximates the RBF kernel AND yields the probabilities the
+  reference's `SVC(probability=True)` exposes.
 - M14 XGBoost → `GBTClassifier`; `xgboost.spark` is used when the
   library is installed (import-gated).
 - A20–A22: confusion matrix / accuracy / precision / recall / F1 as
@@ -20,6 +23,7 @@ Reference: SMOTE-resampled sklearn GridSearchCV stack
 
 from __future__ import annotations
 
+import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -102,6 +106,76 @@ def _fit_svc(train: DataFrame, label: str, seed: int):
     return svc.fit(train)
 
 
+RFF_DIM = 256  # D: kernel-approximation rank; error is O(1/sqrt(D))
+
+
+def _rff_transform(df: DataFrame, weights, offsets,
+                   in_col: str = "scaled",
+                   out_col: str = "rff") -> DataFrame:
+    """Random Fourier features (Rahimi & Recht 2007): z(x) =
+    sqrt(2/D)·cos(xW + b) with W ~ N(0, 2γI), b ~ U[0, 2π) satisfies
+    E[z(x)·z(y)] = exp(−γ‖x−y‖²) — the RBF kernel — so any LINEAR
+    model on z approximates the corresponding kernel machine. The map
+    is one Arrow-batched GEMM per batch (pandas UDF, broadcast W/b):
+    fully distributed, no kernel matrix ever materializes."""
+    import pandas as pd
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    bc = df.sparkSession.sparkContext.broadcast((weights, offsets))
+
+    def _z(xs):
+        w, b = bc.value
+        x = np.array(xs.tolist())
+        z = np.sqrt(2.0 / w.shape[1]) * np.cos(x @ w + b)
+        return pd.Series(list(z))
+
+    z_udf = F.pandas_udf(_z, "array<double>")
+    return df.withColumn(
+        out_col, array_to_vector(z_udf(vector_to_array(in_col))))
+
+
+def _rff_planes(d: int, n_features: int, seed: int, gamma: float | None):
+    if gamma is None:
+        gamma = 1.0 / d  # sklearn 'scale' on unit-variance input
+    rng = np.random.default_rng(seed)
+    w = rng.normal(0.0, np.sqrt(2.0 * gamma), size=(d, n_features))
+    b = rng.uniform(0.0, 2.0 * np.pi, size=n_features)
+    return w, b
+
+
+class _RFFLogisticModel:
+    """RBF-approx classifier: RFF map + Spark ML LogisticRegression.
+    transform() re-applies the SAME (broadcast) planes then the LR
+    model, so prediction / rawPrediction / probability columns behave
+    exactly like any Spark ML classifier's."""
+
+    def __init__(self, weights, offsets, lr_model):
+        self._w, self._b, self._lr = weights, offsets, lr_model
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        return self._lr.transform(_rff_transform(df, self._w, self._b))
+
+
+def _fit_rbf_lr(train: DataFrame, label: str, seed: int,
+                n_features: int = RFF_DIM, gamma: float | None = None):
+    """M13 parity: the reference trains an RBF-kernel SVC with
+    ``probability=True`` (`Comparaison_ML.py:615-641`); Spark ML has no
+    kernel SVM and LinearSVC has no probabilities. Random Fourier
+    features close both gaps at once: LogisticRegression on the RFF map
+    ≈ kernel logistic regression with the RBF kernel — a margin-shaped
+    nonlinear decision boundary WITH calibrated probabilities, and the
+    fit itself is distributed (per-row feature map + Spark ML LR), not
+    a driver-sample detour."""
+    from pyspark.ml.classification import LogisticRegression
+
+    d = train.select("scaled").first()[0].size
+    w, b = _rff_planes(d, n_features, seed, gamma)
+    lr = LogisticRegression(featuresCol="rff", labelCol=label,
+                            weightCol="weight", regParam=0.01,
+                            maxIter=100)
+    return _RFFLogisticModel(w, b, lr.fit(_rff_transform(train, w, b)))
+
+
 def confusion_matrix(pred: DataFrame, label: str = LABEL,
                      pred_col: str = "prediction") -> DataFrame:
     """A20: 2×2 counts as a grouped aggregate."""
@@ -149,7 +223,8 @@ def supervised_report(features: DataFrame, label: str = LABEL,
     rows = []
     for name, fit in (("random_forest", _fit_rf),
                       ("gbt", _fit_gbt),
-                      ("linear_svc", _fit_svc)):
+                      ("linear_svc", _fit_svc),
+                      ("rbf_rff_lr", _fit_rbf_lr)):
         model = (fit(train, label, seed, tune) if fit is _fit_rf
                  else fit(train, label, seed))
         pred = model.transform(test)

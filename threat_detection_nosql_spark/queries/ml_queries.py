@@ -29,6 +29,7 @@ _DETECTORS = {
     "maha": lambda scaled: U.mahalanobis_detector(scaled),
     "dbscan": lambda scaled: U.dbscan_noise_detector(scaled),
     "ae": lambda scaled: U.autoencoder_detector(scaled),
+    "ocsvm": lambda scaled: U.rff_ocsvm_detector(scaled),
 }
 
 _memo: dict[tuple, DataFrame] = {}
@@ -64,6 +65,13 @@ def autoencoder_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     error (vs the linear PCA substitute) — see
     ml.unsupervised.autoencoder_detector."""
     return _detector(spark, sf_dir, "ae")
+
+
+def ocsvm_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M3 proper: one-class SVM in random-Fourier-feature space
+    (margin-shaped, vs the distribution-shaped Mahalanobis
+    substitute) — see ml.unsupervised.rff_ocsvm_detector."""
+    return _detector(spark, sf_dir, "ocsvm")
 
 
 def dbscan_noise_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -123,6 +131,7 @@ ORACLES: dict[str, str] = {}  # rows-only by construction
 # stable (see queries/__init__.all_queries)
 QUERIES_TAIL = {
     "autoencoder_anomalies": autoencoder_anomalies,
+    "ocsvm_anomalies": ocsvm_anomalies,
 }
 
 
