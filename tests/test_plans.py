@@ -240,8 +240,12 @@ def test_triangles_broadcast_after_support_prune(spark):
     from threat_detection_nosql_spark.queries.graph_queries import (
         copurchase_triangles,
     )
+    # materialize=False: the registered path checkpoints the pruned
+    # edge list (lineage truncates to Scan ExistingRDD); the full
+    # expansion+wedge pipeline is only visible lazily
     plan = final_adaptive_plan(
-        copurchase_triangles(spark, SF_DIR)).split("== Initial Plan ==")[0]
+        copurchase_triangles(spark, SF_DIR, materialize=False),
+    ).split("== Initial Plan ==")[0]
     assert plan.count("BroadcastHashJoin") >= 2
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan
@@ -291,8 +295,12 @@ def test_kmeans_detector_broadcasts_centroids(spark):
     from threat_detection_nosql_spark.queries.ml_queries import (
         kmeans_fixed_anomalies,
     )
+    # materialize=False: the registered path ends in an eager
+    # localCheckpoint (call-scoped caches), which truncates lineage to
+    # `Scan ExistingRDD` — the Lloyd joins are only visible lazily
     plan = final_adaptive_plan(
-        kmeans_fixed_anomalies(spark, SF_DIR)).split("== Initial Plan ==")[0]
+        kmeans_fixed_anomalies(spark, SF_DIR, materialize=False),
+    ).split("== Initial Plan ==")[0]
     assert "BroadcastNestedLoopJoin" in plan
     assert "CartesianProduct" not in plan
 

@@ -10,7 +10,8 @@ from threat_detection_nosql_spark import queries as Q
 
 _MODULES = ["threat", "relational", "pipeline", "corpus", "advanced",
             "graph_queries", "metrics", "ml_queries",
-            "streaming_queries", "temporal", "tpch", "cleaning"]
+            "streaming_queries", "temporal", "tpch", "cleaning",
+            "tokenizer"]
 
 
 def _modules():

@@ -82,3 +82,45 @@ def test_misra_gries_bounded_output(spark):
         (F.col("id") % 5000).cast("string").alias("v")).repartition(4)
     out = sketches.misra_gries_heavy_hitters(df, "v", k=10).collect()
     assert len(out) <= 4 * 10
+
+
+def test_countmin_never_underestimates(spark):
+    """CM's one-sided guarantee: est ≥ exact for EVERY key (collisions
+    only add), and min-over-depth keeps the planted heavy key's
+    overcount within a loose 8·N/width band on a skewed fixture."""
+    rows = [("hot",)] * 500 + [(f"k{i % 200}",) for i in range(1500)]
+    df = spark.createDataFrame(rows, "tok string")
+    ex = df.groupBy("tok").agg(F.count("*").alias("cnt"))
+    sketch = sketches.countmin_cells(ex, depth=4, width=256)
+    est = {r["tok"]: r["cm_est"]
+           for r in sketches.countmin_estimates(
+               sketch, ex, depth=4, width=256).collect()}
+    exact = {r["tok"]: r["cnt"] for r in ex.collect()}
+    n_total = sum(exact.values())
+    for tok, cnt in exact.items():
+        assert est[tok] >= cnt, tok
+    assert est["hot"] - exact["hot"] <= 8 * n_total // 256
+
+
+def test_countmin_cells_bounded_and_mass_preserving(spark):
+    """Each depth row's counters sum to exactly N (the sketch is a
+    partition of the weighted keys), and the table never exceeds
+    depth×width rows — the fixed-state contract that makes the rollup
+    shuffle-bounded at any corpus size."""
+    df = spark.createDataFrame(
+        [(f"t{i % 97}",) for i in range(3000)], "tok string")
+    ex = df.groupBy("tok").agg(F.count("*").alias("cnt"))
+    cells = sketches.countmin_cells(ex, depth=4, width=64).collect()
+    assert len(cells) <= 4 * 64
+    per_row = {}
+    for r in cells:
+        per_row[r["r"]] = per_row.get(r["r"], 0) + r["cell_cnt"]
+    assert per_row == {r: 3000 for r in range(4)}
+
+
+def test_countmin_query_matches_oracle(spark, ddb):
+    from tests.conftest import compare_query_to_oracle
+    from threat_detection_nosql_spark.queries import metrics
+    compare_query_to_oracle(
+        spark, ddb, metrics.QUERIES_TAIL["countmin_token_estimates"],
+        metrics.ORACLES_TAIL["countmin_token_estimates"])

@@ -19,6 +19,78 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+_CM_PRIME = 2147483647  # 2^31 − 1: a·x stays < 2^62, BIGINT-safe
+
+
+def countmin_params(depth: int) -> list[tuple[int, int]]:
+    """Deterministic (aᵢ, bᵢ) per sketch row for the affine universal
+    family hᵢ(x) = (aᵢ·x + bᵢ) mod p mod width — md5-derived like
+    dedup.minhash_params, so a SQL oracle reproduces the constants."""
+    import hashlib
+
+    def h60(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    return [(h60(f"cm_a{i}") % (_CM_PRIME - 1) + 1,
+             h60(f"cm_b{i}") % _CM_PRIME)
+            for i in range(depth)]
+
+
+def countmin_cells(weighted: DataFrame, key_col: str = "tok",
+                   weight_col: str = "cnt", depth: int = 4,
+                   width: int = 1024) -> DataFrame:
+    """Sparse Count-Min sketch of a weighted key frame → (r, c,
+    cell_cnt). Built from the DISTINCT-key frame with weights (one
+    hash per distinct key, not per occurrence — identical counters,
+    ~tokens/vocab less hashing). The explode emits ``depth`` cells per
+    key; the aggregation map-combines, so the shuffle is bounded by
+    depth×width rows regardless of corpus size — the same
+    fixed-state-rollup scale story as the HLL/KLL sketches above, but
+    with PORTABLE hashes: a SQL engine replays every counter exactly.
+
+    CM guarantees (per Cormode & Muthukrishnan): estimate ≥ true
+    count always (increments only collide upward), and the overcount
+    per row is the colliding mass — min over ``depth`` rows keeps it
+    ≤ 2N/width with high probability."""
+    from threat_detection_nosql_spark.operators.dedup import (
+        _portable_hash60,
+    )
+    x = _portable_hash60(F.col(key_col)) % F.lit(_CM_PRIME)
+    cells = F.explode(F.array(*[
+        F.struct(F.lit(i).alias("r"),
+                 ((F.lit(a) * x + F.lit(b)) % F.lit(_CM_PRIME)
+                  % F.lit(width)).alias("c"))
+        for i, (a, b) in enumerate(countmin_params(depth))]))
+    return (weighted
+            .select(cells.alias("rc"), F.col(weight_col).alias("w"))
+            .groupBy(F.col("rc.r").alias("r"), F.col("rc.c").alias("c"))
+            .agg(F.sum("w").alias("cell_cnt")))
+
+
+def countmin_estimates(sketch: DataFrame, candidates: DataFrame,
+                       key_col: str = "tok", depth: int = 4,
+                       width: int = 1024) -> DataFrame:
+    """Point queries against a Count-Min sketch: min over the
+    ``depth`` counters each candidate hashes to. The sketch is ≤
+    depth×width rows → broadcast; candidates never shuffle."""
+    from threat_detection_nosql_spark.operators.dedup import (
+        _portable_hash60,
+    )
+    x = _portable_hash60(F.col(key_col)) % F.lit(_CM_PRIME)
+    probes = F.explode(F.array(*[
+        F.struct(F.lit(i).alias("r"),
+                 ((F.lit(a) * x + F.lit(b)) % F.lit(_CM_PRIME)
+                  % F.lit(width)).alias("c"))
+        for i, (a, b) in enumerate(countmin_params(depth))]))
+    keep = [f for f in candidates.columns]
+    return (candidates
+            .select(*keep, probes.alias("rc"))
+            .join(F.broadcast(sketch),
+                  (F.col("rc.r") == F.col("r"))
+                  & (F.col("rc.c") == F.col("c")))
+            .groupBy(*keep)
+            .agg(F.min("cell_cnt").alias("cm_est")))
+
 
 
 def daily_user_sketches(events: DataFrame,

@@ -28,12 +28,14 @@ def all_queries() -> dict[str, QueryFn]:
         streaming_queries,
         temporal,
         threat,
+        tokenizer,
         tpch,
     )
     out: dict[str, QueryFn] = {}
     mods = _MERGE_ORDER(threat, relational, pipeline, corpus, advanced,
                         graph_queries, metrics, ml_queries,
-                        streaming_queries, temporal, tpch, cleaning)
+                        streaming_queries, temporal, tpch, cleaning,
+                        tokenizer)
     for mod in mods:
         out.update(mod.QUERIES)
     # QUERIES_TAIL: queries added mid-round land AFTER every module so
@@ -46,7 +48,7 @@ def all_queries() -> dict[str, QueryFn]:
 
 def _MERGE_ORDER(threat, relational, pipeline, corpus, advanced,
                  graph_queries, metrics, ml_queries, streaming_queries,
-                 temporal, tpch, cleaning):
+                 temporal, tpch, cleaning, tokenizer):
     """Registry merge order.
 
     The driver's correctness gate hashes the FIRST 50 queries in merge
@@ -60,7 +62,7 @@ def _MERGE_ORDER(threat, relational, pipeline, corpus, advanced,
     """
     return (advanced, graph_queries, metrics, ml_queries, cleaning,
             temporal, tpch, streaming_queries, corpus, threat,
-            relational, pipeline)
+            relational, pipeline, tokenizer)
 
 
 def all_oracles() -> dict[str, str]:
@@ -76,12 +78,14 @@ def all_oracles() -> dict[str, str]:
         streaming_queries,
         temporal,
         threat,
+        tokenizer,
         tpch,
     )
     out: dict[str, str] = {}
     mods = _MERGE_ORDER(threat, relational, pipeline, corpus, advanced,
                         graph_queries, metrics, ml_queries,
-                        streaming_queries, temporal, tpch, cleaning)
+                        streaming_queries, temporal, tpch, cleaning,
+                        tokenizer)
     for mod in mods:
         out.update(mod.ORACLES)
     for mod in mods:

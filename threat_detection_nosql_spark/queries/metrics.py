@@ -431,3 +431,89 @@ FROM ranked
 
 QUERIES["spend_acctbal_spearman"] = spend_acctbal_spearman
 ORACLES["spend_acctbal_spearman"] = _SPEARMAN_SQL
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch with PORTABLE hashes (round-4 tail): unlike the
+# HLL/KLL/Misra-Gries family above (engine-specific state, rows-only),
+# the md5-derived affine hash family makes every counter replayable in
+# SQL, so this sketch is fully oracle-checked.
+# ---------------------------------------------------------------------------
+
+_CM_DEPTH = 4
+_CM_WIDTH = 1024
+_CM_TOP = 20
+
+
+def countmin_token_estimates(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """Count-Min point estimates for the corpus's top-20 exact tokens,
+    with the exact count and the (always ≥ 0) overcount side by side.
+    Shape: one tokenize+groupBy for the distinct-token weights, a
+    depth×width-bounded cell aggregation, and a broadcast probe join —
+    the corpus is scanned once, the shuffle after tokenization is
+    bounded by the sketch size."""
+    from threat_detection_nosql_spark.operators.sketches import (
+        countmin_cells, countmin_estimates)
+    from threat_detection_nosql_spark.sources.readers import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    ex = (docs.select(F.explode(F.split("text", r"\s+")).alias("tok"))
+          .filter(F.col("tok") != "")
+          .groupBy("tok").agg(F.count("*").alias("cnt"))
+          .cache())  # consumed twice: sketch build + candidate top-k
+    sketch = countmin_cells(ex, depth=_CM_DEPTH, width=_CM_WIDTH)
+    cand = ex.orderBy(F.desc("cnt"), F.asc("tok")).limit(_CM_TOP)
+    out = (countmin_estimates(sketch, cand,
+                              depth=_CM_DEPTH, width=_CM_WIDTH)
+           .select("tok", F.col("cnt").alias("exact_cnt"), "cm_est",
+                   (F.col("cm_est") - F.col("cnt")).alias("overcount"))
+           .localCheckpoint(eager=True))  # call-scoped cache
+    ex.unpersist()
+    return out
+
+
+def _cm_sql() -> str:
+    from threat_detection_nosql_spark.operators.sketches import (
+        _CM_PRIME, countmin_params)
+    params = countmin_params(_CM_DEPTH)
+    cell = ("({a} * x + {b}) % {p} % {w}"
+            .format(a="{a}", b="{b}", p=_CM_PRIME, w=_CM_WIDTH))
+    cells_union = "\n    UNION ALL\n".join(
+        f"    SELECT {i} AS r, {cell.format(a=a, b=b)} AS c, cnt FROM hx"
+        for i, (a, b) in enumerate(params))
+    probe_union = "\n    UNION ALL\n".join(
+        f"    SELECT tok, cnt, {i} AS r, {cell.format(a=a, b=b)} AS c"
+        f" FROM cand"
+        for i, (a, b) in enumerate(params))
+    return rf"""
+WITH toks AS (
+  SELECT t.w AS tok
+  FROM documents,
+       LATERAL (SELECT unnest(string_split_regex(text, '\s+')) AS w) t
+  WHERE t.w <> ''),
+ex AS (SELECT tok, CAST(count(*) AS BIGINT) AS cnt
+       FROM toks GROUP BY tok),
+hx AS (SELECT tok, cnt,
+              CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT)
+                % {_CM_PRIME} AS x
+       FROM ex),
+cells AS (
+  SELECT r, c, CAST(sum(cnt) AS BIGINT) AS cell_cnt FROM (
+{cells_union}
+  ) u GROUP BY r, c),
+cand AS (SELECT tok, cnt, x FROM hx ORDER BY cnt DESC, tok
+         LIMIT {_CM_TOP}),
+probe AS (
+{probe_union}
+)
+SELECT p.tok, p.cnt AS exact_cnt,
+       CAST(min(cl.cell_cnt) AS BIGINT) AS cm_est,
+       CAST(min(cl.cell_cnt) - p.cnt AS BIGINT) AS overcount
+FROM probe p JOIN cells cl ON p.r = cl.r AND p.c = cl.c
+GROUP BY p.tok, p.cnt
+"""
+
+
+QUERIES_TAIL = {"countmin_token_estimates": countmin_token_estimates}
+ORACLES_TAIL = {"countmin_token_estimates": _cm_sql()}

@@ -150,14 +150,22 @@ _KF_K = 2
 _KF_ITERS = 2
 
 
-def kmeans_fixed_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+def kmeans_fixed_anomalies(spark: SparkSession, sf_dir: str,
+                           materialize: bool = True) -> DataFrame:
     """End-to-end oracle-checkable anomaly detection: the A10 per-user
     feature matrix → exact min-max scaling (A17) → k=2 fixed-iteration
     Lloyd (deterministic seeds, no RNG) → smaller cluster = anomaly
     (A13). Every intermediate is IEEE-reproducible, so the DuckDB
     oracle replays feature build, scaling, both Lloyd iterations and
     the final flags value-for-value — the correctness standard the
-    RNG-backed detectors can only meet with planted-fixture tests."""
+    RNG-backed detectors can only meet with planted-fixture tests.
+
+    ``materialize=False`` returns the LAZY plan (no localCheckpoint)
+    so plan tests can inspect the Lloyd join strategy; the registered
+    default pins the feature table and the final assignment with eager
+    localCheckpoints (|users| rows each) so the events scan + Expand
+    agg — the query's dominant cost — runs exactly once per call, with
+    no cached blocks outliving the call."""
     from pyspark.sql import functions as F
 
     from threat_detection_nosql_spark.operators.clustering import (
@@ -181,6 +189,13 @@ def kmeans_fixed_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.round(F.col("after_hours_activities") / divisor, 6))
         .withColumn("weekend_ratio",
                     F.round(F.col("weekend_activities") / divisor, 6)))
+    if materialize:
+        # base is consumed TWICE (the min-max agg and the vector
+        # build) — without this pin the events scan + Expand agg (the
+        # whole query's dominant cost) runs twice; |users| rows, so
+        # the checkpoint is trivial and every Lloyd branch downstream
+        # reads materialized rows
+        base = base.coalesce(4).localCheckpoint(eager=True)
     mm = base.agg(*[f for c in _KF_FEATURES
                     for f in (F.min(c).alias(f"mn_{c}"),
                               F.max(c).alias(f"mx_{c}"))])
@@ -191,17 +206,15 @@ def kmeans_fixed_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.col("user").alias("vec_id"),
                     F.array(*[((F.col(c) - F.col(f"mn_{c}")) / span[c])
                               .cast("double")
-                              for c in _KF_FEATURES]).alias("v"))
-            # |users| rows; the lazy Lloyd lineage references this
-            # subtree once per iteration branch — cached, the heavy
-            # events scan + Expand agg underneath runs once, not ~8×
-            # (measured 4.0s → ~1s at sf0.1)
-            .cache())
+                              for c in _KF_FEATURES]).alias("v")))
     assigned, _cent = kmeans_fixed(vecs, k=_KF_K, n_iters=_KF_ITERS)
-    # |users| rows again: the two consumers below (cluster sizes +
-    # flag projection) would otherwise each replay the full Lloyd
-    # lineage; cached, the iteration DAG executes once
-    assigned = assigned.cache()
+    if materialize:
+        # |users| rows: the two consumers below (cluster sizes + flag
+        # projection) would otherwise each replay the full Lloyd
+        # lineage; pinned, the iteration DAG executes once (every
+        # branch reads the checkpointed base, so replays of the vector
+        # build itself are trivial)
+        assigned = assigned.coalesce(4).localCheckpoint(eager=True)
     sizes = assigned.groupBy("cell").agg(F.count("*").alias("n"))
     pick = sizes.agg(
         F.min_by("cell", F.struct("n", "cell")).alias("anom_cell"))
@@ -211,13 +224,6 @@ def kmeans_fixed_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
                    (F.col("cell") == F.col("anom_cell")).cast("int")
                    .alias("is_anomaly"),
                    F.round("dist", 6).alias("dist_to_centroid")))
-    # Scope both caches to this call: materialize the (|users|-row)
-    # result eagerly, then release the cached blocks so repeated
-    # invocations (bench medians, test suite) don't accumulate storage
-    # for the session lifetime.
-    out = out.localCheckpoint(eager=True)
-    assigned.unpersist()
-    vecs.unpersist()
     return out
 
 

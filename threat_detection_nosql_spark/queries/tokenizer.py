@@ -1,0 +1,160 @@
+"""BPE tokenizer-training queries with fully-replayed DuckDB oracles.
+
+Both queries run the distributed trainer (operators/bpe.py) on the
+``documents`` table; the oracle UNROLLS every merge iteration as
+chained CTEs — pair-count aggregation, deterministic argmax (count
+DESC, left ASC, right ASC), and the same fixpoint ``replace`` rewrite
+— the same unrolled-iteration technique as the fixed-Lloyd IVF oracle
+(queries/advanced.ivf_fixed_ann_topk). Because Spark and DuckDB share
+leftmost non-overlapping literal-replace semantics and the state is
+all integers/strings (no floats anywhere), the driver's value-hash
+comparison pins the ENTIRE training trajectory, not just the final
+table.
+
+Registered at the END of the registry merge order so the correctness
+driver's first-50 sampling window (queries/__init__._MERGE_ORDER)
+stays byte-stable within round 4.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from threat_detection_nosql_spark.operators.bpe import (
+    _MAX_WORD_CHARS,
+    _N_PASSES,
+    _WORD_RE,
+    bpe_train,
+    word_counts,
+)
+from threat_detection_nosql_spark.sources.readers import load_table
+
+_N_MERGES = 8
+_TOP_SEGMENTS = 30
+
+_MERGES_SCHEMA = T.StructType([
+    T.StructField("merge_rank", T.IntegerType()),
+    T.StructField("left_sym", T.StringType()),
+    T.StructField("right_sym", T.StringType()),
+    T.StructField("merged", T.StringType()),
+    T.StructField("pair_count", T.LongType()),
+])
+
+
+def bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The learned merge table: rank, pair, merged symbol, and the
+    pair's corpus frequency at the time it won the argmax."""
+    words = word_counts(load_table(spark, sf_dir, "documents"))
+    merges, final = bpe_train(words, n_merges=_N_MERGES)
+    # `final` only existed to scope the trainer's caches here; the
+    # merge table itself is the K-row training output
+    del final
+    return spark.createDataFrame(
+        [(m["rank"], m["left"], m["right"], m["merged"], m["pair_count"])
+         for m in merges], schema=_MERGES_SCHEMA)
+
+
+def bpe_top_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subword segmentation of the most frequent corpus words after all
+    merges — the trained tokenizer applied to its own training vocab
+    (encode-by-vocabulary-join is the scale path for encoding: distinct
+    words join the trained table; the corpus itself is never re-merged).
+    Deterministic order: count DESC, word ASC, top 30."""
+    words = word_counts(load_table(spark, sf_dir, "documents"))
+    _merges, final = bpe_train(words, n_merges=_N_MERGES)
+    return (final
+            .orderBy(F.desc("cnt"), F.asc("word"))
+            .limit(_TOP_SEGMENTS)
+            .select("word", "cnt", F.trim("seg").alias("seg")))
+
+
+def bpe_subword_freqs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus frequency of every subword symbol after training: the
+    final segmentations exploded, weighted by word count — i.e. the
+    token-frequency table a sampling-temperature or vocab-pruning
+    stage consumes. The corpus itself is never re-segmented: the
+    explode runs over the distinct-word vocabulary."""
+    words = word_counts(load_table(spark, sf_dir, "documents"))
+    _merges, final = bpe_train(words, n_merges=_N_MERGES)
+    toks = F.filter(F.split("seg", " "), lambda x: x != F.lit(""))
+    return (final
+            .select(F.explode(toks).alias("subword"), "cnt")
+            .groupBy("subword")
+            .agg(F.sum("cnt").alias("occurrences")))
+
+
+def _subword_freqs_sql(n_merges: int) -> str:
+    return f"""WITH {_vocab_ctes(n_merges)}
+SELECT subword, CAST(sum(cnt) AS BIGINT) AS occurrences
+FROM (SELECT cnt, unnest(list_filter(string_split(seg, ' '),
+                                     x -> x <> '')) AS subword
+      FROM v{n_merges})
+GROUP BY subword"""
+
+
+def _vocab_ctes(n_merges: int) -> str:
+    """Chained CTEs: wc → v0 → (p1, b1, v1) → … → (pK, bK, vK)."""
+    word_re_sql = _WORD_RE.replace("'", "''")
+    parts = [f"""
+wc AS (
+  SELECT word, CAST(count(*) AS BIGINT) AS cnt
+  FROM (SELECT t.w AS word
+        FROM (SELECT lower(text) AS lt FROM documents) d,
+             LATERAL (SELECT unnest(
+               regexp_extract_all(lt, '{word_re_sql}', 0)) AS w) t)
+  WHERE len(word) <= {_MAX_WORD_CHARS}
+  GROUP BY word),
+v0 AS (
+  SELECT word, cnt,
+         ' ' || array_to_string(
+           list_transform(range(1, len(word) + 1), i -> word[i]), ' ')
+         || ' ' AS seg
+  FROM wc)"""]
+    for k in range(1, n_merges + 1):
+        rewrite = "seg"
+        for _ in range(_N_PASSES):
+            rewrite = (f"replace({rewrite}, ' ' || l || ' ' || r || ' ', "
+                       f"' ' || l || r || ' ')")
+        parts.append(f"""
+p{k} AS (
+  SELECT tk[i] AS l, tk[i + 1] AS r, CAST(sum(cnt) AS BIGINT) AS c
+  FROM (SELECT cnt,
+               list_filter(string_split(seg, ' '), x -> x <> '') AS tk
+        FROM v{k - 1}) t,
+       LATERAL (SELECT unnest(range(1, len(tk))) AS i) ix
+  GROUP BY 1, 2),
+b{k} AS (SELECT l, r, c FROM p{k} ORDER BY c DESC, l, r LIMIT 1),
+v{k} AS (SELECT word, cnt, {rewrite} AS seg
+         FROM v{k - 1} CROSS JOIN b{k})""")
+    return ",".join(parts)
+
+
+def _merges_sql(n_merges: int) -> str:
+    union = "\nUNION ALL\n".join(
+        f"SELECT CAST({k} AS INT) AS merge_rank, l AS left_sym,"
+        f" r AS right_sym, l || r AS merged, c AS pair_count FROM b{k}"
+        for k in range(1, n_merges + 1))
+    return f"WITH {_vocab_ctes(n_merges)}\n{union}"
+
+
+def _top_segments_sql(n_merges: int, top: int) -> str:
+    return f"""WITH {_vocab_ctes(n_merges)}
+SELECT word, cnt, trim(seg) AS seg
+FROM v{n_merges}
+ORDER BY cnt DESC, word
+LIMIT {top}"""
+
+
+QUERIES = {
+    "bpe_merges": bpe_merges,
+    "bpe_top_segments": bpe_top_segments,
+    "bpe_subword_freqs": bpe_subword_freqs,
+}
+
+ORACLES = {
+    "bpe_merges": _merges_sql(_N_MERGES),
+    "bpe_top_segments": _top_segments_sql(_N_MERGES, _TOP_SEGMENTS),
+    "bpe_subword_freqs": _subword_freqs_sql(_N_MERGES),
+}
