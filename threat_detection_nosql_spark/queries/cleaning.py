@@ -236,3 +236,84 @@ FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
 
 QUERIES["data_quality_report"] = data_quality_report
 ORACLES["data_quality_report"] = _QUALITY_REPORT_SQL
+
+
+# ---------------------------------------------------------------------------
+# Distribution-drift gate (round-4 tail): PSI between two corpus slices
+# ---------------------------------------------------------------------------
+
+_PSI_CUTOFF = "1996-01-01"  # reference = orders before, current = after
+_PSI_BINS = 10
+_PSI_EPS = 1e-6             # empty-bin clamp (standard PSI practice)
+
+
+def feature_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index of o_totalprice between the pre- and
+    post-cutoff order slices — the drift gate a production pipeline
+    runs before promoting new training data against a frozen reference
+    snapshot. Output is the per-bin audit table (counts, fractions,
+    PSI contribution): the total PSI is the sum of psi_term, but the
+    per-bin rows are what an operator actually debugs.
+
+    Shape: one agg for the global [min, max] (broadcast 1 row), then
+    ONE scan bins both slices with conditional sums — the shuffle
+    carries ``_PSI_BINS`` rows. Equal-width bins over the global range
+    (not reference quantiles) keep every edge deterministic, so the
+    DuckDB oracle replays bin assignment bit-for-bit."""
+    orders = load_table(spark, sf_dir, "orders")
+    cut = F.lit(_PSI_CUTOFF).cast("timestamp")
+    sliced = orders.select(
+        F.col("o_totalprice").cast("double").alias("p"),
+        (F.col("o_orderdate") < cut).alias("is_ref"))
+    mm = sliced.agg(F.min("p").alias("mn"), F.max("p").alias("mx"))
+    span = (F.col("mx") - F.col("mn")) / F.lit(float(_PSI_BINS))
+    binned = (sliced.crossJoin(F.broadcast(mm))
+              .select(F.least(
+                  F.floor((F.col("p") - F.col("mn")) / span),
+                  F.lit(_PSI_BINS - 1)).cast("int").alias("bin"),
+                  "is_ref"))
+    counts = (binned.groupBy("bin").agg(
+        F.sum(F.when(F.col("is_ref"), 1).otherwise(0)).alias("ref_n"),
+        F.sum(F.when(F.col("is_ref"), 0).otherwise(1)).alias("cur_n")))
+    tot = counts.agg(F.sum("ref_n").alias("ref_tot"),
+                     F.sum("cur_n").alias("cur_tot"))
+    rf = F.greatest(F.col("ref_n") / F.col("ref_tot"), F.lit(_PSI_EPS))
+    cf = F.greatest(F.col("cur_n") / F.col("cur_tot"), F.lit(_PSI_EPS))
+    return (counts.crossJoin(F.broadcast(tot))
+            .select("bin", "ref_n", "cur_n",
+                    F.round(rf, 6).alias("ref_frac"),
+                    F.round(cf, 6).alias("cur_frac"),
+                    F.round((cf - rf) * F.log(cf / rf), 6)
+                    .alias("psi_term")))
+
+
+_PSI_SQL = f"""
+WITH sliced AS (
+  SELECT CAST(o_totalprice AS DOUBLE) AS p,
+         o_orderdate < TIMESTAMP '{_PSI_CUTOFF}' AS is_ref
+  FROM orders),
+mm AS (SELECT min(p) AS mn, max(p) AS mx FROM sliced),
+binned AS (
+  SELECT CAST(least(floor((p - mn) / ((mx - mn) / {_PSI_BINS}.0)),
+                    {_PSI_BINS - 1}) AS INT) AS bin, is_ref
+  FROM sliced CROSS JOIN mm),
+counts AS (
+  SELECT bin,
+         CAST(sum(CASE WHEN is_ref THEN 1 ELSE 0 END) AS BIGINT) AS ref_n,
+         CAST(sum(CASE WHEN is_ref THEN 0 ELSE 1 END) AS BIGINT) AS cur_n
+  FROM binned GROUP BY bin),
+tot AS (SELECT sum(ref_n) AS ref_tot, sum(cur_n) AS cur_tot FROM counts)
+SELECT bin, ref_n, cur_n,
+       round(greatest(ref_n / ref_tot, {_PSI_EPS}), 6) AS ref_frac,
+       round(greatest(cur_n / cur_tot, {_PSI_EPS}), 6) AS cur_frac,
+       round((greatest(cur_n / cur_tot, {_PSI_EPS})
+              - greatest(ref_n / ref_tot, {_PSI_EPS}))
+             * ln(greatest(cur_n / cur_tot, {_PSI_EPS})
+                  / greatest(ref_n / ref_tot, {_PSI_EPS})), 6)
+         AS psi_term
+FROM counts CROSS JOIN tot
+"""
+
+
+QUERIES_TAIL = {"feature_drift_psi": feature_drift_psi}
+ORACLES_TAIL = {"feature_drift_psi": _PSI_SQL}
