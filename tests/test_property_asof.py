@@ -83,3 +83,44 @@ def test_range_pairs_match_bruteforce(spark, rows, band):
     got = {r["user"]: r["n_pairs"]
            for r in range_pair_counts(df, "user", "ts", band).collect()}
     assert got == expected
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(left=st.lists(st.tuples(_key, _sec), min_size=1, max_size=25),
+       right=st.lists(st.tuples(_key, _sec), min_size=0, max_size=25))
+def test_asof_forward_matches_pandas_merge_asof(spark, left, right):
+    from threat_detection_nosql_spark.operators.temporal_joins import (
+        asof_forward_join,
+    )
+    lpdf = pd.DataFrame(
+        {"user": [k for k, _ in left],
+         "ts": [_to_ts(s) for _, s in left],
+         "rid": range(len(left))})
+    rpdf = (pd.DataFrame(
+        {"user": pd.Series([k for k, _ in right], dtype=object),
+         "ts": pd.Series([_to_ts(s) for _, s in right],
+                         dtype="datetime64[ns]")})
+        .drop_duplicates())
+    rpdf["payload"] = rpdf["ts"]
+
+    expected = pd.merge_asof(
+        lpdf.sort_values("ts", kind="stable"),
+        rpdf.sort_values("ts", kind="stable"),
+        on="ts", by="user", direction="forward",
+        allow_exact_matches=True)
+    exp = {int(r.rid): (None if pd.isnull(r.payload) else r.payload)
+           for r in expected.itertuples()}
+
+    ldf = spark.createDataFrame(lpdf)
+    if len(rpdf):
+        rdf = spark.createDataFrame(rpdf)
+    else:
+        rdf = spark.createDataFrame([], "user string, ts timestamp, "
+                                        "payload timestamp")
+    out = asof_forward_join(ldf, rdf, key="user", ts="ts",
+                            payload="payload")
+    got = {r["rid"]: (None if r["asof_payload"] is None
+                      else pd.Timestamp(r["asof_payload"]))
+           for r in out.collect()}
+    assert got == exp

@@ -14,10 +14,12 @@ from threat_detection_nosql_spark.operators.temporal_joins import (
 from threat_detection_nosql_spark.queries import temporal
 
 
-@pytest.mark.parametrize("name", sorted(temporal.QUERIES))
+@pytest.mark.parametrize(
+    "name", sorted({**temporal.QUERIES, **temporal.QUERIES_TAIL}))
 def test_temporal_query_matches_oracle(spark, ddb, name):
-    compare_query_to_oracle(spark, ddb, temporal.QUERIES[name],
-                            temporal.ORACLES[name])
+    queries = {**temporal.QUERIES, **temporal.QUERIES_TAIL}
+    oracles = {**temporal.ORACLES, **temporal.ORACLES_TAIL}
+    compare_query_to_oracle(spark, ddb, queries[name], oracles[name])
 
 
 def _ts(s):

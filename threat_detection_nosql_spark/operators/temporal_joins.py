@@ -50,6 +50,36 @@ def asof_backward_join(left: DataFrame, right: DataFrame, key: str,
             .select(*lcols, F.col("_asof").alias(f"asof_{payload}")))
 
 
+def asof_forward_join(left: DataFrame, right: DataFrame, key: str,
+                      ts: str, payload: str) -> DataFrame:
+    """Attach ``payload`` of the EARLIEST ``right`` row with
+    ``right[ts] >= left[ts]`` per key — time-to-next-event semantics
+    (the mirror of :func:`asof_backward_join`; same one-shuffle
+    union+window formulation, with the frame looking FORWARD). Ties:
+    a right row at the same timestamp is visible (>= semantics), so
+    the sort places right rows after left rows at equal ``ts`` and the
+    frame starts at the current row. ``right`` must be unique per
+    (key, ts)."""
+    lcols = left.columns
+    pt = dict(right.dtypes)[payload]
+    l = (left
+         .withColumn("_p", F.lit(None).cast(pt))
+         .withColumn("_side", F.lit(1)))
+    r = right.select(
+        *[F.col(key) if c == key
+          else F.col(ts) if c == ts
+          else F.lit(None).cast(dict(left.dtypes)[c]).alias(c)
+          for c in lcols],
+        F.col(payload).alias("_p"),
+        F.lit(0).alias("_side"))
+    w = (Window.partitionBy(key).orderBy(F.asc(ts), F.desc("_side"))
+         .rowsBetween(Window.currentRow, Window.unboundedFollowing))
+    return (l.unionByName(r)
+            .withColumn("_asof", F.first("_p", ignorenulls=True).over(w))
+            .filter(F.col("_side") == 1)
+            .select(*lcols, F.col("_asof").alias(f"asof_{payload}")))
+
+
 def range_pair_counts(df: DataFrame, key: str, ts: str,
                       band_seconds: int) -> DataFrame:
     """Per-key count of ordered event pairs (a, b) with

@@ -399,3 +399,41 @@ QUERIES["session_funnel_conversion"] = session_funnel_conversion
 QUERIES["purchase_attribution"] = purchase_attribution
 ORACLES["session_funnel_conversion"] = _SESSION_FUNNEL_SQL
 ORACLES["purchase_attribution"] = _ATTRIBUTION_SQL
+
+
+def time_to_next_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join: for every event, microseconds until the
+    user's NEXT 'purchase' event (NULL after the last one) — the
+    time-to-conversion feature, mirror of time_since_last_error.
+    Same one-shuffle union+window shape; the DuckDB oracle uses the
+    native forward ASOF JOIN (e.ts <= p.ts)."""
+    from threat_detection_nosql_spark.operators.temporal_joins import (
+        asof_forward_join,
+    )
+    log = activity_log(spark, sf_dir)
+    purchases = (log.filter(F.col("activity") == "purchase")
+                 .select("user", "ts").distinct()
+                 .withColumn("next_ts", F.col("ts")))
+    left = log.select("event_id", "user", "ts")
+    out = asof_forward_join(left, purchases, key="user", ts="ts",
+                            payload="next_ts")
+    return out.select(
+        "event_id", "user", "ts",
+        F.col("asof_next_ts").alias("next_purchase_ts"),
+        (F.unix_micros("asof_next_ts") - F.unix_micros("ts"))
+        .alias("us_to_purchase"))
+
+
+_ASOF_FWD_SQL = f"""
+{_LOG_CTE},
+purchases AS (SELECT DISTINCT user, ts FROM log
+              WHERE activity = 'purchase')
+SELECT e.event_id, e.user, e.ts, p.ts AS next_purchase_ts,
+       epoch_us(p.ts) - epoch_us(e.ts) AS us_to_purchase
+FROM log e ASOF LEFT JOIN purchases p
+  ON e.user = p.user AND e.ts <= p.ts
+"""
+
+
+QUERIES_TAIL = {"time_to_next_purchase": time_to_next_purchase}
+ORACLES_TAIL = {"time_to_next_purchase": _ASOF_FWD_SQL}
