@@ -87,3 +87,39 @@ def test_orc_round_trip(spark, tmp_path):
     back = spark.read.orc(path)
     assert back.count() == 50
     assert dict(back.dtypes) == {"id": "bigint", "v": "double"}
+
+
+def test_ivf_index_partition_pruning(spark, tmp_path):
+    """The cell-partitioned IVF layout must prune: probing 2 of the
+    cells reads ONLY those two directories (inputFiles ⊆ cell=K dirs,
+    PartitionFilters in the scan) and returns exactly their vectors."""
+    from pyspark.sql import functions as F
+
+    from threat_detection_nosql_spark.operators.clustering import (
+        kmeans_fixed)
+    from threat_detection_nosql_spark.sources.writers import (
+        read_ivf_cells, write_ivf_index)
+
+    emb = spark.createDataFrame(
+        [(i, [float(i % 4), float((i * 7) % 5)]) for i in range(64)],
+        "vec_id long, v array<double>")
+    assigned, _ = kmeans_fixed(emb, k=4, n_iters=1)
+    path = str(tmp_path / "ivf_index")
+    write_ivf_index(assigned, path)
+
+    probe = read_ivf_cells(spark, path, [0, 2])
+    got = {(r["vec_id"], r["cell"]) for r in probe.collect()}
+    want = {(r["vec_id"], r["cell"])
+            for r in assigned.collect() if r["cell"] in (0, 2)}
+    assert got == want and got
+
+    # inputFiles() lists the unpruned relation, so the pruning proof is
+    # the scan's PartitionFilters: the IN-list must ride the partition
+    # column (directory pruning), not the data filters
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert pf, plan
+    squeezed = pf[0].replace(" ", "")
+    assert "cell" in squeezed and "IN(0,2)" in squeezed, pf
+    # rows materialized = rows of the two probed directories only
+    assert probe.count() == len(want)
