@@ -7,12 +7,14 @@ import pytest
 from tests.conftest import compare_query_to_oracle
 from threat_detection_nosql_spark.queries import streaming_queries as SQ
 
-ORACLE_BACKED = sorted(SQ.ORACLES)
+ORACLE_BACKED = sorted({**SQ.ORACLES, **SQ.ORACLES_TAIL})
 
 
 @pytest.mark.parametrize("name", ORACLE_BACKED)
 def test_streaming_query_matches_batch_oracle(spark, ddb, name):
-    compare_query_to_oracle(spark, ddb, SQ.QUERIES[name], SQ.ORACLES[name])
+    queries = {**SQ.QUERIES, **SQ.QUERIES_TAIL}
+    oracles = {**SQ.ORACLES, **SQ.ORACLES_TAIL}
+    compare_query_to_oracle(spark, ddb, queries[name], oracles[name])
 
 
 def test_stateful_profiles_match_batch_counts(spark):

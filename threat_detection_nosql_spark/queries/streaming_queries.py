@@ -259,3 +259,35 @@ FROM p JOIN e
 
 if _tws_available():
     ORACLES["stream_tws_profiles"] = _TWS_SQL
+
+
+def stream_countmin_user_cells(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """Streaming CM sketch cells (complete mode); linearity makes the
+    drained state equal the batch sketch, so this streaming-stateful
+    operator is fully value-hash oracle-checkable."""
+    return S.countmin_user_cells(spark, sf_dir)
+
+
+def _cm_stream_sql() -> str:
+    from threat_detection_nosql_spark.operators.sketches import (
+        _CM_PRIME, countmin_params)
+    cells = "\n    UNION ALL\n".join(
+        f"    SELECT {i} AS r, ({a} * x + {b}) % {_CM_PRIME} % 1024"
+        f" AS c FROM hx"
+        for i, (a, b) in enumerate(countmin_params(4)))
+    return f"""
+WITH hx AS (
+  SELECT CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+              AS BIGINT) % {_CM_PRIME} AS x
+  FROM events),
+u AS (
+{cells}
+)
+SELECT r, c, CAST(count(*) AS BIGINT) AS cell_cnt
+FROM u GROUP BY r, c
+"""
+
+
+QUERIES_TAIL = {"stream_countmin_user_cells": stream_countmin_user_cells}
+ORACLES_TAIL = {"stream_countmin_user_cells": _cm_stream_sql()}

@@ -469,3 +469,22 @@ def streaming_after_hours_top10(spark: SparkSession,
            .orderBy(F.desc("after_hours_count"), F.asc("user"))
            .limit(10))
     return run_stream_to_table(top, mode="complete")
+
+
+def countmin_user_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming Count-Min sketch of the user-id stream — the sketch
+    family's streaming twin. Because CM is a LINEAR sketch, the
+    streaming update is just the cell aggregation in complete mode,
+    and the stateful-agg state is bounded at depth×width counters
+    REGARDLESS of user cardinality — the property that makes sketches
+    the streaming answer where a per-key groupBy's state grows without
+    bound. Post-drain cells equal the batch sketch over the same
+    events (linearity), so the oracle is the same generated SQL."""
+    from threat_detection_nosql_spark.operators.sketches import (
+        countmin_cells,
+    )
+    ev = events_stream(spark, sf_dir)
+    weighted = ev.select(F.col("user").cast("string").alias("tok"),
+                         F.lit(1).alias("cnt"))
+    cells = countmin_cells(weighted, depth=4, width=1024)
+    return run_stream_to_table(cells, mode="complete")
