@@ -75,6 +75,18 @@ EXTENDED_COUNT = [
     "corpus_curation_pipeline",
 ]
 
+# Round-4 surface ("round4_total"): BPE training, portable Count-Min,
+# PSI drift, forward as-of. Own group so prior totals stay comparable.
+ROUND4_COLLECT = [
+    "bpe_merges",
+    "countmin_token_estimates",
+    "feature_drift_psi",
+]
+ROUND4_COUNT = [
+    "bpe_subword_freqs",
+    "time_to_next_purchase",
+]
+
 
 def main() -> None:
     spark = get_spark("bench")
@@ -107,6 +119,10 @@ def main() -> None:
         timings[name] = median_time(name, name in EXTENDED_COUNT)
     extended_total = round(sum(timings[n] for n in
                                EXTENDED_COLLECT + EXTENDED_COUNT), 3)
+    for name in ROUND4_COLLECT + ROUND4_COUNT:
+        timings[name] = median_time(name, name in ROUND4_COUNT)
+    round4_total = round(sum(timings[n] for n in
+                             ROUND4_COLLECT + ROUND4_COUNT), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(json.dumps({
         "metric": "headline_queries_total",
@@ -115,6 +131,7 @@ def main() -> None:
         "queries": timings,
         "pipeline_total": pipeline_total,
         "extended_total": extended_total,
+        "round4_total": round4_total,
         "sf": float(sf),
     }))
 
