@@ -94,6 +94,61 @@ FROM (SELECT cnt, unnest(list_filter(string_split(seg, ' '),
 GROUP BY subword"""
 
 
+def bpe_encode_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the documents-trained merges to UNSEEN text: part-name
+    words segmented by replaying the merge list in rank order — the
+    tokenizer-reuse path (train once, encode any corpus). Encoding is
+    a chain of ``n_merges`` fixpoint replaces over the distinct-word
+    table of the target corpus — map-side, no shuffle beyond the word
+    count; the merge list itself is the K collected rows from
+    training."""
+    from threat_detection_nosql_spark.operators.bpe import (
+        _apply_merge, _initial_segments)
+    merges, _final = bpe_train(
+        word_counts(load_table(spark, sf_dir, "documents")),
+        n_merges=_N_MERGES)
+    part_words = word_counts(
+        load_table(spark, sf_dir, "part").withColumnRenamed(
+            "p_name", "text"))
+    vocab = _initial_segments(part_words)
+    for m in merges:
+        vocab = _apply_merge(vocab, m["left"], m["right"])
+    return vocab.select("word", "cnt", F.trim("seg").alias("seg"))
+
+
+def _encode_sql(n_merges: int) -> str:
+    """Oracle: the learned-merge CTEs (b1..bK over documents) cross-
+    joined 1-row-each into scope as (lK, rK), then the same nested
+    fixpoint replaces over the part-name word table."""
+    word_re_sql = _WORD_RE.replace("'", "''")
+    renames = ", ".join(
+        f"(SELECT l AS l{k}, r AS r{k} FROM b{k}) m{k}"
+        for k in range(1, n_merges + 1))
+    rewrite = "seg"
+    for k in range(1, n_merges + 1):
+        for _ in range(_N_PASSES):
+            rewrite = (f"replace({rewrite},"
+                       f" ' ' || l{k} || ' ' || r{k} || ' ',"
+                       f" ' ' || l{k} || r{k} || ' ')")
+    return f"""WITH {_vocab_ctes(n_merges)},
+pw AS (
+  SELECT word, CAST(count(*) AS BIGINT) AS cnt
+  FROM (SELECT t.w AS word
+        FROM (SELECT lower(p_name) AS lt FROM part) d,
+             LATERAL (SELECT unnest(
+               regexp_extract_all(lt, '{word_re_sql}', 0)) AS w) t)
+  WHERE len(word) <= {_MAX_WORD_CHARS}
+  GROUP BY word),
+pv AS (
+  SELECT word, cnt,
+         ' ' || array_to_string(
+           list_transform(range(1, len(word) + 1), i -> word[i]), ' ')
+         || ' ' AS seg
+  FROM pw)
+SELECT word, cnt, trim({rewrite}) AS seg
+FROM pv, {renames}"""
+
+
 def _vocab_ctes(n_merges: int) -> str:
     """Chained CTEs: wc → v0 → (p1, b1, v1) → … → (pK, bK, vK)."""
     word_re_sql = _WORD_RE.replace("'", "''")
@@ -151,10 +206,12 @@ QUERIES = {
     "bpe_merges": bpe_merges,
     "bpe_top_segments": bpe_top_segments,
     "bpe_subword_freqs": bpe_subword_freqs,
+    "bpe_encode_part_names": bpe_encode_part_names,
 }
 
 ORACLES = {
     "bpe_merges": _merges_sql(_N_MERGES),
     "bpe_top_segments": _top_segments_sql(_N_MERGES, _TOP_SEGMENTS),
     "bpe_subword_freqs": _subword_freqs_sql(_N_MERGES),
+    "bpe_encode_part_names": _encode_sql(_N_MERGES),
 }
