@@ -8,10 +8,12 @@ from tests.conftest import compare_query_to_oracle
 from threat_detection_nosql_spark.queries import pipeline
 
 
-@pytest.mark.parametrize("name", sorted(pipeline.QUERIES))
+@pytest.mark.parametrize(
+    "name", sorted({**pipeline.QUERIES, **pipeline.QUERIES_TAIL}))
 def test_pipeline_query_matches_oracle(spark, ddb, name):
-    compare_query_to_oracle(spark, ddb, pipeline.QUERIES[name],
-                            pipeline.ORACLES[name])
+    queries = {**pipeline.QUERIES, **pipeline.QUERIES_TAIL}
+    oracles = {**pipeline.ORACLES, **pipeline.ORACLES_TAIL}
+    compare_query_to_oracle(spark, ddb, queries[name], oracles[name])
 
 
 def test_embedding_near_dup_planted_semantics(spark, tmp_path):

@@ -797,3 +797,69 @@ QUERIES["vocab_coverage"] = vocab_coverage
 QUERIES["cross_source_leakage"] = cross_source_leakage
 ORACLES["vocab_coverage"] = _VOCAB_COVERAGE_SQL
 ORACLES["cross_source_leakage"] = _LEAKAGE_SQL
+
+
+# ---------------------------------------------------------------------------
+# Bigram LM quality score (round-4 tail): the context-aware upgrade of
+# unigram_logprob_scores — fluency filtering needs P(w2|w1), not just
+# token rarity.
+# ---------------------------------------------------------------------------
+
+_BG_K = 0.5  # Lidstone add-k smoothing
+
+
+def bigram_logprob_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram LM scored on the corpus itself with add-k smoothing:
+    P(w2|w1) = (c(w1,w2) + k) / (c(w1) + k·V). Per-doc average
+    negative log-prob — low = stereotyped, high = disfluent/rare
+    transitions, the two tails a fluency filter cuts. Docs with < 2
+    tokens have no bigrams and drop out (same in the oracle).
+
+    Shape: bigrams unfold MAP-SIDE from the token array (shifted-slice
+    zip_with, no position join); the bigram/left-context count tables
+    are map-combined aggs; vocabulary size rides one broadcast scalar.
+    The scoring join shuffles on (w1, w2) — stop-word-pair skew is
+    exactly the map-combinable case."""
+    from threat_detection_nosql_spark.sources.readers import spread
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    w = F.filter(F.split("text", r"\s+"), lambda x: x != F.lit(""))
+    n = F.greatest(F.size(w) - 1, F.lit(0))
+    big = F.zip_with(F.slice(w, 1, n), F.slice(w, 2, n),
+                     lambda a, b: F.struct(a.alias("w1"), b.alias("w2")))
+    pairs = (docs.select("doc_id", F.explode(big).alias("bg"))
+             .select("doc_id", F.col("bg.w1").alias("w1"),
+                     F.col("bg.w2").alias("w2")))
+    bc = pairs.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
+    uc = pairs.groupBy("w1").agg(F.count("*").alias("c1"))
+    vsz = (docs.select(F.explode(w).alias("tok"))
+           .agg(F.countDistinct("tok").alias("vsz")))
+    p = (F.col("c2") + F.lit(_BG_K)) / (F.col("c1")
+                                        + F.lit(_BG_K) * F.col("vsz"))
+    return (pairs.join(bc, ["w1", "w2"]).join(uc, ["w1"])
+            .crossJoin(F.broadcast(vsz))
+            .groupBy("doc_id")
+            .agg(F.count("*").alias("n_bigrams"),
+                 F.round(F.avg(-F.log(p)), 6).alias("avg_neg_logprob")))
+
+
+_BIGRAM_LP_SQL = rf"""
+WITH d AS (SELECT doc_id,
+                  list_filter(string_split_regex(text, '\s+'),
+                              x -> x <> '') AS tk
+           FROM documents),
+pairs AS (SELECT doc_id, tk[i] AS w1, tk[i + 1] AS w2
+          FROM d, LATERAL (SELECT unnest(range(1, len(tk))) AS i) ix),
+bc AS (SELECT w1, w2, count(*) AS c2 FROM pairs GROUP BY w1, w2),
+uc AS (SELECT w1, count(*) AS c1 FROM pairs GROUP BY w1),
+v AS (SELECT count(DISTINCT tok) AS vsz
+      FROM (SELECT unnest(tk) AS tok FROM d))
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       round(avg(-ln((c2 + {_BG_K}) / (c1 + {_BG_K} * vsz))), 6)
+         AS avg_neg_logprob
+FROM pairs JOIN bc USING (w1, w2) JOIN uc USING (w1) CROSS JOIN v
+GROUP BY doc_id
+"""
+
+
+QUERIES_TAIL = {"bigram_logprob_scores": bigram_logprob_scores}
+ORACLES_TAIL = {"bigram_logprob_scores": _BIGRAM_LP_SQL}
