@@ -123,3 +123,29 @@ def test_ivf_index_partition_pruning(spark, tmp_path):
     assert "cell" in squeezed and "IN(0,2)" in squeezed, pf
     # rows materialized = rows of the two probed directories only
     assert probe.count() == len(want)
+
+
+def test_compaction_reduces_files_preserving_rows(spark, tmp_path):
+    """50 tiny fragments compact to the byte-derived file count with
+    identical contents; a second compaction is a no-op-sized rewrite."""
+    from threat_detection_nosql_spark.sources.writers import (
+        compact_dataset)
+
+    path = str(tmp_path / "frag")
+    spark.range(5000).selectExpr(
+        "id", "cast(id % 7 as string) AS grp").repartition(50) \
+        .write.parquet(path)
+
+    def parquet_files():
+        import os
+        return [f for r, _, fs in os.walk(path)
+                for f in fs if f.endswith(".parquet")]
+
+    assert len(parquet_files()) == 50
+    before = {(r["id"], r["grp"])
+              for r in spark.read.parquet(path).collect()}
+    n = compact_dataset(spark, path, target_file_bytes=1 << 30)
+    assert n == 1 and len(parquet_files()) == 1
+    after = {(r["id"], r["grp"])
+             for r in spark.read.parquet(path).collect()}
+    assert after == before

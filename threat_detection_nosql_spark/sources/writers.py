@@ -48,3 +48,38 @@ def read_ivf_cells(spark, path: str, cells: list[int]) -> DataFrame:
     verified by tests/test_sinks.py)."""
     from pyspark.sql import functions as F
     return spark.read.parquet(path).filter(F.col("cell").isin(cells))
+
+
+def compact_dataset(spark, path: str,
+                    target_file_bytes: int = 128 * 1024 * 1024) -> int:
+    """Small-file compaction — the standing maintenance task of any
+    long-running parquet sink (streaming upserts, per-batch appends,
+    over-parallel writers all fragment the layout, and at scale the
+    file count, not the byte count, dominates scan planning time).
+    Rewrites the dataset into ``ceil(bytes / target_file_bytes)``
+    files via a round-robin repartition, committed with the same
+    staged-write → backup-rename swap as the streaming upsert sink
+    (crash mid-swap recovers from the backup). Returns the new file
+    count.
+
+    Flat layouts only: a hive-partitioned dataset should be compacted
+    per partition directory (each directory IS a flat layout), which
+    also bounds the rewrite to touched partitions at scale."""
+    import math
+    import os
+    import shutil
+
+    backup = f"{path}__backup"
+    if not os.path.exists(path) and os.path.exists(backup):
+        os.rename(backup, path)  # recover a torn previous swap
+    df = spark.read.parquet(path)
+    total = sum(os.path.getsize(os.path.join(r, f))
+                for r, _, fs in os.walk(path)
+                for f in fs if f.endswith(".parquet"))
+    n_files = max(1, math.ceil(total / target_file_bytes))
+    staged = f"{path}__staged"
+    df.repartition(n_files).write.mode("overwrite").parquet(staged)
+    os.rename(path, backup)
+    os.rename(staged, path)
+    shutil.rmtree(backup)
+    return n_files
