@@ -56,3 +56,44 @@ def test_temporal_features_monday_zero(spark, tmp_path):
     # 2024-01-08 is a Monday -> dow 0, 19:30 after-hours
     assert rows["fileC"]["day_of_week"] == 0
     assert rows["fileC"]["is_after_hours"] == 1
+
+
+def test_schema_evolution_merge_read(spark, tmp_path):
+    """Schema evolution across parquet batches: a later batch adds a
+    column; mergeSchema unifies the footers and back-fills nulls —
+    the ingest contract for long-lived datasets whose producers
+    evolve (100 TB datasets are never rewritten for a new column)."""
+    base = str(tmp_path / "evolving")
+    spark.range(10).selectExpr("id", "id * 2 AS v") \
+        .write.parquet(f"{base}/batch=1")
+    spark.range(10, 20).selectExpr(
+        "id", "id * 2 AS v", "cast(id as string) AS source") \
+        .write.parquet(f"{base}/batch=2")
+    merged = spark.read.option("mergeSchema", True).parquet(base)
+    assert set(merged.columns) == {"id", "v", "source", "batch"}
+    assert merged.count() == 20
+    old = merged.filter("batch = 1")
+    assert old.filter("source IS NULL").count() == 10
+
+
+def test_observe_metrics_ride_the_query(spark):
+    """df.observe(): pipeline observability without a second scan —
+    row counts and null counts accumulate ON the query's own pass and
+    surface via the Observation handle after the action."""
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    from tests.conftest import SF_SMALL
+    from threat_detection_nosql_spark.sources.readers import load_table
+
+    obs = Observation("scan_stats")
+    ev = load_table(spark, SF_SMALL, "events").observe(
+        obs,
+        F.count(F.lit(1)).alias("rows_scanned"),
+        F.sum(F.col("value").isNull().cast("long")).alias("null_values"))
+    n = ev.filter(F.col("event_type") == "purchase").count()
+    got = obs.get
+    assert got["rows_scanned"] == load_table(
+        spark, SF_SMALL, "events").count()
+    assert got["null_values"] >= 0
+    assert n <= got["rows_scanned"]
