@@ -59,9 +59,15 @@ def with_class_weights(df: DataFrame, label: str = LABEL) -> DataFrame:
 
 def _fit_rf(train: DataFrame, label: str, seed: int, tune: bool):
     from pyspark.ml.classification import RandomForestClassifier
+    # reference's (single-point) grid, Comparaison_ML.py:588-595:
+    # n_estimators 200, max_depth 10, min_samples_leaf 2 →
+    # minInstancesPerNode, max_features 'sqrt' → featureSubsetStrategy;
+    # class_weight 'balanced' rides weightCol (min_samples_split has
+    # no Spark analog — node splitting is governed by instances/node)
     rf = RandomForestClassifier(
         featuresCol="scaled", labelCol=label, weightCol="weight",
-        numTrees=200, maxDepth=10, seed=seed)
+        numTrees=200, maxDepth=10, minInstancesPerNode=2,
+        featureSubsetStrategy="sqrt", seed=seed)
     if not tune:
         return rf.fit(train)
     # M12/M15: grid CV, cv=3, f1 scoring (`Comparaison_ML.py:586-613`)
