@@ -86,6 +86,11 @@ def test_observe_metrics_ride_the_query(spark):
     from tests.conftest import SF_SMALL
     from threat_detection_nosql_spark.sources.readers import load_table
 
+    # isolated session state: a registered Observation lingers in the
+    # session's ObservationManager and breaks task serialization for
+    # LATER ML-training jobs on the same session (Spark 4.1) — scope
+    # it to a newSession() (same JVM, separate session state)
+    spark = spark.newSession()
     obs = Observation("scan_stats")
     ev = load_table(spark, SF_SMALL, "events").observe(
         obs,
