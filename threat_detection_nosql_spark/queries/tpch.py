@@ -625,3 +625,149 @@ GROUP BY date_trunc('month', l_shipdate)
 
 QUERIES["monthly_return_rate"] = monthly_return_rate
 ORACLES["monthly_return_rate"] = _RETURN_RATE_SQL
+
+
+# ---------------------------------------------------------------------------
+# Round-4 tail: Q12/Q21/Q22 shapes. The testdata lacks l_shipmode,
+# l_commitdate/l_receiptdate and c_phone (and partsupp entirely, which
+# rules out Q2/Q11/Q16/Q20), so these keep each query's OPERATOR shape
+# — conditional priority counts, decorrelated exists/not-exists,
+# scalar-subquery + anti-join — on the columns that exist.
+# ---------------------------------------------------------------------------
+
+
+def late_shipment_priority_counts(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """Q12 shape: lines shipped > 90 days after their order date,
+    split into high/low-priority counts per return flag (the original
+    groups by shipmode with commit/receipt lateness — same join +
+    CASE-count aggregation). Single join-shuffle, map-combined
+    conditional sums."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_shipdate")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority")
+    late = (li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+            .filter(F.col("l_shipdate")
+                    > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")))
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (late.groupBy("l_returnflag")
+            .agg(F.sum(F.when(hi, 1).otherwise(0)).alias("high_line_count"),
+                 F.sum(F.when(hi, 0).otherwise(1)).alias("low_line_count")))
+
+
+_Q12_SQL = """
+SELECT l_returnflag,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate > o_orderdate + INTERVAL 90 DAY
+GROUP BY l_returnflag
+"""
+
+
+def waiting_supplier_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q21 shape: suppliers who were the SOLE late shipper in a
+    multi-supplier order (late = shipped > 60 days after order date).
+    The original's correlated EXISTS / NOT EXISTS pair decorrelates
+    into one (order, supplier) late-flag aggregation plus an order-
+    grain HAVING — two map-combined shuffles, no correlated re-scan
+    per row, which is the 100 TB-safe formulation."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate")
+    ls = (li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+          .groupBy("l_orderkey", "l_suppkey")
+          .agg(F.max(F.when(
+              F.col("l_shipdate")
+              > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"), 1)
+              .otherwise(0)).alias("late")))
+    sole = (ls.groupBy("l_orderkey")
+            .agg(F.count("*").alias("n_supp"), F.sum("late").alias("n_late"))
+            .filter((F.col("n_supp") >= 2) & (F.col("n_late") == 1))
+            .select("l_orderkey"))
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name")
+    return (ls.filter(F.col("late") == 1)
+            .join(sole, "l_orderkey")
+            .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+            .groupBy("s_name")
+            .agg(F.count("*").alias("numwait"))
+            .orderBy(F.desc("numwait"), F.asc("s_name"))
+            .limit(10))
+
+
+_Q21_SQL = """
+WITH ls AS (
+  SELECT l_orderkey, l_suppkey,
+         max(CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+                  THEN 1 ELSE 0 END) AS late
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY l_orderkey, l_suppkey),
+sole AS (
+  SELECT l_orderkey FROM ls
+  GROUP BY l_orderkey
+  HAVING count(*) >= 2 AND sum(late) = 1)
+SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+FROM ls JOIN sole USING (l_orderkey)
+JOIN supplier ON l_suppkey = s_suppkey
+WHERE late = 1
+GROUP BY s_name
+ORDER BY numwait DESC, s_name ASC
+LIMIT 10
+"""
+
+
+_Q22_CUTOFF = "1998-01-01"
+
+
+def dormant_customer_balance_groups(spark: SparkSession,
+                                    sf_dir: str) -> DataFrame:
+    """Q22 shape: above-average-balance customers with NO recent
+    orders, grouped into nation-derived segments (the original groups
+    by phone country code). Scalar subquery (global positive-balance
+    average, broadcast 1 row) + left-anti join against recent orders
+    + map-combined segment aggregation."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_acctbal", "c_nationkey")
+    avg_bal = (cust.filter(F.col("c_acctbal") > 0)
+               .agg(F.avg("c_acctbal").alias("a")))
+    recent = (load_table(spark, sf_dir, "orders")
+              .filter(F.col("o_orderdate") >= _Q22_CUTOFF)
+              .select("o_custkey"))
+    return (cust.crossJoin(F.broadcast(avg_bal))
+            .filter(F.col("c_acctbal") > F.col("a"))
+            .join(recent, F.col("c_custkey") == F.col("o_custkey"),
+                  "left_anti")
+            .groupBy((F.col("c_nationkey") % 5).alias("cgroup"))
+            .agg(F.count("*").alias("numcust"),
+                 F.round(F.sum("c_acctbal"), 4).alias("totacctbal")))
+
+
+_Q22_SQL = f"""
+WITH avg_bal AS (SELECT avg(c_acctbal) AS a FROM customer
+                 WHERE c_acctbal > 0)
+SELECT c_nationkey % 5 AS cgroup,
+       CAST(count(*) AS BIGINT) AS numcust,
+       round(sum(c_acctbal), 4) AS totacctbal
+FROM customer CROSS JOIN avg_bal
+WHERE c_acctbal > a
+  AND c_custkey NOT IN (SELECT o_custkey FROM orders
+                        WHERE o_orderdate >= TIMESTAMP '{_Q22_CUTOFF}')
+GROUP BY c_nationkey % 5
+"""
+
+
+QUERIES_TAIL = {
+    "late_shipment_priority_counts": late_shipment_priority_counts,
+    "waiting_supplier_top10": waiting_supplier_top10,
+    "dormant_customer_balance_groups": dormant_customer_balance_groups,
+}
+ORACLES_TAIL = {
+    "late_shipment_priority_counts": _Q12_SQL,
+    "waiting_supplier_top10": _Q21_SQL,
+    "dormant_customer_balance_groups": _Q22_SQL,
+}
