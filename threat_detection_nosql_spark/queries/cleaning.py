@@ -14,6 +14,9 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from threat_detection_nosql_spark.operators.etl import (
+    ACTIVITY_LOG_ORACLE_SQL,
+)
 from threat_detection_nosql_spark.sources.readers import load_table
 
 # Patterns deliberately restricted to syntax with identical semantics in
@@ -317,3 +320,49 @@ FROM counts CROSS JOIN tot
 
 QUERIES_TAIL = {"feature_drift_psi": feature_drift_psi}
 ORACLES_TAIL = {"feature_drift_psi": _PSI_SQL}
+
+
+# ---------------------------------------------------------------------------
+# Pseudonymization (round-4 tail): salted-hash identity replacement
+# that PRESERVES referential integrity (same input → same pseudonym,
+# so joins/groupBys still work) — the GDPR-grade sibling of
+# pii_redaction's free-text scrubbing.
+# ---------------------------------------------------------------------------
+
+_PSEUDO_SALT = "corpus-v1"  # deployment-secret in production; fixed
+                            # literal here so the oracle replays it
+
+
+def pseudonymized_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events with user/pc identities replaced by salted SHA-256
+    pseudonyms, then re-aggregated per pseudonym to prove joins and
+    groupBys survive the mapping. Pure codegen expressions — scales
+    like any scan; the aggregation is the same one shuffle the
+    un-pseudonymized query pays."""
+    from threat_detection_nosql_spark.operators.etl import activity_log
+    log = activity_log(spark, sf_dir)
+    pseudo = lambda c: F.sha2(  # noqa: E731
+        F.concat(F.lit(_PSEUDO_SALT), F.lit("|"), F.col(c).cast("string")),
+        256)
+    return (log.select(pseudo("user").alias("user_pseudo"),
+                       pseudo("pc").alias("pc_pseudo"))
+            .groupBy("user_pseudo")
+            .agg(F.count("*").alias("n_events"),
+                 F.countDistinct("pc_pseudo").alias("n_systems")))
+
+
+_PSEUDO_SQL = f"""
+WITH log AS ({ACTIVITY_LOG_ORACLE_SQL})
+SELECT sha256('{_PSEUDO_SALT}' || '|' || CAST(user AS VARCHAR))
+         AS user_pseudo,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(DISTINCT sha256('{_PSEUDO_SALT}' || '|'
+                                  || CAST(pc AS VARCHAR)))
+            AS BIGINT) AS n_systems
+FROM log
+GROUP BY 1
+"""
+
+
+QUERIES_TAIL["pseudonymized_activity"] = pseudonymized_activity
+ORACLES_TAIL["pseudonymized_activity"] = _PSEUDO_SQL
