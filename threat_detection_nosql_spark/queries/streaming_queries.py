@@ -291,3 +291,52 @@ FROM u GROUP BY r, c
 
 QUERIES_TAIL = {"stream_countmin_user_cells": stream_countmin_user_cells}
 ORACLES_TAIL = {"stream_countmin_user_cells": _cm_stream_sql()}
+
+
+def stream_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming PSI monitor (complete-mode bin counts, state bounded
+    at the bin count; reference edges frozen batch-side)."""
+    return S.drift_psi_stream(spark, sf_dir)
+
+
+_DRIFT_PSI_SQL = f"""
+WITH static AS (SELECT value FROM events
+                WHERE ts < TIMESTAMP '{S._DRIFT_CUTOFF}'
+                  AND value IS NOT NULL),
+mm AS (SELECT min(value) AS mn, max(value) AS mx FROM static),
+live AS (SELECT value FROM events
+         WHERE ts >= TIMESTAMP '{S._DRIFT_CUTOFF}'
+           AND value IS NOT NULL),
+binned_ref AS (
+  SELECT least(greatest(CAST(floor((value - mn)
+           / ((mx - mn) / {S._DRIFT_BINS})) AS INT), 0),
+           {S._DRIFT_BINS - 1}) AS bin
+  FROM static CROSS JOIN mm),
+binned_live AS (
+  SELECT least(greatest(CAST(floor((value - mn)
+           / ((mx - mn) / {S._DRIFT_BINS})) AS INT), 0),
+           {S._DRIFT_BINS - 1}) AS bin
+  FROM live CROSS JOIN mm),
+ref AS (SELECT bin, CAST(count(*) AS BIGINT) AS ref_n
+        FROM binned_ref GROUP BY bin),
+cur AS (SELECT bin, CAST(count(*) AS BIGINT) AS cur_n
+        FROM binned_live GROUP BY bin),
+tot AS (SELECT (SELECT sum(ref_n) FROM ref) AS ref_tot,
+               (SELECT sum(cur_n) FROM cur) AS cur_tot)
+SELECT COALESCE(ref.bin, cur.bin) AS bin,
+       COALESCE(ref_n, 0) AS ref_n, COALESCE(cur_n, 0) AS cur_n,
+       round(greatest(COALESCE(ref_n, 0) / ref_tot, {S._DRIFT_EPS}), 6)
+         AS ref_frac,
+       round(greatest(COALESCE(cur_n, 0) / cur_tot, {S._DRIFT_EPS}), 6)
+         AS cur_frac,
+       round((greatest(COALESCE(cur_n, 0) / cur_tot, {S._DRIFT_EPS})
+              - greatest(COALESCE(ref_n, 0) / ref_tot, {S._DRIFT_EPS}))
+             * ln(greatest(COALESCE(cur_n, 0) / cur_tot, {S._DRIFT_EPS})
+                  / greatest(COALESCE(ref_n, 0) / ref_tot,
+                             {S._DRIFT_EPS})), 6) AS psi_term
+FROM ref FULL OUTER JOIN cur USING (bin) CROSS JOIN tot
+"""
+
+
+QUERIES_TAIL["stream_drift_psi"] = stream_drift_psi
+ORACLES_TAIL["stream_drift_psi"] = _DRIFT_PSI_SQL

@@ -488,3 +488,59 @@ def countmin_user_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
                          F.lit(1).alias("cnt"))
     cells = countmin_cells(weighted, depth=4, width=1024)
     return run_stream_to_table(cells, mode="complete")
+
+
+_DRIFT_CUTOFF = "2024-01-16"
+_DRIFT_BINS = 10
+_DRIFT_EPS = 1e-6
+
+
+def drift_psi_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming PSI drift monitor: the frozen reference slice
+    (events before the cutoff) defines the bin edges and reference
+    fractions ONCE, batch-side; the live slice streams through the
+    same fixed-edge binning into a complete-mode bin-count aggregation
+    whose state is bounded at ``_DRIFT_BINS`` rows. The PSI arithmetic
+    itself is a 10-row batch join on the drained state — in production
+    it runs per trigger in foreachBatch against the frozen reference.
+    Out-of-range live values clamp into the edge bins (fixed edges are
+    what makes reference vs live comparable)."""
+    from threat_detection_nosql_spark.sources.readers import load_table
+
+    static = (load_table(spark, sf_dir, "events")
+              .filter((F.col("ts") < _DRIFT_CUTOFF)
+                      & F.col("value").isNotNull()))
+    mm = static.agg(F.min("value").alias("mn"),
+                    F.max("value").alias("mx")).collect()[0]
+    mn, mx = float(mm["mn"]), float(mm["mx"])
+    span = (mx - mn) / _DRIFT_BINS or 1.0
+
+    def bin_col(c):
+        return F.least(F.greatest(
+            F.floor((c - F.lit(mn)) / F.lit(span)), F.lit(0)),
+            F.lit(_DRIFT_BINS - 1)).cast("int")
+
+    ref = (static.groupBy(bin_col(F.col("value")).alias("bin"))
+           .agg(F.count("*").alias("ref_n")))
+
+    live = (events_stream(spark, sf_dir)
+            .filter((F.col("ts") >= _DRIFT_CUTOFF)
+                    & F.col("value").isNotNull())
+            .groupBy(bin_col(F.col("value")).alias("bin"))
+            .agg(F.count("*").alias("cur_n")))
+    cur = run_stream_to_table(live, mode="complete")
+
+    tot = (ref.agg(F.sum("ref_n").alias("ref_tot")).crossJoin(
+        cur.agg(F.sum("cur_n").alias("cur_tot"))))
+    rf = F.greatest(F.col("ref_n") / F.col("ref_tot"),
+                    F.lit(_DRIFT_EPS))
+    cf = F.greatest(F.col("cur_n") / F.col("cur_tot"),
+                    F.lit(_DRIFT_EPS))
+    return (ref.join(cur, "bin", "full")
+            .fillna(0, ["ref_n", "cur_n"])
+            .crossJoin(F.broadcast(tot))
+            .select("bin", "ref_n", "cur_n",
+                    F.round(rf, 6).alias("ref_frac"),
+                    F.round(cf, 6).alias("cur_frac"),
+                    F.round((cf - rf) * F.log(cf / rf), 6)
+                    .alias("psi_term")))
