@@ -149,3 +149,33 @@ def test_compaction_reduces_files_preserving_rows(spark, tmp_path):
     after = {(r["id"], r["grp"])
              for r in spark.read.parquet(path).collect()}
     assert after == before
+
+
+def test_synthetic_datasource_deterministic_and_partitioned(spark):
+    """The custom Python data source must (a) produce bit-identical
+    rows across reads (seeded hash — replayable load generation),
+    (b) scale rows with partitions without touching the driver, and
+    (c) compose with ordinary aggregation on top."""
+    from threat_detection_nosql_spark.sources.synthetic import (
+        SyntheticEventsDataSource)
+
+    spark.dataSource.register(SyntheticEventsDataSource)
+    df = (spark.read.format("synthetic_events")
+          .option("numPartitions", 4)
+          .option("rowsPerPartition", 500).load())
+    assert df.count() == 2000
+    assert df.rdd.getNumPartitions() == 4
+
+    a = sorted((r["event_id"], r["user_id"], r["event_type"], r["value"])
+               for r in df.collect())
+    b = sorted((r["event_id"], r["user_id"], r["event_type"], r["value"])
+               for r in spark.read.format("synthetic_events")
+               .option("numPartitions", 4)
+               .option("rowsPerPartition", 500).load().collect())
+    assert a == b
+    assert len({r[0] for r in a}) == 2000  # event_id is unique
+
+    agg = (df.groupBy("event_type").count().collect())
+    assert sum(r["count"] for r in agg) == 2000
+    assert {r["event_type"] for r in agg} <= {
+        "login", "read", "write", "purchase", "error"}
