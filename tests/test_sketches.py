@@ -124,3 +124,22 @@ def test_countmin_query_matches_oracle(spark, ddb):
     compare_query_to_oracle(
         spark, ddb, metrics.QUERIES_TAIL["countmin_token_estimates"],
         metrics.ORACLES_TAIL["countmin_token_estimates"])
+
+
+def test_portable_hll_accuracy_band(spark):
+    """Portable HLL at p=10 has rsd ≈ 1.04/√1024 ≈ 3.3%; assert the
+    estimate lands within 4σ on a 20k-distinct fixture (register build
+    is exact integer arithmetic, so this is deterministic — one fixed
+    outcome, not a flaky statistical test)."""
+    df = spark.range(20_000).selectExpr("cast(id as string) AS k")
+    est = sketches.hll_portable_estimate(
+        sketches.hll_portable_registers(df, "k")).collect()[0]
+    assert abs(est["hll_estimate"] / 20_000 - 1) < 4 * 0.033
+
+
+def test_portable_hll_query_matches_oracle(spark, ddb):
+    from tests.conftest import compare_query_to_oracle
+    from threat_detection_nosql_spark.queries import metrics
+    compare_query_to_oracle(
+        spark, ddb, metrics.QUERIES_TAIL["hll_portable_distinct_users"],
+        metrics.ORACLES_TAIL["hll_portable_distinct_users"])

@@ -205,3 +205,54 @@ def misra_gries_heavy_hitters(df: DataFrame, col: str,
            .localCheckpoint(eager=True))
     summaries.unpersist()
     return out
+
+
+# ---------------------------------------------------------------------------
+# Portable HyperLogLog: like countmin_cells, built on the md5 hash
+# family so the REGISTERS (and therefore the estimate itself) are
+# SQL-replayable — the property the DataSketches HLL above cannot
+# offer (engine-specific state → rows-only checks).
+# ---------------------------------------------------------------------------
+
+_HLL_P = 10                    # 2^10 = 1024 registers
+_HLL_M = 1 << _HLL_P
+_HLL_W_BITS = 60 - _HLL_P      # rank window: low 50 bits
+_HLL_ALPHA = 0.7213 / (1 + 1.079 / _HLL_M)
+
+
+def hll_portable_registers(df: DataFrame, key_col: str) -> DataFrame:
+    """(idx, r) register table: idx = high p bits of the 60-bit md5
+    hash, r = max over keys of (leading zeros in the low-bit window
+    + 1). All integer arithmetic (div/mod/bin-length — no float bit
+    tricks), identical in Spark and DuckDB. Map-combined max, shuffle
+    bounded at 2^p rows."""
+    from threat_detection_nosql_spark.operators.dedup import (
+        _portable_hash60,
+    )
+    x = _portable_hash60(F.col(key_col).cast("string"))
+    w = x % F.lit(1 << _HLL_W_BITS)
+    # idx: exact integer div by 2^50 — (x - x%2^50) is a multiple of
+    # 2^50 ≤ 2^60, which double divides by a power of two exactly
+    idx = ((x - w) / F.lit(float(1 << _HLL_W_BITS))).cast("long")
+    rho = F.when(w == 0, F.lit(_HLL_W_BITS + 1)).otherwise(
+        F.lit(_HLL_W_BITS + 1) - F.length(F.bin(w)))
+    return (df.select(idx.alias("idx"), rho.alias("rho"))
+            .groupBy("idx").agg(F.max("rho").alias("r")))
+
+
+def hll_portable_estimate(registers: DataFrame) -> DataFrame:
+    """One-row (n_nonempty, hll_estimate): the standard HLL formula
+    with the linear-counting small-range correction, every term plain
+    double arithmetic a SQL engine replays. Empty registers contribute
+    2^0 = 1 to the harmonic sum and count into V for the correction."""
+    agg = registers.agg(
+        F.count("*").alias("n_nonempty"),
+        F.sum(F.pow(F.lit(2.0), -F.col("r"))).alias("s_nonempty"))
+    m = F.lit(float(_HLL_M))
+    v = m - F.col("n_nonempty")
+    s = F.col("s_nonempty") + v  # empty registers: 2^-0 each
+    e_raw = F.lit(_HLL_ALPHA) * m * m / s
+    e = F.when((e_raw <= 2.5 * m) & (v > 0),
+               m * F.log(m / v)).otherwise(e_raw)
+    return agg.select("n_nonempty",
+                      F.round(e, 4).alias("hll_estimate"))

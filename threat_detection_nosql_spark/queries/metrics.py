@@ -517,3 +517,70 @@ GROUP BY p.tok, p.cnt
 
 QUERIES_TAIL = {"countmin_token_estimates": countmin_token_estimates}
 ORACLES_TAIL = {"countmin_token_estimates": _cm_sql()}
+
+
+def hll_portable_distinct_users(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """Portable-hash HyperLogLog distinct-user estimate side by side
+    with the exact count — the one approximate-distinct whose REGISTERS
+    (and therefore the estimate) a SQL oracle replays bit-for-bit,
+    unlike the engine-specific DataSketches HLL (sketch_distinct_users,
+    rows-only). Register build is a map-combined max bounded at 2^p
+    rows; the estimate is one scalar row."""
+    from threat_detection_nosql_spark.operators.sketches import (
+        hll_portable_estimate, hll_portable_registers)
+    from threat_detection_nosql_spark.sources.readers import load_table
+
+    ev = load_table(spark, sf_dir, "events").select("user_id")
+    est = hll_portable_estimate(hll_portable_registers(ev, "user_id"))
+    exact = ev.agg(F.countDistinct("user_id").alias("exact_distinct"))
+    return (est.crossJoin(F.broadcast(exact))
+            .select("n_nonempty", "exact_distinct", "hll_estimate",
+                    F.round(F.abs(F.col("hll_estimate")
+                                  / F.col("exact_distinct") - 1), 4)
+                    .alias("rel_error")))
+
+
+def _hll_sql() -> str:
+    from threat_detection_nosql_spark.operators.sketches import (
+        _HLL_ALPHA, _HLL_M, _HLL_W_BITS)
+    wmod = 1 << _HLL_W_BITS
+    rmax = _HLL_W_BITS + 1
+    return f"""
+WITH h AS (
+  SELECT CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+              AS BIGINT) AS x
+  FROM events),
+b AS (SELECT x // {wmod} AS idx, x % {wmod} AS w FROM h),
+r AS (SELECT idx,
+             max(CASE WHEN w = 0 THEN {rmax}
+                      ELSE {rmax} - length(bin(w)) END) AS r
+      FROM b GROUP BY idx),
+agg AS (SELECT CAST(count(*) AS BIGINT) AS n_nonempty,
+               sum(power(2.0, -r)) AS s_ne
+        FROM r),
+est AS (
+  SELECT n_nonempty,
+         CAST({_HLL_M} AS DOUBLE) - n_nonempty AS v,
+         CAST({_HLL_ALPHA!r} AS DOUBLE)
+           * CAST({_HLL_M} AS DOUBLE) * CAST({_HLL_M} AS DOUBLE)
+           / (s_ne + (CAST({_HLL_M} AS DOUBLE) - n_nonempty)) AS e_raw
+  FROM agg),
+fin AS (
+  SELECT n_nonempty,
+         round(CASE WHEN e_raw <= 2.5 * CAST({_HLL_M} AS DOUBLE)
+                     AND v > 0
+                    THEN CAST({_HLL_M} AS DOUBLE)
+                         * ln(CAST({_HLL_M} AS DOUBLE) / v)
+                    ELSE e_raw END, 4) AS hll_estimate
+  FROM est),
+exact AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT)
+                 AS exact_distinct FROM events)
+SELECT n_nonempty, exact_distinct, hll_estimate,
+       round(abs(hll_estimate / exact_distinct - 1), 4) AS rel_error
+FROM fin CROSS JOIN exact
+"""
+
+
+QUERIES_TAIL["hll_portable_distinct_users"] = hll_portable_distinct_users
+ORACLES_TAIL["hll_portable_distinct_users"] = _hll_sql()
