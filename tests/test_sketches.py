@@ -143,3 +143,20 @@ def test_portable_hll_query_matches_oracle(spark, ddb):
     compare_query_to_oracle(
         spark, ddb, metrics.QUERIES_TAIL["hll_portable_distinct_users"],
         metrics.ORACLES_TAIL["hll_portable_distinct_users"])
+
+
+def test_portable_hll_registers_merge(spark):
+    """Mergeability — the property that makes it a sketch: registers
+    of A∪B equal the per-index max of registers(A) and registers(B),
+    so daily register tables roll up without rescanning facts."""
+    import pyspark.sql.functions as F
+    a = spark.range(0, 3000).selectExpr("cast(id as string) AS k")
+    b = spark.range(2000, 6000).selectExpr("cast(id as string) AS k")
+    direct = {(r["idx"], r["r"])
+              for r in sketches.hll_portable_registers(
+                  a.union(b), "k").collect()}
+    merged = {(r["idx"], r["r"])
+              for r in sketches.hll_portable_registers(a, "k")
+              .unionByName(sketches.hll_portable_registers(b, "k"))
+              .groupBy("idx").agg(F.max("r").alias("r")).collect()}
+    assert direct == merged
