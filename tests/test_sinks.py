@@ -179,3 +179,34 @@ def test_synthetic_datasource_deterministic_and_partitioned(spark):
     assert sum(r["count"] for r in agg) == 2000
     assert {r["event_type"] for r in agg} <= {
         "login", "read", "write", "purchase", "error"}
+
+
+def test_synthetic_stream_equals_batch(spark):
+    """The streaming face of the generator drains to exactly the batch
+    read of the same row range — offsets are row counters, each
+    micro-batch regenerates its slice from the seeded hash."""
+    import uuid
+
+    from threat_detection_nosql_spark.sources.synthetic import (
+        SyntheticEventsDataSource)
+
+    spark.dataSource.register(SyntheticEventsDataSource)
+    stream = (spark.readStream.format("synthetic_events")
+              .option("rowsPerBatch", 300)
+              .option("maxRows", 1000).load())
+    name = f"syn_{uuid.uuid4().hex[:8]}"
+    q = (stream.writeStream.outputMode("append")
+         .format("memory").queryName(name)
+         .option("checkpointLocation",
+                 f"/tmp/syn_ckpt_{name}").start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    drained = {(r["event_id"], r["user_id"], r["value"])
+               for r in spark.table(name).collect()}
+    batch = {(r["event_id"], r["user_id"], r["value"])
+             for r in spark.read.format("synthetic_events")
+             .option("numPartitions", 2)
+             .option("rowsPerPartition", 500).load().collect()}
+    assert drained == batch and len(drained) == 1000

@@ -26,6 +26,7 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     InputPartition,
+    SimpleDataSourceStreamReader,
 )
 from pyspark.sql.types import (
     DoubleType,
@@ -79,10 +80,43 @@ class SyntheticEventsReader(DataSourceReader):
             yield _row(partition.seed, row_id)
 
 
+class SyntheticEventsStreamReader(SimpleDataSourceStreamReader):
+    """Streaming face of the generator: offsets are plain row
+    counters, each micro-batch deterministically generates the rows in
+    [start, end) from the same seeded hash as the batch reader — so a
+    drained stream equals the batch read of the same row range
+    (pinned in tests). ``rowsPerBatch`` rows arrive per trigger until
+    ``maxRows`` (finite for tests; omit for an unbounded soak
+    stream)."""
+
+    def __init__(self, options):
+        self.rows_per_batch = int(options.get("rowsperbatch", 500))
+        self.max_rows = int(options.get("maxrows", 2000))
+        self.seed = int(options.get("seed", 42))
+
+    def initialOffset(self) -> dict:
+        return {"row": 0}
+
+    def read(self, start: dict):
+        begin = start["row"]
+        end = min(begin + self.rows_per_batch, self.max_rows)
+        rows = [_row(self.seed, i) for i in range(begin, end)]
+        return iter(rows), {"row": end}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return iter(_row(self.seed, i)
+                    for i in range(start["row"], end["row"]))
+
+    def commit(self, end: dict) -> None:
+        pass
+
+
 class SyntheticEventsDataSource(DataSource):
     """``spark.read.format("synthetic_events")`` after
     ``spark.dataSource.register(SyntheticEventsDataSource)``.
-    Options: numPartitions, rowsPerPartition, seed."""
+    Batch options: numPartitions, rowsPerPartition, seed.
+    Stream options (``spark.readStream``): rowsPerBatch, maxRows,
+    seed."""
 
     @classmethod
     def name(cls) -> str:
@@ -99,3 +133,7 @@ class SyntheticEventsDataSource(DataSource):
 
     def reader(self, schema: StructType) -> SyntheticEventsReader:
         return SyntheticEventsReader(self.options)
+
+    def simpleStreamReader(self, schema: StructType
+                           ) -> SyntheticEventsStreamReader:
+        return SyntheticEventsStreamReader(self.options)
