@@ -863,3 +863,62 @@ WHERE rn <= {_CAP_PER_SOURCE}
 
 QUERIES["domain_capped_sample"] = domain_capped_sample
 ORACLES["domain_capped_sample"] = _DOMAIN_CAP_SQL
+
+
+# ---------------------------------------------------------------------------
+# Deterministic WEIGHTED sampling (round-4 tail): Efraimidis–Spirakis
+# A-ES keys over the portable hash — importance sampling (longer docs
+# proportionally likelier) that is replayable, unlike rand()-weighted
+# reservoir sampling.
+# ---------------------------------------------------------------------------
+
+_WS_K = 50  # sample size
+
+
+def weighted_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k by the A-ES key u^(1/w): u = portable-hash uniform in
+    (0,1), w = doc token count — inclusion probability proportional to
+    weight, decision a pure function of doc_id. The key is rounded to
+    12 decimals BEFORE the top-k so cross-engine pow() last-ulp
+    differences can't flip the selection; doc_id breaks exact ties.
+    TakeOrderedAndProject top-k — no global sort, driver sees k rows."""
+    from threat_detection_nosql_spark.operators.dedup import (
+        _portable_hash60,
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", r"\s+"), lambda x: x != F.lit(""))
+    u = ((_portable_hash60(
+        F.concat(F.lit("wsample:"), F.col("doc_id").cast("string")))
+        + 1).cast("double") / F.lit(float(1 << 60)))
+    w = F.size(toks).cast("double")
+    key = F.round(F.pow(u, 1.0 / w), 12)
+    return (docs.filter(F.size(toks) > 0)
+            .select("doc_id", "source",
+                    F.size(toks).alias("n_tokens"),
+                    key.alias("es_key"))
+            .orderBy(F.desc("es_key"), F.asc("doc_id"))
+            .limit(_WS_K))
+
+
+_WSAMPLE_SQL = rf"""
+WITH d AS (
+  SELECT doc_id, source,
+         len(list_filter(string_split_regex(text, '\s+'),
+                         x -> x <> '')) AS n_tokens
+  FROM documents),
+k AS (
+  SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens,
+         round(pow((CAST(('0x' || substr(md5('wsample:'
+                     || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+                    + 1) / CAST({1 << 60} AS DOUBLE),
+                   1.0 / n_tokens), 12) AS es_key
+  FROM d WHERE n_tokens > 0)
+SELECT doc_id, source, n_tokens, es_key
+FROM k
+ORDER BY es_key DESC, doc_id ASC
+LIMIT {_WS_K}
+"""
+
+
+QUERIES_TAIL = {"weighted_doc_sample": weighted_doc_sample}
+ORACLES_TAIL = {"weighted_doc_sample": _WSAMPLE_SQL}
