@@ -90,7 +90,9 @@ def main() -> int:
                         neq = spdf.compare(opdf) if len(spdf) == len(opdf) \
                             else None
                         if neq is not None and len(neq):
-                            rec["first_diff"] = neq.head(3).to_dict()
+                            # stringify: compare() yields MultiIndex
+                            # columns whose tuple keys break json.dump
+                            rec["first_diff"] = neq.head(3).to_string()
             else:
                 rec["check"] = "rows_only"
         except Exception:

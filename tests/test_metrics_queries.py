@@ -8,12 +8,14 @@ from tests.conftest import compare_query_to_oracle
 from threat_detection_nosql_spark.queries import metrics
 
 
-@pytest.mark.parametrize("name", sorted(metrics.QUERIES))
+@pytest.mark.parametrize(
+    "name", sorted({**metrics.QUERIES, **metrics.QUERIES_TAIL}))
 def test_metrics_query_matches_oracle(spark, ddb, name):
-    if name not in metrics.ORACLES:  # sketch rollups: rows-only
+    queries = {**metrics.QUERIES, **metrics.QUERIES_TAIL}
+    oracles = {**metrics.ORACLES, **metrics.ORACLES_TAIL}
+    if name not in oracles:  # sketch rollups: rows-only
         pytest.skip(f"{name} has no SQL oracle (tests/test_sketches.py)")
-    compare_query_to_oracle(spark, ddb, metrics.QUERIES[name],
-                            metrics.ORACLES[name])
+    compare_query_to_oracle(spark, ddb, queries[name], oracles[name])
 
 
 def test_auc_in_unit_interval(spark):

@@ -584,3 +584,66 @@ FROM fin CROSS JOIN exact
 
 QUERIES_TAIL["hll_portable_distinct_users"] = hll_portable_distinct_users
 ORACLES_TAIL["hll_portable_distinct_users"] = _hll_sql()
+
+
+def rule_calibration_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram + ECE contributions (round-4 tail): the
+    continuous rule score binned into 10 fixed-width bins; per bin the
+    observed positive rate vs mean predicted score, the |gap|, and the
+    bin's Expected-Calibration-Error term (n/N · |gap|) — sum of the
+    last column IS the ECE. One |users|-row aggregation; the N scalar
+    rides a broadcast row. Completes the evaluation family
+    (A20-A22 + calibration, the metric the reference's probability
+    models would need next)."""
+    lab = _labeled(spark, sf_dir)
+    binned = lab.select(
+        F.least(F.floor(F.col("weekend_ratio") * 10), F.lit(9))
+        .cast("int").alias("bin"),
+        "weekend_ratio", "label")
+    per_bin = (binned.groupBy("bin")
+               .agg(F.count("*").alias("n"),
+                    F.avg("weekend_ratio").alias("avg_score"),
+                    F.avg("label").alias("pos_rate")))
+    tot = per_bin.agg(F.sum("n").alias("n_total"))
+    # round BEFORE the gap: raw averages differ across engines in the
+    # last ulp (summation order), and a gap landing on a 5 at the 7th
+    # digit would round differently; the rounded averages are the
+    # agreed values, so everything derived from them is deterministic
+    rounded = (per_bin.crossJoin(F.broadcast(tot))
+               .select("bin", "n", "n_total",
+                       F.round("avg_score", 6).alias("avg_score"),
+                       F.round("pos_rate", 6).alias("pos_rate")))
+    gap = F.abs(F.col("pos_rate") - F.col("avg_score"))
+    return rounded.select(
+        "bin", "n", "avg_score", "pos_rate",
+        F.round(gap, 6).alias("abs_gap"),
+        F.round(F.col("n") / F.col("n_total") * gap, 6)
+        .alias("ece_term"))
+
+
+_CALIBRATION_SQL = f"""
+{_FEATS_CTE},
+b AS (
+  SELECT least(CAST(floor(weekend_ratio * 10) AS INT), 9) AS bin,
+         weekend_ratio, {_LABEL_SQL} AS label
+  FROM feats),
+per_bin AS (
+  SELECT bin, CAST(count(*) AS BIGINT) AS n,
+         avg(weekend_ratio) AS avg_score,
+         avg(label) AS pos_rate
+  FROM b GROUP BY bin),
+tot AS (SELECT sum(n) AS n_total FROM per_bin),
+rounded AS (
+  SELECT bin, n, n_total,
+         round(avg_score, 6) AS avg_score,
+         round(pos_rate, 6) AS pos_rate
+  FROM per_bin CROSS JOIN tot)
+SELECT bin, n, avg_score, pos_rate,
+       round(abs(pos_rate - avg_score), 6) AS abs_gap,
+       round(n / n_total * abs(pos_rate - avg_score), 6) AS ece_term
+FROM rounded
+"""
+
+
+QUERIES_TAIL["rule_calibration_table"] = rule_calibration_table
+ORACLES_TAIL["rule_calibration_table"] = _CALIBRATION_SQL
