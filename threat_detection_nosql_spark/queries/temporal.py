@@ -437,3 +437,41 @@ FROM log e ASOF LEFT JOIN purchases p
 
 QUERIES_TAIL = {"time_to_next_purchase": time_to_next_purchase}
 ORACLES_TAIL = {"time_to_next_purchase": _ASOF_FWD_SQL}
+
+
+def activity_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The (day-of-week × hour) activity matrix behind the reference's
+    temporal heatmap plots (`analyse_caracteristiques.png`; the plot
+    layer itself is out of scope per SURVEY §2.8, the data is not):
+    per cell, event count, distinct users, and the cell's share of all
+    events. One map-combined aggregation (≤ 168 cells), total rides a
+    broadcast scalar."""
+    log = activity_log(spark, sf_dir)
+    cells = (log.groupBy("day_of_week", "hour_of_day")
+             .agg(F.count("*").alias("n_events"),
+                  F.countDistinct("user").alias("n_users")))
+    tot = cells.agg(F.sum("n_events").alias("n_total"))
+    return (cells.crossJoin(F.broadcast(tot))
+            .select("day_of_week", "hour_of_day", "n_events", "n_users",
+                    F.round(F.col("n_events") / F.col("n_total"), 6)
+                    .alias("share")))
+
+
+_HEATMAP_SQL = f"""
+{_LOG_CTE},
+cells AS (
+  SELECT day_of_week, hour_of_day,
+         CAST(count(*) AS BIGINT) AS n_events,
+         CAST(count(DISTINCT user) AS BIGINT) AS n_users
+  FROM log GROUP BY day_of_week, hour_of_day),
+tot AS (SELECT sum(n_events) AS n_total FROM cells)
+SELECT day_of_week, hour_of_day, n_events, n_users,
+       round(n_events / n_total, 6) AS share
+FROM cells CROSS JOIN tot
+"""
+
+
+QUERIES_TAIL = {**globals().get("QUERIES_TAIL", {}),
+                "activity_heatmap": activity_heatmap}
+ORACLES_TAIL = {**globals().get("ORACLES_TAIL", {}),
+                "activity_heatmap": _HEATMAP_SQL}
