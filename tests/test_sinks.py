@@ -210,3 +210,21 @@ def test_synthetic_stream_equals_batch(spark):
              .option("numPartitions", 2)
              .option("rowsPerPartition", 500).load().collect()}
     assert drained == batch and len(drained) == 1000
+
+
+def test_compaction_recovers_from_torn_swap(spark, tmp_path):
+    """Crash between the two renames leaves only the backup; the next
+    compaction must restore it and still rewrite correctly."""
+    import os
+
+    from threat_detection_nosql_spark.sources.writers import (
+        compact_dataset)
+
+    path = str(tmp_path / "torn")
+    spark.range(100).repartition(10).write.parquet(path)
+    before = {r["id"] for r in spark.read.parquet(path).collect()}
+    os.rename(path, f"{path}__backup")  # simulate the torn swap
+    n = compact_dataset(spark, path, target_file_bytes=1 << 30)
+    assert n == 1
+    assert not os.path.exists(f"{path}__backup")
+    assert {r["id"] for r in spark.read.parquet(path).collect()} == before
