@@ -647,3 +647,60 @@ FROM rounded
 
 QUERIES_TAIL["rule_calibration_table"] = rule_calibration_table
 ORACLES_TAIL["rule_calibration_table"] = _CALIBRATION_SQL
+
+
+def rule_lift_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile lift/gains table (round-4 tail): users ranked by the
+    continuous rule score into 10 ntile deciles (total order: score
+    DESC, user ASC — deterministic bucketing), per decile the positive
+    count/rate, cumulative gain (captured share of all positives) and
+    lift vs the base rate. Every ratio derives from integer counts, so
+    no float-aggregation ulp risk anywhere. One |users|-row window
+    pass + a 10-row re-aggregation."""
+    lab = _labeled(spark, sf_dir)
+    w = Window.orderBy(F.desc("weekend_ratio"), F.asc("user"))
+    deciled = lab.select("label", F.ntile(10).over(w).alias("decile"))
+    per = (deciled.groupBy("decile")
+           .agg(F.count("*").alias("n"),
+                F.sum("label").alias("positives")))
+    tot = per.agg(F.sum("n").alias("n_tot"),
+                  F.sum("positives").alias("pos_tot"))
+    cw = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow)
+    return (per.crossJoin(F.broadcast(tot))
+            .withColumn("cum_positives", F.sum("positives").over(cw))
+            .select("decile", "n", "positives",
+                    F.round(F.col("positives") / F.col("n"), 6)
+                    .alias("pos_rate"),
+                    F.round(F.col("cum_positives") / F.col("pos_tot"), 6)
+                    .alias("cum_gain"),
+                    F.round((F.col("positives") / F.col("n"))
+                            / (F.col("pos_tot") / F.col("n_tot")), 6)
+                    .alias("lift")))
+
+
+_LIFT_SQL = f"""
+{_FEATS_CTE},
+lab AS (SELECT user, weekend_ratio, {_LABEL_SQL} AS label FROM feats),
+deciled AS (
+  SELECT label,
+         ntile(10) OVER (ORDER BY weekend_ratio DESC, user ASC)
+           AS decile
+  FROM lab),
+per AS (
+  SELECT decile, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(label) AS BIGINT) AS positives
+  FROM deciled GROUP BY decile),
+tot AS (SELECT sum(n) AS n_tot, sum(positives) AS pos_tot FROM per)
+SELECT decile, n, positives,
+       round(positives / n, 6) AS pos_rate,
+       round(sum(positives) OVER (ORDER BY decile
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             / pos_tot, 6) AS cum_gain,
+       round((positives / n) / (pos_tot / n_tot), 6) AS lift
+FROM per CROSS JOIN tot
+"""
+
+
+QUERIES_TAIL["rule_lift_table"] = rule_lift_table
+ORACLES_TAIL["rule_lift_table"] = _LIFT_SQL
