@@ -11,7 +11,11 @@ Deliberately uses a VANILLA SparkSession (not session.get_spark) — the
 driver brings its own session, so config-dependent code must work
 without ours (.claude/skills/verify/SKILL.md).
 
-Usage: python scripts/check_all.py [--sf DIR] [name_filter ...]
+Usage: python scripts/check_all.py [--sf DIR] [--first N] [name_filter ...]
+
+``--first N`` restricts the run to the first N registry entries — the
+driver hashes exactly the first-50 prefix, so ``--first 50`` replicates
+the round's correctness window.
 """
 from __future__ import annotations
 
@@ -49,6 +53,10 @@ def main() -> int:
     if args and args[0] == "--sf":
         sf_dir = args[1]
         args = args[2:]
+    first_n = None
+    if args and args[0] == "--first":
+        first_n = int(args[1])
+        args = args[2:]
     filters = args
     sys.path.insert(0, "/root/repo")
     import __spark_entry__ as entrymod
@@ -64,6 +72,8 @@ def main() -> int:
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
     qs = entrymod.queries()
+    if first_n is not None:
+        qs = dict(list(qs.items())[:first_n])
     oracles = entrymod.oracle_sql()
     results: dict[str, dict] = {}
     n_bad = 0

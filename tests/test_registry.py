@@ -49,6 +49,21 @@ def test_all_queries_merge_is_complete():
     assert len(merged) == per_module
 
 
+def test_round5_window_is_oracle_backed_and_rows_only_parked():
+    """Driver-window invariants for round 5: the first 50 registry
+    entries are exactly ``_WINDOW_R5`` (every one oracle-backed), the
+    first 150 are all oracle-backed, and the rows-only queries sit
+    behind position 150 — no window slot can record ``no_oracle``."""
+    merged = Q.all_queries()
+    oracles = Q.all_oracles()
+    names = list(merged)
+    assert tuple(names[:50]) == Q._WINDOW_R5
+    for n in names[:150]:
+        assert n in oracles, f"{n} in first 150 but has no oracle"
+    for n in names[150:]:
+        assert n not in oracles, f"rows-only park holds oracle query {n}"
+
+
 def test_queries_take_spark_and_sf_dir():
     for q, fn in Q.all_queries().items():
         params = list(inspect.signature(fn).parameters)

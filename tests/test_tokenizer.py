@@ -76,11 +76,10 @@ def test_replace_passes_reach_fixpoint(spark):
             assert pat not in got[i]
 
 
-def test_bpe_merges_registered_after_driver_window():
-    """The tokenizer module must stay at the END of registry merge
-    order: round 4's driver sampling window (first 50) was frozen
-    before these queries existed."""
+def test_bpe_family_inside_round5_driver_window():
+    """Round 5 rotated the BPE family INTO the driver's first-50
+    sampling window (they were frozen out of round 4's)."""
     from threat_detection_nosql_spark.queries import all_queries
     names = list(all_queries())
-    assert names.index("bpe_merges") >= 50
-    assert names.index("bpe_top_segments") >= 50
+    assert names.index("bpe_merges") < 50
+    assert names.index("bpe_top_segments") < 50

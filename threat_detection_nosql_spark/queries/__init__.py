@@ -4,6 +4,17 @@ Each module exposes ``QUERIES: dict[str, (spark, sf_dir) -> DataFrame]``
 and ``ORACLES: dict[str, str]`` (DuckDB ANSI SQL). ``all_queries()`` /
 ``all_oracles()`` merge them for the driver contract
 (``__spark_entry__.py``).
+
+Ordering IS the driver's sampling policy: the correctness gate hashes
+the FIRST 50 queries in merge order each round.  Rounds 1-4 proved the
+threat/relational/pipeline/advanced/graph/metrics families (94 of 150
+oracle queries driver-green).  Round 5 pins an EXPLICIT name window —
+the 50 oracle-backed queries that have never had a driver-green row
+(TPC-H tail, all streaming batch-morph oracles, the BPE tokenizer
+family, the round-4 metrics/cleaning/temporal/pipeline tails, and five
+corpus entries) — then every other oracle-backed query, and parks the
+20 rows-only (engine-RNG / model / media) queries behind position 150
+so no window slot is ever burned on a ``no_oracle`` row again.
 """
 
 from __future__ import annotations
@@ -14,8 +25,73 @@ from pyspark.sql import DataFrame, SparkSession
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
+# Round-5 driver window: the 50 oracle-backed queries with no driver-green
+# row in CORRECTNESS_r01-r04.  Six corpus oracles (orders_profile,
+# user_features_unpivot, event_zorder, temperature_mixture_plan,
+# temperature_mixture_sample, length_bucket_batches) did not fit and lead
+# the round-6 rotation.  NEVER reorder mid-round: the driver hashes this
+# exact prefix.
+_WINDOW_R5: tuple[str, ...] = (
+    # TPC-H widening (r3 Q3-Q19 shapes + r4 Q12/Q21/Q22 shapes)
+    "order_priority_counts",
+    "promo_revenue_ratio",
+    "top_supplier_by_revenue",
+    "local_supplier_volume",
+    "revenue_change_forecast",
+    "nation_volume_shipping",
+    "nation_market_share",
+    "product_type_profit",
+    "returned_items_top20",
+    "customer_order_distribution",
+    "small_quantity_revenue",
+    "large_volume_customers",
+    "discounted_revenue",
+    "monthly_return_rate",
+    "late_shipment_priority_counts",
+    "waiting_supplier_top10",
+    "dormant_customer_balance_groups",
+    # Streaming batch-morph oracles (north-star centerpiece)
+    "stream_static_enriched_counts",
+    "stream_windowed_user_counts",
+    "stream_sliding_type_counts",
+    "stream_session_windows",
+    "stream_anomaly_flags",
+    "stream_stateful_profiles",
+    "stream_deduped_counts",
+    "stream_purchase_error_pairs",
+    "stream_after_hours_top10",
+    "stream_countmin_user_cells",
+    "stream_drift_psi",
+    # BPE tokenizer family (oracle unrolls every merge)
+    "bpe_merges",
+    "bpe_top_segments",
+    "bpe_subword_freqs",
+    "bpe_encode_part_names",
+    # metrics / cleaning / temporal round-4 tails
+    "countmin_token_estimates",
+    "hll_portable_distinct_users",
+    "rule_calibration_table",
+    "rule_lift_table",
+    "feature_drift_psi",
+    "pseudonymized_activity",
+    "time_to_next_purchase",
+    "activity_heatmap",
+    # pipeline round-4 tails
+    "weighted_doc_sample",
+    "bigram_logprob_scores",
+    "edit_distance_near_dups",
+    "vocab_coverage",
+    "cross_source_leakage",
+    # corpus (the five that fit; remaining six lead round 6)
+    "dataset_split_assignment",
+    "semantic_cluster_dedup",
+    "doc_chunks",
+    "corpus_curation_pipeline",
+    "domain_capped_sample",
+)
 
-def all_queries() -> dict[str, QueryFn]:
+
+def _modules():
     from threat_detection_nosql_spark.queries import (
         advanced,
         cleaning,
@@ -31,63 +107,38 @@ def all_queries() -> dict[str, QueryFn]:
         tokenizer,
         tpch,
     )
-    out: dict[str, QueryFn] = {}
-    mods = _MERGE_ORDER(threat, relational, pipeline, corpus, advanced,
-                        graph_queries, metrics, ml_queries,
-                        streaming_queries, temporal, tpch, cleaning,
-                        tokenizer)
+    return (threat, relational, pipeline, corpus, advanced, graph_queries,
+            metrics, ml_queries, streaming_queries, temporal, tpch,
+            cleaning, tokenizer)
+
+
+def _merged(attr: str, tail_attr: str) -> dict:
+    mods = _modules()
+    out: dict = {}
     for mod in mods:
-        out.update(mod.QUERIES)
-    # QUERIES_TAIL: queries added mid-round land AFTER every module so
-    # the driver's first-50 sampling window stays byte-stable within a
-    # round; the next rotation moves them forward
+        out.update(getattr(mod, attr))
+    # *_TAIL: entries added mid-round land AFTER every module so the
+    # driver's window stays byte-stable within a round; the next rotation
+    # moves them forward
     for mod in mods:
-        out.update(getattr(mod, "QUERIES_TAIL", {}))
+        out.update(getattr(mod, tail_attr, {}))
     return out
 
 
-def _MERGE_ORDER(threat, relational, pipeline, corpus, advanced,
-                 graph_queries, metrics, ml_queries, streaming_queries,
-                 temporal, tpch, cleaning, tokenizer):
-    """Registry merge order.
-
-    The driver's correctness gate hashes the FIRST 50 queries in merge
-    order at each round, so ordering is the sampling policy.  Rounds 1-3
-    verified the threat/relational/pipeline families (green in
-    CORRECTNESS_r01-r03); round 4 rotates the never-driver-sampled
-    families to the front: advanced (portable ANN + fingerprint dedup),
-    graph, metrics, ml, cleaning, temporal — 49 queries — then tpch
-    (so #50 = shipping_priority_top10), streaming, corpus, and finally
-    the already-proven threat/relational/pipeline at the back.
-    """
-    return (advanced, graph_queries, metrics, ml_queries, cleaning,
-            temporal, tpch, streaming_queries, corpus, threat,
-            relational, pipeline, tokenizer)
+def all_queries() -> dict[str, QueryFn]:
+    queries = _merged("QUERIES", "QUERIES_TAIL")
+    oracles = _merged("ORACLES", "ORACLES_TAIL")
+    out: dict[str, QueryFn] = {}
+    for name in _WINDOW_R5:  # pinned driver window, positions 1-50
+        out[name] = queries[name]
+    for name, fn in queries.items():  # oracle-backed middle, module order
+        if name not in out and name in oracles:
+            out[name] = fn
+    for name, fn in queries.items():  # rows-only park, after position 150
+        if name not in out:
+            out[name] = fn
+    return out
 
 
 def all_oracles() -> dict[str, str]:
-    from threat_detection_nosql_spark.queries import (
-        advanced,
-        cleaning,
-        corpus,
-        graph_queries,
-        metrics,
-        ml_queries,
-        pipeline,
-        relational,
-        streaming_queries,
-        temporal,
-        threat,
-        tokenizer,
-        tpch,
-    )
-    out: dict[str, str] = {}
-    mods = _MERGE_ORDER(threat, relational, pipeline, corpus, advanced,
-                        graph_queries, metrics, ml_queries,
-                        streaming_queries, temporal, tpch, cleaning,
-                        tokenizer)
-    for mod in mods:
-        out.update(mod.ORACLES)
-    for mod in mods:
-        out.update(getattr(mod, "ORACLES_TAIL", {}))
-    return out
+    return _merged("ORACLES", "ORACLES_TAIL")
