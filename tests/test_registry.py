@@ -58,9 +58,11 @@ def test_round5_window_is_oracle_backed_and_rows_only_parked():
     oracles = Q.all_oracles()
     names = list(merged)
     assert tuple(names[:50]) == Q._WINDOW_R5
-    for n in names[:150]:
-        assert n in oracles, f"{n} in first 150 but has no oracle"
-    for n in names[150:]:
+    n_oracle = sum(1 for n in names if n in oracles)
+    assert n_oracle >= 150
+    for n in names[:n_oracle]:
+        assert n in oracles, f"{n} ahead of the park but has no oracle"
+    for n in names[n_oracle:]:
         assert n not in oracles, f"rows-only park holds oracle query {n}"
 
 

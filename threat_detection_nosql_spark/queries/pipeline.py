@@ -324,10 +324,10 @@ def embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     the broadcast-corpus kernel this has no driver collect and no
     single-executor memory ceiling: peak per-task memory is two blocks
     (n/G rows each), and G scales with the corpus. Exact NN is
-    inherently O(n²) — for corpora where that is unaffordable the
-    LSH/IVF candidate generators (operators/similarity.py,
-    operators/clustering.py) bound the pair set and this kernel's
-    scorer re-scores candidates only.
+    inherently O(n²) — at scale the registered default is
+    :func:`embedding_ann_near_dups` (SRP-banded candidates + exact
+    rescore, end of this module); this exact kernel is the
+    oracle-parity verifier and recall referee.
 
     Tie-break parity with the SQL oracle: partials rank by ROUNDED
     cosine; within a block np.argmax's first hit is the smallest nn_id
@@ -861,5 +861,119 @@ GROUP BY doc_id
 """
 
 
-QUERIES_TAIL = {"bigram_logprob_scores": bigram_logprob_scores}
-ORACLES_TAIL = {"bigram_logprob_scores": _BIGRAM_LP_SQL}
+# ---------------------------------------------------------------------------
+# ANN-first embedding near-dup (round-5): the scale-path default.
+# `embedding_near_dups` (exact blocked GEMM above) stays registered as
+# the oracle-parity verifier, but its score space is O(n²) by problem
+# statement; this variant bounds the pair set with portable SRP-LSH
+# bands FIRST and exact-rescoring only candidates, which is the shape
+# that survives 100 TB. Semantics: nearest neighbor AMONG LSH
+# candidates (banded index join — never a block cross join); rows with
+# no candidate keep a sentinel row (nn_id -1, cosine -2). The oracle
+# replays planes → signatures → candidates bit-for-bit, so correctness
+# is hash-checked at any scale factor regardless of ANN recall; recall
+# itself is pinned by tests/test_similarity.py against the exact kernel
+# (1.0 on a planted near-dup fixture — the cosine ≥ 0.8 regime LSH is
+# parameterized for; measured-and-bounded on the random-vector
+# testdata, whose NN cosines ~0.27-0.51 are information-theoretically
+# hostile to sub-quadratic exact NN).
+# ---------------------------------------------------------------------------
+
+_ANN_PLANES = 128
+_ANN_BAND_BITS = 8  # 16 bands × 256-value signatures
+_ANN_DIM = 64
+
+
+def embedding_ann_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN-candidate + exact-rescore near-dup flagging (dedup family,
+    D-spec; scale default — see section comment).
+
+    Plan shape: one corpus scan → Arrow GEMM signatures (16 rows per
+    vector, operators/similarity.srp_signatures) → self equi-join on
+    (band, sig) — a plain shuffled hash join whose volume is
+    Σ|bucket|², never n² — → distinct candidate pairs → vectors
+    re-attached by id → exact cosine on candidates only → per-vector
+    argmax with (rounded cosine, smallest id) tie-break → left join
+    back to all vec_ids so every vector keeps a row."""
+    from threat_detection_nosql_spark.operators import similarity
+
+    emb = (load_table(spark, sf_dir, "embeddings")
+           .select("vec_id", F.col("embedding").cast("array<double>")
+                   .alias("v")))
+    planes = similarity.srp_planes(_ANN_PLANES, _ANN_DIM)
+    sigs = similarity.srp_signatures(emb, planes,
+                                     band_bits=_ANN_BAND_BITS)
+    cand = (sigs.alias("a")
+            .join(sigs.alias("b"), ["band", "sig"])
+            .filter(F.col("a.vec_id") != F.col("b.vec_id"))
+            .select(F.col("a.vec_id").alias("vec_id"),
+                    F.col("b.vec_id").alias("nn_id"))
+            .distinct())
+    dot = ("aggregate(zip_with(qv, cv, (x, y) -> x * y), 0D, "
+           "(acc, x) -> acc + x)")
+    norm = "sqrt(aggregate({c}, 0D, (acc, x) -> acc + x * x))"
+    scored = (cand
+              .join(emb.select(F.col("vec_id"),
+                               F.col("v").alias("qv")), "vec_id")
+              .join(emb.select(F.col("vec_id").alias("nn_id"),
+                               F.col("v").alias("cv")), "nn_id")
+              .withColumn("cosine", F.round(
+                  F.expr(dot)
+                  / (F.expr(norm.format(c="qv"))
+                     * F.expr(norm.format(c="cv"))), 6)))
+    best = (scored.groupBy("vec_id")
+            .agg(F.max(F.struct(F.col("cosine"),
+                                (-F.col("nn_id")).alias("neg_nn")))
+                 .alias("t")))
+    return (emb.select("vec_id").join(best, "vec_id", "left")
+            .select(
+                "vec_id",
+                F.coalesce(-F.col("t.neg_nn"), F.lit(-1)).alias("nn_id"),
+                F.coalesce(F.col("t.cosine"), F.lit(-2.0)).alias("cosine"),
+                (F.coalesce(F.col("t.cosine"), F.lit(-2.0)) >= 0.4)
+                .cast("int").alias("is_near_dup")))
+
+
+def _ann_near_dup_sql() -> str:
+    from threat_detection_nosql_spark.operators import similarity
+    planes = similarity.srp_planes(_ANN_PLANES, _ANN_DIM)
+    rows = ",\n  ".join(
+        f"({p // _ANN_BAND_BITS}, {p % _ANN_BAND_BITS}, "
+        f"[{', '.join(repr(w) for w in plane)}]::DOUBLE[])"
+        for p, plane in enumerate(planes))
+    return f"""
+WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+planes(band, pos, w) AS (VALUES
+  {rows}),
+sigs AS (SELECT vec_id, band,
+                CAST(sum(CASE WHEN list_dot_product(v, w) > 0
+                              THEN 1 << pos ELSE 0 END) AS BIGINT) AS sig
+         FROM emb CROSS JOIN planes GROUP BY vec_id, band),
+cand AS (SELECT DISTINCT a.vec_id AS vec_id, b.vec_id AS nn_id
+         FROM sigs a JOIN sigs b ON a.band = b.band AND a.sig = b.sig
+         WHERE a.vec_id <> b.vec_id),
+scored AS (SELECT cand.vec_id, cand.nn_id,
+                  round(list_dot_product(q.v, c.v)
+                        / (sqrt(list_dot_product(q.v, q.v))
+                           * sqrt(list_dot_product(c.v, c.v))), 6) AS cosine
+           FROM cand
+           JOIN emb q ON q.vec_id = cand.vec_id
+           JOIN emb c ON c.vec_id = cand.nn_id),
+best AS (SELECT vec_id, nn_id, cosine FROM (
+           SELECT vec_id, nn_id, cosine,
+                  row_number() OVER (PARTITION BY vec_id
+                       ORDER BY cosine DESC, nn_id ASC) AS rn
+           FROM scored) t WHERE rn = 1)
+SELECT e.vec_id,
+       COALESCE(b.nn_id, -1) AS nn_id,
+       COALESCE(b.cosine, CAST(-2.0 AS DOUBLE)) AS cosine,
+       CASE WHEN COALESCE(b.cosine, CAST(-2.0 AS DOUBLE)) >= 0.4
+            THEN 1 ELSE 0 END AS is_near_dup
+FROM emb e LEFT JOIN best b ON b.vec_id = e.vec_id
+"""
+
+
+QUERIES_TAIL = {"bigram_logprob_scores": bigram_logprob_scores,
+                "embedding_ann_near_dups": embedding_ann_near_dups}
+ORACLES_TAIL = {"bigram_logprob_scores": _BIGRAM_LP_SQL,
+                "embedding_ann_near_dups": _ann_near_dup_sql()}
