@@ -116,6 +116,16 @@ def main() -> int:
         if rec.get("err"):
             print(rec["err"][-600:], flush=True)
 
+    if not filters and first_n is None:
+        # the readers UTC pin (readers.load_table) must have fired on a
+        # vanilla session during a full run — temporal parity with the
+        # zoneless DuckDB reads depends on it
+        tz = spark.conf.get("spark.sql.session.timeZone")
+        if tz != "UTC":
+            print(f"BAD session.timeZone is {tz!r}, not UTC — "
+                  "the readers UTC pin never fired")
+            n_bad += 1
+
     with open("/tmp/check_all.json", "w") as f:
         json.dump(results, f, indent=1, default=str)
     print(f"\n{n_bad} problem(s); detail in /tmp/check_all.json")

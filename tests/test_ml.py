@@ -149,3 +149,21 @@ def test_sparkxgb_used_when_importable(spark, fixture):
     assert type(model).__name__ == "SparkXGBClassifierModel"
     m = classification_metrics(model.transform(test))
     assert m["accuracy"] >= 0.85 and m["f1"] >= 0.4
+
+
+def test_detector_memo_evicts_dead_application_keys(spark):
+    """The detector memo keys by applicationId: entries from another
+    (dead) application must be evicted on the next call, never aliased
+    onto the live session (id(spark) could be recycled; applicationId
+    cannot)."""
+    from tests.conftest import SF_DIR
+    from threat_detection_nosql_spark.queries import ml_queries as MQ
+
+    sentinel = object()
+    MQ._memo.clear()
+    MQ._memo[("app-from-a-dead-session", SF_DIR, "kmeans")] = sentinel
+    out = MQ._detector(spark, SF_DIR, "kmeans")
+    assert out is not sentinel
+    assert all(k[0] == spark.sparkContext.applicationId for k in MQ._memo)
+    # same app + args memoizes
+    assert MQ._detector(spark, SF_DIR, "kmeans") is out

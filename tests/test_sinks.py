@@ -228,3 +228,26 @@ def test_compaction_recovers_from_torn_swap(spark, tmp_path):
     assert n == 1
     assert not os.path.exists(f"{path}__backup")
     assert {r["id"] for r in spark.read.parquet(path).collect()} == before
+
+
+def test_compaction_clears_stale_backup_from_completed_swap(spark,
+                                                            tmp_path):
+    """Crash AFTER the swap completed but before backup cleanup leaves
+    both path and a stale backup; the next compaction must drop the
+    backup (the swap already committed) instead of dying ENOTEMPTY on
+    its own os.rename(path, backup)."""
+    import os
+    import shutil
+
+    from threat_detection_nosql_spark.sources.writers import (
+        compact_dataset)
+
+    path = str(tmp_path / "staleback")
+    spark.range(100).repartition(10).write.parquet(path)
+    before = {r["id"] for r in spark.read.parquet(path).collect()}
+    # simulate: prior run committed `path`, crashed before rmtree(backup)
+    shutil.copytree(path, f"{path}__backup")
+    n = compact_dataset(spark, path, target_file_bytes=1 << 30)
+    assert n == 1
+    assert not os.path.exists(f"{path}__backup")
+    assert {r["id"] for r in spark.read.parquet(path).collect()} == before

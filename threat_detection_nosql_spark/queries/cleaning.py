@@ -269,7 +269,10 @@ def feature_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_totalprice").cast("double").alias("p"),
         (F.col("o_orderdate") < cut).alias("is_ref"))
     mm = sliced.agg(F.min("p").alias("mn"), F.max("p").alias("mx"))
-    span = (F.col("mx") - F.col("mn")) / F.lit(float(_PSI_BINS))
+    # degenerate-slice guard (mn == mx): unit span keeps the binning
+    # finite; mirrored in the oracle SQL so both engines agree
+    span = F.when(F.col("mx") == F.col("mn"), F.lit(1.0)) \
+        .otherwise((F.col("mx") - F.col("mn")) / F.lit(float(_PSI_BINS)))
     binned = (sliced.crossJoin(F.broadcast(mm))
               .select(F.least(
                   F.floor((F.col("p") - F.col("mn")) / span),
@@ -297,7 +300,8 @@ WITH sliced AS (
   FROM orders),
 mm AS (SELECT min(p) AS mn, max(p) AS mx FROM sliced),
 binned AS (
-  SELECT CAST(least(floor((p - mn) / ((mx - mn) / {_PSI_BINS}.0)),
+  SELECT CAST(least(floor((p - mn) / (CASE WHEN mx = mn THEN CAST(1.0 AS DOUBLE)
+                       ELSE (mx - mn) / {_PSI_BINS}.0 END)),
                     {_PSI_BINS - 1}) AS INT) AS bin, is_ref
   FROM sliced CROSS JOIN mm),
 counts AS (

@@ -32,11 +32,21 @@ _DETECTORS = {
     "ocsvm": lambda scaled: U.rff_ocsvm_detector(scaled),
 }
 
+# Memoized per (Spark application, sf_dir, detector): keyed by
+# applicationId — unlike id(spark), which a garbage-collected session
+# can recycle and alias a stale cached frame onto a new session. When
+# the application changes, every cached frame from the dead app is
+# dropped (its cache blocks died with the app's executors anyway, so
+# this is bookkeeping, not an unpersist RPC into a dead context).
 _memo: dict[tuple, DataFrame] = {}
 
 
 def _detector(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    key = (id(spark), sf_dir, name)
+    app_id = spark.sparkContext.applicationId
+    stale = [k for k in _memo if k[0] != app_id]
+    for k in stale:
+        _memo.pop(k)
+    key = (app_id, sf_dir, name)
     if key not in _memo:
         scaled = scaled_user_features(spark, sf_dir)
         _memo[key] = _DETECTORS[name](scaled).cache()

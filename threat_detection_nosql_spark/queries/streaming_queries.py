@@ -309,12 +309,14 @@ live AS (SELECT value FROM events
            AND value IS NOT NULL),
 binned_ref AS (
   SELECT least(greatest(CAST(floor((value - mn)
-           / ((mx - mn) / {S._DRIFT_BINS})) AS INT), 0),
+           / (CASE WHEN mx = mn THEN CAST(1.0 AS DOUBLE)
+              ELSE (mx - mn) / {S._DRIFT_BINS} END)) AS INT), 0),
            {S._DRIFT_BINS - 1}) AS bin
   FROM static CROSS JOIN mm),
 binned_live AS (
   SELECT least(greatest(CAST(floor((value - mn)
-           / ((mx - mn) / {S._DRIFT_BINS})) AS INT), 0),
+           / (CASE WHEN mx = mn THEN CAST(1.0 AS DOUBLE)
+              ELSE (mx - mn) / {S._DRIFT_BINS} END)) AS INT), 0),
            {S._DRIFT_BINS - 1}) AS bin
   FROM live CROSS JOIN mm),
 ref AS (SELECT bin, CAST(count(*) AS BIGINT) AS ref_n

@@ -43,11 +43,27 @@ _MERGES_SCHEMA = T.StructType([
 ])
 
 
+
+def _assert_full_merges(merges) -> None:
+    """The unrolled fixed-K oracle CTEs diverge if training early-stops
+    (an empty b{k} would empty v{k} via CROSS JOIN and zero out the
+    downstream oracles), so the query functions refuse to serve a
+    short merge list rather than silently disagree with the oracle.
+    Unreachable on the registered documents corpus (vocab >> 8 pairs);
+    this guards smaller fixtures."""
+    if len(merges) != _N_MERGES:
+        raise ValueError(
+            f"bpe_train early-stopped at {len(merges)}/{_N_MERGES} "
+            "merges; the fixed-K unrolled oracle is only valid for a "
+            "full merge list")
+
+
 def bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The learned merge table: rank, pair, merged symbol, and the
     pair's corpus frequency at the time it won the argmax."""
     words = word_counts(load_table(spark, sf_dir, "documents"))
     merges, final = bpe_train(words, n_merges=_N_MERGES)
+    _assert_full_merges(merges)
     # `final` only existed to scope the trainer's caches here; the
     # merge table itself is the K-row training output
     del final
@@ -64,6 +80,7 @@ def bpe_top_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     Deterministic order: count DESC, word ASC, top 30."""
     words = word_counts(load_table(spark, sf_dir, "documents"))
     _merges, final = bpe_train(words, n_merges=_N_MERGES)
+    _assert_full_merges(_merges)
     return (final
             .orderBy(F.desc("cnt"), F.asc("word"))
             .limit(_TOP_SEGMENTS)
@@ -78,6 +95,7 @@ def bpe_subword_freqs(spark: SparkSession, sf_dir: str) -> DataFrame:
     explode runs over the distinct-word vocabulary."""
     words = word_counts(load_table(spark, sf_dir, "documents"))
     _merges, final = bpe_train(words, n_merges=_N_MERGES)
+    _assert_full_merges(_merges)
     toks = F.filter(F.split("seg", " "), lambda x: x != F.lit(""))
     return (final
             .select(F.explode(toks).alias("subword"), "cnt")
@@ -107,6 +125,7 @@ def bpe_encode_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
     merges, _final = bpe_train(
         word_counts(load_table(spark, sf_dir, "documents")),
         n_merges=_N_MERGES)
+    _assert_full_merges(merges)
     part_words = word_counts(
         load_table(spark, sf_dir, "part").withColumnRenamed(
             "p_name", "text"))

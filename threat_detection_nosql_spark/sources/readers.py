@@ -75,6 +75,9 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
 
 
+_spread_memo: dict[tuple, bool] = {}
+
+
 def spread(df: DataFrame, min_parts: int | None = None) -> DataFrame:
     """Round-robin repartition IFF the plan currently has fewer input
     partitions than cores. At real scale (100 TB = tens of thousands of
@@ -82,9 +85,20 @@ def spread(df: DataFrame, min_parts: int | None = None) -> DataFrame:
     parquet file scans as ONE partition, serializing per-row-heavy
     operators (minhash signatures, n-gram explosions, SRP dot products)
     onto one core at test scale. Only those CPU-bound operators call
-    it — plain relational queries never pay the extra exchange."""
+    it — plain relational queries never pay the extra exchange.
+
+    The partition-count probe (``df.rdd.getNumPartitions()``) forces an
+    RDD plan conversion, so its verdict is memoized per (application,
+    analyzed-plan ``semanticHash``, target) — repeat calls on the same
+    logical plan (every registered query rebuilds identical scans) skip
+    the conversion. A hash collision could only mis-route the
+    repartition decision (perf, never correctness), and dead
+    applications' keys are evicted on the next call."""
     sc = df.sparkSession.sparkContext
     target = min_parts or sc.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
-    return df
+    key = (sc.applicationId, df.semanticHash(), target)
+    if key not in _spread_memo:
+        for k in [k for k in _spread_memo if k[0] != sc.applicationId]:
+            _spread_memo.pop(k)
+        _spread_memo[key] = df.rdd.getNumPartitions() < target
+    return df.repartition(target) if _spread_memo[key] else df

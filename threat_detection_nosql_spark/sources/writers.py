@@ -72,6 +72,10 @@ def compact_dataset(spark, path: str,
     backup = f"{path}__backup"
     if not os.path.exists(path) and os.path.exists(backup):
         os.rename(backup, path)  # recover a torn previous swap
+    elif os.path.exists(path) and os.path.exists(backup):
+        # prior swap completed but crashed before cleanup: drop the
+        # stale backup or this run's os.rename(path, backup) ENOTEMPTYs
+        shutil.rmtree(backup)
     df = spark.read.parquet(path)
     total = sum(os.path.getsize(os.path.join(r, f))
                 for r, _, fs in os.walk(path)
