@@ -123,6 +123,28 @@ def main() -> None:
         timings[name] = median_time(name, name in ROUND4_COUNT)
     round4_total = round(sum(timings[n] for n in
                              ROUND4_COLLECT + ROUND4_COUNT), 3)
+    # Isolated re-measure of the 5 slowest queries: a fresh
+    # spark.newSession() per query, after every other group finished.
+    # In-run medians on a shared box have twice produced phantom
+    # regressions (r3 decontamination, r4 threat family: in-run numbers
+    # ran ~1.5-2x a quiet-box re-run of identical code); recording a
+    # second, quieter sample alongside lets a reviewer adjudicate noise
+    # vs real regression without re-running the bench.
+    count_set = set(HEADLINE_COUNT + PIPELINE_COUNT + EXTENDED_COUNT
+                    + ROUND4_COUNT)
+    slowest = sorted(timings, key=timings.get, reverse=True)[:5]
+    isolated: dict[str, float] = {}
+    for name in slowest:
+        fresh = spark.newSession()
+        fn = queries[name]
+        runs = []
+        for _ in range(3):
+            start = time.perf_counter()
+            df = fn(fresh, SF_DIR)
+            df.count() if name in count_set else df.collect()
+            runs.append(time.perf_counter() - start)
+        isolated[name] = round(sorted(runs)[1], 3)
+
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(json.dumps({
         "metric": "headline_queries_total",
@@ -132,6 +154,7 @@ def main() -> None:
         "pipeline_total": pipeline_total,
         "extended_total": extended_total,
         "round4_total": round4_total,
+        "isolated": isolated,
         "sf": float(sf),
     }))
 
