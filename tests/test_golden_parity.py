@@ -111,6 +111,44 @@ def test_cluster_detectors_within_reference_fraction(
     assert 0 < db <= _frac(golden, "DBSCAN") * n
 
 
+def test_dbscan_full_detector_matches_reference_score_shape(
+        spark, fixture, golden):
+    """M5 proper (cluster assignment + two-sided score) against the
+    DBSCAN row of the golden CSVs: the flag count stays inside the
+    74/100 band, and the score distribution reproduces the SHAPE of
+    the reference's committed `resultats_non_supervise.csv` DBSCAN
+    scores (100 users: min 0, max ~1, noise median 0.438 vs member
+    median 0.038 — an order of magnitude apart, with the entire top
+    decile noise). Exact values are fixture-dependent; the shape is
+    the semantics."""
+    fix, scaled = fixture
+    n = fix.count()
+    out = U.dbscan_detector(scaled, eps=2.0).cache()
+    flagged = out.filter("dbscan_anomaly = 1").count()
+    assert 0 < flagged <= _frac(golden, "DBSCAN") * n
+    # every flagged point has NO cluster; every unflagged point has one
+    assert out.filter("dbscan_anomaly = 1 AND cluster IS NOT NULL") \
+        .count() == 0
+    assert out.filter("dbscan_anomaly = 0 AND cluster IS NULL") \
+        .count() == 0
+    import pyspark.sql.functions as F
+    stats = out.agg(F.min("dbscan_score").alias("mn"),
+                    F.max("dbscan_score").alias("mx")).first()
+    assert stats.mn == 0.0 and abs(stats.mx - 1.0) < 1e-9
+    med = {r.dbscan_anomaly: r.med for r in
+           out.groupBy("dbscan_anomaly")
+           .agg(F.expr("percentile(dbscan_score, 0.5)").alias("med"))
+           .collect()}
+    assert med[1] > 3 * med[0], med          # noise ≫ member (ref: 10x)
+    # top decile ≥95% noise: the two populations overlap slightly in
+    # the reference CSV too (noise min 0.109 < member max 0.137), so a
+    # remote cluster member may outrank the nearest-to-core noise point
+    top = out.orderBy(F.desc("dbscan_score")) \
+        .limit(max(1, n // 10)).filter("dbscan_anomaly = 0").count()
+    assert top <= max(1, n // 200), top
+    out.unpersist()
+
+
 def test_supervised_metrics_meet_reference_band(spark, fixture, golden):
     """Every supervised model meets the reference's WEAKEST committed
     metrics (SVM: accuracy 0.85 / F1 0.40) and the strongest committed

@@ -647,6 +647,162 @@ def dbscan_noise_detector(scaled: DataFrame, eps: float = 0.5,
     return _minmax(out, "dbscan_score")
 
 
+def _eps_pairs(scaled: DataFrame, eps: float, key: str,
+               exact: bool) -> DataFrame:
+    """All (a, b, d) pairs with euclidean distance d ≤ eps, a ≠ b.
+    Exact path: broadcast self-join (≤10k rows); scale path:
+    BucketedRandomProjectionLSH bucket-collision candidates only."""
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.functions import vector_to_array
+
+    pts = scaled.select(F.col(key), F.col("scaled"))
+    if exact:
+        a = pts.select(F.col(key).alias("a"),
+                       vector_to_array("scaled").alias("va"))
+        b = pts.select(F.col(key).alias("b"),
+                       vector_to_array("scaled").alias("vb"))
+        dist = F.sqrt(F.aggregate(
+            F.zip_with("va", "vb", lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0), lambda acc, x: acc + x))
+        return (a.join(F.broadcast(b), F.col("a") != F.col("b"))
+                .withColumn("d", dist)
+                .filter(F.col("d") <= eps)
+                .select("a", "b", "d"))
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="scaled", outputCol="hashes",
+        bucketLength=eps * 2, numHashTables=4, seed=42)
+    model = lsh.fit(pts)
+    joined = model.approxSimilarityJoin(pts, pts, eps, distCol="d")
+    return (joined
+            .select(F.col(f"datasetA.{key}").alias("a"),
+                    F.col(f"datasetB.{key}").alias("b"), "d")
+            .filter(F.col("a") != F.col("b")))
+
+
+def dbscan_detector(scaled: DataFrame, eps: float = 0.5,
+                    min_samples: int | None = None,
+                    key: str = "user",
+                    exact: bool | None = None,
+                    max_iter: int = 30) -> DataFrame:
+    """M5 proper: full DBSCAN — core/border/noise classification,
+    cluster assignment, and the reference's two-sided score
+    (`Comparaison_ML.py:204-251`): noise scores its distance to the
+    NEAREST CORE point, cluster members score their MEAN distance to
+    every member of their own cluster (self included, distance 0 — the
+    reference's ``euclidean_distances([X[i]], cluster_points)`` keeps
+    X[i] in ``cluster_points``), then one global min-max. Returns
+    (key, cluster, dbscan_anomaly, dbscan_score); noise carries
+    cluster NULL.
+
+    sklearn semantics: a point is core iff its eps-ball holds ≥
+    ``min_samples`` points INCLUDING itself; border points (non-core
+    within eps of a core) join a cluster and are NOT noise — unlike
+    the neighbor-count approximation (:func:`dbscan_noise_detector`),
+    which flags them. Clusters are connected components of the
+    core-core eps-graph, computed by iterative min-label propagation:
+    each pass is one edge join + group-min, localCheckpoint-pinned
+    (small frame, Lloyd-like bounded driver traffic), converging in
+    O(component diameter) ≤ ``max_iter`` passes. Border points take
+    the smallest core-neighbor label (sklearn's assignment is
+    scan-order-dependent; smallest-label is the deterministic
+    re-expression). The per-cluster mean-distance score is a self-join
+    on the cluster label — Σ|cluster|² work, the same quadratic the
+    reference pays in numpy, bounded per cluster rather than global.
+    """
+    n = scaled.count()
+    if min_samples is None:
+        min_samples = max(5, int(0.01 * n))
+    if exact is None:
+        exact = n <= 10_000
+
+    pairs = _eps_pairs(scaled, eps, key, exact).localCheckpoint()
+    counts = pairs.groupBy("a").agg(F.count("*").alias("n_nbrs"))
+    pts = scaled.select(F.col(key), F.col("scaled"))
+    # core iff |eps-ball ∪ {self}| ≥ min_samples
+    role = (pts.join(counts, F.col(key) == F.col("a"), "left")
+            .select(key, "scaled",
+                    (F.coalesce("n_nbrs", F.lit(0)) + 1
+                     >= min_samples).alias("is_core")))
+    core_ids = (role.filter("is_core").select(F.col(key).alias("cid"))
+                .localCheckpoint())
+
+    # connected components over core-core edges: min-label propagation
+    cc_edges = (pairs
+                .join(core_ids.withColumnRenamed("cid", "a"), "a")
+                .join(core_ids.withColumnRenamed("cid", "b"), "b")
+                .select("a", "b").localCheckpoint())
+    labels = core_ids.select(F.col("cid"),
+                             F.col("cid").alias("cluster"))
+    for _ in range(max_iter):
+        nbr_min = (cc_edges
+                   .join(labels.withColumnRenamed("cid", "b")
+                         .withColumnRenamed("cluster", "nbr_label"), "b")
+                   .groupBy("a").agg(F.min("nbr_label").alias("nbr_min")))
+        new_labels = (labels
+                      .join(nbr_min, F.col("cid") == F.col("a"), "left")
+                      .select("cid", F.least(
+                          "cluster",
+                          F.coalesce("nbr_min", "cluster"))
+                          .alias("cluster"))
+                      .localCheckpoint())
+        changed = (new_labels.join(labels.withColumnRenamed(
+            "cluster", "old"), "cid")
+            .filter(F.col("cluster") != F.col("old")).count())
+        labels = new_labels
+        if changed == 0:
+            break
+
+    # border points: non-core with ≥1 core neighbor → smallest
+    # core-neighbor's cluster label
+    border = (pairs
+              .join(labels.withColumnRenamed("cid", "b")
+                    .withColumnRenamed("cluster", "b_cluster"), "b")
+              .groupBy("a").agg(F.min("b_cluster").alias("border_cluster")))
+    assigned = (role
+                .join(labels, F.col(key) == F.col("cid"), "left")
+                .join(border, F.col(key) == F.col("a"), "left")
+                .select(key, "scaled", "is_core",
+                        F.when(F.col("is_core"), F.col("cluster"))
+                        .otherwise(F.col("border_cluster"))
+                        .alias("cluster"))
+                .withColumn("dbscan_anomaly",
+                            F.col("cluster").isNull().cast("int"))
+                .localCheckpoint())
+
+    from pyspark.ml.functions import vector_to_array
+    # cluster members: mean distance to own cluster (self included)
+    mem = assigned.filter(F.col("cluster").isNotNull()).select(
+        key, "cluster", vector_to_array("scaled").alias("va"))
+    peer = mem.select(F.col("cluster"),
+                      F.col("va").alias("vb"))
+    pair_d = F.sqrt(F.aggregate(
+        F.zip_with("va", "vb", lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0), lambda acc, x: acc + x))
+    member_score = (mem.join(peer, "cluster")
+                    .select(key, pair_d.alias("d"))
+                    .groupBy(key).agg(F.avg("d").alias("raw_score")))
+    # noise: distance to nearest core point (broadcast the small side)
+    core_vecs = (assigned.filter("is_core")
+                 .select(vector_to_array("scaled").alias("vb")))
+    noise = (assigned.filter(F.col("cluster").isNull())
+             .select(F.col(key).alias("nk"),
+                     vector_to_array("scaled").alias("va")))
+    noise_score = (core_vecs.join(F.broadcast(noise))
+                   .select("nk", pair_d.alias("d"))
+                   .groupBy("nk").agg(F.min("d").alias("noise_raw")))
+    out = (assigned
+           .join(member_score, key, "left")
+           .join(noise_score, F.col(key) == F.col("nk"), "left")
+           .select(key, "cluster", "dbscan_anomaly",
+                   F.when(F.col("dbscan_anomaly") == 1,
+                          # no core points at all → eps lower-bounds the
+                          # true noise-core distance
+                          F.coalesce("noise_raw", F.lit(float(eps))))
+                   .otherwise(F.coalesce("raw_score", F.lit(0.0)))
+                   .alias("dbscan_score")))
+    return _minmax(out, "dbscan_score")
+
+
 # ---------------------------------------------------------------------------
 # M7: ensemble vote + weighted score
 # ---------------------------------------------------------------------------
@@ -681,7 +837,9 @@ def ensemble_detector(scaled: DataFrame, key: str = "user",
         scaled, contamination=contamination, key=key)
     iso = parts.get("iforest") or iforest_detector(
         scaled, contamination=contamination, seed=seed, key=key)
-    dbs = parts.get("dbscan") or dbscan_noise_detector(scaled, key=key)
+    dbs = (parts.get("dbscan")
+           or dbscan_detector(scaled, key=key)).select(
+        key, "dbscan_anomaly", "dbscan_score")
     out = (km.join(pca, key).join(maha, key).join(iso, key).join(dbs, key))
     votes = (F.col("kmeans_anomaly") + F.col("pca_anomaly")
              + F.col("maha_anomaly") + F.col("iforest_anomaly")

@@ -27,7 +27,7 @@ _DETECTORS = {
     "iforest": lambda scaled: U.iforest_detector(scaled),
     "pca": lambda scaled: U.pca_reconstruction_detector(scaled),
     "maha": lambda scaled: U.mahalanobis_detector(scaled),
-    "dbscan": lambda scaled: U.dbscan_noise_detector(scaled),
+    "dbscan": lambda scaled: U.dbscan_detector(scaled),
     "ae": lambda scaled: U.autoencoder_detector(scaled),
     "ocsvm": lambda scaled: U.rff_ocsvm_detector(scaled),
 }
