@@ -36,3 +36,47 @@ def test_pagerank_fixed_star_graph_hub_dominates(spark):
     # no dangling nodes → total rank mass is conserved at 1
     assert abs(sum(ranks.values()) - 1.0) < 1e-9
     assert len({v for k, v in ranks.items() if k != "hub"}) == 1
+
+
+def test_connected_components_labels_and_convergence(spark):
+    """Two components + an isolated edge: every node gets the smallest
+    reachable id; a path graph converges within its diameter."""
+    from threat_detection_nosql_spark.operators.graph import (
+        connected_components)
+    # path 1-2-3-4-5 (one component), triangle 10-11-12, pair 20-21
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5),
+         (10, 11), (11, 12), (10, 12),
+         (20, 21)], "src long, dst long")
+    got = {r.node: r.component
+           for r in connected_components(edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1,
+                   10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_near_dup_groups_transitive_closure(spark):
+    """A~B and B~C must land in ONE component even when A and C share
+    no band — the under-deletion case pair-keeping gets wrong."""
+    from tests.conftest import SF_DIR
+    from threat_detection_nosql_spark.operators.dedup import (
+        minhash_signature_near_dups)
+    from threat_detection_nosql_spark.queries.advanced import (
+        _NDG_THRESHOLD, near_dup_groups)
+    from threat_detection_nosql_spark.sources.readers import load_table
+
+    out = near_dup_groups(spark, SF_DIR).cache()
+    assert out.count() == load_table(spark, SF_DIR, "documents").count()
+    comp = {r.doc_id: r.component for r in out.collect()}
+    # closure check: both endpoints of every thresholded pair agree
+    pairs = minhash_signature_near_dups(
+        load_table(spark, SF_DIR, "documents"),
+        min_est_jaccard=_NDG_THRESHOLD).collect()
+    assert pairs, "fixture lost its planted near-dups"
+    for r in pairs:
+        assert comp[r.doc_a] == comp[r.doc_b]
+    # exactly one canonical per component, and it is the min id
+    canon = {r.component for r in out.filter("is_canonical = 1").collect()}
+    assert canon == set(comp.values())
+    for d, c in comp.items():
+        assert c <= d
+    out.unpersist()
