@@ -726,31 +726,19 @@ def dbscan_detector(scaled: DataFrame, eps: float = 0.5,
     core_ids = (role.filter("is_core").select(F.col(key).alias("cid"))
                 .localCheckpoint())
 
-    # connected components over core-core edges: min-label propagation
+    # connected components over core-core edges (shared operator);
+    # isolated core points (no core-core edge) are singleton clusters
+    from threat_detection_nosql_spark.operators.graph import (
+        connected_components)
     cc_edges = (pairs
                 .join(core_ids.withColumnRenamed("cid", "a"), "a")
                 .join(core_ids.withColumnRenamed("cid", "b"), "b")
-                .select("a", "b").localCheckpoint())
-    labels = core_ids.select(F.col("cid"),
-                             F.col("cid").alias("cluster"))
-    for _ in range(max_iter):
-        nbr_min = (cc_edges
-                   .join(labels.withColumnRenamed("cid", "b")
-                         .withColumnRenamed("cluster", "nbr_label"), "b")
-                   .groupBy("a").agg(F.min("nbr_label").alias("nbr_min")))
-        new_labels = (labels
-                      .join(nbr_min, F.col("cid") == F.col("a"), "left")
-                      .select("cid", F.least(
-                          "cluster",
-                          F.coalesce("nbr_min", "cluster"))
-                          .alias("cluster"))
-                      .localCheckpoint())
-        changed = (new_labels.join(labels.withColumnRenamed(
-            "cluster", "old"), "cid")
-            .filter(F.col("cluster") != F.col("old")).count())
-        labels = new_labels
-        if changed == 0:
-            break
+                .select("a", "b"))
+    comp = connected_components(cc_edges, "a", "b", max_iter=max_iter)
+    labels = (core_ids
+              .join(comp, F.col("cid") == F.col("node"), "left")
+              .select("cid", F.coalesce("component", "cid")
+                      .alias("cluster")))
 
     # border points: non-core with ≥1 core neighbor → smallest
     # core-neighbor's cluster label

@@ -108,3 +108,53 @@ def pagerank_fixed(edges: DataFrame, n_iters: int = 3,
                           + F.lit(damping) * F.coalesce("s", F.lit(0.0)))
                          .alias("rank")))
     return ranks
+
+
+def connected_components(edges: DataFrame, src: str = "src",
+                         dst: str = "dst",
+                         max_iter: int = 30) -> DataFrame:
+    """Connected components by iterative min-label propagation: every
+    node starts labeled with itself; each pass takes the min of its own
+    label and its neighbors' labels until a fixpoint. Returns
+    (node, component) for every node incident to an edge; component =
+    the smallest node id reachable (deterministic for any orderable id
+    type).
+
+    Scale shape: edges are symmetrized once and localCheckpoint-pinned;
+    each pass is one shuffle join on node id + a group-min — the same
+    partitioning every pass, so AQE reuses the exchange layout. Driver
+    traffic per pass is a single converged-count (Lloyd-like, bounded).
+    Passes needed = component diameter in the label graph — for
+    near-dup clusters and density clusters that is single digits; the
+    ``max_iter`` cap guards adversarial chains (a path graph of length
+    > max_iter would stop early with labels still converging — callers
+    dealing with such topologies should raise it)."""
+    sym = (edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+           .union(edges.select(F.col(dst).alias("u"),
+                               F.col(src).alias("v")))
+           .filter(F.col("u") != F.col("v"))
+           .distinct().localCheckpoint())
+    labels = (sym.select(F.col("u").alias("node"))
+              .distinct()
+              .select("node", F.col("node").alias("component")))
+    for _ in range(max_iter):
+        nbr_min = (sym
+                   .join(labels.withColumnRenamed("node", "v")
+                         .withColumnRenamed("component", "nbr_label"),
+                         "v")
+                   .groupBy("u").agg(F.min("nbr_label").alias("nbr_min")))
+        new_labels = (labels
+                      .join(nbr_min, F.col("node") == F.col("u"), "left")
+                      .select("node",
+                              F.least("component",
+                                      F.coalesce("nbr_min", "component"))
+                              .alias("component"))
+                      .localCheckpoint())
+        changed = (new_labels
+                   .join(labels.withColumnRenamed("component", "old"),
+                         "node")
+                   .filter(F.col("component") != F.col("old")).count())
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels

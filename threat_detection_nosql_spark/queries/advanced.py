@@ -369,3 +369,77 @@ WHERE rank <= {_IVF_TOPK}""")
 
 QUERIES["ivf_fixed_ann_topk"] = ivf_fixed_ann_topk
 ORACLES["ivf_fixed_ann_topk"] = _ivf_fixed_sql()
+
+
+# ---------------------------------------------------------------------------
+# Near-dup GROUP canonicalization (round-5): the step an actual dedup
+# pipeline runs after pair generation — transitive closure of the
+# near-dup relation and one canonical survivor per group. Pairs alone
+# under-delete: if A~B and B~C but A!~C, keeping "one of each pair"
+# keeps two of {A,B,C}. Components fix that.
+# ---------------------------------------------------------------------------
+
+_NDG_THRESHOLD = 0.5
+
+
+def near_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the portable-MinHash near-dup pair
+    graph (est_jaccard ≥ 0.5), canonical = smallest doc_id per
+    component. Every document keeps a row — docs with no near-dup are
+    their own singleton component and their own canonical.
+
+    Scale shape: pair generation is the banded-LSH equi-join
+    (operators/dedup.minhash_signature_near_dups — never all-pairs);
+    components run min-label propagation (operators/graph.
+    connected_components) whose pass count is the dup-cluster
+    diameter — near-dup clusters are cliques-ish, so single digits;
+    the final assignment is one left join on doc_id. The oracle
+    replays signatures, banding, threshold AND the transitive closure
+    (recursive CTE) value-for-value."""
+    from threat_detection_nosql_spark.operators.graph import (
+        connected_components)
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_signature_near_dups(
+        docs, min_est_jaccard=_NDG_THRESHOLD)
+    comp = connected_components(pairs, "doc_a", "doc_b")
+    return (docs.select("doc_id")
+            .join(comp, F.col("doc_id") == F.col("node"), "left")
+            .select("doc_id",
+                    F.coalesce("component", "doc_id").alias("component"))
+            .withColumn("is_canonical",
+                        (F.col("doc_id") == F.col("component"))
+                        .cast("int")))
+
+
+_NEAR_DUP_GROUPS_SQL = rf"""
+WITH RECURSIVE w AS (SELECT doc_id, string_split_regex(text, '\s+') AS wds
+           FROM documents),
+sh AS (SELECT DISTINCT doc_id,
+              wds[i] || ' ' || wds[i+1] || ' ' || wds[i+2] AS shingle
+       FROM w, LATERAL (SELECT unnest(range(1, len(wds) - 1)) AS i) ix),
+sig AS (SELECT doc_id,
+        {_MH_SIG}
+        FROM sh GROUP BY doc_id),
+cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+         AND ({_MH_BAND_COND})),
+pairs AS (SELECT c.doc_a, c.doc_b
+          FROM cand c
+          JOIN sig sa ON sa.doc_id = c.doc_a
+          JOIN sig sb ON sb.doc_id = c.doc_b
+          WHERE round(({_MH_EST}) / {_MH_N}.0, 6) >= {_NDG_THRESHOLD}),
+edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+          UNION SELECT doc_b, doc_a FROM pairs),
+reach(node, r) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.u, reach.r FROM edges e JOIN reach ON reach.node = e.v)
+SELECT node AS doc_id, min(r) AS component,
+       CASE WHEN node = min(r) THEN 1 ELSE 0 END AS is_canonical
+FROM reach GROUP BY node
+"""
+
+
+QUERIES_TAIL = {"near_dup_groups": near_dup_groups}
+ORACLES_TAIL = {"near_dup_groups": _NEAR_DUP_GROUPS_SQL}
