@@ -88,6 +88,23 @@ ROUND4_COUNT = [
 ]
 
 
+# Round-5 surface ("round5_total"): ANN-first near-dup, transitive
+# dedup groups, and the streaming batch-morph centerpieces. Own group
+# so prior totals stay comparable.
+ROUND5_COLLECT = [
+    "stream_drift_psi",
+    "hll_portable_distinct_users",
+    # collect, not count: both end in a row-preserving left join whose
+    # right side is aggregate-unique, so a count() lets Catalyst prune
+    # the entire scoring/closure subtree and times an empty plan
+    "embedding_ann_near_dups",
+    "near_dup_groups",
+]
+ROUND5_COUNT = [
+    "stream_session_windows",
+]
+
+
 def main() -> None:
     spark = get_spark("bench")
     queries = all_queries()
@@ -123,6 +140,10 @@ def main() -> None:
         timings[name] = median_time(name, name in ROUND4_COUNT)
     round4_total = round(sum(timings[n] for n in
                              ROUND4_COLLECT + ROUND4_COUNT), 3)
+    for name in ROUND5_COLLECT + ROUND5_COUNT:
+        timings[name] = median_time(name, name in ROUND5_COUNT)
+    round5_total = round(sum(timings[n] for n in
+                             ROUND5_COLLECT + ROUND5_COUNT), 3)
     # Isolated re-measure of the 5 slowest queries: a fresh
     # spark.newSession() per query, after every other group finished.
     # In-run medians on a shared box have twice produced phantom
@@ -131,7 +152,7 @@ def main() -> None:
     # second, quieter sample alongside lets a reviewer adjudicate noise
     # vs real regression without re-running the bench.
     count_set = set(HEADLINE_COUNT + PIPELINE_COUNT + EXTENDED_COUNT
-                    + ROUND4_COUNT)
+                    + ROUND4_COUNT + ROUND5_COUNT)
     slowest = sorted(timings, key=timings.get, reverse=True)[:5]
     isolated: dict[str, float] = {}
     for name in slowest:
@@ -154,6 +175,7 @@ def main() -> None:
         "pipeline_total": pipeline_total,
         "extended_total": extended_total,
         "round4_total": round4_total,
+        "round5_total": round5_total,
         "isolated": isolated,
         "sf": float(sf),
     }))
