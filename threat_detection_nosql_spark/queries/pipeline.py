@@ -1000,3 +1000,96 @@ QUERIES_TAIL = {"bigram_logprob_scores": bigram_logprob_scores,
                 "embedding_ann_near_dups": embedding_ann_near_dups}
 ORACLES_TAIL = {"bigram_logprob_scores": _BIGRAM_LP_SQL,
                 "embedding_ann_near_dups": _ann_near_dup_sql()}
+
+
+# ---------------------------------------------------------------------------
+# Duplicated-span fraction (round-5): the Gopher/MassiveText repetition
+# filter at corpus grain — C4 drops duplicated three-sentence spans,
+# MassiveText drops docs whose duplicate-line fraction is high. The
+# corpus analog over whitespace text: the fraction of a doc's word
+# 5-gram spans that also occur in at least one OTHER document.
+# ---------------------------------------------------------------------------
+
+_SPAN_N = 5          # words per span
+_SPAN_MAX_DUP = 0.3  # keep docs with <= 30% cross-doc duplicated spans
+
+
+def dup_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc duplicated-span fraction and the keep/drop flag.
+
+    Shape: spans unfold MAP-SIDE from the token array (shifted-slice
+    zip_with — no position join, no UDF); the span→doc-frequency table
+    is one distinct + one map-combinable agg keyed on the span string
+    (heavy-hitter spans are exactly the map-combinable case); the
+    verdict joins spans back on the span key and re-aggregates per doc.
+    Docs shorter than the span width keep a row (0 spans, dup_ratio 0,
+    keep 1) via the left join — same in the oracle."""
+    from threat_detection_nosql_spark.sources.readers import spread
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    w = F.filter(F.split("text", r"\s+"), lambda x: x != F.lit(""))
+    n = F.greatest(F.size(w) - _SPAN_N + 1, F.lit(0))
+    grams = F.slice(w, 1, n)
+    for j in range(1, _SPAN_N):
+        grams = F.zip_with(grams, F.slice(w, j + 1, n),
+                           lambda a, b: F.concat_ws(" ", a, b))
+    spans = (docs.select("doc_id", F.explode(grams).alias("span")))
+    # distinct docs per span (a doc repeating its own span is not
+    # cross-doc duplication)
+    span_df = (spans.distinct()
+               .groupBy("span")
+               .agg(F.count("*").alias("span_docs")))
+    per_doc = (spans.join(span_df, "span")
+               .groupBy("doc_id")
+               .agg(F.count("*").alias("n_spans"),
+                    F.sum(F.when(F.col("span_docs") >= 2, 1).otherwise(0))
+                    .alias("n_dup_spans")))
+    return (docs.select("doc_id")
+            .join(per_doc, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("n_spans", F.lit(0)).alias("n_spans"),
+                    F.coalesce("n_dup_spans", F.lit(0))
+                    .alias("n_dup_spans"))
+            .withColumn("dup_ratio", F.round(
+                F.when(F.col("n_spans") > 0,
+                       F.col("n_dup_spans") / F.col("n_spans"))
+                .otherwise(F.lit(0.0)), 6))
+            .withColumn("keep",
+                        (F.col("dup_ratio") <= _SPAN_MAX_DUP)
+                        .cast("int")))
+
+
+_DUP_SPAN_SQL = rf"""
+WITH d AS (SELECT doc_id,
+                  list_filter(string_split_regex(text, '\s+'),
+                              x -> x <> '') AS tk
+           FROM documents),
+spans AS (SELECT doc_id,
+                 tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' '
+                       || tk[i+3] || ' ' || tk[i+4] AS span
+          FROM d, LATERAL (SELECT unnest(range(1, len(tk) - {_SPAN_N - 2}))
+                           AS i) ix),
+span_df AS (SELECT span, count(*) AS span_docs
+            FROM (SELECT DISTINCT doc_id, span FROM spans)
+            GROUP BY span),
+per_doc AS (SELECT doc_id,
+                   CAST(count(*) AS BIGINT) AS n_spans,
+                   CAST(sum(CASE WHEN span_docs >= 2 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_dup_spans
+            FROM spans JOIN span_df USING (span)
+            GROUP BY doc_id)
+SELECT d.doc_id,
+       COALESCE(n_spans, 0) AS n_spans,
+       COALESCE(n_dup_spans, 0) AS n_dup_spans,
+       round(CASE WHEN COALESCE(n_spans, 0) > 0
+                  THEN n_dup_spans / (1.0 * n_spans)
+                  ELSE CAST(0.0 AS DOUBLE) END, 6) AS dup_ratio,
+       CASE WHEN round(CASE WHEN COALESCE(n_spans, 0) > 0
+                            THEN n_dup_spans / (1.0 * n_spans)
+                            ELSE CAST(0.0 AS DOUBLE) END, 6)
+                 <= {_SPAN_MAX_DUP}
+            THEN 1 ELSE 0 END AS keep
+FROM d LEFT JOIN per_doc ON per_doc.doc_id = d.doc_id
+"""
+
+QUERIES_TAIL["dup_span_stats"] = dup_span_stats
+ORACLES_TAIL["dup_span_stats"] = _DUP_SPAN_SQL
