@@ -342,3 +342,41 @@ FROM ref FULL OUTER JOIN cur USING (bin) CROSS JOIN tot
 
 QUERIES_TAIL["stream_drift_psi"] = stream_drift_psi
 ORACLES_TAIL["stream_drift_psi"] = _DRIFT_PSI_SQL
+
+
+def stream_unmatched_purchases(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """Left-outer stream-stream interval join with watermark-deferred
+    unmatched emission (see streaming.stream_queries.
+    unmatched_purchases — the oracle replays the final-watermark
+    cutoff: purchases whose 30-minute match interval the global
+    watermark never passed do not get an unmatched row)."""
+    return S.unmatched_purchases(spark, sf_dir)
+
+
+_UNMATCHED_PURCHASES_SQL = """
+WITH p AS (SELECT user_id AS u, event_id AS pid, ts AS pts
+           FROM events WHERE event_type = 'purchase'),
+e AS (SELECT user_id AS u, event_id AS eid, ts AS ets
+      FROM events WHERE event_type = 'error'),
+wm AS (SELECT least((SELECT max(pts) FROM p),
+                    (SELECT max(ets) FROM e))
+              - INTERVAL 1 HOUR AS w),
+m AS (SELECT p.u AS user, p.pid AS purchase_event_id,
+             e.eid AS error_event_id,
+             CAST(epoch_us(e.ets) - epoch_us(p.pts) AS BIGINT) AS gap_us
+      FROM p JOIN e ON p.u = e.u AND e.ets >= p.pts
+                   AND e.ets <= p.pts + INTERVAL 30 MINUTES),
+um AS (SELECT p.u AS user, p.pid AS purchase_event_id,
+              CAST(-1 AS BIGINT) AS error_event_id,
+              CAST(-1 AS BIGINT) AS gap_us
+       FROM p CROSS JOIN wm
+       WHERE NOT EXISTS (SELECT 1 FROM e
+                         WHERE e.u = p.u AND e.ets >= p.pts
+                           AND e.ets <= p.pts + INTERVAL 30 MINUTES)
+         AND p.pts + INTERVAL 30 MINUTES < wm.w)
+SELECT * FROM m UNION ALL SELECT * FROM um
+"""
+
+QUERIES_TAIL["stream_unmatched_purchases"] = stream_unmatched_purchases
+ORACLES_TAIL["stream_unmatched_purchases"] = _UNMATCHED_PURCHASES_SQL

@@ -544,3 +544,43 @@ def drift_psi_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.round(cf, 6).alias("cur_frac"),
                     F.round((cf - rf) * F.log(cf / rf), 6)
                     .alias("psi_term")))
+
+
+def unmatched_purchases(spark: SparkSession, sf_dir: str,
+                        max_gap_minutes: int = 30) -> DataFrame:
+    """LEFT OUTER stream-stream interval join (append mode): every
+    purchase pairs with the errors its user hits within the next
+    ``max_gap_minutes``; purchases with NO such error emit exactly one
+    null-padded row — but only once the watermark passes the end of
+    their match interval, because until then a matching error could
+    still arrive. That unmatched-emission deferral is the semantics
+    inner joins don't exercise: left-side state holds each purchase
+    until ``p_ts + gap < watermark`` (global watermark = min over both
+    sides of max-event-time − 1 h), then the no-data micro-batch after
+    the final file batch evicts and emits. Purchases younger than the
+    final watermark horizon never emit their unmatched row — the
+    batch-morph oracle replays that cutoff exactly."""
+    pur = (events_stream(spark, sf_dir, watermark=None)
+           .where(F.col("activity") == "purchase")
+           .select(F.col("user").alias("p_user"),
+                   F.col("event_id").alias("purchase_event_id"),
+                   F.col("ts").alias("p_ts"))
+           .withWatermark("p_ts", "1 hour"))
+    err = (events_stream(spark, sf_dir, watermark=None)
+           .where(F.col("activity") == "error")
+           .select(F.col("user").alias("e_user"),
+                   F.col("event_id").alias("error_event_id"),
+                   F.col("ts").alias("e_ts"))
+           .withWatermark("e_ts", "1 hour"))
+    joined = pur.join(err, F.expr(f"""
+        p_user = e_user
+        AND e_ts >= p_ts
+        AND e_ts <= p_ts + INTERVAL {int(max_gap_minutes)} MINUTES"""),
+        "leftOuter")
+    out = joined.select(
+        F.col("p_user").alias("user"),
+        "purchase_event_id",
+        F.coalesce("error_event_id", F.lit(-1)).alias("error_event_id"),
+        F.coalesce(F.unix_micros("e_ts") - F.unix_micros("p_ts"),
+                   F.lit(-1)).alias("gap_us"))
+    return run_stream_to_table(out, mode="append")
