@@ -365,37 +365,19 @@ def fingerprint_overlap_pairs(docs: DataFrame, k: int = 8,
 
 
 def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
-    """Label propagation to a fixpoint: each node's component id is the
-    minimum doc_id reachable from it. Iterative (comp := min over
-    neighbors), converging in O(component diameter) rounds — dedup
-    components are shallow (dup clusters), so this terminates in a few
-    joins; the cap is a safety bound. Returns (doc_id, component).
+    """Dedup-shaped façade over the shared min-label-propagation
+    primitive (operators/graph.connected_components — one
+    implementation serves near-dup closure, DBSCAN cluster assignment
+    and graph queries): takes (doc_a, doc_b) pair rows, returns
+    (doc_id, comp) where comp is the smallest doc_id reachable.
 
     At extreme scale the alternating large-star/small-star algorithm
     (Kiveris et al., "Connected Components in MapReduce and Beyond")
-    halves rounds; the propagation join below is the same primitive.
+    halves rounds; the propagation join is the same primitive.
     """
+    from threat_detection_nosql_spark.operators.graph import (
+        connected_components as _cc)
     edges = pairs.select(F.col("doc_a").cast("long").alias("src"),
                          F.col("doc_b").cast("long").alias("dst"))
-    # cache: the edge list is scanned every propagation round — without
-    # this the upstream pair generator (e.g. an LSH join) re-runs per
-    # iteration
-    sym = edges.unionByName(
-        edges.select(F.col("dst").alias("src"),
-                     F.col("src").alias("dst"))).cache()
-    labels = (sym.select(F.col("src").alias("id")).distinct()
-              .withColumn("comp", F.col("id")))
-    for _ in range(max_iter):
-        prop = (sym.join(labels.withColumnRenamed("id", "src"), "src")
-                .select(F.col("dst").alias("id"), "comp"))
-        new = (labels.unionByName(prop)
-               .groupBy("id").agg(F.min("comp").alias("comp"))
-               .cache())
-        changed = (new.withColumnRenamed("comp", "new_comp")
-                   .join(labels, "id")
-                   .filter(F.col("new_comp") != F.col("comp")).count())
-        labels.unpersist()
-        labels = new
-        if changed == 0:
-            break
-    return labels.select(F.col("id").alias("doc_id"), "comp")
+    return _cc(edges, max_iter=max_iter).select(
+        F.col("node").alias("doc_id"), F.col("component").alias("comp"))
