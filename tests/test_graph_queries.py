@@ -80,3 +80,44 @@ def test_near_dup_groups_transitive_closure(spark):
     for d, c in comp.items():
         assert c <= d
     out.unpersist()
+
+
+def test_connected_components_property_random_graphs(spark):
+    """Property check vs a pure-python union-find on seeded random
+    graphs: labels must equal the min node id of each true component
+    for every topology (stars, chains, cliques, isolates mixed)."""
+    import random
+
+    from threat_detection_nosql_spark.operators.graph import (
+        connected_components)
+
+    rng = random.Random(7)
+    for trial in range(3):
+        n = 40
+        edges = [(rng.randrange(n), rng.randrange(n))
+                 for _ in range(rng.randrange(10, 45))]
+        edges = [e for e in edges if e[0] != e[1]]
+        if not edges:
+            continue
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for u, v in edges:
+            parent[find(u)] = find(v)
+        # expected label = min node id in each union-find component
+        root_min = {}
+        touched = {x for e in edges for x in e}
+        for x in touched:
+            r = find(x)
+            root_min[r] = min(root_min.get(r, x), x)
+        want = {x: root_min[find(x)] for x in touched}
+
+        df = spark.createDataFrame(edges, "src long, dst long")
+        got = {r.node: r.component
+               for r in connected_components(df).collect()}
+        assert got == want, f"trial {trial}"

@@ -438,3 +438,17 @@ def test_countmin_probe_is_broadcast(spark):
     assert "SortMergeJoin" not in plan
     # registered query still runs end to end on the same plan
     assert countmin_token_estimates(spark, SF_DIR).count() == 20
+
+
+def test_near_dup_groups_plan_is_cartesian_free(spark):
+    """The group-dedup closure must stay banded: candidate generation
+    is the MinHash band equi-join and the component loop is id-keyed
+    joins — an all-pairs cross product anywhere would break the scale
+    contract."""
+    from tests.conftest import SF_DIR
+    from threat_detection_nosql_spark.queries.advanced import (
+        near_dup_groups)
+    plan = near_dup_groups(spark, SF_DIR) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
