@@ -102,6 +102,11 @@ ROUND5_COLLECT = [
 ]
 ROUND5_COUNT = [
     "stream_session_windows",
+    "dup_span_stats",
+]
+ROUND5_COLLECT += [
+    "min_cost_regional_supplier",
+    "excess_stock_suppliers",
 ]
 
 
