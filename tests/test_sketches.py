@@ -160,3 +160,45 @@ def test_portable_hll_registers_merge(spark):
               .unionByName(sketches.hll_portable_registers(b, "k"))
               .groupBy("idx").agg(F.max("r").alias("r")).collect()}
     assert direct == merged
+
+
+# ---------------------------------------------------------------------------
+# Portable Bloom filter (round-5)
+# ---------------------------------------------------------------------------
+
+def test_bloom_no_false_negatives_and_bounded_fp(spark):
+    """Every built key must probe positive (Bloom guarantees no false
+    negatives); with a deliberately tiny filter, probes outside the
+    build set must show SOME false positives (saturation behaves as
+    the math says) but never break the no-FN guarantee."""
+    from threat_detection_nosql_spark.operators import sketches as S
+
+    build = spark.range(0, 50).select(F.col("id").alias("k"))
+    probe = spark.range(0, 200).select(F.col("id").alias("k"))
+    m, h = 240, 4  # 4 words, ~57% bit load — forces collisions
+    words = S.bloom_words(build, "k", n_hashes=h, m_bits=m)
+    got = {r.k: r.in_filter
+           for r in S.bloom_probe(words, probe, "k",
+                                  n_hashes=h, m_bits=m).collect()}
+    for k in range(50):
+        assert got[k] == 1, f"false negative for built key {k}"
+    fps = sum(got[k] for k in range(50, 200))
+    assert 0 < fps < 150  # collisions happen, but not everything
+
+
+def test_bloom_words_or_merge_equals_single_build(spark):
+    """Two partial filters built on disjoint key halves OR-merge into
+    exactly the single-build word table — the property that makes the
+    sketch per-partition/streaming-safe."""
+    from threat_detection_nosql_spark.operators import sketches as S
+
+    all_keys = spark.range(0, 80).select(F.col("id").alias("k"))
+    h1 = all_keys.filter("k < 40")
+    h2 = all_keys.filter("k >= 40")
+    single = {(r.word, r.word_bits)
+              for r in S.bloom_words(all_keys, "k").collect()}
+    merged = (S.bloom_words(h1, "k")
+              .unionByName(S.bloom_words(h2, "k"))
+              .groupBy("word").agg(F.bit_or("word_bits")
+                                   .alias("word_bits")))
+    assert {(r.word, r.word_bits) for r in merged.collect()} == single

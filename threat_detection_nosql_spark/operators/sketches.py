@@ -16,7 +16,7 @@ pinned by tolerance tests against exact counts
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 _CM_PRIME = 2147483647  # 2^31 − 1: a·x stays < 2^62, BIGINT-safe
@@ -256,3 +256,78 @@ def hll_portable_estimate(registers: DataFrame) -> DataFrame:
                m * F.log(m / v)).otherwise(e_raw)
     return agg.select("n_nonempty",
                       F.round(e, 4).alias("hll_estimate"))
+
+
+# ---------------------------------------------------------------------------
+# Portable Bloom filter: the membership sketch the family was missing
+# (CM = frequency, HLL = cardinality, KLL = quantiles, MG = heavy
+# hitters, Bloom = membership). Built on the same md5 hash family, with
+# 60-bit words (bit index < 60 keeps every shifted value positive
+# BIGINT in both engines), so the packed words AND every probe verdict
+# are SQL-replayable. Spark's own runtime bloom pushdown is the same
+# idea applied by the optimizer; this is the explicit, oracle-checkable
+# operator form.
+# ---------------------------------------------------------------------------
+
+_BLOOM_WORD_BITS = 60
+
+
+def bloom_positions(key: Column | str, n_hashes: int,
+                    m_bits: int) -> Column:
+    """Array of ``n_hashes`` bit positions in [0, m_bits) for a key —
+    hash_i = md5-60("bl{i}:" || key) % m, the same affine-free portable
+    family as the other sketches."""
+    from threat_detection_nosql_spark.operators.dedup import (
+        _portable_hash60,
+    )
+    return F.array(*[
+        _portable_hash60(F.concat(F.lit(f"bl{i}:"), F.col(key)
+                                  if isinstance(key, str) else key))
+        % F.lit(m_bits)
+        for i in range(n_hashes)])
+
+
+def bloom_words(keys: DataFrame, key_col: str, n_hashes: int = 4,
+                m_bits: int = 7200) -> DataFrame:
+    """Build the filter: (word, word_bits) with at most m/60 rows —
+    the bounded-state rollup shape. One explode per key emits its
+    ``n_hashes`` positions; ``bit_or`` packs each 60-bit word
+    map-side, so the shuffle carries ≤ m/60 rows regardless of build
+    cardinality, and two partial filters OR-merge (union → bit_or) —
+    the mergeability that makes Bloom a per-partition/streaming-ready
+    sketch."""
+    pos = (keys.select(F.explode(
+        bloom_positions(key_col, n_hashes, m_bits)).alias("pos"))
+        .distinct())
+    word = ((F.col("pos") - F.col("pos") % _BLOOM_WORD_BITS)
+            / _BLOOM_WORD_BITS).cast("long")
+    # shiftleft needs the column form (the python API takes only an
+    # int literal for numBits)
+    bit = F.expr(f"shiftleft(CAST(1 AS BIGINT), "
+                 f"CAST(pos % {_BLOOM_WORD_BITS} AS INT))")
+    return (pos.select(word.alias("word"), bit.alias("b"))
+            .groupBy("word").agg(F.bit_or("b").alias("word_bits")))
+
+
+def bloom_probe(words: DataFrame, probes: DataFrame, key_col: str,
+                n_hashes: int = 4, m_bits: int = 7200) -> DataFrame:
+    """Probe verdict per key: member iff ALL its positions' bits are
+    set. The probe explodes to n_hashes rows, joins the (tiny,
+    broadcast) word table, and counts set bits back to one row per
+    key — a missing word row or a zero bit both count as a miss."""
+    pos = probes.select(
+        F.col(key_col),
+        F.explode(bloom_positions(key_col, n_hashes, m_bits))
+        .alias("pos"))
+    word = ((F.col("pos") - F.col("pos") % _BLOOM_WORD_BITS)
+            / _BLOOM_WORD_BITS).cast("long")
+    bit = (F.col("pos") % _BLOOM_WORD_BITS).cast("int")
+    hits = (pos.select(key_col, word.alias("word"), bit.alias("bit"))
+            .join(F.broadcast(words), "word", "left")
+            .select(key_col,
+                    (F.expr("shiftright(coalesce(word_bits, "
+                            "CAST(0 AS BIGINT)), bit)") % 2 == 1)
+                    .cast("int").alias("hit")))
+    return (hits.groupBy(key_col)
+            .agg((F.sum("hit") == n_hashes).cast("int")
+                 .alias("in_filter")))

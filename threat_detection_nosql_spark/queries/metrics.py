@@ -704,3 +704,89 @@ FROM per CROSS JOIN tot
 
 QUERIES_TAIL["rule_lift_table"] = rule_lift_table
 ORACLES_TAIL["rule_lift_table"] = _LIFT_SQL
+
+
+# ---------------------------------------------------------------------------
+# Portable Bloom filter probe (round-5): the membership sketch closing
+# the family (CM frequency / HLL cardinality / KLL quantiles / MG heavy
+# hitters / Bloom membership). Every packed word and every probe
+# verdict is SQL-replayed.
+# ---------------------------------------------------------------------------
+
+_BLOOM_HASHES = 4
+_BLOOM_M = 122880          # 2048 x 60-bit words; ~0.2% FP at sf0.1 load
+
+
+def bloom_customer_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build a Bloom filter over high-balance customers (c_acctbal >
+    5000), probe every ordering customer, and report the verdict next
+    to ground truth — the explicit form of the bloom-pushdown join
+    optimization (ship the 2048-word filter, not the build table, to
+    prune the probe side; false positives are re-checked by the real
+    join, false negatives are impossible).
+
+    Shape: build = explode to 4 positions/key → distinct → 60-bit-word
+    ``bit_or`` pack (≤ 2048 rows of bounded state, OR-mergeable across
+    partitions/streams); probe = explode → broadcast word-table join →
+    all-bits-set verdict per key; ground truth = one left join against
+    the build keys."""
+    from threat_detection_nosql_spark.operators import sketches as S
+    from threat_detection_nosql_spark.sources.readers import load_table
+
+    cust = load_table(spark, sf_dir, "customer")
+    build = (cust.filter(F.col("c_acctbal") > 5000)
+             .select("c_custkey").distinct())
+    words = S.bloom_words(build, "c_custkey", _BLOOM_HASHES, _BLOOM_M)
+    probes = (load_table(spark, sf_dir, "orders")
+              .select(F.col("o_custkey")).distinct())
+    verdict = S.bloom_probe(words, probes, "o_custkey",
+                            _BLOOM_HASHES, _BLOOM_M)
+    truth = build.select(F.col("c_custkey").alias("o_custkey"),
+                         F.lit(1).alias("actually_present"))
+    return (verdict.join(truth, "o_custkey", "left")
+            .select(F.col("o_custkey").alias("custkey"),
+                    "in_filter",
+                    F.coalesce("actually_present", F.lit(0))
+                    .alias("actually_present"))
+            .withColumn("false_positive",
+                        ((F.col("in_filter") == 1)
+                         & (F.col("actually_present") == 0)).cast("int")))
+
+
+_BLOOM_SQL = f"""
+WITH ix AS (SELECT unnest(range(0, {_BLOOM_HASHES})) AS i),
+build AS (SELECT DISTINCT c_custkey FROM customer WHERE c_acctbal > 5000),
+bpos AS (SELECT DISTINCT
+           CAST(('0x' || substr(md5('bl' || i::VARCHAR || ':'
+                  || c_custkey::VARCHAR), 1, 15)) AS BIGINT)
+             % {_BLOOM_M} AS pos
+         FROM build CROSS JOIN ix),
+words AS (SELECT CAST((pos - pos % 60) / 60 AS BIGINT) AS word,
+                 bit_or(1::BIGINT << CAST(pos % 60 AS INT)) AS word_bits
+          FROM bpos GROUP BY 1),
+probe AS (SELECT DISTINCT o_custkey FROM orders),
+ppos AS (SELECT o_custkey,
+           CAST(('0x' || substr(md5('bl' || i::VARCHAR || ':'
+                  || o_custkey::VARCHAR), 1, 15)) AS BIGINT)
+             % {_BLOOM_M} AS pos
+         FROM probe CROSS JOIN ix),
+hits AS (SELECT o_custkey,
+                CASE WHEN (COALESCE(word_bits, 0)
+                           >> CAST(pos % 60 AS INT)) % 2 = 1
+                     THEN 1 ELSE 0 END AS hit
+         FROM ppos LEFT JOIN words
+           ON words.word = CAST((pos - pos % 60) / 60 AS BIGINT)),
+agg AS (SELECT o_custkey AS custkey,
+               CASE WHEN sum(hit) = {_BLOOM_HASHES} THEN 1 ELSE 0 END
+                 AS in_filter
+        FROM hits GROUP BY o_custkey)
+SELECT a.custkey, a.in_filter,
+       CASE WHEN b.c_custkey IS NOT NULL THEN 1 ELSE 0 END
+         AS actually_present,
+       CASE WHEN a.in_filter = 1 AND b.c_custkey IS NULL THEN 1 ELSE 0 END
+         AS false_positive
+FROM agg a LEFT JOIN build b ON a.custkey = b.c_custkey
+"""
+
+QUERIES_TAIL["bloom_customer_probe"] = bloom_customer_probe
+ORACLES_TAIL["bloom_customer_probe"] = _BLOOM_SQL
