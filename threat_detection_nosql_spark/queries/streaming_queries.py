@@ -380,3 +380,26 @@ SELECT * FROM m UNION ALL SELECT * FROM um
 
 QUERIES_TAIL["stream_unmatched_purchases"] = stream_unmatched_purchases
 ORACLES_TAIL["stream_unmatched_purchases"] = _UNMATCHED_PURCHASES_SQL
+
+
+def stream_bloom_user_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming Bloom word table (see streaming.stream_queries.
+    bloom_user_words); oracle = the batch word build over distinct
+    user ids (bit_or idempotence makes them equal)."""
+    return S.bloom_user_words(spark, sf_dir)
+
+
+_BLOOM_WORDS_SQL = """
+WITH ix AS (SELECT unnest(range(0, 4)) AS i),
+users AS (SELECT DISTINCT user_id::VARCHAR AS u FROM events),
+bpos AS (SELECT DISTINCT
+           CAST(('0x' || substr(md5('bl' || i::VARCHAR || ':' || u),
+                 1, 15)) AS BIGINT) % 7200 AS pos
+         FROM users CROSS JOIN ix)
+SELECT CAST((pos - pos % 60) / 60 AS BIGINT) AS word,
+       bit_or(1::BIGINT << CAST(pos % 60 AS INT)) AS word_bits
+FROM bpos GROUP BY 1
+"""
+
+QUERIES_TAIL["stream_bloom_user_words"] = stream_bloom_user_words
+ORACLES_TAIL["stream_bloom_user_words"] = _BLOOM_WORDS_SQL

@@ -584,3 +584,28 @@ def unmatched_purchases(spark: SparkSession, sf_dir: str,
         F.coalesce(F.unix_micros("e_ts") - F.unix_micros("p_ts"),
                    F.lit(-1)).alias("gap_us"))
     return run_stream_to_table(out, mode="append")
+
+
+def bloom_user_words(spark: SparkSession, sf_dir: str,
+                     n_hashes: int = 4, m_bits: int = 7200) -> DataFrame:
+    """Streaming Bloom filter of the user-id stream — the membership
+    sketch's streaming twin. bit_or is IDEMPOTENT and commutative, so
+    the complete-mode word aggregation needs no distinct and no
+    watermark, its state is bounded at m/60 rows regardless of user
+    cardinality, and the post-drain word table equals the batch
+    ``operators.sketches.bloom_words`` over the distinct users — the
+    oracle replays every packed word."""
+    from threat_detection_nosql_spark.operators.sketches import (
+        _BLOOM_WORD_BITS,
+        bloom_positions,
+    )
+    ev = events_stream(spark, sf_dir)
+    pos = ev.select(F.explode(bloom_positions(
+        F.col("user").cast("string"), n_hashes, m_bits)).alias("pos"))
+    word = ((F.col("pos") - F.col("pos") % _BLOOM_WORD_BITS)
+            / _BLOOM_WORD_BITS).cast("long")
+    bit = F.expr(f"shiftleft(CAST(1 AS BIGINT), "
+                 f"CAST(pos % {_BLOOM_WORD_BITS} AS INT))")
+    words = (pos.select(word.alias("word"), bit.alias("b"))
+             .groupBy("word").agg(F.bit_or("b").alias("word_bits")))
+    return run_stream_to_table(words, mode="complete")
