@@ -159,7 +159,8 @@ def test_supervised_metrics_meet_reference_band(spark, fixture, golden):
     floor_f1 = min(float(r["F1-Score"]) for r in sup.values())
     best_f1 = max(float(r["F1-Score"]) for r in sup.values())
     rep = {r.model: r for r in supervised_report(scaled).collect()}
-    assert set(rep) == {"random_forest", "gbt", "linear_svc", "rbf_rff_lr"}
+    assert set(rep) == {"random_forest", "gbt", "hist_gbdt",
+                        "linear_svc", "rbf_rff_lr"}
     for r in rep.values():
         assert r.accuracy >= floor_acc, (r.model, r.accuracy)
         assert r.f1 >= floor_f1, (r.model, r.f1)

@@ -117,7 +117,8 @@ def test_class_weights_balanced(spark, fixture):
 def test_supervised_report_quality(spark, fixture):
     scaled, _ = fixture
     rep = {r.model: r for r in supervised_report(scaled).collect()}
-    assert set(rep) == {"random_forest", "gbt", "linear_svc", "rbf_rff_lr"}
+    assert set(rep) == {"random_forest", "gbt", "hist_gbdt",
+                        "linear_svc", "rbf_rff_lr"}
     # planted anomalies are separable: accuracy ≥ reference band (0.85+)
     for r in rep.values():
         assert r.accuracy >= 0.85
@@ -167,3 +168,22 @@ def test_detector_memo_evicts_dead_application_keys(spark):
     assert all(k[0] == spark.sparkContext.applicationId for k in MQ._memo)
     # same app + args memoizes
     assert MQ._detector(spark, SF_DIR, "kmeans") is out
+
+
+def test_hist_gbdt_separates_planted_and_is_deterministic(spark, fixture):
+    """M14 proper: the from-scratch histogram booster must separate the
+    planted fixture cleanly and, with no RNG anywhere (fixed-width
+    bins, exact argmax), refitting must give identical trees."""
+    from threat_detection_nosql_spark.ml.boosting import hist_gbdt_fit
+    from threat_detection_nosql_spark.ml.supervised import (
+        classification_metrics, stratified_split, with_class_weights)
+
+    scaled, _labels = fixture
+    train, test = stratified_split(scaled, "is_anomaly")
+    train = with_class_weights(train, "is_anomaly").cache()
+    m1 = hist_gbdt_fit(train, "is_anomaly", n_rounds=10)
+    met = classification_metrics(m1.transform(test), "is_anomaly")
+    assert met["accuracy"] >= 0.95 and met["f1"] >= 0.8, met
+    m2 = hist_gbdt_fit(train, "is_anomaly", n_rounds=10)
+    assert [t.splits for t in m1.trees] == [t.splits for t in m2.trees]
+    assert [t.leaves for t in m1.trees] == [t.leaves for t in m2.trees]

@@ -14,8 +14,11 @@ Reference: SMOTE-resampled sklearn GridSearchCV stack
   `rbf_rff_lr` — LogisticRegression on random Fourier features, which
   approximates the RBF kernel AND yields the probabilities the
   reference's `SVC(probability=True)` exposes.
-- M14 XGBoost → `GBTClassifier`; `xgboost.spark` is used when the
-  library is installed (import-gated).
+- M14 XGBoost → THREE paths: `hist_gbdt` (ml/boosting.py — the XGBoost
+  algorithm proper: second-order gradients, histogram split finding,
+  exact objective, from scratch and fully distributed), `GBTClassifier`
+  (Spark ML baseline), and `xgboost.spark` when the library is
+  installed (import-gated).
 - A20–A22: confusion matrix / accuracy / precision / recall / F1 as
   SQL expressions over (label, prediction) counts; AUC via
   `BinaryClassificationEvaluator`.
@@ -103,6 +106,16 @@ def _fit_gbt(train: DataFrame, label: str, seed: int):
                             weightCol="weight", maxIter=40, maxDepth=6,
                             stepSize=0.05, subsamplingRate=0.8, seed=seed)
         return gbt.fit(train)
+
+
+def _fit_hist_gbdt(train: DataFrame, label: str, seed: int):
+    """M14 proper: from-scratch second-order histogram boosting
+    (ml/boosting.py) — the XGBoost algorithm itself, distributed via
+    per-level histogram aggregation, independent of the GBTClassifier
+    substitute above. ``seed`` is unused: training is fully
+    deterministic (fixed-width bins, exact argmax)."""
+    from threat_detection_nosql_spark.ml.boosting import hist_gbdt_fit
+    return hist_gbdt_fit(train, label, n_rounds=15)
 
 
 def _fit_svc(train: DataFrame, label: str, seed: int):
@@ -229,6 +242,7 @@ def supervised_report(features: DataFrame, label: str = LABEL,
     rows = []
     for name, fit in (("random_forest", _fit_rf),
                       ("gbt", _fit_gbt),
+                      ("hist_gbdt", _fit_hist_gbdt),
                       ("linear_svc", _fit_svc),
                       ("rbf_rff_lr", _fit_rbf_lr)):
         model = (fit(train, label, seed, tune) if fit is _fit_rf
