@@ -187,3 +187,24 @@ def test_hist_gbdt_separates_planted_and_is_deterministic(spark, fixture):
     m2 = hist_gbdt_fit(train, "is_anomaly", n_rounds=10)
     assert [t.splits for t in m1.trees] == [t.splits for t in m2.trees]
     assert [t.leaves for t in m1.trees] == [t.leaves for t in m2.trees]
+
+
+def test_pca_2d_projection_variance_order_and_sign_pin(spark, fixture):
+    """The scatter-plot data analog of the reference's PC1/PC2 CSV
+    columns: PC1 must carry at least as much variance as PC2, and the
+    sign pin must make refits identical."""
+    from pyspark.sql import functions as F
+
+    from threat_detection_nosql_spark.ml.unsupervised import (
+        pca_2d_projection)
+
+    scaled, _labels = fixture
+    p1 = pca_2d_projection(scaled).cache()
+    v = p1.agg(F.variance("pc1").alias("v1"),
+               F.variance("pc2").alias("v2")).first()
+    assert v.v1 >= v.v2 > 0
+    p2 = pca_2d_projection(scaled)
+    a = {r.user: (r.pc1, r.pc2) for r in p1.collect()}
+    b = {r.user: (r.pc1, r.pc2) for r in p2.collect()}
+    assert a == b
+    p1.unpersist()

@@ -22,11 +22,11 @@ Reference stack: sklearn/TF on a driver-RAM matrix
   SAMPLE (iForest subsamples ≤256 rows/tree by design, so the driver
   never holds more than n_trees×256 rows), broadcast trees, scoring
   via Arrow-batched pandas UDF.
-- DBSCAN-noise (M5 approx): ε-neighbor counting via LSH
-  approxSimilarityJoin (candidate pairs from bucket collisions only) —
-  noise points (< min_samples neighbors) = anomalies. Documented
-  deviation: no full cluster assignment (the reference uses DBSCAN
-  solely to flag noise + a distance score).
+- DBSCAN (M5 proper, round 5): full core/border/noise semantics with
+  connected-component cluster assignment and the reference's two-sided
+  score (noise → nearest-core distance, member → mean intra-cluster
+  distance) — ``dbscan_detector``; the cheap ε-neighbor-count
+  approximation (``dbscan_noise_detector``) is kept as the fast path.
 - Ensemble (M7): majority vote ≥3-of-5 (A14) + weighted mean score
   (A15) as column arithmetic.
 
@@ -838,3 +838,33 @@ def ensemble_detector(scaled: DataFrame, key: str = "user",
             .withColumn("votes", votes)
             .withColumn("ensemble_anomaly", (votes >= 3).cast("int"))
             .withColumn("ensemble_score", F.round(wscore, 6)))
+
+
+def pca_2d_projection(scaled: DataFrame, key: str = "user") -> DataFrame:
+    """The reference's committed per-user (PC1, PC2) plot coordinates
+    (`resultats_non_supervise.csv` columns PC1/PC2, fed to every
+    scatter in `Comparaison_ML.py`'s viz layer — the plot itself is
+    out of scope, its data is not): project the z-scored features onto
+    the top-2 principal components. Spark ML PCA fit (distributed
+    covariance/SVD) + a broadcast d×2 matrix expression per row. Sign
+    convention: each component is flipped so its largest-|loading|
+    coordinate is positive — eigenvector sign is arbitrary and
+    engine-specific, so pinning it makes the output deterministic
+    across refits."""
+    from pyspark.ml.feature import PCA
+    from pyspark.ml.functions import vector_to_array
+
+    pca = PCA(k=2, inputCol="scaled", outputCol="pc")
+    model = pca.fit(scaled)
+    v = np.array(model.pc.toArray())          # d×2
+    for j in range(v.shape[1]):
+        if v[np.abs(v[:, j]).argmax(), j] < 0:
+            v[:, j] = -v[:, j]
+    x = vector_to_array(F.col("scaled"))
+    cols = [F.round(F.aggregate(
+        F.zip_with(x, F.array(*[F.lit(float(v[i, j]))
+                                for i in range(v.shape[0])]),
+                   lambda xv, pv: xv * pv),
+        F.lit(0.0), lambda a, b: a + b), 6).alias(f"pc{j + 1}")
+        for j in range(2)]
+    return scaled.select(key, *cols)

@@ -310,3 +310,15 @@ FROM {final} CROSS JOIN pick""")
 
 QUERIES["kmeans_fixed_anomalies"] = kmeans_fixed_anomalies
 ORACLES["kmeans_fixed_anomalies"] = _kf_sql()
+
+
+def user_pca_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user (PC1, PC2) scatter coordinates — the data behind the
+    reference's committed resultats_non_supervise.csv PC1/PC2 columns
+    (rows-only: eigenvectors come from Spark ML's SVD; the sign pin in
+    ml.unsupervised.pca_2d_projection makes refits deterministic, but
+    no SQL engine replays the decomposition)."""
+    return U.pca_2d_projection(scaled_user_features(spark, sf_dir))
+
+
+QUERIES_TAIL["user_pca_projection"] = user_pca_projection
