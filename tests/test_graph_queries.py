@@ -121,3 +121,43 @@ def test_connected_components_property_random_graphs(spark):
         got = {r.node: r.component
                for r in connected_components(df).collect()}
         assert got == want, f"trial {trial}"
+
+
+def test_star_components_match_union_find_and_label_propagation(spark):
+    """The alternating large-star/small-star variant must agree with
+    both the union-find ground truth and the min-label operator on
+    random graphs."""
+    import random
+
+    from threat_detection_nosql_spark.operators.graph import (
+        connected_components, connected_components_star)
+
+    rng = random.Random(11)
+    for _ in range(3):
+        n = 50
+        edges = [(rng.randrange(n), rng.randrange(n))
+                 for _ in range(rng.randrange(12, 60))]
+        edges = [e for e in edges if e[0] != e[1]]
+        if not edges:
+            continue
+        df = spark.createDataFrame(edges, "src long, dst long")
+        a = {r.node: r.component
+             for r in connected_components(df).collect()}
+        b = {r.node: r.component
+             for r in connected_components_star(df).collect()}
+        assert a == b
+
+
+def test_star_components_collapse_deep_chain_in_log_rounds(spark):
+    """The scale property the min-label operator lacks: a 200-node
+    path graph (diameter 200) must fully collapse within ~log2(n)
+    alternating rounds."""
+    from threat_detection_nosql_spark.operators.graph import (
+        connected_components_star)
+
+    path = [(i, i + 1) for i in range(200)]
+    df = spark.createDataFrame(path, "src long, dst long")
+    got = {r.node: r.component
+           for r in connected_components_star(df, max_iter=12).collect()}
+    assert len(got) == 201
+    assert all(c == 0 for c in got.values())
