@@ -417,14 +417,20 @@ def customer_value_ntiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_custkey", "c_nationkey",
         F.ntile(4).over(w).alias("quartile"),
         F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
-        F.round(F.cume_dist().over(w), 6).alias("cume"))
+        # floor-based half-away rounding, NOT F.round: cume_dist is an
+        # exact rational k/n that can land exactly on a .5 boundary of
+        # the 6th digit (e.g. 41/640 = 0.0640625), where Spark's
+        # decimal HALF_UP and DuckDB's float floor(x*1e6+0.5) disagree;
+        # the explicit floor form is bit-identical in both engines
+        (F.floor(F.cume_dist().over(w) * 1e6 + 0.5) / 1e6)
+        .alias("cume"))
 
 
 _NTILES_SQL = """
 SELECT c_custkey, c_nationkey,
        CAST(ntile(4) OVER w AS INT) AS quartile,
        round(percent_rank() OVER w, 6) AS pct_rank,
-       round(cume_dist() OVER w, 6) AS cume
+       floor(cume_dist() OVER w * 1e6 + 0.5) / 1e6 AS cume
 FROM customer
 WINDOW w AS (PARTITION BY c_nationkey
              ORDER BY c_acctbal DESC, c_custkey ASC)

@@ -377,7 +377,11 @@ def purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (att.groupBy("user")
             .agg(F.count("*").alias("n_purchases"),
                  F.count("asof_click_ts").alias("n_attributed"),
-                 F.round(F.avg(gap) / 1e6, 4).alias("mean_gap_s")))
+                 # floor-form half-away rounding (see
+                 # customer_value_ntiles): the mean of exact integer
+                 # micros can land exactly on the 4th-digit .5 boundary
+                 (F.floor(F.avg(gap) / 1e6 * 1e4 + 0.5) / 1e4)
+                 .alias("mean_gap_s")))
 
 
 _ATTRIBUTION_SQL = f"""
@@ -389,8 +393,8 @@ att AS (SELECT p.user, p.ts, c.ts AS click_ts
           ON p.user = c.user AND p.ts >= c.ts)
 SELECT user, CAST(count(*) AS BIGINT) AS n_purchases,
        CAST(count(click_ts) AS BIGINT) AS n_attributed,
-       round(avg(epoch_us(ts) - epoch_us(click_ts)) / 1e6, 4)
-         AS mean_gap_s
+       floor(avg(epoch_us(ts) - epoch_us(click_ts)) / 1e6 * 1e4 + 0.5)
+         / 1e4 AS mean_gap_s
 FROM att GROUP BY user
 """
 
