@@ -8,10 +8,12 @@ from tests.conftest import SF_DIR, compare_query_to_oracle
 from threat_detection_nosql_spark.queries import graph_queries
 
 
-@pytest.mark.parametrize("name", sorted(graph_queries.QUERIES))
+@pytest.mark.parametrize(
+    "name", sorted({**graph_queries.QUERIES, **graph_queries.QUERIES_TAIL}))
 def test_graph_query_matches_oracle(spark, ddb, name):
-    compare_query_to_oracle(spark, ddb, graph_queries.QUERIES[name],
-                            graph_queries.ORACLES[name])
+    queries = {**graph_queries.QUERIES, **graph_queries.QUERIES_TAIL}
+    oracles = {**graph_queries.ORACLES, **graph_queries.ORACLES_TAIL}
+    compare_query_to_oracle(spark, ddb, queries[name], oracles[name])
 
 
 def test_edge_multiplicity_equals_fact_rows(spark):
@@ -161,3 +163,36 @@ def test_star_components_collapse_deep_chain_in_log_rounds(spark):
            for r in connected_components_star(df, max_iter=12).collect()}
     assert len(got) == 201
     assert all(c == 0 for c in got.values())
+
+
+def test_link_prediction_square_graph(spark, tmp_path):
+    """Planted 4-cycle co-purchase graph (1-2-3-4-1, every edge at
+    support 2): the only candidate pairs are the two diagonals, each
+    with both cycle neighbors in common (cn=2, Jaccard 1.0,
+    AA = 2/ln 2), and no adjacent pair may appear."""
+    import math
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from threat_detection_nosql_spark.queries.graph_queries import (
+        link_prediction_top20)
+
+    baskets = [(1, 2), (1, 2), (2, 3), (2, 3),
+               (1, 4), (1, 4), (3, 4), (3, 4)]
+    ok, pk = [], []
+    for o, parts in enumerate(baskets):
+        for p in parts:
+            ok.append(o)
+            pk.append(p)
+    table = pa.table({"l_orderkey": pa.array(ok, pa.int64()),
+                      "l_partkey": pa.array(pk, pa.int64())})
+    pq.write_table(table, str(tmp_path / "lineitem.parquet"))
+
+    rows = {(r["part_a"], r["part_b"]): r
+            for r in link_prediction_top20(spark, str(tmp_path)).collect()}
+    assert set(rows) == {(1, 3), (2, 4)}
+    for r in rows.values():
+        assert r["common_neighbors"] == 2
+        assert abs(r["jaccard"] - 1.0) < 1e-9
+        assert abs(r["adamic_adar"] - 2.0 / math.log(2.0)) < 1e-6

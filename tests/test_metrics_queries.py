@@ -4,7 +4,7 @@ from __future__ import annotations
 
 import pytest
 
-from tests.conftest import compare_query_to_oracle
+from tests.conftest import SF_DIR, compare_query_to_oracle
 from threat_detection_nosql_spark.queries import metrics
 
 
@@ -36,3 +36,20 @@ def test_percentile_flags_about_ten_percent(spark):
     n_anom = sum(r["is_anomaly"] for r in rows)
     # P90 threshold ⇒ ≈10% above it (ties can pull it below)
     assert 0 < n_anom <= len(rows) * 0.15
+
+
+def test_js_divergence_bounds_and_ranking(spark):
+    """JSD is bounded by ln 2 and non-negative; a user whose mix equals
+    the global mix would score ~0, so the top-ranked users must have
+    strictly positive divergence."""
+    import math
+
+    from threat_detection_nosql_spark.queries.metrics import (
+        user_js_divergence)
+
+    rows = user_js_divergence(spark, SF_DIR).collect()
+    assert 0 < len(rows) <= 20
+    for r in rows:
+        assert 0.0 <= r["jsd"] <= math.log(2.0) + 1e-9
+    vals = [r["jsd"] for r in rows]
+    assert vals == sorted(vals, reverse=True)

@@ -43,3 +43,38 @@ def test_embedding_near_dup_planted_semantics(spark, tmp_path):
             for v in rows} == {(0, 1, 1), (1, 0, 1), (2, 3, 0), (3, 0, 1)}
     assert rows[0]["cosine"] == 1.0
     assert abs(rows[3]["cosine"] - 0.993884) < 1e-6
+
+
+def test_bm25_saturation_and_length_norm(spark, tmp_path):
+    """Planted docs pin the two properties BM25 adds over TF-IDF:
+    term-frequency saturation (10× the tf is nowhere near 10× the
+    score) and doc-length normalization (the same tf in a longer doc
+    scores LOWER)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from threat_detection_nosql_spark.queries.pipeline import bm25_top_terms
+
+    # every doc holds <= 2 distinct tokens so the top-3 window never
+    # crowds the planted term out
+    docs = [
+        (0, "rare pad pad pad"),                    # tf=1, dl=4
+        (1, ("rare " * 10) + "pad pad"),            # tf=10, dl=12
+        (2, "rare " + "pad " * 39),                 # tf=1, dl=40
+        (3, "pad pad pad pad"),                     # df(rare)=3 < N
+    ]
+    table = pa.table({
+        "doc_id": pa.array([d[0] for d in docs], pa.int64()),
+        "text": pa.array([d[1] for d in docs]),
+        "lang": pa.array(["en"] * len(docs)),
+        "source": pa.array(["t"] * len(docs)),
+        "n_chars": pa.array([len(d[1]) for d in docs], pa.int64()),
+    })
+    pq.write_table(table, str(tmp_path / "documents.parquet"))
+
+    rows = bm25_top_terms(spark, str(tmp_path)).collect()
+    rare = {r["doc_id"]: r["bm25"] for r in rows if r["token"] == "rare"}
+    assert set(rare) == {0, 1, 2}
+    assert rare[1] > rare[0]              # more tf -> higher score
+    assert rare[1] < 3 * rare[0]          # ...but saturating, not linear
+    assert rare[2] < rare[0]              # same tf, longer doc -> lower

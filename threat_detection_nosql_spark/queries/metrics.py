@@ -26,6 +26,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from threat_detection_nosql_spark.operators.etl import (
+    ACTIVITY_LOG_ORACLE_SQL,
+    activity_log,
+)
 from threat_detection_nosql_spark.queries.threat import (
     _USER_FEATURES_SQL,
     user_features,
@@ -790,3 +794,83 @@ FROM agg a LEFT JOIN build b ON a.custkey = b.c_custkey
 
 QUERIES_TAIL["bloom_customer_probe"] = bloom_customer_probe
 ORACLES_TAIL["bloom_customer_probe"] = _BLOOM_SQL
+
+
+# -- drift as a distance: Jensen-Shannon divergence per user -----------------
+
+def user_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 users whose activity-type distribution diverges most from
+    the global mix, by Jensen-Shannon divergence (nats) — the symmetric,
+    bounded complement to the PSI drift queries (`feature_drift_psi`,
+    `stream_drift_psi`) and the entropy family (A11): JSD(P_u, Q) =
+    ½·Σ p·ln(p/m) + ½·Σ q·ln(q/m), m = (p+q)/2, with the p = 0 cells
+    contributing only their q-side term.
+
+    Shape: one (user, activity) hash agg off the fact table, then two
+    roll-ups of THAT aggregate (per-user totals, global mix — both
+    map-combinable), a users×activities grid built by cross-joining the
+    per-user totals against the broadcast activity mix (|activities| is
+    type-cardinality small, so the grid is |users|×|types| and the
+    cross join is a broadcast nested loop over tiny inputs — audited
+    as the one sanctioned CartesianProduct family in PLANS.md), a left
+    join back to the sparse counts, and a per-user sum. Global total
+    rides driver-side as one scalar (same convention as TF-IDF's N).
+    Ordering uses the ROUNDED divergence so the top-20 cut is stable
+    across engines (sum-order ulp ties collapse at 6 digits)."""
+    log = activity_log(spark, sf_dir)
+    ua = log.groupBy("user", "activity").agg(F.count("*").alias("cnt"))
+    tu = ua.groupBy("user").agg(F.sum("cnt").alias("n_events"))
+    ga = ua.groupBy("activity").agg(F.sum("cnt").alias("g_cnt"))
+    n_total = float(log.count())
+    grid = tu.crossJoin(F.broadcast(ga))
+    j = (grid.join(ua, ["user", "activity"], "left")
+         .withColumn("cnt", F.coalesce(F.col("cnt"), F.lit(0))))
+    p = F.col("cnt") * 1.0 / F.col("n_events")
+    q = F.col("g_cnt") * 1.0 / F.lit(n_total)
+    m = (p + q) / 2.0
+    contrib = (0.5 * F.when(F.col("cnt") > 0, p * F.log(p / m))
+               .otherwise(0.0)
+               + 0.5 * (q * F.log(q / m)))
+    return (j.groupBy("user", "n_events")
+            .agg(F.round(F.sum(contrib), 6).alias("jsd"))
+            .orderBy(F.desc("jsd"), F.asc("user"))
+            .limit(20))
+
+
+_JSD_SQL = f"""
+WITH log AS ({ACTIVITY_LOG_ORACLE_SQL}),
+ua AS (SELECT "user", activity, CAST(count(*) AS BIGINT) AS cnt
+       FROM log GROUP BY 1, 2),
+tu AS (SELECT "user", CAST(sum(cnt) AS BIGINT) AS n_events
+       FROM ua GROUP BY 1),
+ga AS (SELECT activity, sum(cnt) AS g_cnt FROM ua GROUP BY 1),
+tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS n_total FROM ua),
+grid AS (SELECT tu."user", tu.n_events, ga.activity, ga.g_cnt
+         FROM tu CROSS JOIN ga),
+cells AS (SELECT g."user", g.n_events,
+                 COALESCE(ua.cnt, 0) AS cnt, g.g_cnt, n_total
+          FROM grid g
+          LEFT JOIN ua ON ua."user" = g."user"
+                      AND ua.activity = g.activity
+          CROSS JOIN tot),
+terms AS (SELECT "user", n_events,
+                 0.5 * CASE WHEN cnt > 0
+                            THEN (cnt * 1.0 / n_events)
+                                 * ln((cnt * 1.0 / n_events)
+                                      / (((cnt * 1.0 / n_events)
+                                          + (g_cnt * 1.0 / n_total)) / 2.0))
+                            ELSE 0.0 END
+                 + 0.5 * ((g_cnt * 1.0 / n_total)
+                          * ln((g_cnt * 1.0 / n_total)
+                               / (((cnt * 1.0 / n_events)
+                                   + (g_cnt * 1.0 / n_total)) / 2.0)))
+                   AS contrib
+          FROM cells)
+SELECT "user", n_events, round(sum(contrib), 6) AS jsd
+FROM terms GROUP BY "user", n_events
+ORDER BY jsd DESC, "user" ASC
+LIMIT 20
+"""
+
+QUERIES_TAIL["user_js_divergence"] = user_js_divergence
+ORACLES_TAIL["user_js_divergence"] = _JSD_SQL
