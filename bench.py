@@ -107,6 +107,13 @@ ROUND5_COUNT = [
 ROUND5_COLLECT += [
     "min_cost_regional_supplier",
     "excess_stock_suppliers",
+    # late round-5 additions: retrieval scoring, drift distance, and
+    # the co-purchase graph-mining trio
+    "bm25_top_terms",
+    "user_js_divergence",
+    "link_prediction_top20",
+    "copurchase_communities",
+    "kcore_parts",
 ]
 
 

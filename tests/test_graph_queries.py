@@ -196,3 +196,36 @@ def test_link_prediction_square_graph(spark, tmp_path):
         assert r["common_neighbors"] == 2
         assert abs(r["jaccard"] - 1.0) < 1e-9
         assert abs(r["adamic_adar"] - 2.0 / math.log(2.0)) < 1e-6
+
+
+def test_label_propagation_two_cliques(spark):
+    """Two 4-cliques joined by one bridge edge: LPA must settle each
+    clique on its minimum member id, and the bridge must not merge
+    them (a component algorithm would)."""
+    from threat_detection_nosql_spark.operators.graph import (
+        label_propagation_fixed)
+
+    def clique(ns):
+        return [(a, b) for a in ns for b in ns if a < b]
+
+    edges = clique([1, 2, 3, 4]) + clique([10, 11, 12, 13]) + [(4, 10)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.node: r.community
+           for r in label_propagation_fixed(df, n_iters=3).collect()}
+    assert {got[n] for n in (1, 2, 3)} == {1}
+    assert {got[n] for n in (11, 12, 13)} == {10}
+    assert got[4] in (1, 2) and got[10] in (10, 11)  # bridge endpoints stay home
+
+
+def test_kcore_peels_tail_recursively(spark):
+    """A triangle with a pendant path: the 2-core is exactly the
+    triangle — the path must peel away over MULTIPLE rounds (5 needs
+    4 gone first), which a single-pass degree filter gets wrong."""
+    from threat_detection_nosql_spark.operators.graph import kcore_fixed
+
+    edges = [(1, 2), (2, 3), (1, 3),   # triangle
+             (3, 4), (4, 5)]           # pendant chain
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.node: r.core_degree
+           for r in kcore_fixed(df, k=2, n_rounds=4).collect()}
+    assert got == {1: 2, 2: 2, 3: 2}

@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 # edge type -> (source column, destination column), mirroring
 # neo4j_setup.py:70-90 (PERFORMS/ACCESSES/USES/INVOLVES).
@@ -232,3 +233,72 @@ def connected_components_star(edges: DataFrame, src: str = "src",
     return (nodes.join(labels, "node", "left")
             .select("node", F.coalesce("component", "node")
                     .alias("component")))
+
+
+def label_propagation_fixed(edges: DataFrame, n_iters: int = 3) -> DataFrame:
+    """Synchronous label-propagation community detection for a FIXED
+    iteration count over undirected ``(src, dst)`` edges (Raghavan et
+    al. 2007 — public knowledge). Every node starts labeled with its
+    own id; each round it adopts the modal label among its neighbors,
+    ties broken to the SMALLEST label — fully deterministic (no RNG, no
+    asynchronous order dependence), so a SQL oracle can replay it by
+    unrolling the rounds.
+
+    Scale shape per round: one equi-join of the symmetric adjacency
+    list with the |nodes|-sized label table (label side broadcasts
+    while it fits), one map-combinable (node, label) count, one
+    per-node window argmax — the same iterative-join silhouette as
+    :func:`pagerank_fixed`, with the adjacency list's partitioning
+    reused across rounds.
+    """
+    nbr = (edges.select(F.col("src").alias("node"),
+                        F.col("dst").alias("nbr"))
+           .unionAll(edges.select(F.col("dst").alias("node"),
+                                  F.col("src").alias("nbr"))))
+    labels = (nbr.select("node").distinct()
+              .withColumn("label", F.col("node")))
+    w = Window.partitionBy("node").orderBy(F.desc("c"), F.asc("label"))
+    for _ in range(n_iters):
+        cnt = (nbr.join(labels.select(F.col("node").alias("nbr"),
+                                      "label"), "nbr")
+               .groupBy("node", "label").agg(F.count("*").alias("c")))
+        labels = (cnt.withColumn("rn", F.row_number().over(w))
+                  .filter(F.col("rn") == 1)
+                  .select("node", "label"))
+    return labels.select("node", F.col("label").alias("community"))
+
+
+def kcore_fixed(edges: DataFrame, k: int = 2,
+                n_rounds: int = 6) -> DataFrame:
+    """K-core peel for a FIXED round count over undirected ``(src,
+    dst)`` edges: each round drops every node whose degree within the
+    surviving subgraph is < k. A fixed round budget (instead of
+    peel-to-fixpoint) keeps the operator deterministic AND
+    oracle-unrollable; on support-pruned analytics graphs the peel
+    stabilizes within a few rounds, and the round count is a dial.
+
+    Returns the surviving nodes with their within-core degree. Scale
+    shape per round: two semi-joins of the edge list against the
+    shrinking survivor set (survivors broadcast — |nodes| rows) and one
+    map-combinable degree count; the edge list never re-shuffles.
+    """
+    nbr = (edges.select(F.col("src").alias("node"),
+                        F.col("dst").alias("nbr"))
+           .unionAll(edges.select(F.col("dst").alias("node"),
+                                  F.col("src").alias("nbr"))))
+    alive = nbr.select("node").distinct()
+    for _ in range(n_rounds):
+        deg = (nbr.join(F.broadcast(alive), "node")
+               .join(F.broadcast(alive.select(F.col("node").alias("nbr"))),
+                     "nbr")
+               .groupBy("node").agg(F.count("*").alias("core_degree")))
+        # `alive` feeds TWO joins next round; pin it (tiny — ≤|nodes|
+        # rows) so the logical plan stays linear instead of doubling
+        # per round
+        alive = (deg.filter(F.col("core_degree") >= k).select("node")
+                 .localCheckpoint(eager=False))
+    deg = (nbr.join(F.broadcast(alive), "node")
+           .join(F.broadcast(alive.select(F.col("node").alias("nbr"))),
+                 "nbr")
+           .groupBy("node").agg(F.count("*").alias("core_degree")))
+    return deg.filter(F.col("core_degree") >= k)

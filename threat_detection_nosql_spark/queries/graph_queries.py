@@ -386,3 +386,114 @@ LIMIT 20
 
 QUERIES_TAIL = {"link_prediction_top20": link_prediction_top20}
 ORACLES_TAIL = {"link_prediction_top20": _LINK_PRED_SQL}
+
+
+# ---------------------------------------------------------------------------
+# Community detection and k-core over the part co-purchase graph
+# ---------------------------------------------------------------------------
+
+_LPA_ITERS = 3
+_KCORE_K = 3
+_KCORE_ROUNDS = 6
+
+_COPURCHASE_EDGES_SQL = """
+li AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+edges AS MATERIALIZED (SELECT a.l_partkey AS p1, b.l_partkey AS p2
+          FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+                             AND a.l_partkey < b.l_partkey
+          GROUP BY a.l_partkey, b.l_partkey
+          HAVING count(*) >= 2),
+nbr AS MATERIALIZED (SELECT p1 AS node, p2 AS nbr FROM edges
+        UNION ALL
+        SELECT p2 AS node, p1 AS nbr FROM edges)"""
+
+
+def copurchase_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community structure of the co-purchase graph by synchronous
+    label propagation (operators/graph.label_propagation_fixed,
+    3 rounds, modal-neighbor label with min-label tie-break — fully
+    deterministic, no RNG), rolled up to one row per community with
+    its size and smallest member. The complement to
+    ``connected_components``: components answer reachability,
+    communities answer density. All comparisons are integer
+    (counts/ids) so the oracle — which unrolls the three rounds as
+    chained CTEs — replays it exactly, no float rounding anywhere."""
+    from threat_detection_nosql_spark.operators.graph import (
+        label_propagation_fixed)
+    edges = _copurchase_edges(spark, sf_dir).select(
+        F.col("p1").alias("src"), F.col("p2").alias("dst"))
+    labels = label_propagation_fixed(edges, n_iters=_LPA_ITERS)
+    return (labels.groupBy("community")
+            .agg(F.count("*").alias("n_members"),
+                 F.min("node").alias("min_member"))
+            .orderBy(F.desc("n_members"), F.asc("community")))
+
+
+def _lpa_sql() -> str:
+    prev = "l0"
+    rounds = []
+    for i in range(1, _LPA_ITERS + 1):
+        rounds.append(f"""
+i{i} AS (SELECT n.node, l.label, count(*) AS c
+        FROM nbr n JOIN {prev} l ON l.node = n.nbr
+        GROUP BY n.node, l.label),
+l{i} AS MATERIALIZED (SELECT node, label FROM (
+          SELECT node, label,
+                 row_number() OVER (PARTITION BY node
+                      ORDER BY c DESC, label ASC) AS rn
+          FROM i{i}) t WHERE rn = 1)""")
+        prev = f"l{i}"
+    return f"""
+WITH {_COPURCHASE_EDGES_SQL},
+nodes AS (SELECT DISTINCT node FROM nbr),
+l0 AS (SELECT node, node AS label FROM nodes),
+{",".join(rounds)}
+SELECT label AS community, CAST(count(*) AS BIGINT) AS n_members,
+       min(node) AS min_member
+FROM {prev}
+GROUP BY label
+ORDER BY n_members DESC, community ASC
+"""
+
+
+def kcore_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The {k}-core of the co-purchase graph (k=3, 6 peel rounds —
+    operators/graph.kcore_fixed): parts that survive repeated removal
+    of weakly-connected nodes, i.e. the densely co-purchased core that
+    basket recommendations should anchor on. Returns each surviving
+    part with its within-core degree; integer-only arithmetic, oracle
+    unrolls the peel rounds as chained CTEs."""
+    from threat_detection_nosql_spark.operators.graph import kcore_fixed
+    edges = _copurchase_edges(spark, sf_dir).select(
+        F.col("p1").alias("src"), F.col("p2").alias("dst"))
+    return (kcore_fixed(edges, k=_KCORE_K, n_rounds=_KCORE_ROUNDS)
+            .orderBy(F.asc("node")))
+
+
+def _kcore_sql() -> str:
+    prev = "c0"
+    rounds = []
+    for i in range(1, _KCORE_ROUNDS + 1):
+        rounds.append(f"""
+c{i} AS MATERIALIZED (SELECT n.node FROM nbr n
+        JOIN {prev} a ON a.node = n.node
+        JOIN {prev} b ON b.node = n.nbr
+        GROUP BY n.node HAVING count(*) >= {_KCORE_K})""")
+        prev = f"c{i}"
+    return f"""
+WITH {_COPURCHASE_EDGES_SQL},
+c0 AS (SELECT DISTINCT node FROM nbr),
+{",".join(rounds)}
+SELECT n.node, CAST(count(*) AS BIGINT) AS core_degree
+FROM nbr n
+JOIN {prev} a ON a.node = n.node
+JOIN {prev} b ON b.node = n.nbr
+GROUP BY n.node HAVING count(*) >= {_KCORE_K}
+ORDER BY n.node ASC
+"""
+
+
+QUERIES_TAIL["copurchase_communities"] = copurchase_communities
+ORACLES_TAIL["copurchase_communities"] = _lpa_sql()
+QUERIES_TAIL["kcore_parts"] = kcore_parts
+ORACLES_TAIL["kcore_parts"] = _kcore_sql()
