@@ -78,3 +78,18 @@ def test_bm25_saturation_and_length_norm(spark, tmp_path):
     assert rare[1] > rare[0]              # more tf -> higher score
     assert rare[1] < 3 * rare[0]          # ...but saturating, not linear
     assert rare[2] < rare[0]              # same tf, longer doc -> lower
+
+
+def test_hashed_features_fixed_width_and_determinism(spark):
+    """The hashing trick's contract: every bucket is in [0, 64) and
+    the featurization is deterministic (same text -> same buckets,
+    no fitted vocabulary to drift)."""
+    from tests.conftest import SF_DIR
+    from threat_detection_nosql_spark.queries.pipeline import (
+        _FH_BUCKETS, hashed_feature_counts)
+
+    rows = hashed_feature_counts(spark, SF_DIR).collect()
+    assert rows
+    assert all(0 <= r["bucket"] < _FH_BUCKETS for r in rows)
+    again = hashed_feature_counts(spark, SF_DIR).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))

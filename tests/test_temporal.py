@@ -1,0 +1,42 @@
+
+
+def test_gap_fill_locf_planted(spark, tmp_path):
+    """Planted event log with a 2-day hole: the spine must emit the
+    missing days with n_events=0, carry the last observed daily value
+    across the hole, and leave days before the first observation out
+    of the spine entirely."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from threat_detection_nosql_spark.queries.temporal import (
+        user_daily_gap_filled)
+
+    def ts(day, h):
+        return dt.datetime(2024, 1, day, h, 0, 0)
+
+    rows = [  # user 1: active Jan 2 and Jan 5 -> spine 2,3,4,5
+        (0, ts(2, 9), 1, "click", 10.0),
+        (1, ts(2, 10), 1, "click", 20.0),   # Jan 2 avg 15.0
+        (2, ts(5, 9), 1, "click", 40.0),    # Jan 5 avg 40.0
+    ]
+    table = pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([r[1] for r in rows],
+                       pa.timestamp("us")),
+        "user_id": pa.array([r[2] for r in rows], pa.int64()),
+        "event_type": pa.array([r[3] for r in rows]),
+        "value": pa.array([r[4] for r in rows], pa.float64()),
+        "props": pa.array(['{"k": 1}'] * len(rows)),
+    })
+    pq.write_table(table, str(tmp_path / "events.parquet"))
+
+    got = {r["day"].day: r
+           for r in user_daily_gap_filled(spark, str(tmp_path)).collect()}
+    assert sorted(got) == [2, 3, 4, 5]
+    assert (got[2]["n_events"], got[2]["day_avg"]) == (2, 15.0)
+    for d in (3, 4):
+        assert (got[d]["n_events"], got[d]["day_avg"],
+                got[d]["locf_value"], got[d]["is_gap"]) == (0, None, 15.0, 1)
+    assert (got[5]["n_events"], got[5]["locf_value"]) == (1, 40.0)

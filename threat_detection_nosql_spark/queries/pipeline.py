@@ -1170,3 +1170,46 @@ WHERE rk <= 3
 
 QUERIES_TAIL["bm25_top_terms"] = bm25_top_terms
 ORACLES_TAIL["bm25_top_terms"] = _BM25_SQL
+
+
+# -- D5l: feature hashing (the hashing trick) ---------------------------------
+
+_FH_BUCKETS = 64
+
+
+def hashed_feature_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc sparse feature vector by the hashing trick (Weinberger
+    et al. 2009 — public knowledge): token → md5-derived 60-bit hash →
+    bucket = hash % 64, counts aggregated per (doc, bucket). The
+    fixed-width, vocabulary-free featurization step for any model that
+    can't carry a fitted vocabulary across a 100× corpus — no global
+    dictionary, no second pass, no driver state.
+
+    Shape: explode → one map-combinable (doc, bucket) hash agg; the
+    bucket expression (md5 prefix → BIGINT → mod) runs inside codegen.
+    Output is the COO form of the doc×64 matrix (sparse rows only)."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = (docs
+           .select("doc_id", F.explode(F.split(F.col("text"), r"\s+"))
+                   .alias("token"))
+           .filter(F.col("token") != ""))
+    bucket = (F.conv(F.substring(F.md5("token"), 1, 15), 16, 10)
+              .cast("long") % _FH_BUCKETS)
+    return (tok.select("doc_id", bucket.alias("bucket"))
+            .groupBy("doc_id", "bucket")
+            .agg(F.count("*").alias("tf")))
+
+
+_FEATURE_HASH_SQL = rf"""
+WITH tok AS (SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS token
+             FROM documents)
+SELECT doc_id,
+       CAST(('0x' || substr(md5(token), 1, 15)) AS BIGINT)
+         % {_FH_BUCKETS} AS bucket,
+       CAST(count(*) AS BIGINT) AS tf
+FROM tok WHERE token <> ''
+GROUP BY 1, 2
+"""
+
+QUERIES_TAIL["hashed_feature_counts"] = hashed_feature_counts
+ORACLES_TAIL["hashed_feature_counts"] = _FEATURE_HASH_SQL

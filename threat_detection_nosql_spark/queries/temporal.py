@@ -16,6 +16,7 @@ from threat_detection_nosql_spark.operators.temporal_joins import (
     asof_backward_join,
     range_pair_counts,
 )
+from threat_detection_nosql_spark.sources.readers import load_table
 
 _LOG_CTE = f"WITH log AS ({ACTIVITY_LOG_ORACLE_SQL})"
 
@@ -479,3 +480,72 @@ QUERIES_TAIL = {**globals().get("QUERIES_TAIL", {}),
                 "activity_heatmap": activity_heatmap}
 ORACLES_TAIL = {**globals().get("ORACLES_TAIL", {}),
                 "activity_heatmap": _HEATMAP_SQL}
+
+
+# -- calendar-spine gap fill + LOCF ------------------------------------------
+
+def user_daily_gap_filled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user daily activity resampled onto a dense calendar spine:
+    every day in the user's own [first, last] active range gets a row,
+    absent days carry n_events = 0 and a last-observation-carried-
+    forward value — the regularization step every time-series feature
+    pipeline needs before windowed models (irregular event logs don't
+    difference/lag correctly).
+
+    Shape: one (user, day) hash agg off the fact table; the spine
+    unfolds MAP-SIDE from each user's min/max bounds
+    (explode(sequence(...)) — ≤ span-days rows per user, no join
+    against a calendar table); one left join back to the sparse
+    dailies (co-partitioned on user — the same key as the window that
+    follows); one LOCF window (`last(value, ignorenulls=True)` over
+    rows-unbounded-preceding). LOCF carries the ROUNDED daily value,
+    so the carried number is bit-identical in both engines regardless
+    of each engine's avg() summation order."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (ev.groupBy(F.col("user_id").alias("user"),
+                        F.to_date("ts").alias("day"))
+             .agg(F.count("*").alias("n_events"),
+                  F.round(F.avg("value"), 6).alias("day_avg")))
+    bounds = daily.groupBy("user").agg(F.min("day").alias("d0"),
+                                       F.max("day").alias("d1"))
+    spine = bounds.select(
+        "user", F.explode(F.sequence("d0", "d1")).alias("day"))
+    grid = (spine.join(daily, ["user", "day"], "left")
+            .withColumn("n_events",
+                        F.coalesce(F.col("n_events"), F.lit(0))))
+    from pyspark.sql.window import Window as W
+    locf = W.partitionBy("user").orderBy("day") \
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    return grid.select(
+        "user", "day", "n_events", "day_avg",
+        F.last("day_avg", ignorenulls=True).over(locf).alias("locf_value"),
+        F.when(F.col("day_avg").isNull(), 1).otherwise(0).alias("is_gap"))
+
+
+_GAP_FILL_SQL = """
+WITH daily AS (
+  SELECT user_id AS "user", CAST(ts AS DATE) AS day,
+         CAST(count(*) AS BIGINT) AS n_events,
+         round(avg(value), 6) AS day_avg
+  FROM events GROUP BY 1, 2),
+bounds AS (SELECT "user", min(day) AS d0, max(day) AS d1
+           FROM daily GROUP BY 1),
+spine AS (SELECT "user",
+                 CAST(unnest(generate_series(d0, d1,
+                                             INTERVAL 1 DAY)) AS DATE)
+                   AS day
+          FROM bounds),
+grid AS (SELECT s."user", s.day,
+                COALESCE(d.n_events, 0) AS n_events, d.day_avg
+         FROM spine s LEFT JOIN daily d
+           ON d."user" = s."user" AND d.day = s.day)
+SELECT "user", day, n_events, day_avg,
+       last_value(day_avg IGNORE NULLS) OVER (
+         PARTITION BY "user" ORDER BY day
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS locf_value,
+       CASE WHEN day_avg IS NULL THEN 1 ELSE 0 END AS is_gap
+FROM grid
+"""
+
+QUERIES_TAIL["user_daily_gap_filled"] = user_daily_gap_filled
+ORACLES_TAIL["user_daily_gap_filled"] = _GAP_FILL_SQL
