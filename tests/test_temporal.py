@@ -40,3 +40,38 @@ def test_gap_fill_locf_planted(spark, tmp_path):
         assert (got[d]["n_events"], got[d]["day_avg"],
                 got[d]["locf_value"], got[d]["is_gap"]) == (0, None, 15.0, 1)
     assert (got[5]["n_events"], got[5]["locf_value"]) == (1, 40.0)
+
+
+def test_ewma_constant_series_then_spike(spark, tmp_path):
+    """A flat daily series keeps the EWMA at the constant and raises no
+    burst; a 5x spike day trips the 2x-prior-EWMA flag and pulls the
+    EWMA up by exactly alpha's share."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from threat_detection_nosql_spark.queries.temporal import user_daily_ewma
+
+    rows = []
+    eid = 0
+    for day, n in [(1, 2), (2, 2), (3, 2), (4, 10)]:
+        for j in range(n):
+            rows.append((eid, dt.datetime(2024, 1, day, 8 + j), 7))
+            eid += 1
+    table = pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+        "user_id": pa.array([r[2] for r in rows], pa.int64()),
+        "event_type": pa.array(["click"] * len(rows)),
+        "value": pa.array([1.0] * len(rows), pa.float64()),
+        "props": pa.array(['{"k": 1}'] * len(rows)),
+    })
+    pq.write_table(table, str(tmp_path / "events.parquet"))
+
+    got = {r["day"].day: r
+           for r in user_daily_ewma(spark, str(tmp_path)).collect()}
+    assert [got[d]["is_burst"] for d in (1, 2, 3, 4)] == [0, 0, 0, 1]
+    for d in (1, 2, 3):
+        assert abs(got[d]["ewma"] - 2.0) < 1e-9
+    assert abs(got[4]["ewma"] - (0.3 * 10 + 0.7 * 2.0)) < 1e-6

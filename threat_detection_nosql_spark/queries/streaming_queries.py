@@ -403,3 +403,21 @@ FROM bpos GROUP BY 1
 
 QUERIES_TAIL["stream_bloom_user_words"] = stream_bloom_user_words
 ORACLES_TAIL["stream_bloom_user_words"] = _BLOOM_WORDS_SQL
+
+
+def stream_topk_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming global top-20 leaderboard (streaming.stream_queries.
+    topk_active_users); oracle = the batch top-20 (complete-mode
+    re-emission makes the final drain equal the batch answer)."""
+    return S.topk_active_users(spark, sf_dir)
+
+
+_TOPK_USERS_SQL = """
+SELECT user_id AS "user", CAST(count(*) AS BIGINT) AS n_events
+FROM events GROUP BY 1
+ORDER BY n_events DESC, "user" ASC
+LIMIT 20
+"""
+
+QUERIES_TAIL["stream_topk_users"] = stream_topk_users
+ORACLES_TAIL["stream_topk_users"] = _TOPK_USERS_SQL

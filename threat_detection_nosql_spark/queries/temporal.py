@@ -549,3 +549,76 @@ FROM grid
 
 QUERIES_TAIL["user_daily_gap_filled"] = user_daily_gap_filled
 ORACLES_TAIL["user_daily_gap_filled"] = _GAP_FILL_SQL
+
+
+# -- EWMA baseline + burst flag ----------------------------------------------
+
+_EWMA_ALPHA = 0.3
+
+
+def user_daily_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user daily event counts against their exponentially-weighted
+    moving average (α = 0.3, s₁ = x₁, sₜ = α·xₜ + (1-α)·sₜ₋₁) with a
+    burst flag where the day's count exceeds 2× the PRIOR day's EWMA —
+    the classic streaming-friendly anomaly baseline (Roberts 1959 EWMA
+    control chart — public knowledge).
+
+    The recursion is evaluated CLOSED-FORM so it stays one window
+    expression instead of a driver loop: with t the per-user day rank
+    and w₁ = 1, wₖ = α (k>1), sₜ = (1-α)ᵗ · Σₖ₌₁..ₜ wₖ·xₖ·(1-α)⁻ᵏ —
+    i.e. one running windowed sum over a weighted series, map-side
+    after the (user, day) agg, shuffling once on user. The spine span
+    is ≤ the log's day range, so (1-α)⁻ᵏ stays far from overflow; both
+    engines compute the identical expression and the burst comparison
+    uses the ROUNDED lagged EWMA so the flag can't flip on ulps."""
+    ev = load_table(spark, sf_dir, "events")
+    from pyspark.sql.window import Window as W
+    daily = (ev.groupBy(F.col("user_id").alias("user"),
+                        F.to_date("ts").alias("day"))
+             .agg(F.count("*").alias("n_events")))
+    order = W.partitionBy("user").orderBy("day")
+    frame = order.rowsBetween(W.unboundedPreceding, W.currentRow)
+    t = F.row_number().over(order)
+    decay = 1.0 - _EWMA_ALPHA
+    wk = F.when(t == 1, 1.0).otherwise(_EWMA_ALPHA)
+    z = wk * F.col("n_events") * F.pow(F.lit(1.0 / decay), t)
+    ewma = F.round(F.pow(F.lit(decay), t) * F.sum(z).over(frame), 6)
+    scored = (daily
+              .withColumn("ewma", ewma))
+    prev = F.round(F.lag("ewma").over(order), 6)
+    return scored.select(
+        "user", "day", "n_events", "ewma",
+        F.when(F.col("n_events") > 2.0 * prev, 1).otherwise(0)
+        .alias("is_burst"))
+
+
+_EWMA_SQL = f"""
+WITH daily AS (
+  SELECT user_id AS "user", CAST(ts AS DATE) AS day,
+         CAST(count(*) AS BIGINT) AS n_events
+  FROM events GROUP BY 1, 2),
+ranked AS (
+  SELECT "user", day, n_events,
+         row_number() OVER (PARTITION BY "user" ORDER BY day) AS t
+  FROM daily),
+weighted AS (
+  SELECT "user", day, n_events, t,
+         CASE WHEN t = 1 THEN 1.0 ELSE {_EWMA_ALPHA} END
+           * n_events * pow(1.0 / (1.0 - {_EWMA_ALPHA}), t) AS z
+  FROM ranked),
+scored AS (
+  SELECT "user", day, n_events,
+         round(pow(1.0 - {_EWMA_ALPHA}, t)
+               * sum(z) OVER (PARTITION BY "user" ORDER BY day
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW), 6) AS ewma
+  FROM weighted)
+SELECT "user", day, n_events, ewma,
+       CASE WHEN n_events > 2.0 * round(lag(ewma) OVER (
+              PARTITION BY "user" ORDER BY day), 6)
+            THEN 1 ELSE 0 END AS is_burst
+FROM scored
+"""
+
+QUERIES_TAIL["user_daily_ewma"] = user_daily_ewma
+ORACLES_TAIL["user_daily_ewma"] = _EWMA_SQL

@@ -609,3 +609,18 @@ def bloom_user_words(spark: SparkSession, sf_dir: str,
     words = (pos.select(word.alias("word"), bit.alias("b"))
              .groupBy("word").agg(F.bit_or("b").alias("word_bits")))
     return run_stream_to_table(words, mode="complete")
+
+
+def topk_active_users(spark: SparkSession, sf_dir: str,
+                      k: int = 20) -> DataFrame:
+    """Streaming GLOBAL top-k — complete-mode aggregation feeding a
+    sort+limit, the one place Structured Streaming allows a full
+    ORDER BY (the leaderboard every live dashboard runs). State is the
+    per-user count table; the drained top-k equals the batch top-k
+    because complete mode re-emits the whole aggregate each batch, so
+    the final emission IS the batch answer — integer counts with a
+    total (count DESC, user ASC) tie-break, no float anywhere."""
+    ev = events_stream(spark, sf_dir)
+    counts = ev.groupBy("user").agg(F.count("*").alias("n_events"))
+    top = counts.orderBy(F.desc("n_events"), F.asc("user")).limit(k)
+    return run_stream_to_table(top, mode="complete")
