@@ -139,3 +139,35 @@ def test_curation_pipeline_stage_monotonicity(spark):
         assert n_input >= n_quality >= n_deduped >= n_sampled >= 0
         if n_sampled:
             assert r["sampled_tokens"] > 0
+
+
+def test_nb_classifier_separable_fixture(spark, tmp_path):
+    """On a corpus whose languages use disjoint vocabularies Naive
+    Bayes must classify every held-out doc correctly (the registered
+    documents table shares one vocab across langs, so accuracy there
+    only measures frequency skew — this pins that the MODEL works)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from threat_detection_nosql_spark.queries.corpus import (
+        nb_lang_predictions)
+
+    texts = {"en": "dog cat house tree", "fr": "chien chat maison arbre"}
+    rows = []
+    for i in range(20):  # doc_id % 5 == 0 held out -> 4 test docs
+        lang = "en" if i % 2 == 0 else "fr"
+        rows.append((i, texts[lang] + f" {texts[lang].split()[i % 4]}",
+                     lang))
+    table = pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "text": pa.array([r[1] for r in rows]),
+        "lang": pa.array([r[2] for r in rows]),
+        "source": pa.array(["t"] * len(rows)),
+        "n_chars": pa.array([len(r[1]) for r in rows], pa.int64()),
+    })
+    pq.write_table(table, str(tmp_path / "documents.parquet"))
+
+    got = nb_lang_predictions(spark, str(tmp_path)).collect()
+    assert len(got) == 4
+    assert all(r["correct"] == 1 for r in got)
+    assert {r["actual_lang"] for r in got} == {"en", "fr"}

@@ -922,3 +922,124 @@ LIMIT {_WS_K}
 
 QUERIES_TAIL = {"weighted_doc_sample": weighted_doc_sample}
 ORACLES_TAIL = {"weighted_doc_sample": _WSAMPLE_SQL}
+
+
+# -- Naive Bayes language classifier (train + predict, fully replayable) -----
+
+def nb_lang_predictions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial Naive Bayes language classifier trained and scored
+    entirely in SQL expressions — the statistical upgrade of
+    ``lang_id_heuristic`` and, unlike the engine-RNG ML detectors, a
+    model whose EVERY parameter the DuckDB oracle replays value-for-
+    value: Laplace-smoothed log-likelihoods log((c(t,lang)+1) /
+    (tokens_lang + V)), log priors, and per-doc log-posterior argmax.
+
+    Deterministic 80/20 split (doc_id % 5 == 0 held out — the
+    ``dataset_split_assignment`` convention). Shapes, in order: train
+    token counts (one map-combinable agg), the vocab×lang parameter
+    grid (|V|×5 — built by cross-joining the vocab against the 5-row
+    class table, then LEFT-joining observed counts so unseen-in-class
+    tokens get the smoothing floor), test tokens inner-joined to the
+    broadcastable grid on token, one (doc, lang) sum, one argmax
+    window over the ROUNDED posterior (ulp-stable cut, ties to the
+    lexicographically first language). No UDF, no driver state beyond
+    the plan — at 100× corpus the grid stays |V|×5 and everything else
+    is hash aggs and one vocab-keyed join."""
+    docs = load_table(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") % 5 != 0)
+    test = docs.filter(F.col("doc_id") % 5 == 0)
+
+    def toks(df):
+        return (df.select("doc_id", "lang",
+                          F.explode(F.split(F.col("text"), r"\s+"))
+                          .alias("token"))
+                .filter(F.col("token") != ""))
+
+    tr = toks(train)
+    cls_counts = tr.groupBy("lang", "token").agg(F.count("*").alias("c"))
+    cls_totals = (cls_counts.groupBy("lang")
+                  .agg(F.sum("c").alias("total"))
+                  .join(train.groupBy("lang")
+                        .agg(F.count("*").alias("n_docs")), "lang"))
+    n_train = train.count()
+    vocab = cls_counts.select("token").distinct()
+    v_size = vocab.count()
+    grid = (vocab.crossJoin(F.broadcast(cls_totals))
+            .join(cls_counts, ["lang", "token"], "left")
+            .select("lang", "token", "total", "n_docs",
+                    F.coalesce(F.col("c"), F.lit(0)).alias("c")))
+    loglik = F.log((F.col("c") + 1.0)
+                   / (F.col("total") + F.lit(float(v_size))))
+    params = grid.select(
+        "lang", "token", loglik.alias("loglik"),
+        F.log(F.col("n_docs") / F.lit(float(n_train))).alias("logprior"))
+    te = (toks(test).groupBy("doc_id", F.col("lang").alias("actual_lang"),
+                             "token")
+          .agg(F.count("*").alias("tf")))
+    scored = (te.join(params, "token")
+              .groupBy("doc_id", "actual_lang", "lang", "logprior")
+              .agg(F.sum(F.col("tf") * F.col("loglik")).alias("ll")))
+    post = scored.select(
+        "doc_id", "actual_lang", "lang",
+        F.round(F.col("logprior") + F.col("ll"), 6).alias("log_posterior"))
+    from pyspark.sql.window import Window as W
+    w = W.partitionBy("doc_id").orderBy(F.desc("log_posterior"),
+                                        F.asc("lang"))
+    return (post.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("doc_id", "actual_lang",
+                    F.col("lang").alias("pred_lang"), "log_posterior",
+                    F.when(F.col("lang") == F.col("actual_lang"), 1)
+                    .otherwise(0).alias("correct")))
+
+
+_NB_SQL = r"""
+WITH train AS (SELECT * FROM documents WHERE doc_id % 5 <> 0),
+test AS (SELECT * FROM documents WHERE doc_id % 5 = 0),
+tr AS (SELECT doc_id, lang,
+              unnest(string_split_regex(text, '\s+')) AS token
+       FROM train),
+trf AS (SELECT * FROM tr WHERE token <> ''),
+cls_counts AS (SELECT lang, token, CAST(count(*) AS BIGINT) AS c
+               FROM trf GROUP BY 1, 2),
+cls_totals AS (SELECT t.lang, t.total, d.n_docs
+               FROM (SELECT lang, sum(c) AS total
+                     FROM cls_counts GROUP BY 1) t
+               JOIN (SELECT lang, count(*) AS n_docs
+                     FROM train GROUP BY 1) d USING (lang)),
+n_train AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM train),
+vocab AS (SELECT DISTINCT token FROM cls_counts),
+v_size AS (SELECT CAST(count(*) AS DOUBLE) AS v FROM vocab),
+grid AS (SELECT ct.lang, vocab.token, ct.total, ct.n_docs,
+                COALESCE(cc.c, 0) AS c
+         FROM vocab CROSS JOIN cls_totals ct
+         LEFT JOIN cls_counts cc
+           ON cc.lang = ct.lang AND cc.token = vocab.token),
+params AS (SELECT lang, token,
+                  ln((c + 1.0) / (total + (SELECT v FROM v_size)))
+                    AS loglik,
+                  ln(n_docs / (SELECT n FROM n_train)) AS logprior
+           FROM grid),
+te AS (SELECT doc_id, lang AS actual_lang, token,
+              CAST(count(*) AS BIGINT) AS tf
+       FROM (SELECT doc_id, lang,
+                    unnest(string_split_regex(text, '\s+')) AS token
+             FROM test) x
+       WHERE token <> '' GROUP BY 1, 2, 3),
+scored AS (SELECT te.doc_id, te.actual_lang, p.lang, p.logprior,
+                  sum(te.tf * p.loglik) AS ll
+           FROM te JOIN params p USING (token)
+           GROUP BY 1, 2, 3, 4),
+post AS (SELECT doc_id, actual_lang, lang,
+                round(logprior + ll, 6) AS log_posterior
+         FROM scored)
+SELECT doc_id, actual_lang, lang AS pred_lang, log_posterior,
+       CASE WHEN lang = actual_lang THEN 1 ELSE 0 END AS correct
+FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+            ORDER BY log_posterior DESC, lang ASC) AS rn
+      FROM post) t
+WHERE rn = 1
+"""
+
+QUERIES_TAIL["nb_lang_predictions"] = nb_lang_predictions
+ORACLES_TAIL["nb_lang_predictions"] = _NB_SQL
