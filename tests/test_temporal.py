@@ -75,3 +75,42 @@ def test_ewma_constant_series_then_spike(spark, tmp_path):
     for d in (1, 2, 3):
         assert abs(got[d]["ewma"] - 2.0) < 1e-9
     assert abs(got[4]["ewma"] - (0.3 * 10 + 0.7 * 2.0)) < 1e-6
+
+
+def test_seasonal_zscore_conditions_on_cell(spark, tmp_path):
+    """Two seasonal cells with different scales: a value that is huge
+    globally but normal for ITS cell must not outrank a value that is
+    modest globally but extreme for its own (low-variance) cell."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from threat_detection_nosql_spark.queries.temporal import (
+        seasonal_zscore_anomalies)
+
+    rows = []
+    # cell A (Mon 9h): values around 100 +/- 10 -> 130 is z=3-ish
+    for i, v in enumerate([90.0, 100.0, 110.0, 130.0]):
+        rows.append((i, dt.datetime(2024, 1, 1, 9, i), 1, v))
+    # cell B (Mon 14h): values around 1000, tight -> 1001 is normal
+    for i, v in enumerate([999.0, 1000.0, 1001.0, 1000.0]):
+        rows.append((10 + i, dt.datetime(2024, 1, 1, 14, i), 2, v))
+    table = pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+        "user_id": pa.array([r[2] for r in rows], pa.int64()),
+        "event_type": pa.array(["click"] * len(rows)),
+        "value": pa.array([r[3] for r in rows], pa.float64()),
+        "props": pa.array(['{"k": 1}'] * len(rows)),
+    })
+    pq.write_table(table, str(tmp_path / "events.parquet"))
+
+    got = seasonal_zscore_anomalies(spark, str(tmp_path)).collect()
+    # top anomaly is the 130 in the low-scale cell, not anything from
+    # the high-scale cell
+    assert got[0]["event_id"] == 3
+    assert got[0]["abs_z"] > 1.5
+    by_id = {r["event_id"]: r for r in got}
+    assert all(by_id[e]["abs_z"] < got[0]["abs_z"]
+               for e in by_id if e >= 10)

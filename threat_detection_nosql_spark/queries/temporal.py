@@ -622,3 +622,66 @@ FROM scored
 
 QUERIES_TAIL["user_daily_ewma"] = user_daily_ewma
 ORACLES_TAIL["user_daily_ewma"] = _EWMA_SQL
+
+
+# -- seasonality-adjusted z-score --------------------------------------------
+
+def seasonal_zscore_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 events whose ``value`` deviates most from their OWN
+    seasonal cell — the (day-of-week × hour) slot the activity heatmap
+    established — measured as a z-score against that cell's mean/std.
+    Raw global z-scores flag every busy-hour event; conditioning on the
+    seasonal cell is what makes the flag mean "unusual for a Tuesday
+    9am", the production form of calendar-aware anomaly detection.
+
+    One (dow, hour) aggregate (168 cells max — broadcast), one join
+    back to the fact table, pure expressions after. The z denominator
+    uses the population std via sqrt(E[x²] − E[x]²) computed identically
+    in both engines, and the top-20 cut orders by the ROUNDED |z| with
+    event_id tie-break."""
+    log = activity_log(spark, sf_dir)
+    cells = (log.groupBy("day_of_week", "hour_of_day")
+             .agg(F.count("*").alias("n"),
+                  F.sum("value").alias("s"),
+                  F.sum(F.col("value") * F.col("value")).alias("s2"))
+             .filter(F.col("n") >= 2))
+    mean = F.col("s") / F.col("n")
+    var = F.col("s2") / F.col("n") - mean * mean
+    stats = cells.select(
+        "day_of_week", "hour_of_day",
+        mean.alias("cell_mean"),
+        F.sqrt(F.greatest(var, F.lit(0.0))).alias("cell_std"))
+    joined = (log.join(F.broadcast(stats), ["day_of_week", "hour_of_day"])
+              .filter(F.col("cell_std") > 0))
+    z = (F.col("value") - F.col("cell_mean")) / F.col("cell_std")
+    return (joined.select(
+                "event_id", "user", "value",
+                "day_of_week", "hour_of_day",
+                F.round(z, 6).alias("zscore"),
+                F.round(F.abs(z), 6).alias("abs_z"))
+            .orderBy(F.desc("abs_z"), F.asc("event_id"))
+            .limit(20))
+
+
+_SEASONAL_Z_SQL = f"""
+{_LOG_CTE},
+cells AS (SELECT day_of_week, hour_of_day,
+                 CAST(count(*) AS BIGINT) AS n,
+                 sum(value) AS s, sum(value * value) AS s2
+          FROM log GROUP BY 1, 2 HAVING count(*) >= 2),
+stats AS (SELECT day_of_week, hour_of_day,
+                 s / n AS cell_mean,
+                 sqrt(greatest(s2 / n - (s / n) * (s / n), 0.0))
+                   AS cell_std
+          FROM cells)
+SELECT event_id, "user", value, day_of_week, hour_of_day,
+       round((value - cell_mean) / cell_std, 6) AS zscore,
+       round(abs((value - cell_mean) / cell_std), 6) AS abs_z
+FROM log JOIN stats USING (day_of_week, hour_of_day)
+WHERE cell_std > 0
+ORDER BY abs_z DESC, event_id ASC
+LIMIT 20
+"""
+
+QUERIES_TAIL["seasonal_zscore_anomalies"] = seasonal_zscore_anomalies
+ORACLES_TAIL["seasonal_zscore_anomalies"] = _SEASONAL_Z_SQL
