@@ -370,3 +370,65 @@ GROUP BY 1
 
 QUERIES_TAIL["pseudonymized_activity"] = pseudonymized_activity
 ORACLES_TAIL["pseudonymized_activity"] = _PSEUDO_SQL
+
+
+# -- cross-source quantile normalization --------------------------------------
+
+_QN_BUCKETS = 10
+
+
+def source_quantile_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile-normalize document lengths ACROSS sources: each doc's
+    n_chars maps to the global average of its within-source decile —
+    the classic cross-domain score calibration (quantile normalization,
+    Bolstad et al. 2003 — public knowledge). Needed whenever per-source
+    quality/length scores are compared or thresholded jointly: a "long"
+    doc from a short-doc source should rank like a "long" doc from a
+    long-doc source, not like a short one.
+
+    Shape: two ntile windows (within-source and global — both total
+    orders via the (n_chars, doc_id) tie-break, so both engines bucket
+    identically), one 10-row global-decile aggregate (broadcast), one
+    join on the integer decile. The doubles only appear in the final
+    rounded average; bucketing itself is pure integer rank logic.
+
+    Scale note: the GLOBAL ntile is a single-partition sort — exact
+    equal-count deciles require a total order. At 100 TB swap that one
+    window for approx_percentile boundaries (the ``value_quantiles``
+    pattern) broadcast as range predicates; the within-source window
+    partitions by source and scales horizontally either way."""
+    from pyspark.sql.window import Window as W
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars")
+    src_w = W.partitionBy("source").orderBy("n_chars", "doc_id")
+    glob_w = W.orderBy("n_chars", "doc_id")
+    bucketed = docs.select(
+        "doc_id", "source", "n_chars",
+        F.ntile(_QN_BUCKETS).over(src_w).alias("source_decile"),
+        F.ntile(_QN_BUCKETS).over(glob_w).alias("global_decile"))
+    ref = (bucketed.groupBy("global_decile")
+           .agg(F.round(F.avg("n_chars"), 6).alias("norm_chars"))
+           .withColumnRenamed("global_decile", "source_decile"))
+    return (bucketed
+            .join(F.broadcast(ref), "source_decile")
+            .select("doc_id", "source", "n_chars", "source_decile",
+                    "norm_chars"))
+
+
+_QNORM_SQL = f"""
+WITH bucketed AS (
+  SELECT doc_id, source, n_chars,
+         CAST(ntile({_QN_BUCKETS}) OVER (PARTITION BY source
+              ORDER BY n_chars, doc_id) AS INT) AS source_decile,
+         CAST(ntile({_QN_BUCKETS}) OVER (
+              ORDER BY n_chars, doc_id) AS INT) AS global_decile
+  FROM documents),
+ref AS (SELECT global_decile AS source_decile,
+               round(avg(n_chars), 6) AS norm_chars
+        FROM bucketed GROUP BY 1)
+SELECT doc_id, source, n_chars, source_decile, norm_chars
+FROM bucketed JOIN ref USING (source_decile)
+"""
+
+QUERIES_TAIL["source_quantile_normalized"] = source_quantile_normalized
+ORACLES_TAIL["source_quantile_normalized"] = _QNORM_SQL
