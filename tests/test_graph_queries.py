@@ -229,3 +229,36 @@ def test_kcore_peels_tail_recursively(spark):
     got = {r.node: r.core_degree
            for r in kcore_fixed(df, k=2, n_rounds=4).collect()}
     assert got == {1: 2, 2: 2, 3: 2}
+
+
+def test_personalized_pagerank_concentrates_on_seed_side(spark):
+    """Barbell graph (two hubs joined by a bridge), teleport seeded on
+    one hub: that hub and its spokes must outrank the mirror-image far
+    side, which plain PageRank would score identically."""
+    from threat_detection_nosql_spark.operators.graph import (
+        pagerank_personalized)
+
+    near = [(f"a{i}", "hubA") for i in range(5)]
+    far = [(f"b{i}", "hubB") for i in range(5)]
+    edges = near + far + [("hubA", "hubB")]
+    sym = edges + [(b, a) for a, b in edges]
+    df = spark.createDataFrame(sym, "src string, dst string")
+    seeds = spark.createDataFrame([("hubA",)], "node string")
+    ranks = {r.node: r["rank"]
+             for r in pagerank_personalized(df, seeds, n_iters=3).collect()}
+    assert ranks["hubA"] > ranks["hubB"]
+    assert ranks["a0"] > ranks["b0"]
+    assert max(ranks, key=ranks.get) == "hubA"
+
+
+def test_personalized_pagerank_rejects_empty_seeds(spark):
+    import pytest as _pytest
+
+    from threat_detection_nosql_spark.operators.graph import (
+        pagerank_personalized)
+
+    df = spark.createDataFrame([("a", "b"), ("b", "a")],
+                               "src string, dst string")
+    empty = spark.createDataFrame([], "node string")
+    with _pytest.raises(ValueError, match="empty seed set"):
+        pagerank_personalized(df, empty)

@@ -302,3 +302,46 @@ def kcore_fixed(edges: DataFrame, k: int = 2,
                  "nbr")
            .groupBy("node").agg(F.count("*").alias("core_degree")))
     return deg.filter(F.col("core_degree") >= k)
+
+
+def pagerank_personalized(edges: DataFrame, seeds: DataFrame,
+                          n_iters: int = 3,
+                          damping: float = 0.85) -> DataFrame:
+    """Personalized PageRank for a FIXED iteration count: the teleport
+    mass returns to a SEED set instead of the uniform vector, so rank
+    measures proximity to the seeds (Jeh & Widom 2003 — public
+    knowledge). Deterministic (seed-uniform init = the teleport
+    vector, no convergence test) → SQL-unrollable like
+    :func:`pagerank_fixed`, whose per-iteration join shape it shares.
+    ``seeds`` is a 1-column (node) frame; callers guarantee every node
+    has out-degree ≥ 1 (symmetric edge sets do)."""
+    nodes = (edges.select(F.col("src").alias("node"))
+             .unionByName(edges.select(F.col("dst").alias("node")))
+             .distinct())
+    n_seeds = seeds.count()
+    if n_seeds == 0:
+        raise ValueError("pagerank_personalized: empty seed set "
+                         "(teleport vector undefined)")
+    # pin the teleport vector: every iteration joins it, and without
+    # pinning each join replays the node-list build (graph projection +
+    # distinct) — measured 16 s -> 3 s at sf0.01
+    teleport = (nodes.join(F.broadcast(seeds), "node", "left_semi")
+                .withColumn("t", F.lit(1.0 / n_seeds))
+                .unionByName(
+                    nodes.join(F.broadcast(seeds), "node", "left_anti")
+                    .withColumn("t", F.lit(0.0)))
+                .localCheckpoint(eager=False))
+    out_deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    e = edges.join(out_deg, "src")
+    ranks = teleport.select("node", F.col("t").alias("rank"))
+    for _ in range(n_iters):
+        contrib = (e.join(ranks, e["src"] == ranks["node"])
+                   .select(F.col("dst").alias("node"),
+                           (F.col("rank") / F.col("deg")).alias("c")))
+        summed = contrib.groupBy("node").agg(F.sum("c").alias("s"))
+        ranks = (teleport.join(summed, "node", "left")
+                 .select("node",
+                         ((1.0 - damping) * F.col("t")
+                          + damping * F.coalesce("s", F.lit(0.0)))
+                         .alias("rank")))
+    return ranks

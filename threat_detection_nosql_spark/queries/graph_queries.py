@@ -497,3 +497,92 @@ QUERIES_TAIL["copurchase_communities"] = copurchase_communities
 ORACLES_TAIL["copurchase_communities"] = _lpa_sql()
 QUERIES_TAIL["kcore_parts"] = kcore_parts
 ORACLES_TAIL["kcore_parts"] = _kcore_sql()
+
+
+# ---------------------------------------------------------------------------
+# Risk propagation: personalized PageRank from after-hours-heavy users
+# ---------------------------------------------------------------------------
+
+def risk_propagation_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 nodes by personalized PageRank
+    (operators/graph.pagerank_personalized, 3 iterations, d=0.85)
+    seeded on the after-hours-heavy users (after-hours events strictly
+    outnumbering in-hours — an INTEGER predicate, so the seed set is
+    bit-identical across engines). Rank here reads "graph proximity to
+    risky actors": the resources they touch and the users sharing
+    those resources surface first — the propagation step every insider-
+    threat triage runs after flagging individuals
+    (`neo4j_analysis.py`'s centrality theme, made seed-aware).
+
+    Same scale silhouette as ``pagerank_top20`` (per-iteration
+    edge⋈rank join, broadcast rank side, edge partitioning reused);
+    the teleport vector is a semi/anti-join split of the node list
+    against the broadcast seed set. Deterministic throughout — the
+    oracle unrolls the same three iterations with the same teleport
+    algebra."""
+    from threat_detection_nosql_spark.operators.graph import (
+        pagerank_personalized)
+    log = activity_log(spark, sf_dir).filter(F.col("resource").isNotNull())
+    ah = (log.groupBy("user")
+          .agg(F.sum("is_after_hours").alias("ah"),
+               F.count("*").alias("n")))
+    seeds = (ah.filter(F.col("ah") * 2 > F.col("n"))
+             .select(F.concat(F.lit("u:"), F.col("user")).alias("node")))
+    ur = (log.select(
+        F.concat(F.lit("u:"), F.col("user")).alias("src"),
+        F.concat(F.lit("r:"), F.col("resource")).alias("dst"))
+        .distinct())
+    edges = ur.unionByName(
+        ur.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    ranks = pagerank_personalized(edges, seeds, n_iters=_PR_ITERS,
+                                  damping=_PR_DAMP)
+    return (ranks.select("node", F.round("rank", 6).alias("rank"))
+            .orderBy(F.desc("rank"), F.asc("node"))
+            .limit(20))
+
+
+def _ppr_sql() -> str:
+    prev = "r0"
+    iters = []
+    for i in range(1, _PR_ITERS + 1):
+        iters.append(f"""
+r{i} AS MATERIALIZED (SELECT tp.node,
+         (1.0 - {_PR_DAMP}) * tp.t
+           + {_PR_DAMP} * coalesce(c.s, 0.0) AS rank
+         FROM tp LEFT JOIN (
+           SELECT e.dst AS node, sum({prev}.rank / deg.deg) AS s
+           FROM e JOIN {prev} ON e.src = {prev}.node
+                JOIN deg ON e.src = deg.src
+           GROUP BY e.dst) c ON tp.node = c.node)""")
+        prev = f"r{i}"
+    return f"""
+{_LOG_CTE},
+lr AS MATERIALIZED (SELECT * FROM log WHERE resource IS NOT NULL),
+seeds AS MATERIALIZED (
+  SELECT 'u:' || user AS node
+  FROM (SELECT user, sum(is_after_hours) AS ah, count(*) AS n
+        FROM lr GROUP BY user) s
+  WHERE ah * 2 > n),
+ur AS MATERIALIZED (SELECT DISTINCT 'u:' || user AS src,
+                           'r:' || resource AS dst FROM lr),
+e AS MATERIALIZED (SELECT src, dst FROM ur
+                   UNION ALL SELECT dst, src FROM ur),
+nodes AS MATERIALIZED (SELECT src AS node FROM e UNION SELECT dst FROM e),
+ns AS (SELECT count(*) AS k FROM seeds),
+tp AS MATERIALIZED (
+  SELECT nodes.node,
+         CASE WHEN seeds.node IS NOT NULL
+              THEN 1.0 / (SELECT k FROM ns) ELSE 0.0 END AS t
+  FROM nodes LEFT JOIN seeds ON nodes.node = seeds.node),
+deg AS MATERIALIZED (SELECT src, count(*) AS deg FROM e GROUP BY src),
+r0 AS (SELECT node, t AS rank FROM tp),
+{",".join(iters)}
+SELECT node, round(rank, 6) AS rank
+FROM {prev}
+ORDER BY rank DESC, node ASC
+LIMIT 20
+"""
+
+
+QUERIES_TAIL["risk_propagation_top20"] = risk_propagation_top20
+ORACLES_TAIL["risk_propagation_top20"] = _ppr_sql()
