@@ -114,3 +114,40 @@ def test_seasonal_zscore_conditions_on_cell(spark, tmp_path):
     by_id = {r["event_id"]: r for r in got}
     assert all(by_id[e]["abs_z"] < got[0]["abs_z"]
                for e in by_id if e >= 10)
+
+
+def test_ols_trend_exact_line_and_single_day(spark, tmp_path):
+    """A user whose daily counts lie exactly on y = 2x + 1 must recover
+    slope 2 / intercept 1 exactly (all-integer sums); a single-day user
+    gets NULL slope, not a crash or a zero."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from threat_detection_nosql_spark.queries.temporal import (
+        user_activity_trend)
+
+    rows = []
+    eid = 0
+    for d, n in [(1, 1), (2, 3), (3, 5), (4, 7)]:  # y = 2x + 1, x=d-1
+        for j in range(n):
+            rows.append((eid, dt.datetime(2024, 1, d, 6 + j), 1))
+            eid += 1
+    rows.append((eid, dt.datetime(2024, 1, 2, 12), 2))  # single-day user
+    table = pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+        "user_id": pa.array([r[2] for r in rows], pa.int64()),
+        "event_type": pa.array(["click"] * len(rows)),
+        "value": pa.array([1.0] * len(rows), pa.float64()),
+        "props": pa.array(['{"k": 1}'] * len(rows)),
+    })
+    pq.write_table(table, str(tmp_path / "events.parquet"))
+
+    got = {r["user"]: r for r in user_activity_trend(
+        spark, str(tmp_path)).collect()}
+    assert got[1]["slope"] == 2.0
+    assert got[1]["intercept"] == 1.0
+    assert got[1]["trend"] == "up"
+    assert got[2]["slope"] is None and got[2]["trend"] is None

@@ -685,3 +685,81 @@ LIMIT 20
 
 QUERIES_TAIL["seasonal_zscore_anomalies"] = seasonal_zscore_anomalies
 ORACLES_TAIL["seasonal_zscore_anomalies"] = _SEASONAL_Z_SQL
+
+
+# -- per-user activity trend (closed-form OLS) --------------------------------
+
+def user_activity_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user activity drift: ordinary-least-squares slope of daily
+    event count over the day index, the "is this account ramping up"
+    feature behind every usage-trend triage. Closed-form OLS from five
+    per-user sums — n, Σx, Σy, Σxy, Σx² with x the 0-based day offset
+    from the user's first active day and y the day's count. Every sum
+    is EXACT BIGINT arithmetic (integer days × integer counts), so
+    both engines agree bit-for-bit all the way to the single final
+    division; users active on one day only are emitted with NULL slope
+    (undefined fit) rather than dropped. One (user, day) agg + one
+    per-user re-agg, both map-combinable; no window, no sort."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (ev.groupBy(F.col("user_id").alias("user"),
+                        F.to_date("ts").alias("day"))
+             .agg(F.count("*").alias("y")))
+    from pyspark.sql.window import Window as W
+    x = F.datediff(F.col("day"),
+                   F.min("day").over(W.partitionBy("user"))).cast("long")
+    xy = daily.select("user", x.alias("x"), "y")
+    sums = (xy.groupBy("user")
+            .agg(F.count("*").alias("n"),
+                 F.sum("x").alias("sx"),
+                 F.sum("y").alias("sy"),
+                 F.sum(F.col("x") * F.col("y")).alias("sxy"),
+                 F.sum(F.col("x") * F.col("x")).alias("sxx")))
+    denom = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    slope = ((F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+             * 1.0 / denom)
+    intercept = (F.col("sy") - slope * F.col("sx")) / F.col("n")
+    return sums.select(
+        "user", "n",
+        F.when(denom > 0, F.round(slope, 6)).alias("slope"),
+        F.when(denom > 0, F.round(intercept, 6)).alias("intercept"),
+        F.when(denom > 0,
+               F.when(F.round(slope, 6) > 0.05, F.lit("up"))
+               .when(F.round(slope, 6) < -0.05, F.lit("down"))
+               .otherwise(F.lit("flat"))).alias("trend"))
+
+
+_TREND_SQL = """
+WITH daily AS (
+  SELECT user_id AS "user", CAST(ts AS DATE) AS day,
+         CAST(count(*) AS BIGINT) AS y
+  FROM events GROUP BY 1, 2),
+xy AS (
+  SELECT "user",
+         CAST(day - min(day) OVER (PARTITION BY "user") AS BIGINT) AS x,
+         y
+  FROM daily),
+sums AS (
+  SELECT "user", CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * y) AS BIGINT) AS sxy,
+         CAST(sum(x * x) AS BIGINT) AS sxx
+  FROM xy GROUP BY 1)
+SELECT "user", n,
+       CASE WHEN n * sxx - sx * sx > 0
+            THEN round((n * sxy - sx * sy) * 1.0
+                       / (n * sxx - sx * sx), 6) END AS slope,
+       CASE WHEN n * sxx - sx * sx > 0
+            THEN round((sy - ((n * sxy - sx * sy) * 1.0
+                              / (n * sxx - sx * sx)) * sx) / n, 6)
+            END AS intercept,
+       CASE WHEN n * sxx - sx * sx > 0 THEN
+         CASE WHEN round((n * sxy - sx * sy) * 1.0
+                         / (n * sxx - sx * sx), 6) > 0.05 THEN 'up'
+              WHEN round((n * sxy - sx * sy) * 1.0
+                         / (n * sxx - sx * sx), 6) < -0.05 THEN 'down'
+              ELSE 'flat' END END AS trend
+FROM sums
+"""
+
+QUERIES_TAIL["user_activity_trend"] = user_activity_trend
+ORACLES_TAIL["user_activity_trend"] = _TREND_SQL
