@@ -151,3 +151,22 @@ def test_ols_trend_exact_line_and_single_day(spark, tmp_path):
     assert got[1]["intercept"] == 1.0
     assert got[1]["trend"] == "up"
     assert got[2]["slope"] is None and got[2]["trend"] is None
+
+
+def test_transition_matrix_rows_are_distributions(spark):
+    """Each prev-activity row of the Markov matrix must be a proper
+    conditional distribution: probabilities in (0, 1], summing to ~1."""
+    from collections import defaultdict
+
+    from tests.conftest import SF_DIR
+    from threat_detection_nosql_spark.queries.temporal import (
+        activity_transition_matrix)
+
+    rows = activity_transition_matrix(spark, SF_DIR).collect()
+    assert rows
+    by_prev = defaultdict(float)
+    for r in rows:
+        assert 0.0 < r["p"] <= 1.0
+        by_prev[r["prev_activity"]] += r["p"]
+    for prev, total in by_prev.items():
+        assert abs(total - 1.0) < 1e-4, prev

@@ -763,3 +763,56 @@ FROM sums
 
 QUERIES_TAIL["user_activity_trend"] = user_activity_trend
 ORACLES_TAIL["user_activity_trend"] = _TREND_SQL
+
+
+# -- behavioral transition matrix --------------------------------------------
+
+def activity_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of user behavior: for each
+    (previous activity → activity) pair, the global transition count
+    and conditional probability — the sequence-mining view of the log
+    ("what follows a login?") that single-event frequency queries
+    can't see, and the base model for sequence-anomaly scoring.
+
+    One lag window per user (ordered by ts with event_id tie-break —
+    a total order, so both engines pair the same neighbors), one
+    (prev, next) hash agg, one per-prev re-agg for the denominator;
+    probabilities are integer-count ratios rounded at the end, so the
+    only float is the final division. Scales as one shuffle by user
+    plus two map-combinable aggs."""
+    from pyspark.sql.window import Window as W
+    log = activity_log(spark, sf_dir)
+    w = W.partitionBy("user").orderBy("ts", "event_id")
+    pairs = (log.select(F.lag("activity").over(w).alias("prev_activity"),
+                        F.col("activity"))
+             .filter(F.col("prev_activity").isNotNull()))
+    counts = (pairs.groupBy("prev_activity", "activity")
+              .agg(F.count("*").alias("n")))
+    totals = (counts.groupBy("prev_activity")
+              .agg(F.sum("n").alias("n_from")))
+    return (counts.join(totals, "prev_activity")
+            .select("prev_activity", "activity", "n",
+                    F.round(F.col("n") * 1.0 / F.col("n_from"), 6)
+                    .alias("p")))
+
+
+_TRANSITION_SQL = f"""
+{_LOG_CTE},
+pairs AS (
+  SELECT lag(activity) OVER (PARTITION BY user
+                             ORDER BY ts, event_id) AS prev_activity,
+         activity
+  FROM log),
+counts AS (
+  SELECT prev_activity, activity, CAST(count(*) AS BIGINT) AS n
+  FROM pairs WHERE prev_activity IS NOT NULL
+  GROUP BY 1, 2),
+totals AS (SELECT prev_activity, CAST(sum(n) AS BIGINT) AS n_from
+           FROM counts GROUP BY 1)
+SELECT counts.prev_activity, activity, n,
+       round(n * 1.0 / n_from, 6) AS p
+FROM counts JOIN totals USING (prev_activity)
+"""
+
+QUERIES_TAIL["activity_transition_matrix"] = activity_transition_matrix
+ORACLES_TAIL["activity_transition_matrix"] = _TRANSITION_SQL
