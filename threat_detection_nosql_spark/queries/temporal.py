@@ -816,3 +816,66 @@ FROM counts JOIN totals USING (prev_activity)
 
 QUERIES_TAIL["activity_transition_matrix"] = activity_transition_matrix
 ORACLES_TAIL["activity_transition_matrix"] = _TRANSITION_SQL
+
+
+# -- sequence surprise: who behaves improbably? -------------------------------
+
+def sequence_surprise_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 users by behavioral sequence surprise: the mean negative
+    log transition probability of their activity sequence under the
+    GLOBAL first-order Markov model (``activity_transition_matrix``) —
+    users whose action ORDER is improbable even when each individual
+    action is common, the sequence-level anomaly signal.
+
+    The model probabilities are the matrix's ROUNDED p (both engines
+    ln() the identical rounded number — no cross-engine drift enters
+    the logs); the per-user mean is a rounded float agg with ≥ 50
+    transitions required so the score is statistically meaningful; the
+    cut orders by the rounded score. Shape: the matrix build (25-row
+    result — broadcast), the same lag window re-paired per user, one
+    join on the (prev, next) pair, one per-user avg."""
+    from pyspark.sql.window import Window as W
+    log = activity_log(spark, sf_dir)
+    model = (activity_transition_matrix(spark, sf_dir)
+             .select("prev_activity", "activity", "p"))
+    w = W.partitionBy("user").orderBy("ts", "event_id")
+    pairs = (log.select("user",
+                        F.lag("activity").over(w).alias("prev_activity"),
+                        F.col("activity"))
+             .filter(F.col("prev_activity").isNotNull()))
+    scored = pairs.join(F.broadcast(model), ["prev_activity", "activity"])
+    return (scored.groupBy("user")
+            .agg(F.count("*").alias("n_transitions"),
+                 F.round(F.avg(-F.log("p")), 6).alias("surprise"))
+            .filter(F.col("n_transitions") >= 50)
+            .orderBy(F.desc("surprise"), F.asc("user"))
+            .limit(10))
+
+
+_SURPRISE_SQL = f"""
+{_LOG_CTE},
+pairs AS (
+  SELECT user,
+         lag(activity) OVER (PARTITION BY user
+                             ORDER BY ts, event_id) AS prev_activity,
+         activity
+  FROM log),
+np AS (SELECT * FROM pairs WHERE prev_activity IS NOT NULL),
+counts AS (SELECT prev_activity, activity, CAST(count(*) AS BIGINT) AS n
+           FROM np GROUP BY 1, 2),
+totals AS (SELECT prev_activity, CAST(sum(n) AS BIGINT) AS n_from
+           FROM counts GROUP BY 1),
+model AS (SELECT counts.prev_activity, activity,
+                 round(n * 1.0 / n_from, 6) AS p
+          FROM counts JOIN totals USING (prev_activity))
+SELECT "user", CAST(count(*) AS BIGINT) AS n_transitions,
+       round(avg(-ln(p)), 6) AS surprise
+FROM np JOIN model USING (prev_activity, activity)
+GROUP BY "user"
+HAVING count(*) >= 50
+ORDER BY surprise DESC, "user" ASC
+LIMIT 10
+"""
+
+QUERIES_TAIL["sequence_surprise_top10"] = sequence_surprise_top10
+ORACLES_TAIL["sequence_surprise_top10"] = _SURPRISE_SQL
