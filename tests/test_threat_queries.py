@@ -9,7 +9,9 @@ from tests.conftest import compare_query_to_oracle
 from threat_detection_nosql_spark.queries import threat
 
 
-@pytest.mark.parametrize("name", sorted(threat.QUERIES))
+@pytest.mark.parametrize(
+    "name", sorted({**threat.QUERIES, **getattr(threat, "QUERIES_TAIL", {})}))
 def test_threat_query_matches_oracle(spark, ddb, name):
-    compare_query_to_oracle(spark, ddb, threat.QUERIES[name],
-                            threat.ORACLES[name])
+    queries = {**threat.QUERIES, **getattr(threat, "QUERIES_TAIL", {})}
+    oracles = {**threat.ORACLES, **getattr(threat, "ORACLES_TAIL", {})}
+    compare_query_to_oracle(spark, ddb, queries[name], oracles[name])

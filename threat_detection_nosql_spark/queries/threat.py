@@ -457,3 +457,54 @@ WHERE round((epoch_us(horizon) - epoch_us(last_ts)) / (86400 * 1e6), 4)
 
 QUERIES["dormant_users"] = dormant_users
 ORACLES["dormant_users"] = _DORMANT_SQL
+
+
+# -- rarity-weighted resource access ------------------------------------------
+
+def rare_resource_access_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 users by rarity-weighted resource access: each distinct
+    resource a user touches contributes ln(n_users / users_touching_it)
+    — the IDF of the access matrix — so breadth over RARE resources
+    scores high while touching what everyone touches scores ~0. The
+    data-driven upgrade of `unusual_resources_top10`'s raw distinct
+    count (`neo4j_analysis.py:27-39`), same triage question.
+
+    Shape: one distinct (user, resource) projection feeding BOTH the
+    per-resource audience count (map-combinable) and the scoring join
+    (broadcast — |resources| rows); one per-user sum of a log over
+    integer ratios, rounded, cut on the rounded score. n_users rides
+    driver-side as one scalar."""
+    log = activity_log(spark, sf_dir).filter(F.col("resource").isNotNull())
+    ur = log.select("user", "resource").distinct()
+    n_users = float(ur.select("user").distinct().count())
+    audience = ur.groupBy("resource").agg(
+        F.countDistinct("user").alias("n_touching"))
+    idf = F.log(F.lit(n_users) / F.col("n_touching"))
+    return (ur.join(F.broadcast(audience), "resource")
+            .groupBy("user")
+            .agg(F.count("*").alias("n_resources"),
+                 F.round(F.sum(idf), 6).alias("rarity_score"))
+            .orderBy(F.desc("rarity_score"), F.asc("user"))
+            .limit(10))
+
+
+_RARE_ACCESS_SQL = f"""
+{_LOG_CTE},
+ur AS (SELECT DISTINCT user, resource FROM log
+       WHERE resource IS NOT NULL),
+nu AS (SELECT CAST(count(DISTINCT user) AS DOUBLE) AS n_users FROM ur),
+audience AS (SELECT resource,
+                    CAST(count(DISTINCT user) AS BIGINT) AS n_touching
+             FROM ur GROUP BY 1)
+SELECT "user", CAST(count(*) AS BIGINT) AS n_resources,
+       round(sum(ln(n_users / n_touching)), 6) AS rarity_score
+FROM ur JOIN audience USING (resource) CROSS JOIN nu
+GROUP BY "user"
+ORDER BY rarity_score DESC, "user" ASC
+LIMIT 10
+"""
+
+QUERIES_TAIL = {**globals().get("QUERIES_TAIL", {}),
+                "rare_resource_access_top10": rare_resource_access_top10}
+ORACLES_TAIL = {**globals().get("ORACLES_TAIL", {}),
+                "rare_resource_access_top10": _RARE_ACCESS_SQL}
