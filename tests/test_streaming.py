@@ -218,3 +218,37 @@ def test_rate_source_smoke(spark):
         q.stop()
     assert len(rows) >= 1
     assert all(r["value"] >= 0 for r in rows)
+
+
+def test_markov_counter_resequences_out_of_order_batch(spark, tmp_path):
+    """The stateful sequence counter must sort each group chunk by
+    (ts, event_id) BEFORE pairing: an out-of-order source file still
+    yields the event-time transition chain, not the arrival-order one
+    (which would produce read->login garbage)."""
+    import datetime as dt
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from threat_detection_nosql_spark.streaming.stream_queries import (
+        markov_transition_counts)
+
+    t0 = dt.datetime(2024, 1, 1, 9, 0, 0)
+    rows = [  # arrival order deliberately scrambled vs event time
+        (1, t0 + dt.timedelta(minutes=1), 1, "read"),
+        (0, t0, 1, "login"),
+        (2, t0 + dt.timedelta(minutes=2), 1, "write"),
+    ]
+    pq.write_table(pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+        "user_id": pa.array([r[2] for r in rows], pa.int64()),
+        "event_type": pa.array([r[3] for r in rows]),
+        "value": pa.array([1.0] * len(rows), pa.float64()),
+        "props": pa.array(['{"k": 1}'] * len(rows)),
+    }), os.path.join(str(tmp_path), "events.parquet"))
+
+    got = {(r["prev_activity"], r["activity"]): r["n"]
+           for r in markov_transition_counts(spark, str(tmp_path)).collect()}
+    assert got == {("login", "read"): 1, ("read", "write"): 1}

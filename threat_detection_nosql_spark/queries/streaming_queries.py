@@ -421,3 +421,26 @@ LIMIT 20
 
 QUERIES_TAIL["stream_topk_users"] = stream_topk_users
 ORACLES_TAIL["stream_topk_users"] = _TOPK_USERS_SQL
+
+
+def stream_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming sequence counter (streaming.stream_queries.
+    markov_transition_counts); oracle = the batch per-user lag()
+    pairing (single-batch drive makes them equal)."""
+    return S.markov_transition_counts(spark, sf_dir)
+
+
+_MARKOV_STREAM_SQL = """
+WITH pairs AS (
+  SELECT user_id AS "user",
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev_activity,
+         event_type AS activity
+  FROM events)
+SELECT "user", prev_activity, activity, CAST(count(*) AS BIGINT) AS n
+FROM pairs WHERE prev_activity IS NOT NULL
+GROUP BY 1, 2, 3
+"""
+
+QUERIES_TAIL["stream_markov_transitions"] = stream_markov_transitions
+ORACLES_TAIL["stream_markov_transitions"] = _MARKOV_STREAM_SQL

@@ -624,3 +624,68 @@ def topk_active_users(spark: SparkSession, sf_dir: str,
     counts = ev.groupBy("user").agg(F.count("*").alias("n_events"))
     top = counts.orderBy(F.desc("n_events"), F.asc("user")).limit(k)
     return run_stream_to_table(top, mode="complete")
+
+
+_MARKOV_STATE_SCHEMA = "last_activity string"
+_MARKOV_OUT_SCHEMA = ("user long, prev_activity string, activity string, "
+                      "n long")
+
+
+def markov_transition_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful SEQUENCE operator (`applyInPandasWithState`):
+    per-user (prev activity → activity) transition counts where the
+    state carries the user's LAST activity across micro-batches — the
+    continuous form of the batch Markov matrix, and the shape of every
+    CEP-style pattern counter (state = suffix of the sequence seen so
+    far).
+
+    Each batch sorts its group chunk by (ts, event_id) before pairing
+    — within one batch that reproduces the batch lag() exactly, so on
+    a single-batch drive (one source file) the drained counts equal
+    the batch pairs and the oracle replays them value-for-value.
+    Multi-batch caveat, documented not hidden: rows arriving in a
+    later batch pair with the stored last activity, so cross-batch
+    out-of-order events would need event-time timers to resequence —
+    the single-file drive keeps ordering exact. Update-mode emissions
+    re-state a user's full count table per batch; the memory sink
+    APPENDS them, so the materialized table is deduped to the latest
+    emission per (user, pair) — max(n) is monotone in batch order."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    ev = events_stream(spark, sf_dir).select(
+        "user", "ts", "event_id", "activity")
+
+    def update(key, pdfs, state: GroupState):
+        chunk = pd.concat(list(pdfs), ignore_index=True)
+        chunk = chunk.sort_values(["ts", "event_id"], kind="mergesort")
+        last = state.get[0] if state.exists else None
+        counts: dict[tuple[str, str], int] = {}
+        if state.exists and len(state.get) > 1 and state.get[1]:
+            for item in state.get[1].split("|"):
+                p, a, n = item.split(",")
+                counts[(p, a)] = int(n)
+        for act in chunk["activity"]:
+            if last is not None:
+                counts[(last, act)] = counts.get((last, act), 0) + 1
+            last = act
+        packed = "|".join(f"{p},{a},{n}" for (p, a), n in
+                          sorted(counts.items()))
+        state.update((last, packed))
+        yield pd.DataFrame({
+            "user": [key[0]] * len(counts),
+            "prev_activity": [p for p, _ in sorted(counts)],
+            "activity": [a for _, a in sorted(counts)],
+            "n": [counts[k] for k in sorted(counts)],
+        })
+
+    out = ev.groupBy("user").applyInPandasWithState(
+        update,
+        outputStructType=_MARKOV_OUT_SCHEMA,
+        stateStructType="last_activity string, packed string",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout)
+    table = run_stream_to_table(out, mode="update")
+    latest = (table.groupBy("user", "prev_activity", "activity")
+              .agg(F.max("n").alias("n")))
+    return latest
