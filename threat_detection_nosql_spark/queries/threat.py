@@ -508,3 +508,68 @@ QUERIES_TAIL = {**globals().get("QUERIES_TAIL", {}),
                 "rare_resource_access_top10": rare_resource_access_top10}
 ORACLES_TAIL = {**globals().get("ORACLES_TAIL", {}),
                 "rare_resource_access_top10": _RARE_ACCESS_SQL}
+
+
+# -- user-user behavioral similarity ------------------------------------------
+
+def similar_user_pairs_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 most behaviorally similar user pairs: cosine similarity
+    between per-user activity-count vectors — "who acts like whom",
+    the peer-grouping step behind lateral-movement and collusion
+    triage.
+
+    The pairwise similarity is computed WITHOUT a cartesian product:
+    the dot product Σₐ c(u₁,a)·c(u₂,a) decomposes over the shared
+    activity key, so pairs materialize through an equi-join of the
+    (user, activity, count) table with itself ON ACTIVITY (key
+    cardinality = |activity types| — bounded, and each key's join
+    output is |users touching it|², the sparse-dimension bound every
+    item-item similarity engine rides). Norms are per-user aggs joined
+    broadcast; u₁ < u₂ halves the output; the cut orders by the
+    ROUNDED cosine then ids. At 100× users the join still keys on
+    activity and the only growth is the true pair count."""
+    log = activity_log(spark, sf_dir)
+    ua = (log.groupBy("user", "activity")
+          .agg(F.count("*").alias("c")))
+    norms = (ua.groupBy("user")
+             .agg(F.sqrt(F.sum(F.col("c") * F.col("c"))).alias("nrm")))
+    a = ua.select(F.col("user").alias("u1"), "activity",
+                  F.col("c").alias("c1"))
+    b = ua.select(F.col("user").alias("u2"), "activity",
+                  F.col("c").alias("c2"))
+    dots = (a.join(b, "activity")
+            .filter(F.col("u1") < F.col("u2"))
+            .groupBy("u1", "u2")
+            .agg(F.sum(F.col("c1") * F.col("c2")).alias("dot")))
+    cos = (dots
+           .join(F.broadcast(norms.select(F.col("user").alias("u1"),
+                                          F.col("nrm").alias("n1"))), "u1")
+           .join(F.broadcast(norms.select(F.col("user").alias("u2"),
+                                          F.col("nrm").alias("n2"))), "u2")
+           .select("u1", "u2",
+                   F.round(F.col("dot") / (F.col("n1") * F.col("n2")), 6)
+                   .alias("cosine")))
+    return (cos.orderBy(F.desc("cosine"), F.asc("u1"), F.asc("u2"))
+            .limit(10))
+
+
+_SIMILAR_USERS_SQL = f"""
+{_LOG_CTE},
+ua AS (SELECT user, activity, CAST(count(*) AS BIGINT) AS c
+       FROM log GROUP BY 1, 2),
+norms AS (SELECT user, sqrt(sum(c * c)) AS nrm FROM ua GROUP BY 1),
+dots AS (SELECT a."user" AS u1, b."user" AS u2,
+                CAST(sum(a.c * b.c) AS BIGINT) AS dot
+         FROM ua a JOIN ua b ON a.activity = b.activity
+                            AND a."user" < b."user"
+         GROUP BY 1, 2)
+SELECT u1, u2, round(dot / (n1.nrm * n2.nrm), 6) AS cosine
+FROM dots
+JOIN norms n1 ON n1."user" = u1
+JOIN norms n2 ON n2."user" = u2
+ORDER BY cosine DESC, u1 ASC, u2 ASC
+LIMIT 10
+"""
+
+QUERIES_TAIL["similar_user_pairs_top10"] = similar_user_pairs_top10
+ORACLES_TAIL["similar_user_pairs_top10"] = _SIMILAR_USERS_SQL
