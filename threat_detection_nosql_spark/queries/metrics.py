@@ -874,3 +874,64 @@ LIMIT 20
 
 QUERIES_TAIL["user_js_divergence"] = user_js_divergence
 ORACLES_TAIL["user_js_divergence"] = _JSD_SQL
+
+
+# -- per-activity box-plot statistics -----------------------------------------
+
+def activity_value_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-activity-type box-plot statistics over ``value``: discrete
+    quartiles (percentile_disc — always an OBSERVED value, so both
+    engines return the identical element rather than interpolating),
+    the IQR, and the Tukey-fence outlier count (outside q1/q3 ∓
+    1.5·IQR). The distribution-shape summary behind every per-segment
+    monitoring dashboard, and the robust complement to
+    ``value_robust_stats``.
+
+    Two scans by construction: one 5-row quartile aggregate
+    (WITHIN GROUP sorts per activity partition), then the fence count
+    joins that tiny frame back broadcast. Because the quartiles are
+    data elements, the fence arithmetic starts from bit-identical
+    inputs in both engines."""
+    log = activity_log(spark, sf_dir)
+    qs = (log.groupBy("activity")
+          .agg(F.expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY value)")
+               .alias("q1"),
+               F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY value)")
+               .alias("median"),
+               F.expr("percentile_disc(0.75) WITHIN GROUP (ORDER BY value)")
+               .alias("q3"),
+               F.count("*").alias("n")))
+    qs = qs.withColumn("iqr", F.col("q3") - F.col("q1"))
+    fenced = (log.join(F.broadcast(qs), "activity")
+              .withColumn("is_outlier",
+                          ((F.col("value") < F.col("q1") - 1.5 * F.col("iqr"))
+                           | (F.col("value") > F.col("q3")
+                              + 1.5 * F.col("iqr"))).cast("int"))
+              .groupBy("activity")
+              .agg(F.sum("is_outlier").alias("n_outliers")))
+    return (qs.join(fenced, "activity")
+            .select("activity", "n", "q1", "median", "q3",
+                    F.round("iqr", 6).alias("iqr"), "n_outliers"))
+
+
+_QUARTILES_SQL = f"""
+WITH log AS ({ACTIVITY_LOG_ORACLE_SQL}),
+qs AS (SELECT activity,
+              quantile_disc(value, 0.25) AS q1,
+              quantile_disc(value, 0.5) AS median,
+              quantile_disc(value, 0.75) AS q3,
+              CAST(count(*) AS BIGINT) AS n
+       FROM log GROUP BY 1),
+fenced AS (SELECT log.activity,
+                  CAST(sum(CASE WHEN value < q1 - 1.5 * (q3 - q1)
+                                  OR value > q3 + 1.5 * (q3 - q1)
+                                THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+           FROM log JOIN qs ON qs.activity = log.activity
+           GROUP BY 1)
+SELECT activity, n, q1, median, q3,
+       round(q3 - q1, 6) AS iqr, n_outliers
+FROM qs JOIN fenced USING (activity)
+"""
+
+QUERIES_TAIL["activity_value_quartiles"] = activity_value_quartiles
+ORACLES_TAIL["activity_value_quartiles"] = _QUARTILES_SQL
