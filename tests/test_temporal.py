@@ -170,3 +170,35 @@ def test_transition_matrix_rows_are_distributions(spark):
         by_prev[r["prev_activity"]] += r["p"]
     for prev, total in by_prev.items():
         assert abs(total - 1.0) < 1e-4, prev
+
+
+def test_streak_islands_split_on_gap(spark, tmp_path):
+    """After-hours days 1,2,3 then 5,6 (gap at 4): longest streak is 3
+    starting day 1; an in-hours event on day 4 must NOT bridge the
+    islands."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from threat_detection_nosql_spark.queries.temporal import (
+        longest_after_hours_streak)
+
+    rows = []
+    eid = 0
+    for d in (1, 2, 3, 5, 6):     # after-hours (23h)
+        rows.append((eid, dt.datetime(2024, 1, d, 23), 1, "click")); eid += 1
+    rows.append((eid, dt.datetime(2024, 1, 4, 12), 1, "click"))  # in-hours
+    pq.write_table(pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+        "user_id": pa.array([r[2] for r in rows], pa.int64()),
+        "event_type": pa.array([r[3] for r in rows]),
+        "value": pa.array([1.0] * len(rows), pa.float64()),
+        "props": pa.array(['{"k": 1}'] * len(rows)),
+    }), str(tmp_path / "events.parquet"))
+
+    got = longest_after_hours_streak(spark, str(tmp_path)).collect()
+    assert len(got) == 1
+    assert got[0]["longest_streak"] == 3
+    assert got[0]["streak_start"].day == 1

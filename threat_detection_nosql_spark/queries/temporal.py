@@ -879,3 +879,64 @@ LIMIT 10
 
 QUERIES_TAIL["sequence_surprise_top10"] = sequence_surprise_top10
 ORACLES_TAIL["sequence_surprise_top10"] = _SURPRISE_SQL
+
+
+# -- streak detection (gaps-and-islands on the calendar) ----------------------
+
+def longest_after_hours_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user LONGEST run of consecutive calendar days with at least
+    one after-hours event — persistence is what separates a habit from
+    an incident, and streak length is the classic sustained-behavior
+    feature (the gaps-and-islands pattern applied to the calendar
+    instead of the row sequence).
+
+    Island id = day − row_number-th day: consecutive days share the
+    (day MINUS dense index) anchor, an all-INTEGER construction both
+    engines compute identically. One distinct (user, active day)
+    projection, one row_number window, two map-combinable aggs. Users
+    with after-hours activity on isolated days only get streak 1 —
+    present, not dropped."""
+    from pyspark.sql.window import Window as W
+    log = activity_log(spark, sf_dir)
+    days = (log.filter(F.col("is_after_hours") == 1)
+            .select("user", F.to_date("ts").alias("day"))
+            .distinct())
+    w = W.partitionBy("user").orderBy("day")
+    anchored = days.select(
+        "user", "day",
+        F.date_sub("day", F.row_number().over(w)).alias("island"))
+    runs = (anchored.groupBy("user", "island")
+            .agg(F.count("*").alias("run_len"),
+                 F.min("day").alias("run_start")))
+    best = (runs.groupBy("user")
+            .agg(F.max("run_len").alias("longest_streak")))
+    first_best = (runs.join(best, "user")
+                  .filter(F.col("run_len") == F.col("longest_streak"))
+                  .groupBy("user", "longest_streak")
+                  .agg(F.min("run_start").alias("streak_start")))
+    return first_best.orderBy(F.desc("longest_streak"), F.asc("user"))
+
+
+_STREAK_SQL = f"""
+{_LOG_CTE},
+days AS (SELECT DISTINCT user, CAST(ts AS DATE) AS day
+         FROM log WHERE is_after_hours = 1),
+anchored AS (
+  SELECT user, day,
+         day - CAST(row_number() OVER (PARTITION BY user ORDER BY day)
+                    AS INT) AS island
+  FROM days),
+runs AS (SELECT user, island, CAST(count(*) AS BIGINT) AS run_len,
+                min(day) AS run_start
+         FROM anchored GROUP BY 1, 2),
+best AS (SELECT user, max(run_len) AS longest_streak
+         FROM runs GROUP BY 1)
+SELECT runs.user, longest_streak, min(run_start) AS streak_start
+FROM runs JOIN best ON best.user = runs.user
+                   AND runs.run_len = best.longest_streak
+GROUP BY 1, 2
+ORDER BY longest_streak DESC, runs.user ASC
+"""
+
+QUERIES_TAIL["longest_after_hours_streak"] = longest_after_hours_streak
+ORACLES_TAIL["longest_after_hours_streak"] = _STREAK_SQL
