@@ -443,3 +443,51 @@ FROM reach GROUP BY node
 
 QUERIES_TAIL = {"near_dup_groups": near_dup_groups}
 ORACLES_TAIL = {"near_dup_groups": _NEAR_DUP_GROUPS_SQL}
+
+
+def near_dup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware dedup survivor selection: one row per near-dup
+    component with the member KEPT by the policy every production
+    dedup actually ships — the highest-quality doc (longest n_chars,
+    ties to the smallest doc_id), not merely the smallest id. The
+    min-id canonical of ``near_dup_groups`` answers "which cluster";
+    this answers "which copy survives into the training set".
+
+    Shape: the component labels (shared connected-components over the
+    banded MinHash pair graph), one join to the doc metadata, one
+    per-component argmax window, one size roll-up of the SAME join —
+    all keyed on component after the closure, so one extra shuffle
+    total over the group query."""
+    from pyspark.sql.window import Window as W
+    comp = near_dup_groups(spark, sf_dir).select("doc_id", "component")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    j = comp.join(docs, "doc_id")
+    w = W.partitionBy("component").orderBy(F.desc("n_chars"),
+                                           F.asc("doc_id"))
+    best = (j.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1))
+    sizes = comp.groupBy("component").agg(F.count("*").alias("n_members"))
+    return (best.join(sizes, "component")
+            .select("component", "n_members",
+                    F.col("doc_id").alias("keep_doc_id"),
+                    F.col("n_chars").alias("keep_n_chars")))
+
+
+_KEEP_BEST_SQL = (
+    _NEAR_DUP_GROUPS_SQL.rsplit("SELECT node AS doc_id", 1)[0]
+    + """, comp AS (SELECT node AS doc_id, min(r) AS component
+           FROM reach GROUP BY node),
+sized AS (SELECT component, CAST(count(*) AS BIGINT) AS n_members
+          FROM comp GROUP BY 1),
+ranked AS (SELECT c.component, d.doc_id, d.n_chars,
+                  row_number() OVER (PARTITION BY c.component
+                       ORDER BY d.n_chars DESC, d.doc_id ASC) AS rn
+           FROM comp c JOIN documents d ON d.doc_id = c.doc_id)
+SELECT component, n_members, doc_id AS keep_doc_id,
+       n_chars AS keep_n_chars
+FROM ranked JOIN sized USING (component)
+WHERE rn = 1
+""")
+
+QUERIES_TAIL["near_dup_keep_best"] = near_dup_keep_best
+ORACLES_TAIL["near_dup_keep_best"] = _KEEP_BEST_SQL
