@@ -53,3 +53,16 @@ def test_js_divergence_bounds_and_ranking(spark):
         assert 0.0 <= r["jsd"] <= math.log(2.0) + 1e-9
     vals = [r["jsd"] for r in rows]
     assert vals == sorted(vals, reverse=True)
+
+
+def test_mutual_info_identity_and_bounds(spark):
+    """I(A;H) = H(A) + H(H) − H(A,H) must hold to rounding, and MI is
+    bounded by the smaller marginal entropy."""
+    from threat_detection_nosql_spark.queries.metrics import (
+        activity_hour_mutual_info)
+
+    r = activity_hour_mutual_info(spark, SF_DIR).collect()[0]
+    ident = r["activity_entropy"] + r["hour_entropy"] - r["joint_entropy"]
+    assert abs(r["mi_nats"] - ident) < 1e-5
+    assert 0.0 <= r["mi_nats"] <= min(r["activity_entropy"],
+                                      r["hour_entropy"]) + 1e-9

@@ -935,3 +935,69 @@ FROM qs JOIN fenced USING (activity)
 
 QUERIES_TAIL["activity_value_quartiles"] = activity_value_quartiles
 ORACLES_TAIL["activity_value_quartiles"] = _QUARTILES_SQL
+
+
+# -- mutual information: how much does the clock explain behavior? -----------
+
+def activity_hour_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information (nats) between activity type and hour of day
+    — "how much does the clock explain what users do", the dependency
+    summary that completes the entropy family (A11 measures each
+    margin; MI measures their coupling). I = Σ p(a,h)·ln(p(a,h) /
+    (p(a)·p(h))) over the observed joint cells.
+
+    One (activity, hour) hash agg; marginals are two roll-ups of that
+    aggregate joined back broadcast (≤ |activities|·24 cells total);
+    probabilities are integer-count ratios and the single rounded
+    number is the final sum. Alongside: the joint entropy and both
+    marginal entropies, so H(A) + H(H) − H(A,H) = I is checkable by
+    the reader."""
+    log = activity_log(spark, sf_dir)
+    joint = (log.groupBy("activity", "hour_of_day")
+             .agg(F.count("*").alias("c")))
+    n_total = float(log.count())
+    pa = joint.groupBy("activity").agg(F.sum("c").alias("ca"))
+    ph = joint.groupBy("hour_of_day").agg(F.sum("c").alias("ch"))
+    j = (joint.join(F.broadcast(pa), "activity")
+         .join(F.broadcast(ph), "hour_of_day"))
+    p = F.col("c") / F.lit(n_total)
+    mi_term = p * F.log(p / ((F.col("ca") / F.lit(n_total))
+                             * (F.col("ch") / F.lit(n_total))))
+    hj_term = -p * F.log(p)
+    agg = j.agg(F.round(F.sum(mi_term), 6).alias("mi_nats"),
+                F.round(F.sum(hj_term), 6).alias("joint_entropy"))
+    ha = pa.agg(F.round(F.sum(-(F.col("ca") / F.lit(n_total))
+                              * F.log(F.col("ca") / F.lit(n_total))), 6)
+                .alias("activity_entropy"))
+    hh = ph.agg(F.round(F.sum(-(F.col("ch") / F.lit(n_total))
+                              * F.log(F.col("ch") / F.lit(n_total))), 6)
+                .alias("hour_entropy"))
+    return agg.crossJoin(ha).crossJoin(hh)
+
+
+_MI_SQL = f"""
+WITH log AS ({ACTIVITY_LOG_ORACLE_SQL}),
+joint AS (SELECT activity, hour_of_day, CAST(count(*) AS BIGINT) AS c
+          FROM log GROUP BY 1, 2),
+tot AS (SELECT CAST(sum(c) AS DOUBLE) AS n FROM joint),
+pa AS (SELECT activity, CAST(sum(c) AS BIGINT) AS ca
+       FROM joint GROUP BY 1),
+ph AS (SELECT hour_of_day, CAST(sum(c) AS BIGINT) AS ch
+       FROM joint GROUP BY 1),
+mi AS (SELECT round(sum((c / n) * ln((c / n)
+                     / ((ca / n) * (ch / n)))), 6) AS mi_nats,
+              round(sum(-(c / n) * ln(c / n)), 6) AS joint_entropy
+       FROM joint
+       JOIN pa USING (activity)
+       JOIN ph USING (hour_of_day)
+       CROSS JOIN tot),
+ha AS (SELECT round(sum(-(ca / n) * ln(ca / n)), 6) AS activity_entropy
+       FROM pa CROSS JOIN tot),
+hh AS (SELECT round(sum(-(ch / n) * ln(ch / n)), 6) AS hour_entropy
+       FROM ph CROSS JOIN tot)
+SELECT mi_nats, joint_entropy, activity_entropy, hour_entropy
+FROM mi CROSS JOIN ha CROSS JOIN hh
+"""
+
+QUERIES_TAIL["activity_hour_mutual_info"] = activity_hour_mutual_info
+ORACLES_TAIL["activity_hour_mutual_info"] = _MI_SQL
