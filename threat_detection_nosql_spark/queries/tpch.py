@@ -1033,3 +1033,56 @@ ORACLES_TAIL.update({
     "supplier_count_by_part_attrs": _Q16_SQL,
     "excess_stock_suppliers": _Q20_SQL,
 })
+
+
+def product_type_profit_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q9 in its FULL form, unlocked by the round-5 derived partsupp:
+    profit = Σ(l_extendedprice·(1−l_discount) − ps_supplycost·l_qty)
+    by supplier nation and order year over a part-name subset — the
+    cost term ``product_type_profit`` had to omit when the testdata
+    carried no supply relation. Supply cost converts from the exact
+    integer cents (ps_cost_cents/100.0 — the same double in both
+    engines); the partsupp join keys on the composite (partkey,
+    suppkey) the lineitem row already carries, so it adds no new
+    shuffle dimension. Dims broadcast as in the adapted variant."""
+    part = (load_table(spark, sf_dir, "part")
+            .filter(F.col("p_name").contains("red"))
+            .select("p_partkey"))
+    sup = (load_table(spark, sf_dir, "supplier")
+           .join(F.broadcast(load_table(spark, sf_dir, "nation")),
+                 F.col("s_nationkey") == F.col("n_nationkey"))
+           .select("s_suppkey", F.col("n_name").alias("nation")))
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate")
+    ps = _partsupp(spark, sf_dir)
+    li = load_table(spark, sf_dir, "lineitem")
+    amount = (F.col("l_extendedprice") * (1 - F.col("l_discount"))
+              - (F.col("ps_cost_cents") / 100.0) * F.col("l_quantity"))
+    return (li.join(F.broadcast(part),
+                    F.col("l_partkey") == F.col("p_partkey"))
+            .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+            .join(ps, (F.col("l_partkey") == F.col("ps_partkey"))
+                  & (F.col("l_suppkey") == F.col("ps_suppkey")))
+            .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+            .groupBy("nation",
+                     F.year("o_orderdate").cast("long").alias("o_year"))
+            .agg(F.round(F.sum(amount), 4).alias("profit")))
+
+
+_Q9_FULL_SQL = f"""
+WITH {_PARTSUPP_SQL.strip()}
+SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       round(sum(l_extendedprice * (1 - l_discount)
+                 - (ps_cost_cents / 100.0) * l_quantity), 4) AS profit
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN partsupp ON l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN orders ON l_orderkey = o_orderkey
+WHERE p_name LIKE '%red%'
+GROUP BY n_name, year(o_orderdate)
+"""
+
+QUERIES_TAIL["product_type_profit_full"] = product_type_profit_full
+ORACLES_TAIL["product_type_profit_full"] = _Q9_FULL_SQL
