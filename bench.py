@@ -117,6 +117,34 @@ ROUND5_COLLECT += [
 ]
 
 
+# Second/third late-round-5 wave ("round5b_total"): the sequence/
+# calibration/training additions. Own group so round5_total stays
+# comparable within the round.
+ROUND5B_COLLECT = [
+    "user_daily_gap_filled",
+    "user_daily_ewma",
+    "activity_transition_matrix",
+    "sequence_surprise_top10",
+    "similar_user_pairs_top10",
+    "rare_resource_access_top10",
+    "seasonal_zscore_anomalies",
+    "source_quantile_normalized",
+    "nb_lang_predictions",
+    "logreg_gd_report",
+    "product_type_profit_full",
+    "hashed_feature_counts",
+    "activity_value_quartiles",
+    "longest_after_hours_streak",
+    "activity_hour_mutual_info",
+    "user_activity_trend",
+    "risk_propagation_top20",
+    "near_dup_keep_best",
+    "stream_topk_users",
+    "stream_markov_transitions",
+]
+ROUND5B_COUNT: list = []
+
+
 def main() -> None:
     spark = get_spark("bench")
     queries = all_queries()
@@ -156,6 +184,10 @@ def main() -> None:
         timings[name] = median_time(name, name in ROUND5_COUNT)
     round5_total = round(sum(timings[n] for n in
                              ROUND5_COLLECT + ROUND5_COUNT), 3)
+    for name in ROUND5B_COLLECT + ROUND5B_COUNT:
+        timings[name] = median_time(name, name in ROUND5B_COUNT)
+    round5b_total = round(sum(timings[n] for n in
+                              ROUND5B_COLLECT + ROUND5B_COUNT), 3)
     # Isolated re-measure of the 5 slowest queries: a fresh
     # spark.newSession() per query, after every other group finished.
     # In-run medians on a shared box have twice produced phantom
@@ -164,7 +196,7 @@ def main() -> None:
     # second, quieter sample alongside lets a reviewer adjudicate noise
     # vs real regression without re-running the bench.
     count_set = set(HEADLINE_COUNT + PIPELINE_COUNT + EXTENDED_COUNT
-                    + ROUND4_COUNT + ROUND5_COUNT)
+                    + ROUND4_COUNT + ROUND5_COUNT + ROUND5B_COUNT)
     slowest = sorted(timings, key=timings.get, reverse=True)[:5]
     isolated: dict[str, float] = {}
     for name in slowest:
@@ -188,6 +220,7 @@ def main() -> None:
         "extended_total": extended_total,
         "round4_total": round4_total,
         "round5_total": round5_total,
+        "round5b_total": round5b_total,
         "isolated": isolated,
         "sf": float(sf),
     }))
