@@ -251,3 +251,50 @@ def test_compaction_clears_stale_backup_from_completed_swap(spark,
     assert n == 1
     assert not os.path.exists(f"{path}__backup")
     assert {r["id"] for r in spark.read.parquet(path).collect()} == before
+
+
+def test_publish_gated_rejects_and_preserves_live(spark, tmp_path):
+    """A failing audit must leave the live dataset untouched and the
+    staging directory cleaned; a passing audit swaps atomically."""
+    import os
+
+    import pytest as _pytest
+
+    from threat_detection_nosql_spark.sources.writers import (
+        PublishRejected, publish_gated)
+
+    path = str(tmp_path / "table")
+    v1 = spark.range(10).withColumnRenamed("id", "k")
+    assert publish_gated(v1, path, [("nonempty",
+                                     lambda d: d.count() > 0)])["published"]
+    assert spark.read.parquet(path).count() == 10
+
+    bad = spark.range(0).withColumnRenamed("id", "k")  # empty batch
+    with _pytest.raises(PublishRejected, match="nonempty"):
+        publish_gated(bad, path, [("nonempty", lambda d: d.count() > 0)])
+    # live version still v1, no staging junk left behind
+    assert spark.read.parquet(path).count() == 10
+    assert not os.path.exists(path + "__staged")
+
+    v2 = spark.range(25).withColumnRenamed("id", "k")
+    out = publish_gated(v2, path, [("nonempty", lambda d: d.count() > 0),
+                                   ("cap", lambda d: d.count() < 100)])
+    assert out["audits"] == {"nonempty": True, "cap": True}
+    assert spark.read.parquet(path).count() == 25
+
+
+def test_schema_drift_detects_all_three_changes(spark, tmp_path):
+    from threat_detection_nosql_spark.sources.writers import schema_drift
+
+    old_p, new_p = str(tmp_path / "old"), str(tmp_path / "new")
+    spark.sql("SELECT 1 AS a, CAST(2 AS INT) AS b, 'x' AS c") \
+        .write.parquet(old_p)
+    spark.sql("SELECT 1 AS a, CAST(2 AS BIGINT) AS b, 1.5 AS d") \
+        .write.parquet(new_p)
+    drift = {d["column"]: d for d in schema_drift(spark, old_p, new_p)}
+    assert drift["c"]["change"] == "removed"
+    assert drift["d"]["change"] == "added"
+    assert drift["b"]["change"] == "type_changed"
+    assert drift["b"]["old_type"] == "int"
+    assert drift["b"]["new_type"] == "bigint"
+    assert "a" not in drift

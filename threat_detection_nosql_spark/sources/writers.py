@@ -87,3 +87,71 @@ def compact_dataset(spark, path: str,
     os.rename(staged, path)
     shutil.rmtree(backup)
     return n_files
+
+
+class PublishRejected(RuntimeError):
+    """Raised when a write-audit-publish gate fails its audit."""
+
+
+def publish_gated(df: DataFrame, path: str, audits) -> dict:
+    """Write-audit-publish: stage the dataset, run every audit against
+    the STAGED files (not the in-memory frame — what you audit must be
+    what readers will scan), and atomically swap it live only if all
+    audits pass. The pattern every production table promotion uses —
+    a bad batch never becomes visible, and the previous version stays
+    live untouched on rejection.
+
+    ``audits`` is a list of (name, fn) where fn(staged_df) -> bool
+    (True = pass). On failure the staged directory is removed,
+    :class:`PublishRejected` lists the failing audits, and ``path`` is
+    untouched. On success the swap is the same staged → backup-rename
+    commit as :func:`compact_dataset` (crash-recoverable). Returns
+    {"published": True, "audits": {name: True, ...}} for monitoring."""
+    import os
+    import shutil
+
+    spark = df.sparkSession
+    staged = f"{path}__staged"
+    backup = f"{path}__backup"
+    if os.path.exists(path) and os.path.exists(backup):
+        shutil.rmtree(backup)  # stale prior-swap leftover
+    df.write.mode("overwrite").parquet(staged)
+    staged_df = spark.read.parquet(staged)
+    results = {name: bool(fn(staged_df)) for name, fn in audits}
+    if not all(results.values()):
+        shutil.rmtree(staged)
+        failed = sorted(n for n, ok in results.items() if not ok)
+        raise PublishRejected(f"audit(s) failed: {failed}")
+    if os.path.exists(path):
+        os.rename(path, backup)
+        os.rename(staged, path)
+        shutil.rmtree(backup)
+    else:
+        os.rename(staged, path)
+    return {"published": True, "audits": results}
+
+
+def schema_drift(spark, old_path: str, new_path: str) -> list[dict]:
+    """Schema drift between two parquet datasets: added, removed, and
+    type-changed columns — the pre-ingest check that catches an
+    upstream producer silently widening an int or dropping a field
+    before a 100 TB backfill bakes the damage in. Metadata-only (two
+    footer reads, no data scan). Returns a list of
+    {"column", "change", "old_type", "new_type"} dicts, empty when the
+    schemas agree."""
+    old = {f.name: f.dataType.simpleString()
+           for f in spark.read.parquet(old_path).schema.fields}
+    new = {f.name: f.dataType.simpleString()
+           for f in spark.read.parquet(new_path).schema.fields}
+    drift: list[dict] = []
+    for c in sorted(set(old) - set(new)):
+        drift.append({"column": c, "change": "removed",
+                      "old_type": old[c], "new_type": None})
+    for c in sorted(set(new) - set(old)):
+        drift.append({"column": c, "change": "added",
+                      "old_type": None, "new_type": new[c]})
+    for c in sorted(set(old) & set(new)):
+        if old[c] != new[c]:
+            drift.append({"column": c, "change": "type_changed",
+                          "old_type": old[c], "new_type": new[c]})
+    return drift
