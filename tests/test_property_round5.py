@@ -91,3 +91,38 @@ def test_ewma_closed_form_equals_recursion(spark, xs):
             want.append(s)
         for g, w in zip(got, want):
             assert abs(g - w) < 1e-4, (got, want)
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(edges=st.lists(_edge, min_size=1, max_size=30))
+def test_lpa_matches_simulated_sync_rounds(spark, edges):
+    """label_propagation_fixed must equal a pure-python simulation of
+    the same synchronous rounds (modal neighbor label, min tie-break)
+    on arbitrary graphs."""
+    from collections import Counter
+
+    from threat_detection_nosql_spark.operators.graph import (
+        label_propagation_fixed)
+
+    edges = [e for e in edges if e[0] != e[1]]
+    uniq = sorted({(min(e), max(e)) for e in edges})
+    if not uniq:
+        return
+    nbrs: dict[int, list[int]] = {}
+    for u, v in uniq:
+        nbrs.setdefault(u, []).append(v)
+        nbrs.setdefault(v, []).append(u)
+    labels = {n: n for n in nbrs}
+    for _ in range(3):
+        nxt = {}
+        for n in nbrs:
+            counts = Counter(labels[m] for m in nbrs[n])
+            top = max(counts.values())
+            nxt[n] = min(l for l, c in counts.items() if c == top)
+        labels = nxt
+
+    df = spark.createDataFrame(uniq, "src long, dst long")
+    got = {r.node: r.community
+           for r in label_propagation_fixed(df, n_iters=3).collect()}
+    assert got == labels
