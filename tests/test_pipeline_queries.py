@@ -93,3 +93,35 @@ def test_hashed_features_fixed_width_and_determinism(spark):
     assert all(0 <= r["bucket"] < _FH_BUCKETS for r in rows)
     again = hashed_feature_counts(spark, SF_DIR).collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_novelty_unique_vs_shared_and_short_docs(spark, tmp_path):
+    """A doc made of corpus-unique shingles scores 1.0, an exact clone
+    pair scores 0.0 (every shingle shared), and a 2-word doc reports
+    NULL novelty with zero shingles instead of crashing on the
+    descending-sequence trap."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from threat_detection_nosql_spark.queries.pipeline import (
+        doc_novelty_scores)
+
+    docs = [
+        (0, "alpha beta gamma delta"),     # unique shingles -> 1.0
+        (1, "one two three four five"),    # clone of 2 -> 0.0
+        (2, "one two three four five"),
+        (3, "too short"),                  # < 3 words -> NULL
+    ]
+    pq.write_table(pa.table({
+        "doc_id": pa.array([d[0] for d in docs], pa.int64()),
+        "text": pa.array([d[1] for d in docs]),
+        "lang": pa.array(["en"] * len(docs)),
+        "source": pa.array(["t"] * len(docs)),
+        "n_chars": pa.array([len(d[1]) for d in docs], pa.int64()),
+    }), str(tmp_path / "documents.parquet"))
+
+    got = {r["doc_id"]: r
+           for r in doc_novelty_scores(spark, str(tmp_path)).collect()}
+    assert got[0]["novelty"] == 1.0
+    assert got[1]["novelty"] == 0.0 and got[2]["novelty"] == 0.0
+    assert got[3]["n_shingles"] == 0 and got[3]["novelty"] is None

@@ -1213,3 +1213,79 @@ GROUP BY 1, 2
 
 QUERIES_TAIL["hashed_feature_counts"] = hashed_feature_counts
 ORACLES_TAIL["hashed_feature_counts"] = _FEATURE_HASH_SQL
+
+
+# -- D5m: document novelty ----------------------------------------------------
+
+def doc_novelty_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc novelty: the share of its DISTINCT word 3-shingles that
+    appear nowhere else in the corpus (document frequency 1) — high
+    novelty marks original text worth keeping, low novelty marks
+    boilerplate assembled from common fragments; the complement of the
+    duplicated-span gate (``dup_span_stats`` asks "how much of this doc
+    repeats", novelty asks "how much exists only here").
+
+    Shape: one explode → DISTINCT (doc, shingle) projection feeding
+    BOTH the shingle-df aggregate and the scoring join (both
+    map-combinable / shuffle on the shingle key); the novelty ratio is
+    integer counts divided once and rounded. Docs shorter than one
+    shingle emit 0 shingles and are reported with NULL novelty rather
+    than dropped."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = F.split(F.col("text"), r"\s+")
+    # guard: Spark sequence(1, 0) generates DESCENDING [1, 0] — a
+    # sub-3-word doc must yield an empty array, not bogus indices
+    shingles = F.when(
+        F.size(w) >= 3,
+        F.transform(
+            F.sequence(F.lit(1), F.size(w) - 2),
+            lambda i: F.concat_ws(" ", F.element_at(w, i),
+                                  F.element_at(w, i + 1),
+                                  F.element_at(w, i + 2)))
+    ).otherwise(F.array().cast("array<string>"))
+    sh = (docs.select("doc_id", F.explode(shingles).alias("shingle"))
+          .filter(F.col("shingle") != "")
+          .distinct())
+    dfreq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+    per_doc = (sh.join(dfreq, "shingle")
+               .groupBy("doc_id")
+               .agg(F.count("*").alias("n_shingles"),
+                    F.sum((F.col("df") == 1).cast("long"))
+                    .alias("n_unique")))
+    return (docs.select("doc_id")
+            .join(per_doc, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("n_shingles", F.lit(0)).alias("n_shingles"),
+                    F.coalesce("n_unique", F.lit(0)).alias("n_unique"),
+                    F.when(F.col("n_shingles") > 0,
+                           F.round(F.col("n_unique") * 1.0
+                                   / F.col("n_shingles"), 6))
+                    .alias("novelty")))
+
+
+_NOVELTY_SQL = r"""
+WITH w AS (SELECT doc_id, string_split_regex(text, '\s+') AS wds
+           FROM documents),
+sh AS (SELECT DISTINCT doc_id,
+              wds[i] || ' ' || wds[i+1] || ' ' || wds[i+2] AS shingle
+       FROM w, LATERAL (SELECT unnest(range(1, greatest(len(wds) - 1, 1)))
+                        AS i) ix
+       WHERE wds[i] || ' ' || wds[i+1] || ' ' || wds[i+2] <> ''),
+dfreq AS (SELECT shingle, CAST(count(*) AS BIGINT) AS df
+          FROM sh GROUP BY 1),
+per_doc AS (SELECT doc_id,
+                   CAST(count(*) AS BIGINT) AS n_shingles,
+                   CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_unique
+            FROM sh JOIN dfreq USING (shingle)
+            GROUP BY doc_id)
+SELECT d.doc_id,
+       COALESCE(n_shingles, 0) AS n_shingles,
+       COALESCE(n_unique, 0) AS n_unique,
+       CASE WHEN COALESCE(n_shingles, 0) > 0
+            THEN round(n_unique * 1.0 / n_shingles, 6) END AS novelty
+FROM documents d LEFT JOIN per_doc ON per_doc.doc_id = d.doc_id
+"""
+
+QUERIES_TAIL["doc_novelty_scores"] = doc_novelty_scores
+ORACLES_TAIL["doc_novelty_scores"] = _NOVELTY_SQL
