@@ -940,3 +940,63 @@ ORDER BY longest_streak DESC, runs.user ASC
 
 QUERIES_TAIL["longest_after_hours_streak"] = longest_after_hours_streak
 ORACLES_TAIL["longest_after_hours_streak"] = _STREAK_SQL
+
+
+# -- burstiness as a number: index of dispersion ------------------------------
+
+def arrival_burstiness_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 users by arrival burstiness: the index of dispersion
+    (variance/mean) of their inter-event gaps in whole seconds — ≈1
+    for Poisson-like arrivals, ≫1 for burst-idle-burst behavior (the
+    scripted-job / exfiltration-burst signature that rate averages
+    hide; the distributional complement of ``burst_pair_counts``).
+
+    Gaps are floor-divided to whole seconds so every moment is EXACT
+    BIGINT: dispersion = (n·Σg² − (Σg)²) / (n·Σg) keeps all arithmetic
+    integer until the single final division — bit-identical across
+    engines up to that point. One lag window over the (ts, event_id)
+    total order, one per-user agg; ≥ 50 gaps required so the statistic
+    is meaningful; cut on the rounded value."""
+    from pyspark.sql.window import Window as W
+    log = activity_log(spark, sf_dir)
+    w = W.partitionBy("user").orderBy("ts", "event_id")
+    gaps = (log.select(
+                "user",
+                ((F.unix_micros("ts")
+                  - F.unix_micros(F.lag("ts").over(w)))
+                 / F.lit(1_000_000)).cast("long").alias("g"))
+            .filter(F.col("g").isNotNull()))
+    sums = (gaps.groupBy("user")
+            .agg(F.count("*").alias("n"),
+                 F.sum("g").alias("sg"),
+                 F.sum(F.col("g") * F.col("g")).alias("sg2")))
+    disp = ((F.col("n") * F.col("sg2") - F.col("sg") * F.col("sg"))
+            * 1.0 / (F.col("n") * F.col("sg")))
+    return (sums.filter((F.col("n") >= 50) & (F.col("sg") > 0))
+            .select("user", "n", F.round(disp, 6).alias("dispersion"))
+            .orderBy(F.desc("dispersion"), F.asc("user"))
+            .limit(10))
+
+
+_BURSTINESS_SQL = f"""
+{_LOG_CTE},
+gaps AS (
+  SELECT user,
+         CAST((epoch_us(ts) - epoch_us(lag(ts) OVER (
+              PARTITION BY user ORDER BY ts, event_id))) // 1000000
+           AS BIGINT) AS g
+  FROM log),
+sums AS (SELECT user, CAST(count(*) AS BIGINT) AS n,
+                CAST(sum(g) AS BIGINT) AS sg,
+                CAST(sum(g * g) AS BIGINT) AS sg2
+         FROM gaps WHERE g IS NOT NULL GROUP BY 1)
+SELECT "user", n,
+       round((n * sg2 - sg * sg) * 1.0 / (n * sg), 6) AS dispersion
+FROM sums
+WHERE n >= 50 AND sg > 0
+ORDER BY dispersion DESC, "user" ASC
+LIMIT 10
+"""
+
+QUERIES_TAIL["arrival_burstiness_top10"] = arrival_burstiness_top10
+ORACLES_TAIL["arrival_burstiness_top10"] = _BURSTINESS_SQL
