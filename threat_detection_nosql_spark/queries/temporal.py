@@ -1000,3 +1000,51 @@ LIMIT 10
 
 QUERIES_TAIL["arrival_burstiness_top10"] = arrival_burstiness_top10
 ORACLES_TAIL["arrival_burstiness_top10"] = _BURSTINESS_SQL
+
+
+def activity_trigram_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 most common length-3 activity sequences (per-user
+    ordered trigrams) with their share of all trigrams — the pattern-
+    mining extension of the transition matrix from pairs to motifs
+    ("view→click→purchase" vs "login→error→login" tell different
+    stories at a glance). Two stacked lag windows over ONE (user, ts,
+    event_id) sort — Catalyst plans a single exchange — then one hash
+    agg; the share is an integer-count ratio rounded once. Cut on
+    count (integer) so the top-10 is trivially engine-stable."""
+    from pyspark.sql.window import Window as W
+    log = activity_log(spark, sf_dir)
+    w = W.partitionBy("user").orderBy("ts", "event_id")
+    tri = (log.select(
+               F.lag("activity", 2).over(w).alias("a1"),
+               F.lag("activity", 1).over(w).alias("a2"),
+               F.col("activity").alias("a3"))
+           .filter(F.col("a1").isNotNull()))
+    counts = tri.groupBy("a1", "a2", "a3").agg(F.count("*").alias("n"))
+    total = counts.agg(F.sum("n").alias("tot"))
+    return (counts.crossJoin(F.broadcast(total))
+            .select("a1", "a2", "a3", "n",
+                    F.round(F.col("n") * 1.0 / F.col("tot"), 6)
+                    .alias("share"))
+            .orderBy(F.desc("n"), F.asc("a1"), F.asc("a2"), F.asc("a3"))
+            .limit(10))
+
+
+_TRIGRAM_SQL = f"""
+{_LOG_CTE},
+tri AS (
+  SELECT lag(activity, 2) OVER uw AS a1,
+         lag(activity, 1) OVER uw AS a2,
+         activity AS a3
+  FROM log
+  WINDOW uw AS (PARTITION BY user ORDER BY ts, event_id)),
+counts AS (SELECT a1, a2, a3, CAST(count(*) AS BIGINT) AS n
+           FROM tri WHERE a1 IS NOT NULL GROUP BY 1, 2, 3),
+tot AS (SELECT CAST(sum(n) AS BIGINT) AS tot FROM counts)
+SELECT a1, a2, a3, n, round(n * 1.0 / tot, 6) AS share
+FROM counts CROSS JOIN tot
+ORDER BY n DESC, a1 ASC, a2 ASC, a3 ASC
+LIMIT 10
+"""
+
+QUERIES_TAIL["activity_trigram_top10"] = activity_trigram_top10
+ORACLES_TAIL["activity_trigram_top10"] = _TRIGRAM_SQL
