@@ -1048,3 +1048,57 @@ LIMIT 10
 
 QUERIES_TAIL["activity_trigram_top10"] = activity_trigram_top10
 ORACLES_TAIL["activity_trigram_top10"] = _TRIGRAM_SQL
+
+
+def conversion_latency_quartiles(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """How long conversion takes, not just whether it happens:
+    quartiles of view→purchase latency (whole seconds) across users
+    who completed the ordered funnel, plus the converting-user count —
+    the follow-up question to ``funnel_conversion``'s how-many.
+
+    Composes the shared ``funnel_stage_times`` (one exchange on user,
+    strictly-ordered stage mins) with a discrete-percentile aggregate:
+    latencies floor to INTEGER seconds and percentile_disc picks
+    observed elements, so every output is exact in both engines — no
+    interpolation, no float aggregation anywhere."""
+    log = activity_log(spark, sf_dir)
+    stages = funnel_stage_times(log, ["view", "click", "purchase"])
+    lat = (stages.filter(F.col("t3").isNotNull())
+           .select(((F.unix_micros("t3") - F.unix_micros("t1"))
+                    / F.lit(1_000_000)).cast("long").alias("lat_s")))
+    return lat.agg(
+        F.count("*").alias("n_converted"),
+        F.expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY lat_s)")
+        .cast("long").alias("q1_s"),
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY lat_s)")
+        .cast("long").alias("median_s"),
+        F.expr("percentile_disc(0.75) WITHIN GROUP (ORDER BY lat_s)")
+        .cast("long").alias("q3_s"))
+
+
+_CONV_LATENCY_SQL = f"""
+{_LOG_CTE},
+w1 AS (SELECT user,
+              min(CASE WHEN activity = 'view' THEN ts END) AS t1
+       FROM log GROUP BY user),
+w2 AS (SELECT log.user, t1,
+              min(CASE WHEN activity = 'click' AND ts > t1 THEN ts END)
+                AS t2
+       FROM log JOIN w1 ON w1.user = log.user GROUP BY log.user, t1),
+w3 AS (SELECT log.user, t1, t2,
+              min(CASE WHEN activity = 'purchase' AND ts > t2 THEN ts END)
+                AS t3
+       FROM log JOIN w2 ON w2.user = log.user GROUP BY log.user, t1, t2),
+lat AS (SELECT CAST((epoch_us(t3) - epoch_us(t1)) // 1000000 AS BIGINT)
+                 AS lat_s
+        FROM w3 WHERE t3 IS NOT NULL)
+SELECT CAST(count(*) AS BIGINT) AS n_converted,
+       CAST(quantile_disc(lat_s, 0.25) AS BIGINT) AS q1_s,
+       CAST(quantile_disc(lat_s, 0.5) AS BIGINT) AS median_s,
+       CAST(quantile_disc(lat_s, 0.75) AS BIGINT) AS q3_s
+FROM lat
+"""
+
+QUERIES_TAIL["conversion_latency_quartiles"] = conversion_latency_quartiles
+ORACLES_TAIL["conversion_latency_quartiles"] = _CONV_LATENCY_SQL
