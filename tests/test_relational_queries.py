@@ -8,10 +8,14 @@ from tests.conftest import compare_query_to_oracle
 from threat_detection_nosql_spark.queries import relational
 
 
-@pytest.mark.parametrize("name", sorted(relational.QUERIES))
+@pytest.mark.parametrize(
+    "name", sorted({**relational.QUERIES, **getattr(relational, "QUERIES_TAIL", {})}))
 def test_relational_query_matches_oracle(spark, ddb, name):
-    compare_query_to_oracle(spark, ddb, relational.QUERIES[name],
-                            relational.ORACLES[name])
+    queries = {**relational.QUERIES,
+               **getattr(relational, "QUERIES_TAIL", {})}
+    oracles = {**relational.ORACLES,
+               **getattr(relational, "ORACLES_TAIL", {})}
+    compare_query_to_oracle(spark, ddb, queries[name], oracles[name])
 
 
 def test_approx_percentile_within_rank_error(spark):

@@ -895,3 +895,57 @@ GROUP BY 1
 
 QUERIES["customer_snapshot_diff"] = customer_snapshot_diff
 ORACLES["customer_snapshot_diff"] = _SNAPSHOT_DIFF_SQL
+
+
+# -- winsorized robust mean ---------------------------------------------------
+
+def winsorized_order_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-priority order-value summary with a WINSORIZED mean: values
+    clamp to the observed [P5, P95] (percentile_disc — data elements,
+    identical in both engines) before averaging, so a handful of
+    extreme orders can't swing the per-segment average the way they
+    swing the raw mean — the robust-location companion to the
+    median+MAD screen (``value_robust_stats``) when a mean-like
+    statistic is still required downstream.
+
+    Shape: one 5-row discrete-percentile aggregate per priority
+    (WITHIN GROUP sort), broadcast back, one clamped-average scan.
+    Raw and winsorized means ship side by side so the outlier pull is
+    visible; both round at 6."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority", "o_totalprice")
+    bounds = (orders.groupBy("o_orderpriority")
+              .agg(F.expr("percentile_disc(0.05) WITHIN GROUP "
+                          "(ORDER BY o_totalprice)").alias("p05"),
+                   F.expr("percentile_disc(0.95) WITHIN GROUP "
+                          "(ORDER BY o_totalprice)").alias("p95"),
+                   F.count("*").alias("n")))
+    clamped = F.least(F.greatest(F.col("o_totalprice"), F.col("p05")),
+                      F.col("p95"))
+    return (orders.join(F.broadcast(bounds), "o_orderpriority")
+            .groupBy("o_orderpriority", "n", "p05", "p95")
+            .agg(F.round(F.avg("o_totalprice"), 6).alias("raw_mean"),
+                 F.round(F.avg(clamped), 6).alias("winsorized_mean"))
+            .select("o_orderpriority", "n", "p05", "p95",
+                    "raw_mean", "winsorized_mean"))
+
+
+_WINSORIZED_SQL = """
+WITH bounds AS (
+  SELECT o_orderpriority,
+         quantile_disc(o_totalprice, 0.05) AS p05,
+         quantile_disc(o_totalprice, 0.95) AS p95,
+         CAST(count(*) AS BIGINT) AS n
+  FROM orders GROUP BY 1)
+SELECT o.o_orderpriority, n, p05, p95,
+       round(avg(o_totalprice), 6) AS raw_mean,
+       round(avg(least(greatest(o_totalprice, p05), p95)), 6)
+         AS winsorized_mean
+FROM orders o JOIN bounds b ON b.o_orderpriority = o.o_orderpriority
+GROUP BY o.o_orderpriority, n, p05, p95
+"""
+
+QUERIES_TAIL = {**globals().get("QUERIES_TAIL", {}),
+                "winsorized_order_values": winsorized_order_values}
+ORACLES_TAIL = {**globals().get("ORACLES_TAIL", {}),
+                "winsorized_order_values": _WINSORIZED_SQL}
