@@ -949,3 +949,62 @@ QUERIES_TAIL = {**globals().get("QUERIES_TAIL", {}),
                 "winsorized_order_values": winsorized_order_values}
 ORACLES_TAIL = {**globals().get("ORACLES_TAIL", {}),
                 "winsorized_order_values": _WINSORIZED_SQL}
+
+
+def revenue_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 80/20 check: customers ranked by lifetime order revenue in
+    CENTS (exact BIGINT — o_totalprice has 2 decimals, so ×100 rounds
+    to an integer), cut into revenue deciles, with each decile's
+    customer count and CUMULATIVE share of total revenue — the
+    concentration curve behind every "top decile drives X%" claim.
+
+    Shape: one customer-revenue agg, one ntile over the (revenue desc,
+    custkey) total order, one decile re-agg, one running-sum window
+    over 10 rows. All arithmetic integer until the one share division."""
+    from pyspark.sql.window import Window as W
+    orders = load_table(spark, sf_dir, "orders")
+    rev = (orders.groupBy("o_custkey")
+           .agg(F.sum(F.round(F.col("o_totalprice") * 100, 0)
+                      .cast("long")).alias("cents")))
+    ranked = rev.withColumn(
+        "decile", F.ntile(10).over(
+            W.orderBy(F.desc("cents"), F.asc("o_custkey"))))
+    dec = (ranked.groupBy("decile")
+           .agg(F.count("*").alias("n_customers"),
+                F.sum("cents").alias("decile_cents")))
+    w = W.orderBy("decile").rowsBetween(W.unboundedPreceding, W.currentRow)
+    total = dec.agg(F.sum("decile_cents").alias("tot"))
+    return (dec.crossJoin(F.broadcast(total))
+            .withColumn("cum_cents", F.sum("decile_cents").over(w))
+            .select("decile", "n_customers",
+                    F.round(F.col("decile_cents") * 1.0 / F.col("tot"), 6)
+                    .alias("revenue_share"),
+                    F.round(F.col("cum_cents") * 1.0 / F.col("tot"), 6)
+                    .alias("cum_revenue_share"))
+            .orderBy("decile"))
+
+
+_PARETO_SQL = """
+WITH rev AS (SELECT o_custkey,
+                    CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+                         AS BIGINT) AS cents
+             FROM orders GROUP BY 1),
+ranked AS (SELECT o_custkey, cents,
+                  CAST(ntile(10) OVER (ORDER BY cents DESC, o_custkey ASC)
+                       AS INT) AS decile
+           FROM rev),
+dec AS (SELECT decile, CAST(count(*) AS BIGINT) AS n_customers,
+               CAST(sum(cents) AS BIGINT) AS decile_cents
+        FROM ranked GROUP BY 1),
+tot AS (SELECT CAST(sum(decile_cents) AS BIGINT) AS tot FROM dec)
+SELECT decile, n_customers,
+       round(decile_cents * 1.0 / tot, 6) AS revenue_share,
+       round(sum(decile_cents) OVER (ORDER BY decile
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             * 1.0 / tot, 6) AS cum_revenue_share
+FROM dec CROSS JOIN tot
+ORDER BY decile
+"""
+
+QUERIES_TAIL["revenue_pareto"] = revenue_pareto
+ORACLES_TAIL["revenue_pareto"] = _PARETO_SQL

@@ -1102,3 +1102,53 @@ FROM lat
 
 QUERIES_TAIL["conversion_latency_quartiles"] = conversion_latency_quartiles
 ORACLES_TAIL["conversion_latency_quartiles"] = _CONV_LATENCY_SQL
+
+
+def dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily engagement stickiness: DAU, trailing-7-day WAU, and the
+    DAU/WAU ratio per day — the standard "how habitual is usage"
+    metric (ratio → 1 means the weekly audience shows up daily).
+
+    Distinct-users-over-a-sliding-window has no direct window form
+    (count distinct isn't frame-able), so WAU is computed the
+    scale-honest way: the distinct (day, user) projection joins a
+    day spine on a 7-day band (a RANGE JOIN whose output is bounded by
+    7·Σ DAU — linear in the data, not quadratic) and re-aggregates
+    distinct users per anchor day. Ratios are integer-count divisions
+    rounded once."""
+    ev = load_table(spark, sf_dir, "events")
+    du = (ev.select(F.to_date("ts").alias("day"),
+                    F.col("user_id").alias("user"))
+          .distinct())
+    days = du.select("day").distinct()
+    dau = du.groupBy("day").agg(F.countDistinct("user").alias("dau"))
+    anchored = (days.alias("a")
+                .join(du.alias("b"),
+                      (F.col("b.day") >= F.date_sub(F.col("a.day"), 6))
+                      & (F.col("b.day") <= F.col("a.day")))
+                .select(F.col("a.day").alias("day"), "b.user"))
+    wau = anchored.groupBy("day").agg(F.countDistinct("user").alias("wau"))
+    return (dau.join(wau, "day")
+            .select("day", "dau", "wau",
+                    F.round(F.col("dau") * 1.0 / F.col("wau"), 6)
+                    .alias("stickiness"))
+            .orderBy("day"))
+
+
+_DAU_WAU_SQL = """
+WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id AS "user"
+            FROM events),
+days AS (SELECT DISTINCT day FROM du),
+dau AS (SELECT day, CAST(count(DISTINCT "user") AS BIGINT) AS dau
+        FROM du GROUP BY 1),
+wau AS (SELECT a.day, CAST(count(DISTINCT b."user") AS BIGINT) AS wau
+        FROM days a JOIN du b
+          ON b.day >= a.day - INTERVAL 6 DAY AND b.day <= a.day
+        GROUP BY 1)
+SELECT day, dau, wau, round(dau * 1.0 / wau, 6) AS stickiness
+FROM dau JOIN wau USING (day)
+ORDER BY day
+"""
+
+QUERIES_TAIL["dau_wau_stickiness"] = dau_wau_stickiness
+ORACLES_TAIL["dau_wau_stickiness"] = _DAU_WAU_SQL
