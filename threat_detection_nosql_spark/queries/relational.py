@@ -1008,3 +1008,55 @@ ORDER BY decile
 
 QUERIES_TAIL["revenue_pareto"] = revenue_pareto
 ORACLES_TAIL["revenue_pareto"] = _PARETO_SQL
+
+
+def repurchase_interval_histogram(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """Distribution of customer repurchase cadence: each repeat
+    customer's MEDIAN gap between consecutive orders (whole days,
+    percentile_disc — an observed element), bucketed into a weekly
+    histogram — the retention-planning view ("most repeat customers
+    come back within N weeks") that a global average gap hides.
+
+    Shape: one lag window over each customer's (date, orderkey) total
+    order, one discrete-median agg per customer, one integer bucket
+    agg. Every quantity is an integer day or count; no float leaves
+    the plan."""
+    from pyspark.sql.window import Window as W
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_orderkey")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gaps = (orders.select(
+                "o_custkey",
+                F.datediff("o_orderdate",
+                           F.lag("o_orderdate").over(w)).alias("gap_d"))
+            .filter(F.col("gap_d").isNotNull()))
+    med = (gaps.groupBy("o_custkey")
+           .agg(F.expr("percentile_disc(0.5) WITHIN GROUP "
+                       "(ORDER BY gap_d)").cast("long").alias("med_d")))
+    bucket = (F.col("med_d") - F.col("med_d") % 7).cast("long")
+    return (med.groupBy(bucket.alias("week_bucket_start_d"))
+            .agg(F.count("*").alias("n_customers"))
+            .orderBy("week_bucket_start_d"))
+
+
+_REPURCHASE_SQL = """
+WITH gaps AS (
+  SELECT o_custkey,
+         date_diff('day',
+                   lag(o_orderdate) OVER (PARTITION BY o_custkey
+                        ORDER BY o_orderdate, o_orderkey),
+                   o_orderdate) AS gap_d
+  FROM orders),
+med AS (SELECT o_custkey,
+               CAST(quantile_disc(gap_d, 0.5) AS BIGINT) AS med_d
+        FROM gaps WHERE gap_d IS NOT NULL GROUP BY 1)
+SELECT CAST(med_d - med_d % 7 AS BIGINT) AS week_bucket_start_d,
+       CAST(count(*) AS BIGINT) AS n_customers
+FROM med
+GROUP BY 1
+ORDER BY 1
+"""
+
+QUERIES_TAIL["repurchase_interval_histogram"] = repurchase_interval_histogram
+ORACLES_TAIL["repurchase_interval_histogram"] = _REPURCHASE_SQL
