@@ -1043,3 +1043,57 @@ WHERE rn = 1
 
 QUERIES_TAIL["nb_lang_predictions"] = nb_lang_predictions
 ORACLES_TAIL["nb_lang_predictions"] = _NB_SQL
+
+
+def source_lang_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-square independence statistic between document
+    source and language, with the contingency dimensions and degrees
+    of freedom — the composition audit that tells you whether sources
+    are language-skewed BEFORE a mixture plan assumes they aren't
+    (df = (|sources|−1)·(|langs|−1); compare χ² to the df to eyeball
+    dependence). Expected counts come from the margins: e = row·col/N.
+
+    One (source, lang) hash agg; margins are two roll-ups of it joined
+    back broadcast; every input to the χ² sum is an integer count and
+    the statistic is rounded once at the end."""
+    docs = load_table(spark, sf_dir, "documents")
+    joint = docs.groupBy("source", "lang").agg(F.count("*").alias("c"))
+    n_total = float(docs.count())
+    rows_ = joint.groupBy("source").agg(F.sum("c").alias("row_n"))
+    cols = joint.groupBy("lang").agg(F.sum("c").alias("col_n"))
+    j = (joint.join(F.broadcast(rows_), "source")
+         .join(F.broadcast(cols), "lang"))
+    e = F.col("row_n") * F.col("col_n") / F.lit(n_total)
+    term = (F.col("c") - e) * (F.col("c") - e) / e
+    agg = j.agg(F.round(F.sum(term), 6).alias("chi2"),
+                F.count("*").alias("n_cells"))
+    dims = (rows_.agg(F.count("*").alias("n_sources"))
+            .crossJoin(cols.agg(F.count("*").alias("n_langs"))))
+    return (agg.crossJoin(dims)
+            .select("chi2", "n_cells", "n_sources", "n_langs",
+                    ((F.col("n_sources") - 1) * (F.col("n_langs") - 1))
+                    .alias("dof")))
+
+
+_CHI2_SQL = """
+WITH joint AS (SELECT source, lang, CAST(count(*) AS BIGINT) AS c
+               FROM documents GROUP BY 1, 2),
+tot AS (SELECT CAST(sum(c) AS DOUBLE) AS n FROM joint),
+r AS (SELECT source, CAST(sum(c) AS BIGINT) AS row_n
+      FROM joint GROUP BY 1),
+l AS (SELECT lang, CAST(sum(c) AS BIGINT) AS col_n FROM joint GROUP BY 1),
+terms AS (SELECT (c - row_n * col_n / n) * (c - row_n * col_n / n)
+                 / (row_n * col_n / n) AS t
+          FROM joint JOIN r USING (source) JOIN l USING (lang)
+          CROSS JOIN tot),
+agg AS (SELECT round(sum(t), 6) AS chi2,
+               CAST(count(*) AS BIGINT) AS n_cells FROM terms),
+dims AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM r) AS n_sources,
+                (SELECT CAST(count(*) AS BIGINT) FROM l) AS n_langs)
+SELECT chi2, n_cells, n_sources, n_langs,
+       (n_sources - 1) * (n_langs - 1) AS dof
+FROM agg CROSS JOIN dims
+"""
+
+QUERIES_TAIL["source_lang_chi2"] = source_lang_chi2
+ORACLES_TAIL["source_lang_chi2"] = _CHI2_SQL

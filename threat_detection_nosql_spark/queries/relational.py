@@ -1060,3 +1060,46 @@ ORDER BY 1
 
 QUERIES_TAIL["repurchase_interval_histogram"] = repurchase_interval_histogram
 ORACLES_TAIL["repurchase_interval_histogram"] = _REPURCHASE_SQL
+
+
+def open_order_aging(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backlog aging report: non-finished orders ('O'pen / 'P'ending)
+    bucketed by age in 30-day bands as of the dataset's LAST order
+    date (data-derived anchor — wall-clock now() would make the result
+    irreproducible), with order counts and exact value in integer
+    cents per (status, band) — the operational backlog view every
+    fulfillment dashboard leads with.
+
+    One 1-row max-date aggregate broadcast back (the crossJoin-of-
+    scalar pattern), then a single bucket agg; ages are integer days,
+    values integer cents — nothing floats."""
+    orders = load_table(spark, sf_dir, "orders")
+    anchor = orders.agg(F.max("o_orderdate").alias("anchor"))
+    open_ = (orders.filter(F.col("o_orderstatus") != "F")
+             .crossJoin(F.broadcast(anchor)))
+    age = F.datediff(F.col("anchor"), F.col("o_orderdate"))
+    band = (age - age % 30).cast("long")
+    return (open_.groupBy("o_orderstatus", band.alias("age_band_start_d"))
+            .agg(F.count("*").alias("n_orders"),
+                 F.sum(F.round(F.col("o_totalprice") * 100, 0)
+                       .cast("long")).alias("value_cents"))
+            .orderBy("o_orderstatus", "age_band_start_d"))
+
+
+_AGING_SQL = """
+WITH anchor AS (SELECT max(o_orderdate) AS anchor FROM orders)
+SELECT o_orderstatus,
+       CAST(date_diff('day', o_orderdate, anchor)
+            - date_diff('day', o_orderdate, anchor) % 30 AS BIGINT)
+         AS age_band_start_d,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+         AS value_cents
+FROM orders CROSS JOIN anchor
+WHERE o_orderstatus <> 'F'
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+QUERIES_TAIL["open_order_aging"] = open_order_aging
+ORACLES_TAIL["open_order_aging"] = _AGING_SQL
