@@ -1103,3 +1103,48 @@ ORDER BY 1, 2
 
 QUERIES_TAIL["open_order_aging"] = open_order_aging
 ORACLES_TAIL["open_order_aging"] = _AGING_SQL
+
+
+def part_supplier_hhi_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supply-concentration risk: the 20 most supplier-concentrated
+    parts by Herfindahl-Hirschman index over line-count shares
+    (HHI = Σ shareᵢ², 1.0 = single-supplier part), minimum 20 lines —
+    the procurement-risk screen behind single-source alerts. Two
+    roll-ups of one (part, supplier) hash agg; the HHI sum divides
+    exact integers once per cell (c²/t²) and rounds the final sum; cut
+    on the rounded index, then supplier count, then part id."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cell = (li.groupBy("l_partkey", "l_suppkey")
+            .agg(F.count("*").alias("c")))
+    tot = (cell.groupBy("l_partkey")
+           .agg(F.sum("c").alias("t"),
+                F.count("*").alias("n_suppliers")))
+    j = cell.join(tot, "l_partkey")
+    hhi = F.sum(F.col("c") * F.col("c") * 1.0
+                / (F.col("t") * F.col("t")))
+    return (j.groupBy("l_partkey", "t", "n_suppliers")
+            .agg(F.round(hhi, 6).alias("hhi"))
+            .filter(F.col("t") >= 20)
+            .select(F.col("l_partkey").alias("partkey"),
+                    F.col("t").alias("n_lines"), "n_suppliers", "hhi")
+            .orderBy(F.desc("hhi"), F.asc("n_suppliers"), F.asc("partkey"))
+            .limit(20))
+
+
+_HHI_SQL = """
+WITH cell AS (SELECT l_partkey, l_suppkey, CAST(count(*) AS BIGINT) AS c
+              FROM lineitem GROUP BY 1, 2),
+tot AS (SELECT l_partkey, CAST(sum(c) AS BIGINT) AS t,
+               CAST(count(*) AS BIGINT) AS n_suppliers
+        FROM cell GROUP BY 1)
+SELECT cell.l_partkey AS partkey, t AS n_lines, n_suppliers,
+       round(sum(c * c * 1.0 / (t * t)), 6) AS hhi
+FROM cell JOIN tot USING (l_partkey)
+GROUP BY cell.l_partkey, t, n_suppliers
+HAVING t >= 20
+ORDER BY hhi DESC, n_suppliers ASC, partkey ASC
+LIMIT 20
+"""
+
+QUERIES_TAIL["part_supplier_hhi_top20"] = part_supplier_hhi_top20
+ORACLES_TAIL["part_supplier_hhi_top20"] = _HHI_SQL

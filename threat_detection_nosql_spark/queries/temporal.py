@@ -1152,3 +1152,43 @@ ORDER BY day
 
 QUERIES_TAIL["dau_wau_stickiness"] = dau_wau_stickiness
 ORACLES_TAIL["dau_wau_stickiness"] = _DAU_WAU_SQL
+
+
+def worst_error_windows_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SLO triage: the 10 worst DAYS by error RATE (errors over total
+    events, minimum 20 events so a near-empty bucket can't top the
+    list — day grain keeps every SF above the floor where hourly
+    buckets go degenerate at sf0.001) — the "when did it hurt" view
+    behind every incident review, as one conditional aggregation over
+    date buckets. Ratio is an integer-count division rounded once; the
+    cut orders by the rounded rate then the bucket."""
+    log = activity_log(spark, sf_dir)
+    return (log.groupBy(F.to_date("ts").alias("day_bucket"))
+            .agg(F.count("*").alias("n_events"),
+                 F.sum((F.col("activity") == "error").cast("long"))
+                 .alias("n_errors"))
+            .filter(F.col("n_events") >= 20)
+            .select("day_bucket", "n_events", "n_errors",
+                    F.round(F.col("n_errors") * 1.0 / F.col("n_events"), 6)
+                    .alias("error_rate"))
+            .orderBy(F.desc("error_rate"), F.asc("day_bucket"))
+            .limit(10))
+
+
+_WORST_ERRORS_SQL = f"""
+{_LOG_CTE}
+SELECT CAST(ts AS DATE) AS day_bucket,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CASE WHEN activity = 'error' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_errors,
+       round(sum(CASE WHEN activity = 'error' THEN 1 ELSE 0 END) * 1.0
+             / count(*), 6) AS error_rate
+FROM log
+GROUP BY 1
+HAVING count(*) >= 20
+ORDER BY error_rate DESC, day_bucket ASC
+LIMIT 10
+"""
+
+QUERIES_TAIL["worst_error_windows_top10"] = worst_error_windows_top10
+ORACLES_TAIL["worst_error_windows_top10"] = _WORST_ERRORS_SQL
