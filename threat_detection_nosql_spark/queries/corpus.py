@@ -1097,3 +1097,60 @@ FROM agg CROSS JOIN dims
 
 QUERIES_TAIL["source_lang_chi2"] = source_lang_chi2
 ORACLES_TAIL["source_lang_chi2"] = _CHI2_SQL
+
+
+def vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law curve: cumulative distinct vocabulary vs cumulative
+    token count as the corpus is consumed in doc_id order — the
+    diminishing-returns view that says how much NEW language the next
+    million tokens will buy (flattening curve → more data adds volume,
+    not vocabulary). Sub-linear growth is the expected shape (Heaps
+    1978 — public knowledge).
+
+    Cumulative DISTINCT has no window form, so the curve is built from
+    first occurrences: a token's first_doc is one min-agg, the
+    cumulative vocabulary at doc d is a running count of tokens whose
+    first_doc ≤ d — i.e. one join-free window over the per-doc counts
+    of first occurrences. Everything is an integer count; two windows
+    over ONE doc_id ordering."""
+    from pyspark.sql.window import Window as W
+    docs = load_table(spark, sf_dir, "documents")
+    tok = (docs.select("doc_id",
+                       F.explode(F.split(F.col("text"), r"\s+"))
+                       .alias("token"))
+           .filter(F.col("token") != ""))
+    per_doc = tok.groupBy("doc_id").agg(F.count("*").alias("n_tokens"))
+    first = tok.groupBy("token").agg(F.min("doc_id").alias("first_doc"))
+    news = first.groupBy("first_doc").agg(F.count("*").alias("n_new"))
+    base = (per_doc.join(news,
+                         per_doc["doc_id"] == news["first_doc"], "left")
+            .select("doc_id", "n_tokens",
+                    F.coalesce("n_new", F.lit(0)).alias("n_new")))
+    w = W.orderBy("doc_id").rowsBetween(W.unboundedPreceding, W.currentRow)
+    return base.select(
+        "doc_id",
+        F.sum("n_tokens").over(w).alias("cum_tokens"),
+        F.sum("n_new").over(w).alias("cum_vocab"))
+
+
+_VOCAB_GROWTH_SQL = r"""
+WITH tok AS (SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS token
+             FROM documents),
+tf AS (SELECT doc_id, token FROM tok WHERE token <> ''),
+per_doc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens
+            FROM tf GROUP BY 1),
+first AS (SELECT token, min(doc_id) AS first_doc FROM tf GROUP BY 1),
+news AS (SELECT first_doc, CAST(count(*) AS BIGINT) AS n_new
+         FROM first GROUP BY 1),
+base AS (SELECT p.doc_id, n_tokens, COALESCE(n_new, 0) AS n_new
+         FROM per_doc p LEFT JOIN news ON news.first_doc = p.doc_id)
+SELECT doc_id,
+       CAST(sum(n_tokens) OVER w AS BIGINT) AS cum_tokens,
+       CAST(sum(n_new) OVER w AS BIGINT) AS cum_vocab
+FROM base
+WINDOW w AS (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+             AND CURRENT ROW)
+"""
+
+QUERIES_TAIL["vocab_growth_curve"] = vocab_growth_curve
+ORACLES_TAIL["vocab_growth_curve"] = _VOCAB_GROWTH_SQL

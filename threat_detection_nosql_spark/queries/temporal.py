@@ -1192,3 +1192,43 @@ LIMIT 10
 
 QUERIES_TAIL["worst_error_windows_top10"] = worst_error_windows_top10
 ORACLES_TAIL["worst_error_windows_top10"] = _WORST_ERRORS_SQL
+
+
+def new_vs_returning_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Growth accounting: per day, how many active users are NEW
+    (first-ever activity) vs RETURNING — the decomposition behind
+    every "are we growing or churning" chart. A user's first day is a
+    min over the distinct (user, day) projection; each active day then
+    classifies by comparison — integer dates and counts throughout.
+    One distinct projection, one per-user min (broadcast back), one
+    day agg."""
+    ev = load_table(spark, sf_dir, "events")
+    du = (ev.select(F.col("user_id").alias("user"),
+                    F.to_date("ts").alias("day"))
+          .distinct())
+    first = du.groupBy("user").agg(F.min("day").alias("first_day"))
+    j = du.join(F.broadcast(first), "user")
+    return (j.groupBy("day")
+            .agg(F.sum((F.col("day") == F.col("first_day")).cast("long"))
+                 .alias("new_users"),
+                 F.sum((F.col("day") > F.col("first_day")).cast("long"))
+                 .alias("returning_users"))
+            .orderBy("day"))
+
+
+_NEW_RETURNING_SQL = """
+WITH du AS (SELECT DISTINCT user_id AS "user", CAST(ts AS DATE) AS day
+            FROM events),
+first AS (SELECT "user", min(day) AS first_day FROM du GROUP BY 1)
+SELECT day,
+       CAST(sum(CASE WHEN day = first_day THEN 1 ELSE 0 END) AS BIGINT)
+         AS new_users,
+       CAST(sum(CASE WHEN day > first_day THEN 1 ELSE 0 END) AS BIGINT)
+         AS returning_users
+FROM du JOIN first USING ("user")
+GROUP BY day
+ORDER BY day
+"""
+
+QUERIES_TAIL["new_vs_returning_users"] = new_vs_returning_users
+ORACLES_TAIL["new_vs_returning_users"] = _NEW_RETURNING_SQL
