@@ -1232,3 +1232,90 @@ ORDER BY day
 
 QUERIES_TAIL["new_vs_returning_users"] = new_vs_returning_users
 ORACLES_TAIL["new_vs_returning_users"] = _NEW_RETURNING_SQL
+
+
+def session_activity_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket on behavior: for every activity PAIR, the lift
+    P(a,b)/(P(a)·P(b)) over session baskets — lift > 1 means the two
+    actions co-occur in a session more than chance, the association
+    signal behind "users who X in a session also Y". Reuses the
+    30-minute sessionization; baskets are distinct activities per
+    session, pairs unfold map-side from the sorted basket array (the
+    co-purchase expansion shape), and every probability is an
+    integer-count ratio over the session total — one division chain,
+    rounded once."""
+    from pyspark.sql.window import Window as W
+    log = activity_log(spark, sf_dir)
+    w = W.partitionBy("user").orderBy("ts", "event_id")
+    gap = F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+    marked = log.select(
+        "user", "ts", "event_id", "activity",
+        F.when(gap.isNull() | (gap > _SESSION_GAP_US), 1).otherwise(0)
+        .alias("is_new"))
+    sess = marked.withColumn(
+        "session_id",
+        F.sum("is_new").over(w.rowsBetween(W.unboundedPreceding, 0)))
+    baskets = (sess.groupBy("user", "session_id")
+               .agg(F.sort_array(F.collect_set("activity")).alias("acts")))
+    n_sessions = baskets.count()
+    singles = (baskets.select(F.explode("acts").alias("activity"))
+               .groupBy("activity").agg(F.count("*").alias("n_a")))
+    pair_arr = F.flatten(F.transform(
+        F.col("acts"),
+        lambda x, i: F.transform(
+            F.slice(F.col("acts"), i + F.lit(2), F.size(F.col("acts"))),
+            lambda y: F.struct(x.alias("a"), y.alias("b")))))
+    pairs = (baskets.select(F.explode(pair_arr).alias("p"))
+             .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+             .agg(F.count("*").alias("n_ab")))
+    n = F.lit(float(n_sessions))
+    lift = (F.col("n_ab") / n) / ((F.col("n_a") / n) * (F.col("n_b") / n))
+    return (pairs
+            .join(F.broadcast(singles.select(F.col("activity").alias("a"),
+                                             F.col("n_a"))), "a")
+            .join(F.broadcast(singles.select(F.col("activity").alias("b"),
+                                             F.col("n_a").alias("n_b"))),
+                  "b")
+            .select("a", "b", "n_ab",
+                    F.round(lift, 6).alias("lift"))
+            .orderBy(F.desc("n_ab"), F.asc("a"), F.asc("b")))
+
+
+_SESSION_LIFT_SQL = f"""
+{_LOG_CTE},
+l AS (SELECT user, ts, event_id, activity,
+             CASE WHEN lag(ts) OVER uw IS NULL
+                    OR epoch_us(ts) - epoch_us(lag(ts) OVER uw)
+                       > {{gap}}
+                  THEN 1 ELSE 0 END AS is_new
+      FROM log
+      WINDOW uw AS (PARTITION BY user ORDER BY ts, event_id)),
+s AS (SELECT user, activity,
+             sum(is_new) OVER (PARTITION BY user ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM l),
+baskets AS (SELECT user, session_id, list_sort(list(DISTINCT activity))
+              AS acts
+            FROM s GROUP BY 1, 2),
+ns AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM baskets),
+singles AS (SELECT activity, count(*) AS n_a
+            FROM (SELECT unnest(acts) AS activity FROM baskets) u
+            GROUP BY 1),
+pairs AS (SELECT acts[i] AS a, acts[j] AS b,
+                 CAST(count(*) AS BIGINT) AS n_ab
+          FROM baskets,
+               LATERAL (SELECT unnest(range(1, len(acts) + 1)) AS i) ii,
+               LATERAL (SELECT unnest(range(1, len(acts) + 1)) AS j) jj
+          WHERE i < j
+          GROUP BY 1, 2)
+SELECT a, b, n_ab,
+       round((n_ab / n) / ((sa.n_a / n) * (sb.n_a / n)), 6) AS lift
+FROM pairs
+JOIN singles sa ON sa.activity = a
+JOIN singles sb ON sb.activity = b
+CROSS JOIN ns
+ORDER BY n_ab DESC, a ASC, b ASC
+""".replace("{gap}", str(_SESSION_GAP_US))
+
+QUERIES_TAIL["session_activity_lift"] = session_activity_lift
+ORACLES_TAIL["session_activity_lift"] = _SESSION_LIFT_SQL
