@@ -1148,3 +1148,68 @@ LIMIT 20
 
 QUERIES_TAIL["part_supplier_hhi_top20"] = part_supplier_hhi_top20
 ORACLES_TAIL["part_supplier_hhi_top20"] = _HHI_SQL
+
+
+def weighted_median_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation ORDER-WEIGHTED median customer balance: each
+    customer's acctbal counts once per order they placed, so the
+    median reflects the balance of the customers the business
+    actually transacts with, not the dormant long tail — the weighted-
+    quantile pattern (plain percentile treats a 1-order and a
+    40-order customer identically).
+
+    Weighted median = the least value whose running weight reaches
+    half the total: one cumulative-sum window over each nation's
+    (acctbal, custkey) total order, one threshold filter, one min —
+    weights are integer order counts and acctbal is a 2-decimal
+    exact double, so the selected element is bit-identical across
+    engines. Customers with zero orders contribute zero weight (inner
+    join) by construction."""
+    from pyspark.sql.window import Window as W
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    nation = load_table(spark, sf_dir, "nation")
+    wts = orders.groupBy("o_custkey").agg(F.count("*").alias("wt"))
+    base = (cust.join(wts, cust["c_custkey"] == wts["o_custkey"])
+            .join(F.broadcast(nation),
+                  cust["c_nationkey"] == nation["n_nationkey"])
+            .select(F.col("n_name").alias("nation"),
+                    "c_acctbal", "c_custkey", "wt"))
+    w = W.partitionBy("nation").orderBy("c_acctbal", "c_custkey") \
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    tot = W.partitionBy("nation")
+    cum = (base
+           .withColumn("cum_wt", F.sum("wt").over(w))
+           .withColumn("tot_wt", F.sum("wt").over(tot)))
+    return (cum.filter(F.col("cum_wt") * 2 >= F.col("tot_wt"))
+            .groupBy("nation")
+            .agg(F.min("c_acctbal").alias("weighted_median_acctbal"),
+                 F.min("tot_wt").alias("total_orders"))
+            .orderBy("nation"))
+
+
+_WEIGHTED_MEDIAN_SQL = """
+WITH wts AS (SELECT o_custkey, CAST(count(*) AS BIGINT) AS wt
+             FROM orders GROUP BY 1),
+base AS (SELECT n_name AS nation, c_acctbal, c_custkey, wt
+         FROM customer
+         JOIN wts ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey),
+cum AS (SELECT nation, c_acctbal,
+               sum(wt) OVER (PARTITION BY nation
+                             ORDER BY c_acctbal, c_custkey
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS cum_wt,
+               sum(wt) OVER (PARTITION BY nation) AS tot_wt
+        FROM base)
+SELECT nation,
+       min(c_acctbal) AS weighted_median_acctbal,
+       CAST(min(tot_wt) AS BIGINT) AS total_orders
+FROM cum
+WHERE cum_wt * 2 >= tot_wt
+GROUP BY nation
+ORDER BY nation
+"""
+
+QUERIES_TAIL["weighted_median_acctbal"] = weighted_median_acctbal
+ORACLES_TAIL["weighted_median_acctbal"] = _WEIGHTED_MEDIAN_SQL
