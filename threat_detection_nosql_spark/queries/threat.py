@@ -573,3 +573,69 @@ LIMIT 10
 
 QUERIES_TAIL["similar_user_pairs_top10"] = similar_user_pairs_top10
 ORACLES_TAIL["similar_user_pairs_top10"] = _SIMILAR_USERS_SQL
+
+
+# -- behavioral segmentation quadrants ----------------------------------------
+
+def user_behavior_quadrants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-axis behavioral segmentation: every user lands in a
+    quadrant by (event volume vs its median) × (distinct-resource
+    breadth vs its median) — the triage grid where high-volume +
+    broad-resource reads "service account or scraper" and low-volume +
+    broad-resource reads "credential-stuffing probe". Output: the four
+    quadrant sizes plus each quadrant's mean after-hours ratio as the
+    risk overlay.
+
+    Medians are percentile_disc over INTEGER per-user counts
+    (observed elements, engine-identical); quadrant assignment is
+    integer comparison; only the final risk overlay divides. One
+    per-user agg, one 1-row median agg broadcast back, one quadrant
+    roll-up."""
+    log = activity_log(spark, sf_dir)
+    per_user = (log.groupBy("user")
+                .agg(F.count("*").alias("n_events"),
+                     F.countDistinct("resource").alias("n_resources"),
+                     F.sum("is_after_hours").alias("n_ah")))
+    med = per_user.agg(
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY n_events)")
+        .alias("med_events"),
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY n_resources)")
+        .alias("med_resources"))
+    j = per_user.crossJoin(F.broadcast(med))
+    quadrant = F.concat(
+        F.when(F.col("n_events") > F.col("med_events"),
+               F.lit("high_volume")).otherwise(F.lit("low_volume")),
+        F.lit("/"),
+        F.when(F.col("n_resources") > F.col("med_resources"),
+               F.lit("broad")).otherwise(F.lit("narrow")))
+    return (j.groupBy(quadrant.alias("quadrant"))
+            .agg(F.count("*").alias("n_users"),
+                 F.round(F.sum("n_ah") * 1.0 / F.sum("n_events"), 6)
+                 .alias("after_hours_ratio"))
+            .orderBy("quadrant"))
+
+
+_QUADRANTS_SQL = f"""
+{_LOG_CTE},
+per_user AS (SELECT user,
+                    CAST(count(*) AS BIGINT) AS n_events,
+                    CAST(count(DISTINCT resource) AS BIGINT) AS n_resources,
+                    CAST(sum(is_after_hours) AS BIGINT) AS n_ah
+             FROM log GROUP BY 1),
+med AS (SELECT quantile_disc(n_events, 0.5) AS med_events,
+               quantile_disc(n_resources, 0.5) AS med_resources
+        FROM per_user)
+SELECT (CASE WHEN n_events > med_events THEN 'high_volume'
+             ELSE 'low_volume' END
+        || '/' ||
+        CASE WHEN n_resources > med_resources THEN 'broad'
+             ELSE 'narrow' END) AS quadrant,
+       CAST(count(*) AS BIGINT) AS n_users,
+       round(sum(n_ah) * 1.0 / sum(n_events), 6) AS after_hours_ratio
+FROM per_user CROSS JOIN med
+GROUP BY 1
+ORDER BY 1
+"""
+
+QUERIES_TAIL["user_behavior_quadrants"] = user_behavior_quadrants
+ORACLES_TAIL["user_behavior_quadrants"] = _QUADRANTS_SQL
