@@ -1213,3 +1213,74 @@ ORDER BY nation
 
 QUERIES_TAIL["weighted_median_acctbal"] = weighted_median_acctbal
 ORACLES_TAIL["weighted_median_acctbal"] = _WEIGHTED_MEDIAN_SQL
+
+
+def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic RFM segmentation: every ordering customer scored 1-3 on
+    Recency (days since last order, from the data-derived anchor date),
+    Frequency (order count) and Monetary (lifetime revenue in exact
+    cents), each by ntile terciles over a total order — then rolled up
+    to the 27 possible cells with counts and per-cell averages. The
+    marketing-ops workhorse; '333' is the best-customer cell.
+
+    All three axes are integers; terciles are ntile windows with id
+    tie-breaks (engine-identical); the only division is the two
+    rounded per-cell means."""
+    from pyspark.sql.window import Window as W
+    orders = load_table(spark, sf_dir, "orders")
+    anchor = orders.agg(F.max("o_orderdate").alias("anchor"))
+    per_cust = (orders.crossJoin(F.broadcast(anchor))
+                .groupBy("o_custkey")
+                .agg(F.min(F.datediff("anchor", "o_orderdate"))
+                     .alias("recency_d"),
+                     F.count("*").alias("frequency"),
+                     F.sum(F.round(F.col("o_totalprice") * 100, 0)
+                           .cast("long")).alias("monetary_cents")))
+    scored = (per_cust
+              .withColumn("r", F.ntile(3).over(
+                  W.orderBy(F.desc("recency_d"), F.asc("o_custkey"))))
+              .withColumn("f", F.ntile(3).over(
+                  W.orderBy(F.asc("frequency"), F.asc("o_custkey"))))
+              .withColumn("m", F.ntile(3).over(
+                  W.orderBy(F.asc("monetary_cents"),
+                            F.asc("o_custkey")))))
+    return (scored.groupBy(
+                F.concat(F.col("r"), F.col("f"), F.col("m"))
+                .alias("segment"))
+            .agg(F.count("*").alias("n_customers"),
+                 F.round(F.avg("recency_d"), 6).alias("avg_recency_d"),
+                 F.round(F.avg("monetary_cents"), 6)
+                 .alias("avg_monetary_cents"))
+            .orderBy("segment"))
+
+
+_RFM_SQL = """
+WITH anchor AS (SELECT max(o_orderdate) AS anchor FROM orders),
+per_cust AS (
+  SELECT o_custkey,
+         CAST(min(date_diff('day', o_orderdate, anchor)) AS BIGINT)
+           AS recency_d,
+         CAST(count(*) AS BIGINT) AS frequency,
+         CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+           AS monetary_cents
+  FROM orders CROSS JOIN anchor GROUP BY 1),
+scored AS (
+  SELECT *,
+         CAST(ntile(3) OVER (ORDER BY recency_d DESC, o_custkey ASC)
+              AS INT) AS r,
+         CAST(ntile(3) OVER (ORDER BY frequency ASC, o_custkey ASC)
+              AS INT) AS f,
+         CAST(ntile(3) OVER (ORDER BY monetary_cents ASC, o_custkey ASC)
+              AS INT) AS m
+  FROM per_cust)
+SELECT (r::VARCHAR || f::VARCHAR || m::VARCHAR) AS segment,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       round(avg(recency_d), 6) AS avg_recency_d,
+       round(avg(monetary_cents), 6) AS avg_monetary_cents
+FROM scored
+GROUP BY 1
+ORDER BY 1
+"""
+
+QUERIES_TAIL["customer_rfm_segments"] = customer_rfm_segments
+ORACLES_TAIL["customer_rfm_segments"] = _RFM_SQL
