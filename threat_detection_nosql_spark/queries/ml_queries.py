@@ -160,27 +160,14 @@ _KF_K = 2
 _KF_ITERS = 2
 
 
-def kmeans_fixed_anomalies(spark: SparkSession, sf_dir: str,
-                           materialize: bool = True) -> DataFrame:
-    """End-to-end oracle-checkable anomaly detection: the A10 per-user
-    feature matrix → exact min-max scaling (A17) → k=2 fixed-iteration
-    Lloyd (deterministic seeds, no RNG) → smaller cluster = anomaly
-    (A13). Every intermediate is IEEE-reproducible, so the DuckDB
-    oracle replays feature build, scaling, both Lloyd iterations and
-    the final flags value-for-value — the correctness standard the
-    RNG-backed detectors can only meet with planted-fixture tests.
-
-    ``materialize=False`` returns the LAZY plan (no localCheckpoint)
-    so plan tests can inspect the Lloyd join strategy; the registered
-    default pins the feature table and the final assignment with eager
-    localCheckpoints (|users| rows each) so the events scan + Expand
-    agg — the query's dominant cost — runs exactly once per call, with
-    no cached blocks outliving the call."""
+def _kf_vectors(spark: SparkSession, sf_dir: str,
+                materialize: bool = True):
+    """Shared min-max-scaled per-user feature vectors for the fixed
+    k-means family (anomalies + silhouette): A10 feature build → exact
+    A17 scaling → array vector per user. Factored so both queries and
+    both oracles replay ONE definition."""
     from pyspark.sql import functions as F
 
-    from threat_detection_nosql_spark.operators.clustering import (
-        kmeans_fixed,
-    )
     from threat_detection_nosql_spark.operators.etl import activity_log
 
     log = activity_log(spark, sf_dir)
@@ -212,11 +199,36 @@ def kmeans_fixed_anomalies(spark: SparkSession, sf_dir: str,
     span = {c: F.when(F.col(f"mx_{c}") > F.col(f"mn_{c}"),
                       F.col(f"mx_{c}") - F.col(f"mn_{c}"))
             .otherwise(F.lit(1.0)) for c in _KF_FEATURES}
-    vecs = (base.crossJoin(F.broadcast(mm))
+    return (base.crossJoin(F.broadcast(mm))
             .select(F.col("user").alias("vec_id"),
                     F.array(*[((F.col(c) - F.col(f"mn_{c}")) / span[c])
                               .cast("double")
                               for c in _KF_FEATURES]).alias("v")))
+
+
+def kmeans_fixed_anomalies(spark: SparkSession, sf_dir: str,
+                           materialize: bool = True) -> DataFrame:
+    """End-to-end oracle-checkable anomaly detection: the A10 per-user
+    feature matrix → exact min-max scaling (A17) → k=2 fixed-iteration
+    Lloyd (deterministic seeds, no RNG) → smaller cluster = anomaly
+    (A13). Every intermediate is IEEE-reproducible, so the DuckDB
+    oracle replays feature build, scaling, both Lloyd iterations and
+    the final flags value-for-value — the correctness standard the
+    RNG-backed detectors can only meet with planted-fixture tests.
+
+    ``materialize=False`` returns the LAZY plan (no localCheckpoint)
+    so plan tests can inspect the Lloyd join strategy; the registered
+    default pins the feature table and the final assignment with eager
+    localCheckpoints (|users| rows each) so the events scan + Expand
+    agg — the query's dominant cost — runs exactly once per call, with
+    no cached blocks outliving the call."""
+    from pyspark.sql import functions as F
+
+    from threat_detection_nosql_spark.operators.clustering import (
+        kmeans_fixed,
+    )
+
+    vecs = _kf_vectors(spark, sf_dir, materialize)
     assigned, _cent = kmeans_fixed(vecs, k=_KF_K, n_iters=_KF_ITERS)
     if materialize:
         # |users| rows: the two consumers below (cluster sizes + flag
@@ -237,7 +249,11 @@ def kmeans_fixed_anomalies(spark: SparkSession, sf_dir: str,
     return out
 
 
-def _kf_sql() -> str:
+def _kf_prefix() -> tuple[list, str, str]:
+    """The shared oracle CTE chain (feature build → scaling → seeded
+    Lloyd iterations → final assignment); returns (ctes, final
+    assignment name, final centroid name) so the anomaly and
+    silhouette oracles replay one definition."""
     feats = _KF_FEATURES
     mins = ",\n         ".join(
         f"min({c}) AS mn_{c}, max({c}) AS mx_{c}" for c in feats)
@@ -297,6 +313,12 @@ def _kf_sql() -> str:
         ctes.append(update.format(out=f"c{i + 1}", asg=f"a{i + 1}"))
     final = f"a{_KF_ITERS + 1}"
     ctes.append(assign.format(out=final, cent=f"c{_KF_ITERS}"))
+    return ctes, final, f"c{_KF_ITERS}"
+
+
+def _kf_sql() -> str:
+    ctes, final, _cent = _kf_prefix()
+    ctes = list(ctes)
     ctes.append(f"sizes AS (SELECT cell, count(*) AS n FROM {final} "
                 f"GROUP BY cell)")
     ctes.append("pick AS (SELECT cell AS anom_cell FROM sizes "
@@ -310,6 +332,70 @@ FROM {final} CROSS JOIN pick""")
 
 QUERIES["kmeans_fixed_anomalies"] = kmeans_fixed_anomalies
 ORACLES["kmeans_fixed_anomalies"] = _kf_sql()
+
+
+def kmeans_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-quality evaluation for the deterministic k-means:
+    per-cluster mean CENTROID-based silhouette s = (b − a)/max(a, b),
+    a = distance to the own centroid, b = distance to the nearest
+    OTHER centroid (the simplified silhouette — O(n·k) instead of the
+    O(n²) pairwise form, the only formulation that scales; Rousseeuw
+    1987 / simplified variant — public knowledge). The evaluation row
+    the anomaly query's "smaller cluster" heuristic should be read
+    with: low silhouette means the two-cluster story itself is weak.
+
+    Reuses the SAME vector build and Lloyd chain as
+    ``kmeans_fixed_anomalies`` (shared ``_kf_vectors`` /
+    ``_kf_prefix``); b comes from one broadcast join against the k-row
+    centroid table. Mean silhouette rounds at 6."""
+    from pyspark.sql import functions as F
+
+    from threat_detection_nosql_spark.operators.clustering import (
+        _sq_dist,
+        kmeans_fixed,
+    )
+
+    vecs = _kf_vectors(spark, sf_dir)
+    assigned, cent = kmeans_fixed(vecs, k=_KF_K, n_iters=_KF_ITERS)
+    assigned = assigned.coalesce(4).localCheckpoint(eager=True)
+    other = (assigned
+             .join(F.broadcast(cent.withColumnRenamed("cell", "ocell")),
+                   F.col("ocell") != F.col("cell"))
+             .withColumn("od", F.sqrt(_sq_dist(F.col("v"), F.col("cv"))))
+             .groupBy("vec_id").agg(F.min("od").alias("b")))
+    sil = (assigned.join(other, "vec_id")
+           .withColumn("s", F.when(
+               F.greatest(F.col("dist"), F.col("b")) > 0,
+               (F.col("b") - F.col("dist"))
+               / F.greatest(F.col("dist"), F.col("b")))
+               .otherwise(F.lit(0.0))))
+    return (sil.groupBy(F.col("cell").alias("cluster"))
+            .agg(F.count("*").alias("n"),
+                 F.round(F.avg("s"), 6).alias("mean_silhouette"))
+            .orderBy("cluster"))
+
+
+def _kf_silhouette_sql() -> str:
+    ctes, final, cent = _kf_prefix()
+    ctes = list(ctes)
+    ctes.append(
+        f"""ob AS (SELECT a.vec_id, min(list_distance(a.v, c.cv)) AS b
+       FROM {final} a JOIN {cent} c ON c.cell <> a.cell
+       GROUP BY a.vec_id)""")
+    return ("WITH " + ",\n".join(ctes) + f"""
+SELECT cell AS cluster, CAST(count(*) AS BIGINT) AS n,
+       round(avg(CASE WHEN greatest(dist, b) > 0
+                      THEN (b - dist) / greatest(dist, b)
+                      ELSE 0.0 END), 6) AS mean_silhouette
+FROM {final} JOIN ob USING (vec_id)
+GROUP BY cell
+ORDER BY cell""")
+
+
+QUERIES_TAIL = {**globals().get("QUERIES_TAIL", {}),
+                "kmeans_silhouette": kmeans_silhouette}
+ORACLES_TAIL = {**globals().get("ORACLES_TAIL", {}),
+                "kmeans_silhouette": _kf_silhouette_sql()}
 
 
 def user_pca_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
