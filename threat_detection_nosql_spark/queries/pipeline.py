@@ -1289,3 +1289,48 @@ FROM documents d LEFT JOIN per_doc ON per_doc.doc_id = d.doc_id
 
 QUERIES_TAIL["doc_novelty_scores"] = doc_novelty_scores
 ORACLES_TAIL["doc_novelty_scores"] = _NOVELTY_SQL
+
+
+# -- D5n: embedding hygiene audit ---------------------------------------------
+
+def embedding_norm_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-ANN hygiene: the distribution of embedding L2 norms (min /
+    mean / max, rounded) plus counts of degenerate vectors (near-zero
+    norm) and of vectors already unit-normalized — the audit that
+    catches a mixed-normalization corpus BEFORE cosine math silently
+    treats magnitude as relevance. Norms are computed JVM-side with
+    the array higher-order fold (`aggregate`), no UDF; one scan, one
+    1-row aggregate."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    norm = F.sqrt(F.aggregate(
+        "embedding", F.lit(0.0),
+        lambda acc, x: acc + x.cast("double") * x.cast("double")))
+    n = emb.select(norm.alias("nrm"))
+    return n.agg(
+        F.count("*").alias("n_vectors"),
+        F.round(F.min("nrm"), 6).alias("min_norm"),
+        F.round(F.avg("nrm"), 6).alias("mean_norm"),
+        F.round(F.max("nrm"), 6).alias("max_norm"),
+        F.sum((F.col("nrm") < 1e-6).cast("long")).alias("n_degenerate"),
+        F.sum((F.abs(F.col("nrm") - 1.0) < 1e-6).cast("long"))
+        .alias("n_unit_normalized"))
+
+
+_NORM_AUDIT_SQL = """
+WITH n AS (SELECT sqrt(list_aggregate(
+             list_transform(embedding::DOUBLE[], x -> x * x), 'sum'))
+             AS nrm
+           FROM embeddings)
+SELECT CAST(count(*) AS BIGINT) AS n_vectors,
+       round(min(nrm), 6) AS min_norm,
+       round(avg(nrm), 6) AS mean_norm,
+       round(max(nrm), 6) AS max_norm,
+       CAST(sum(CASE WHEN nrm < 1e-6 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_degenerate,
+       CAST(sum(CASE WHEN abs(nrm - 1.0) < 1e-6 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_unit_normalized
+FROM n
+"""
+
+QUERIES_TAIL["embedding_norm_audit"] = embedding_norm_audit
+ORACLES_TAIL["embedding_norm_audit"] = _NORM_AUDIT_SQL
