@@ -1154,3 +1154,65 @@ WINDOW w AS (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
 
 QUERIES_TAIL["vocab_growth_curve"] = vocab_growth_curve
 ORACLES_TAIL["vocab_growth_curve"] = _VOCAB_GROWTH_SQL
+
+
+_ZIPF_TOP = 100
+
+
+def zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law check: OLS slope of ln(frequency) on ln(rank) over
+    the top-100 token ranks (slope ≈ −1 for natural language; a flat
+    slope flags synthetic or templated text) — with Heaps'
+    (``vocab_growth_curve``) and novelty, the corpus-statistics trio.
+
+    Ranks come from one global (freq DESC, token ASC) total order —
+    engine-identical; the regression is the closed-form 5-sum OLS over
+    just 100 (ln rank, ln freq) pairs, where ln(rank) is a log of an
+    exact integer and ln(freq) a log of an exact count, so both
+    engines transform identical inputs and only the final two rounded
+    divisions can differ at the ulp level."""
+    from pyspark.sql.window import Window as W
+    docs = load_table(spark, sf_dir, "documents")
+    freq = (docs.select(F.explode(F.split(F.col("text"), r"\s+"))
+                        .alias("token"))
+            .filter(F.col("token") != "")
+            .groupBy("token").agg(F.count("*").alias("freq")))
+    ranked = (freq.withColumn(
+        "rank", F.row_number().over(W.orderBy(F.desc("freq"),
+                                              F.asc("token"))))
+        .filter(F.col("rank") <= _ZIPF_TOP))
+    xy = ranked.select(F.log("rank").alias("x"), F.log("freq").alias("y"))
+    s = xy.agg(F.count("*").alias("n"),
+               F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+               F.sum(F.col("x") * F.col("y")).alias("sxy"),
+               F.sum(F.col("x") * F.col("x")).alias("sxx"))
+    slope = ((F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+             / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")))
+    intercept = (F.col("sy") - slope * F.col("sx")) / F.col("n")
+    return s.select("n", F.round(slope, 6).alias("zipf_slope"),
+                    F.round(intercept, 6).alias("zipf_intercept"))
+
+
+_ZIPF_SQL = rf"""
+WITH tok AS (SELECT unnest(string_split_regex(text, '\s+')) AS token
+             FROM documents),
+freq AS (SELECT token, CAST(count(*) AS BIGINT) AS freq
+         FROM tok WHERE token <> '' GROUP BY 1),
+ranked AS (SELECT freq,
+                  row_number() OVER (ORDER BY freq DESC, token ASC)
+                    AS rank
+           FROM freq QUALIFY rank <= {_ZIPF_TOP}),
+xy AS (SELECT ln(rank) AS x, ln(freq) AS y FROM ranked),
+s AS (SELECT CAST(count(*) AS BIGINT) AS n,
+             sum(x) AS sx, sum(y) AS sy,
+             sum(x * y) AS sxy, sum(x * x) AS sxx
+      FROM xy)
+SELECT n,
+       round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS zipf_slope,
+       round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n,
+             6) AS zipf_intercept
+FROM s
+"""
+
+QUERIES_TAIL["zipf_fit"] = zipf_fit
+ORACLES_TAIL["zipf_fit"] = _ZIPF_SQL
