@@ -444,3 +444,33 @@ GROUP BY 1, 2, 3
 
 QUERIES_TAIL["stream_markov_transitions"] = stream_markov_transitions
 ORACLES_TAIL["stream_markov_transitions"] = _MARKOV_STREAM_SQL
+
+
+def stream_hll_user_registers(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """Streaming HLL twin (streaming.stream_queries.hll_user_registers);
+    oracle = the batch register build (max-mergeability makes the
+    drained state equal the batch sketch)."""
+    return S.hll_user_registers(spark, sf_dir)
+
+
+def _hll_stream_sql() -> str:
+    from threat_detection_nosql_spark.operators.sketches import (
+        _HLL_W_BITS,
+    )
+    wmod = 1 << _HLL_W_BITS
+    rmax = _HLL_W_BITS + 1
+    return f"""
+WITH h AS (
+  SELECT CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+              AS BIGINT) AS x
+  FROM events)
+SELECT x // {wmod} AS idx,
+       max(CASE WHEN x % {wmod} = 0 THEN {rmax}
+                ELSE {rmax} - length(bin(x % {wmod})) END) AS r
+FROM h GROUP BY 1
+"""
+
+
+QUERIES_TAIL["stream_hll_user_registers"] = stream_hll_user_registers
+ORACLES_TAIL["stream_hll_user_registers"] = _hll_stream_sql()

@@ -689,3 +689,30 @@ def markov_transition_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     latest = (table.groupBy("user", "prev_activity", "activity")
               .agg(F.max("n").alias("n")))
     return latest
+
+
+def hll_user_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming HyperLogLog register table over the user-id stream —
+    the cardinality sketch's streaming twin, closing the sketch-twin
+    family (Count-Min: sum-mergeable; Bloom: or-mergeable; HLL:
+    MAX-mergeable). max is idempotent and commutative, so the
+    complete-mode register aggregation needs no distinct and no
+    watermark, state is bounded at 2^p rows regardless of user
+    cardinality, and the drained registers equal the batch
+    ``operators.sketches.hll_portable_registers`` — the oracle replays
+    every register value."""
+    from threat_detection_nosql_spark.operators.sketches import (
+        _HLL_W_BITS,
+    )
+    from threat_detection_nosql_spark.operators.dedup import (
+        _portable_hash60,
+    )
+    ev = events_stream(spark, sf_dir)
+    x = _portable_hash60(F.col("user").cast("string"))
+    w = x % F.lit(1 << _HLL_W_BITS)
+    idx = ((x - w) / F.lit(float(1 << _HLL_W_BITS))).cast("long")
+    rho = F.when(w == 0, F.lit(_HLL_W_BITS + 1)).otherwise(
+        F.lit(_HLL_W_BITS + 1) - F.length(F.bin(w)))
+    regs = (ev.select(idx.alias("idx"), rho.alias("rho"))
+            .groupBy("idx").agg(F.max("rho").alias("r")))
+    return run_stream_to_table(regs, mode="complete")
