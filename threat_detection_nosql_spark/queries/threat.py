@@ -639,3 +639,184 @@ ORDER BY 1
 
 QUERIES_TAIL["user_behavior_quadrants"] = user_behavior_quadrants
 ORACLES_TAIL["user_behavior_quadrants"] = _QUADRANTS_SQL
+
+
+# -- the composite triage surface ---------------------------------------------
+
+def user_triage_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONE table a security analyst can actually triage from: per user,
+    the five orthogonal behavioral signals this engine computes —
+    volume + after-hours ratio (rule axis), rarity-weighted resource
+    score (access axis), inter-arrival dispersion (burstiness axis),
+    sequence surprise under the global Markov model (order axis), and
+    the OLS activity-trend slope (drift axis) — side by side, NULL
+    where a user lacks the volume for a statistic rather than silently
+    zeroed. The report every individual query in this family feeds.
+
+    All five signals are per-user aggregates over the SAME user key,
+    so the composition is one events shuffle re-used by five
+    map-combinable aggregations plus user-keyed joins of tiny frames —
+    no new shuffle dimension; every component reuses the exact
+    cross-engine arithmetic its standalone query already proved
+    (rounded ratios, integer-moment dispersion, ln of rounded model
+    probabilities, exact-BIGINT OLS)."""
+    from pyspark.sql.window import Window as W
+    log = activity_log(spark, sf_dir)
+
+    base = (log.groupBy("user")
+            .agg(F.count("*").alias("n_events"),
+                 F.round(F.sum("is_after_hours") * 1.0 / F.count("*"), 6)
+                 .alias("after_hours_ratio")))
+
+    ur = (log.filter(F.col("resource").isNotNull())
+          .select("user", "resource").distinct())
+    n_users = float(ur.select("user").distinct().count())
+    audience = ur.groupBy("resource").agg(
+        F.countDistinct("user").alias("n_touching"))
+    rarity = (ur.join(F.broadcast(audience), "resource")
+              .groupBy("user")
+              .agg(F.round(F.sum(F.log(F.lit(n_users)
+                                       / F.col("n_touching"))), 6)
+                   .alias("rarity_score")))
+
+    w = W.partitionBy("user").orderBy("ts", "event_id")
+    gaps = (log.select(
+                "user",
+                ((F.unix_micros("ts")
+                  - F.unix_micros(F.lag("ts").over(w)))
+                 / F.lit(1_000_000)).cast("long").alias("g"))
+            .filter(F.col("g").isNotNull()))
+    disp = (gaps.groupBy("user")
+            .agg(F.count("*").alias("ng"), F.sum("g").alias("sg"),
+                 F.sum(F.col("g") * F.col("g")).alias("sg2"))
+            .select("user",
+                    F.when((F.col("ng") >= 50) & (F.col("sg") > 0),
+                           F.round((F.col("ng") * F.col("sg2")
+                                    - F.col("sg") * F.col("sg")) * 1.0
+                                   / (F.col("ng") * F.col("sg")), 6))
+                    .alias("dispersion")))
+
+    pairs = (log.select("user",
+                        F.lag("activity").over(w).alias("prev_activity"),
+                        F.col("activity"))
+             .filter(F.col("prev_activity").isNotNull()))
+    counts = (pairs.groupBy("prev_activity", "activity")
+              .agg(F.count("*").alias("n")))
+    totals = counts.groupBy("prev_activity").agg(F.sum("n").alias("nf"))
+    model = (counts.join(totals, "prev_activity")
+             .select("prev_activity", "activity",
+                     F.round(F.col("n") * 1.0 / F.col("nf"), 6)
+                     .alias("p")))
+    surprise = (pairs.join(F.broadcast(model),
+                           ["prev_activity", "activity"])
+                .groupBy("user")
+                .agg(F.count("*").alias("nt"),
+                     F.round(F.avg(-F.log("p")), 6).alias("sup"))
+                .select("user", F.when(F.col("nt") >= 50, F.col("sup"))
+                        .alias("sequence_surprise")))
+
+    daily = (log.groupBy("user", F.to_date("ts").alias("day"))
+             .agg(F.count("*").alias("y")))
+    x = F.datediff(F.col("day"),
+                   F.min("day").over(W.partitionBy("user"))).cast("long")
+    sums = (daily.select("user", x.alias("x"), "y")
+            .groupBy("user")
+            .agg(F.count("*").alias("n"), F.sum("x").alias("sx"),
+                 F.sum("y").alias("sy"),
+                 F.sum(F.col("x") * F.col("y")).alias("sxy"),
+                 F.sum(F.col("x") * F.col("x")).alias("sxx")))
+    denom = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    trend = sums.select(
+        "user",
+        F.when(denom > 0,
+               F.round((F.col("n") * F.col("sxy")
+                        - F.col("sx") * F.col("sy")) * 1.0 / denom, 6))
+        .alias("trend_slope"))
+
+    return (base.join(rarity, "user", "left")
+            .join(disp, "user", "left")
+            .join(surprise, "user", "left")
+            .join(trend, "user", "left")
+            .orderBy("user"))
+
+
+_TRIAGE_SQL = f"""
+{_LOG_CTE},
+base AS (SELECT user, CAST(count(*) AS BIGINT) AS n_events,
+                round(sum(is_after_hours) * 1.0 / count(*), 6)
+                  AS after_hours_ratio
+         FROM log GROUP BY 1),
+ur AS (SELECT DISTINCT user, resource FROM log
+       WHERE resource IS NOT NULL),
+nu AS (SELECT CAST(count(DISTINCT user) AS DOUBLE) AS n_users FROM ur),
+audience AS (SELECT resource,
+                    CAST(count(DISTINCT user) AS BIGINT) AS n_touching
+             FROM ur GROUP BY 1),
+rarity AS (SELECT "user",
+                  round(sum(ln(n_users / n_touching)), 6) AS rarity_score
+           FROM ur JOIN audience USING (resource) CROSS JOIN nu
+           GROUP BY 1),
+gaps AS (SELECT user,
+                CAST((epoch_us(ts) - epoch_us(lag(ts) OVER (
+                     PARTITION BY user ORDER BY ts, event_id)))
+                     // 1000000 AS BIGINT) AS g
+         FROM log),
+disp AS (SELECT "user",
+                CASE WHEN count(*) >= 50 AND sum(g) > 0
+                     THEN round((count(*) * sum(g * g)
+                                 - sum(g) * sum(g)) * 1.0
+                                / (count(*) * sum(g)), 6) END
+                  AS dispersion
+         FROM gaps WHERE g IS NOT NULL GROUP BY 1),
+pairs AS (SELECT user,
+                 lag(activity) OVER (PARTITION BY user
+                                     ORDER BY ts, event_id)
+                   AS prev_activity,
+                 activity
+          FROM log),
+np AS (SELECT * FROM pairs WHERE prev_activity IS NOT NULL),
+counts AS (SELECT prev_activity, activity,
+                  CAST(count(*) AS BIGINT) AS n
+           FROM np GROUP BY 1, 2),
+totals AS (SELECT prev_activity, CAST(sum(n) AS BIGINT) AS nf
+           FROM counts GROUP BY 1),
+model AS (SELECT counts.prev_activity, activity,
+                 round(n * 1.0 / nf, 6) AS p
+          FROM counts JOIN totals USING (prev_activity)),
+surprise AS (SELECT "user",
+                    CASE WHEN count(*) >= 50
+                         THEN round(avg(-ln(p)), 6) END
+                      AS sequence_surprise
+             FROM np JOIN model USING (prev_activity, activity)
+             GROUP BY 1),
+daily AS (SELECT user, CAST(ts AS DATE) AS day,
+                 CAST(count(*) AS BIGINT) AS y
+          FROM log GROUP BY 1, 2),
+xy AS (SELECT "user",
+              CAST(day - min(day) OVER (PARTITION BY "user") AS BIGINT)
+                AS x, y
+       FROM daily),
+sums AS (SELECT "user", CAST(count(*) AS BIGINT) AS n,
+                CAST(sum(x) AS BIGINT) AS sx,
+                CAST(sum(y) AS BIGINT) AS sy,
+                CAST(sum(x * y) AS BIGINT) AS sxy,
+                CAST(sum(x * x) AS BIGINT) AS sxx
+         FROM xy GROUP BY 1),
+trend AS (SELECT "user",
+                 CASE WHEN n * sxx - sx * sx > 0
+                      THEN round((n * sxy - sx * sy) * 1.0
+                                 / (n * sxx - sx * sx), 6) END
+                   AS trend_slope
+          FROM sums)
+SELECT base."user", n_events, after_hours_ratio, rarity_score,
+       dispersion, sequence_surprise, trend_slope
+FROM base
+LEFT JOIN rarity ON rarity."user" = base."user"
+LEFT JOIN disp ON disp."user" = base."user"
+LEFT JOIN surprise ON surprise."user" = base."user"
+LEFT JOIN trend ON trend."user" = base."user"
+ORDER BY base."user"
+"""
+
+QUERIES_TAIL["user_triage_report"] = user_triage_report
+ORACLES_TAIL["user_triage_report"] = _TRIAGE_SQL
