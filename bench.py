@@ -145,6 +145,36 @@ ROUND5B_COLLECT = [
 ROUND5B_COUNT: list = []
 
 
+# Fourth late-round-5 wave ("round5c_total"): analytics batch +
+# sketch-twin closure + the composite triage capstone.
+ROUND5C_COLLECT = [
+    "doc_novelty_scores",
+    "arrival_burstiness_top10",
+    "activity_trigram_top10",
+    "conversion_latency_quartiles",
+    "winsorized_order_values",
+    "dau_wau_stickiness",
+    "revenue_pareto",
+    "repurchase_interval_histogram",
+    "source_lang_chi2",
+    "open_order_aging",
+    "worst_error_windows_top10",
+    "part_supplier_hhi_top20",
+    "new_vs_returning_users",
+    "vocab_growth_curve",
+    "session_activity_lift",
+    "weighted_median_acctbal",
+    "user_behavior_quadrants",
+    "customer_rfm_segments",
+    "zipf_fit",
+    "kmeans_silhouette",
+    "embedding_norm_audit",
+    "stream_hll_user_registers",
+    "user_triage_report",
+]
+ROUND5C_COUNT: list = []
+
+
 def main() -> None:
     spark = get_spark("bench")
     queries = all_queries()
@@ -188,6 +218,10 @@ def main() -> None:
         timings[name] = median_time(name, name in ROUND5B_COUNT)
     round5b_total = round(sum(timings[n] for n in
                               ROUND5B_COLLECT + ROUND5B_COUNT), 3)
+    for name in ROUND5C_COLLECT + ROUND5C_COUNT:
+        timings[name] = median_time(name, name in ROUND5C_COUNT)
+    round5c_total = round(sum(timings[n] for n in
+                              ROUND5C_COLLECT + ROUND5C_COUNT), 3)
     # Isolated re-measure of the 5 slowest queries: a fresh
     # spark.newSession() per query, after every other group finished.
     # In-run medians on a shared box have twice produced phantom
@@ -196,7 +230,8 @@ def main() -> None:
     # second, quieter sample alongside lets a reviewer adjudicate noise
     # vs real regression without re-running the bench.
     count_set = set(HEADLINE_COUNT + PIPELINE_COUNT + EXTENDED_COUNT
-                    + ROUND4_COUNT + ROUND5_COUNT + ROUND5B_COUNT)
+                    + ROUND4_COUNT + ROUND5_COUNT + ROUND5B_COUNT
+                    + ROUND5C_COUNT)
     slowest = sorted(timings, key=timings.get, reverse=True)[:5]
     isolated: dict[str, float] = {}
     for name in slowest:
@@ -221,6 +256,7 @@ def main() -> None:
         "round4_total": round4_total,
         "round5_total": round5_total,
         "round5b_total": round5b_total,
+        "round5c_total": round5c_total,
         "isolated": isolated,
         "sf": float(sf),
     }))
