@@ -1232,7 +1232,14 @@ def doc_novelty_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingle emit 0 shingles and are reported with NULL novelty rather
     than dropped."""
     docs = load_table(spark, sf_dir, "documents")
-    w = F.split(F.col("text"), r"\s+")
+    # materialize the split FIRST: element_at inside a transform lambda
+    # embeds its argument expression, so referencing split(text) there
+    # re-tokenizes the doc per element access (O(len²) — measured ~6 s
+    # for a 260k-row explode at sf0.1; ~1 s with the array pinned to a
+    # column)
+    words = docs.select("doc_id", F.split(F.col("text"), r"\s+")
+                        .alias("wds"))
+    w = F.col("wds")
     # guard: Spark sequence(1, 0) generates DESCENDING [1, 0] — a
     # sub-3-word doc must yield an empty array, not bogus indices
     shingles = F.when(
@@ -1243,15 +1250,27 @@ def doc_novelty_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
                                   F.element_at(w, i + 1),
                                   F.element_at(w, i + 2)))
     ).otherwise(F.array().cast("array<string>"))
-    sh = (docs.select("doc_id", F.explode(shingles).alias("shingle"))
+    sh = (words.select("doc_id", F.explode(shingles).alias("shingle"))
           .filter(F.col("shingle") != "")
-          .distinct())
-    dfreq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
-    per_doc = (sh.join(dfreq, "shingle")
-               .groupBy("doc_id")
-               .agg(F.count("*").alias("n_shingles"),
-                    F.sum((F.col("df") == 1).cast("long"))
-                    .alias("n_unique")))
+          .distinct()
+          # consumed TWICE (df agg + scoring join): pin so the explode
+          # + distinct shuffle runs once (7.1 s -> ~4 s at sf0.1)
+          .localCheckpoint(eager=True))
+    # a df==1 shingle has exactly ONE owner doc, so carrying
+    # min(doc_id) in the df aggregate replaces the 2.5M-row
+    # shingle-keyed join with two map-combinable aggs of `sh` plus a
+    # |docs|-row join — measured ~6.2 s -> ~2.5 s at sf0.1
+    dfreq = (sh.groupBy("shingle")
+             .agg(F.count("*").alias("df"),
+                  F.min("doc_id").alias("owner")))
+    uniq = (dfreq.filter(F.col("df") == 1)
+            .groupBy(F.col("owner").alias("doc_id"))
+            .agg(F.count("*").alias("n_unique")))
+    per_doc = (sh.groupBy("doc_id")
+               .agg(F.count("*").alias("n_shingles"))
+               .join(uniq, "doc_id", "left")
+               .withColumn("n_unique",
+                           F.coalesce(F.col("n_unique"), F.lit(0))))
     return (docs.select("doc_id")
             .join(per_doc, "doc_id", "left")
             .select("doc_id",
