@@ -202,3 +202,48 @@ def test_streak_islands_split_on_gap(spark, tmp_path):
     assert len(got) == 1
     assert got[0]["longest_streak"] == 3
     assert got[0]["streak_start"].day == 1
+
+
+def test_cusum_sustained_shift_alerts_burst_does_not(spark, tmp_path):
+    """A sustained +2x shift in the back half must trip the CUSUM
+    alert; the flat-then-single-spike user must not — the separation
+    CUSUM provides over a per-day burst flag."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from threat_detection_nosql_spark.queries.temporal import (
+        user_cusum_alerts)
+
+    rows = []
+    eid = 0
+
+    def add(day, user, n):
+        nonlocal eid
+        for k in range(n):
+            rows.append((eid, dt.datetime(2024, 1, day, 2 + (k % 20)),
+                         user))
+            eid += 1
+
+    for d in range(1, 8):
+        add(d, 1, 4)          # user 1: flat 4/day...
+    for d in range(8, 15):
+        add(d, 1, 12)         # ...then a sustained 3x shift
+    for d in range(1, 14):
+        add(d, 2, 4)          # user 2: flat with one spike
+    add(14, 2, 12)
+    pq.write_table(pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+        "user_id": pa.array([r[2] for r in rows], pa.int64()),
+        "event_type": pa.array(["click"] * len(rows)),
+        "value": pa.array([1.0] * len(rows), pa.float64()),
+        "props": pa.array(['{"k": 1}'] * len(rows)),
+    }), str(tmp_path / "events.parquet"))
+
+    got = {r["user"]: r
+           for r in user_cusum_alerts(spark, str(tmp_path)).collect()}
+    assert got[1]["n_alert_days"] >= 1
+    assert got[1]["first_alert_day"] is not None
+    assert got[2]["n_alert_days"] == 0

@@ -1319,3 +1319,110 @@ ORDER BY n_ab DESC, a ASC, b ASC
 
 QUERIES_TAIL["session_activity_lift"] = session_activity_lift
 ORACLES_TAIL["session_activity_lift"] = _SESSION_LIFT_SQL
+
+
+# -- CUSUM drift detection ----------------------------------------------------
+
+_CUSUM_K = 0.5   # slack, in units of the per-user daily mean
+_CUSUM_H = 4.0   # decision threshold, same units
+
+
+def user_cusum_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided CUSUM change detection on per-user daily counts (Page
+    1954 — public knowledge): S_t = max(0, S_{t-1} + (x_t − μ − k·μ)),
+    alert when S_t > h·μ (k = 0.5, h = 4) — the control chart that
+    catches a SUSTAINED small upward shift EWMA's single-day burst
+    flag misses. μ is the user's own IN-CONTROL baseline — the mean of
+    the FIRST 7 active days — as CUSUM practice requires: a full-series
+    mean absorbs the very shift being hunted (a long 1.5× shift sits
+    exactly at the slack line and never accumulates). Users need ≥ 10
+    active days (7 baseline + monitored tail).
+
+    The recursion has no direct window form, but the classic identity
+    S_t = C_t − min(0, min_{j≤t} C_j) (C = running sum of deviations)
+    turns it into TWO stacked windows over one per-user day ordering.
+    EXACTNESS: running float sums accumulate in engine-specific order,
+    so the whole chain runs in integer HALF-MICRO units — μ_u =
+    floor(μ·1e6 + 0.5) is BIGINT (integer mean of integers is an
+    exact double in both engines), each deviation is the exact BIGINT
+    2·x·1e6 − 3·μ_u, and every cumulative/min/max/compare stays
+    integer; the one division back to real units divides the same
+    BIGINT by the same constant, which is IEEE-identical. ≥ 7 active
+    days required."""
+    from pyspark.sql.window import Window as W
+    ev = load_table(spark, sf_dir, "events")
+    daily = (ev.groupBy(F.col("user_id").alias("user"),
+                        F.to_date("ts").alias("day"))
+             .agg(F.count("*").alias("x")))
+    order0 = W.partitionBy("user").orderBy("day")
+    ranked = daily.withColumn("rn", F.row_number().over(order0))
+    mu = (ranked.groupBy("user")
+          .agg(F.floor(F.avg(F.when(F.col("rn") <= 7, F.col("x")))
+                       * 1e6 + F.lit(0.5)).cast("long").alias("mu_u"),
+               F.count("*").alias("n_days")))
+    j = (ranked.join(F.broadcast(mu), "user")
+         .filter(F.col("n_days") >= 10))
+    dev2 = (2_000_000 * F.col("x") - 3 * F.col("mu_u"))
+    order = W.partitionBy("user").orderBy("day")
+    run = order.rowsBetween(W.unboundedPreceding, W.currentRow)
+    cums = j.withColumn("c2", F.sum(dev2).over(run))
+    scored = cums.withColumn(
+        "s2", F.col("c2") - F.least(F.min("c2").over(run), F.lit(0)))
+    alert = F.col("s2") > 8 * F.col("mu_u")   # s > 4·μ in half-micros
+    flagged = scored.withColumn("is_alert", alert.cast("int"))
+    return (flagged.groupBy("user", "mu_u")
+            .agg(F.max("s2").alias("peak2"),
+                 F.sum("is_alert").alias("n_alert_days"),
+                 F.min(F.when(alert, F.col("day")))
+                 .alias("first_alert_day"))
+            .select("user",
+                    (F.col("mu_u") / F.lit(1_000_000.0)).alias("mu"),
+                    (F.col("peak2") / F.lit(2_000_000.0))
+                    .alias("peak_cusum"),
+                    "n_alert_days", "first_alert_day")
+            .orderBy("user"))
+
+
+_CUSUM_SQL = """
+WITH daily AS (
+  SELECT user_id AS "user", CAST(ts AS DATE) AS day,
+         CAST(count(*) AS BIGINT) AS x
+  FROM events GROUP BY 1, 2),
+ranked AS (SELECT "user", day, x,
+                  row_number() OVER (PARTITION BY "user"
+                                     ORDER BY day) AS rn
+           FROM daily),
+mu AS (SELECT "user",
+              CAST(floor(avg(CASE WHEN rn <= 7 THEN x END) * 1e6 + 0.5)
+                   AS BIGINT) AS mu_u,
+              CAST(count(*) AS BIGINT) AS n_days
+       FROM ranked GROUP BY 1),
+j AS (SELECT ranked."user", day, x, mu_u
+      FROM ranked JOIN mu USING ("user") WHERE n_days >= 10),
+cums AS (
+  SELECT "user", day, mu_u,
+         sum(2000000 * x - 3 * mu_u) OVER w AS c2
+  FROM j
+  WINDOW w AS (PARTITION BY "user" ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+runs AS (
+  SELECT "user", day, mu_u, c2,
+         min(c2) OVER (PARTITION BY "user" ORDER BY day
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW) AS cmin2
+  FROM cums),
+scored AS (SELECT "user", day, mu_u,
+                  c2 - least(cmin2, 0) AS s2
+           FROM runs)
+SELECT "user", mu_u / 1000000.0 AS mu,
+       CAST(max(s2) AS BIGINT) / 2000000.0 AS peak_cusum,
+       CAST(sum(CASE WHEN s2 > 8 * mu_u THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_alert_days,
+       min(CASE WHEN s2 > 8 * mu_u THEN day END) AS first_alert_day
+FROM scored
+GROUP BY "user", mu_u
+ORDER BY "user"
+"""
+
+QUERIES_TAIL["user_cusum_alerts"] = user_cusum_alerts
+ORACLES_TAIL["user_cusum_alerts"] = _CUSUM_SQL
