@@ -1353,3 +1353,51 @@ FROM n
 
 QUERIES_TAIL["embedding_norm_audit"] = embedding_norm_audit
 ORACLES_TAIL["embedding_norm_audit"] = _NORM_AUDIT_SQL
+
+
+# -- D5o: character-entropy quality signal ------------------------------------
+
+def doc_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc character-level Shannon entropy (nats) — the
+    compression-proxy quality heuristic: near-zero entropy flags
+    repeated-character junk and padded docs, unusually high entropy
+    flags base64/binary blobs pasted into text; both ends are the
+    standard pre-training drop candidates that token-level stats miss
+    (a doc of one repeated WORD still has several distinct tokens).
+
+    One char explode → (doc, char) counts → per-doc algebraic entropy
+    Σ(c/n)·ln(n/c) in the entropy family's zero-UDF form; the doc
+    length rolls off the same aggregate. Probabilities are
+    integer-count ratios; the rounded sum is the one float output."""
+    docs = load_table(spark, sf_dir, "documents")
+    ch = (docs.select("doc_id",
+                      F.explode(F.split(F.col("text"), "")).alias("ch"))
+          .filter(F.col("ch") != ""))
+    counts = ch.groupBy("doc_id", "ch").agg(F.count("*").alias("c"))
+    tot = counts.groupBy("doc_id").agg(F.sum("c").alias("n"),
+                                       F.count("*").alias("n_distinct"))
+    j = counts.join(tot, "doc_id")
+    ent = F.sum((F.col("c") / F.col("n"))
+                * F.log(F.col("n") / F.col("c")))
+    return (j.groupBy("doc_id", "n", "n_distinct")
+            .agg(F.round(ent, 6).alias("char_entropy"))
+            .select("doc_id", F.col("n").alias("n_chars_split"),
+                    "n_distinct", "char_entropy"))
+
+
+_CHAR_ENTROPY_SQL = """
+WITH ch AS (SELECT doc_id, unnest(string_split_regex(text, '')) AS ch
+            FROM documents),
+counts AS (SELECT doc_id, ch, CAST(count(*) AS BIGINT) AS c
+           FROM ch WHERE ch <> '' GROUP BY 1, 2),
+tot AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n,
+               CAST(count(*) AS BIGINT) AS n_distinct
+        FROM counts GROUP BY 1)
+SELECT counts.doc_id, n AS n_chars_split, n_distinct,
+       round(sum((c * 1.0 / n) * ln(n * 1.0 / c)), 6) AS char_entropy
+FROM counts JOIN tot USING (doc_id)
+GROUP BY counts.doc_id, n, n_distinct
+"""
+
+QUERIES_TAIL["doc_char_entropy"] = doc_char_entropy
+ORACLES_TAIL["doc_char_entropy"] = _CHAR_ENTROPY_SQL
