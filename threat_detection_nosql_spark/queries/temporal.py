@@ -1426,3 +1426,72 @@ ORDER BY "user"
 
 QUERIES_TAIL["user_cusum_alerts"] = user_cusum_alerts
 ORACLES_TAIL["user_cusum_alerts"] = _CUSUM_SQL
+
+
+def user_daily_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 autocorrelation of each user's daily event counts —
+    positive means momentum (busy days follow busy days: batch jobs,
+    campaigns), negative means alternation (catch-up/backoff
+    rhythms), ≈0 means memoryless — the one-number persistence summary
+    the trend slope doesn't capture (a flat-trend user can still be
+    strongly autocorrelated).
+
+    Pearson r over the (xₜ, xₜ₊₁) lag pairs from one lag window per
+    user; all five moments are EXACT BIGINT (integer counts), so both
+    engines compute the identical double in the single closed-form
+    expression at the end. Degenerate spans (either margin constant)
+    emit NULL; ≥ 10 lag pairs required."""
+    from pyspark.sql.window import Window as W
+    ev = load_table(spark, sf_dir, "events")
+    daily = (ev.groupBy(F.col("user_id").alias("user"),
+                        F.to_date("ts").alias("day"))
+             .agg(F.count("*").alias("x")))
+    w = W.partitionBy("user").orderBy("day")
+    pairs = (daily.select("user", F.col("x").alias("a"),
+                          F.lead("x").over(w).alias("b"))
+             .filter(F.col("b").isNotNull()))
+    s = (pairs.groupBy("user")
+         .agg(F.count("*").alias("n"),
+              F.sum("a").alias("sa"), F.sum("b").alias("sb"),
+              F.sum(F.col("a") * F.col("b")).alias("sab"),
+              F.sum(F.col("a") * F.col("a")).alias("saa"),
+              F.sum(F.col("b") * F.col("b")).alias("sbb")))
+    va = F.col("n") * F.col("saa") - F.col("sa") * F.col("sa")
+    vb = F.col("n") * F.col("sbb") - F.col("sb") * F.col("sb")
+    cov = F.col("n") * F.col("sab") - F.col("sa") * F.col("sb")
+    return (s.filter(F.col("n") >= 10)
+            .select("user", "n",
+                    F.when((va > 0) & (vb > 0),
+                           F.round(cov / F.sqrt(va * vb), 6))
+                    .alias("lag1_autocorr"))
+            .orderBy("user"))
+
+
+_AUTOCORR_SQL = """
+WITH daily AS (
+  SELECT user_id AS "user", CAST(ts AS DATE) AS day,
+         CAST(count(*) AS BIGINT) AS x
+  FROM events GROUP BY 1, 2),
+pairs AS (
+  SELECT "user", x AS a,
+         lead(x) OVER (PARTITION BY "user" ORDER BY day) AS b
+  FROM daily),
+s AS (SELECT "user", CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(a) AS BIGINT) AS sa, CAST(sum(b) AS BIGINT) AS sb,
+             CAST(sum(a * b) AS BIGINT) AS sab,
+             CAST(sum(a * a) AS BIGINT) AS saa,
+             CAST(sum(b * b) AS BIGINT) AS sbb
+      FROM pairs WHERE b IS NOT NULL GROUP BY 1)
+SELECT "user", n,
+       CASE WHEN n * saa - sa * sa > 0 AND n * sbb - sb * sb > 0
+            THEN round((n * sab - sa * sb)
+                       / sqrt((n * saa - sa * sa)
+                              * (n * sbb - sb * sb)), 6) END
+         AS lag1_autocorr
+FROM s
+WHERE n >= 10
+ORDER BY "user"
+"""
+
+QUERIES_TAIL["user_daily_autocorr"] = user_daily_autocorr
+ORACLES_TAIL["user_daily_autocorr"] = _AUTOCORR_SQL
