@@ -1495,3 +1495,87 @@ ORDER BY "user"
 
 QUERIES_TAIL["user_daily_autocorr"] = user_daily_autocorr
 ORACLES_TAIL["user_daily_autocorr"] = _AUTOCORR_SQL
+
+
+def daily_mix_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drift as a TIME SERIES: per day, the Jensen-Shannon divergence
+    (nats) between that day's activity-type mix and the previous
+    day's — the day-over-day behavioral-drift monitor that turns the
+    one-shot drift gates (PSI, per-user JSD) into a trend you can
+    alarm on. Cells missing on one side contribute only their present
+    side's term (the standard JSD zero-cell handling).
+
+    Shape: one (day, activity) agg, a self FULL-OUTER join on
+    (previous calendar day, activity) — day keys, so the join is
+    date-arithmetic co-located — day totals broadcast back, one
+    per-day sum ordered on the rounded divergence's day. Probabilities
+    are integer-count ratios; sum-order ulps collapse at the rounded
+    6th digit."""
+    ev = load_table(spark, sf_dir, "events")
+    c = (ev.groupBy(F.to_date("ts").alias("day"),
+                    F.col("event_type").alias("activity"))
+         .agg(F.count("*").alias("n")))
+    t = c.groupBy("day").agg(F.sum("n").alias("tot"))
+    today = c.select("day", "activity", F.col("n").alias("na"))
+    prev = c.select(F.date_add("day", 1).alias("day"), "activity",
+                    F.col("n").alias("nb"))
+    # day totals attach AFTER the cell outer-join, independently of
+    # which side a cell appeared on — a one-sided cell must keep its
+    # present side's term, not be dropped with the missing side's total
+    cells = (today.join(prev, ["day", "activity"], "full_outer")
+             .join(F.broadcast(t.select("day", F.col("tot").alias("ta"))),
+                   "day")
+             .join(F.broadcast(t.select(F.date_add("day", 1).alias("day"),
+                                        F.col("tot").alias("tb"))),
+                   "day"))
+    p = F.col("na") * 1.0 / F.col("ta")
+    q = F.col("nb") * 1.0 / F.col("tb")
+    m = (F.coalesce(p, F.lit(0.0)) + F.coalesce(q, F.lit(0.0))) / 2.0
+    contrib = (0.5 * F.when(F.col("na").isNotNull(), p * F.log(p / m))
+               .otherwise(0.0)
+               + 0.5 * F.when(F.col("nb").isNotNull(), q * F.log(q / m))
+               .otherwise(0.0))
+    return (cells.groupBy("day")
+            .agg(F.round(F.sum(contrib), 6).alias("jsd_vs_prev_day"))
+            .orderBy("day"))
+
+
+_DAILY_DRIFT_SQL = """
+WITH c AS (SELECT CAST(ts AS DATE) AS day, event_type AS activity,
+                  CAST(count(*) AS BIGINT) AS n
+           FROM events GROUP BY 1, 2),
+t AS (SELECT day, CAST(sum(n) AS BIGINT) AS tot FROM c GROUP BY 1),
+today AS (SELECT day, activity, n AS na FROM c),
+prev AS (SELECT day + INTERVAL 1 DAY AS day, activity, n AS nb FROM c),
+joined AS (SELECT COALESCE(today.day, prev.day) AS day,
+                  COALESCE(today.activity, prev.activity) AS activity,
+                  na, nb
+           FROM today FULL OUTER JOIN prev
+             ON today.day = prev.day AND today.activity = prev.activity),
+cells AS (SELECT j.day, na, ta.tot AS ta, nb, tb.tot AS tb
+          FROM joined j
+          JOIN t ta ON ta.day = j.day
+          JOIN t tb ON tb.day + INTERVAL 1 DAY = j.day),
+terms AS (SELECT day,
+                 0.5 * CASE WHEN na IS NOT NULL
+                            THEN (na * 1.0 / ta)
+                                 * ln((na * 1.0 / ta)
+                                      / ((COALESCE(na * 1.0 / ta, 0.0)
+                                          + COALESCE(nb * 1.0 / tb, 0.0))
+                                         / 2.0))
+                            ELSE 0.0 END
+                 + 0.5 * CASE WHEN nb IS NOT NULL
+                              THEN (nb * 1.0 / tb)
+                                   * ln((nb * 1.0 / tb)
+                                        / ((COALESCE(na * 1.0 / ta, 0.0)
+                                            + COALESCE(nb * 1.0 / tb, 0.0))
+                                           / 2.0))
+                              ELSE 0.0 END AS contrib
+          FROM cells)
+SELECT day, round(sum(contrib), 6) AS jsd_vs_prev_day
+FROM terms GROUP BY day
+ORDER BY day
+"""
+
+QUERIES_TAIL["daily_mix_drift"] = daily_mix_drift
+ORACLES_TAIL["daily_mix_drift"] = _DAILY_DRIFT_SQL
