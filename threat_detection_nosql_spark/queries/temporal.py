@@ -1546,7 +1546,8 @@ WITH c AS (SELECT CAST(ts AS DATE) AS day, event_type AS activity,
            FROM events GROUP BY 1, 2),
 t AS (SELECT day, CAST(sum(n) AS BIGINT) AS tot FROM c GROUP BY 1),
 today AS (SELECT day, activity, n AS na FROM c),
-prev AS (SELECT day + INTERVAL 1 DAY AS day, activity, n AS nb FROM c),
+prev AS (SELECT CAST(day + INTERVAL 1 DAY AS DATE) AS day,
+                activity, n AS nb FROM c),
 joined AS (SELECT COALESCE(today.day, prev.day) AS day,
                   COALESCE(today.activity, prev.activity) AS activity,
                   na, nb
@@ -1555,7 +1556,8 @@ joined AS (SELECT COALESCE(today.day, prev.day) AS day,
 cells AS (SELECT j.day, na, ta.tot AS ta, nb, tb.tot AS tb
           FROM joined j
           JOIN t ta ON ta.day = j.day
-          JOIN t tb ON tb.day + INTERVAL 1 DAY = j.day),
+          JOIN t tb ON CAST(tb.day + INTERVAL 1 DAY AS DATE)
+                       = j.day),
 terms AS (SELECT day,
                  0.5 * CASE WHEN na IS NOT NULL
                             THEN (na * 1.0 / ta)
