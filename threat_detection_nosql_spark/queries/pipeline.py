@@ -1401,3 +1401,83 @@ GROUP BY counts.doc_id, n, n_distinct
 
 QUERIES_TAIL["doc_char_entropy"] = doc_char_entropy
 ORACLES_TAIL["doc_char_entropy"] = _CHAR_ENTROPY_SQL
+
+
+# -- D5p: token co-occurrence PMI ---------------------------------------------
+
+def token_pmi_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 token pairs by pointwise mutual information over
+    document co-occurrence (PMI = ln(P(a,b)/(P(a)·P(b))), ≥ 20
+    co-occurrences) — the collocation measure behind phrase mining and
+    compound detection: high PMI says two tokens appear together far
+    beyond their individual popularity.
+
+    Baskets are DISTINCT tokens per doc; the a<b pair expansion
+    unfolds map-side from the sorted basket array (the co-purchase
+    shape — bounded by per-doc vocabulary², not corpus size);
+    probabilities are integer document counts over one broadcast
+    total. The cut orders by the ROUNDED PMI with count and pair
+    tie-breaks."""
+    docs = load_table(spark, sf_dir, "documents")
+    baskets = (docs.select(
+        "doc_id",
+        F.array_sort(F.array_distinct(
+            F.filter(F.split(F.col("text"), r"\s+"),
+                     lambda t: t != ""))).alias("toks")))
+    n_docs = float(docs.count())
+    singles = (baskets.select(F.explode("toks").alias("token"))
+               .groupBy("token").agg(F.count("*").alias("n_t")))
+    pair_arr = F.flatten(F.transform(
+        F.col("toks"),
+        lambda x, i: F.transform(
+            F.slice(F.col("toks"), i + F.lit(2), F.size(F.col("toks"))),
+            lambda y: F.struct(x.alias("a"), y.alias("b")))))
+    pairs = (baskets.select(F.explode(pair_arr).alias("p"))
+             .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+             .agg(F.count("*").alias("n_ab"))
+             .filter(F.col("n_ab") >= 20))
+    pmi = F.log((F.col("n_ab") / F.lit(n_docs))
+                / ((F.col("n_a") / F.lit(n_docs))
+                   * (F.col("n_b") / F.lit(n_docs))))
+    return (pairs
+            .join(F.broadcast(singles.select(F.col("token").alias("a"),
+                                             F.col("n_t").alias("n_a"))),
+                  "a")
+            .join(F.broadcast(singles.select(F.col("token").alias("b"),
+                                             F.col("n_t").alias("n_b"))),
+                  "b")
+            .select("a", "b", "n_ab", F.round(pmi, 6).alias("pmi"))
+            .orderBy(F.desc("pmi"), F.desc("n_ab"), F.asc("a"), F.asc("b"))
+            .limit(20))
+
+
+_PMI_SQL = r"""
+WITH baskets AS (
+  SELECT doc_id,
+         list_sort(list_distinct(list_filter(
+             string_split_regex(text, '\s+'), t -> t <> ''))) AS toks
+  FROM documents),
+nd AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+singles AS (SELECT token, CAST(count(*) AS BIGINT) AS n_t
+            FROM (SELECT unnest(toks) AS token FROM baskets) u
+            GROUP BY 1),
+pairs AS (SELECT toks[i] AS a, toks[j] AS b,
+                 CAST(count(*) AS BIGINT) AS n_ab
+          FROM baskets,
+               LATERAL (SELECT unnest(range(1, len(toks) + 1)) AS i) ii,
+               LATERAL (SELECT unnest(range(1, len(toks) + 1)) AS j) jj
+          WHERE i < j
+          GROUP BY 1, 2
+          HAVING count(*) >= 20)
+SELECT a, b, n_ab,
+       round(ln((n_ab / n) / ((sa.n_t / n) * (sb.n_t / n))), 6) AS pmi
+FROM pairs
+JOIN singles sa ON sa.token = a
+JOIN singles sb ON sb.token = b
+CROSS JOIN nd
+ORDER BY pmi DESC, n_ab DESC, a ASC, b ASC
+LIMIT 20
+"""
+
+QUERIES_TAIL["token_pmi_top20"] = token_pmi_top20
+ORACLES_TAIL["token_pmi_top20"] = _PMI_SQL

@@ -1581,3 +1581,76 @@ ORDER BY day
 
 QUERIES_TAIL["daily_mix_drift"] = daily_mix_drift
 ORACLES_TAIL["daily_mix_drift"] = _DAILY_DRIFT_SQL
+
+
+def error_recovery_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MTTR-style recovery analysis: for every error event, the time
+    until the user's next NON-error event, summarized per user as
+    count / mean / discrete-median recovery seconds — "how fast do
+    users resume work after failures", the operational complement to
+    the error-rate views (errors with no later activity are excluded
+    as unresolved, and reported in their own column).
+
+    The "next non-error" lookup is a CONDITIONAL forward window —
+    min(CASE WHEN non-error THEN ts END) over rows-1-following-to-end
+    — one window over the per-user (ts, event_id) total order, no
+    self-join. Recovery floors to integer seconds; mean is an
+    integer-sum ratio rounded once; the median is percentile_disc."""
+    from pyspark.sql.window import Window as W
+    log = activity_log(spark, sf_dir)
+    w = (W.partitionBy("user").orderBy("ts", "event_id")
+         .rowsBetween(1, W.unboundedFollowing))
+    nxt = F.min(F.when(F.col("activity") != "error",
+                       F.col("ts"))).over(w)
+    errs = (log.withColumn("next_ok_ts", nxt)
+            .filter(F.col("activity") == "error"))
+    rec = errs.select(
+        "user",
+        F.when(F.col("next_ok_ts").isNotNull(),
+               ((F.unix_micros("next_ok_ts") - F.unix_micros("ts"))
+                / F.lit(1_000_000)).cast("long")).alias("rec_s"))
+    return (rec.groupBy("user")
+            .agg(F.sum(F.col("rec_s").isNotNull().cast("long"))
+                 .alias("n_recovered"),
+                 F.sum(F.col("rec_s").isNull().cast("long"))
+                 .alias("n_unresolved"),
+                 F.round(F.sum("rec_s") * 1.0
+                         / F.greatest(F.sum(F.col("rec_s").isNotNull()
+                                            .cast("long")), F.lit(1)), 6)
+                 .alias("mean_recovery_s"),
+                 F.expr("percentile_disc(0.5) WITHIN GROUP "
+                        "(ORDER BY rec_s)").cast("long")
+                 .alias("median_recovery_s"))
+            .orderBy("user"))
+
+
+_RECOVERY_SQL = f"""
+{_LOG_CTE},
+marked AS (
+  SELECT user, ts, activity,
+         min(CASE WHEN activity <> 'error' THEN ts END)
+           OVER (PARTITION BY user ORDER BY ts, event_id
+                 ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+           AS next_ok_ts
+  FROM log),
+rec AS (SELECT "user",
+               CASE WHEN next_ok_ts IS NOT NULL
+                    THEN CAST((epoch_us(next_ok_ts) - epoch_us(ts))
+                              // 1000000 AS BIGINT) END AS rec_s
+        FROM marked WHERE activity = 'error')
+SELECT "user",
+       CAST(sum(CASE WHEN rec_s IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_recovered,
+       CAST(sum(CASE WHEN rec_s IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_unresolved,
+       round(sum(rec_s) * 1.0
+             / greatest(sum(CASE WHEN rec_s IS NOT NULL THEN 1 ELSE 0
+                            END), 1), 6) AS mean_recovery_s,
+       CAST(quantile_disc(rec_s, 0.5) AS BIGINT) AS median_recovery_s
+FROM rec
+GROUP BY "user"
+ORDER BY "user"
+"""
+
+QUERIES_TAIL["error_recovery_stats"] = error_recovery_stats
+ORACLES_TAIL["error_recovery_stats"] = _RECOVERY_SQL
