@@ -1481,3 +1481,69 @@ LIMIT 20
 
 QUERIES_TAIL["token_pmi_top20"] = token_pmi_top20
 ORACLES_TAIL["token_pmi_top20"] = _PMI_SQL
+
+
+# -- D5q: data-driven stopword density ----------------------------------------
+
+_STOPWORD_K = 5
+
+
+def stopword_density_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc stopword density against a DATA-DRIVEN stopword list —
+    the corpus's own top-5 tokens by frequency (rank with a total
+    tie-break, so the list is engine-identical) — plus a high-density
+    flag (> 0.5): filler-heavy docs score high, content-dense docs
+    low. Using the corpus's own head instead of a fixed English list
+    keeps the signal language- and domain-agnostic — the practical
+    form for a multilingual 100 TB corpus.
+
+    One token agg builds the 5-row broadcast stopword list; a second
+    scan computes per-doc totals and stopword hits in one conditional
+    aggregate. Density is an integer-count ratio rounded once."""
+    from pyspark.sql.window import Window as W
+    docs = load_table(spark, sf_dir, "documents")
+    tok = (docs.select("doc_id",
+                       F.explode(F.split(F.col("text"), r"\s+"))
+                       .alias("token"))
+           .filter(F.col("token") != ""))
+    top = (tok.groupBy("token").agg(F.count("*").alias("freq"))
+           .withColumn("rk", F.row_number().over(
+               W.orderBy(F.desc("freq"), F.asc("token"))))
+           .filter(F.col("rk") <= _STOPWORD_K)
+           .select("token", F.lit(1).alias("is_stop")))
+    scored = (tok.join(F.broadcast(top), "token", "left")
+              .groupBy("doc_id")
+              .agg(F.count("*").alias("n_tokens"),
+                   F.sum(F.coalesce(F.col("is_stop"), F.lit(0)))
+                   .alias("n_stop")))
+    density = F.col("n_stop") * 1.0 / F.col("n_tokens")
+    return scored.select(
+        "doc_id", "n_tokens", "n_stop",
+        F.round(density, 6).alias("stopword_density"),
+        F.when(F.round(density, 6) > 0.5, 1).otherwise(0)
+        .alias("is_filler_heavy"))
+
+
+_STOPWORD_SQL = rf"""
+WITH tok AS (SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS token
+             FROM documents),
+tf AS (SELECT doc_id, token FROM tok WHERE token <> ''),
+top AS (SELECT token, 1 AS is_stop FROM (
+          SELECT token,
+                 row_number() OVER (ORDER BY count(*) DESC, token ASC)
+                   AS rk
+          FROM tf GROUP BY token) t
+        WHERE rk <= {_STOPWORD_K}),
+scored AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+                  CAST(sum(COALESCE(is_stop, 0)) AS BIGINT) AS n_stop
+           FROM tf LEFT JOIN top USING (token)
+           GROUP BY doc_id)
+SELECT doc_id, n_tokens, n_stop,
+       round(n_stop * 1.0 / n_tokens, 6) AS stopword_density,
+       CASE WHEN round(n_stop * 1.0 / n_tokens, 6) > 0.5
+            THEN 1 ELSE 0 END AS is_filler_heavy
+FROM scored
+"""
+
+QUERIES_TAIL["stopword_density_scores"] = stopword_density_scores
+ORACLES_TAIL["stopword_density_scores"] = _STOPWORD_SQL

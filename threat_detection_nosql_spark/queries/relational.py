@@ -1284,3 +1284,50 @@ ORDER BY 1
 
 QUERIES_TAIL["customer_rfm_segments"] = customer_rfm_segments
 ORACLES_TAIL["customer_rfm_segments"] = _RFM_SQL
+
+
+def discount_band_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pricing analytics: per 1%-discount band, line count, mean
+    quantity (does a deeper discount actually move more units?),
+    exact revenue in integer cents, and each band's revenue share —
+    the elasticity table behind markdown planning. Bands are integer
+    percent points (round(l_discount·100) — exact, discounts are
+    2-decimal), all sums exact BIGINT, the two ratios divide once."""
+    li = load_table(spark, sf_dir, "lineitem")
+    band = F.round(F.col("l_discount") * 100, 0).cast("long")
+    rev_cents = F.round(F.col("l_extendedprice")
+                        * (1 - F.col("l_discount")) * 100, 0).cast("long")
+    per_band = (li.groupBy(band.alias("discount_pct"))
+                .agg(F.count("*").alias("n_lines"),
+                     F.sum("l_quantity").alias("qty"),
+                     F.sum(rev_cents).alias("rev_cents")))
+    total = per_band.agg(F.sum("rev_cents").alias("tot"))
+    return (per_band.crossJoin(F.broadcast(total))
+            .select("discount_pct", "n_lines",
+                    F.round(F.col("qty") * 1.0 / F.col("n_lines"), 6)
+                    .alias("mean_qty"),
+                    "rev_cents",
+                    F.round(F.col("rev_cents") * 1.0 / F.col("tot"), 6)
+                    .alias("revenue_share"))
+            .orderBy("discount_pct"))
+
+
+_ELASTICITY_SQL = """
+WITH per_band AS (
+  SELECT CAST(round(l_discount * 100, 0) AS BIGINT) AS discount_pct,
+         CAST(count(*) AS BIGINT) AS n_lines,
+         CAST(sum(l_quantity) AS BIGINT) AS qty,
+         CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100, 0)
+                       AS BIGINT)) AS BIGINT) AS rev_cents
+  FROM lineitem GROUP BY 1),
+tot AS (SELECT CAST(sum(rev_cents) AS BIGINT) AS tot FROM per_band)
+SELECT discount_pct, n_lines,
+       round(qty * 1.0 / n_lines, 6) AS mean_qty,
+       rev_cents,
+       round(rev_cents * 1.0 / tot, 6) AS revenue_share
+FROM per_band CROSS JOIN tot
+ORDER BY discount_pct
+"""
+
+QUERIES_TAIL["discount_band_elasticity"] = discount_band_elasticity
+ORACLES_TAIL["discount_band_elasticity"] = _ELASTICITY_SQL
