@@ -820,3 +820,43 @@ ORDER BY base."user"
 
 QUERIES_TAIL["user_triage_report"] = user_triage_report
 ORACLES_TAIL["user_triage_report"] = _TRIAGE_SQL
+
+
+# -- privilege creep: resource-acquisition curve ------------------------------
+
+def resource_acquisition_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Privilege-creep monitor: per user per ISO week, how many
+    resources they touched for the FIRST time — a steadily-climbing
+    acquisition curve is the expanding-access-footprint signature that
+    point-in-time breadth counts miss (an account can look normal
+    every week while compounding reach). First-touch day per
+    (user, resource) is one min-agg; weeks bucket by integer
+    day-offset from the dataset's first day (data-derived anchor, no
+    wall clock); all counts integer."""
+    log = activity_log(spark, sf_dir).filter(F.col("resource").isNotNull())
+    first = (log.groupBy("user", "resource")
+             .agg(F.min(F.to_date("ts")).alias("first_day")))
+    anchor = first.agg(F.min("first_day").alias("day0"))
+    week = (F.datediff(F.col("first_day"), F.col("day0")) / 7) \
+        .cast("long")
+    return (first.crossJoin(F.broadcast(anchor))
+            .groupBy("user", week.alias("week_idx"))
+            .agg(F.count("*").alias("n_new_resources"))
+            .orderBy("user", "week_idx"))
+
+
+_ACQUISITION_SQL = f"""
+{_LOG_CTE},
+first AS (SELECT user, resource, min(CAST(ts AS DATE)) AS first_day
+          FROM log WHERE resource IS NOT NULL GROUP BY 1, 2),
+anchor AS (SELECT min(first_day) AS day0 FROM first)
+SELECT "user",
+       CAST(date_diff('day', day0, first_day) // 7 AS BIGINT) AS week_idx,
+       CAST(count(*) AS BIGINT) AS n_new_resources
+FROM first CROSS JOIN anchor
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+QUERIES_TAIL["resource_acquisition_weekly"] = resource_acquisition_weekly
+ORACLES_TAIL["resource_acquisition_weekly"] = _ACQUISITION_SQL
