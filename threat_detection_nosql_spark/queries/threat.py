@@ -860,3 +860,63 @@ ORDER BY 1, 2
 
 QUERIES_TAIL["resource_acquisition_weekly"] = resource_acquisition_weekly
 ORACLES_TAIL["resource_acquisition_weekly"] = _ACQUISITION_SQL
+
+
+def resource_affinity_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 resource pairs by co-access: how many users touch BOTH,
+    with the Jaccard overlap of their audiences — the access-pattern
+    clustering that feeds least-privilege reviews ("these resources
+    are de-facto one bundle; permission them together") and flags odd
+    bundles (high co-access across unrelated systems).
+
+    Pairs decompose over the shared USER key (the same
+    sparse-dimension equi-join as the user-user cosine — no resource×
+    resource cartesian); audiences broadcast; integer counts with one
+    rounded Jaccard division; the cut is on integer co-access with
+    pair tie-breaks."""
+    log = activity_log(spark, sf_dir).filter(F.col("resource").isNotNull())
+    ur = log.select("user", "resource").distinct()
+    audience = ur.groupBy("resource").agg(F.count("*").alias("n_aud"))
+    a = ur.select("user", F.col("resource").alias("ra"))
+    b = ur.select("user", F.col("resource").alias("rb"))
+    pairs = (a.join(b, "user")
+             .filter(F.col("ra") < F.col("rb"))
+             .groupBy("ra", "rb")
+             .agg(F.count("*").alias("n_both")))
+    return (pairs
+            .join(F.broadcast(audience.select(F.col("resource").alias("ra"),
+                                              F.col("n_aud").alias("na"))),
+                  "ra")
+            .join(F.broadcast(audience.select(F.col("resource").alias("rb"),
+                                              F.col("n_aud").alias("nb"))),
+                  "rb")
+            .select("ra", "rb", "n_both",
+                    F.round(F.col("n_both") * 1.0
+                            / (F.col("na") + F.col("nb")
+                               - F.col("n_both")), 6).alias("jaccard"))
+            .orderBy(F.desc("n_both"), F.asc("ra"), F.asc("rb"))
+            .limit(20))
+
+
+_AFFINITY_SQL = f"""
+{_LOG_CTE},
+ur AS (SELECT DISTINCT user, resource FROM log
+       WHERE resource IS NOT NULL),
+audience AS (SELECT resource, CAST(count(*) AS BIGINT) AS n_aud
+             FROM ur GROUP BY 1),
+pairs AS (SELECT a.resource AS ra, b.resource AS rb,
+                 CAST(count(*) AS BIGINT) AS n_both
+          FROM ur a JOIN ur b ON a."user" = b."user"
+                             AND a.resource < b.resource
+          GROUP BY 1, 2)
+SELECT ra, rb, n_both,
+       round(n_both * 1.0 / (na.n_aud + nb.n_aud - n_both), 6) AS jaccard
+FROM pairs
+JOIN audience na ON na.resource = ra
+JOIN audience nb ON nb.resource = rb
+ORDER BY n_both DESC, ra ASC, rb ASC
+LIMIT 20
+"""
+
+QUERIES_TAIL["resource_affinity_top20"] = resource_affinity_top20
+ORACLES_TAIL["resource_affinity_top20"] = _AFFINITY_SQL
