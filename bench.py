@@ -246,18 +246,29 @@ def main() -> None:
         isolated[name] = round(sorted(runs)[1], 3)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
-    print(json.dumps({
-        "metric": "headline_queries_total",
-        "value": total,
-        "unit": "sec",
-        "queries": timings,
+    groups = {
         "pipeline_total": pipeline_total,
         "extended_total": extended_total,
         "round4_total": round4_total,
         "round5_total": round5_total,
         "round5b_total": round5b_total,
         "round5c_total": round5c_total,
-        "isolated": isolated,
+    }
+    # The full ~150-query timing map overflowed the driver's tail capture
+    # in round 5 (BENCH_r05.json: parsed=null, the line was truncated
+    # mid-string).  Per-query detail goes to BENCH_DETAIL.json; the ONE
+    # printed line stays minimal: headline total + headline per-query
+    # timings + group totals.
+    with open("BENCH_DETAIL.json", "w") as fh:
+        json.dump({"metric": "headline_queries_total", "value": total,
+                   "unit": "sec", "queries": timings, **groups,
+                   "isolated": isolated, "sf": float(sf)}, fh, indent=1)
+    print(json.dumps({
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": {n: timings[n] for n in HEADLINE_COLLECT + HEADLINE_COUNT},
+        **groups,
         "sf": float(sf),
     }))
 

@@ -650,24 +650,49 @@ def dbscan_noise_detector(scaled: DataFrame, eps: float = 0.5,
 def _eps_pairs(scaled: DataFrame, eps: float, key: str,
                exact: bool) -> DataFrame:
     """All (a, b, d) pairs with euclidean distance d ≤ eps, a ≠ b.
-    Exact path: broadcast self-join (≤10k rows); scale path:
-    BucketedRandomProjectionLSH bucket-collision candidates only."""
+    Exact path (≤10k rows by caller contract): the point matrix is
+    collected once (≤10k × dim doubles — sub-MB) and broadcast; a
+    mapInPandas kernel computes each Arrow batch's distances to ALL
+    points in one BLAS GEMM (‖a‖² + ‖b‖² − 2a·b) and emits only the
+    within-eps pairs.  The previous broadcast nested-loop self-join
+    built up to ~10⁸ pair ROWS through an interpreted zip_with —
+    a cliff just under the threshold; the GEMM does the same 10⁸
+    distance evaluations inside numpy without materializing non-pairs.
+    Scale path: BucketedRandomProjectionLSH bucket-collision candidates
+    only."""
     from pyspark.ml.feature import BucketedRandomProjectionLSH
     from pyspark.ml.functions import vector_to_array
 
     pts = scaled.select(F.col(key), F.col("scaled"))
     if exact:
-        a = pts.select(F.col(key).alias("a"),
-                       vector_to_array("scaled").alias("va"))
-        b = pts.select(F.col(key).alias("b"),
-                       vector_to_array("scaled").alias("vb"))
-        dist = F.sqrt(F.aggregate(
-            F.zip_with("va", "vb", lambda x, y: (x - y) * (x - y)),
-            F.lit(0.0), lambda acc, x: acc + x))
-        return (a.join(F.broadcast(b), F.col("a") != F.col("b"))
-                .withColumn("d", dist)
-                .filter(F.col("d") <= eps)
-                .select("a", "b", "d"))
+        import numpy as np
+        import pandas as pd
+
+        arr = pts.select(F.col(key), vector_to_array("scaled").alias("v"))
+        pdf = arr.toPandas()
+        ids = pdf[key].to_numpy()
+        mat = np.stack(pdf["v"].to_numpy()).astype("float64")
+        sq = (mat * mat).sum(axis=1)
+        bc = scaled.sparkSession.sparkContext.broadcast((ids, mat, sq))
+        key_t = pts.schema[key].dataType.simpleString()
+
+        def gemm_pairs(batches):
+            b_ids, b_mat, b_sq = bc.value
+            for chunk in batches:
+                a_ids = chunk[key].to_numpy()
+                a = np.stack(chunk["v"].to_numpy()).astype("float64")
+                d2 = ((a * a).sum(axis=1)[:, None] + b_sq[None, :]
+                      - 2.0 * (a @ b_mat.T))
+                np.maximum(d2, 0.0, out=d2)
+                d = np.sqrt(d2)
+                ai, bj = np.nonzero(d <= eps)
+                keep = a_ids[ai] != b_ids[bj]
+                yield pd.DataFrame({"a": a_ids[ai][keep],
+                                    "b": b_ids[bj][keep],
+                                    "d": d[ai, bj][keep]})
+
+        return arr.mapInPandas(gemm_pairs,
+                               schema=f"a {key_t}, b {key_t}, d double")
     lsh = BucketedRandomProjectionLSH(
         inputCol="scaled", outputCol="hashes",
         bucketLength=eps * 2, numHashTables=4, seed=42)

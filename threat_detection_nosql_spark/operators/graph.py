@@ -161,6 +161,18 @@ def connected_components(edges: DataFrame, src: str = "src",
         labels = new_labels
         if changed == 0:
             break
+    else:
+        # max_iter passes and the labels were STILL moving: the graph's
+        # diameter exceeds the cap and the labels below would be wrong
+        # (split components).  Silent under-convergence here propagated
+        # into near_dup_groups / dbscan_detector with no signal except
+        # an oracle hash — fail loudly and name the O(log n) fallback.
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} "
+            f"min-label passes ({changed} labels still changing) — the "
+            "component diameter exceeds max_iter; use "
+            "connected_components_star (O(log n) rounds) or raise "
+            "max_iter")
     return labels
 
 

@@ -8,12 +8,12 @@ and ``ORACLES: dict[str, str]`` (DuckDB ANSI SQL). ``all_queries()`` /
 Ordering IS the driver's sampling policy: the correctness gate hashes
 the FIRST 50 queries in merge order each round.  Rounds 1-4 proved the
 threat/relational/pipeline/advanced/graph/metrics families (94 of 150
-oracle queries driver-green).  Round 5 pins an EXPLICIT name window —
-the 50 oracle-backed queries that have never had a driver-green row
-(TPC-H tail, all streaming batch-morph oracles, the BPE tokenizer
-family, the round-4 metrics/cleaning/temporal/pipeline tails, and five
-corpus entries) — then every other oracle-backed query, and parks the
-20 rows-only (engine-RNG / model / media) queries behind position 150
+oracle queries driver-green); round 5 cleared its pinned 50 (144/218
+cumulative).  Round 6 rotates the EXPLICIT name window onto 50 of the
+74 remaining never-driver-green oracle queries (6 corpus carry-overs,
+the round-5 behavioral/graph/text waves, and the 5 round-5 stream
+oracles) — then every other oracle-backed query, and parks the
+rows-only (engine-RNG / model / media) queries at the registry end
 so no window slot is ever burned on a ``no_oracle`` row again.
 """
 
@@ -25,69 +25,61 @@ from pyspark.sql import DataFrame, SparkSession
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
-# Round-5 driver window: the 50 oracle-backed queries with no driver-green
-# row in CORRECTNESS_r01-r04.  Six corpus oracles (orders_profile,
-# user_features_unpivot, event_zorder, temperature_mixture_plan,
-# temperature_mixture_sample, length_bucket_batches) did not fit and lead
-# the round-6 rotation.  NEVER reorder mid-round: the driver hashes this
-# exact prefix.
-_WINDOW_R5: tuple[str, ...] = (
-    # TPC-H widening (r3 Q3-Q19 shapes + r4 Q12/Q21/Q22 shapes)
-    "order_priority_counts",
-    "promo_revenue_ratio",
-    "top_supplier_by_revenue",
-    "local_supplier_volume",
-    "revenue_change_forecast",
-    "nation_volume_shipping",
-    "nation_market_share",
-    "product_type_profit",
-    "returned_items_top20",
-    "customer_order_distribution",
-    "small_quantity_revenue",
-    "large_volume_customers",
-    "discounted_revenue",
-    "monthly_return_rate",
-    "late_shipment_priority_counts",
-    "waiting_supplier_top10",
-    "dormant_customer_balance_groups",
-    # Streaming batch-morph oracles (north-star centerpiece)
-    "stream_static_enriched_counts",
-    "stream_windowed_user_counts",
-    "stream_sliding_type_counts",
-    "stream_session_windows",
-    "stream_anomaly_flags",
-    "stream_stateful_profiles",
-    "stream_deduped_counts",
-    "stream_purchase_error_pairs",
-    "stream_after_hours_top10",
-    "stream_countmin_user_cells",
-    "stream_drift_psi",
-    # BPE tokenizer family (oracle unrolls every merge)
-    "bpe_merges",
-    "bpe_top_segments",
-    "bpe_subword_freqs",
-    "bpe_encode_part_names",
-    # metrics / cleaning / temporal round-4 tails
-    "countmin_token_estimates",
-    "hll_portable_distinct_users",
-    "rule_calibration_table",
-    "rule_lift_table",
-    "feature_drift_psi",
-    "pseudonymized_activity",
-    "time_to_next_purchase",
-    "activity_heatmap",
-    # pipeline round-4 tails
-    "weighted_doc_sample",
-    "bigram_logprob_scores",
-    "edit_distance_near_dups",
-    "vocab_coverage",
-    "cross_source_leakage",
-    # corpus (the five that fit; remaining six lead round 6)
-    "dataset_split_assignment",
-    "semantic_cluster_dedup",
-    "doc_chunks",
-    "corpus_curation_pipeline",
-    "domain_capped_sample",
+# Round-6 driver window (scripts/rotate_window.py output): 50 of the 74
+# oracle-backed queries with no driver-green row in CORRECTNESS_r01-r05.
+# The remaining 24 lead the round-7 rotation.  NEVER reorder mid-round:
+# the driver hashes this exact prefix.
+_WINDOW_R6: tuple[str, ...] = (
+    "orders_profile",
+    "user_features_unpivot",
+    "event_zorder",
+    "temperature_mixture_plan",
+    "temperature_mixture_sample",
+    "length_bucket_batches",
+    "rare_resource_access_top10",
+    "similar_user_pairs_top10",
+    "user_behavior_quadrants",
+    "user_triage_report",
+    "resource_acquisition_weekly",
+    "resource_affinity_top20",
+    "winsorized_order_values",
+    "revenue_pareto",
+    "repurchase_interval_histogram",
+    "open_order_aging",
+    "part_supplier_hhi_top20",
+    "weighted_median_acctbal",
+    "customer_rfm_segments",
+    "discount_band_elasticity",
+    "embedding_ann_near_dups",
+    "dup_span_stats",
+    "bm25_top_terms",
+    "hashed_feature_counts",
+    "doc_novelty_scores",
+    "embedding_norm_audit",
+    "doc_char_entropy",
+    "token_pmi_top20",
+    "stopword_density_scores",
+    "nb_lang_predictions",
+    "source_lang_chi2",
+    "vocab_growth_curve",
+    "zipf_fit",
+    "near_dup_groups",
+    "near_dup_keep_best",
+    "link_prediction_top20",
+    "copurchase_communities",
+    "kcore_parts",
+    "risk_propagation_top20",
+    "bloom_customer_probe",
+    "user_js_divergence",
+    "activity_value_quartiles",
+    "activity_hour_mutual_info",
+    "logreg_gd_report",
+    "kmeans_silhouette",
+    "stream_unmatched_purchases",
+    "stream_bloom_user_words",
+    "stream_topk_users",
+    "stream_markov_transitions",
+    "stream_hll_user_registers",
 )
 
 
@@ -129,7 +121,7 @@ def all_queries() -> dict[str, QueryFn]:
     queries = _merged("QUERIES", "QUERIES_TAIL")
     oracles = _merged("ORACLES", "ORACLES_TAIL")
     out: dict[str, QueryFn] = {}
-    for name in _WINDOW_R5:  # pinned driver window, positions 1-50
+    for name in _WINDOW_R6:  # pinned driver window, positions 1-50
         out[name] = queries[name]
     for name, fn in queries.items():  # oracle-backed middle, module order
         if name not in out and name in oracles:

@@ -118,23 +118,33 @@ FROM c
 
 def rule_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """AUC without a curve: AUC = (Σ midrank⁺ − n⁺(n⁺+1)/2) / (n⁺·n⁻).
-    Midranks (ties → average rank) from one window pass:
-    rank() + (tie_count − 1)/2. O(n log n), no driver collect — the
-    formulation that survives a billion scored rows (sklearn's
-    roc_curve materializes every threshold on the driver instead).
+
+    The rank pass runs over the DISTINCT-SCORE frame, not the scored
+    rows: groupBy(score) → (n, n⁺) per score (map-combinable agg), then
+    one running sum over distinct scores gives every row's midrank in
+    closed form — all n rows at a score share midrank
+    cum_before + (n+1)/2, so Σ midrank⁺ = Σ_s n⁺_s·midrank_s. The only
+    unpartitioned window sorts |distinct scores| rows (cardinality of
+    the score domain, not of the data) — a billion scored rows with a
+    bounded score domain never funnel through one partition. sklearn's
+    roc_curve materializes every threshold on the driver instead.
     """
     scored = _labeled(spark, sf_dir).select(
         F.col("weekend_ratio").alias("score"), "label")
-    w = Window.orderBy("score")
-    wt = Window.partitionBy("score")
-    ranked = scored.select(
-        "label",
-        (F.rank().over(w)
-         + (F.count("*").over(wt) - F.lit(1)) / F.lit(2.0)).alias("midrank"))
+    per_score = scored.groupBy("score").agg(
+        F.count("*").alias("n"),
+        F.sum((F.col("label") == 1).cast("long")).alias("npos_s"))
+    w = (Window.orderBy("score")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    ranked = per_score.select(
+        "n", "npos_s",
+        F.coalesce(F.sum("n").over(w), F.lit(0)).alias("cum_before"))
     agg = ranked.agg(
-        F.sum(F.when(F.col("label") == 1, F.col("midrank"))).alias("rpos"),
-        F.sum((F.col("label") == 1).cast("long")).alias("npos"),
-        F.sum((F.col("label") == 0).cast("long")).alias("nneg"))
+        F.sum(F.col("npos_s")
+              * (F.col("cum_before") + (F.col("n") + 1) / F.lit(2.0)))
+        .alias("rpos"),
+        F.sum("npos_s").alias("npos"),
+        F.sum(F.col("n") - F.col("npos_s")).alias("nneg"))
     return agg.select(
         "npos", "nneg",
         F.round((F.col("rpos") - F.col("npos") * (F.col("npos") + 1) / 2.0)

@@ -1107,8 +1107,8 @@ def bm25_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     tf*(k1+1)/(tf + k1*(1 - b + b*dl/avgdl)), k1=1.2, b=0.75).
 
     Extends ``tfidf_top_terms`` (same explode → (doc,token) agg → df
-    agg → join → windowed top-k shape, `analyse_cassandra.py` family of
-    corpus scoring) with the length-normalized saturating tf that every
+    agg → join → windowed top-k shape — SURVEY §2.10 text-analysis
+    family) with the length-normalized saturating tf that every
     retrieval/quality pipeline actually ships. The doc-length table
     rides the SAME (doc,token) aggregate (sum of tf per doc — a second
     map-combinable agg, no extra scan), and N/avgdl are two driver-side

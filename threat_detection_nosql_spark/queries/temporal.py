@@ -554,6 +554,11 @@ ORACLES_TAIL["user_daily_gap_filled"] = _GAP_FILL_SQL
 # -- EWMA baseline + burst flag ----------------------------------------------
 
 _EWMA_ALPHA = 0.3
+# (1-α)^-t = 1.4286^t overflows double near t≈1990; past this bound the
+# closed-form EWMA would emit NaN in BOTH engines (parity holds, values
+# are garbage) — so both raise instead.  1800 leaves headroom for the
+# n_events factor inside the running sum.
+_EWMA_MAX_T = 1800
 
 
 def user_daily_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -568,9 +573,13 @@ def user_daily_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     and w₁ = 1, wₖ = α (k>1), sₜ = (1-α)ᵗ · Σₖ₌₁..ₜ wₖ·xₖ·(1-α)⁻ᵏ —
     i.e. one running windowed sum over a weighted series, map-side
     after the (user, day) agg, shuffling once on user. The spine span
-    is ≤ the log's day range, so (1-α)⁻ᵏ stays far from overflow; both
-    engines compute the identical expression and the burst comparison
-    uses the ROUNDED lagged EWMA so the flag can't flip on ulps."""
+    is ≤ the log's day range, so (1-α)⁻ᵏ stays far from overflow for
+    any plausible log; past ~1990 active days per user (1-α)⁻ᵗ would
+    overflow double and the EWMA would silently go NaN, so BOTH engines
+    raise at t > _EWMA_MAX_T instead of emitting garbage (the rebase-
+    every-K refactor is the fix if a real corpus ever trips it). The
+    burst comparison uses the ROUNDED lagged EWMA so the flag can't
+    flip on ulps."""
     ev = load_table(spark, sf_dir, "events")
     from pyspark.sql.window import Window as W
     daily = (ev.groupBy(F.col("user_id").alias("user"),
@@ -578,7 +587,11 @@ def user_daily_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
              .agg(F.count("*").alias("n_events")))
     order = W.partitionBy("user").orderBy("day")
     frame = order.rowsBetween(W.unboundedPreceding, W.currentRow)
-    t = F.row_number().over(order)
+    t_raw = F.row_number().over(order)
+    t = F.when(t_raw <= _EWMA_MAX_T, t_raw).otherwise(F.raise_error(F.lit(
+        f"user_daily_ewma: per-user day rank exceeds {_EWMA_MAX_T}; "
+        "closed-form (1-a)^-t would overflow double — rebase the "
+        "exponent every K rows before rerunning")))
     decay = 1.0 - _EWMA_ALPHA
     wk = F.when(t == 1, 1.0).otherwise(_EWMA_ALPHA)
     z = wk * F.col("n_events") * F.pow(F.lit(1.0 / decay), t)
@@ -603,8 +616,11 @@ ranked AS (
   FROM daily),
 weighted AS (
   SELECT "user", day, n_events, t,
-         CASE WHEN t = 1 THEN 1.0 ELSE {_EWMA_ALPHA} END
-           * n_events * pow(1.0 / (1.0 - {_EWMA_ALPHA}), t) AS z
+         CASE WHEN t > {_EWMA_MAX_T}
+              THEN error('user_daily_ewma: day rank exceeds overflow bound')
+              ELSE CASE WHEN t = 1 THEN 1.0 ELSE {_EWMA_ALPHA} END
+                   * n_events * pow(1.0 / (1.0 - {_EWMA_ALPHA}), t)
+         END AS z
   FROM ranked),
 scored AS (
   SELECT "user", day, n_events,

@@ -626,7 +626,6 @@ def topk_active_users(spark: SparkSession, sf_dir: str,
     return run_stream_to_table(top, mode="complete")
 
 
-_MARKOV_STATE_SCHEMA = "last_activity string"
 _MARKOV_OUT_SCHEMA = ("user long, prev_activity string, activity string, "
                       "n long")
 
