@@ -5,6 +5,7 @@ every query is a callable with the (spark, sf_dir) signature."""
 from __future__ import annotations
 
 import inspect
+import re
 
 from threat_detection_nosql_spark import queries as Q
 
@@ -49,15 +50,29 @@ def test_all_queries_merge_is_complete():
     assert len(merged) == per_module
 
 
-def test_round5_window_is_oracle_backed_and_rows_only_parked():
-    """Driver-window invariants for round 5: the first 50 registry
-    entries are exactly ``_WINDOW_R5`` (every one oracle-backed), the
-    first 150 are all oracle-backed, and the rows-only queries sit
-    behind position 150 — no window slot can record ``no_oracle``."""
+def _current_window():
+    """The registry pins each round's driver prefix as an explicit
+    ``_WINDOW_R<n>`` name tuple; resolve the highest-numbered one so
+    this test survives rotations without edits."""
+    wins = {int(m.group(1)): getattr(Q, a)
+            for a in dir(Q)
+            for m in [re.match(r"_WINDOW_R(\d+)$", a)] if m}
+    assert wins, "registry defines no _WINDOW_R* tuple"
+    return wins[max(wins)]
+
+
+def test_driver_window_is_oracle_backed_and_rows_only_parked():
+    """Driver-window invariants (rotation-proof): the first 50 registry
+    entries are exactly the current ``_WINDOW_R*`` tuple (every one
+    oracle-backed), every oracle-backed query precedes every rows-only
+    one, and the rows-only queries are parked at the end — no window
+    slot can record ``no_oracle``."""
     merged = Q.all_queries()
     oracles = Q.all_oracles()
     names = list(merged)
-    assert tuple(names[:50]) == Q._WINDOW_R5
+    window = _current_window()
+    assert len(window) == 50
+    assert tuple(names[:50]) == window
     n_oracle = sum(1 for n in names if n in oracles)
     assert n_oracle >= 150
     for n in names[:n_oracle]:

@@ -8,13 +8,14 @@ and ``ORACLES: dict[str, str]`` (DuckDB ANSI SQL). ``all_queries()`` /
 Ordering IS the driver's sampling policy: the correctness gate hashes
 the FIRST 50 queries in merge order each round.  Rounds 1-4 proved the
 threat/relational/pipeline/advanced/graph/metrics families (94 of 150
-oracle queries driver-green); round 5 cleared its pinned 50 (144/218
-cumulative).  Round 6 rotates the EXPLICIT name window onto 50 of the
-74 remaining never-driver-green oracle queries (6 corpus carry-overs,
-the round-5 behavioral/graph/text waves, and the 5 round-5 stream
-oracles) — then every other oracle-backed query, and parks the
-rows-only (engine-RNG / model / media) queries at the registry end
-so no window slot is ever burned on a ``no_oracle`` row again.
+oracle queries driver-green); rounds 5-6 cleared their pinned 50s
+(194/218 cumulative).  Round 7 rotates the EXPLICIT name window onto
+the final 24 never-driver-green oracle queries (the behavioral
+gap-fill/EWMA/CUSUM/Markov wave, the four partsupp TPC-H shapes,
+product_type_profit_full, source_quantile_normalized) plus 26
+least-recently-verified greens — then every other oracle-backed query,
+and parks the rows-only (engine-RNG / model / media) queries at the
+registry end so no window slot is ever burned on a ``no_oracle`` row.
 """
 
 from __future__ import annotations
@@ -25,61 +26,63 @@ from pyspark.sql import DataFrame, SparkSession
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
-# Round-6 driver window (scripts/rotate_window.py output): 50 of the 74
-# oracle-backed queries with no driver-green row in CORRECTNESS_r01-r05.
-# The remaining 24 lead the round-7 rotation.  NEVER reorder mid-round:
-# the driver hashes this exact prefix.
-_WINDOW_R6: tuple[str, ...] = (
-    "orders_profile",
-    "user_features_unpivot",
-    "event_zorder",
-    "temperature_mixture_plan",
-    "temperature_mixture_sample",
-    "length_bucket_batches",
-    "rare_resource_access_top10",
-    "similar_user_pairs_top10",
-    "user_behavior_quadrants",
-    "user_triage_report",
-    "resource_acquisition_weekly",
-    "resource_affinity_top20",
-    "winsorized_order_values",
-    "revenue_pareto",
-    "repurchase_interval_histogram",
-    "open_order_aging",
-    "part_supplier_hhi_top20",
-    "weighted_median_acctbal",
-    "customer_rfm_segments",
-    "discount_band_elasticity",
-    "embedding_ann_near_dups",
-    "dup_span_stats",
-    "bm25_top_terms",
-    "hashed_feature_counts",
-    "doc_novelty_scores",
-    "embedding_norm_audit",
-    "doc_char_entropy",
-    "token_pmi_top20",
-    "stopword_density_scores",
-    "nb_lang_predictions",
-    "source_lang_chi2",
-    "vocab_growth_curve",
-    "zipf_fit",
-    "near_dup_groups",
-    "near_dup_keep_best",
-    "link_prediction_top20",
-    "copurchase_communities",
-    "kcore_parts",
-    "risk_propagation_top20",
-    "bloom_customer_probe",
-    "user_js_divergence",
-    "activity_value_quartiles",
-    "activity_hour_mutual_info",
-    "logreg_gd_report",
-    "kmeans_silhouette",
-    "stream_unmatched_purchases",
-    "stream_bloom_user_words",
-    "stream_topk_users",
-    "stream_markov_transitions",
-    "stream_hll_user_registers",
+# Round-7 driver window (scripts/rotate_window.py output): the final 24
+# oracle-backed queries with no driver-green row in CORRECTNESS_r01-r06,
+# topped up to 50 with the least-recently-verified greens (rounds 1-2) as
+# regression re-verification.  Green here closes the ledger: every
+# oracle-backed query will then have a driver-green row.  NEVER reorder
+# mid-round: the driver hashes this exact prefix.
+_WINDOW_R7: tuple[str, ...] = (
+    "user_daily_gap_filled",
+    "user_daily_ewma",
+    "seasonal_zscore_anomalies",
+    "user_activity_trend",
+    "activity_transition_matrix",
+    "sequence_surprise_top10",
+    "longest_after_hours_streak",
+    "arrival_burstiness_top10",
+    "activity_trigram_top10",
+    "conversion_latency_quartiles",
+    "dau_wau_stickiness",
+    "worst_error_windows_top10",
+    "new_vs_returning_users",
+    "session_activity_lift",
+    "user_cusum_alerts",
+    "user_daily_autocorr",
+    "daily_mix_drift",
+    "error_recovery_stats",
+    "min_cost_regional_supplier",
+    "important_stock_parts",
+    "supplier_count_by_part_attrs",
+    "excess_stock_suppliers",
+    "product_type_profit_full",
+    "source_quantile_normalized",
+    "top_tokens",
+    "tfidf_top_terms",
+    "quality_filter_flags",
+    "embedding_near_dups",
+    "multimodal_metadata",
+    "deterministic_sample",
+    "corpus_composition",
+    "repetition_stats",
+    "normalized_text_hash",
+    "packed_sequences",
+    "salted_event_nation_counts",
+    "after_hours_top10",
+    "weekend_top10",
+    "high_activity_top10",
+    "unusual_resources_top10",
+    "activity_profiles",
+    "degree_centrality_top10",
+    "activity_entropy",
+    "temporal_entropy",
+    "resource_entropy",
+    "two_hop_resource_paths",
+    "user_features",
+    "events_null_audit",
+    "user_peak_hour",
+    "dormant_users",
+    "pricing_summary",
 )
 
 
@@ -121,7 +124,7 @@ def all_queries() -> dict[str, QueryFn]:
     queries = _merged("QUERIES", "QUERIES_TAIL")
     oracles = _merged("ORACLES", "ORACLES_TAIL")
     out: dict[str, QueryFn] = {}
-    for name in _WINDOW_R6:  # pinned driver window, positions 1-50
+    for name in _WINDOW_R7:  # pinned driver window, positions 1-50
         out[name] = queries[name]
     for name, fn in queries.items():  # oracle-backed middle, module order
         if name not in out and name in oracles:
