@@ -262,3 +262,16 @@ def test_personalized_pagerank_rejects_empty_seeds(spark):
     empty = spark.createDataFrame([], "node string")
     with _pytest.raises(ValueError, match="empty seed set"):
         pagerank_personalized(df, empty)
+
+
+def test_components_zero_max_iter_raises_runtime_error(spark):
+    """max_iter=0 must surface the under-convergence RuntimeError, not
+    a NameError on the unbound loop counter (ADVICE r6)."""
+    import pytest
+
+    from threat_detection_nosql_spark.operators.graph import (
+        connected_components)
+
+    df = spark.createDataFrame([(1, 2)], "src long, dst long")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(df, max_iter=0)

@@ -208,3 +208,24 @@ def test_pca_2d_projection_variance_order_and_sign_pin(spark, fixture):
     b = {r.user: (r.pc1, r.pc2) for r in p2.collect()}
     assert a == b
     p1.unpersist()
+
+
+def test_eps_pairs_exact_empty_input(spark, fixture):
+    """Empty input must yield an empty (a, b, d) frame, not a numpy
+    stack error — the GEMM rewrite regressed this vs the old
+    broadcast self-join (ADVICE r6)."""
+    scaled, _ = fixture
+    empty = scaled.filter(F.lit(False))
+    out = U._eps_pairs(empty, eps=2.0, key="user", exact=True)
+    assert out.columns == ["a", "b", "d"]
+    assert out.count() == 0
+
+
+def test_eps_pairs_exact_matches_on_fixture(spark, fixture):
+    """GEMM exact path is symmetric and self-pair-free."""
+    scaled, _ = fixture
+    rows = U._eps_pairs(scaled.limit(40), eps=3.0, key="user",
+                        exact=True).collect()
+    pairs = {(r.a, r.b) for r in rows}
+    assert pairs and all(a != b for a, b in pairs)
+    assert all((b, a) in pairs for a, b in pairs)

@@ -668,31 +668,44 @@ def _eps_pairs(scaled: DataFrame, eps: float, key: str,
         import numpy as np
         import pandas as pd
 
-        arr = pts.select(F.col(key), vector_to_array("scaled").alias("v"))
+        # materialize ONCE: toPandas (broadcast snapshot) and mapInPandas
+        # both consume arr — without the checkpoint a nondeterministic
+        # upstream would feed them different data (asymmetric pairs) and
+        # a deterministic one would be recomputed
+        arr = (pts.select(F.col(key), vector_to_array("scaled").alias("v"))
+               .localCheckpoint())
         pdf = arr.toPandas()
+        key_t = pts.schema[key].dataType.simpleString()
+        schema = f"a {key_t}, b {key_t}, d double"
+        if len(pdf) == 0:
+            return (scaled.sparkSession
+                    .createDataFrame([], schema=schema))
         ids = pdf[key].to_numpy()
         mat = np.stack(pdf["v"].to_numpy()).astype("float64")
         sq = (mat * mat).sum(axis=1)
         bc = scaled.sparkSession.sparkContext.broadcast((ids, mat, sq))
-        key_t = pts.schema[key].dataType.simpleString()
+        eps2 = float(eps) * float(eps)
 
         def gemm_pairs(batches):
             b_ids, b_mat, b_sq = bc.value
             for chunk in batches:
+                if len(chunk) == 0:
+                    continue
                 a_ids = chunk[key].to_numpy()
                 a = np.stack(chunk["v"].to_numpy()).astype("float64")
                 d2 = ((a * a).sum(axis=1)[:, None] + b_sq[None, :]
                       - 2.0 * (a @ b_mat.T))
                 np.maximum(d2, 0.0, out=d2)
-                d = np.sqrt(d2)
-                ai, bj = np.nonzero(d <= eps)
+                # mask on squared distance, sqrt only the kept entries —
+                # avoids a second batch×N float64 allocation (an OOM
+                # cliff right at the 10k-row path ceiling)
+                ai, bj = np.nonzero(d2 <= eps2)
                 keep = a_ids[ai] != b_ids[bj]
-                yield pd.DataFrame({"a": a_ids[ai][keep],
-                                    "b": b_ids[bj][keep],
-                                    "d": d[ai, bj][keep]})
+                ai, bj = ai[keep], bj[keep]
+                yield pd.DataFrame({"a": a_ids[ai], "b": b_ids[bj],
+                                    "d": np.sqrt(d2[ai, bj])})
 
-        return arr.mapInPandas(gemm_pairs,
-                               schema=f"a {key_t}, b {key_t}, d double")
+        return arr.mapInPandas(gemm_pairs, schema=schema)
     lsh = BucketedRandomProjectionLSH(
         inputCol="scaled", outputCol="hashes",
         bucketLength=eps * 2, numHashTables=4, seed=42)

@@ -141,6 +141,7 @@ def connected_components(edges: DataFrame, src: str = "src",
     labels = (sym.select(F.col("u").alias("node"))
               .distinct()
               .select("node", F.col("node").alias("component")))
+    changed = -1  # max_iter <= 0 skips the loop straight to else
     for _ in range(max_iter):
         nbr_min = (sym
                    .join(labels.withColumnRenamed("node", "v")
