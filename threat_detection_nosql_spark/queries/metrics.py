@@ -670,7 +670,15 @@ def rule_lift_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     count/rate, cumulative gain (captured share of all positives) and
     lift vs the base rate. Every ratio derives from integer counts, so
     no float-aggregation ulp risk anywhere. One |users|-row window
-    pass + a 10-row re-aggregation."""
+    pass + a 10-row re-aggregation.
+
+    Scale note: the decile ntile is an UNPARTITIONED window over the
+    scored-user dimension — exact (the registered oracle form), but a
+    single-partition sort when users number in the billions. The scale
+    swap (house style: source_quantile_normalized): an
+    `approx_percentile(weekend_ratio, array(0.1..0.9))` boundary agg
+    broadcast back as 9 cut points, decile assignment by array
+    comparison — the 10-row lift/gain re-aggregation is unchanged."""
     lab = _labeled(spark, sf_dir)
     w = Window.orderBy(F.desc("weekend_ratio"), F.asc("user"))
     deciled = lab.select("label", F.ntile(10).over(w).alias("decile"))

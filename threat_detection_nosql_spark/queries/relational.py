@@ -960,7 +960,16 @@ def revenue_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Shape: one customer-revenue agg, one ntile over the (revenue desc,
     custkey) total order, one decile re-agg, one running-sum window
-    over 10 rows. All arithmetic integer until the one share division."""
+    over 10 rows. All arithmetic integer until the one share division.
+
+    Scale note: the ntile rides an UNPARTITIONED window over the
+    customer dimension — exact (and the registered oracle form), but a
+    single-partition sort once customers reach the billions. The scale
+    swap (house style: customer_value_ntiles, source_quantile_
+    normalized): one `approx_percentile(cents, array(0.1..0.9))`
+    boundary agg, broadcast the 9 cut points, assign deciles with a
+    searchsorted CASE/array comparison — no global sort, same 10-row
+    output grain (decile edges become sketch-approximate)."""
     from pyspark.sql.window import Window as W
     orders = load_table(spark, sf_dir, "orders")
     rev = (orders.groupBy("o_custkey")
@@ -1225,7 +1234,15 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     All three axes are integers; terciles are ntile windows with id
     tie-breaks (engine-identical); the only division is the two
-    rounded per-cell means."""
+    rounded per-cell means.
+
+    Scale note: each tercile is an UNPARTITIONED ntile over every
+    ordering customer — exact (the registered oracle form), but three
+    single-partition sorts of the customer dimension at 100×. The
+    scale swap: one `approx_percentile` agg yielding the 1/3 and 2/3
+    cut points for all three axes at once, broadcast-join the 6
+    scalars, score with CASE — the 27-cell rollup is unchanged and no
+    global sort remains."""
     from pyspark.sql.window import Window as W
     orders = load_table(spark, sf_dir, "orders")
     anchor = orders.agg(F.max("o_orderdate").alias("anchor"))
