@@ -58,3 +58,10 @@ def compare_query_to_oracle(spark, ddb, fn, sql, sf_dir=SF_DIR):
     assert len(a) == len(b), f"row count {len(a)} vs {len(b)}"
     mismatches = [(x, y) for x, y in zip(a, b) if x != y]
     assert not mismatches, f"value mismatch (first 3): {mismatches[:3]}"
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "slow: long-running parity gates (full grid CV); included in "
+        "the default run, deselect with -m 'not slow' for quick loops")

@@ -165,3 +165,24 @@ def test_supervised_metrics_meet_reference_band(spark, fixture, golden):
         assert r.accuracy >= floor_acc, (r.model, r.accuracy)
         assert r.f1 >= floor_f1, (r.model, r.f1)
     assert max(r.f1 for r in rep.values()) >= best_f1
+
+
+@pytest.mark.slow
+def test_tuned_grid_supervised_meets_reference_band(spark, fixture, golden):
+    """M12/M15 with the FULL grid CV actually executed: tune=True runs
+    CrossValidator(numFolds=3, f1) over the numTrees x maxDepth grid —
+    a superset of the reference's committed single-point grid
+    (`Comparaison_ML.py:588-595`: n_estimators [200], max_depth [10];
+    every other param list there is also length 1, so the reference
+    "grid search" evaluates exactly one candidate per model). The
+    tuned report must still clear the rapport_performances bands —
+    closing the 'reduced grid never executed' caveat."""
+    _, scaled = fixture
+    sup = {m: golden[m] for m in ("Random Forest", "SVM", "XGBoost")}
+    floor_acc = min(float(r["Exactitude"]) for r in sup.values())
+    floor_f1 = min(float(r["F1-Score"]) for r in sup.values())
+    rep = {r.model: r for r in
+           supervised_report(scaled, tune=True).collect()}
+    for r in rep.values():
+        assert r.accuracy >= floor_acc, (r.model, r.accuracy)
+        assert r.f1 >= floor_f1, (r.model, r.f1)
