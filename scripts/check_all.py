@@ -11,7 +11,7 @@ Deliberately uses a VANILLA SparkSession (not session.get_spark) — the
 driver brings its own session, so config-dependent code must work
 without ours (.claude/skills/verify/SKILL.md).
 
-Usage: python scripts/check_all.py [--sf DIR] [--first N] [name_filter ...]
+Usage: python scripts/check_all.py [--sf DIR] [--first N] [--mem 16g] [name_filter ...]
 
 ``--first N`` restricts the run to the first N registry entries — the
 driver hashes exactly the first-50 prefix, so ``--first 50`` replicates
@@ -57,15 +57,22 @@ def main() -> int:
     if args and args[0] == "--first":
         first_n = int(args[1])
         args = args[2:]
+    mem = None  # default: the driver's own 1g — sized for sf0.01
+    if args and args[0] == "--mem":
+        mem = args[1]  # scale soaks (10x+ dirs) need a bigger JVM heap
+        args = args[2:]
     filters = args
     sys.path.insert(0, "/root/repo")
     import __spark_entry__ as entrymod
     from pyspark.sql import SparkSession
 
-    spark = (SparkSession.builder.master("local[8]")
-             .config("spark.sql.shuffle.partitions", "8")
-             .config("spark.ui.enabled", "false")
-             .appName("check_all").getOrCreate())
+    builder = (SparkSession.builder.master("local[8]")
+               .config("spark.sql.shuffle.partitions", "8")
+               .config("spark.ui.enabled", "false")
+               .appName("check_all"))
+    if mem:
+        builder = builder.config("spark.driver.memory", mem)
+    spark = builder.getOrCreate()
     con = duckdb.connect()
     for t in TABLES:
         con.execute(

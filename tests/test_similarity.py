@@ -150,3 +150,22 @@ def test_ann_near_dups_plan_has_no_cartesian(spark):
         ._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ann_recall_report_semantics(spark):
+    """The recall harness's structural guarantees: exact is a perfect
+    baseline by construction (recall 1.0 through the same join), every
+    ANN method spends a STRICTLY smaller candidate budget than the
+    exact scan (the point of the index), and recalls live in [0, 1]
+    with avg >= min."""
+    from threat_detection_nosql_spark.queries.advanced import (
+        ann_recall_report)
+    rows = {r.method: r for r in ann_recall_report(spark, SF_DIR).collect()}
+    assert set(rows) == {"exact", "ivf_fixed", "srp"}
+    ex = rows["exact"]
+    assert ex.avg_recall == 1.0 and ex.min_recall == 1.0
+    assert ex.candidates == ex.n_queries * 499  # 8 * (N-1), N=500
+    for m in ("ivf_fixed", "srp"):
+        r = rows[m]
+        assert r.candidates < ex.candidates
+        assert 0.0 <= r.min_recall <= r.avg_recall <= 1.0

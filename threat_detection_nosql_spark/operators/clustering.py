@@ -67,6 +67,22 @@ def kmeans_fixed(emb: DataFrame, k: int = 8, n_iters: int = 2,
     return assign(cent), cent
 
 
+def probe_cells(centroids: DataFrame, queries: DataFrame,
+                n_probe: int = 2) -> DataFrame:
+    """(q_id, q_v, cell) probe list: the ``n_probe`` nearest-centroid
+    cells per query (ties on cell id). Split out of
+    ``ivf_fixed_neighbors`` so the ANN recall harness
+    (queries/advanced.ann_recall_report) can count the exact candidate
+    budget the probe implies without re-deriving the probe logic."""
+    d = F.sqrt(_sq_dist(F.col("v"), F.col("cv")))
+    w = Window.partitionBy("q_id").orderBy(F.asc("qc_dist"), F.asc("cell"))
+    return (queries.crossJoin(F.broadcast(centroids))
+            .withColumn("qc_dist", d)
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= n_probe)
+            .select("q_id", F.col("v").alias("q_v"), "cell"))
+
+
 def ivf_fixed_neighbors(assigned: DataFrame, centroids: DataFrame,
                         queries: DataFrame, k: int = 5,
                         n_probe: int = 2) -> DataFrame:
@@ -81,13 +97,7 @@ def ivf_fixed_neighbors(assigned: DataFrame, centroids: DataFrame,
     production scale is WRITTEN partitioned by cell — the probe join
     prunes to n_probe partitions per query, no corpus-wide shuffle.
     """
-    d = F.sqrt(_sq_dist(F.col("v"), F.col("cv")))
-    w = Window.partitionBy("q_id").orderBy(F.asc("qc_dist"), F.asc("cell"))
-    q_cells = (queries.crossJoin(F.broadcast(centroids))
-               .withColumn("qc_dist", d)
-               .withColumn("_rn", F.row_number().over(w))
-               .filter(F.col("_rn") <= n_probe)
-               .select("q_id", F.col("v").alias("q_v"), "cell"))
+    q_cells = probe_cells(centroids, queries, n_probe)
 
     dot = F.aggregate(F.zip_with("v", "q_v", lambda x, y: x * y),
                       F.lit(0.0), lambda acc, x: acc + x)

@@ -255,38 +255,51 @@ def srp_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         dim=_SRP_DIM, queries_in_corpus=True)
 
 
-def _srp_sql() -> str:
+_EMB_CTE = "emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)"
+
+
+def _srp_ctes() -> list[str]:
+    """SRP candidate-generation CTE chain (consumes ``emb``): planes →
+    sign bits → banded signatures → distinct band-collision candidate
+    pairs.  Shared by the standalone ANN oracle and the recall
+    harness oracle so the two can never drift."""
     planes = similarity.srp_planes(_SRP_PLANES, _SRP_DIM)
     rows = ",\n  ".join(
         f"({p}, {p // _SRP_BAND_BITS}, {p % _SRP_BAND_BITS}, "
         f"[{', '.join(repr(w) for w in plane)}]::DOUBLE[])"
         for p, plane in enumerate(planes))
-    return f"""
-WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-planes(plane, band, pos, w) AS (VALUES
-  {rows}),
+    return [f"""planes(plane, band, pos, w) AS (VALUES
+  {rows})""", """
 bits AS (SELECT vec_id, band, pos,
                 CASE WHEN list_dot_product(v, w) > 0 THEN 1 ELSE 0 END AS bit
-         FROM emb CROSS JOIN planes),
+         FROM emb CROSS JOIN planes)""", """
 sigs AS (SELECT vec_id, band, CAST(sum(bit << pos) AS BIGINT) AS sig
-         FROM bits GROUP BY vec_id, band),
+         FROM bits GROUP BY vec_id, band)""", f"""
 cand AS (SELECT DISTINCT q.vec_id AS q_id, c.vec_id AS vec_id
          FROM sigs q JOIN sigs c ON q.band = c.band AND q.sig = c.sig
-         WHERE q.vec_id < {_N_QUERIES} AND c.vec_id <> q.vec_id),
-scored AS (SELECT q_id, cand.vec_id,
+         WHERE q.vec_id < {_N_QUERIES} AND c.vec_id <> q.vec_id)"""]
+
+
+_SRP_SCORED_CTE = """
+srp_scored AS (SELECT q_id, cand.vec_id,
                   round(list_dot_product(a.v, b.v)
                         / (sqrt(list_dot_product(a.v, a.v))
                            * sqrt(list_dot_product(b.v, b.v))), 6) AS cosine
            FROM cand
            JOIN emb a ON a.vec_id = cand.q_id
-           JOIN emb b ON b.vec_id = cand.vec_id)
+           JOIN emb b ON b.vec_id = cand.vec_id)"""
+
+
+def _srp_sql() -> str:
+    return ("WITH " + ",\n".join([_EMB_CTE, *_srp_ctes(),
+                                  _SRP_SCORED_CTE]) + """
 SELECT q_id, vec_id, cosine, rank FROM (
   SELECT q_id, vec_id, cosine,
          CAST(row_number() OVER (PARTITION BY q_id
               ORDER BY cosine DESC, vec_id ASC) AS INT) AS rank
-  FROM scored) t
+  FROM srp_scored) t
 WHERE rank <= 5
-"""
+""")
 
 
 QUERIES["srp_ann_topk"] = srp_ann_topk
@@ -318,11 +331,14 @@ def ivf_fixed_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         assigned, cent, qs, k=_IVF_TOPK, n_probe=_IVF_PROBE)
 
 
-def _ivf_fixed_sql() -> str:
+def _ivf_ctes() -> tuple[list[str], str]:
     """Unroll _IVF_ITERS Lloyd steps as CTE pairs (assign_i, cent_i):
     assignment = argmin Euclidean distance (ties on cell id), update =
     per-position mean reassembled in position order — bit-compatible
-    with clustering.kmeans_fixed."""
+    with clustering.kmeans_fixed.  Consumes ``emb``; returns the CTE
+    chain up through the probe (``qc``) plus the final-assignment CTE
+    name, so both the standalone IVF oracle and the recall harness
+    oracle replay the identical index."""
     assign = (
         "{out} AS (SELECT vec_id, v, cell FROM (\n"
         "  SELECT e.vec_id, e.v, c.cell,\n"
@@ -335,9 +351,7 @@ def _ivf_fixed_sql() -> str:
         "  FROM {asg}, LATERAL (SELECT unnest(range(1, len(v) + 1))\n"
         "                       AS pos) ix\n"
         "  GROUP BY cell, pos) s GROUP BY cell)")
-    ctes = ["emb AS (SELECT vec_id, embedding::DOUBLE[] AS v "
-            "FROM embeddings)",
-            f"c0 AS (SELECT CAST(vec_id AS INT) AS cell, v AS cv "
+    ctes = [f"c0 AS (SELECT CAST(vec_id AS INT) AS cell, v AS cv "
             f"FROM emb WHERE vec_id < {_IVF_K})"]
     for i in range(_IVF_ITERS):
         ctes.append(assign.format(out=f"a{i + 1}", cent=f"c{i}"))
@@ -351,19 +365,28 @@ qc AS (SELECT q_id, q_v, cell FROM (
            ORDER BY list_distance(q.v, c.cv), c.cell) AS rn
   FROM (SELECT * FROM emb WHERE vec_id < {_N_QUERIES}) q
   CROSS JOIN {final_cent} c) t WHERE rn <= {_IVF_PROBE})""")
-    ctes.append(f"""
-scored AS (SELECT qc.q_id, a.vec_id,
+    return ctes, final_asg
+
+
+def _ivf_scored_cte(final_asg: str) -> str:
+    return f"""
+ivf_scored AS (SELECT qc.q_id, a.vec_id,
   round(list_dot_product(qc.q_v, a.v)
         / (sqrt(list_dot_product(qc.q_v, qc.q_v))
            * sqrt(list_dot_product(a.v, a.v))), 6) AS cosine
   FROM qc JOIN {final_asg} a USING (cell)
-  WHERE a.vec_id <> qc.q_id)""")
-    return ("WITH " + ",\n".join(ctes) + f"""
+  WHERE a.vec_id <> qc.q_id)"""
+
+
+def _ivf_fixed_sql() -> str:
+    ctes, final_asg = _ivf_ctes()
+    return ("WITH " + ",\n".join([_EMB_CTE, *ctes,
+                                  _ivf_scored_cte(final_asg)]) + f"""
 SELECT q_id, vec_id, cosine, rank FROM (
   SELECT q_id, vec_id, cosine,
          CAST(row_number() OVER (PARTITION BY q_id
               ORDER BY cosine DESC, vec_id ASC) AS INT) AS rank
-  FROM scored) t
+  FROM ivf_scored) t
 WHERE rank <= {_IVF_TOPK}""")
 
 
@@ -491,3 +514,174 @@ WHERE rn = 1
 
 QUERIES_TAIL["near_dup_keep_best"] = near_dup_keep_best
 ORACLES_TAIL["near_dup_keep_best"] = _KEEP_BEST_SQL
+
+
+# ---------------------------------------------------------------------------
+# ANN recall benchmark harness (round 7): recall@k of each approximate
+# index against the exact brute-force top-k, WITH the candidate budget
+# each method actually spent. This is the measurement a pipeline owner
+# runs before trusting an ANN default: "what recall does this buy, and
+# how many cosine evaluations did it cost vs the exact scan?"
+# ---------------------------------------------------------------------------
+
+_RECALL_K = 5
+
+
+def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row per method (exact / ivf_fixed / srp): query count, the
+    candidate budget (pairs cosine-scored: exact = |Q|·(N−1), ANN =
+    its pruned candidate set), and recall@5 vs the exact top-5 —
+    average and worst query. Exact is its own baseline (recall 1.0 by
+    construction, computed honestly through the same join).
+
+    Determinism: recall ratios are single divisions of integer counts
+    (total hits / (n_queries·k), min hits / k) — no float aggregation,
+    so the DuckDB oracle replays bit-exactly. The ANN layers reuse the
+    oracle-checked srp/ivf queries and candidate logic verbatim
+    (operators/similarity.srp_signatures, operators/clustering
+    .probe_cells), so the budget numbers are the real ones, not
+    re-derivations that could drift.
+
+    Scale shape: top-k frames are |Q|·k rows; the candidate COUNTS are
+    map-combined aggregations over the banded-join / probe-join frames
+    that the ANN queries already build — nothing materializes the
+    candidate pairs wider than the ANN queries themselves do. The
+    exact row's budget is computed as |Q|·(N−1) from two scalar
+    counts, not by building the cross join."""
+    from threat_detection_nosql_spark.operators import clustering
+    from threat_detection_nosql_spark.queries.pipeline import cosine_topk
+
+    k = _RECALL_K
+    emb, qs = _emb_and_queries(spark, sf_dir)
+    exact = (cosine_topk(spark, sf_dir)
+             .select("q_id", "vec_id").localCheckpoint())
+    qset = exact.select("q_id").distinct()
+
+    def summary(method: str, top: DataFrame,
+                cand_count: DataFrame) -> DataFrame:
+        """``cand_count``: 1-row frame with a long ``candidates``."""
+        hits = (top.join(exact, ["q_id", "vec_id"])
+                .groupBy("q_id").agg(F.count("*").alias("h")))
+        per_q = (qset.join(hits, "q_id", "left")
+                 .select(F.coalesce("h", F.lit(0)).alias("h")))
+        tot = per_q.agg(F.count("*").alias("n_queries"),
+                        F.sum("h").alias("tot_hits"),
+                        F.min("h").alias("min_hits"))
+        return (tot.crossJoin(F.broadcast(cand_count)).select(
+            F.lit(method).alias("method"),
+            F.col("n_queries").cast("long").alias("n_queries"),
+            "candidates",
+            F.round(F.col("tot_hits") / (F.col("n_queries") * k), 6)
+             .alias("avg_recall"),
+            F.round(F.col("min_hits") / k, 6).alias("min_recall")))
+
+    # exact budget: |Q|·(N−1) from two scalar counts — the cross join
+    # is never built
+    n = emb.agg(F.count("*").alias("n"))
+    exact_cand = (qset.agg(F.count("*").alias("nq"))
+                  .crossJoin(F.broadcast(n))
+                  .select((F.col("nq") * (F.col("n") - 1))
+                          .cast("long").alias("candidates")))
+
+    # srp budget: the same distinct band-collision pairs the srp query
+    # scores (similarity.srp_lsh_neighbors candidate stage)
+    planes = similarity.srp_planes(_SRP_PLANES, _SRP_DIM)
+    c_sig = similarity.srp_signatures(emb, planes, _SRP_BAND_BITS)
+    q_sig = (c_sig.filter(F.col("vec_id") < _N_QUERIES)
+             .select(F.col("vec_id").alias("q_id"), "band", "sig"))
+    srp_cand = (c_sig.join(q_sig, ["band", "sig"])
+                .filter(F.col("q_id") != F.col("vec_id"))
+                .select("q_id", "vec_id").distinct())
+
+    # ivf budget: vectors assigned to the probed cells (cells are
+    # disjoint, so no distinct needed)
+    assigned, cent = clustering.kmeans_fixed(
+        emb, k=_IVF_K, n_iters=_IVF_ITERS)
+    q_cells = clustering.probe_cells(cent, qs, n_probe=_IVF_PROBE)
+    ivf_cand = (assigned.join(F.broadcast(
+                    q_cells.select("q_id", "cell")), "cell")
+                .filter(F.col("q_id") != F.col("vec_id"))
+                .select("q_id", "vec_id"))
+
+    srp_top = srp_ann_topk(spark, sf_dir).select("q_id", "vec_id")
+    ivf_top = ivf_fixed_ann_topk(spark, sf_dir).select("q_id", "vec_id")
+
+    def count1(cand: DataFrame) -> DataFrame:
+        return cand.agg(F.count("*").cast("long").alias("candidates"))
+
+    return (summary("exact", exact, exact_cand)
+            .unionByName(summary("ivf_fixed", ivf_top, count1(ivf_cand)))
+            .unionByName(summary("srp", srp_top, count1(srp_cand)))
+            .orderBy("method"))
+
+
+def _ann_recall_sql() -> str:
+    """Composite oracle: replay exact / srp / ivf top-5 AND each
+    method's candidate budget from the same shared CTE chains the
+    standalone oracles use, then the integer-count recall rollup."""
+    k = _RECALL_K
+    ivf_chain, final_asg = _ivf_ctes()
+    srp_top_sql = """
+srp_top AS (SELECT q_id, vec_id FROM (
+  SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id
+         ORDER BY cosine DESC, vec_id ASC) AS rn
+  FROM srp_scored) t WHERE rn <= %d)""" % k
+    ivf_top_sql = """
+ivf_top AS (SELECT q_id, vec_id FROM (
+  SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id
+         ORDER BY cosine DESC, vec_id ASC) AS rn
+  FROM ivf_scored) t WHERE rn <= %d)""" % k
+    exact_sql = f"""
+exact_scored AS (
+  SELECT q.vec_id AS q_id, c.vec_id,
+         round(list_dot_product(c.v, q.v)
+               / (sqrt(list_dot_product(c.v, c.v))
+                  * sqrt(list_dot_product(q.v, q.v))), 6) AS cosine
+  FROM emb c CROSS JOIN (SELECT * FROM emb
+                         WHERE vec_id < {_N_QUERIES}) q
+  WHERE c.vec_id <> q.vec_id),
+exact_top AS (SELECT q_id, vec_id FROM (
+  SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id
+         ORDER BY cosine DESC, vec_id ASC) AS rn
+  FROM exact_scored) t WHERE rn <= {k}),
+qset AS (SELECT DISTINCT q_id FROM exact_top),
+ivf_cand AS (SELECT qc.q_id, a.vec_id
+             FROM qc JOIN {final_asg} a USING (cell)
+             WHERE a.vec_id <> qc.q_id),
+exact_n AS (SELECT (SELECT count(*) FROM qset)
+                 * ((SELECT count(*) FROM emb) - 1) AS c)"""
+    summ = """
+sum_{m} AS (
+  SELECT '{label}' AS method,
+         CAST(count(*) AS BIGINT) AS n_queries,
+         {cand} AS candidates,
+         round(CAST(sum(h) AS DOUBLE) / (count(*) * {k}), 6)
+           AS avg_recall,
+         round(CAST(min(h) AS DOUBLE) / {k}, 6) AS min_recall
+  FROM (SELECT q.q_id, coalesce(t.h, 0) AS h
+        FROM qset q LEFT JOIN (
+          SELECT s.q_id, count(*) AS h
+          FROM {top} s JOIN exact_top e
+            ON s.q_id = e.q_id AND s.vec_id = e.vec_id
+          GROUP BY s.q_id) t ON q.q_id = t.q_id) p)"""
+    sums = [
+        summ.format(m="exact", label="exact", top="exact_top", k=k,
+                    cand="(SELECT CAST(c AS BIGINT) FROM exact_n)"),
+        summ.format(m="ivf", label="ivf_fixed", top="ivf_top", k=k,
+                    cand="(SELECT CAST(count(*) AS BIGINT) "
+                         "FROM ivf_cand)"),
+        summ.format(m="srp", label="srp", top="srp_top", k=k,
+                    cand="(SELECT CAST(count(*) AS BIGINT) FROM cand)"),
+    ]
+    return ("WITH " + ",\n".join(
+        [_EMB_CTE, *_srp_ctes(), _SRP_SCORED_CTE, srp_top_sql,
+         *ivf_chain, _ivf_scored_cte(final_asg), ivf_top_sql,
+         exact_sql, *sums]) + """
+SELECT * FROM sum_exact
+UNION ALL SELECT * FROM sum_ivf
+UNION ALL SELECT * FROM sum_srp
+ORDER BY method""")
+
+
+QUERIES_TAIL["ann_recall_report"] = ann_recall_report
+ORACLES_TAIL["ann_recall_report"] = _ann_recall_sql()
