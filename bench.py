@@ -174,6 +174,14 @@ ROUND5C_COLLECT = [
 ]
 ROUND5C_COUNT: list = []
 
+# Round-7 wave: the ANN acceptance harness (recall@5 + candidate
+# budgets for exact/srp/ivf in one report — exercises the banded-LSH
+# join, the unrolled-Lloyd IVF probe, and the broadcast exact scan)
+ROUND7_COLLECT = [
+    "ann_recall_report",
+]
+ROUND7_COUNT: list = []
+
 
 def main() -> None:
     spark = get_spark("bench")
@@ -222,6 +230,10 @@ def main() -> None:
         timings[name] = median_time(name, name in ROUND5C_COUNT)
     round5c_total = round(sum(timings[n] for n in
                               ROUND5C_COLLECT + ROUND5C_COUNT), 3)
+    for name in ROUND7_COLLECT + ROUND7_COUNT:
+        timings[name] = median_time(name, name in ROUND7_COUNT)
+    round7_total = round(sum(timings[n] for n in
+                             ROUND7_COLLECT + ROUND7_COUNT), 3)
     # Isolated re-measure of the 5 slowest queries: a fresh
     # spark.newSession() per query, after every other group finished.
     # In-run medians on a shared box have twice produced phantom
@@ -231,7 +243,7 @@ def main() -> None:
     # vs real regression without re-running the bench.
     count_set = set(HEADLINE_COUNT + PIPELINE_COUNT + EXTENDED_COUNT
                     + ROUND4_COUNT + ROUND5_COUNT + ROUND5B_COUNT
-                    + ROUND5C_COUNT)
+                    + ROUND5C_COUNT + ROUND7_COUNT)
     slowest = sorted(timings, key=timings.get, reverse=True)[:5]
     isolated: dict[str, float] = {}
     for name in slowest:
@@ -253,6 +265,7 @@ def main() -> None:
         "round5_total": round5_total,
         "round5b_total": round5b_total,
         "round5c_total": round5c_total,
+        "round7_total": round7_total,
     }
     # The full ~150-query timing map overflowed the driver's tail capture
     # in round 5 (BENCH_r05.json: parsed=null, the line was truncated

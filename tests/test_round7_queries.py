@@ -1,0 +1,99 @@
+"""Round-7 retrieval/audit wave: positional inverted index, phrase
+search, SQ8 quantization audit, key-skew audit, leakage-aware split
+repair — oracle parity (where not already parametrized) plus the
+semantic invariants an oracle hash can't express."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR, compare_query_to_oracle
+from threat_detection_nosql_spark.queries.advanced import (
+    ORACLES_TAIL as ADV_ORACLES,
+    QUERIES_TAIL as ADV_QUERIES,
+)
+from threat_detection_nosql_spark.queries.metrics import key_skew_audit
+from threat_detection_nosql_spark.queries.pipeline import (
+    _POSTINGS_CAP,
+    _POSTINGS_TOPN,
+    embedding_sq8_audit,
+    inverted_postings,
+    phrase_search_hits,
+)
+
+
+def test_split_leakage_repair_matches_oracle(spark, ddb):
+    # advanced.py TAIL entries are not in the parametrized oracle sweep
+    compare_query_to_oracle(spark, ddb,
+                            ADV_QUERIES["split_leakage_repair"],
+                            ADV_ORACLES["split_leakage_repair"])
+
+
+def test_split_leakage_repair_invariants(spark):
+    rows = ADV_QUERIES["split_leakage_repair"](spark, SF_DIR).collect()
+    assert rows, "sf0.01 has near-dup components"
+    by_comp: dict = {}
+    for r in rows:
+        by_comp.setdefault(r.component, []).append(r)
+    for comp, members in by_comp.items():
+        assert len(members) >= 2  # singletons are excluded
+        canon = [m for m in members if m.doc_id == comp]
+        assert len(canon) == 1, "canonical member present exactly once"
+        # the canonical never moves; everyone adopts ITS split
+        assert canon[0].moved == 0
+        assert canon[0].orig_split == canon[0].new_split
+        for m in members:
+            assert m.new_split == canon[0].orig_split
+            assert m.moved == (1 if m.orig_split != m.new_split else 0)
+
+
+def test_inverted_postings_shape(spark):
+    rows = inverted_postings(spark, SF_DIR).collect()
+    assert 0 < len(rows) <= _POSTINGS_TOPN
+    n_docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
+    dfs = [r.df for r in rows]
+    assert dfs == sorted(dfs, reverse=True)  # df-descending index order
+    for r in rows:
+        assert 1 <= r.df <= n_docs
+        assert r.cf >= r.df  # collection freq dominates doc freq
+        head = r.posting_head.split(",")
+        assert 1 <= len(head) <= _POSTINGS_CAP
+        assert head == sorted(head, key=int)  # doc_id-ordered segment
+
+
+def test_phrase_search_hits_are_real_occurrences(spark):
+    rows = phrase_search_hits(spark, SF_DIR).collect()
+    assert rows
+    w1, w2 = rows[0].w1, rows[0].w2
+    phrase = f"{w1} {w2}"
+    docs = {r.doc_id: r.text for r in
+            spark.read.parquet(f"{SF_DIR}/documents.parquet")
+            .filter(F.col("doc_id").isin([r.doc_id for r in rows]))
+            .collect()}
+    for r in rows:
+        assert (r.w1, r.w2) == (w1, w2)  # one phrase per report
+        assert r.hits >= 1
+        assert phrase in docs[r.doc_id]
+
+
+def test_embedding_sq8_error_bounded_by_half_step(spark):
+    rows = embedding_sq8_audit(spark, SF_DIR).collect()
+    assert len(rows) == 64  # one row per dimension
+    assert [r.dim for r in rows] == list(range(64))
+    for r in rows:
+        assert 1 <= r.codes_used <= 256
+        step = (r.dmax_q - r.dmin_q) / 255.0
+        # rounding to the nearest code can never err more than step/2
+        # (dmin/dmax rounded to 6dp for display -> small slack)
+        assert r.max_abs_err <= step / 2 + 1e-6
+
+
+def test_key_skew_audit_sanity(spark):
+    r = key_skew_audit(spark, SF_DIR).collect()[0]
+    n_events = spark.read.parquet(f"{SF_DIR}/events.parquet").count()
+    assert r.n_rows == n_events
+    assert r.max_key_rows >= r.p99_key_rows >= r.p50_key_rows >= 1
+    assert r.top_key_rows == r.max_key_rows
+    assert r.skew_ratio >= 1.0  # max >= mean, always
+    assert r.partition_skew >= 1.0
+    assert r.max_partition_rows >= r.max_key_rows  # a key can't split

@@ -685,3 +685,98 @@ ORDER BY method""")
 
 QUERIES_TAIL["ann_recall_report"] = ann_recall_report
 ORACLES_TAIL["ann_recall_report"] = _ann_recall_sql()
+
+
+# ---------------------------------------------------------------------------
+# Round-7: leakage-aware split repair — the step that makes dedup and
+# split assignment COMPOSE. A hash split assigns docs independently,
+# so two near-duplicates can straddle train/valid — exactly the
+# contamination benchmark_decontamination hunts after the fact. The
+# repair moves every member of a near-dup component to its canonical
+# member's split BEFORE training.
+# ---------------------------------------------------------------------------
+
+
+def split_leakage_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc split repair over the near-dup components: every doc in
+    a multi-member MinHash component (est_jaccard >= 0.5 closure —
+    the same graph as near_dup_groups) adopts the split of the
+    component canonical (min doc_id); ``moved`` flags the docs whose
+    98/1/1 hash split (corpus.dataset_split_assignment, same salt)
+    changed. Singleton components never move and are excluded from
+    the report.
+
+    Scale shape: reuses the banded-LSH pair join + min-label
+    components (never all-pairs); the repair itself is two broadcast-
+    size joins on doc_id keyed by component. The oracle replays
+    signatures, banding, closure AND the split hash value-for-value."""
+    from threat_detection_nosql_spark.operators.graph import (
+        connected_components)
+    from threat_detection_nosql_spark.queries.corpus import (
+        dataset_split_assignment)
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_signature_near_dups(
+        docs, min_est_jaccard=_NDG_THRESHOLD)
+    comp = (connected_components(pairs, "doc_a", "doc_b")
+            .select(F.col("node").alias("doc_id"), "component"))
+    sizes = (comp.groupBy("component").agg(F.count("*").alias("n"))
+             .filter(F.col("n") >= 2).select("component"))
+    multi = comp.join(sizes, "component")
+    spl = dataset_split_assignment(spark, sf_dir)
+    canon = (spl.select(F.col("doc_id").alias("component"),
+                        F.col("split").alias("new_split")))
+    return (multi.join(spl, "doc_id")
+            .withColumnRenamed("split", "orig_split")
+            .join(canon, "component")
+            .select("doc_id", "component", "orig_split", "new_split",
+                    F.when(F.col("orig_split") != F.col("new_split"), 1)
+                    .otherwise(0).alias("moved"))
+            .orderBy("component", "doc_id"))
+
+
+_SPLIT_REPAIR_SQL = rf"""
+WITH RECURSIVE w AS (SELECT doc_id, string_split_regex(text, '\s+') AS wds
+           FROM documents),
+sh AS (SELECT DISTINCT doc_id,
+              wds[i] || ' ' || wds[i+1] || ' ' || wds[i+2] AS shingle
+       FROM w, LATERAL (SELECT unnest(range(1, len(wds) - 1)) AS i) ix),
+sig AS (SELECT doc_id,
+        {_MH_SIG}
+        FROM sh GROUP BY doc_id),
+cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+         AND ({_MH_BAND_COND})),
+pairs AS (SELECT c.doc_a, c.doc_b
+          FROM cand c
+          JOIN sig sa ON sa.doc_id = c.doc_a
+          JOIN sig sb ON sb.doc_id = c.doc_b
+          WHERE round(({_MH_EST}) / {_MH_N}.0, 6) >= {_NDG_THRESHOLD}),
+edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+          UNION SELECT doc_b, doc_a FROM pairs),
+reach(node, r) AS (
+  SELECT u, u FROM edges
+  UNION
+  SELECT e.u, reach.r FROM edges e JOIN reach ON reach.node = e.v),
+comp AS (SELECT node AS doc_id, min(r) AS component
+         FROM reach GROUP BY node),
+spl AS (SELECT doc_id,
+               CASE WHEN b < 9800 THEN 'train'
+                    WHEN b < 9900 THEN 'valid'
+                    ELSE 'test' END AS split
+        FROM (SELECT doc_id,
+                     CAST(('0x' || substr(md5('split:'
+                          || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+                       % 10000 AS b
+              FROM documents) t)
+SELECT c.doc_id, c.component,
+       s.split AS orig_split, cs.split AS new_split,
+       CASE WHEN s.split <> cs.split THEN 1 ELSE 0 END AS moved
+FROM comp c
+JOIN spl s ON s.doc_id = c.doc_id
+JOIN spl cs ON cs.doc_id = c.component
+ORDER BY c.component, c.doc_id
+"""
+
+QUERIES_TAIL["split_leakage_repair"] = split_leakage_repair
+ORACLES_TAIL["split_leakage_repair"] = _SPLIT_REPAIR_SQL

@@ -1110,3 +1110,95 @@ GROUP BY a, b, c
 
 QUERIES_TAIL["logreg_gd_report"] = logreg_gd_report
 ORACLES_TAIL["logreg_gd_report"] = _logreg_sql()
+
+
+# ---------------------------------------------------------------------------
+# Round-7: shuffle-planning audit — the key-skew report you run BEFORE
+# choosing a partitioning for a 100-TB groupBy/join on this key.
+# ---------------------------------------------------------------------------
+
+_SKEW_PARTS = 32
+
+
+def key_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-skew audit for ``events.user_id`` — the pre-shuffle planning
+    report: key-frequency distribution (max / discrete p50 / p99),
+    skew ratio (max over mean), the hottest key, and the simulated
+    reducer imbalance under a 32-way hash partitioning (portable
+    60-bit md5 hash, so the oracle replays the exact bucket of every
+    key). skew_ratio near 1 = safe to shuffle on the key; a large
+    max_partition share = salt or AQE-skew-join territory.
+
+    Scale shape: one (key) agg -> tiny key-histogram frame; every
+    statistic after that runs on |keys| rows; all counts integer,
+    ratios rounded at the end."""
+    from threat_detection_nosql_spark.operators.dedup import (
+        _portable_hash60)
+    from threat_detection_nosql_spark.sources.readers import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    per_key = (ev.groupBy("user_id")
+               .agg(F.count("*").alias("cnt"))
+               .withColumn(
+                   "part",
+                   F.pmod(_portable_hash60(
+                       F.concat(F.lit("skew:"),
+                                F.col("user_id").cast("string"))),
+                          F.lit(_SKEW_PARTS))))
+    key_stats = per_key.agg(
+        F.sum("cnt").alias("n_rows"),
+        F.count("*").alias("n_keys"),
+        F.max("cnt").alias("max_key_rows"),
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY cnt)")
+         .cast("long").alias("p50_key_rows"),
+        F.expr("percentile_disc(0.99) WITHIN GROUP (ORDER BY cnt)")
+         .cast("long").alias("p99_key_rows"))
+    top_key = (per_key.orderBy(F.desc("cnt"), "user_id").limit(1)
+               .select(F.col("user_id").alias("top_key"),
+                       F.col("cnt").alias("top_key_rows")))
+    parts = (per_key.groupBy("part").agg(F.sum("cnt").alias("prows"))
+             .agg(F.max("prows").alias("max_partition_rows")))
+    return (key_stats.crossJoin(F.broadcast(top_key))
+            .crossJoin(F.broadcast(parts))
+            .select(
+                "n_rows", "n_keys", "max_key_rows",
+                "p50_key_rows", "p99_key_rows",
+                F.round(F.col("max_key_rows") * F.col("n_keys")
+                        / F.col("n_rows"), 6).alias("skew_ratio"),
+                "top_key", "top_key_rows",
+                "max_partition_rows",
+                F.round(F.col("max_partition_rows") * _SKEW_PARTS
+                        / F.col("n_rows"), 6).alias("partition_skew")))
+
+
+_KEY_SKEW_SQL = f"""
+WITH per_key AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS cnt,
+         CAST(('0x' || substr(md5('skew:' || CAST(user_id AS VARCHAR)),
+                              1, 15)) AS BIGINT) % {_SKEW_PARTS} AS part
+  FROM events GROUP BY user_id),
+key_stats AS (
+  SELECT CAST(sum(cnt) AS BIGINT) AS n_rows,
+         CAST(count(*) AS BIGINT) AS n_keys,
+         CAST(max(cnt) AS BIGINT) AS max_key_rows,
+         CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY cnt) AS BIGINT)
+           AS p50_key_rows,
+         CAST(percentile_disc(0.99) WITHIN GROUP (ORDER BY cnt) AS BIGINT)
+           AS p99_key_rows
+  FROM per_key),
+top_key AS (
+  SELECT user_id AS top_key, cnt AS top_key_rows
+  FROM per_key ORDER BY cnt DESC, user_id LIMIT 1),
+parts AS (
+  SELECT CAST(max(prows) AS BIGINT) AS max_partition_rows
+  FROM (SELECT part, sum(cnt) AS prows FROM per_key GROUP BY part) t)
+SELECT n_rows, n_keys, max_key_rows, p50_key_rows, p99_key_rows,
+       round(max_key_rows * n_keys * 1.0 / n_rows, 6) AS skew_ratio,
+       top_key, top_key_rows, max_partition_rows,
+       round(max_partition_rows * {_SKEW_PARTS} * 1.0 / n_rows, 6)
+         AS partition_skew
+FROM key_stats, top_key, parts
+"""
+
+QUERIES_TAIL["key_skew_audit"] = key_skew_audit
+ORACLES_TAIL["key_skew_audit"] = _KEY_SKEW_SQL

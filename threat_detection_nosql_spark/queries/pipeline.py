@@ -1547,3 +1547,197 @@ FROM scored
 
 QUERIES_TAIL["stopword_density_scores"] = stopword_density_scores
 ORACLES_TAIL["stopword_density_scores"] = _STOPWORD_SQL
+
+
+# ---------------------------------------------------------------------------
+# Round-7 wave: the retrieval leg of the corpus stack — a positional
+# inverted index, phrase search over it, and the int8
+# scalar-quantization audit that decides whether embeddings can ship
+# at 1/4 storage. (Reference coverage: corpus/query surface of
+# analyse_*.py; these are the beyond-reference LLM-pipeline operators
+# the brief mandates.)
+# ---------------------------------------------------------------------------
+
+_POSTINGS_TOPN = 50
+_POSTINGS_CAP = 8
+
+
+def inverted_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index build: token -> document frequency, collection
+    frequency, and the first ``_POSTINGS_CAP`` doc_ids of the posting
+    list, for the ``_POSTINGS_TOPN`` highest-df tokens.
+
+    Scale shape: one explode -> (token) hash agg, all map-combinable;
+    posting lists are CAPPED (head segment only) because a full list
+    for a stopword-grade token is O(corpus) — at 100 TB an index
+    stores sharded posting segments keyed by (token, segment), which
+    is this same agg bucketed by doc_id range. The cap keeps the
+    registered output bounded at TOPN x CAP ids."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = (docs
+           .select("doc_id", F.explode(F.split(F.col("text"), r"\s+"))
+                   .alias("token"))
+           .filter(F.col("token") != ""))
+    return (tok.groupBy("token")
+            .agg(F.countDistinct("doc_id").alias("df"),
+                 F.count("*").alias("cf"),
+                 F.array_join(
+                     F.slice(F.array_sort(F.collect_set("doc_id")),
+                             1, _POSTINGS_CAP), ",").alias("posting_head"))
+            .orderBy(F.desc("df"), F.desc("cf"), "token")
+            .limit(_POSTINGS_TOPN))
+
+
+_POSTINGS_SQL = rf"""
+WITH tok AS (SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS token
+             FROM documents),
+tf AS (SELECT doc_id, token FROM tok WHERE token <> ''),
+agg AS (SELECT token,
+               CAST(count(DISTINCT doc_id) AS BIGINT) AS df,
+               CAST(count(*) AS BIGINT) AS cf,
+               array_to_string(list_slice(list_sort(list(DISTINCT doc_id)),
+                                          1, {_POSTINGS_CAP}), ',')
+                 AS posting_head
+        FROM tf GROUP BY token)
+SELECT token, df, cf, posting_head
+FROM agg
+ORDER BY df DESC, cf DESC, token
+LIMIT {_POSTINGS_TOPN}
+"""
+
+QUERIES_TAIL["inverted_postings"] = inverted_postings
+ORACLES_TAIL["inverted_postings"] = _POSTINGS_SQL
+
+
+_PHRASE_TOPN = 20
+
+
+def phrase_search_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Phrase search over the positional index: find the corpus's most
+    frequent bigram (adjacent token pair), then the documents that
+    contain it with per-doc occurrence counts — the two-term
+    AND-with-adjacency query every positional inverted index exists to
+    answer.
+
+    Scale shape: positions come from ONE posexplode; bigram discovery
+    is a (doc, pos)->(doc, pos+1) equi-join aggregated map-side; the
+    hit scan joins the 1-row broadcast phrase to the w1 postings
+    FIRST (selectivity of the rarer term), then the positional
+    adjacency equi-join against w2 postings — never a text rescan.
+    All counts integer; top docs ordered (hits DESC, doc_id)."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = (docs
+           .select("doc_id",
+                   F.posexplode(F.split(F.col("text"), r"\s+"))
+                   .alias("pos", "token"))
+           .filter(F.col("token") != ""))
+    a, b = tok.alias("a"), tok.alias("b")
+    adj = (a.join(b, (F.col("a.doc_id") == F.col("b.doc_id"))
+                  & (F.col("b.pos") == F.col("a.pos") + 1))
+           .select(F.col("a.token").alias("w1"),
+                   F.col("b.token").alias("w2")))
+    top = (adj.groupBy("w1", "w2").agg(F.count("*").alias("n"))
+           .orderBy(F.desc("n"), "w1", "w2").limit(1)
+           .select("w1", "w2"))
+    h1 = (tok.join(F.broadcast(top), F.col("token") == F.col("w1"))
+          .select(F.col("doc_id").alias("h_doc"),
+                  F.col("pos").alias("h_pos"), "w1", "w2"))
+    hits = (h1.join(b, (F.col("b.doc_id") == F.col("h_doc"))
+                    & (F.col("b.pos") == F.col("h_pos") + 1)
+                    & (F.col("b.token") == F.col("w2")))
+            .groupBy("h_doc", "w1", "w2")
+            .agg(F.count("*").alias("hits")))
+    return (hits.orderBy(F.desc("hits"), "h_doc")
+            .limit(_PHRASE_TOPN)
+            .select(F.col("h_doc").alias("doc_id"), "w1", "w2", "hits"))
+
+
+_PHRASE_SQL = rf"""
+WITH tok AS (SELECT doc_id,
+                    unnest(string_split_regex(text, '\s+')) AS token,
+                    generate_subscripts(string_split_regex(text, '\s+'), 1)
+                      - 1 AS pos
+             FROM documents),
+tf AS (SELECT doc_id, token, pos FROM tok WHERE token <> ''),
+top AS (SELECT a.token AS w1, b.token AS w2
+        FROM tf a JOIN tf b
+          ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+        GROUP BY a.token, b.token
+        ORDER BY count(*) DESC, w1, w2
+        LIMIT 1)
+SELECT a.doc_id, w1, w2, CAST(count(*) AS BIGINT) AS hits
+FROM tf a JOIN top ON a.token = top.w1
+JOIN tf b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+         AND b.token = top.w2
+GROUP BY a.doc_id, w1, w2
+ORDER BY hits DESC, a.doc_id
+LIMIT {_PHRASE_TOPN}
+"""
+
+QUERIES_TAIL["phrase_search_hits"] = phrase_search_hits
+ORACLES_TAIL["phrase_search_hits"] = _PHRASE_SQL
+
+
+def embedding_sq8_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 scalar-quantization (SQ8) audit per embedding dimension:
+    min/max scale, how many of the 256 codes the data actually uses,
+    and the worst reconstruction error — the go/no-go table for
+    shipping the ANN index at 1/4 storage (SQ8 is the standard
+    vector-index compression; public knowledge, e.g. the IVF-SQ
+    family).
+
+    Cross-engine discipline: code = floor((x-min)/(max-min)*255 + .5)
+    on the exact float64 widening of the stored float32 — every term
+    is an IEEE-identical scalar expression, so codes match bit-for-bit
+    and the only aggregates are min/max/countDistinct (all
+    order-independent). Scale shape: one posexplode -> 64-group agg,
+    broadcast of the 64-row scale table back onto the stream."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    d = (emb.select("vec_id",
+                    F.posexplode("embedding").alias("dim", "xf"))
+         .select("vec_id", F.col("dim").cast("int").alias("dim"),
+                 F.col("xf").cast("double").alias("x")))
+    mm = d.groupBy("dim").agg(F.min("x").alias("dmin"),
+                              F.max("x").alias("dmax"))
+    j = d.join(F.broadcast(mm), "dim")
+    code = (F.when(F.col("dmax") == F.col("dmin"), F.lit(0))
+            .otherwise(F.floor((F.col("x") - F.col("dmin"))
+                               / (F.col("dmax") - F.col("dmin"))
+                               * 255 + 0.5))).cast("int")
+    j = j.withColumn("code", code)
+    xhat = (F.col("dmin") + F.col("code").cast("double") / 255.0
+            * (F.col("dmax") - F.col("dmin")))
+    err = F.abs(F.col("x") - xhat)
+    return (j.withColumn("err", err)
+            .groupBy("dim")
+            .agg(F.round(F.first("dmin"), 6).alias("dmin_q"),
+                 F.round(F.first("dmax"), 6).alias("dmax_q"),
+                 F.countDistinct("code").alias("codes_used"),
+                 F.round(F.max("err"), 9).alias("max_abs_err"))
+            .orderBy("dim"))
+
+
+_SQ8_SQL = """
+WITH d AS (SELECT vec_id,
+                  CAST(unnest(embedding) AS DOUBLE) AS x,
+                  CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS dim
+           FROM embeddings),
+mm AS (SELECT dim, min(x) AS dmin, max(x) AS dmax FROM d GROUP BY dim),
+c AS (SELECT d.dim, x, dmin, dmax,
+             CASE WHEN dmax = dmin THEN 0
+                  ELSE CAST(floor((x - dmin) / (dmax - dmin) * 255 + 0.5)
+                            AS INT) END AS code
+      FROM d JOIN mm ON d.dim = mm.dim)
+SELECT dim,
+       round(dmin, 6) AS dmin_q,
+       round(dmax, 6) AS dmax_q,
+       CAST(count(DISTINCT code) AS BIGINT) AS codes_used,
+       round(max(abs(x - (dmin + code / 255.0 * (dmax - dmin)))), 9)
+         AS max_abs_err
+FROM c
+GROUP BY dim, dmin, dmax
+ORDER BY dim
+"""
+
+QUERIES_TAIL["embedding_sq8_audit"] = embedding_sq8_audit
+ORACLES_TAIL["embedding_sq8_audit"] = _SQ8_SQL
