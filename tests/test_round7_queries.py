@@ -97,3 +97,25 @@ def test_key_skew_audit_sanity(spark):
     assert r.skew_ratio >= 1.0  # max >= mean, always
     assert r.partition_skew >= 1.0
     assert r.max_partition_rows >= r.max_key_rows  # a key can't split
+
+
+def test_stream_token_df_merges_across_batches(spark, tmp_path):
+    """The df-as-sum trick must hold under ANY batching: drive the
+    same corpus as TWO micro-batches (maxFilesPerTrigger=1) and
+    assert the drained state equals the one-shot batch aggregate."""
+    from threat_detection_nosql_spark.streaming.stream_queries import (
+        run_stream_to_table,
+        token_df_agg,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    src = str(tmp_path / "docs_feed")
+    docs.repartition(2).write.parquet(src)
+    stream = (spark.readStream.schema(docs.schema)
+              .option("maxFilesPerTrigger", "1").parquet(src))
+    drained = {r.token: (r.df, r.cf) for r in
+               run_stream_to_table(token_df_agg(stream),
+                                   mode="complete").collect()}
+    batch = {r.token: (r.df, r.cf) for r in
+             token_df_agg(docs).collect()}
+    assert drained == batch

@@ -474,3 +474,26 @@ FROM h GROUP BY 1
 
 QUERIES_TAIL["stream_hll_user_registers"] = stream_hll_user_registers
 ORACLES_TAIL["stream_hll_user_registers"] = _hll_stream_sql()
+
+
+def stream_token_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming vocabulary stats twin (streaming.stream_queries.
+    token_df_counts); oracle = the batch token df/cf aggregate — the
+    map-side first-in-doc flag makes df a plain sum, so the drained
+    state equals the batch answer under ANY batching (docs never
+    split across rows)."""
+    return S.token_df_counts(spark, sf_dir)
+
+
+_TOKEN_DF_SQL = r"""
+WITH tok AS (SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS token
+             FROM documents),
+tf AS (SELECT doc_id, token FROM tok WHERE token <> '')
+SELECT token,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS df,
+       CAST(count(*) AS BIGINT) AS cf
+FROM tf GROUP BY token
+"""
+
+QUERIES_TAIL["stream_token_df"] = stream_token_df
+ORACLES_TAIL["stream_token_df"] = _TOKEN_DF_SQL

@@ -715,3 +715,51 @@ def hll_user_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
     regs = (ev.select(idx.alias("idx"), rho.alias("rho"))
             .groupBy("idx").agg(F.max("rho").alias("r")))
     return run_stream_to_table(regs, mode="complete")
+
+
+def documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`documents` as a file stream — the live-ingest twin of the
+    corpus table (no event-time column, so complete-mode aggregations
+    need no watermark; state-boundedness comes from the aggregate's
+    own key domain instead)."""
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    return (spark.readStream.schema(schema)
+            .option("pathGlobFilter", "documents.parquet")
+            .parquet(sf_dir))
+
+
+def token_df_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming vocabulary statistics — token -> document frequency +
+    collection frequency over a live document feed (the continuously-
+    maintained half of the inverted index; pipeline.inverted_postings
+    is its batch form).
+
+    Streaming legality is the design constraint: df = count DISTINCT
+    doc has no incremental form without dedup state, and stacking a
+    (doc, token) agg under a (token) agg is two stateful aggregations
+    — both rejected by Structured Streaming. Instead each exploded
+    occurrence carries a map-side ``is_first_in_doc`` flag
+    (array_position over the PINNED split array == its own pos; a doc
+    is one row, so the flag never splits across batches), making df a
+    plain SUM — one stateful agg, fully merge-able across any
+    batching, state bounded at |vocab|. The per-doc flag scan is
+    O(len) per occurrence (the price of single-agg legality),
+    amortized trivial at ~30-token docs and linear in corpus size."""
+    agg = token_df_agg(documents_stream(spark, sf_dir))
+    return run_stream_to_table(agg, mode="complete")
+
+
+def token_df_agg(docs: DataFrame) -> DataFrame:
+    """The single-stateful-agg plan behind ``token_df_counts`` —
+    factored so tests can drive it over an arbitrarily-batched
+    document stream and assert the any-batching merge property."""
+    w = docs.select("doc_id", F.split(F.col("text"), r"\s+").alias("arr"))
+    tok = (w.select("doc_id", "arr",
+                    F.posexplode("arr").alias("pos", "token"))
+           .filter(F.col("token") != ""))
+    is_first = (F.expr("array_position(arr, token)")
+                == F.col("pos") + 1).cast("long")
+    return (tok.withColumn("isf", is_first)
+            .groupBy("token")
+            .agg(F.count("*").alias("cf"), F.sum("isf").alias("df"))
+            .select("token", "df", "cf"))
