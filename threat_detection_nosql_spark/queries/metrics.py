@@ -1137,6 +1137,10 @@ def key_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     from threat_detection_nosql_spark.sources.readers import load_table
 
     ev = load_table(spark, sf_dir, "events")
+    # localCheckpoint: three statistics branches consume per_key; without
+    # it each branch re-scans and re-shuffles the full fact table (3
+    # scans where 1 suffices — the thing that matters at 100 TB). The
+    # materialized frame is |keys| rows.
     per_key = (ev.groupBy("user_id")
                .agg(F.count("*").alias("cnt"))
                .withColumn(
@@ -1144,7 +1148,8 @@ def key_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                    F.pmod(_portable_hash60(
                        F.concat(F.lit("skew:"),
                                 F.col("user_id").cast("string"))),
-                          F.lit(_SKEW_PARTS))))
+                          F.lit(_SKEW_PARTS)))
+               .localCheckpoint())
     key_stats = per_key.agg(
         F.sum("cnt").alias("n_rows"),
         F.count("*").alias("n_keys"),
