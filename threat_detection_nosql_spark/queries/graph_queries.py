@@ -167,7 +167,8 @@ ORACLES["pagerank_top20"] = _pagerank_sql()
 # ---------------------------------------------------------------------------
 
 def _copurchase_edges(spark: SparkSession, sf_dir: str,
-                      materialize: bool = True) -> DataFrame:
+                      materialize: bool = True,
+                      keep_support: bool = False) -> DataFrame:
     """Pruned part co-purchase edge list (p1 < p2, support ≥ 2) shared
     by ``copurchase_triangles`` and ``link_prediction_top20``.
 
@@ -194,8 +195,9 @@ def _copurchase_edges(spark: SparkSession, sf_dir: str,
              .groupBy(F.col("pr.p1").alias("p1"),
                       F.col("pr.p2").alias("p2"))
              .agg(F.count("*").alias("support"))
-             .filter(F.col("support") >= 2)
-             .select("p1", "p2"))
+             .filter(F.col("support") >= 2))
+    if not keep_support:
+        edges = edges.select("p1", "p2")
     if materialize:
         edges = edges.coalesce(8).localCheckpoint(eager=True)
     return edges
@@ -292,6 +294,9 @@ ORACLES["copurchase_triangles"] = _TRIANGLES_SQL
 # Link prediction over the part co-purchase graph
 # ---------------------------------------------------------------------------
 
+_LP_ADJ_CAP = 64
+
+
 def link_prediction_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-20 NON-adjacent part pairs most likely to be co-purchased
     next, scored by the three classic neighborhood heuristics
@@ -314,12 +319,28 @@ def link_prediction_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
     cut orders by the ROUNDED Adamic-Adar (sum-order ulp ties collapse
     at 6 digits), then common count, then ids — deterministic across
     engines."""
-    edges = _copurchase_edges(spark, sf_dir)
-    nbr = (edges.select(F.col("p1").alias("node"), F.col("p2").alias("nbr"))
-           .unionAll(edges.select(F.col("p2").alias("node"),
-                                  F.col("p1").alias("nbr"))))
-    adj = nbr.groupBy("node").agg(F.sort_array(F.collect_set("nbr"))
-                                  .alias("ns"))
+    edges_s = _copurchase_edges(spark, sf_dir, keep_support=True)
+    edges = edges_s.select("p1", "p2")
+    nbr = (edges_s.select(F.col("p1").alias("node"),
+                          F.col("p2").alias("nbr"), "support")
+           .unionAll(edges_s.select(F.col("p2").alias("node"),
+                                    F.col("p1").alias("nbr"), "support")))
+    # Adjacency CAP: keep each center's _LP_ADJ_CAP strongest neighbors
+    # (support DESC, id ASC — deterministic, oracle-replayable).  This
+    # bounds per-center wedge work at O(K²) REGARDLESS of graph
+    # density: the 10× soak drive showed a densified co-purchase graph
+    # (max degree 222 vs 6 at sf0.1) inflating wedges 100,000×; the
+    # support-prune alone is not a degree bound.  At the test SFs every
+    # degree is below the cap, so results are unchanged and the oracle
+    # replays the same (inactive) cap.
+    ranked = F.array_sort(F.collect_list(
+        F.struct((-F.col("support")).alias("negs"),
+                 F.col("nbr").alias("nbr"))))
+    adj = (nbr.groupBy("node").agg(ranked.alias("ranked"))
+           .select("node",
+                   F.array_sort(F.transform(
+                       F.slice("ranked", 1, _LP_ADJ_CAP),
+                       lambda x: x.nbr)).alias("ns")))
     pair_arr = F.flatten(F.transform(
         F.col("ns"),
         lambda x, i: F.transform(
@@ -354,14 +375,20 @@ def link_prediction_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _LINK_PRED_SQL = """
 WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-edges AS (SELECT a.l_partkey AS p1, b.l_partkey AS p2
+edges AS (SELECT a.l_partkey AS p1, b.l_partkey AS p2,
+                 count(*) AS support
           FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
                              AND a.l_partkey < b.l_partkey
           GROUP BY a.l_partkey, b.l_partkey
           HAVING count(*) >= 2),
-nbr AS (SELECT p1 AS node, p2 AS nbr FROM edges
-        UNION ALL
-        SELECT p2 AS node, p1 AS nbr FROM edges),
+nbr0 AS (SELECT p1 AS node, p2 AS nbr, support FROM edges
+         UNION ALL
+         SELECT p2 AS node, p1 AS nbr, support FROM edges),
+nbr AS (SELECT node, nbr FROM (
+          SELECT node, nbr,
+                 row_number() OVER (PARTITION BY node
+                      ORDER BY support DESC, nbr ASC) AS rk
+          FROM nbr0) t WHERE rk <= 64),
 deg AS (SELECT node, CAST(count(*) AS INT) AS deg FROM nbr GROUP BY node),
 wedges AS (SELECT n1.nbr AS a, n2.nbr AS c, d.deg AS deg_b
            FROM nbr n1

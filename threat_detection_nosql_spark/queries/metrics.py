@@ -1207,3 +1207,132 @@ FROM key_stats, top_key, parts
 
 QUERIES_TAIL["key_skew_audit"] = key_skew_audit
 ORACLES_TAIL["key_skew_audit"] = _KEY_SKEW_SQL
+
+
+def hll_set_expressions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL set algebra — the property the sketch family exists for at
+    100 TB: per-slice register frames MERGE (register-wise max), so
+    |purchasers ∪ erroring-users| comes from combining two already-
+    built sketches without touching the raw data again, and the
+    intersection falls out of inclusion-exclusion on three estimates.
+    Estimates sit beside exact counts + rel errors (I-E intersection
+    error is honestly the worst — that's the documented lesson, not a
+    bug). One wide row.
+
+    Scale shape: two filtered register builds (map-combined max,
+    state 2^p rows each), one register-frame union+max for the union
+    sketch, one user-grain flag agg for all four exact counts — the
+    fact table is scanned for flags and register builds only; the set
+    algebra itself is sketch-sized. The oracle replays every register
+    and every estimate term (shared arithmetic with
+    hll_portable_distinct_users)."""
+    from threat_detection_nosql_spark.operators.sketches import (
+        hll_portable_estimate, hll_portable_registers)
+    from threat_detection_nosql_spark.sources.readers import load_table
+
+    ev = load_table(spark, sf_dir, "events").select("user_id",
+                                                    "event_type")
+    sets = {"purchase": ev.filter(F.col("event_type") == "purchase"),
+            "error": ev.filter(F.col("event_type") == "error")}
+    regs = {tag: hll_portable_registers(df.select("user_id"), "user_id")
+            for tag, df in sets.items()}
+    merged = (regs["purchase"].select("idx", "r")
+              .unionByName(regs["error"].select("idx", "r"))
+              .groupBy("idx").agg(F.max("r").alias("r")))
+    ests = {}
+    for tag, r in [("purchase", regs["purchase"]),
+                   ("error", regs["error"]), ("union", merged)]:
+        ests[tag] = (hll_portable_estimate(r)
+                     .select(F.col("hll_estimate").alias(f"est_{tag}")))
+    a = F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+    b = F.max(F.when(F.col("event_type") == "error", 1).otherwise(0))
+    flags = (ev.groupBy("user_id").agg(a.alias("a"), b.alias("b")))
+    exact = flags.agg(
+        F.sum("a").cast("long").alias("exact_purchase"),
+        F.sum("b").cast("long").alias("exact_error"),
+        F.sum(F.when(F.col("a") + F.col("b") >= 1, 1).otherwise(0))
+         .cast("long").alias("exact_union"),
+        F.sum(F.col("a") * F.col("b")).cast("long")
+         .alias("exact_intersection"))
+    wide = (ests["purchase"].crossJoin(ests["error"])
+            .crossJoin(ests["union"]).crossJoin(F.broadcast(exact)))
+    est_inter = F.round(F.col("est_purchase") + F.col("est_error")
+                        - F.col("est_union"), 4)
+
+    def err(est, ex):
+        return F.round(F.abs(est / F.col(ex) - 1), 4)
+
+    return wide.select(
+        "est_purchase", "exact_purchase",
+        err(F.col("est_purchase"), "exact_purchase")
+        .alias("err_purchase"),
+        "est_error", "exact_error",
+        err(F.col("est_error"), "exact_error").alias("err_error"),
+        "est_union", "exact_union",
+        err(F.col("est_union"), "exact_union").alias("err_union"),
+        est_inter.alias("est_intersection"), "exact_intersection",
+        err(est_inter, "exact_intersection").alias("err_intersection"))
+
+
+def _hll_set_sql() -> str:
+    from threat_detection_nosql_spark.operators.sketches import (
+        _HLL_ALPHA, _HLL_M, _HLL_W_BITS)
+    wmod = 1 << _HLL_W_BITS
+    rmax = _HLL_W_BITS + 1
+    m = _HLL_M
+
+    def chain(tag: str, pred: str) -> str:
+        return f"""
+h_{tag} AS (
+  SELECT CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+              AS BIGINT) AS x
+  FROM events WHERE {pred}),
+r_{tag} AS (SELECT x // {wmod} AS idx,
+                   max(CASE WHEN x % {wmod} = 0 THEN {rmax}
+                            ELSE {rmax} - length(bin(x % {wmod})) END) AS r
+            FROM h_{tag} GROUP BY 1),
+agg_{tag} AS (SELECT CAST(count(*) AS BIGINT) AS n_ne,
+                     sum(power(2.0, -r)) AS s_ne
+              FROM r_{tag}),
+fin_{tag} AS (
+  SELECT round(CASE WHEN e_raw <= 2.5 * CAST({m} AS DOUBLE) AND v > 0
+                    THEN CAST({m} AS DOUBLE) * ln(CAST({m} AS DOUBLE) / v)
+                    ELSE e_raw END, 4) AS est_{tag}
+  FROM (SELECT CAST({m} AS DOUBLE) - n_ne AS v,
+               CAST({_HLL_ALPHA!r} AS DOUBLE)
+                 * CAST({m} AS DOUBLE) * CAST({m} AS DOUBLE)
+                 / (s_ne + (CAST({m} AS DOUBLE) - n_ne)) AS e_raw
+        FROM agg_{tag}) t)"""
+
+    return f"""
+WITH {chain("purchase", "event_type = 'purchase'")},
+{chain("error", "event_type = 'error'")},
+{chain("union", "event_type IN ('purchase', 'error')")},
+flags AS (
+  SELECT user_id,
+         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS a,
+         max(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS b
+  FROM events GROUP BY user_id),
+ex AS (SELECT CAST(sum(a) AS BIGINT) AS exact_purchase,
+              CAST(sum(b) AS BIGINT) AS exact_error,
+              CAST(sum(CASE WHEN a + b >= 1 THEN 1 ELSE 0 END) AS BIGINT)
+                AS exact_union,
+              CAST(sum(a * b) AS BIGINT) AS exact_intersection
+       FROM flags)
+SELECT est_purchase, exact_purchase,
+       round(abs(est_purchase / exact_purchase - 1), 4) AS err_purchase,
+       est_error, exact_error,
+       round(abs(est_error / exact_error - 1), 4) AS err_error,
+       est_union, exact_union,
+       round(abs(est_union / exact_union - 1), 4) AS err_union,
+       round(est_purchase + est_error - est_union, 4)
+         AS est_intersection,
+       exact_intersection,
+       round(abs(round(est_purchase + est_error - est_union, 4)
+                 / exact_intersection - 1), 4) AS err_intersection
+FROM fin_purchase, fin_error, fin_union, ex
+"""
+
+
+QUERIES_TAIL["hll_set_expressions"] = hll_set_expressions
+ORACLES_TAIL["hll_set_expressions"] = _hll_set_sql()
