@@ -119,3 +119,34 @@ def test_stream_token_df_merges_across_batches(spark, tmp_path):
     batch = {r.token: (r.df, r.cf) for r in
              token_df_agg(docs).collect()}
     assert drained == batch
+
+
+def test_rule_pr_auc_matches_python_rederivation(spark):
+    """AP re-derived row-by-row in pure Python (sklearn's step-wise
+    definition over descending distinct scores) must match the
+    distributed closed form to the rounding digit."""
+    from threat_detection_nosql_spark.queries.metrics import (
+        _labeled,
+        rule_pr_auc,
+    )
+
+    rows = (_labeled(spark, SF_DIR)
+            .select(F.col("weekend_ratio").alias("score"), "label")
+            .collect())
+    per = {}
+    for r in rows:
+        n, p = per.get(r.score, (0, 0))
+        per[r.score] = (n + 1, p + (1 if r.label == 1 else 0))
+    tp = pred = 0
+    npos = sum(p for _, p in per.values())
+    ap = 0.0
+    for s in sorted(per, reverse=True):
+        n, p = per[s]
+        tp += p
+        pred += n
+        ap += (p / npos) * (tp / pred)
+    out = rule_pr_auc(spark, SF_DIR).collect()[0]
+    assert out.npos == npos
+    assert out.npos + out.nneg == len(rows)
+    assert abs(out.average_precision - ap) < 2e-6
+    assert 0.0 <= out.average_precision <= 1.0

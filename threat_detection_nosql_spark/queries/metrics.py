@@ -1336,3 +1336,75 @@ FROM fin_purchase, fin_error, fin_union, ex
 
 QUERIES_TAIL["hll_set_expressions"] = hll_set_expressions
 ORACLES_TAIL["hll_set_expressions"] = _hll_set_sql()
+
+
+def rule_pr_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average precision (area under the precision-recall curve,
+    sklearn's step-wise AP definition) for the weekend-ratio rule —
+    the metric that matters when positives are rare and ROC-AUC
+    flatters (same evaluation family as rule_auc; prevalence sits
+    beside it as AP's no-skill baseline).
+
+    Same scale discipline as rule_auc: everything runs on the
+    DISTINCT-SCORE frame. AP = Σ_s (npos_s/npos)·P_s where
+    P_s = TP_s/PRED_s are cumulative integer counts down the score
+    order — so each term is scaled to exact BIGINT
+    (npos_s·10⁹·TP_s div PRED_s), the cross-score SUM is exact
+    integer arithmetic (order-independent, no float-summation drift),
+    and the single division back to real units happens once at the
+    end (headroom: Σ terms ≤ npos·10⁹ — fine to ~10⁹ positives; past
+    that, drop the scale to 10⁶ or widen to DECIMAL). The one
+    unpartitioned window sorts |score domain| rows, not the data."""
+    scored = _labeled(spark, sf_dir).select(
+        F.col("weekend_ratio").alias("score"), "label")
+    per_score = scored.groupBy("score").agg(
+        F.count("*").alias("n"),
+        F.sum((F.col("label") == 1).cast("long")).alias("npos_s"))
+    w = (Window.orderBy(F.desc("score"))
+         .rowsBetween(Window.unboundedPreceding, 0))
+    cum = per_score.select(
+        "npos_s",
+        F.sum("npos_s").over(w).alias("tp"),
+        F.sum("n").over(w).alias("pred"),
+        F.col("n"))
+    agg = cum.agg(
+        F.sum(F.expr("npos_s * 1000000000 * tp div pred"))
+         .alias("ap_scaled"),
+        F.sum("npos_s").cast("long").alias("npos"),
+        F.sum(F.col("n") - F.col("npos_s")).cast("long").alias("nneg"))
+    return agg.select(
+        "npos", "nneg",
+        F.round(F.col("npos") / (F.col("npos") + F.col("nneg")), 6)
+         .alias("prevalence"),
+        F.round(F.col("ap_scaled")
+                / (F.lit(1000000000.0) * F.col("npos")), 6)
+         .alias("average_precision"))
+
+
+_PR_AUC_SQL = f"""
+{_FEATS_CTE},
+scored AS (SELECT weekend_ratio AS score, {_LABEL_SQL} AS label FROM feats),
+per_score AS (SELECT score,
+                     CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(CASE WHEN label = 1 THEN 1 ELSE 0 END)
+                          AS BIGINT) AS npos_s
+              FROM scored GROUP BY score),
+cum AS (SELECT npos_s, n,
+               CAST(sum(npos_s) OVER (ORDER BY score DESC
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS tp,
+               CAST(sum(n) OVER (ORDER BY score DESC
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS pred
+        FROM per_score),
+agg AS (SELECT CAST(sum((npos_s * 1000000000 * tp) // pred) AS BIGINT)
+                 AS ap_scaled,
+               CAST(sum(npos_s) AS BIGINT) AS npos,
+               CAST(sum(n - npos_s) AS BIGINT) AS nneg
+        FROM cum)
+SELECT npos, nneg,
+       round(npos * 1.0 / (npos + nneg), 6) AS prevalence,
+       round(ap_scaled / (1000000000.0 * npos), 6) AS average_precision
+FROM agg
+"""
+
+QUERIES_TAIL["rule_pr_auc"] = rule_pr_auc
+ORACLES_TAIL["rule_pr_auc"] = _PR_AUC_SQL
