@@ -179,6 +179,14 @@ ROUND5C_COUNT: list = []
 # join, the unrolled-Lloyd IVF probe, and the broadcast exact scan)
 ROUND7_COLLECT = [
     "ann_recall_report",
+    "inverted_postings",
+    "phrase_search_hits",
+    "embedding_sq8_audit",
+    "key_skew_audit",
+    "split_leakage_repair",
+    "stream_token_df",
+    "hll_set_expressions",
+    "rule_pr_auc",
 ]
 ROUND7_COUNT: list = []
 

@@ -452,3 +452,65 @@ def test_near_dup_groups_plan_is_cartesian_free(spark):
         ._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_round7_scans_prune_to_used_columns(spark):
+    """Round-7 wave pruning pins: the SQ8 audit must scan ONLY the
+    embedding column (vec_id is unused and must be pruned); the skew
+    audit must scan ONLY user_id; the inverted-index build only
+    (doc_id, text)."""
+    from threat_detection_nosql_spark.queries.metrics import (
+        key_skew_audit)
+    from threat_detection_nosql_spark.queries.pipeline import (
+        embedding_sq8_audit, inverted_postings)
+
+    plan = formatted_plan(embedding_sq8_audit(spark, SF_DIR))
+    scans = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert scans and all("embedding" in ln and "vec_id" not in ln
+                         for ln in scans)
+
+    # key_skew_audit eagerly materializes the per-key frame: the
+    # downstream plan must read ONLY the checkpointed RDD — zero
+    # parquet scans of the fact table survive (one scan total, paid at
+    # materialization)
+    plan = formatted_plan(key_skew_audit(spark, SF_DIR))
+    assert "events" not in plan
+    assert "ExistingRDD" in plan or "LocalTableScan" in plan
+
+    plan = formatted_plan(inverted_postings(spark, SF_DIR))
+    scans = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert scans and all("text" in ln and "lang" not in ln
+                         and "source" not in ln for ln in scans)
+
+
+def test_link_prediction_adjacency_cap_semantics(spark, tmp_path,
+                                                 monkeypatch):
+    """The 100-TB degree bound, on a planted hub: with the cap at 4,
+    a hub with 6 spokes keeps its two support-3 neighbors first, then
+    the smallest-id support-2 neighbors — so candidate pairs only ever
+    involve the kept {5, 6, 1, 2}, and the dropped {3, 4} generate no
+    wedges at all (per-center work is O(K²) no matter how the graph
+    densifies; the 10× soak hit max degree 222)."""
+    import itertools
+
+    from pyspark.sql import functions as F
+
+    from threat_detection_nosql_spark.queries import graph_queries as G
+
+    rows = []
+    order = 0
+    for spoke, reps in [(1, 2), (2, 2), (3, 2), (4, 2),
+                        (5, 3), (6, 3)]:
+        for _ in range(reps):  # each order holds {hub 0, spoke}
+            rows.append((order, 0))
+            rows.append((order, spoke))
+            order += 1
+    (spark.createDataFrame(rows, "l_orderkey long, l_partkey long")
+     .write.parquet(str(tmp_path / "lineitem.parquet")))
+    monkeypatch.setattr(G, "_LP_ADJ_CAP", 4)
+    out = G.link_prediction_top20(spark, str(tmp_path)).collect()
+    got = {(r.part_a, r.part_b) for r in out}
+    kept = {5, 6, 1, 2}  # support DESC, then id ASC
+    assert got == {tuple(sorted(p)) for p in
+                   itertools.combinations(kept, 2)}
+    assert all(3 not in p and 4 not in p for p in got)

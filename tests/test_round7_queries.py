@@ -150,3 +150,64 @@ def test_rule_pr_auc_matches_python_rederivation(spark):
     assert out.npos + out.nneg == len(rows)
     assert abs(out.average_precision - ap) < 2e-6
     assert 0.0 <= out.average_precision <= 1.0
+
+
+def test_stream_markov_ordered_resequences_across_batches(spark, tmp_path):
+    """The event-time-timer claim: batch 2 delivers events that belong
+    BETWEEN batch 1's buffered events (bounded disorder, inside the
+    1-hour watermark delay) plus a far-future sentinel that advances
+    the final watermark. The drained counts must equal the batch
+    lag() pairing of the fully time-sorted union below the final
+    watermark — i.e. cross-batch arrival order is invisible. The
+    sentinel itself sits above max(ts) − 1h and must never emit."""
+    import os
+    import time
+
+    from threat_detection_nosql_spark.streaming.stream_queries import (
+        markov_ordered_agg,
+        run_stream_to_table,
+    )
+
+    base = 1_700_000_000  # seconds; any fixed epoch anchor
+    acts = ["a", "b", "c"]
+
+    def ev(eid, minute):
+        return (eid, base + minute * 60, 7, acts[eid % 3])
+
+    # file 1: minutes 0..100 (evens); file 2: interleaving odd minutes
+    # 41..95 (later than batch-1's watermark 100-60=40 -> not late)
+    # plus the sentinel at minute 200.
+    f1 = [ev(i, m) for i, m in enumerate(range(0, 101, 2))]
+    f2 = [ev(100 + i, m) for i, m in enumerate(range(41, 96, 2))]
+    sentinel = (999, base + 200 * 60, 7, "a")
+    f2.append(sentinel)
+    src = tmp_path / "feed"
+    os.makedirs(src)
+    schema = "event_id long, sec long, user long, activity string"
+    for name, rows in [("f1.parquet", f1), ("f2.parquet", f2)]:
+        (spark.createDataFrame(rows, schema)
+         .coalesce(1).write.parquet(str(src / name)))
+        time.sleep(1.1)  # file-source processes in mtime order
+
+    stream = (spark.readStream
+              .schema("event_id long, sec long, user long, "
+                      "activity string")
+              .option("maxFilesPerTrigger", "1")
+              .parquet(str(src / "*.parquet"))
+              .withColumn("ts", F.timestamp_seconds(F.col("sec")))
+              .withWatermark("ts", "1 hour")
+              .select("user", "ts", "event_id", "activity"))
+    table = run_stream_to_table(markov_ordered_agg(stream),
+                                mode="update")
+    drained = {(r.prev_activity, r.activity): r.n for r in
+               (table.groupBy("user", "prev_activity", "activity")
+                .agg(F.max("n").alias("n")).collect())}
+
+    allrows = sorted(f1 + f2[:-1], key=lambda r: (r[1], r[0]))
+    cutoff = sentinel[1] - 3600  # final watermark: max(ts) - 1h
+    seq = [r[3] for r in allrows if r[1] <= cutoff]
+    expected: dict = {}
+    for p, a in zip(seq, seq[1:]):
+        expected[(p, a)] = expected.get((p, a), 0) + 1
+    assert drained == expected
+    assert sum(expected.values()) == len(seq) - 1 > 50

@@ -497,3 +497,36 @@ FROM tf GROUP BY token
 
 QUERIES_TAIL["stream_token_df"] = stream_token_df
 ORACLES_TAIL["stream_token_df"] = _TOKEN_DF_SQL
+
+
+def stream_markov_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark-resequenced streaming Markov counter
+    (streaming.stream_queries.markov_ordered_transitions): pairs are
+    counted only when the watermark passes the later event, draining
+    the per-user buffer in (ts, event_id) order — so cross-batch
+    out-of-order arrival no longer corrupts the sequence (the
+    documented caveat of stream_markov_transitions, now closed). The
+    oracle replays the final-watermark cutoff: lag() pairs over the
+    rows at or below max(ts) − 1h, in event-time order — rows above
+    the final watermark are never emitted, exactly like the
+    stream-stream join tail."""
+    return S.markov_ordered_transitions(spark, sf_dir)
+
+
+_MARKOV_ORDERED_SQL = """
+WITH wm AS (SELECT epoch_ms(max(ts)) - 3600000 AS w FROM events),
+inw AS (SELECT user_id AS "user", event_type AS activity, ts, event_id
+        FROM events, wm WHERE epoch_ms(ts) <= wm.w),
+pairs AS (
+  SELECT "user",
+         lag(activity) OVER (PARTITION BY "user"
+                             ORDER BY ts, event_id) AS prev_activity,
+         activity
+  FROM inw)
+SELECT "user", prev_activity, activity, CAST(count(*) AS BIGINT) AS n
+FROM pairs WHERE prev_activity IS NOT NULL
+GROUP BY 1, 2, 3
+"""
+
+QUERIES_TAIL["stream_markov_ordered"] = stream_markov_ordered
+ORACLES_TAIL["stream_markov_ordered"] = _MARKOV_ORDERED_SQL

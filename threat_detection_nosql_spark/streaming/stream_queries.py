@@ -645,7 +645,10 @@ def markov_transition_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     Multi-batch caveat, documented not hidden: rows arriving in a
     later batch pair with the stored last activity, so cross-batch
     out-of-order events would need event-time timers to resequence —
-    the single-file drive keeps ordering exact. Update-mode emissions
+    the single-file drive keeps ordering exact.
+    ``markov_ordered_transitions`` below is that upgrade (watermark-
+    gated buffer drain + event-time timers); this simpler operator is
+    kept as the arrival-order variant. Update-mode emissions
     re-state a user's full count table per batch; the memory sink
     APPENDS them, so the materialized table is deduped to the latest
     emission per (user, pair) — max(n) is monotone in batch order."""
@@ -763,3 +766,96 @@ def token_df_agg(docs: DataFrame) -> DataFrame:
             .groupBy("token")
             .agg(F.count("*").alias("cf"), F.sum("isf").alias("df"))
             .select("token", "df", "cf"))
+
+
+_MARKOV_ORD_STATE = ("last_activity string, buffered string, "
+                     "packed string")
+
+
+def markov_ordered_transitions(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """The event-time-timer upgrade of ``markov_transition_counts``:
+    cross-batch out-of-order events are RESEQUENCED before pairing.
+    Arriving rows are buffered in state; a pair is only counted once
+    the watermark passes the later row, at which point every buffered
+    row at or below the watermark is drained in (ts, event_id) order
+    against the carried last activity. An event-time timer
+    (``setTimeoutTimestamp``) re-fires each group on the no-data
+    micro-batch so the final watermark advance drains the tail —
+    the same final-watermark cutoff semantics as the stream-stream
+    join (rows above ``max(ts) − delay`` are never emitted, and the
+    oracle replays exactly that cutoff). Rows that arrive already
+    below the watermark are late by definition and dropped — which is
+    what makes the emitted sequence a clean ts-ordered prefix, so the
+    drained counts equal the batch lag() over the in-watermark slice
+    under ANY batching and ANY arrival order.
+
+    State = last activity + the buffered window (bounded by the
+    watermark delay — one hour of one user's events) + the count
+    table. Scale: state is per-user and delay-bounded; emission is
+    update-mode count re-statements deduped downstream by max(n)
+    (monotone in batch order)."""
+    ev = events_stream(spark, sf_dir).select(
+        "user", "ts", "event_id", "activity")
+    table = run_stream_to_table(markov_ordered_agg(ev), mode="update")
+    return (table.groupBy("user", "prev_activity", "activity")
+            .agg(F.max("n").alias("n")))
+
+
+def markov_ordered_agg(ev: DataFrame) -> DataFrame:
+    """The watermark-gated stateful plan behind
+    ``markov_ordered_transitions`` — factored so tests can drive it
+    over an arbitrarily-batched, arbitrarily-ordered stream and assert
+    the resequencing property. ``ev`` must be a watermarked stream of
+    (user, ts, event_id, activity)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        wm = state.getCurrentWatermarkMs()
+        last, buffered, counts = None, [], {}
+        if state.exists:
+            last0, buf0, packed0 = state.get
+            last = last0 or None
+            if buf0:
+                for item in buf0.split("|"):
+                    ms, eid, act = item.split(",", 2)
+                    buffered.append((int(ms), int(eid), act))
+            if packed0:
+                for item in packed0.split("|"):
+                    p, a, n = item.split(",")
+                    counts[(p, a)] = int(n)
+        for chunk in pdfs:
+            for ts, eid, act in zip(chunk["ts"], chunk["event_id"],
+                                    chunk["activity"]):
+                ms = pd.Timestamp(ts).value // 1_000_000
+                if ms > wm:  # at/below watermark on arrival = late
+                    buffered.append((ms, int(eid), act))
+        buffered.sort()
+        drain = [b for b in buffered if b[0] <= wm]
+        keep = [b for b in buffered if b[0] > wm]
+        for _, _, act in drain:
+            if last is not None:
+                counts[(last, act)] = counts.get((last, act), 0) + 1
+            last = act
+        state.update((
+            last or "",
+            "|".join(f"{ms},{eid},{act}" for ms, eid, act in keep),
+            "|".join(f"{p},{a},{n}" for (p, a), n in
+                     sorted(counts.items()))))
+        if keep:  # re-fire on the next watermark advance to drain
+            state.setTimeoutTimestamp(wm + 1)
+        yield pd.DataFrame({
+            "user": pd.array([key[0]] * len(counts), dtype="Int64"),
+            "prev_activity": [p for p, _ in sorted(counts)],
+            "activity": [a for _, a in sorted(counts)],
+            "n": pd.array([counts[k] for k in sorted(counts)],
+                          dtype="Int64"),
+        })
+
+    return ev.groupBy("user").applyInPandasWithState(
+        update,
+        outputStructType=_MARKOV_OUT_SCHEMA,
+        stateStructType=_MARKOV_ORD_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout)
