@@ -187,6 +187,7 @@ ROUND7_COLLECT = [
     "stream_token_df",
     "hll_set_expressions",
     "rule_pr_auc",
+    "stream_markov_ordered",
 ]
 ROUND7_COUNT: list = []
 
