@@ -191,6 +191,17 @@ ROUND7_COLLECT = [
 ]
 ROUND7_COUNT: list = []
 
+# Round-7 curation wave ("round7b_total" — own group so round7_total
+# stays comparable within the round): perplexity quality gate, DSIR
+# importance weights, hard-negative mining, clustering coefficient.
+ROUND7B_COLLECT = [
+    "doc_perplexity_filter",
+    "dsir_importance_weights",
+    "hard_negative_mining",
+    "local_clustering_coefficient",
+]
+ROUND7B_COUNT: list = []
+
 
 def main() -> None:
     spark = get_spark("bench")
@@ -243,6 +254,10 @@ def main() -> None:
         timings[name] = median_time(name, name in ROUND7_COUNT)
     round7_total = round(sum(timings[n] for n in
                              ROUND7_COLLECT + ROUND7_COUNT), 3)
+    for name in ROUND7B_COLLECT + ROUND7B_COUNT:
+        timings[name] = median_time(name, name in ROUND7B_COUNT)
+    round7b_total = round(sum(timings[n] for n in
+                              ROUND7B_COLLECT + ROUND7B_COUNT), 3)
     # Isolated re-measure of the 5 slowest queries: a fresh
     # spark.newSession() per query, after every other group finished.
     # In-run medians on a shared box have twice produced phantom
@@ -252,7 +267,7 @@ def main() -> None:
     # vs real regression without re-running the bench.
     count_set = set(HEADLINE_COUNT + PIPELINE_COUNT + EXTENDED_COUNT
                     + ROUND4_COUNT + ROUND5_COUNT + ROUND5B_COUNT
-                    + ROUND5C_COUNT + ROUND7_COUNT)
+                    + ROUND5C_COUNT + ROUND7_COUNT + ROUND7B_COUNT)
     slowest = sorted(timings, key=timings.get, reverse=True)[:5]
     isolated: dict[str, float] = {}
     for name in slowest:
@@ -275,6 +290,7 @@ def main() -> None:
         "round5b_total": round5b_total,
         "round5c_total": round5c_total,
         "round7_total": round7_total,
+        "round7b_total": round7b_total,
     }
     # The full ~150-query timing map overflowed the driver's tail capture
     # in round 5 (BENCH_r05.json: parsed=null, the line was truncated

@@ -91,6 +91,7 @@ def _modules():
         advanced,
         cleaning,
         corpus,
+        curation,
         graph_queries,
         metrics,
         ml_queries,
@@ -104,7 +105,7 @@ def _modules():
     )
     return (threat, relational, pipeline, corpus, advanced, graph_queries,
             metrics, ml_queries, streaming_queries, temporal, tpch,
-            cleaning, tokenizer)
+            cleaning, tokenizer, curation)
 
 
 def _merged(attr: str, tail_attr: str) -> dict:

@@ -245,6 +245,16 @@ def copurchase_triangles(spark: SparkSession, sf_dir: str,
     (v, w) pairs.
     """
     edges = _copurchase_edges(spark, sf_dir, materialize)
+    deg, tri = _oriented_triangles(edges)
+    return tri.agg(F.count("*").alias("n_triangles")).crossJoin(
+        edges.agg(F.count("*").alias("n_edges")))
+
+
+def _oriented_triangles(edges: DataFrame):
+    """Shared degree-oriented triangle kernel (see copurchase_triangles
+    docstring for the O(m^1.5) bound): returns the (node, deg) frame
+    and the triangle frame with one row per triangle, node columns
+    ``e1.src`` / ``e1.dk.n`` / ``e2.dk.n``."""
     deg = (edges.select(F.col("p1").alias("node"))
            .unionAll(edges.select(F.col("p2").alias("node")))
            .groupBy("node").agg(F.count("*").alias("deg")))
@@ -267,8 +277,7 @@ def copurchase_triangles(spark: SparkSession, sf_dir: str,
                    & (F.col("e1.dk") < F.col("e2.dk")))
            .join(e3, (F.col("e3.v") == F.col("e1.dk.n"))
                  & (F.col("e3.w") == F.col("e2.dk.n"))))
-    return tri.agg(F.count("*").alias("n_triangles")).crossJoin(
-        edges.agg(F.count("*").alias("n_edges")))
+    return deg, tri
 
 
 _TRIANGLES_SQL = """
@@ -613,3 +622,75 @@ LIMIT 20
 
 QUERIES_TAIL["risk_propagation_top20"] = risk_propagation_top20
 ORACLES_TAIL["risk_propagation_top20"] = _ppr_sql()
+
+
+# ---------------------------------------------------------------------------
+# Local clustering coefficient over the part co-purchase graph
+# ---------------------------------------------------------------------------
+
+def local_clustering_coefficient(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """Top-20 parts by local clustering coefficient
+    2·T(v) / (deg(v)·(deg(v)−1)) on the support-pruned co-purchase
+    graph — the classic "how clique-like is this node's neighborhood"
+    score (Watts & Strogatz 1998, public knowledge); a part with high
+    coefficient sits inside a basket community, one with many
+    triangles but low coefficient is a cross-community hub.
+
+    Rides the SAME pruned edge list and degree-oriented triangle
+    kernel as ``copurchase_triangles`` (shared ``_oriented_triangles``,
+    one localCheckpoint, O(m^1.5) wedge bound): each closed triangle
+    row unfolds its three corners map-side and one (node) hash agg
+    counts per-node memberships; degrees broadcast back.  Nodes with
+    deg ≥ 2 and zero triangles keep coefficient 0 via the left join so
+    the top-20 cut is total-ordered (coefficient, triangles, node).
+    The coefficient is one IEEE division of exact integers +
+    the shared floor(x·1e6+0.5)/1e6 rounding — cross-engine exact."""
+    edges = _copurchase_edges(spark, sf_dir)
+    deg, tri = _oriented_triangles(edges)
+    corners = tri.select(F.explode(F.array(
+        F.col("e1.src"), F.col("e1.dk.n"), F.col("e2.dk.n"))).alias("node"))
+    tcnt = corners.groupBy("node").agg(F.count("*").alias("triangles"))
+    coeff = (F.floor(F.lit(2.0) * F.col("triangles")
+                     / (F.col("deg") * (F.col("deg") - 1))
+                     * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6))
+    return (deg.join(tcnt, "node", "left")
+            .na.fill({"triangles": 0})
+            .filter(F.col("deg") >= 2)
+            .select("node", "deg", "triangles",
+                    coeff.alias("clustering_coeff"))
+            .orderBy(F.desc("clustering_coeff"), F.desc("triangles"),
+                     F.asc("node"))
+            .limit(20))
+
+
+_CLUSTERING_COEFF_SQL = """
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+edges AS (SELECT a.l_partkey AS p1, b.l_partkey AS p2
+          FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+                             AND a.l_partkey < b.l_partkey
+          GROUP BY a.l_partkey, b.l_partkey
+          HAVING count(*) >= 2),
+tri AS (SELECT e1.p1 AS a, e1.p2 AS b, e2.p2 AS c
+        FROM edges e1
+        JOIN edges e2 ON e1.p2 = e2.p1
+        JOIN edges e3 ON e3.p1 = e1.p1 AND e3.p2 = e2.p2),
+corners AS (SELECT unnest([a, b, c]) AS node FROM tri),
+tc AS (SELECT node, CAST(count(*) AS BIGINT) AS triangles
+       FROM corners GROUP BY node),
+deg AS (SELECT node, CAST(count(*) AS BIGINT) AS deg
+        FROM (SELECT p1 AS node FROM edges
+              UNION ALL SELECT p2 FROM edges) u
+        GROUP BY node)
+SELECT node, deg, coalesce(triangles, 0) AS triangles,
+       floor(CAST(2 AS DOUBLE) * coalesce(triangles, 0)
+             / (deg * (deg - 1)) * 1e6 + 0.5) / 1e6 AS clustering_coeff
+FROM deg LEFT JOIN tc USING (node)
+WHERE deg >= 2
+ORDER BY clustering_coeff DESC, triangles DESC, node ASC
+LIMIT 20
+"""
+
+
+QUERIES_TAIL["local_clustering_coefficient"] = local_clustering_coefficient
+ORACLES_TAIL["local_clustering_coefficient"] = _CLUSTERING_COEFF_SQL
