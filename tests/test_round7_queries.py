@@ -211,3 +211,28 @@ def test_stream_markov_ordered_resequences_across_batches(spark, tmp_path):
         expected[(p, a)] = expected.get((p, a), 0) + 1
     assert drained == expected
     assert sum(expected.values()) == len(seq) - 1 > 50
+
+
+def test_isotonic_calibration_pav_invariants(spark):
+    """PAV's two defining properties, which the oracle hash can't
+    express on its own: the fitted rate is monotone nondecreasing in
+    the score bin, and pooling preserves the weighted sum
+    (sum n*fit == sum npos, to the 1e-6 emission rounding)."""
+    from threat_detection_nosql_spark.queries.metrics import (
+        isotonic_calibration,
+    )
+
+    rows = isotonic_calibration(spark, SF_DIR).collect()
+    assert len(rows) >= 2
+    assert [r.bin for r in rows] == sorted(r.bin for r in rows)
+    fits = [r.iso_rate for r in rows]
+    assert all(a <= b for a, b in zip(fits, fits[1:])), fits
+    assert all(0.0 <= f <= 1.0 for f in fits)
+    total_n = sum(r.n for r in rows)
+    total_pos = sum(r.npos for r in rows)
+    weighted = sum(r.n * r.iso_rate for r in rows)
+    assert abs(weighted - total_pos) <= total_n * 5e-7 + 1e-9
+    # raw rates are NOT monotone at this SF — the fit does real pooling
+    raws = [r.raw_rate for r in rows]
+    assert any(a > b for a, b in zip(raws, raws[1:])), \
+        "fixture too easy: raw rates already monotone"

@@ -1408,3 +1408,96 @@ FROM agg
 
 QUERIES_TAIL["rule_pr_auc"] = rule_pr_auc
 ORACLES_TAIL["rule_pr_auc"] = _PR_AUC_SQL
+
+
+def isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic calibration of the continuous rule score (PAV fit, the
+    nonparametric calibrator sklearn's IsotonicRegression implements —
+    public knowledge, Barlow et al. 1972): per fixed score bin, the
+    monotone-nondecreasing positive-rate fit that minimizes L2 error,
+    alongside the raw rate it pools.  Complements
+    ``rule_calibration_table`` (which only *measures* miscalibration);
+    this emits the correction a score consumer would apply.
+
+    Algorithm: the |users|-row frame collapses to ≤20 fixed score bins
+    in ONE map-combinable agg (the only pass over the data — scale-safe
+    by construction); PAV then runs on the ≤20-row bin frame via the
+    minimax characterization fit(i) = max_{j≤i} min_{k≥i} pooled(j..k)
+    with pooled averages from prefix sums — O(B³) rows for B = 20 is
+    ~1.3k, nothing.  The tiny-frame window/range-joins are bounded by
+    the FIXED bin domain, never by the data.
+
+    Exactness: every pooled average is one IEEE division of exact
+    BIGINT prefix sums (identical in both engines); min/max over
+    identical doubles are identical; the only rounding is the shared
+    floor(x·1e6+0.5)/1e6 at emission.  Invariants pinned in tests:
+    iso_rate is nondecreasing in bin and PAV preserves the weighted
+    sum (Σ n·fit = Σ npos)."""
+    lab = _labeled(spark, sf_dir)
+    binned = lab.select(
+        F.least(F.floor(F.col("weekend_ratio") * 20), F.lit(19))
+        .cast("int").alias("bin"), "label")
+    # ≤20 rows feeding 3 branches (j, k, i) — checkpoint or the
+    # |users| agg re-runs per branch (key_skew_audit precedent)
+    per_bin = (binned.groupBy("bin")
+               .agg(F.count("*").alias("n"),
+                    F.sum(F.col("label").cast("long")).alias("npos"))
+               .localCheckpoint())
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    cum = per_bin.select("bin", "n", "npos",
+                         F.sum("n").over(w).alias("cn"),
+                         F.sum("npos").over(w).alias("cp"))
+    j = cum.select(F.col("bin").alias("j"),
+                   (F.col("cp") - F.col("npos")).alias("cp_j"),
+                   (F.col("cn") - F.col("n")).alias("cn_j"))
+    k = cum.select(F.col("bin").alias("k"),
+                   F.col("cp").alias("cp_k"), F.col("cn").alias("cn_k"))
+    pairs = (j.join(k, F.col("j") <= F.col("k"))
+             .select("j", "k",
+                     ((F.col("cp_k") - F.col("cp_j")).cast("double")
+                      / (F.col("cn_k") - F.col("cn_j"))).alias("pool")))
+    i = per_bin.select(F.col("bin").alias("i"))
+    fit = (pairs.join(i, (F.col("j") <= F.col("i"))
+                      & (F.col("i") <= F.col("k")))
+           .groupBy("j", "i").agg(F.min("pool").alias("mn"))
+           .groupBy("i").agg(F.max("mn").alias("fit")))
+    r6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)  # noqa: E731
+    return (per_bin.join(fit, F.col("bin") == F.col("i"))
+            .select("bin", "n", "npos",
+                    r6(F.col("npos").cast("double") / F.col("n"))
+                    .alias("raw_rate"),
+                    r6(F.col("fit")).alias("iso_rate"))
+            .orderBy("bin"))
+
+
+_ISOTONIC_SQL = f"""
+{_FEATS_CTE},
+b AS (SELECT least(CAST(floor(weekend_ratio * 20) AS INT), 19) AS bin,
+             {_LABEL_SQL} AS label
+      FROM feats),
+per_bin AS (SELECT bin, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(label) AS BIGINT) AS npos
+            FROM b GROUP BY bin),
+cum AS (SELECT bin, n, npos,
+               CAST(sum(n) OVER (ORDER BY bin
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cn,
+               CAST(sum(npos) OVER (ORDER BY bin
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cp
+        FROM per_bin),
+pairs AS (SELECT j.bin AS j, k.bin AS k,
+                 CAST(k.cp - (j.cp - j.npos) AS DOUBLE)
+                   / (k.cn - (j.cn - j.n)) AS pool
+          FROM cum j JOIN cum k ON j.bin <= k.bin),
+mins AS (SELECT p.j, i.bin AS i, min(p.pool) AS mn
+         FROM pairs p JOIN per_bin i ON p.j <= i.bin AND i.bin <= p.k
+         GROUP BY p.j, i.bin),
+fit AS (SELECT i, max(mn) AS fit FROM mins GROUP BY i)
+SELECT pb.bin, pb.n, pb.npos,
+       floor(CAST(pb.npos AS DOUBLE) / pb.n * 1e6 + 0.5) / 1e6 AS raw_rate,
+       floor(fit * 1e6 + 0.5) / 1e6 AS iso_rate
+FROM per_bin pb JOIN fit ON fit.i = pb.bin
+ORDER BY bin
+"""
+
+QUERIES_TAIL["isotonic_calibration"] = isotonic_calibration
+ORACLES_TAIL["isotonic_calibration"] = _ISOTONIC_SQL
