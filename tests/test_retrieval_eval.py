@@ -1,0 +1,114 @@
+"""Round-7 retrieval/statistics wave: RRF hybrid search, nDCG@10,
+Poisson bootstrap CI, split-conformal threshold — semantic invariants
+the oracle hash can't express (oracle parity itself rides the
+parametrized sweeps in test_pipeline_queries/test_metrics_queries)."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR
+from threat_detection_nosql_spark.queries.metrics import (
+    _BOOT_MOD,
+    _NDCG_GAINS,
+    _NDCG_IDEAL,
+    _POIS_T,
+    bootstrap_revenue_ci,
+    conformal_price_threshold,
+    ndcg_retrieval_eval,
+)
+from threat_detection_nosql_spark.queries.pipeline import (
+    _RRF_DEPTH,
+    _RRF_K,
+    _RRF_TOPN,
+    rrf_hybrid_search,
+)
+
+
+def test_rrf_fusion_formula_and_shape(spark):
+    rows = rrf_hybrid_search(spark, SF_DIR).collect()
+    by_q: dict = {}
+    for r in rows:
+        by_q.setdefault(r.q_id, []).append(r)
+    assert sorted(by_q) == list(range(8))
+    for q, items in by_q.items():
+        assert len(items) == _RRF_TOPN
+        assert sorted(r.rank for r in items) == list(range(1, _RRF_TOPN + 1))
+        for r in items:
+            # the emitted score is exactly the RRF of the emitted ranks
+            expect = ((1.0 / (_RRF_K + r.r_lex) if r.r_lex else 0.0)
+                      + (1.0 / (_RRF_K + r.r_sem) if r.r_sem else 0.0))
+            assert abs(r.rrf - expect) < 1e-6
+            assert r.r_lex is None or 1 <= r.r_lex <= _RRF_DEPTH
+            assert r.r_sem is None or 1 <= r.r_sem <= _RRF_DEPTH
+            assert r.item_id != q
+        # fused order is non-increasing in rrf
+        scores = [r.rrf for r in sorted(items, key=lambda x: x.rank)]
+        assert all(a >= b for a, b in zip(scores, scores[1:]))
+    # fusion is doing real work: some top item appears in both lists
+    assert any(r.r_lex and r.r_sem for r in rows)
+
+
+def test_ndcg_bounds_and_gain_table(spark):
+    # the embedded literals are the textbook discounts
+    for r, g in enumerate(_NDCG_GAINS, start=1):
+        assert g == round(1e9 / math.log2(r + 1))
+    assert _NDCG_IDEAL[0] == _NDCG_GAINS[0]
+    assert all(a < b for a, b in zip(_NDCG_IDEAL, _NDCG_IDEAL[1:]))
+    rows = ndcg_retrieval_eval(spark, SF_DIR).collect()
+    assert [r.q_id for r in rows] == list(range(8))
+    for r in rows:
+        assert 0.0 <= r.ndcg_at_10 <= 1.0
+        assert 0 <= r.hits_at_10 <= min(10, r.n_relevant)
+        if r.hits_at_10 == 0:
+            assert r.ndcg_at_10 == 0.0
+    assert any(0.0 < r.ndcg_at_10 < 1.0 for r in rows), \
+        "fixture degenerate: every query trivially perfect/empty"
+
+
+def test_bootstrap_weights_replay_the_portable_hash(spark):
+    """The Poisson weight is a pure function of md5('boot:b:key') —
+    recompute it with hashlib for a probe of (key, replicate) pairs
+    and compare against the Spark expression."""
+    from threat_detection_nosql_spark.operators.dedup import (
+        _portable_hash60,
+    )
+    probe = [(str(k), b) for k in (1, 7, 1337) for b in (0, 31, 63)]
+    df = (spark.createDataFrame(probe, "k string, b int")
+          .select("k", "b", F.pmod(
+              _portable_hash60(F.concat(F.lit("boot:"),
+                                        F.col("b").cast("string"),
+                                        F.lit(":"), F.col("k"))),
+              F.lit(_BOOT_MOD)).alias("bucket")))
+    for r in df.collect():
+        h = hashlib.md5(f"boot:{r.b}:{r.k}".encode()).hexdigest()
+        bucket = int(h[:15], 16) % _BOOT_MOD
+        assert r.bucket == bucket
+        w = sum(bucket >= t for t in _POIS_T)
+        assert 0 <= w <= len(_POIS_T)
+
+
+def test_bootstrap_ci_brackets_the_point_estimate(spark):
+    row = bootstrap_revenue_ci(spark, SF_DIR).collect()[0]
+    assert row.n_replicates == 64
+    assert row.ci_lo <= row.mean_value <= row.ci_hi
+    assert row.ci_lo < row.ci_hi
+    # Poisson thresholds: monotone, start at ~e^-1, weights 0..7
+    assert _POIS_T[0] == round(math.exp(-1) * _BOOT_MOD)
+    assert all(a < b for a, b in zip(_POIS_T, _POIS_T[1:]))
+
+
+def test_conformal_split_partition_and_coverage(spark):
+    from threat_detection_nosql_spark.sources.readers import load_table
+    row = conformal_price_threshold(spark, SF_DIR).collect()[0]
+    n_orders = load_table(spark, SF_DIR, "orders").count()
+    assert row.n_train + row.n_cal + row.n_test == n_orders
+    assert row.n_train > row.n_cal > 0 and row.n_test > 0
+    assert row.qhat_value > 0
+    assert row.target == 0.9
+    # the distribution-free guarantee is E[coverage] >= 0.9; allow
+    # finite-sample slack on the held-out split
+    assert 0.85 <= row.coverage <= 1.0

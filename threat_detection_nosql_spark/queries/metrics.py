@@ -1501,3 +1501,347 @@ ORDER BY bin
 
 QUERIES_TAIL["isotonic_calibration"] = isotonic_calibration
 ORACLES_TAIL["isotonic_calibration"] = _ISOTONIC_SQL
+
+
+# -- nDCG@10: graded ranking quality of the cosine retriever -----------------
+
+# Discount gains as EXACT integer literals shared by both engines:
+# G[r] = round(1e9 / log2(r+1)) for rank r = 1..10, and the ideal-DCG
+# prefix sums. Generated once in Python (math.log2), embedded as
+# literals in the Spark plan AND the oracle SQL, so no runtime libm
+# call can diverge between engines.
+import math as _math
+
+_NDCG_TOPN = 10
+_NDCG_GAINS = [round(1e9 / _math.log2(r + 1))
+               for r in range(1, _NDCG_TOPN + 1)]
+_NDCG_IDEAL = [sum(_NDCG_GAINS[:k]) for k in range(1, _NDCG_TOPN + 1)]
+
+
+def ndcg_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nDCG@10 of the brute-force cosine retriever against label
+    relevance (binary: a candidate is relevant iff it carries the
+    query vector's ``label``; the query itself is excluded). The
+    standard graded-ranking metric (public knowledge — Jarvelin &
+    Kekalainen 2002) every retrieval/eval harness reports next to
+    recall; complements ann_recall_report (which scores ANN vs exact
+    retrieval, not retrieval vs ground truth).
+
+    Exactness: ranks come from the round-6 cosine with id tie-break
+    (cosine_topk precedent); each rank's discount gain is an exact
+    integer literal (see _NDCG_GAINS above), so DCG is an exact
+    BIGINT sum and IDCG an exact literal prefix-sum lookup at
+    min(n_relevant, 10) — the one division (dcg/idcg) is IEEE on
+    identical integers, rounded at emission.
+
+    Scale shape: scan → broadcast-nested-loop over the 8 queries →
+    one |Q|-partitioned window → two tiny aggs. The per-query
+    relevant-count rides the same scored frame (no second corpus
+    pass). The brute-force ranker swaps for ivf/lsh ANN at corpus
+    scale exactly as in rrf_hybrid_search."""
+    from threat_detection_nosql_spark.sources.readers import load_table
+    norm = lambda c: F.sqrt(F.aggregate(  # noqa: E731
+        F.transform(c, lambda x: x * x), F.lit(0.0), lambda a, x: a + x))
+    emb = (load_table(spark, sf_dir, "embeddings")
+           .select("vec_id", F.col("label").alias("lab"),
+                   F.col("embedding").cast("array<double>").alias("v"))
+           .withColumn("nv", norm(F.col("v"))))
+    qv = (emb.filter(F.col("vec_id") < 8)
+          .select(F.col("vec_id").alias("q_id"), F.col("lab").alias("q_lab"),
+                  F.col("v").alias("q_v"), F.col("nv").alias("nq")))
+    dot = F.aggregate(F.zip_with("v", "q_v", lambda x, y: x * y),
+                      F.lit(0.0), lambda a, x: a + x)
+    scored = (emb.crossJoin(F.broadcast(qv))
+              .filter(F.col("vec_id") != F.col("q_id"))
+              .select("q_id", "vec_id",
+                      F.round(dot / (F.col("nv") * F.col("nq")), 6)
+                      .alias("cos"),
+                      (F.col("lab") == F.col("q_lab")).cast("long")
+                      .alias("rel"))
+              .localCheckpoint())  # 2 branches (rank, nrel): one BNL pass
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    gains = F.array(*[F.lit(g) for g in _NDCG_GAINS])
+    top = (scored.withColumn("rank", F.row_number().over(w))
+           .filter(F.col("rank") <= _NDCG_TOPN))
+    dcg = (top.groupBy("q_id")
+           .agg(F.sum(F.col("rel") * F.element_at(gains, F.col("rank")))
+                .alias("dcg_g"),
+                F.sum("rel").alias("hits_at_10")))
+    nrel = scored.groupBy("q_id").agg(F.sum("rel").alias("n_relevant"))
+    ideal = F.array(*[F.lit(p) for p in _NDCG_IDEAL])
+    idcg = F.element_at(
+        ideal, F.least(F.col("n_relevant"),
+                       F.lit(_NDCG_TOPN)).cast("int"))
+    return (dcg.join(nrel, "q_id")
+            .select("q_id", "n_relevant", "hits_at_10",
+                    F.when(F.col("n_relevant") == 0, F.lit(0.0))
+                     .otherwise(F.round(F.col("dcg_g").cast("double")
+                                        / idcg, 6)).alias("ndcg_at_10"))
+            .orderBy("q_id"))
+
+
+_NDCG_GAIN_CASE = " ".join(
+    f"WHEN {r + 1} THEN {g}" for r, g in enumerate(_NDCG_GAINS))
+_NDCG_IDEAL_CASE = " ".join(
+    f"WHEN {k + 1} THEN {p}" for k, p in enumerate(_NDCG_IDEAL))
+
+_NDCG_SQL = f"""
+WITH emb AS (SELECT vec_id, label AS lab, embedding::DOUBLE[] AS v
+             FROM embeddings),
+q AS (SELECT vec_id AS q_id, lab AS q_lab, v AS q_v
+      FROM emb WHERE vec_id < 8),
+scored AS (SELECT q_id, vec_id,
+                  round(list_dot_product(v, q_v)
+                        / (sqrt(list_dot_product(v, v))
+                           * sqrt(list_dot_product(q_v, q_v))), 6) AS cos,
+                  CAST(lab = q_lab AS BIGINT) AS rel
+           FROM emb CROSS JOIN q WHERE vec_id <> q_id),
+ranked AS (SELECT q_id, vec_id, rel,
+                  row_number() OVER (PARTITION BY q_id
+                       ORDER BY cos DESC, vec_id ASC) AS rank
+           FROM scored),
+dcg AS (SELECT q_id,
+               CAST(sum(rel * CASE rank {_NDCG_GAIN_CASE} END)
+                    AS BIGINT) AS dcg_g,
+               CAST(sum(rel) AS BIGINT) AS hits_at_10
+        FROM ranked WHERE rank <= {_NDCG_TOPN} GROUP BY q_id),
+nrel AS (SELECT q_id, CAST(sum(rel) AS BIGINT) AS n_relevant
+         FROM scored GROUP BY q_id)
+SELECT d.q_id, n.n_relevant, d.hits_at_10,
+       CASE WHEN n.n_relevant = 0 THEN 0.0
+            ELSE round(CAST(d.dcg_g AS DOUBLE)
+                       / (CASE least(n.n_relevant, {_NDCG_TOPN})
+                          {_NDCG_IDEAL_CASE} END), 6)
+       END AS ndcg_at_10
+FROM dcg d JOIN nrel n USING (q_id)
+ORDER BY q_id
+"""
+
+QUERIES_TAIL["ndcg_retrieval_eval"] = ndcg_retrieval_eval
+ORACLES_TAIL["ndcg_retrieval_eval"] = _NDCG_SQL
+
+
+# -- Poisson bootstrap CI: the distributed bootstrap --------------------------
+
+_BOOT_B = 64          # replicates
+_BOOT_MOD = 10_000    # uniform resolution of the portable hash bucket
+# Poisson(1) inverse-CDF thresholds at 1/10000 resolution, generated
+# once in Python and embedded as literals in BOTH engines (the
+# _NDCG_GAINS trick): replicate weight = #{t in _POIS_T : bucket >= t}.
+_POIS_T = []
+_cum = 0.0
+for _k in range(8):
+    _cum += _math.exp(-1.0) / _math.factorial(_k)
+    _POIS_T.append(min(round(_cum * _BOOT_MOD), _BOOT_MOD))
+_POIS_T = _POIS_T[:-1]  # weights 0..7; the last bin is the ELSE
+
+
+def bootstrap_revenue_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """95% bootstrap CI for the mean order value via the POISSON
+    bootstrap (public knowledge — Efron resampling approximated with
+    independent Poisson(1) weights; the only bootstrap that
+    distributes, since each row draws its B replicate weights locally
+    with no global resample shuffle — Chamandy et al., Google 2012).
+
+    Each (order, replicate) weight is a pure function of the portable
+    md5 bucket of 'boot:<b>:<o_orderkey>' pushed through the
+    Poisson(1) inverse CDF quantized to 1/10000 (integer thresholds
+    embedded as literals in both engines — see _POIS_T). Replicate
+    means are exact-BIGINT ratios (sum w*cents / sum w); the CI is the
+    discrete 2nd / 63rd order statistic of the 64 replicate means
+    (rank window with replicate-id tie-break) — no interpolated
+    percentile, so engine-identical.
+
+    Scale shape: one scan exploded x64 straight into a 64-group hash
+    agg (map-side partials absorb the explosion), plus one plain agg
+    for the point estimate — two map-combinable passes, a 64-row
+    window, a 1x1 cross join. Nothing keyed by data values; skew-free
+    by construction."""
+    from threat_detection_nosql_spark.operators.dedup import (
+        _portable_hash60,
+    )
+    from threat_detection_nosql_spark.sources.readers import load_table
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.select(
+        F.col("o_orderkey").cast("string").alias("k"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"))
+    pt = base.agg(F.count("*").alias("n_orders"),
+                  F.sum("cents").alias("tot_cents"))
+    rep = base.select(
+        "k", "cents",
+        F.explode(F.sequence(F.lit(0), F.lit(_BOOT_B - 1))).alias("b"))
+    bucket = F.pmod(
+        _portable_hash60(F.concat(F.lit("boot:"), F.col("b").cast("string"),
+                                  F.lit(":"), F.col("k"))),
+        F.lit(_BOOT_MOD))
+    w = sum((bucket >= F.lit(t)).cast("int") for t in _POIS_T)
+    means = (rep.select("b", "cents", w.alias("w"))
+             .groupBy("b")
+             .agg(F.sum(F.col("w").cast("long") * F.col("cents"))
+                  .alias("swx"),
+                  F.sum(F.col("w").cast("long")).alias("sw"))
+             .select("b", (F.col("swx").cast("double")
+                           / F.col("sw").cast("double")).alias("mean_b")))
+    rw = Window.orderBy("mean_b", "b")
+    ranked = means.withColumn("rk", F.row_number().over(rw))
+    lo_rk, hi_rk = 2, _BOOT_B - 1  # discrete 2.5% / 97.5% of 64
+    ci = (ranked.filter(F.col("rk").isin(lo_rk, hi_rk))
+          .agg(F.min("mean_b").alias("lo_cents"),
+               F.max("mean_b").alias("hi_cents")))
+    return (pt.crossJoin(ci)
+            .select("n_orders",
+                    F.round(F.col("tot_cents").cast("double")
+                            / F.col("n_orders") / 100.0, 6)
+                    .alias("mean_value"),
+                    F.round(F.col("lo_cents") / 100.0, 6).alias("ci_lo"),
+                    F.round(F.col("hi_cents") / 100.0, 6).alias("ci_hi"),
+                    F.lit(_BOOT_B).alias("n_replicates")))
+
+
+_BOOT_W_SQL = " + ".join(
+    f"CAST(bucket >= {t} AS INT)" for t in _POIS_T)
+
+_BOOT_SQL = f"""
+WITH base AS (SELECT CAST(o_orderkey AS VARCHAR) AS k,
+                     CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+              FROM orders),
+pt AS (SELECT CAST(count(*) AS BIGINT) AS n_orders,
+              CAST(sum(cents) AS BIGINT) AS tot_cents
+       FROM base),
+rep AS (SELECT k, cents, b.b
+        FROM base CROSS JOIN (SELECT unnest(range(0, {_BOOT_B})) AS b) b),
+wts AS (SELECT b, cents, ({_BOOT_W_SQL}) AS w FROM (
+          SELECT b, cents,
+                 CAST(('0x' || substr(md5('boot:' || CAST(b AS VARCHAR)
+                      || ':' || k), 1, 15)) AS BIGINT) % {_BOOT_MOD}
+                   AS bucket
+          FROM rep) t),
+means AS (SELECT b,
+                 CAST(sum(CAST(w AS BIGINT) * cents) AS DOUBLE)
+                   / CAST(sum(CAST(w AS BIGINT)) AS DOUBLE) AS mean_b
+          FROM wts GROUP BY b),
+ranked AS (SELECT mean_b,
+                  row_number() OVER (ORDER BY mean_b, b) AS rk
+           FROM means),
+ci AS (SELECT min(mean_b) AS lo_cents, max(mean_b) AS hi_cents
+       FROM ranked WHERE rk IN (2, {_BOOT_B - 1}))
+SELECT n_orders,
+       round(CAST(tot_cents AS DOUBLE) / n_orders / 100.0, 6) AS mean_value,
+       round(lo_cents / 100.0, 6) AS ci_lo,
+       round(hi_cents / 100.0, 6) AS ci_hi,
+       {_BOOT_B} AS n_replicates
+FROM pt CROSS JOIN ci
+"""
+
+QUERIES_TAIL["bootstrap_revenue_ci"] = bootstrap_revenue_ci
+ORACLES_TAIL["bootstrap_revenue_ci"] = _BOOT_SQL
+
+
+# -- Split-conformal prediction threshold -------------------------------------
+
+_CONF_ALPHA = 0.1  # target 90% coverage
+
+
+def conformal_price_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split conformal prediction (public knowledge — Vovk et al.;
+    Papadopoulos et al. 2002 inductive form): fit a point predictor on
+    a TRAIN split (here the per-priority mean order value — exact
+    integer-ratio group means), take absolute residuals on a disjoint
+    CALIBRATION split, and set qhat to the ceil((n_cal+1)*(1-alpha))-th
+    smallest residual — the distribution-free threshold such that
+    |y - pred| <= qhat covers a fresh point with probability >= 90%.
+    Reports the realized coverage on the held-out TEST split, which
+    the guarantee says should land near (above) 0.90.
+
+    Splits are the portable hash bucket of o_orderkey (salt 'conf':
+    <60% train, <80% cal, else test) — pure function of the key,
+    engine-replayable. qhat is a DISCRETE order statistic picked by
+    row_number with (score, key) tie-break, not an interpolated
+    percentile, so both engines pick the same row; every mean is one
+    IEEE division of exact BIGINT sums; coverage is an exact-count
+    ratio.
+
+    Scale shape: one scan fans into the three split aggregates (the
+    train agg is 5 groups, map-combinable; cal/test join the 5-row
+    broadcast predictor). The calibration rank is a single-partition
+    sort of the cal split — exact (the registered oracle form); the
+    scale swap at billions of cal rows is approx_percentile on the
+    residual (source_quantile_normalized house style), qhat becoming
+    sketch-approximate."""
+    from threat_detection_nosql_spark.operators.sampling import hash_bucket
+    from threat_detection_nosql_spark.sources.readers import load_table
+    orders = load_table(spark, sf_dir, "orders")
+    base = (orders.select(
+        F.col("o_orderkey").alias("k"), F.col("o_orderpriority").alias("pri"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"))
+        .withColumn("bucket", hash_bucket(F.col("k"), salt="conf")))
+    train = base.filter(F.col("bucket") < 6000)
+    cal = base.filter((F.col("bucket") >= 6000) & (F.col("bucket") < 8000))
+    test = base.filter(F.col("bucket") >= 8000)
+    pred = (train.groupBy("pri")
+            .agg((F.sum("cents").cast("double")
+                  / F.count("*").cast("double")).alias("pred")))
+    cal_sc = (cal.join(F.broadcast(pred), "pri")
+              .select("k", F.abs(F.col("cents").cast("double")
+                                 - F.col("pred")).alias("score")))
+    n_cal = cal_sc.agg(F.count("*").alias("n_cal"))
+    rw = Window.orderBy("score", "k")
+    q_idx = F.least(
+        F.ceil((F.col("n_cal") + 1) * F.lit(1.0 - _CONF_ALPHA)),
+        F.col("n_cal"))
+    qhat = (cal_sc.withColumn("rk", F.row_number().over(rw))
+            .crossJoin(F.broadcast(n_cal))
+            .filter(F.col("rk") == q_idx)
+            .select("n_cal", F.col("score").alias("qhat")))
+    cov = (test.join(F.broadcast(pred), "pri")
+           .crossJoin(F.broadcast(qhat))
+           .agg(F.first("n_cal").alias("n_cal"),
+                F.first("qhat").alias("qhat_c"),
+                F.count("*").alias("n_test"),
+                F.sum((F.abs(F.col("cents").cast("double") - F.col("pred"))
+                       <= F.col("qhat")).cast("long")).alias("covered")))
+    n_train = train.agg(F.count("*").alias("n_train"))
+    return (n_train.crossJoin(cov)
+            .select("n_train", "n_cal", "n_test",
+                    F.round(F.col("qhat_c") / 100.0, 6).alias("qhat_value"),
+                    F.round(F.col("covered").cast("double")
+                            / F.col("n_test"), 6).alias("coverage"),
+                    F.lit(1.0 - _CONF_ALPHA).alias("target")))
+
+
+_CONF_SQL = f"""
+WITH base AS (SELECT o_orderkey AS k, o_orderpriority AS pri,
+                     CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents,
+                     CAST(('0x' || substr(md5('conf:'
+                          || CAST(o_orderkey AS VARCHAR)), 1, 15))
+                          AS BIGINT) % 10000 AS bucket
+              FROM orders),
+train AS (SELECT * FROM base WHERE bucket < 6000),
+cal AS (SELECT * FROM base WHERE bucket >= 6000 AND bucket < 8000),
+test AS (SELECT * FROM base WHERE bucket >= 8000),
+pred AS (SELECT pri, CAST(sum(cents) AS DOUBLE)
+                       / CAST(count(*) AS DOUBLE) AS pred
+         FROM train GROUP BY pri),
+cal_sc AS (SELECT c.k, abs(CAST(c.cents AS DOUBLE) - p.pred) AS score
+           FROM cal c JOIN pred p USING (pri)),
+nc AS (SELECT CAST(count(*) AS BIGINT) AS n_cal FROM cal_sc),
+qhat AS (SELECT n_cal, score AS qhat FROM (
+           SELECT k, score, row_number() OVER (ORDER BY score, k) AS rk
+           FROM cal_sc) r CROSS JOIN nc
+         WHERE rk = least(CAST(ceil((n_cal + 1) * {1.0 - _CONF_ALPHA})
+                               AS BIGINT), n_cal)),
+cov AS (SELECT any_value(n_cal) AS n_cal, any_value(qhat) AS qhat_c,
+               CAST(count(*) AS BIGINT) AS n_test,
+               CAST(sum(CAST(abs(CAST(t.cents AS DOUBLE) - p.pred)
+                             <= qhat AS INT)) AS BIGINT) AS covered
+        FROM test t JOIN pred p USING (pri) CROSS JOIN qhat)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM train) AS n_train,
+       n_cal, n_test,
+       round(qhat_c / 100.0, 6) AS qhat_value,
+       round(CAST(covered AS DOUBLE) / n_test, 6) AS coverage,
+       CAST({1.0 - _CONF_ALPHA} AS DOUBLE) AS target
+FROM cov
+"""
+
+QUERIES_TAIL["conformal_price_threshold"] = conformal_price_threshold
+ORACLES_TAIL["conformal_price_threshold"] = _CONF_SQL

@@ -1741,3 +1741,145 @@ ORDER BY dim
 
 QUERIES_TAIL["embedding_sq8_audit"] = embedding_sq8_audit
 ORACLES_TAIL["embedding_sq8_audit"] = _SQ8_SQL
+
+
+# -- D5r: reciprocal-rank fusion — hybrid lexical+semantic retrieval ----------
+
+_RRF_K = 60      # the standard RRF constant (Cormack/Clarke/Buettcher 2009)
+_RRF_DEPTH = 50  # per-ranker candidate depth before fusion
+_RRF_TOPN = 10
+
+
+def rrf_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval via reciprocal-rank fusion (public knowledge —
+    Cormack/Clarke/Buettcher SIGIR 2009; the fusion every BM25+vector
+    stack ships): for each of 8 query items, fuse a LEXICAL ranking
+    (rarity-weighted distinct-token overlap between the query document
+    and every candidate document) with a SEMANTIC ranking (exact
+    cosine between the query embedding and every candidate embedding)
+    as rrf = 1/(K + r_lex) + 1/(K + r_sem), each list truncated at
+    depth 50, K = 60; emit the fused top-10 per query. The synthetic
+    corpus aligns ``embeddings.vec_id`` with ``documents.doc_id``
+    (both 0..N-1 over the same N), so hybrid search treats them as
+    one item id.
+
+    Exactness: the lexical score is the INTEGER rarity weight
+    sum(N - df) over shared distinct tokens — monotone in idf but
+    float-free, so lexical ranks are engine-identical by construction;
+    semantic ranks order by the round-6 cosine (cosine_topk
+    precedent); rrf_raw is a fixed-order sum of two exact reciprocals
+    of integer ranks (IEEE-identical), rounded only at emission.
+    Every rank window tie-breaks on item id.
+
+    Scale shape: the lexical side is the inverted-index join — the
+    distinct (doc, token) posting set built by one explode + hash agg,
+    df attached to the 8 query token-sets FIRST (vocab-grain join on
+    the tiny side), then ONE broadcast join onto the postings and an
+    integer agg; the semantic side is scan → broadcast-nested-loop
+    over the 8 queries (brute-force baseline — ivf_ann_topk /
+    lsh_ann_topk are the registered subquadratic swaps). Fusion is a
+    full outer join of two |Q|*depth frames and a |Q|-partitioned
+    window — bounded by the constants, never by the corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    toks = (docs.select("doc_id",
+                        F.explode(F.split("text", r"\s+")).alias("token"))
+            .filter(F.col("token") != "").distinct())
+    dfreq = toks.groupBy("token").agg(F.count("*").alias("df"))
+    qtok = (toks.filter(F.col("doc_id") < 8)
+            .select(F.col("doc_id").alias("q_id"), "token")
+            .join(dfreq, "token")
+            .localCheckpoint())  # tiny; cuts the postings re-scan per branch
+    lex = (toks.join(F.broadcast(qtok), "token")
+           .filter(F.col("doc_id") != F.col("q_id"))
+           .groupBy("q_id", "doc_id")
+           .agg(F.sum(F.lit(n_docs).cast("long") - F.col("df"))
+                .alias("lex_w")))
+    wl = Window.partitionBy("q_id").orderBy(F.desc("lex_w"), F.asc("doc_id"))
+    lex_top = (lex.withColumn("r_lex", F.row_number().over(wl))
+               .filter(F.col("r_lex") <= _RRF_DEPTH)
+               .select("q_id", F.col("doc_id").alias("item_id"), "r_lex"))
+
+    norm = lambda c: F.sqrt(F.aggregate(  # noqa: E731
+        F.transform(c, lambda x: x * x), F.lit(0.0), lambda a, x: a + x))
+    emb = (load_table(spark, sf_dir, "embeddings")
+           .select("vec_id", F.col("embedding").cast("array<double>")
+                   .alias("v"))
+           .withColumn("nv", norm(F.col("v"))))
+    qv = (emb.filter(F.col("vec_id") < 8)
+          .select(F.col("vec_id").alias("q_id"), F.col("v").alias("q_v"),
+                  F.col("nv").alias("nq")))
+    dot = F.aggregate(F.zip_with("v", "q_v", lambda x, y: x * y),
+                      F.lit(0.0), lambda a, x: a + x)
+    sem = (emb.crossJoin(F.broadcast(qv))
+           .filter(F.col("vec_id") != F.col("q_id"))
+           .select("q_id", "vec_id",
+                   F.round(dot / (F.col("nv") * F.col("nq")), 6)
+                   .alias("cos")))
+    ws = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    sem_top = (sem.withColumn("r_sem", F.row_number().over(ws))
+               .filter(F.col("r_sem") <= _RRF_DEPTH)
+               .select("q_id", F.col("vec_id").alias("item_id"), "r_sem"))
+
+    fused = (lex_top.join(sem_top, ["q_id", "item_id"], "full_outer")
+             .select("q_id", "item_id", "r_lex", "r_sem",
+                     (F.coalesce(1.0 / (F.lit(_RRF_K) + F.col("r_lex")),
+                                 F.lit(0.0))
+                      + F.coalesce(1.0 / (F.lit(_RRF_K) + F.col("r_sem")),
+                                   F.lit(0.0))).alias("rrf_raw")))
+    wf = Window.partitionBy("q_id").orderBy(F.desc("rrf_raw"),
+                                            F.asc("item_id"))
+    return (fused.withColumn("rank", F.row_number().over(wf))
+            .filter(F.col("rank") <= _RRF_TOPN)
+            .select("q_id", "item_id", F.round("rrf_raw", 6).alias("rrf"),
+                    "r_lex", "r_sem", "rank"))
+
+
+_RRF_SQL = rf"""
+WITH tok0 AS (SELECT doc_id,
+                     unnest(string_split_regex(text, '\s+')) AS token
+              FROM documents),
+toks AS (SELECT DISTINCT doc_id, token FROM tok0 WHERE token <> ''),
+dfreq AS (SELECT token, CAST(count(*) AS BIGINT) AS df
+          FROM toks GROUP BY token),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+qtok AS (SELECT t.doc_id AS q_id, t.token, d.df
+         FROM toks t JOIN dfreq d USING (token) WHERE t.doc_id < 8),
+lex AS (SELECT q.q_id, t.doc_id AS item_id,
+               sum(n.n_docs - q.df) AS lex_w
+        FROM toks t JOIN qtok q USING (token) CROSS JOIN n
+        WHERE t.doc_id <> q.q_id GROUP BY q.q_id, t.doc_id),
+lex_top AS (SELECT q_id, item_id, r_lex FROM (
+    SELECT q_id, item_id,
+           CAST(row_number() OVER (PARTITION BY q_id
+                ORDER BY lex_w DESC, item_id ASC) AS INT) AS r_lex
+    FROM lex) t WHERE r_lex <= {_RRF_DEPTH}),
+emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT vec_id AS q_id, v AS q_v FROM emb WHERE vec_id < 8),
+sem AS (SELECT q_id, vec_id AS item_id,
+               round(list_dot_product(v, q_v)
+                     / (sqrt(list_dot_product(v, v))
+                        * sqrt(list_dot_product(q_v, q_v))), 6) AS cos
+        FROM emb CROSS JOIN q WHERE vec_id <> q_id),
+sem_top AS (SELECT q_id, item_id, r_sem FROM (
+    SELECT q_id, item_id,
+           CAST(row_number() OVER (PARTITION BY q_id
+                ORDER BY cos DESC, item_id ASC) AS INT) AS r_sem
+    FROM sem) t WHERE r_sem <= {_RRF_DEPTH}),
+fused AS (SELECT coalesce(l.q_id, s.q_id) AS q_id,
+                 coalesce(l.item_id, s.item_id) AS item_id,
+                 l.r_lex, s.r_sem,
+                 coalesce(1.0 / ({_RRF_K} + l.r_lex), 0.0)
+                   + coalesce(1.0 / ({_RRF_K} + s.r_sem), 0.0) AS rrf_raw
+          FROM lex_top l
+          FULL OUTER JOIN sem_top s
+            ON l.q_id = s.q_id AND l.item_id = s.item_id)
+SELECT q_id, item_id, round(rrf_raw, 6) AS rrf, r_lex, r_sem, rank FROM (
+  SELECT *, CAST(row_number() OVER (PARTITION BY q_id
+             ORDER BY rrf_raw DESC, item_id ASC) AS INT) AS rank
+  FROM fused) t
+WHERE rank <= {_RRF_TOPN}
+"""
+
+QUERIES_TAIL["rrf_hybrid_search"] = rrf_hybrid_search
+ORACLES_TAIL["rrf_hybrid_search"] = _RRF_SQL
