@@ -112,3 +112,103 @@ def test_conformal_split_partition_and_coverage(spark):
     # the distribution-free guarantee is E[coverage] >= 0.9; allow
     # finite-sample slack on the held-out split
     assert 0.85 <= row.coverage <= 1.0
+
+
+def test_vocab_richness_estimators(spark):
+    """Chao1 >= observed V (it's a lower-bound ADDITION), Good-Turing
+    mass in (0,1), and the frequency-of-frequency identities hold."""
+    from threat_detection_nosql_spark.queries.corpus import (
+        vocab_richness_report,
+    )
+    rows = vocab_richness_report(spark, SF_DIR).collect()
+    assert len(rows) >= 2
+    for r in rows:
+        assert r.chao1_vocab >= r.v_observed
+        # == 0.0 is legal: a source with no singleton tokens
+        assert 0.0 <= r.gt_unseen_mass < 1.0
+        assert r.n1 + 2 * r.n2 <= r.n_tokens
+        assert r.n1 + r.n2 <= r.v_observed
+        if r.n2 > 0:
+            expect = r.v_observed + r.n1 * r.n1 / (2.0 * r.n2)
+            assert abs(r.chao1_vocab - expect) < 1e-5
+
+
+def test_group_kfold_is_a_user_partition(spark):
+    """Every user's events land in exactly one fold, and the folds
+    cover the whole fact table."""
+    from threat_detection_nosql_spark.queries.corpus import (
+        _KFOLD_K,
+        group_kfold_assignment,
+    )
+    from threat_detection_nosql_spark.sources.readers import load_table
+    rows = group_kfold_assignment(spark, SF_DIR).collect()
+    assert [r.fold for r in rows] == list(range(_KFOLD_K))
+    ev = load_table(spark, SF_DIR, "events")
+    assert sum(r.n_events for r in rows) == ev.count()
+    assert sum(r.n_users for r in rows) == \
+        ev.select("user_id").distinct().count()
+    assert abs(sum(r.event_share for r in rows) - 1.0) < 1e-4
+
+
+def test_cuped_reduces_variance_and_replays_theta(spark):
+    """theta/lifts re-derived in pure Python from the per-user frame
+    must match; CUPED must not move the lift when the covariate is
+    balanced (it is, by hash randomization) by more than the
+    adjustment magnitude allows."""
+    from threat_detection_nosql_spark.operators.sampling import (
+        hash_bucket,
+    )
+    from threat_detection_nosql_spark.queries.metrics import (
+        cuped_adjusted_lift,
+    )
+    from threat_detection_nosql_spark.sources.readers import load_table
+    ev = load_table(spark, SF_DIR, "events")
+    users = (ev.groupBy("user_id")
+             .agg(F.count("*").alias("y"),
+                  F.sum((F.col("event_type") == "click").cast("long"))
+                  .alias("x"))
+             .select("x", "y",
+                     (hash_bucket(F.col("user_id"), salt="exp") % 2)
+                     .alias("v"))).collect()
+    n = len(users)
+    sx = sum(r.x for r in users); sy = sum(r.y for r in users)
+    sxy = sum(r.x * r.y for r in users)
+    sxx = sum(r.x * r.x for r in users)
+    syy = sum(r.y * r.y for r in users)
+    theta = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    r2 = (n * sxy - sx * sy) ** 2 / ((n * sxx - sx * sx)
+                                     * (n * syy - sy * sy))
+    out = cuped_adjusted_lift(spark, SF_DIR).collect()[0]
+    assert out.n_users_a + out.n_users_b == n
+    assert abs(out.theta - theta) < 1e-5
+    assert abs(out.var_reduction - r2) < 1e-5
+    assert 0.0 <= out.var_reduction <= 1.0
+    ya = [r.y for r in users if r.v == 0]
+    yb = [r.y for r in users if r.v == 1]
+    raw = sum(yb) / len(yb) - sum(ya) / len(ya)
+    assert abs(out.raw_lift - raw) < 1e-5
+
+
+def test_containment_catches_subset_docs_jaccard_misses(spark):
+    """Every emitted pair really overlaps at >= the threshold, the
+    coefficient is the overlap of the PRUNED shingle sets, and the
+    asymmetric case exists: some emitted pair has a length gap big
+    enough that its Jaccard is far below its containment."""
+    from threat_detection_nosql_spark.queries.pipeline import (
+        _CONT_MIN,
+        containment_near_dups,
+    )
+    rows = containment_near_dups(spark, SF_DIR).collect()
+    assert rows, "sf0.01 has containment pairs"
+    for r in rows:
+        assert r.overlap_coef >= _CONT_MIN
+        assert r.n_inter <= min(r.n_a, r.n_b)
+        assert r.doc_a < r.doc_b
+        expect = r.n_inter / min(r.n_a, r.n_b)
+        assert abs(r.overlap_coef - expect) < 1e-6
+    jac = lambda r: r.n_inter / (r.n_a + r.n_b - r.n_inter)  # noqa: E731
+    # containment dominates Jaccard, strictly on any size-asymmetric
+    # pair — the reason the operator exists
+    assert all(r.overlap_coef >= jac(r) - 1e-6 for r in rows)
+    assert any(r.n_a != r.n_b and r.overlap_coef > jac(r) + 1e-6
+               for r in rows), "no size-asymmetric pair found"

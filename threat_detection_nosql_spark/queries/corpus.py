@@ -1216,3 +1216,143 @@ FROM s
 
 QUERIES_TAIL["zipf_fit"] = zipf_fit
 ORACLES_TAIL["zipf_fit"] = _ZIPF_SQL
+
+
+# ---------------------------------------------------------------------------
+# C-tail: vocabulary richness estimation (Chao1 + Good-Turing)
+# ---------------------------------------------------------------------------
+
+def vocab_richness_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source vocabulary richness: observed distinct tokens V,
+    total tokens N, singleton/doubleton counts N1/N2, the Chao1
+    lower-bound estimate of the TRUE vocabulary size (public
+    knowledge — Chao 1984: V + N1^2/(2*N2), bias-corrected
+    V + N1*(N1-1)/2 when N2 = 0), and the Good-Turing unseen-token
+    probability mass N1/N (Good 1953) — the two numbers a corpus
+    curator reads to judge whether a source's vocabulary is saturated
+    or still growing (complements vocab_growth_curve, which shows the
+    trajectory; this estimates the asymptote).
+
+    Exactness: two stacked integer hash aggs (token counts, then the
+    frequency-of-frequency rollup) — everything BIGINT until the two
+    final divisions, rounded at emission.
+
+    Scale shape: explode -> (source, token) count (map-side partials
+    absorb the explode) -> per-source conditional agg. No joins, no
+    windows, nothing driver-side; the same two-agg chain at any
+    corpus size."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = (docs.select("source",
+                       F.explode(F.split("text", r"\s+")).alias("token"))
+           .filter(F.col("token") != ""))
+    cnt = tok.groupBy("source", "token").agg(F.count("*").alias("c"))
+    per = (cnt.groupBy("source")
+           .agg(F.count("*").alias("v_observed"),
+                F.sum("c").alias("n_tokens"),
+                F.sum((F.col("c") == 1).cast("long")).alias("n1"),
+                F.sum((F.col("c") == 2).cast("long")).alias("n2")))
+    chao1 = F.when(
+        F.col("n2") > 0,
+        F.col("v_observed")
+        + (F.col("n1") * F.col("n1")).cast("double")
+        / (2.0 * F.col("n2"))).otherwise(
+        F.col("v_observed")
+        + (F.col("n1") * (F.col("n1") - 1)).cast("double") / 2.0)
+    return per.select(
+        "source", "v_observed", "n_tokens", "n1", "n2",
+        F.round(chao1, 6).alias("chao1_vocab"),
+        F.round(F.col("n1").cast("double") / F.col("n_tokens"), 6)
+        .alias("gt_unseen_mass")).orderBy("source")
+
+
+_RICHNESS_SQL = r"""
+WITH tok AS (SELECT source,
+                    unnest(string_split_regex(text, '\s+')) AS token
+             FROM documents),
+cnt AS (SELECT source, token, CAST(count(*) AS BIGINT) AS c
+        FROM tok WHERE token <> '' GROUP BY source, token),
+per AS (SELECT source,
+               CAST(count(*) AS BIGINT) AS v_observed,
+               CAST(sum(c) AS BIGINT) AS n_tokens,
+               CAST(sum(CAST(c = 1 AS INT)) AS BIGINT) AS n1,
+               CAST(sum(CAST(c = 2 AS INT)) AS BIGINT) AS n2
+        FROM cnt GROUP BY source)
+SELECT source, v_observed, n_tokens, n1, n2,
+       round(CASE WHEN n2 > 0
+                  THEN v_observed + CAST(n1 * n1 AS DOUBLE) / (2.0 * n2)
+                  ELSE v_observed + CAST(n1 * (n1 - 1) AS DOUBLE) / 2.0
+             END, 6) AS chao1_vocab,
+       round(CAST(n1 AS DOUBLE) / n_tokens, 6) AS gt_unseen_mass
+FROM per
+ORDER BY source
+"""
+
+QUERIES_TAIL["vocab_richness_report"] = vocab_richness_report
+ORACLES_TAIL["vocab_richness_report"] = _RICHNESS_SQL
+
+
+# ---------------------------------------------------------------------------
+# C-tail: group k-fold assignment — leakage-free CV splits
+# ---------------------------------------------------------------------------
+
+_KFOLD_K = 5
+
+
+def group_kfold_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group k-fold CV assignment over the events fact table with
+    user_id as the group key: fold = portable-hash(user) mod 5, so
+    EVERY event of a user lands in one fold — the grouped-CV property
+    (sklearn GroupKFold semantics) that stops per-user temporal
+    leakage across train/test folds. Emits the per-fold balance
+    report a practitioner actually checks before trusting the split:
+    group count, row count, row share, and per-fold purchase rate
+    (the label-balance proxy).
+
+    Membership is a pure function of user_id (dataset_split_assignment
+    house style) — adding events or re-sharding never moves a user
+    across folds. One scan, one map-combinable agg keyed by the
+    5-value fold; the distinct-user count per fold rides the same agg
+    as count(DISTINCT user_id) (Spark plans a partial-distinct
+    expand, still one pass)."""
+    ev = load_table(spark, sf_dir, "events")
+    fold = sampling.hash_bucket(F.col("user_id"), salt="fold") % _KFOLD_K
+    per = (ev.select(fold.alias("fold"), "user_id",
+                     (F.col("event_type") == "purchase").cast("long")
+                     .alias("is_purchase"))
+           .groupBy("fold")
+           .agg(F.countDistinct("user_id").alias("n_users"),
+                F.count("*").alias("n_events"),
+                F.sum("is_purchase").alias("n_purchases")))
+    from pyspark.sql.window import Window
+    tot = F.sum("n_events").over(Window.partitionBy())
+    return (per.select(
+        "fold", "n_users", "n_events",
+        F.round(F.col("n_events").cast("double") / tot, 6)
+        .alias("event_share"),
+        F.round(F.col("n_purchases").cast("double") / F.col("n_events"), 6)
+        .alias("purchase_rate"))
+        .orderBy("fold"))
+
+
+_GKFOLD_SQL = f"""
+WITH e AS (SELECT CAST(('0x' || substr(md5('fold:'
+                       || CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT)
+                  % 10000 % {_KFOLD_K} AS fold,
+                  user_id,
+                  CAST(event_type = 'purchase' AS INT) AS is_purchase
+           FROM events),
+per AS (SELECT fold,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(sum(is_purchase) AS BIGINT) AS n_purchases
+        FROM e GROUP BY fold),
+tot AS (SELECT CAST(sum(n_events) AS BIGINT) AS t FROM per)
+SELECT fold, n_users, n_events,
+       round(CAST(n_events AS DOUBLE) / t, 6) AS event_share,
+       round(CAST(n_purchases AS DOUBLE) / n_events, 6) AS purchase_rate
+FROM per CROSS JOIN tot
+ORDER BY fold
+"""
+
+QUERIES_TAIL["group_kfold_assignment"] = group_kfold_assignment
+ORACLES_TAIL["group_kfold_assignment"] = _GKFOLD_SQL

@@ -1845,3 +1845,131 @@ FROM cov
 
 QUERIES_TAIL["conformal_price_threshold"] = conformal_price_threshold
 ORACLES_TAIL["conformal_price_threshold"] = _CONF_SQL
+
+
+# -- CUPED-adjusted experiment lift --------------------------------------------
+
+def cuped_adjusted_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance-reduced A/B lift (public knowledge — Deng, Xu,
+    Kohavi, Walker WSDM 2013: y_adj = y - theta*(x - mean_x) with
+    theta = cov(x,y)/var(x)): users are deterministically assigned to
+    variants by the portable hash (salt 'exp'), the metric y is the
+    user's event count, the covariate x the user's click count (the
+    pre-exposure-engagement stand-in — in production x is the
+    pre-period metric). Emits the raw lift, the CUPED-adjusted lift,
+    theta, and the variance-reduction factor r^2 = corr(x,y)^2 — the
+    exact quantity CUPED removes from the metric variance.
+
+    Exactness: one per-user integer agg, then ONE global agg of exact
+    BIGINT moments (n, sums, cross/self products per row are BIGINT);
+    every downstream number is fixed-order scalar double algebra on
+    those identical integers, rounded at emission. Per-row products
+    x*y stay BIGINT; the n*Sxy-scale products are computed in DOUBLE
+    so no 128-bit overflow divergence at any scale.
+
+    Scale shape: one fact scan -> per-user hash agg (map-side
+    partials) -> one 1-row conditional agg. No window, no join, no
+    collect."""
+    from threat_detection_nosql_spark.operators.sampling import hash_bucket
+    from threat_detection_nosql_spark.sources.readers import load_table
+    ev = load_table(spark, sf_dir, "events")
+    users = (ev.groupBy("user_id")
+             .agg(F.count("*").alias("y"),
+                  F.sum((F.col("event_type") == "click").cast("long"))
+                  .alias("x"))
+             .select("x", "y",
+                     (hash_bucket(F.col("user_id"), salt="exp") % 2)
+                     .alias("variant")))
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    g = (users.agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.when(F.col("variant") == 0, 1).otherwise(0)
+              .cast("long")).alias("na"),
+        F.sum(F.when(F.col("variant") == 0, F.col("y")).otherwise(0))
+        .alias("sya"),
+        F.sum(F.when(F.col("variant") == 0, F.col("x")).otherwise(0))
+        .alias("sxa"),
+        F.sum(F.when(F.col("variant") == 1, 1).otherwise(0)
+              .cast("long")).alias("nb"),
+        F.sum(F.when(F.col("variant") == 1, F.col("y")).otherwise(0))
+        .alias("syb"),
+        F.sum(F.when(F.col("variant") == 1, F.col("x")).otherwise(0))
+        .alias("sxb")))
+    cov_n = d("n") * d("sxy") - d("sx") * d("sy")
+    varx_n = d("n") * d("sxx") - d("sx") * d("sx")
+    vary_n = d("n") * d("syy") - d("sy") * d("sy")
+    theta = cov_n / varx_n
+    raw_lift = d("syb") / d("nb") - d("sya") / d("na")
+    cuped_lift = raw_lift - theta * (d("sxb") / d("nb")
+                                     - d("sxa") / d("na"))
+    r2 = (cov_n * cov_n) / (varx_n * vary_n)
+    return g.select(
+        F.col("na").alias("n_users_a"), F.col("nb").alias("n_users_b"),
+        F.round(raw_lift, 6).alias("raw_lift"),
+        F.round(cuped_lift, 6).alias("cuped_lift"),
+        F.round(theta, 6).alias("theta"),
+        F.round(r2, 6).alias("var_reduction"))
+
+
+_CUPED_SQL = """
+WITH u AS (SELECT user_id,
+                  CAST(count(*) AS BIGINT) AS y,
+                  CAST(sum(CAST(event_type = 'click' AS INT)) AS BIGINT)
+                    AS x
+           FROM events GROUP BY user_id),
+v AS (SELECT x, y,
+             CAST(('0x' || substr(md5('exp:' || CAST(user_id AS VARCHAR)),
+                  1, 15)) AS BIGINT) % 10000 % 2 AS variant
+      FROM u),
+g AS (SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * y) AS BIGINT) AS sxy,
+             CAST(sum(x * x) AS BIGINT) AS sxx,
+             CAST(sum(y * y) AS BIGINT) AS syy,
+             CAST(sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS na,
+             CAST(sum(CASE WHEN variant = 0 THEN y ELSE 0 END) AS BIGINT)
+               AS sya,
+             CAST(sum(CASE WHEN variant = 0 THEN x ELSE 0 END) AS BIGINT)
+               AS sxa,
+             CAST(sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS nb,
+             CAST(sum(CASE WHEN variant = 1 THEN y ELSE 0 END) AS BIGINT)
+               AS syb,
+             CAST(sum(CASE WHEN variant = 1 THEN x ELSE 0 END) AS BIGINT)
+               AS sxb
+      FROM v)
+SELECT na AS n_users_a, nb AS n_users_b,
+       round(CAST(syb AS DOUBLE) / CAST(nb AS DOUBLE)
+             - CAST(sya AS DOUBLE) / CAST(na AS DOUBLE), 6) AS raw_lift,
+       round((CAST(syb AS DOUBLE) / CAST(nb AS DOUBLE)
+              - CAST(sya AS DOUBLE) / CAST(na AS DOUBLE))
+             - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+               * (CAST(sxb AS DOUBLE) / CAST(nb AS DOUBLE)
+                  - CAST(sxa AS DOUBLE) / CAST(na AS DOUBLE)), 6)
+         AS cuped_lift,
+       round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS theta,
+       round(((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+              * (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)))
+             / ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                   - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+         AS var_reduction
+FROM g
+"""
+
+QUERIES_TAIL["cuped_adjusted_lift"] = cuped_adjusted_lift
+ORACLES_TAIL["cuped_adjusted_lift"] = _CUPED_SQL

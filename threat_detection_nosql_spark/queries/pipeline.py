@@ -1883,3 +1883,90 @@ WHERE rank <= {_RRF_TOPN}
 
 QUERIES_TAIL["rrf_hybrid_search"] = rrf_hybrid_search
 ORACLES_TAIL["rrf_hybrid_search"] = _RRF_SQL
+
+
+# -- D-tail: containment near-dups (asymmetric overlap) ------------------------
+
+_CONT_DF_CAP = 64     # stop-shingle prune: drop shingles in > CAP docs
+_CONT_MIN = 0.6       # emit pairs at/above this overlap coefficient
+
+
+def containment_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric near-duplication via the OVERLAP COEFFICIENT
+    |A∩B| / min(|A|,|B|) over 3-gram shingle sets — the containment
+    measure (Broder 1997's resemblance/containment pair) that catches
+    a short document embedded inside a longer one, which Jaccard
+    dilutes toward 0 as the length gap grows (the quote/boilerplate/
+    subset case every dedup pass must handle separately from
+    symmetric near-dup).
+
+    Operator definition includes a STOP-SHINGLE prune: shingles
+    appearing in more than 64 documents are dropped before pairing
+    (both set sizes and intersections count pruned sets — the oracle
+    replays the same prune). That bounds each shingle's pair fan-out
+    at O(CAP^2) regardless of corpus density — the adjacency-cap
+    lesson from link_prediction_top20 applied to the dedup family;
+    ubiquitous boilerplate shingles are exactly the ones that carry
+    no duplication signal.
+
+    Scale shape: shingle build (one explode, array ops, no UDF) ->
+    df agg -> semi-join prune -> shingle-equi-join bounded by the cap
+    -> pair agg -> two broadcast size joins. The checkpointed shingle
+    frame feeds its three consumers (df, sizes, join) one
+    materialization."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = _shingles(docs).localCheckpoint()
+    keep = (sh.groupBy("shingle").agg(F.count("*").alias("df"))
+            .filter(F.col("df") <= _CONT_DF_CAP)
+            .select("shingle"))
+    pruned = sh.join(keep, "shingle")
+    sizes = pruned.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = pruned.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = pruned.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (a.join(b, "shingle")
+             .filter(F.col("doc_a") < F.col("doc_b"))
+             .groupBy("doc_a", "doc_b")
+             .agg(F.count("*").alias("n_inter")))
+    sa = sizes.select(F.col("doc_id").alias("doc_a"),
+                      F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"),
+                      F.col("n_sh").alias("n_b"))
+    return (inter.join(F.broadcast(sa), "doc_a")
+            .join(F.broadcast(sb), "doc_b")
+            .withColumn("overlap_coef",
+                        F.round(F.col("n_inter").cast("double")
+                                / F.least("n_a", "n_b"), 6))
+            .filter(F.col("overlap_coef") >= _CONT_MIN)
+            .select("doc_a", "doc_b", "n_a", "n_b", "n_inter",
+                    "overlap_coef")
+            .orderBy("doc_a", "doc_b"))
+
+
+_CONTAINMENT_SQL = rf"""
+WITH w AS (SELECT doc_id, string_split_regex(text, '\s+') AS wds
+           FROM documents),
+sh0 AS (SELECT DISTINCT doc_id,
+               wds[i] || ' ' || wds[i+1] || ' ' || wds[i+2] AS shingle
+        FROM w, LATERAL (SELECT unnest(range(1, len(wds) - 1)) AS i) ix),
+keep AS (SELECT shingle FROM sh0
+         GROUP BY shingle HAVING count(*) <= {_CONT_DF_CAP}),
+sh AS (SELECT doc_id, shingle FROM sh0 JOIN keep USING (shingle)),
+sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh
+          FROM sh GROUP BY doc_id),
+inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 CAST(count(*) AS BIGINT) AS n_inter
+          FROM sh a JOIN sh b USING (shingle)
+          WHERE a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id)
+SELECT doc_a, doc_b, sa.n_sh AS n_a, sb.n_sh AS n_b, n_inter,
+       round(CAST(n_inter AS DOUBLE) / least(sa.n_sh, sb.n_sh), 6)
+         AS overlap_coef
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE CAST(n_inter AS DOUBLE) / least(sa.n_sh, sb.n_sh) >= {_CONT_MIN}
+ORDER BY doc_a, doc_b
+"""
+
+QUERIES_TAIL["containment_near_dups"] = containment_near_dups
+ORACLES_TAIL["containment_near_dups"] = _CONTAINMENT_SQL
