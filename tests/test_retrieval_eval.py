@@ -212,3 +212,69 @@ def test_containment_catches_subset_docs_jaccard_misses(spark):
     assert all(r.overlap_coef >= jac(r) - 1e-6 for r in rows)
     assert any(r.n_a != r.n_b and r.overlap_coef > jac(r) + 1e-6
                for r in rows), "no size-asymmetric pair found"
+
+
+def test_mmr_matches_driver_side_greedy_and_diversifies(spark):
+    """(1) The distributed applyInPandas greedy must equal a
+    driver-side greedy run on the same collected candidate frame —
+    pins the Arrow/grouping mechanics and determinism. (2) MMR's
+    raison d'etre: the selected set is no more self-similar than the
+    plain relevance top-10, strictly less for at least one query."""
+    import numpy as np
+
+    from threat_detection_nosql_spark.queries.pipeline import (
+        _MMR_LAMBDA,
+        _MMR_TOPN,
+        mmr_diversified_topk,
+    )
+    from threat_detection_nosql_spark.sources.readers import load_table
+
+    out = mmr_diversified_topk(spark, SF_DIR).collect()
+    by_q: dict = {}
+    for r in out:
+        by_q.setdefault(r.q_id, []).append(r)
+    assert sorted(by_q) == list(range(8))
+
+    emb = {r.vec_id: np.array(r.embedding, dtype="float64")
+           for r in load_table(spark, SF_DIR, "embeddings").collect()}
+    unit = {k: v / np.sqrt((v * v).sum()) for k, v in emb.items()}
+
+    tighter = 0
+    for q, rows in by_q.items():
+        rows = sorted(rows, key=lambda r: r.mmr_rank)
+        assert [r.mmr_rank for r in rows] == list(range(1, _MMR_TOPN + 1))
+        assert len({r.item_id for r in rows}) == _MMR_TOPN
+        # driver-side greedy over the same round-6 relevance candidates
+        cand = sorted(((round(float(unit[q] @ unit[i]), 6), i)
+                       for i in unit if i != q),
+                      key=lambda t: (-t[0], t[1]))[:50]
+        cand.sort(key=lambda t: t[1])
+        ids = [i for _, i in cand]
+        rel = np.array([s for s, _ in cand])
+        V = np.stack([unit[i] for i in ids])
+        sims = V @ V.T
+        chosen, max_sim = [], np.zeros(len(ids))
+        for _ in range(_MMR_TOPN):
+            mmr = _MMR_LAMBDA * rel - (1 - _MMR_LAMBDA) * max_sim
+            mmr[chosen] = -np.inf
+            pick = int(np.argmax(mmr))
+            chosen.append(pick)
+            max_sim = np.maximum(max_sim, sims[:, pick])
+        assert [r.item_id for r in rows] == [ids[p] for p in chosen]
+        # rank 1 is the pure-relevance argmax (id tie-break)
+        assert rows[0].item_id == min(
+            (i for s, i in cand if s == max(s for s, _ in cand))), q
+        # diversity: mean pairwise sim of MMR picks <= plain top-10's
+        def mean_sim(items):
+            M = np.stack([unit[i] for i in items])
+            S = M @ M.T
+            n = len(items)
+            return (S.sum() - np.trace(S)) / (n * (n - 1))
+        plain = [i for _, i in sorted(
+            ((s, i) for s, i in cand), key=lambda t: (-t[0], t[1]))[:10]]
+        m_mmr = mean_sim([r.item_id for r in rows])
+        m_plain = mean_sim(plain)
+        assert m_mmr <= m_plain + 1e-9
+        if m_mmr < m_plain - 1e-9:
+            tighter += 1
+    assert tighter >= 1, "MMR never diversified — fixture degenerate"

@@ -1970,3 +1970,96 @@ ORDER BY doc_a, doc_b
 
 QUERIES_TAIL["containment_near_dups"] = containment_near_dups
 ORACLES_TAIL["containment_near_dups"] = _CONTAINMENT_SQL
+
+
+# -- D-tail: MMR-diversified retrieval (applyInPandas custom operator) --------
+
+_MMR_LAMBDA = 0.7
+_MMR_CAND = 50
+_MMR_TOPN = 10
+
+
+def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (public knowledge —
+    Carbonell & Goldstein SIGIR 1998): after the distributed retriever
+    produces each query's top-50 cosine candidates, greedily select 10
+    maximizing lambda*rel(d) - (1-lambda)*max_{s in S} sim(d, s) —
+    the diversity-aware re-rank every RAG/search stack applies when
+    near-duplicate hits crowd out coverage.
+
+    Architecture split (the custom-operator recipe): candidate
+    GENERATION is the scan -> broadcast-nested-loop -> per-query
+    window — fully distributed, JVM-side, and swaps for ivf/lsh ANN
+    at scale; the greedy SELECTION is inherently sequential in the
+    selected set, so it runs as `applyInPandas` over q_id groups —
+    each group a BOUNDED 50-row frame with unit-normalized vectors,
+    Arrow-batched, embarrassingly parallel across queries. The
+    quadratic (50x50 GEMM) is capped by the candidate constant, never
+    by the corpus.
+
+    Greedy is not SQL-expressible, so this registers rows-only; value
+    parity is pinned by a pure-numpy rederivation test
+    (tests/test_retrieval_eval.py). Determinism: relevance is the
+    round-6 cosine with id tie-breaks from the JVM side; within the
+    greedy, ties pick the smallest item_id (candidates sorted by id,
+    argmax takes the first maximum)."""
+    import numpy as np
+    import pandas as pd
+
+    norm = lambda c: F.sqrt(F.aggregate(  # noqa: E731
+        F.transform(c, lambda x: x * x), F.lit(0.0), lambda a, x: a + x))
+    emb = (load_table(spark, sf_dir, "embeddings")
+           .select("vec_id", F.col("embedding").cast("array<double>")
+                   .alias("v"))
+           .withColumn("nv", norm(F.col("v")))
+           .withColumn("u", F.transform("v", lambda x: x / F.col("nv")))
+           .drop("v"))
+    qv = (emb.filter(F.col("vec_id") < 8)
+          .select(F.col("vec_id").alias("q_id"), F.col("u").alias("q_u")))
+    dot = F.aggregate(F.zip_with("u", "q_u", lambda x, y: x * y),
+                      F.lit(0.0), lambda a, x: a + x)
+    scored = (emb.crossJoin(F.broadcast(qv))
+              .filter(F.col("vec_id") != F.col("q_id"))
+              .select("q_id", F.col("vec_id").alias("item_id"),
+                      F.round(dot, 6).alias("relevance"), "u"))
+    w = Window.partitionBy("q_id").orderBy(F.desc("relevance"),
+                                           F.asc("item_id"))
+    cand = (scored.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= _MMR_CAND)
+            .select("q_id", "item_id", "relevance", "u"))
+
+    out_schema = ("q_id long, item_id long, relevance double, "
+                  "mmr_score double, mmr_rank int")
+
+    def greedy(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("item_id").reset_index(drop=True)
+        V = np.stack(pdf["u"].to_numpy())          # (n, d), unit rows
+        sims = V @ V.T                              # candidate-candidate
+        rel = pdf["relevance"].to_numpy()
+        n = len(pdf)
+        chosen: list[int] = []
+        scores: list[float] = []
+        max_sim = np.zeros(n)
+        for step in range(min(_MMR_TOPN, n)):
+            mmr = _MMR_LAMBDA * rel - (1 - _MMR_LAMBDA) * max_sim
+            mmr[chosen] = -np.inf
+            pick = int(np.argmax(mmr))              # first max = min id
+            chosen.append(pick)
+            scores.append(float(mmr[pick]))
+            max_sim = np.maximum(max_sim, sims[:, pick])
+        sel = pdf.iloc[chosen]
+        return pd.DataFrame({
+            "q_id": sel["q_id"].to_numpy(),
+            "item_id": sel["item_id"].to_numpy(),
+            "relevance": sel["relevance"].to_numpy(),
+            "mmr_score": np.round(np.array(scores), 6),
+            "mmr_rank": np.arange(1, len(chosen) + 1, dtype="int32"),
+        })
+
+    return (cand.groupBy("q_id").applyInPandas(greedy, out_schema)
+            .orderBy("q_id", "mmr_rank"))
+
+
+QUERIES_TAIL["mmr_diversified_topk"] = mmr_diversified_topk
+# rows-only: greedy selection has no SQL form; value parity is pinned
+# by the numpy rederivation in tests/test_retrieval_eval.py
