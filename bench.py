@@ -202,6 +202,24 @@ ROUND7B_COLLECT = [
 ]
 ROUND7B_COUNT: list = []
 
+# Round-7 retrieval/statistics wave ("round7c_total"): hybrid RRF,
+# nDCG eval, MMR re-rank, Poisson bootstrap, conformal threshold,
+# CUPED lift, vocabulary richness, group k-fold, containment dedup,
+# isotonic calibration.
+ROUND7C_COLLECT = [
+    "rrf_hybrid_search",
+    "ndcg_retrieval_eval",
+    "mmr_diversified_topk",
+    "bootstrap_revenue_ci",
+    "conformal_price_threshold",
+    "cuped_adjusted_lift",
+    "vocab_richness_report",
+    "group_kfold_assignment",
+    "containment_near_dups",
+    "isotonic_calibration",
+]
+ROUND7C_COUNT: list = []
+
 
 def main() -> None:
     spark = get_spark("bench")
@@ -258,6 +276,10 @@ def main() -> None:
         timings[name] = median_time(name, name in ROUND7B_COUNT)
     round7b_total = round(sum(timings[n] for n in
                               ROUND7B_COLLECT + ROUND7B_COUNT), 3)
+    for name in ROUND7C_COLLECT + ROUND7C_COUNT:
+        timings[name] = median_time(name, name in ROUND7C_COUNT)
+    round7c_total = round(sum(timings[n] for n in
+                              ROUND7C_COLLECT + ROUND7C_COUNT), 3)
     # Isolated re-measure of the 5 slowest queries: a fresh
     # spark.newSession() per query, after every other group finished.
     # In-run medians on a shared box have twice produced phantom
@@ -267,7 +289,8 @@ def main() -> None:
     # vs real regression without re-running the bench.
     count_set = set(HEADLINE_COUNT + PIPELINE_COUNT + EXTENDED_COUNT
                     + ROUND4_COUNT + ROUND5_COUNT + ROUND5B_COUNT
-                    + ROUND5C_COUNT + ROUND7_COUNT + ROUND7B_COUNT)
+                    + ROUND5C_COUNT + ROUND7_COUNT + ROUND7B_COUNT
+                    + ROUND7C_COUNT)
     slowest = sorted(timings, key=timings.get, reverse=True)[:5]
     isolated: dict[str, float] = {}
     for name in slowest:
@@ -291,6 +314,7 @@ def main() -> None:
         "round5c_total": round5c_total,
         "round7_total": round7_total,
         "round7b_total": round7b_total,
+        "round7c_total": round7c_total,
     }
     # The full ~150-query timing map overflowed the driver's tail capture
     # in round 5 (BENCH_r05.json: parsed=null, the line was truncated

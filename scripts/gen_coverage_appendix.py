@@ -1,0 +1,51 @@
+"""Regenerate COVERAGE.md's auto-generated appendix in place.
+
+Replaces everything from the '## Appendix:' heading to EOF with the
+current registry state — per-module entry lists with o/r marks and
+the header counts — so the appendix can never drift from the code.
+"""
+from __future__ import annotations
+
+import importlib
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+MODULES = ["threat", "relational", "pipeline", "corpus", "advanced",
+           "graph_queries", "metrics", "ml_queries",
+           "streaming_queries", "temporal", "tpch", "cleaning",
+           "tokenizer", "curation"]
+
+
+def main() -> None:
+    lines = []
+    total = oracle = 0
+    for name in MODULES:
+        mod = importlib.import_module(
+            f"threat_detection_nosql_spark.queries.{name}")
+        qs = {**mod.QUERIES, **getattr(mod, "QUERIES_TAIL", {})}
+        os_ = {**mod.ORACLES, **getattr(mod, "ORACLES_TAIL", {})}
+        marks = [f"{q} ({'o' if q in os_ else 'r'})" for q in sorted(qs)]
+        total += len(qs)
+        oracle += sum(q in os_ for q in qs)
+        lines.append(f"- **{name}** ({len(qs)}): " + ", ".join(marks))
+    appendix = (
+        "## Appendix: full query registry (auto-generated)\n\n"
+        "`o` = DuckDB-oracle hash-checked, `r` = rows-only "
+        "(non-SQL-expressible: engine RNG / model state / stream "
+        f"state / sequential greedy). {total} queries, {oracle} "
+        "oracle-backed. Regenerate with "
+        "`python scripts/gen_coverage_appendix.py`.\n\n"
+        + "\n".join(lines) + "\n")
+    doc = open("COVERAGE.md").read()
+    doc = re.sub(r"## Appendix: full query registry.*\Z", appendix,
+                 doc, flags=re.S)
+    open("COVERAGE.md", "w").write(doc)
+    print(f"appendix regenerated: {total} queries, {oracle} oracle-backed")
+
+
+if __name__ == "__main__":
+    main()

@@ -13,6 +13,9 @@ from threat_detection_nosql_spark.queries import pipeline
 def test_pipeline_query_matches_oracle(spark, ddb, name):
     queries = {**pipeline.QUERIES, **pipeline.QUERIES_TAIL}
     oracles = {**pipeline.ORACLES, **pipeline.ORACLES_TAIL}
+    if name not in oracles:  # rows-only (e.g. MMR's sequential greedy)
+        pytest.skip(f"{name} has no SQL oracle "
+                    "(tests/test_retrieval_eval.py pins value parity)")
     compare_query_to_oracle(spark, ddb, queries[name], oracles[name])
 
 
