@@ -70,25 +70,35 @@ def test_ndcg_bounds_and_gain_table(spark):
 
 
 def test_bootstrap_weights_replay_the_portable_hash(spark):
-    """The Poisson weight is a pure function of md5('boot:b:key') —
+    """The Poisson weight is a pure function of the Carter-Wegman
+    stream (h1 + b*h2) mod P seeded by two md5 draws per key —
     recompute it with hashlib for a probe of (key, replicate) pairs
     and compare against the Spark expression."""
     from threat_detection_nosql_spark.operators.dedup import (
         _portable_hash60,
     )
+    from threat_detection_nosql_spark.queries.metrics import _BOOT_P
     probe = [(str(k), b) for k in (1, 7, 1337) for b in (0, 31, 63)]
+    h1c = F.pmod(_portable_hash60(F.concat(F.lit("boot-a:"),
+                                           F.col("k"))), F.lit(_BOOT_P))
+    h2c = F.pmod(_portable_hash60(F.concat(F.lit("boot-b:"),
+                                           F.col("k"))),
+                 F.lit(_BOOT_P - 1)) + 1
     df = (spark.createDataFrame(probe, "k string, b int")
-          .select("k", "b", F.pmod(
-              _portable_hash60(F.concat(F.lit("boot:"),
-                                        F.col("b").cast("string"),
-                                        F.lit(":"), F.col("k"))),
-              F.lit(_BOOT_MOD)).alias("bucket")))
+          .select("k", "b",
+                  (F.pmod(h1c + F.col("b") * h2c, F.lit(_BOOT_P))
+                   % _BOOT_MOD).alias("bucket")))
     for r in df.collect():
-        h = hashlib.md5(f"boot:{r.b}:{r.k}".encode()).hexdigest()
-        bucket = int(h[:15], 16) % _BOOT_MOD
+        h1 = int(hashlib.md5(f"boot-a:{r.k}".encode())
+                 .hexdigest()[:15], 16) % _BOOT_P
+        h2 = int(hashlib.md5(f"boot-b:{r.k}".encode())
+                 .hexdigest()[:15], 16) % (_BOOT_P - 1) + 1
+        bucket = (h1 + r.b * h2) % _BOOT_P % _BOOT_MOD
         assert r.bucket == bucket
         w = sum(bucket >= t for t in _POIS_T)
         assert 0 <= w <= len(_POIS_T)
+    # stride stays exact BIGINT territory in both engines
+    assert 63 * (_BOOT_P - 1) < 2 ** 63
 
 
 def test_bootstrap_ci_brackets_the_point_estimate(spark):

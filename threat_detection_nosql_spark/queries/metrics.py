@@ -1625,6 +1625,7 @@ ORACLES_TAIL["ndcg_retrieval_eval"] = _NDCG_SQL
 
 _BOOT_B = 64          # replicates
 _BOOT_MOD = 10_000    # uniform resolution of the portable hash bucket
+_BOOT_P = 2_147_483_647  # 2^31 - 1: Carter-Wegman modulus (Mersenne)
 # Poisson(1) inverse-CDF thresholds at 1/10000 resolution, generated
 # once in Python and embedded as literals in BOTH engines (the
 # _NDCG_GAINS trick): replicate weight = #{t in _POIS_T : bucket >= t}.
@@ -1643,14 +1644,23 @@ def bootstrap_revenue_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     distributes, since each row draws its B replicate weights locally
     with no global resample shuffle — Chamandy et al., Google 2012).
 
-    Each (order, replicate) weight is a pure function of the portable
-    md5 bucket of 'boot:<b>:<o_orderkey>' pushed through the
-    Poisson(1) inverse CDF quantized to 1/10000 (integer thresholds
-    embedded as literals in both engines — see _POIS_T). Replicate
-    means are exact-BIGINT ratios (sum w*cents / sum w); the CI is the
-    discrete 2nd / 63rd order statistic of the 64 replicate means
-    (rank window with replicate-id tie-break) — no interpolated
-    percentile, so engine-identical.
+    The per-(order, replicate) uniform comes from a Carter-Wegman
+    pairwise-independent family (public knowledge, 1979):
+    u_b = (h1 + b*h2) mod P with P = 2^31 - 1 and h1, h2 two
+    independent portable-md5 draws PER ORDER — so the expensive string
+    hash runs twice per row instead of once per (row, replicate), and
+    the 64-way fan-out is one integer multiply-add inside codegen
+    (measured 7.2 s -> ~1 s at sf0.1; at 100 TB the difference is the
+    job). b*h2 <= 63*(P-1) < 2^37, so the arithmetic stays exact
+    BIGINT in both engines (DuckDB errors on 64-bit overflow; Spark
+    wraps — staying far below 2^63 sidesteps the divergence). The
+    bucket feeds the Poisson(1) inverse CDF quantized to 1/10000
+    (integer thresholds embedded as literals in both engines — see
+    _POIS_T). Replicate means are exact-BIGINT ratios
+    (sum w*cents / sum w); the CI is the discrete 2nd / 63rd order
+    statistic of the 64 replicate means (rank window with
+    replicate-id tie-break) — no interpolated percentile, so
+    engine-identical.
 
     Scale shape: one scan exploded x64 straight into a 64-group hash
     agg (map-side partials absorb the explosion), plus one plain agg
@@ -1667,13 +1677,17 @@ def bootstrap_revenue_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"))
     pt = base.agg(F.count("*").alias("n_orders"),
                   F.sum("cents").alias("tot_cents"))
-    rep = base.select(
-        "k", "cents",
-        F.explode(F.sequence(F.lit(0), F.lit(_BOOT_B - 1))).alias("b"))
-    bucket = F.pmod(
-        _portable_hash60(F.concat(F.lit("boot:"), F.col("b").cast("string"),
-                                  F.lit(":"), F.col("k"))),
-        F.lit(_BOOT_MOD))
+    h1 = F.pmod(_portable_hash60(F.concat(F.lit("boot-a:"), F.col("k"))),
+                F.lit(_BOOT_P))
+    h2 = F.pmod(_portable_hash60(F.concat(F.lit("boot-b:"), F.col("k"))),
+                F.lit(_BOOT_P - 1)) + 1  # non-zero stride
+    rep = (base
+           .withColumn("h1", h1).withColumn("h2", h2)
+           .select("cents", "h1", "h2",
+                   F.explode(F.sequence(F.lit(0), F.lit(_BOOT_B - 1)))
+                   .alias("b")))
+    bucket = F.pmod(F.col("h1") + F.col("b") * F.col("h2"),
+                    F.lit(_BOOT_P)) % _BOOT_MOD
     w = sum((bucket >= F.lit(t)).cast("int") for t in _POIS_T)
     means = (rep.select("b", "cents", w.alias("w"))
              .groupBy("b")
@@ -1708,13 +1722,17 @@ WITH base AS (SELECT CAST(o_orderkey AS VARCHAR) AS k,
 pt AS (SELECT CAST(count(*) AS BIGINT) AS n_orders,
               CAST(sum(cents) AS BIGINT) AS tot_cents
        FROM base),
-rep AS (SELECT k, cents, b.b
-        FROM base CROSS JOIN (SELECT unnest(range(0, {_BOOT_B})) AS b) b),
+seeded AS (SELECT cents,
+                  CAST(('0x' || substr(md5('boot-a:' || k), 1, 15))
+                       AS BIGINT) % {_BOOT_P} AS h1,
+                  CAST(('0x' || substr(md5('boot-b:' || k), 1, 15))
+                       AS BIGINT) % {_BOOT_P - 1} + 1 AS h2
+           FROM base),
+rep AS (SELECT cents, h1, h2, b.b
+        FROM seeded CROSS JOIN (SELECT unnest(range(0, {_BOOT_B})) AS b) b),
 wts AS (SELECT b, cents, ({_BOOT_W_SQL}) AS w FROM (
           SELECT b, cents,
-                 CAST(('0x' || substr(md5('boot:' || CAST(b AS VARCHAR)
-                      || ':' || k), 1, 15)) AS BIGINT) % {_BOOT_MOD}
-                   AS bucket
+                 (h1 + b * h2) % {_BOOT_P} % {_BOOT_MOD} AS bucket
           FROM rep) t),
 means AS (SELECT b,
                  CAST(sum(CAST(w AS BIGINT) * cents) AS DOUBLE)
