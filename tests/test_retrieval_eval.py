@@ -288,3 +288,53 @@ def test_mmr_matches_driver_side_greedy_and_diversifies(spark):
         if m_mmr < m_plain - 1e-9:
             tighter += 1
     assert tighter >= 1, "MMR never diversified — fixture degenerate"
+
+
+def test_kaplan_meier_python_rederivation(spark):
+    """Recompute the KM curve in pure Python from the raw events
+    (durations, censoring, the product-limit formula) and compare
+    every emitted row; plus the estimator's shape invariants."""
+    from collections import Counter
+
+    from threat_detection_nosql_spark.queries.temporal import (
+        kaplan_meier_conversion,
+    )
+    from threat_detection_nosql_spark.sources.readers import load_table
+
+    ev = (load_table(spark, SF_DIR, "events")
+          .select("user_id", "ts", "event_type", "value").collect())
+    first: dict = {}; last: dict = {}; purch: dict = {}
+    for r in ev:
+        u = r.user_id
+        first[u] = min(first.get(u, r.ts), r.ts)
+        last[u] = max(last.get(u, r.ts), r.ts)
+        if r.event_type == "purchase" and r.value >= 150:
+            purch[u] = min(purch.get(u, r.ts), r.ts)
+    subj = []
+    for u in first:
+        end = purch.get(u, last[u])
+        hours = int((end - first[u]).total_seconds() // 3600)
+        subj.append((hours, u in purch))
+    d = Counter(t for t, c in subj if c)
+    cens = Counter(t for t, c in subj if not c)
+    rows = kaplan_meier_conversion(spark, SF_DIR).collect()
+    assert rows[0].n_risk == len(subj)
+    n_risk = len(subj)
+    s = 1.0
+    expect = {}
+    for t in sorted(set(d) | set(cens)):
+        if d[t] > 0:
+            s *= 1.0 - d[t] / n_risk
+        expect[t] = (n_risk, d[t], cens[t], s)
+        n_risk -= d[t] + cens[t]
+    assert len(rows) == len(expect)
+    prev = 1.0 + 1e-12
+    for r in rows:
+        en, ed, ec, es = expect[r.t_hours]
+        assert (r.n_risk, r.n_events, r.n_censored) == (en, ed, ec)
+        assert abs(r.survival - es) < 1e-5
+        assert r.survival <= prev  # monotone non-increasing
+        prev = r.survival
+    assert any(r.n_censored > 0 for r in rows), \
+        "no censoring at this SF — fixture degenerate"
+    assert rows[-1].survival < 1.0

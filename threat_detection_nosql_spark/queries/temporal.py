@@ -1670,3 +1670,119 @@ ORDER BY "user"
 
 QUERIES_TAIL["error_recovery_stats"] = error_recovery_stats
 ORACLES_TAIL["error_recovery_stats"] = _RECOVERY_SQL
+
+
+# -- Kaplan-Meier time-to-first-purchase curve --------------------------------
+
+def kaplan_meier_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival curve (public knowledge — Kaplan & Meier
+    1958) for time-to-first HIGH-VALUE purchase (value >= 150, ~the
+    top fifth of purchases — rare enough that a real censored
+    population exists at every SF): per user, the duration in whole
+    hours from their first event to their first qualifying purchase
+    (event) or to their last event (right-censored — the estimator's
+    whole point vs a naive conversion histogram, which silently drops
+    or biases the never-converted ~55%). Emits one row per distinct event time:
+    n_risk, n_events, n_censored and the KM survival estimate
+    S(t) = prod_{t_i <= t, d_i > 0} (1 - d_i/n_i).
+
+    Exactness: durations are integer hours (exact micros arithmetic
+    floor-divided); n_risk is total minus an exact cumulative BIGINT;
+    the product is exp of the cumulative window sum of
+    ln(1 - d_i/n_i) — runtime ln/exp is house precedent (bm25,
+    unigram_logprob) and the cumulative window sum has a FIXED
+    summation order (duration ASC) in both engines, so the rounded
+    emission agrees. A d_i = n_i terminal time would send ln to
+    -inf (DuckDB errors): a cumulative zero-factor counter emits
+    exact 0.0 from that time on and the ln term is guarded out.
+
+    Scale shape: one scan -> per-user conditional-min/max agg (map
+    combinable) -> per-duration agg (bounded by the time grid) ->
+    ordered window over the tiny duration frame. The window is
+    single-partition over DISTINCT DURATIONS (grid-sized, not
+    user-sized) — the curve itself is the small thing."""
+    from pyspark.sql.window import Window
+    ev = load_table(spark, sf_dir, "events")
+    per_user = (ev.groupBy("user_id")
+                .agg(F.min("ts").alias("first_ts"),
+                     F.max("ts").alias("last_ts"),
+                     F.min(F.when((F.col("event_type") == "purchase")
+                                  & (F.col("value") >= 150),
+                                  F.col("ts"))).alias("purch_ts")))
+    hours = lambda a, b: ((F.unix_micros(a) - F.unix_micros(b))  # noqa: E731
+                          / F.lit(3600000000)).cast("long")
+    subj = per_user.select(
+        F.when(F.col("purch_ts").isNotNull(),
+               hours(F.col("purch_ts"), F.col("first_ts")))
+         .otherwise(hours(F.col("last_ts"), F.col("first_ts")))
+        .alias("t_hours"),
+        F.col("purch_ts").isNotNull().cast("long").alias("converted"))
+    grid = (subj.groupBy("t_hours")
+            .agg(F.sum("converted").alias("n_events"),
+                 F.sum(F.lit(1) - F.col("converted")).alias("n_censored"))
+            .localCheckpoint())  # tiny; total + window share one build
+    total = grid.agg(F.sum(F.col("n_events") + F.col("n_censored"))
+                     .alias("n_total"))
+    w = (Window.orderBy("t_hours")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    left = F.sum(F.col("n_events") + F.col("n_censored")).over(w)
+    cum = (grid.crossJoin(F.broadcast(total))
+           .withColumn("n_risk", F.col("n_total") - left
+                       + F.col("n_events") + F.col("n_censored")))
+    factor_ln = F.when(
+        (F.col("n_events") > 0) & (F.col("n_events") < F.col("n_risk")),
+        F.log(F.lit(1.0) - F.col("n_events").cast("double")
+              / F.col("n_risk"))).otherwise(F.lit(0.0))
+    dead = F.sum((F.col("n_events") == F.col("n_risk")).cast("int")).over(w)
+    surv = F.when(dead > 0, F.lit(0.0)).otherwise(
+        F.exp(F.sum(factor_ln).over(w)))
+    return (cum.select("t_hours", "n_risk", "n_events", "n_censored",
+                       F.round(surv, 6).alias("survival"))
+            .orderBy("t_hours"))
+
+
+_KM_SQL = """
+WITH per_user AS (
+  SELECT user_id, min(ts) AS first_ts, max(ts) AS last_ts,
+         min(CASE WHEN event_type = 'purchase' AND value >= 150
+                  THEN ts END) AS purch_ts
+  FROM events GROUP BY user_id),
+subj AS (
+  SELECT CASE WHEN purch_ts IS NOT NULL
+              THEN (epoch_us(purch_ts) - epoch_us(first_ts)) // 3600000000
+              ELSE (epoch_us(last_ts) - epoch_us(first_ts)) // 3600000000
+         END AS t_hours,
+         CAST(purch_ts IS NOT NULL AS BIGINT) AS converted
+  FROM per_user),
+grid AS (
+  SELECT t_hours, CAST(sum(converted) AS BIGINT) AS n_events,
+         CAST(sum(1 - converted) AS BIGINT) AS n_censored
+  FROM subj GROUP BY t_hours),
+tot AS (SELECT CAST(sum(n_events + n_censored) AS BIGINT) AS n_total
+        FROM grid),
+cum AS (
+  SELECT t_hours, n_events, n_censored,
+         n_total
+           - CAST(sum(n_events + n_censored) OVER
+                  (ORDER BY t_hours ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           + n_events + n_censored AS n_risk
+  FROM grid CROSS JOIN tot),
+curve AS (
+  SELECT t_hours, n_risk, n_events, n_censored,
+         CAST(sum(CAST(n_events = n_risk AS INT)) OVER
+              (ORDER BY t_hours ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS dead,
+         sum(CASE WHEN n_events > 0 AND n_events < n_risk
+                  THEN ln(1.0 - CAST(n_events AS DOUBLE) / n_risk)
+                  ELSE 0.0 END) OVER
+             (ORDER BY t_hours ROWS UNBOUNDED PRECEDING) AS lnsum
+  FROM cum)
+SELECT t_hours, n_risk, n_events, n_censored,
+       round(CASE WHEN dead > 0 THEN 0.0 ELSE exp(lnsum) END, 6)
+         AS survival
+FROM curve
+ORDER BY t_hours
+"""
+
+QUERIES_TAIL["kaplan_meier_conversion"] = kaplan_meier_conversion
+ORACLES_TAIL["kaplan_meier_conversion"] = _KM_SQL
