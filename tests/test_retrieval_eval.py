@@ -338,3 +338,44 @@ def test_kaplan_meier_python_rederivation(spark):
     assert any(r.n_censored > 0 for r in rows), \
         "no censoring at this SF — fixture degenerate"
     assert rows[-1].survival < 1.0
+
+
+def test_mann_whitney_python_rederivation(spark):
+    """Recompute U, the tie-corrected z and the rank-biserial r with
+    textbook average ranks in pure Python and compare."""
+    from collections import Counter
+
+    from threat_detection_nosql_spark.operators.sampling import (
+        hash_bucket,
+    )
+    from threat_detection_nosql_spark.queries.metrics import (
+        mann_whitney_variant_test,
+    )
+    from threat_detection_nosql_spark.sources.readers import load_table
+
+    ev = load_table(spark, SF_DIR, "events")
+    users = (ev.groupBy("user_id").agg(F.count("*").alias("y"))
+             .select("y", (hash_bucket(F.col("user_id"), salt="exp") % 2)
+                     .alias("v"))).collect()
+    n = len(users)
+    counts = Counter(r.y for r in users)
+    avg_rank, cum = {}, 0
+    for y in sorted(counts):
+        avg_rank[y] = cum + (counts[y] + 1) / 2
+        cum += counts[y]
+    b = [r.y for r in users if r.v == 1]
+    nb, na = len(b), n - len(b)
+    rb = sum(avg_rank[y] for y in b)
+    u = rb - nb * (nb + 1) / 2
+    ties = sum(t ** 3 - t for t in counts.values())
+    var = na * nb / 12 * ((n + 1) - ties / (n * (n - 1)))
+    z = (u - na * nb / 2) / math.sqrt(var)
+    out = mann_whitney_variant_test(spark, SF_DIR).collect()[0]
+    assert (out.n_a, out.n_b) == (na, nb)
+    assert abs(out.u_stat - u) < 1e-6
+    assert abs(out.z_score - z) < 1e-5
+    assert abs(out.rank_biserial - (1 - 2 * u / (na * nb))) < 1e-6
+    assert -1.0 <= out.rank_biserial <= 1.0
+    # hash assignment is a fair coin: |z| should not scream
+    assert abs(out.z_score) < 5.0
+    assert ties > 0, "integer metric must produce ties"

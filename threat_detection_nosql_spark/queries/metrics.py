@@ -1991,3 +1991,103 @@ FROM g
 
 QUERIES_TAIL["cuped_adjusted_lift"] = cuped_adjusted_lift
 ORACLES_TAIL["cuped_adjusted_lift"] = _CUPED_SQL
+
+
+# -- Mann-Whitney U: the nonparametric two-sample variant test ----------------
+
+def mann_whitney_variant_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U (Wilcoxon rank-sum) test between the two
+    hash-assigned variants of cuped_adjusted_lift, on the per-user
+    event count — the nonparametric companion the experimentation
+    family needs when the metric is skewed enough that the CUPED
+    t-style lift is not trusted. Emits U, the normal-approximation z
+    with the TIE-CORRECTED variance (the metric is an integer count,
+    so ties dominate), and the rank-biserial effect size
+    r = 1 - 2U/(na*nb).
+
+    Exactness: average ranks are kept as DOUBLED integers
+    (2*avgrank = 2*cum_before + cnt + 1), so the rank-sum R2 and
+    U2 = 2*U are exact BIGINTs; the tie correction sum(t^3 - t) is an
+    exact BIGINT; z and r are fixed-order scalar double algebra on
+    those integers. No interpolation, no runtime transcendentals
+    beyond one sqrt.
+
+    Scale shape: per-user count agg (map-combinable) -> per-VALUE agg
+    (grid-sized: distinct metric values, not users) -> one ordered
+    window over the value grid -> 1-row agg. The single-partition
+    window is over distinct counts, bounded by the metric range."""
+    from threat_detection_nosql_spark.operators.sampling import hash_bucket
+    from threat_detection_nosql_spark.sources.readers import load_table
+    ev = load_table(spark, sf_dir, "events")
+    users = (ev.groupBy("user_id").agg(F.count("*").alias("y"))
+             .select("y", (hash_bucket(F.col("user_id"), salt="exp") % 2)
+                     .alias("variant")))
+    vals = (users.groupBy("y")
+            .agg(F.count("*").alias("cnt"),
+                 F.sum(F.col("variant").cast("long")).alias("cnt_b")))
+    w = Window.orderBy("y").rowsBetween(Window.unboundedPreceding, 0)
+    ranked = vals.select(
+        "y", "cnt", "cnt_b",
+        (2 * (F.sum("cnt").over(w) - F.col("cnt"))
+         + F.col("cnt") + 1).alias("avg2"))   # 2 * average rank
+    g = ranked.agg(
+        F.sum("cnt").alias("n"),
+        F.sum("cnt_b").alias("nb"),
+        F.sum(F.col("cnt_b") * F.col("avg2")).alias("r2b"),
+        F.sum(F.col("cnt") * F.col("cnt") * F.col("cnt") - F.col("cnt"))
+        .alias("ties"))
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    na = F.col("n") - F.col("nb")
+    u2 = F.col("r2b") - F.col("nb") * (F.col("nb") + 1)  # 2*U exact
+    var = (na.cast("double") * d("nb") / 12.0
+           * ((d("n") + 1.0)
+              - d("ties") / (d("n") * (d("n") - 1.0))))
+    z = (u2.cast("double") - na.cast("double") * d("nb")) \
+        / (2.0 * F.sqrt(var))
+    rbc = 1.0 - u2.cast("double") / (na.cast("double") * d("nb"))
+    return g.select(
+        na.alias("n_a"), F.col("nb").alias("n_b"),
+        F.round(u2.cast("double") / 2.0, 6).alias("u_stat"),
+        F.round(z, 6).alias("z_score"),
+        F.round(rbc, 6).alias("rank_biserial"))
+
+
+_MW_SQL = """
+WITH u AS (SELECT user_id, CAST(count(*) AS BIGINT) AS y
+           FROM events GROUP BY user_id),
+v AS (SELECT y,
+             CAST(('0x' || substr(md5('exp:' || CAST(user_id AS VARCHAR)),
+                  1, 15)) AS BIGINT) % 10000 % 2 AS variant
+      FROM u),
+vals AS (SELECT y, CAST(count(*) AS BIGINT) AS cnt,
+                CAST(sum(variant) AS BIGINT) AS cnt_b
+         FROM v GROUP BY y),
+ranked AS (SELECT y, cnt, cnt_b,
+                  2 * (CAST(sum(cnt) OVER (ORDER BY y
+                       ROWS UNBOUNDED PRECEDING) AS BIGINT) - cnt)
+                    + cnt + 1 AS avg2
+           FROM vals),
+g AS (SELECT CAST(sum(cnt) AS BIGINT) AS n,
+             CAST(sum(cnt_b) AS BIGINT) AS nb,
+             CAST(sum(cnt_b * avg2) AS BIGINT) AS r2b,
+             CAST(sum(cnt * cnt * cnt - cnt) AS BIGINT) AS ties
+      FROM ranked)
+SELECT (n - nb) AS n_a, nb AS n_b,
+       round(CAST(r2b - nb * (nb + 1) AS DOUBLE) / 2.0, 6) AS u_stat,
+       round((CAST(r2b - nb * (nb + 1) AS DOUBLE)
+              - CAST(n - nb AS DOUBLE) * CAST(nb AS DOUBLE))
+             / (2.0 * sqrt(CAST(n - nb AS DOUBLE) * CAST(nb AS DOUBLE)
+                           / 12.0
+                           * ((CAST(n AS DOUBLE) + 1.0)
+                              - CAST(ties AS DOUBLE)
+                                / (CAST(n AS DOUBLE)
+                                   * (CAST(n AS DOUBLE) - 1.0))))), 6)
+         AS z_score,
+       round(1.0 - CAST(r2b - nb * (nb + 1) AS DOUBLE)
+                   / (CAST(n - nb AS DOUBLE) * CAST(nb AS DOUBLE)), 6)
+         AS rank_biserial
+FROM g
+"""
+
+QUERIES_TAIL["mann_whitney_variant_test"] = mann_whitney_variant_test
+ORACLES_TAIL["mann_whitney_variant_test"] = _MW_SQL
