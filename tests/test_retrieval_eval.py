@@ -379,3 +379,60 @@ def test_mann_whitney_python_rederivation(spark):
     # hash assignment is a fair coin: |z| should not scream
     assert abs(out.z_score) < 5.0
     assert ties > 0, "integer metric must produce ties"
+
+
+def test_ks_split_drift_exact_integer_supremum(spark):
+    """Recompute the two-sample KS distance in pure Python from the
+    hash-split length lists and compare; a hash split must sit well
+    under the 5% critical value (that's the audit's point)."""
+    from threat_detection_nosql_spark.operators.sampling import (
+        hash_bucket,
+    )
+    from threat_detection_nosql_spark.queries.cleaning import (
+        ks_split_drift,
+    )
+    from threat_detection_nosql_spark.sources.readers import load_table
+
+    docs = (load_table(spark, SF_DIR, "documents")
+            .select(F.length("text").alias("len"),
+                    hash_bucket(F.col("doc_id"), salt="split-ks")
+                    .alias("b"))).collect()
+    a = sorted(r.len for r in docs if r.b < 5000)
+    b = sorted(r.len for r in docs if r.b >= 5000)
+    na, nb = len(a), len(b)
+    best, best_len = -1, None
+    ca = cb = 0
+    import bisect
+    for ln in sorted(set(a) | set(b)):
+        ca = bisect.bisect_right(a, ln)
+        cb = bisect.bisect_right(b, ln)
+        gap = abs(ca * nb - cb * na)
+        if gap > best:
+            best, best_len = gap, ln
+    row = ks_split_drift(spark, SF_DIR).collect()[0]
+    assert (row.n_half_a, row.n_half_b) == (na, nb)
+    assert row.ks_at_len == best_len
+    assert abs(row.ks_stat - best / (na * nb)) < 1e-6
+    assert 0.0 <= row.ks_stat <= 1.0
+    assert row.ks_stat < row.crit_05, \
+        "hash split shows significant drift — split machinery broken"
+
+
+def test_tokenizer_fertility_identities(spark):
+    """Fertility >= ~1 on whitespace-split ASCII text (the regex never
+    merges across spaces), byte/token and token/word ratios positive,
+    and the group sums reconcile with a direct corpus count."""
+    from threat_detection_nosql_spark.queries.tokenizer import (
+        tokenizer_fertility,
+    )
+    from threat_detection_nosql_spark.sources.readers import load_table
+
+    rows = tokenizer_fertility(spark, SF_DIR).collect()
+    assert rows
+    docs = load_table(spark, SF_DIR, "documents")
+    assert sum(r.n_docs for r in rows) == docs.count()
+    for r in rows:
+        assert r.fertility >= 1.0  # a word is >= 1 subword
+        assert r.bytes_per_token > 0
+        assert r.n_subwords >= r.n_words
+        assert abs(r.fertility - r.n_subwords / r.n_words) < 1e-6

@@ -432,3 +432,98 @@ FROM bucketed JOIN ref USING (source_decile)
 
 QUERIES_TAIL["source_quantile_normalized"] = source_quantile_normalized
 ORACLES_TAIL["source_quantile_normalized"] = _QNORM_SQL
+
+
+# -- KS statistic between split length distributions ---------------------------
+
+def ks_split_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov distance between the document-
+    length distributions of the two halves of a 50/50 hash split —
+    the standard distribution-equality audit run before trusting a
+    splitter: a pure hash split is exchangeable, so its KS distance
+    MUST sit under the classical critical value
+    c(0.05)*sqrt((na+nb)/(na*nb)) (pinned in tests); pointing the
+    same audit at a time- or source-correlated split is the
+    real-world use, where it lights up. Emits the supremum location
+    and the critical value beside the statistic. (The 98/1/1
+    dataset_split_assignment holdouts are too small for a powered KS
+    at the test SFs; the 50/50 probe audits the same hash family.)
+
+    Exactness: the KS supremum is computed over EXACT INTEGERS —
+    sup |cumA/na - cumB/nb| = max |cumA*nb - cumB*na| / (na*nb),
+    maximized as a BIGINT before the single final division, so no
+    float comparison ever picks the argmax. Ties in the integer gap
+    break to the smallest length (min over argmax rows). The
+    critical value is one sqrt of an exact ratio.
+
+    Scale shape: one scan -> per-(length, split) count agg (grid x 2)
+    -> one ordered window over the length grid -> 1-row argmax agg.
+    The single-partition window is over distinct lengths, not rows."""
+    from pyspark.sql.window import Window
+    from threat_detection_nosql_spark.operators.sampling import hash_bucket
+    docs = load_table(spark, sf_dir, "documents")
+    split = hash_bucket(F.col("doc_id"), salt="split-ks")
+    base = docs.select(F.length("text").alias("len"),
+                       (split < 5000).alias("is_a"))
+    grid = (base.groupBy("len")
+            .agg(F.sum(F.col("is_a").cast("long")).alias("a"),
+                 F.sum((~F.col("is_a")).cast("long")).alias("b")))
+    w = Window.orderBy("len").rowsBetween(Window.unboundedPreceding, 0)
+    cum = grid.select(
+        "len",
+        F.sum("a").over(w).alias("ca"), F.sum("b").over(w).alias("cb"),
+        F.sum("a").over(Window.partitionBy()).alias("na"),
+        F.sum("b").over(Window.partitionBy()).alias("nb"))
+    gap = F.abs(F.col("ca") * F.col("nb") - F.col("cb") * F.col("na"))
+    scored = cum.select("len", "na", "nb", gap.alias("gap"))
+    top = scored.agg(F.max("gap").alias("gmax"))
+    arg = (scored.join(F.broadcast(top), F.col("gap") == F.col("gmax"))
+           .agg(F.min("len").alias("ks_at_len"),
+                F.first("gmax").alias("gmax"),
+                F.first("na").alias("na"), F.first("nb").alias("nb")))
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    return arg.select(
+        F.col("na").alias("n_half_a"), F.col("nb").alias("n_half_b"),
+        "ks_at_len",
+        F.round(d("gmax") / (d("na") * d("nb")), 6).alias("ks_stat"),
+        F.round(F.lit(1.358) * F.sqrt((d("na") + d("nb"))
+                                      / (d("na") * d("nb"))), 6)
+        .alias("crit_05"))
+
+
+_KS_SQL = """
+WITH base AS (
+  SELECT length(text) AS len,
+         CAST(('0x' || substr(md5('split-ks:'
+              || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+           % 10000 < 5000 AS is_a
+  FROM documents),
+grid AS (SELECT len,
+                CAST(sum(CAST(is_a AS INT)) AS BIGINT) AS a,
+                CAST(sum(CAST(NOT is_a AS INT)) AS BIGINT) AS b
+         FROM base GROUP BY len),
+cum AS (SELECT len,
+               CAST(sum(a) OVER (ORDER BY len ROWS UNBOUNDED PRECEDING)
+                    AS BIGINT) AS ca,
+               CAST(sum(b) OVER (ORDER BY len ROWS UNBOUNDED PRECEDING)
+                    AS BIGINT) AS cb,
+               CAST(sum(a) OVER () AS BIGINT) AS na,
+               CAST(sum(b) OVER () AS BIGINT) AS nb
+        FROM grid),
+scored AS (SELECT len, na, nb, abs(ca * nb - cb * na) AS gap FROM cum),
+arg AS (SELECT min(len) AS ks_at_len, any_value(na) AS na,
+               any_value(nb) AS nb, any_value(gap) AS gmax
+        FROM scored WHERE gap = (SELECT max(gap) FROM scored))
+SELECT na AS n_half_a, nb AS n_half_b, ks_at_len,
+       round(CAST(gmax AS DOUBLE)
+             / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)), 6) AS ks_stat,
+       round(1.358 * sqrt((CAST(na AS DOUBLE) + CAST(nb AS DOUBLE))
+                          / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))), 6)
+         AS crit_05
+FROM arg
+"""
+
+QUERIES_TAIL = {**globals().get("QUERIES_TAIL", {}),
+                "ks_split_drift": ks_split_drift}
+ORACLES_TAIL = {**globals().get("ORACLES_TAIL", {}),
+                "ks_split_drift": _KS_SQL}

@@ -234,3 +234,66 @@ ORACLES = {
     "bpe_subword_freqs": _subword_freqs_sql(_N_MERGES),
     "bpe_encode_part_names": _encode_sql(_N_MERGES),
 }
+
+
+# -- Tokenizer fertility audit -------------------------------------------------
+
+from threat_detection_nosql_spark.queries.pipeline import _BPE_PAT as _BPE_PAT_T
+_BPE_PAT_SQL = _BPE_PAT_T.replace("'", "''")
+
+
+def tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility audit per (lang, source): subword tokens
+    per whitespace word (fertility — THE tokenizer-evaluation number;
+    a language with fertility ~2x pays double the sequence length for
+    the same text) and bytes per subword token, using the GPT-2-style
+    ASCII pre-tokenizer regex shared with token_counts
+    (pipeline._BPE_PAT — identical in Java and RE2 dialects).
+
+    Exactness: three integer sums per group (words, subword tokens,
+    UTF-8 byte length) and two rounded divisions — nothing else.
+
+    Scale shape: one scan, one map-combinable hash agg on the
+    (lang, source) grid; the regexp_extract_all runs once per row
+    inside codegen. At 100x corpora the agg stays two-level
+    (partial/final) with a cells-not-rows shuffle."""
+    from threat_detection_nosql_spark.queries.pipeline import _BPE_PAT
+    from threat_detection_nosql_spark.sources.readers import load_table
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.size(F.filter(F.split("text", r"\s+"),
+                            lambda x: x != F.lit("")))
+    subs = F.size(F.regexp_extract_all("text", F.lit(_BPE_PAT), 0))
+    per = (docs.groupBy("lang", "source")
+           .agg(F.count("*").alias("n_docs"),
+                F.sum(words.cast("long")).alias("n_words"),
+                F.sum(subs.cast("long")).alias("n_subwords"),
+                F.sum(F.octet_length("text").cast("long"))
+                .alias("n_bytes")))
+    return (per.select(
+        "lang", "source", "n_docs", "n_words", "n_subwords",
+        F.round(F.col("n_subwords").cast("double") / F.col("n_words"), 6)
+        .alias("fertility"),
+        F.round(F.col("n_bytes").cast("double") / F.col("n_subwords"), 6)
+        .alias("bytes_per_token"))
+        .orderBy("lang", "source"))
+
+
+_FERTILITY_SQL = rf"""
+WITH per AS (
+  SELECT lang, source,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(len(list_filter(string_split_regex(text, '\s+'),
+                                  x -> x <> ''))) AS BIGINT) AS n_words,
+         CAST(sum(len(regexp_extract_all(text,
+              '{_BPE_PAT_SQL}'))) AS BIGINT) AS n_subwords,
+         CAST(sum(octet_length(CAST(text AS BLOB))) AS BIGINT) AS n_bytes
+  FROM documents GROUP BY lang, source)
+SELECT lang, source, n_docs, n_words, n_subwords,
+       round(CAST(n_subwords AS DOUBLE) / n_words, 6) AS fertility,
+       round(CAST(n_bytes AS DOUBLE) / n_subwords, 6) AS bytes_per_token
+FROM per
+ORDER BY lang, source
+"""
+
+QUERIES_TAIL = {"tokenizer_fertility": tokenizer_fertility}
+ORACLES_TAIL = {"tokenizer_fertility": _FERTILITY_SQL}
