@@ -217,6 +217,10 @@ ROUND7C_COLLECT = [
     "group_kfold_assignment",
     "containment_near_dups",
     "isotonic_calibration",
+    "kaplan_meier_conversion",
+    "mann_whitney_variant_test",
+    "ks_split_drift",
+    "tokenizer_fertility",
 ]
 ROUND7C_COUNT: list = []
 
