@@ -514,3 +514,68 @@ def test_link_prediction_adjacency_cap_semantics(spark, tmp_path,
     assert got == {tuple(sorted(p)) for p in
                    itertools.combinations(kept, 2)}
     assert all(3 not in p and 4 not in p for p in got)
+
+
+def test_late_round7_scans_prune_to_used_columns(spark):
+    """Late-round-7 wave pruning pins: Kaplan-Meier reads only
+    (user_id, ts, event_type, value); Mann-Whitney only user_id;
+    tokenizer fertility only (lang, source, text); the KS audit only
+    (doc_id, text); the bootstrap only (o_orderkey, o_totalprice)."""
+    from threat_detection_nosql_spark.queries.cleaning import (
+        ks_split_drift)
+    from threat_detection_nosql_spark.queries.metrics import (
+        bootstrap_revenue_ci, mann_whitney_variant_test)
+    from threat_detection_nosql_spark.queries.temporal import (
+        kaplan_meier_conversion)
+    from threat_detection_nosql_spark.queries.tokenizer import (
+        tokenizer_fertility)
+
+    # KM checkpoints the duration grid: the downstream plan must read
+    # ONLY the materialized RDD (the one events scan was paid at
+    # checkpoint time — key_skew_audit precedent)
+    plan = formatted_plan(kaplan_meier_conversion(spark, SF_DIR))
+    assert "events.parquet" not in plan and "Scan parquet" not in plan
+    assert "ExistingRDD" in plan or "LocalTableScan" in plan
+
+    plan = formatted_plan(mann_whitney_variant_test(spark, SF_DIR))
+    scans = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert scans and all("user_id" in ln and "event_type" not in ln
+                         and "value" not in ln for ln in scans)
+
+    plan = formatted_plan(tokenizer_fertility(spark, SF_DIR))
+    scans = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert scans and all("text" in ln and "doc_id" not in ln
+                         for ln in scans)
+
+    plan = formatted_plan(ks_split_drift(spark, SF_DIR))
+    scans = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert scans and all("doc_id" in ln and "text" in ln
+                         and "lang" not in ln and "source" not in ln
+                         for ln in scans)
+
+    plan = formatted_plan(bootstrap_revenue_ci(spark, SF_DIR))
+    scans = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    # the point-estimate branch prunes even o_orderkey away
+    assert scans and all("o_totalprice" in ln and "o_orderdate" not in ln
+                         and "o_custkey" not in ln for ln in scans)
+
+
+def test_rrf_and_ndcg_broadcast_the_query_side(spark):
+    """The retrieval wave's scale contract: the 8-query side joins as
+    a broadcast (no shuffle of the corpus for the semantic BNL), and
+    the corpus-side scans prune to the used columns."""
+    from threat_detection_nosql_spark.queries.metrics import (
+        ndcg_retrieval_eval)
+    from threat_detection_nosql_spark.queries.pipeline import (
+        rrf_hybrid_search)
+
+    plan = formatted_plan(rrf_hybrid_search(spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    scans = [ln for ln in plan.splitlines()
+             if "ReadSchema" in ln and "documents" in ln]
+    # the documents scans feed the token pipeline only
+    assert all("lang" not in ln and "source" not in ln for ln in scans)
+
+    plan = formatted_plan(ndcg_retrieval_eval(spark, SF_DIR))
+    assert "ExistingRDD" in plan or "LocalTableScan" in plan \
+        or "BroadcastNestedLoopJoin" in plan
