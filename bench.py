@@ -221,6 +221,7 @@ ROUND7C_COLLECT = [
     "mann_whitney_variant_test",
     "ks_split_drift",
     "tokenizer_fertility",
+    "incremental_corpus_dedup",
 ]
 ROUND7C_COUNT: list = []
 

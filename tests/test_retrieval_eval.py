@@ -436,3 +436,45 @@ def test_tokenizer_fertility_identities(spark):
         assert r.bytes_per_token > 0
         assert r.n_subwords >= r.n_words
         assert abs(r.fertility - r.n_subwords / r.n_words) < 1e-6
+
+
+def test_incremental_dedup_planted_classification(spark, tmp_path):
+    """Planted batch: an incoming doc that is a case/whitespace
+    variant of a corpus doc -> exact_dup; one word changed -> near_dup
+    (band collision + >=8/16 agreement); unrelated text -> unique.
+    Batch membership is the portable hash of doc_id, so the fixture
+    picks ids on the right side of the split programmatically."""
+    from threat_detection_nosql_spark.queries.advanced import (
+        incremental_corpus_dedup,
+    )
+
+    def bucket(i):
+        return int(hashlib.md5(f"batch:{i}".encode())
+                   .hexdigest()[:15], 16) % 10000
+
+    olds = [i for i in range(400) if bucket(i) < 8000]
+    news = [i for i in range(400) if bucket(i) >= 8000]
+    assert len(olds) >= 2 and len(news) >= 3
+    base = ("alpha bravo charlie delta echo foxtrot golf hotel india "
+            "juliet kilo lima mike november oscar papa quebec romeo "
+            "sierra tango uniform victor whiskey xray yankee zulu")
+    near = base.replace("oscar", "OSCARX")  # one shingle neighborhood
+    rows = [
+        (olds[0], base, "en", "src0", len(base)),
+        (olds[1], "completely different text " * 6, "en", "src0", 1),
+        (news[0], "  " + base.upper() + "  ", "en", "src0", 1),  # exact
+        (news[1], near, "en", "src0", 1),                        # near
+        (news[2], "zeta eta theta iota kappa " * 8, "en", "src0", 1),
+    ]
+    (spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, "
+              "n_chars long")
+     .coalesce(1).write.mode("overwrite")
+     .parquet(str(tmp_path / "documents.parquet")))
+    got = {r.doc_id: (r.status, r.matched_old)
+           for r in incremental_corpus_dedup(spark, str(tmp_path))
+           .collect()}
+    assert got[news[0]] == ("exact_dup", olds[0])
+    assert got[news[1]] == ("near_dup", olds[0])
+    assert got[news[2]] == ("unique", None)
+    assert set(got) == {news[0], news[1], news[2]}

@@ -780,3 +780,135 @@ ORDER BY c.component, c.doc_id
 
 QUERIES_TAIL["split_leakage_repair"] = split_leakage_repair
 ORACLES_TAIL["split_leakage_repair"] = _SPLIT_REPAIR_SQL
+
+
+# -- Incremental corpus dedup: a NEW batch screened against the corpus --------
+
+_INC_EST_MIN = 8  # near-dup verify: >= 8/16 agreeing signature parts
+
+
+def incremental_corpus_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-crawl dedup: screen an incoming batch against the
+    EXISTING corpus instead of re-deduping the world. Docs split by
+    the portable hash (salt 'batch': <80% = existing corpus, rest =
+    the incoming batch); every incoming doc is classified
+    'exact_dup' (normalized-text md5 matches an existing doc),
+    'near_dup' (shares a MinHash LSH band with an existing doc AND
+    >= 8/16 signature components agree — the S-curve verify), or
+    'unique', with the smallest matching existing doc_id attached.
+    This asymmetric (new x old) screen is the production shape of
+    dedup at 100 TB: the corpus side is indexed once (signatures are
+    mergeable, append-only state), each batch joins against it —
+    never all-pairs over the union.
+
+    Reuses the EXACT machinery the symmetric queries ship
+    (operators/dedup.minhash_signatures: one md5 per shingle, affine
+    permutations in codegen; cleaning's normalization for the exact
+    hash), so the oracle replays signatures, banding, agreement
+    counts and the normalization bit-for-bit.
+
+    Scale shape: one signature build over the union (the corpus-side
+    signatures would be a precomputed table in production — noted),
+    band explode -> equi-join on the band struct bounded by bucket
+    collisions, one agreement verify join on the |candidates| frame,
+    two broadcast-size left joins back onto the batch."""
+    from threat_detection_nosql_spark.operators.sampling import hash_bucket
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = hash_bucket(F.col("doc_id"), salt="batch")
+    normh = F.md5(F.trim(F.regexp_replace(F.lower("text"),
+                                          r"\s+", " ")))
+    hashed = docs.select("doc_id", bucket.alias("bk"), normh.alias("h"))
+    new_h = (hashed.filter(F.col("bk") >= 8000)
+             .select("doc_id", "h").localCheckpoint())
+    old_h = (hashed.filter(F.col("bk") < 8000)
+             .select(F.col("doc_id").alias("old_id"), "h"))
+    exact = (new_h.join(old_h, "h")
+             .groupBy("doc_id").agg(F.min("old_id").alias("exact_old")))
+
+    sig = dedup.minhash_signatures(docs).localCheckpoint()
+    sb = sig.withColumn("bk", hash_bucket(F.col("doc_id"), salt="batch"))
+    n_bands, r = 8, 2
+    bands = lambda df, name: df.select(  # noqa: E731
+        F.col("doc_id").alias(name),
+        F.explode(F.array(*[
+            F.struct(F.lit(b).alias("band"),
+                     *[F.col(f"s{b * r + j}").alias(f"v{j}")
+                       for j in range(r)])
+            for b in range(n_bands)])).alias("bkey"))
+    new_b = bands(sb.filter(F.col("bk") >= 8000), "new_id")
+    old_b = bands(sb.filter(F.col("bk") < 8000), "old_id")
+    cand = (new_b.join(old_b, "bkey")
+            .select("new_id", "old_id").distinct())
+    sa = sig.select(F.col("doc_id").alias("new_id"),
+                    *[F.col(f"s{i}").alias(f"a{i}") for i in range(16)])
+    sc = sig.select(F.col("doc_id").alias("old_id"),
+                    *[F.col(f"s{i}").alias(f"b{i}") for i in range(16)])
+    agree = sum((F.col(f"a{i}") == F.col(f"b{i}")).cast("int")
+                for i in range(16))
+    near = (cand.join(sa, "new_id").join(sc, "old_id")
+            .filter(agree >= F.lit(_INC_EST_MIN))
+            .groupBy("new_id").agg(F.min("old_id").alias("near_old"))
+            .withColumnRenamed("new_id", "doc_id"))
+    return (new_h.select("doc_id")
+            .join(exact, "doc_id", "left")
+            .join(near, "doc_id", "left")
+            .select("doc_id",
+                    F.when(F.col("exact_old").isNotNull(),
+                           F.lit("exact_dup"))
+                     .when(F.col("near_old").isNotNull(),
+                           F.lit("near_dup"))
+                     .otherwise(F.lit("unique")).alias("status"),
+                    F.coalesce("exact_old", "near_old")
+                    .alias("matched_old"))
+            .orderBy("doc_id"))
+
+
+_INC_SQL = rf"""
+WITH w AS (SELECT doc_id, string_split_regex(text, '\s+') AS wds
+           FROM documents),
+sh AS (SELECT DISTINCT doc_id,
+              wds[i] || ' ' || wds[i+1] || ' ' || wds[i+2] AS shingle
+       FROM w, LATERAL (SELECT unnest(range(1, len(wds) - 1)) AS i) ix),
+sig AS (SELECT doc_id,
+        {_MH_SIG}
+        FROM sh GROUP BY doc_id),
+bkt AS (SELECT doc_id,
+               CAST(('0x' || substr(md5('batch:'
+                    || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+                 % 10000 AS bk
+        FROM documents),
+nh AS (SELECT d.doc_id,
+              md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS h
+       FROM documents d),
+newd AS (SELECT doc_id FROM bkt WHERE bk >= 8000),
+oldd AS (SELECT doc_id FROM bkt WHERE bk < 8000),
+exact AS (SELECT n.doc_id, min(o.doc_id) AS exact_old
+          FROM newd n
+          JOIN nh a ON a.doc_id = n.doc_id
+          JOIN nh b ON b.h = a.h
+          JOIN oldd o ON o.doc_id = b.doc_id
+          GROUP BY n.doc_id),
+cand AS (SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS old_id
+         FROM sig a JOIN sig b ON ({_MH_BAND_COND})
+         JOIN newd n ON n.doc_id = a.doc_id
+         JOIN oldd o ON o.doc_id = b.doc_id),
+near AS (SELECT new_id AS doc_id, min(old_id) AS near_old FROM (
+           SELECT c.new_id, c.old_id
+           FROM cand c
+           JOIN sig sa ON sa.doc_id = c.new_id
+           JOIN sig sb ON sb.doc_id = c.old_id
+           WHERE ({_MH_EST}) >= {_INC_EST_MIN}) t
+         GROUP BY new_id)
+SELECT n.doc_id,
+       CASE WHEN e.exact_old IS NOT NULL THEN 'exact_dup'
+            WHEN r.near_old IS NOT NULL THEN 'near_dup'
+            ELSE 'unique' END AS status,
+       coalesce(e.exact_old, r.near_old) AS matched_old
+FROM newd n
+LEFT JOIN exact e ON e.doc_id = n.doc_id
+LEFT JOIN near r ON r.doc_id = n.doc_id
+ORDER BY n.doc_id
+"""
+
+QUERIES_TAIL["incremental_corpus_dedup"] = incremental_corpus_dedup
+ORACLES_TAIL["incremental_corpus_dedup"] = _INC_SQL
