@@ -478,3 +478,50 @@ def test_incremental_dedup_planted_classification(spark, tmp_path):
     assert got[news[1]] == ("near_dup", olds[0])
     assert got[news[2]] == ("unique", None)
     assert set(got) == {news[0], news[1], news[2]}
+
+
+def test_stream_incremental_dedup_two_batch_parity(spark, tmp_path):
+    """Two incoming micro-batches of planted docs against a static
+    corpus: the drained match table must equal the batch screen —
+    every match row is a pure function of one arriving row, so
+    batching cannot change the min-agg."""
+    import os
+    import time
+
+    from threat_detection_nosql_spark.streaming.stream_queries import (
+        dedup_matches_agg,
+        run_stream_to_table,
+    )
+
+    base = ("alpha bravo charlie delta echo foxtrot golf hotel india "
+            "juliet kilo lima mike november oscar papa quebec romeo "
+            "sierra tango uniform victor whiskey xray yankee zulu")
+    other = ("ein zwei drei vier funf sechs sieben acht neun zehn "
+             "elf zwolf dreizehn vierzehn funfzehn sechzehn siebzehn "
+             "achtzehn neunzehn zwanzig einund zweiund dreiund vierund")
+    old_rows = [(0, base), (1, other)]
+    old = spark.createDataFrame(old_rows, "doc_id long, text string")
+    batch1 = [(100, base.replace("oscar", "OSCARX")),   # near of 0
+              (101, "unrelated words entirely " * 8)]   # unique
+    batch2 = [(102, other.replace("neun ", "NEUN9 ")),  # near of 1
+              (103, base)]                              # identical to 0
+    src = tmp_path / "feed"
+    os.makedirs(src)
+    for name, rows in [("b1.parquet", batch1), ("b2.parquet", batch2)]:
+        (spark.createDataFrame(rows, "doc_id long, text string")
+         .coalesce(1).write.parquet(str(src / name)))
+        time.sleep(1.1)  # file source processes in mtime order
+    stream = (spark.readStream.schema("doc_id long, text string")
+              .option("maxFilesPerTrigger", "1")
+              .parquet(str(src / "*.parquet")))
+    table = run_stream_to_table(dedup_matches_agg(stream, old),
+                                mode="complete")
+    got = {r.doc_id: r.matched_old for r in table.collect()}
+    # batch reference: the same plan over the union read as one batch
+    batch_df = spark.createDataFrame(batch1 + batch2,
+                                     "doc_id long, text string")
+    want = {r.doc_id: r.matched_old
+            for r in dedup_matches_agg(batch_df, old).collect()}
+    assert got == want
+    assert got[100] == 0 and got[102] == 1 and got[103] == 0
+    assert 101 not in got

@@ -381,3 +381,37 @@ def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
                          F.col("doc_b").cast("long").alias("dst"))
     return _cc(edges, max_iter=max_iter).select(
         F.col("node").alias("doc_id"), F.col("component").alias("comp"))
+
+
+def minhash_signature_exprs(text: Column, n_hashes: int = 16,
+                            shingle_len: int = 3) -> tuple[Column, list]:
+    """Per-ROW (stateless) MinHash signature — bit-identical to
+    ``minhash_signatures``'s grouped aggregation (same shingling, same
+    base hash, same affine permutations), for streaming sides where a
+    document arrives as one row and a groupBy would be a needless
+    stateful aggregation.
+
+    Returns ``(xs, [s0..s{n-1}])`` where ``xs`` is the per-shingle
+    base-hash ARRAY column and every signature component is expressed
+    over ``F.col(name)`` of the pinned xs — the caller MUST project
+    ``xs`` to a real column first (``.withColumn(name, xs)``) and then
+    select the components: referencing the md5 chain directly from all
+    16 components would let CollapseProject inline it 16x per row (the
+    element_at-in-transform lesson, operators-wide)."""
+    w = F.split(text, r"\s+")
+    n_sh = F.greatest(F.size(w) - shingle_len + 1, F.lit(0))
+    grams = F.slice(w, 1, n_sh)
+    for j in range(1, shingle_len):
+        grams = F.zip_with(grams, F.slice(w, j + 1, n_sh),
+                           lambda a, b: F.concat_ws(" ", a, b))
+    xs = F.transform(
+        F.array_distinct(grams),
+        lambda s: _portable_hash60(s) % F.lit(_MH_PRIME))
+    def _perm(a: int, b: int):
+        return lambda v: (F.lit(a) * v + F.lit(b)) % F.lit(_MH_PRIME)
+
+    sigs = [
+        F.array_min(F.transform(F.col("_mh_xs"), _perm(a, b)))
+        .alias(f"s{i}")
+        for i, (a, b) in enumerate(minhash_params(n_hashes))]
+    return xs, sigs

@@ -530,3 +530,51 @@ GROUP BY 1, 2, 3
 
 QUERIES_TAIL["stream_markov_ordered"] = stream_markov_ordered
 ORACLES_TAIL["stream_markov_ordered"] = _MARKOV_ORDERED_SQL
+
+
+def stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of advanced.incremental_corpus_dedup's near-dup
+    screen (streaming.stream_queries.incremental_dedup_matches): the
+    incoming batch arrives as a document stream, signatures computed
+    per-row with STATELESS array expressions (no groupBy — a doc is
+    one row), banded against a static corpus-side signature frame;
+    the one stateful op is the min-match-per-doc aggregation. Drained
+    state == the batch near screen under any batching because every
+    joined match row is a pure function of the single arriving row."""
+    return S.incremental_dedup_matches(spark, sf_dir)
+
+
+def _stream_inc_dedup_sql() -> str:
+    from threat_detection_nosql_spark.queries.advanced import (
+        _MH_BAND_COND,
+        _MH_EST,
+        _MH_SIG,
+    )
+    return rf"""
+WITH w AS (SELECT doc_id, string_split_regex(text, '\s+') AS wds
+           FROM documents),
+sh AS (SELECT DISTINCT doc_id,
+              wds[i] || ' ' || wds[i+1] || ' ' || wds[i+2] AS shingle
+       FROM w, LATERAL (SELECT unnest(range(1, len(wds) - 1)) AS i) ix),
+sig AS (SELECT doc_id,
+        {_MH_SIG}
+        FROM sh GROUP BY doc_id),
+bkt AS (SELECT doc_id,
+               CAST(('0x' || substr(md5('batch:'
+                    || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+                 % 10000 AS bk
+        FROM documents)
+SELECT a.doc_id, min(b.doc_id) AS matched_old
+FROM sig a
+JOIN bkt na ON na.doc_id = a.doc_id AND na.bk >= 8000
+JOIN sig b ON ({_MH_BAND_COND})
+JOIN bkt ob ON ob.doc_id = b.doc_id AND ob.bk < 8000
+JOIN sig sa ON sa.doc_id = a.doc_id
+JOIN sig sb ON sb.doc_id = b.doc_id
+WHERE ({_MH_EST}) >= 8
+GROUP BY a.doc_id
+"""
+
+
+QUERIES_TAIL["stream_incremental_dedup"] = stream_incremental_dedup
+ORACLES_TAIL["stream_incremental_dedup"] = _stream_inc_dedup_sql()

@@ -859,3 +859,71 @@ def markov_ordered_agg(ev: DataFrame) -> DataFrame:
         stateStructType=_MARKOV_ORD_STATE,
         outputMode="update",
         timeoutConf=GroupStateTimeout.EventTimeTimeout)
+
+
+def dedup_matches_agg(docs_stream: DataFrame,
+                      old_docs: DataFrame) -> DataFrame:
+    """The plan behind ``incremental_dedup_matches``, factored so
+    tests can drive it over arbitrary batchings: per incoming doc the
+    smallest EXISTING-corpus doc it near-duplicates (MinHash band
+    collision + >= 8/16 signature agreement — the same constants as
+    the batch family).
+
+    Streaming legality by construction: a document arrives as ONE
+    row, so its 16-component signature is computed STATELESSLY with
+    array expressions (operators/dedup.minhash_signature_exprs — the
+    per-shingle md5 array is pinned to a column so CollapseProject
+    cannot inline it 16x); band explode is a generator; the corpus
+    side is a STATIC frame (signatures would be a precomputed,
+    append-only table in production), so the band join is a
+    stream-static equi-join (stateless); the ONLY stateful operator
+    is the final min-per-doc aggregation, state bounded at |matched
+    incoming docs|."""
+    from threat_detection_nosql_spark.operators import dedup as D
+
+    n_bands, r, n = 8, 2, 16
+    old_sig = D.minhash_signatures(old_docs)
+    old_bands = old_sig.select(
+        F.col("doc_id").alias("old_id"),
+        *[F.col(f"s{i}").alias(f"b{i}") for i in range(n)],
+        F.explode(F.array(*[
+            F.struct(F.lit(b).alias("band"),
+                     *[F.col(f"s{b * r + j}").alias(f"v{j}")
+                       for j in range(r)])
+            for b in range(n_bands)])).alias("bkey"))
+
+    xs, sigs = D.minhash_signature_exprs(F.col("text"))
+    new_sig = (docs_stream.withColumn("_mh_xs", xs)
+               .select("doc_id", *sigs))
+    new_bands = new_sig.select(
+        "doc_id", *[f"s{i}" for i in range(n)],
+        F.explode(F.array(*[
+            F.struct(F.lit(b).alias("band"),
+                     *[F.col(f"s{b * r + j}").alias(f"v{j}")
+                       for j in range(r)])
+            for b in range(n_bands)])).alias("bkey"))
+
+    agree = sum((F.col(f"s{i}") == F.col(f"b{i}")).cast("int")
+                for i in range(n))
+    return (new_bands.join(old_bands, "bkey")
+            .filter(agree >= F.lit(8))
+            .groupBy("doc_id")
+            .agg(F.min("old_id").alias("matched_old")))
+
+
+def incremental_dedup_matches(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """Streaming twin of queries/advanced.incremental_corpus_dedup's
+    near-dup screen: the incoming batch is the document STREAM
+    (portable-hash bucket >= 80%), the existing corpus is static."""
+    from threat_detection_nosql_spark.operators.sampling import (
+        hash_bucket,
+    )
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    bucket = hash_bucket(F.col("doc_id"), salt="batch")
+    old = docs.filter(bucket < 8000)
+    stream = (documents_stream(spark, sf_dir)
+              .filter(hash_bucket(F.col("doc_id"), salt="batch")
+                      >= 8000))
+    agg = dedup_matches_agg(stream, old)
+    return run_stream_to_table(agg, mode="complete")
