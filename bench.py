@@ -222,6 +222,7 @@ ROUND7C_COLLECT = [
     "ks_split_drift",
     "tokenizer_fertility",
     "incremental_corpus_dedup",
+    "stream_incremental_dedup",
 ]
 ROUND7C_COUNT: list = []
 
