@@ -227,6 +227,19 @@ ROUND7C_COLLECT = [
 ]
 ROUND7C_COUNT: list = []
 
+# Round-7 analytics wave ("round7d_total"): within-nation Gini,
+# basket association rules, binned Kendall tau-b, sweep-line peak
+# concurrency, readability panel, template-prefix boilerplate screen.
+ROUND7D_COLLECT = [
+    "nation_revenue_gini",
+    "brand_assoc_rules_top20",
+    "kendall_tau_binned",
+    "peak_concurrency_by_type",
+    "readability_report",
+    "template_prefix_dups",
+]
+ROUND7D_COUNT: list = []
+
 
 def main() -> None:
     spark = get_spark("bench")
@@ -287,6 +300,10 @@ def main() -> None:
         timings[name] = median_time(name, name in ROUND7C_COUNT)
     round7c_total = round(sum(timings[n] for n in
                               ROUND7C_COLLECT + ROUND7C_COUNT), 3)
+    for name in ROUND7D_COLLECT + ROUND7D_COUNT:
+        timings[name] = median_time(name, name in ROUND7D_COUNT)
+    round7d_total = round(sum(timings[n] for n in
+                              ROUND7D_COLLECT + ROUND7D_COUNT), 3)
     # Isolated re-measure of the 5 slowest queries: a fresh
     # spark.newSession() per query, after every other group finished.
     # In-run medians on a shared box have twice produced phantom
@@ -297,7 +314,7 @@ def main() -> None:
     count_set = set(HEADLINE_COUNT + PIPELINE_COUNT + EXTENDED_COUNT
                     + ROUND4_COUNT + ROUND5_COUNT + ROUND5B_COUNT
                     + ROUND5C_COUNT + ROUND7_COUNT + ROUND7B_COUNT
-                    + ROUND7C_COUNT)
+                    + ROUND7C_COUNT + ROUND7D_COUNT)
     slowest = sorted(timings, key=timings.get, reverse=True)[:5]
     isolated: dict[str, float] = {}
     for name in slowest:
@@ -322,6 +339,7 @@ def main() -> None:
         "round7_total": round7_total,
         "round7b_total": round7b_total,
         "round7c_total": round7c_total,
+        "round7d_total": round7d_total,
     }
     # The full ~150-query timing map overflowed the driver's tail capture
     # in round 5 (BENCH_r05.json: parsed=null, the line was truncated

@@ -579,3 +579,54 @@ def test_rrf_and_ndcg_broadcast_the_query_side(spark):
     plan = formatted_plan(ndcg_retrieval_eval(spark, SF_DIR))
     assert "ExistingRDD" in plan or "LocalTableScan" in plan \
         or "BroadcastNestedLoopJoin" in plan
+
+
+def test_round7d_scans_prune_and_broadcast(spark):
+    """The analytics wave's scale contracts: fixed-bin Kendall and the
+    basket rules broadcast their tiny aggregate frames (no shuffle of
+    a 100-cell cross or a 25-brand support table), and every fact scan
+    prunes to the columns the query touches."""
+    from threat_detection_nosql_spark.queries.metrics import (
+        kendall_tau_binned)
+    from threat_detection_nosql_spark.queries.pipeline import (
+        readability_report, template_prefix_dups)
+    from threat_detection_nosql_spark.queries.relational import (
+        brand_assoc_rules_top20, nation_revenue_gini)
+    from threat_detection_nosql_spark.queries.temporal import (
+        peak_concurrency_by_type)
+
+    plan = formatted_plan(nation_revenue_gini(spark, SF_DIR))
+    assert "BroadcastExchange" in plan          # dim joins broadcast
+    scans = [ln for ln in plan.splitlines()
+             if "ReadSchema" in ln and "o_custkey" in ln]
+    assert scans and all("o_totalprice" in ln
+                         and "o_orderdate" not in ln for ln in scans)
+
+    plan = formatted_plan(brand_assoc_rules_top20(spark, SF_DIR))
+    assert "BroadcastExchange" in plan          # part dim + supports
+    scans = [ln for ln in plan.splitlines()
+             if "ReadSchema" in ln and "l_orderkey" in ln]
+    assert scans and all("l_partkey" in ln
+                         and "l_quantity" not in ln for ln in scans)
+
+    plan = formatted_plan(kendall_tau_binned(spark, SF_DIR))
+    # the O(bins^2) cross is a broadcast NLJ of the 100-cell frame,
+    # never a shuffle
+    assert "BroadcastNestedLoopJoin" in plan
+    scans = [ln for ln in plan.splitlines()
+             if "ReadSchema" in ln and "c_acctbal" in ln]
+    assert scans and all("c_name" not in ln
+                         and "c_mktsegment" not in ln for ln in scans)
+
+    plan = formatted_plan(peak_concurrency_by_type(spark, SF_DIR))
+    scans = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert scans and all("event_type" in ln and "ts" in ln
+                         and "props" not in ln and "value" not in ln
+                         for ln in scans)
+
+    for fn, need, ban in ((readability_report, "text", "doc_id"),
+                          (template_prefix_dups, "text", "lang")):
+        plan = formatted_plan(fn(spark, SF_DIR))
+        scans = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+        assert scans and all(need in ln and ban not in ln
+                             for ln in scans)

@@ -1,0 +1,217 @@
+"""Round-7 analytics wave: independent Python rederivations of the
+Gini / association-rule / Kendall / sweep-line / readability /
+prefix-dup kernels (oracle parity itself rides the parametrized module
+sweeps in test_relational_queries / test_metrics_queries /
+test_temporal_joins / test_pipeline_queries)."""
+
+from __future__ import annotations
+
+import re
+from collections import Counter, defaultdict
+from datetime import timedelta
+
+import duckdb
+
+from tests.conftest import SF_SMALL
+from threat_detection_nosql_spark.queries.metrics import (
+    _TAU_X_CUTS,
+    _TAU_Y_CUTS,
+    kendall_tau_binned,
+)
+from threat_detection_nosql_spark.queries.pipeline import (
+    readability_report,
+    template_prefix_dups,
+)
+from threat_detection_nosql_spark.queries.relational import (
+    brand_assoc_rules_top20,
+    nation_revenue_gini,
+)
+from threat_detection_nosql_spark.queries.temporal import (
+    peak_concurrency_by_type,
+)
+
+
+def _ddb(sf):
+    con = duckdb.connect()
+    for t in ("customer", "orders", "nation", "lineitem", "part",
+              "events", "documents"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
+    return con
+
+
+def test_gini_python_rederivation(spark):
+    """Exact Gini per nation recomputed with the mean-difference
+    definition G = Σ_i Σ_j |x_i − x_j| / (2 n² μ) — an algebraically
+    different formula than the rank form the query uses."""
+    con = _ddb(SF_SMALL)
+    rows = con.sql("""
+        SELECT n.n_name, CAST(sum(CAST(round(o.o_totalprice*100,0)
+                         AS BIGINT)) AS BIGINT) AS cents
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY n.n_name, o.o_custkey""").fetchall()
+    con.close()
+    by_nation = defaultdict(list)
+    for name, cents in rows:
+        by_nation[name].append(cents)
+    got = {r.nation: r for r in
+           nation_revenue_gini(spark, SF_SMALL).collect()}
+    assert set(got) == set(by_nation)
+    for name, xs in by_nation.items():
+        n, s = len(xs), sum(xs)
+        mean_abs_diff = sum(abs(a - b) for a in xs for b in xs)
+        expect = mean_abs_diff / (2.0 * n * n * (s / n))
+        assert abs(got[name].gini - expect) < 1e-6, name
+        assert got[name].n_customers == n
+        assert got[name].rev_cents == s
+
+
+def test_assoc_rules_support_and_lift(spark):
+    """Pair supports recomputed from raw baskets; confidence/lift are
+    exactly the ratios of the emitted integer supports; the top-20 cut
+    is by the exact integer lift_ppm."""
+    con = _ddb(SF_SMALL)
+    baskets = con.sql("""
+        SELECT DISTINCT l.l_orderkey, p.p_brand
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        """).fetchall()
+    con.close()
+    per_order = defaultdict(set)
+    for ok, b in baskets:
+        per_order[ok].add(b)
+    n_orders = len(per_order)
+    supp: Counter = Counter()
+    pair: Counter = Counter()
+    for items in per_order.values():
+        for b in items:
+            supp[b] += 1
+        items = sorted(items)
+        for i, x in enumerate(items):
+            for y in items[i + 1:]:
+                pair[(x, y)] += 1
+    rows = brand_assoc_rules_top20(spark, SF_SMALL).collect()
+    assert len(rows) == 20
+    for r in rows:
+        key = tuple(sorted((r.ante, r.cons)))
+        assert pair[key] == r.pair_n
+        assert supp[r.ante] == r.supp_ante
+        assert supp[r.cons] == r.supp_cons
+        assert r.pair_n * 200 >= n_orders          # min-support gate
+        assert r.lift_ppm == (r.pair_n * n_orders * 1_000_000
+                              ) // (r.supp_ante * r.supp_cons)
+        assert abs(r.confidence - r.pair_n / r.supp_ante) < 1e-6
+        assert abs(r.lift - r.lift_ppm / 1e6) < 1e-6
+    ppms = [r.lift_ppm for r in rows]
+    assert ppms == sorted(ppms, reverse=True)
+
+
+def test_kendall_brute_force_pairs(spark):
+    """Concordant/discordant/tie counts recomputed by the O(n²)
+    definition over the binned sample — the query's O(bins²)
+    contingency cross must agree exactly."""
+    con = _ddb(SF_SMALL)
+    rows = con.sql("""
+        SELECT CAST(round(c.c_acctbal*100,0) AS BIGINT),
+               CAST(sum(CAST(round(o.o_totalprice*100,0) AS BIGINT))
+                    AS BIGINT)
+        FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+        GROUP BY c.c_custkey, c.c_acctbal""").fetchall()
+    con.close()
+
+    def bin_of(v, cuts):
+        return sum(v >= c for c in cuts)
+
+    pts = [(bin_of(x, _TAU_X_CUTS), bin_of(y, _TAU_Y_CUTS))
+           for x, y in rows]
+    conc = disc = tx = ty = 0
+    for i in range(len(pts)):
+        for j in range(i + 1, len(pts)):
+            dx = pts[i][0] - pts[j][0]
+            dy = pts[i][1] - pts[j][1]
+            if dx == 0:
+                tx += 1
+            if dy == 0:
+                ty += 1
+            if dx * dy > 0:
+                conc += 1
+            elif dx * dy < 0:
+                disc += 1
+    r = kendall_tau_binned(spark, SF_SMALL).collect()[0]
+    assert r.n_customers == len(pts)
+    assert (r.concordant, r.discordant) == (conc, disc)
+    assert (r.ties_x, r.ties_y) == (tx, ty)
+    n0 = len(pts) * (len(pts) - 1) // 2
+    expect = (conc - disc) / ((n0 - tx) ** 0.5 * (n0 - ty) ** 0.5)
+    assert abs(r.tau_b - expect) < 1e-6
+    assert -1.0 <= r.tau_b <= 1.0
+
+
+def test_peak_concurrency_brute_sweep(spark):
+    """Python event-boundary sweep (close-before-open at equal
+    instants) reproduces every per-type peak and its earliest time."""
+    con = _ddb(SF_SMALL)
+    rows = con.sql("SELECT event_type, ts FROM events").fetchall()
+    con.close()
+    bounds = defaultdict(list)
+    for et, ts in rows:
+        bounds[et].append((ts, 1))
+        bounds[et].append((ts + timedelta(minutes=30), -1))
+    got = {r.event_type: r
+           for r in peak_concurrency_by_type(spark, SF_SMALL).collect()}
+    assert set(got) == set(bounds)
+    for et, bs in bounds.items():
+        bs.sort(key=lambda p: (p[0], p[1]))   # -1 before +1: half-open
+        run = peak = 0
+        peak_at = None
+        for t, d in bs:
+            run += d
+            if run > peak:
+                peak, peak_at = run, t
+        r = got[et]
+        assert r.peak_concurrency == peak
+        assert r.n_intervals == len(bs) // 2
+        assert r.peak_at == peak_at.strftime("%Y-%m-%d %H:%M:%S")
+
+
+def test_readability_python_rederivation(spark):
+    con = _ddb(SF_SMALL)
+    rows = con.sql("SELECT source, text FROM documents").fetchall()
+    con.close()
+    agg = defaultdict(lambda: [0, 0, 0, 0])   # docs, words, sents, syl
+    for src, text in rows:
+        a = agg[src]
+        a[0] += 1
+        a[1] += len(re.findall(r"[a-z]+", text))
+        a[2] += max(1, len(re.findall(r"[.!?]+", text)))
+        a[3] += len(re.findall(r"[aeiouy]+", text))
+    got = {r.source: r for r in
+           readability_report(spark, SF_SMALL).collect()}
+    assert set(got) == set(agg)
+    for src, (nd, w, s, y) in agg.items():
+        r = got[src]
+        assert (r.n_docs, r.words, r.sentences, r.syllables) == (nd, w,
+                                                                 s, y)
+        assert abs(r.fk_grade
+                   - (0.39 * w / s + 11.8 * y / w - 15.59)) < 1e-6
+        assert abs(r.flesch_ease
+                   - (206.835 - 1.015 * w / s - 84.6 * y / w)) < 1e-6
+
+
+def test_template_prefix_python_rederivation(spark):
+    con = _ddb(SF_SMALL)
+    rows = con.sql("SELECT doc_id, text FROM documents").fetchall()
+    con.close()
+    groups = defaultdict(list)
+    for doc_id, text in rows:
+        prefix = " ".join(text.split(" ")[:8])
+        groups[prefix].append((doc_id, text))
+    expect = {p: g for p, g in groups.items() if len(g) >= 2}
+    got = {r.prefix: r for r in
+           template_prefix_dups(spark, SF_SMALL).collect()}
+    assert set(got) == set(expect)
+    for p, g in expect.items():
+        r = got[p]
+        assert r.n_docs == len(g)
+        assert r.rep_doc == min(d for d, _ in g)
+        assert r.n_distinct_texts == len({t for _, t in g})

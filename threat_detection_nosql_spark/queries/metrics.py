@@ -2182,3 +2182,134 @@ FROM g
 
 QUERIES_TAIL["regression_metrics_report"] = regression_metrics_report
 ORACLES_TAIL["regression_metrics_report"] = _REG_SQL
+
+
+# -- E13: Kendall tau-b on fixed integer bins --------------------------------
+
+_TAU_X_CUTS = (0, 100000, 200000, 300000, 400000, 500000,
+               600000, 700000, 850000)          # acctbal cents
+_TAU_Y_CUTS = (50000000, 100000000, 150000000, 200000000, 250000000,
+               300000000, 350000000, 400000000, 500000000)  # revenue cents
+
+
+def kendall_tau_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall tau-b between customer account balance and lifetime
+    order revenue, computed on FIXED integer bins — the
+    ordinal-association companion to spend_acctbal_spearman (tau is
+    robust to the monotone transform and has an exact tie correction;
+    binning makes the pair counting O(bins²) instead of O(n²)).
+
+    Exactness: both variables are CENTS (BIGINT) binned by literal
+    integer cut points (bin = Σ (x ≥ cut) — no float boundary, no
+    window); concordant/discordant counts come from the ≤100-cell
+    contingency table by an exact cross of cell counts, and tau-b's
+    numerator/tie terms stay BIGINT until the final
+    sqrt(n0−T_x)·sqrt(n0−T_y) division (split sqrt so the product
+    never overflows).
+
+    Scale shape: one fact agg (orders→customer cents), one broadcast
+    dim join, one map-side bin assignment, one 100-row groupBy. The
+    pair counting is a broadcast self-cross of the 100-row cell frame
+    — constant work regardless of row count. This is the documented
+    scale swap for rank-based tau (which would need a global sort)."""
+    from threat_detection_nosql_spark.sources.readers import load_table
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.round(F.col("c_acctbal") * 100, 0).cast("long").alias("xc"))
+    rev = (load_table(spark, sf_dir, "orders")
+           .groupBy("o_custkey")
+           .agg(F.sum(F.round(F.col("o_totalprice") * 100, 0)
+                      .cast("long")).alias("yc")))
+    both = cust.join(rev, F.col("c_custkey") == F.col("o_custkey"))
+
+    def bin_of(col, cuts):
+        e = F.lit(0)
+        for c in cuts:
+            e = e + (F.col(col) >= F.lit(c)).cast("int")
+        return e
+
+    binned = both.select(bin_of("xc", _TAU_X_CUTS).alias("bx"),
+                         bin_of("yc", _TAU_Y_CUTS).alias("bv"))
+    cells = binned.groupBy("bx", "bv").agg(F.count("*").alias("n"))
+    a = cells.select(F.col("bx").alias("ax"), F.col("bv").alias("ay"),
+                     F.col("n").alias("an"))
+    b = cells.select(F.col("bx").alias("cx"), F.col("bv").alias("cy"),
+                     F.col("n").alias("cn"))
+    prod = F.col("an") * F.col("cn")
+    gt_x = F.col("cx") > F.col("ax")
+    pair = (a.crossJoin(F.broadcast(b))
+            .agg(F.sum(F.when(gt_x & (F.col("cy") > F.col("ay")), prod)
+                       .otherwise(F.lit(0))).alias("concordant"),
+                 F.sum(F.when(gt_x & (F.col("cy") < F.col("ay")), prod)
+                       .otherwise(F.lit(0))).alias("discordant")))
+    margins = cells.agg(
+        F.sum("n").alias("n_rows"),
+        F.sum(F.col("n") * (F.col("n") - 1)).alias("t_cell2"))
+    tx = (cells.groupBy("bx").agg(F.sum("n").alias("m"))
+          .agg(F.sum(F.col("m") * (F.col("m") - 1)).alias("tx2")))
+    ty = (cells.groupBy("bv").agg(F.sum("n").alias("m"))
+          .agg(F.sum(F.col("m") * (F.col("m") - 1)).alias("ty2")))
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    n0x2 = F.col("n_rows") * (F.col("n_rows") - 1)  # 2·n0
+    return (pair.crossJoin(F.broadcast(margins))
+            .crossJoin(F.broadcast(tx)).crossJoin(F.broadcast(ty))
+            .select(
+                F.col("n_rows").alias("n_customers"),
+                "concordant", "discordant",
+                F.expr("tx2 div 2").alias("ties_x"),
+                F.expr("ty2 div 2").alias("ties_y"),
+                F.round((d("concordant") - d("discordant"))
+                        / (F.sqrt((n0x2 - F.col("tx2")).cast("double")
+                                  / 2.0)
+                           * F.sqrt((n0x2 - F.col("ty2")).cast("double")
+                                    / 2.0)), 6).alias("tau_b")))
+
+
+def _tau_bin_sql(col: str, cuts: tuple) -> str:
+    return " + ".join(f"CAST({col} >= {c} AS INT)" for c in cuts)
+
+
+_KENDALL_SQL = f"""
+WITH cust AS (
+  SELECT c_custkey,
+         CAST(round(c_acctbal * 100, 0) AS BIGINT) AS xc
+  FROM customer),
+rev AS (
+  SELECT o_custkey,
+         CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+              AS BIGINT) AS yc
+  FROM orders GROUP BY o_custkey),
+binned AS (
+  SELECT {_tau_bin_sql('xc', _TAU_X_CUTS)} AS bx,
+         {_tau_bin_sql('yc', _TAU_Y_CUTS)} AS bv
+  FROM cust JOIN rev ON c_custkey = o_custkey),
+cells AS (
+  SELECT bx, bv, CAST(count(*) AS BIGINT) AS n
+  FROM binned GROUP BY bx, bv),
+pair AS (
+  SELECT CAST(sum(CASE WHEN b.bx > a.bx AND b.bv > a.bv
+                       THEN a.n * b.n ELSE 0 END) AS BIGINT)
+           AS concordant,
+         CAST(sum(CASE WHEN b.bx > a.bx AND b.bv < a.bv
+                       THEN a.n * b.n ELSE 0 END) AS BIGINT)
+           AS discordant
+  FROM cells a CROSS JOIN cells b),
+margins AS (
+  SELECT CAST(sum(n) AS BIGINT) AS n_rows FROM cells),
+tx AS (SELECT CAST(sum(m * (m - 1)) AS BIGINT) AS tx2
+       FROM (SELECT sum(n) AS m FROM cells GROUP BY bx)),
+ty AS (SELECT CAST(sum(m * (m - 1)) AS BIGINT) AS ty2
+       FROM (SELECT sum(n) AS m FROM cells GROUP BY bv))
+SELECT m.n_rows AS n_customers, p.concordant, p.discordant,
+       CAST(x.tx2 // 2 AS BIGINT) AS ties_x,
+       CAST(y.ty2 // 2 AS BIGINT) AS ties_y,
+       round((CAST(p.concordant AS DOUBLE) - CAST(p.discordant AS DOUBLE))
+             / (sqrt(CAST(m.n_rows * (m.n_rows - 1) - x.tx2 AS DOUBLE)
+                     / 2.0)
+                * sqrt(CAST(m.n_rows * (m.n_rows - 1) - y.ty2 AS DOUBLE)
+                       / 2.0)), 6) AS tau_b
+FROM pair p CROSS JOIN margins m CROSS JOIN tx x CROSS JOIN ty y
+"""
+
+QUERIES_TAIL["kendall_tau_binned"] = kendall_tau_binned
+ORACLES_TAIL["kendall_tau_binned"] = _KENDALL_SQL

@@ -2063,3 +2063,124 @@ def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES_TAIL["mmr_diversified_topk"] = mmr_diversified_topk
 # rows-only: greedy selection has no SQL form; value parity is pinned
 # by the numpy rederivation in tests/test_retrieval_eval.py
+
+
+# -- D26: readability scoring (Flesch family, exact integer counts) ----------
+
+def readability_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Flesch-Kincaid grade / Flesch reading-ease panel —
+    the classic curation signal for "is this corpus slice written at
+    the complexity we want?". Deterministic surrogates (house rule:
+    no dictionary, no float parsing): words = maximal [a-z]+ runs,
+    syllables = maximal vowel-group [aeiouy]+ runs, sentences =
+    [.!?]+ runs floored at 1 per doc (the synthetic corpus carries no
+    terminal punctuation, so every doc counts 1 — the formula is
+    still the real one and lights up on punctuated corpora).
+
+    Exactness: the three counts are BIGINTs from identical regexes in
+    both engines; each formula is one scalar IEEE expression over the
+    per-source sums, rounded once.
+
+    Scale shape: map-side regexp_count per row (whole-stage codegen,
+    no UDF), one per-source hash agg. Nothing shuffles but the
+    per-source triples."""
+    docs = load_table(spark, sf_dir, "documents")
+    per = docs.select(
+        "source",
+        F.regexp_count("text", F.lit("[a-z]+")).cast("long").alias("w"),
+        F.regexp_count("text", F.lit("[aeiouy]+")).cast("long").alias("y"),
+        F.greatest(F.lit(1), F.regexp_count("text", F.lit("[.!?]+")))
+        .cast("long").alias("s"))
+    agg = per.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("w").alias("words"), F.sum("s").alias("sentences"),
+        F.sum("y").alias("syllables"))
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    wps = d("words") / d("sentences")
+    ypw = d("syllables") / d("words")
+    return (agg.select(
+        "source", "n_docs", "words", "sentences", "syllables",
+        F.round(0.39 * wps + 11.8 * ypw - 15.59, 6).alias("fk_grade"),
+        F.round(206.835 - 1.015 * wps - 84.6 * ypw, 6)
+        .alias("flesch_ease"))
+        .orderBy("source"))
+
+
+_READABILITY_SQL = """
+WITH per AS (
+  SELECT source,
+         CAST(len(regexp_extract_all(text, '[a-z]+')) AS BIGINT) AS w,
+         CAST(len(regexp_extract_all(text, '[aeiouy]+')) AS BIGINT) AS y,
+         CAST(greatest(1, len(regexp_extract_all(text, '[.!?]+')))
+              AS BIGINT) AS s
+  FROM documents),
+agg AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(w) AS BIGINT) AS words,
+         CAST(sum(s) AS BIGINT) AS sentences,
+         CAST(sum(y) AS BIGINT) AS syllables
+  FROM per GROUP BY source)
+SELECT source, n_docs, words, sentences, syllables,
+       round(0.39 * (CAST(words AS DOUBLE) / sentences)
+             + 11.8 * (CAST(syllables AS DOUBLE) / words) - 15.59, 6)
+         AS fk_grade,
+       round(206.835 - 1.015 * (CAST(words AS DOUBLE) / sentences)
+             - 84.6 * (CAST(syllables AS DOUBLE) / words), 6)
+         AS flesch_ease
+FROM agg
+ORDER BY source
+"""
+
+QUERIES_TAIL["readability_report"] = readability_report
+ORACLES_TAIL["readability_report"] = _READABILITY_SQL
+
+
+# -- D27: boilerplate screen via shared document prefixes --------------------
+
+def template_prefix_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate/template screen: documents sharing an identical
+    8-token PREFIX are near-certain template copies (the cheap
+    precursor to MinHash — crawl pipelines run it first because it is
+    one hash per doc). Emits every prefix shared by ≥2 docs with its
+    doc count, the canonical representative (min doc_id), and how many
+    of the copies are byte-identical overall — separating true
+    duplicates from template-with-different-tail docs.
+
+    Exactness: prefix = literal first-8-token string (single-space
+    tokenization, same split both engines); all counts BIGINT.
+
+    Scale shape: one map-side prefix projection, one hash groupBy on
+    the prefix (the classic skew caveat — a viral boilerplate prefix
+    is one hot key — is bounded here by the ≥2 HAVING filter running
+    AFTER map-side partial aggregation). No joins, no windows."""
+    docs = load_table(spark, sf_dir, "documents")
+    pre = docs.select(
+        F.array_join(F.slice(F.split(F.col("text"), " "), 1, 8), " ")
+        .alias("prefix"),
+        "doc_id",
+        F.md5(F.col("text")).alias("full_hash"))
+    return (pre.groupBy("prefix")
+            .agg(F.count("*").alias("n_docs"),
+                 F.min("doc_id").alias("rep_doc"),
+                 F.countDistinct("full_hash").alias("n_distinct_texts"))
+            .filter(F.col("n_docs") >= 2)
+            .orderBy(F.desc("n_docs"), "prefix"))
+
+
+_PREFIX_SQL = """
+WITH pre AS (
+  SELECT array_to_string(list_slice(string_split(text, ' '), 1, 8), ' ')
+           AS prefix,
+         doc_id, md5(text) AS full_hash
+  FROM documents)
+SELECT prefix, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(min(doc_id) AS BIGINT) AS rep_doc,
+       CAST(count(DISTINCT full_hash) AS BIGINT) AS n_distinct_texts
+FROM pre
+GROUP BY prefix
+HAVING count(*) >= 2
+ORDER BY n_docs DESC, prefix
+"""
+
+QUERIES_TAIL["template_prefix_dups"] = template_prefix_dups
+ORACLES_TAIL["template_prefix_dups"] = _PREFIX_SQL

@@ -1348,3 +1348,187 @@ ORDER BY discount_pct
 
 QUERIES_TAIL["discount_band_elasticity"] = discount_band_elasticity
 ORACLES_TAIL["discount_band_elasticity"] = _ELASTICITY_SQL
+
+
+# -- R41: within-nation revenue inequality (exact Gini) ----------------------
+
+def nation_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation Gini coefficient of customer lifetime order revenue —
+    the inequality audit behind "is our revenue concentration a
+    property of the market or of one geography?". Covers the
+    reference's concentration analytics (revenue_pareto is the global
+    curve; this is the grouped scalar) with the classical rank formula
+    G = 2·Σ i·x_i / (n·Σx) − (n+1)/n over revenue sorted ascending.
+
+    Exactness: revenue is CENTS (BIGINT); the rank-weighted sum runs in
+    DECIMAL(38,0) (Spark) / HUGEINT (DuckDB) so no precision is lost
+    before the single final division. Ties in revenue contribute
+    x·Σi over any permutation of their consecutive ranks, so the sum —
+    and the Gini — is deterministic under any tie order.
+
+    Scale shape: one fact agg (orders → per-customer cents), one
+    broadcast dim join (customer→nation), then a row_number window
+    PARTITIONED BY nation — the sort is per-nation, never global, so
+    adding nations adds partitions, not depth. Only ordering customers
+    count (zero-order customers have no revenue rank to assign;
+    documented grain)."""
+    from pyspark.sql.window import Window as W
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    rev = (orders.groupBy("o_custkey")
+           .agg(F.sum(F.round(F.col("o_totalprice") * 100, 0)
+                      .cast("long")).alias("cents")))
+    tagged = (rev.join(F.broadcast(customer.select("c_custkey",
+                                                   "c_nationkey")),
+                       rev.o_custkey == F.col("c_custkey"))
+              .join(F.broadcast(nation.select("n_nationkey", "n_name")),
+                    F.col("c_nationkey") == F.col("n_nationkey")))
+    w = W.partitionBy("n_name").orderBy(F.asc("cents"), F.asc("o_custkey"))
+    ranked = tagged.select(
+        "n_name", "cents",
+        F.row_number().over(w).cast("decimal(38,0)").alias("i"))
+    per = (ranked.groupBy("n_name")
+           .agg(F.count("*").alias("n_customers"),
+                F.sum("cents").alias("rev_cents"),
+                F.sum(F.col("i")
+                      * F.col("cents").cast("decimal(38,0)")).alias("t")))
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    return (per.select(
+        F.col("n_name").alias("nation"), "n_customers",
+        F.col("rev_cents").cast("long").alias("rev_cents"),
+        F.round(2.0 * d("t") / (d("n_customers") * d("rev_cents"))
+                - (d("n_customers") + 1.0) / d("n_customers"), 6)
+        .alias("gini"))
+        .orderBy("nation"))
+
+
+_GINI_SQL = """
+WITH rev AS (
+  SELECT o_custkey,
+         CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+              AS BIGINT) AS cents
+  FROM orders GROUP BY o_custkey),
+ranked AS (
+  SELECT n.n_name, r.cents,
+         CAST(row_number() OVER (PARTITION BY n.n_name
+              ORDER BY r.cents ASC, r.o_custkey ASC) AS HUGEINT) AS i
+  FROM rev r
+  JOIN customer c ON r.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey),
+per AS (
+  SELECT n_name, CAST(count(*) AS BIGINT) AS n_customers,
+         CAST(sum(cents) AS BIGINT) AS rev_cents,
+         sum(i * CAST(cents AS HUGEINT)) AS t
+  FROM ranked GROUP BY n_name)
+SELECT n_name AS nation, n_customers, rev_cents,
+       round(2.0 * CAST(t AS DOUBLE)
+             / (CAST(n_customers AS DOUBLE) * CAST(rev_cents AS DOUBLE))
+             - (CAST(n_customers AS DOUBLE) + 1.0)
+               / CAST(n_customers AS DOUBLE), 6) AS gini
+FROM per
+ORDER BY nation
+"""
+
+QUERIES_TAIL["nation_revenue_gini"] = nation_revenue_gini
+ORACLES_TAIL["nation_revenue_gini"] = _GINI_SQL
+
+
+# -- R42: market-basket association rules over order baskets -----------------
+
+def brand_assoc_rules_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-priori association rules over order baskets at BRAND grain:
+    for every directional rule a→b with pair support ≥ 0.5% of orders,
+    emit support counts, confidence and lift; top 20 by lift. The
+    classic market-basket analytic (copurchase_triangles counts motifs;
+    this ranks *rules*).
+
+    Exactness: supports are BIGINT counts; the top-20 cut orders by
+    lift_ppm = pair_n·n_orders·1,000,000 DIV (supp_a·supp_b) — an
+    exact integer, so engines can never disagree on the cut under
+    float ties (display confidence/lift are rounded doubles derived
+    from the same integers). Tie-break (lift_ppm, antecedent,
+    consequent) is total.
+
+    Scale shape: baskets are DISTINCT (order, brand) — bounded fan-out
+    since an order has ≤7 lines, so the within-order pair self-join on
+    l_orderkey emits ≤C(7,2) rows per order (linear in lineitem, never
+    all-pairs); brand supports are a 25-row broadcast; the numerator
+    products stay < 2^60 at petabyte row counts with the ppm scale."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    baskets = (li.join(F.broadcast(part.select("p_partkey", "p_brand")),
+                       li.l_partkey == F.col("p_partkey"))
+               .select("l_orderkey", F.col("p_brand").alias("brand"))
+               .distinct())
+    # 1-row total broadcast (house pattern) — no driver-side count job
+    tot = baskets.agg(
+        F.countDistinct("l_orderkey").alias("n_orders"))
+    supp = baskets.groupBy("brand").agg(F.count("*").alias("s"))
+    a = baskets.select("l_orderkey", F.col("brand").alias("ba"))
+    b = baskets.select("l_orderkey", F.col("brand").alias("bb"))
+    pairs = (a.join(b, "l_orderkey")
+             .filter(F.col("ba") < F.col("bb"))
+             .groupBy("ba", "bb").agg(F.count("*").alias("pair_n"))
+             .crossJoin(F.broadcast(tot))
+             .filter(F.col("pair_n") * 200 >= F.col("n_orders")))
+    both = (pairs.select(F.col("ba").alias("ante"),
+                         F.col("bb").alias("cons"), "pair_n", "n_orders")
+            .unionByName(pairs.select(F.col("bb").alias("ante"),
+                                      F.col("ba").alias("cons"),
+                                      "pair_n", "n_orders")))
+    sa = F.broadcast(supp.select(F.col("brand").alias("ante"),
+                                 F.col("s").alias("supp_ante")))
+    sb = F.broadcast(supp.select(F.col("brand").alias("cons"),
+                                 F.col("s").alias("supp_cons")))
+    scored = (both.join(sa, "ante").join(sb, "cons")
+              .withColumn("lift_ppm",
+                          F.expr("CAST(pair_n * n_orders * 1000000 "
+                                 "AS BIGINT) div (supp_ante * supp_cons)")))
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    return (scored.select(
+        "ante", "cons", "pair_n", "supp_ante", "supp_cons", "lift_ppm",
+        F.round(d("pair_n") / d("supp_ante"), 6).alias("confidence"),
+        F.round(F.col("lift_ppm").cast("double") / 1e6, 6).alias("lift"))
+        .orderBy(F.desc("lift_ppm"), "ante", "cons")
+        .limit(20))
+
+
+_ASSOC_SQL = """
+WITH baskets AS (
+  SELECT DISTINCT l.l_orderkey, p.p_brand AS brand
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+n AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders
+      FROM baskets),
+supp AS (SELECT brand, CAST(count(*) AS BIGINT) AS s
+         FROM baskets GROUP BY brand),
+pairs AS (
+  SELECT a.brand AS ba, b.brand AS bb,
+         CAST(count(*) AS BIGINT) AS pair_n
+  FROM baskets a JOIN baskets b ON a.l_orderkey = b.l_orderkey
+                               AND a.brand < b.brand
+  GROUP BY a.brand, b.brand
+  HAVING CAST(count(*) AS BIGINT) * 200 >= (SELECT n_orders FROM n)),
+both_dir AS (
+  SELECT ba AS ante, bb AS cons, pair_n FROM pairs
+  UNION ALL
+  SELECT bb AS ante, ba AS cons, pair_n FROM pairs),
+scored AS (
+  SELECT r.ante, r.cons, r.pair_n,
+         sa.s AS supp_ante, sb.s AS supp_cons,
+         CAST(r.pair_n * n.n_orders * 1000000 AS BIGINT)
+           // (sa.s * sb.s) AS lift_ppm
+  FROM both_dir r
+  JOIN supp sa ON r.ante = sa.brand
+  JOIN supp sb ON r.cons = sb.brand
+  CROSS JOIN n)
+SELECT ante, cons, pair_n, supp_ante, supp_cons, lift_ppm,
+       round(CAST(pair_n AS DOUBLE) / supp_ante, 6) AS confidence,
+       round(CAST(lift_ppm AS DOUBLE) / 1e6, 6) AS lift
+FROM scored
+ORDER BY lift_ppm DESC, ante, cons
+LIMIT 20
+"""
+
+QUERIES_TAIL["brand_assoc_rules_top20"] = brand_assoc_rules_top20
+ORACLES_TAIL["brand_assoc_rules_top20"] = _ASSOC_SQL

@@ -1786,3 +1786,85 @@ ORDER BY t_hours
 
 QUERIES_TAIL["kaplan_meier_conversion"] = kaplan_meier_conversion
 ORACLES_TAIL["kaplan_meier_conversion"] = _KM_SQL
+
+
+# -- T9: sweep-line interval concurrency -------------------------------------
+
+def peak_concurrency_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrent activity per event type: every event opens a
+    30-minute half-open interval [ts, ts+30m); the classic +1/−1
+    boundary sweep with a running sum finds, per type, the maximum
+    number of simultaneously-open intervals and the earliest instant
+    it is reached — the load-sizing query behind "how many concurrent
+    sessions must the system hold?".
+
+    Exactness: boundaries are exact timestamps; the running sum is
+    INTEGER. Ordering (t, delta ASC) closes intervals before opening
+    new ones at the same instant (half-open semantics), and within an
+    equal-(t, delta) tie block the rows are identical, so the multiset
+    of (t, running) pairs — hence the peak and its earliest time — is
+    deterministic under any tie permutation in either engine. peak_at
+    is emitted as a formatted string so both engines hash the same
+    bytes.
+
+    Scale shape: the sweep window is PARTITIONED BY event_type —
+    per-type ordered scan, never a global sort. At 100 TB the per-type
+    stream is still one partition; the documented swap is day-chunked
+    sweeps with a carry-in prefix (two-phase: per-(type,day) end-count
+    agg, prefix-sum over the tiny day grid, broadcast back) since no
+    interval spans more than 30 minutes across a chunk boundary."""
+    from pyspark.sql.window import Window as W
+    ev = load_table(spark, sf_dir, "events")
+    opens = ev.select(F.col("event_type"), F.col("ts").alias("t"),
+                      F.lit(1).alias("delta"))
+    closes = ev.select(
+        F.col("event_type"),
+        (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("t"),
+        F.lit(-1).alias("delta"))
+    bounds = opens.unionByName(closes)
+    w = (W.partitionBy("event_type").orderBy("t", "delta")
+         .rowsBetween(W.unboundedPreceding, W.currentRow))
+    run = bounds.withColumn("run", F.sum("delta").over(w))
+    stats = (run.groupBy("event_type")
+             .agg(F.max("run").alias("peak_concurrency"),
+                  F.sum(F.when(F.col("delta") == 1, 1).otherwise(0))
+                  .cast("long").alias("n_intervals")))
+    peak_rows = (run.join(F.broadcast(stats), "event_type")
+                 .filter(F.col("run") == F.col("peak_concurrency"))
+                 .groupBy("event_type")
+                 .agg(F.min("t").alias("peak_t"),
+                      F.first("peak_concurrency").alias("peak_concurrency"),
+                      F.first("n_intervals").alias("n_intervals")))
+    return (peak_rows.select(
+        "event_type", "n_intervals", "peak_concurrency",
+        F.date_format("peak_t", "yyyy-MM-dd HH:mm:ss").alias("peak_at"))
+        .orderBy("event_type"))
+
+
+_PEAK_SQL = """
+WITH bounds AS (
+  SELECT event_type, ts AS t, 1 AS delta FROM events
+  UNION ALL
+  SELECT event_type, ts + INTERVAL 30 MINUTE AS t, -1 AS delta
+  FROM events),
+run AS (
+  SELECT event_type, t, delta,
+         sum(delta) OVER (PARTITION BY event_type
+                          ORDER BY t, delta
+                          ROWS UNBOUNDED PRECEDING) AS run
+  FROM bounds),
+stats AS (
+  SELECT event_type, CAST(max(run) AS BIGINT) AS peak_concurrency,
+         CAST(sum(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_intervals
+  FROM run GROUP BY event_type)
+SELECT r.event_type, s.n_intervals, s.peak_concurrency,
+       strftime(min(r.t), '%Y-%m-%d %H:%M:%S') AS peak_at
+FROM run r JOIN stats s ON r.event_type = s.event_type
+          AND r.run = s.peak_concurrency
+GROUP BY r.event_type, s.n_intervals, s.peak_concurrency
+ORDER BY r.event_type
+"""
+
+QUERIES_TAIL["peak_concurrency_by_type"] = peak_concurrency_by_type
+ORACLES_TAIL["peak_concurrency_by_type"] = _PEAK_SQL
