@@ -237,6 +237,7 @@ ROUND7D_COLLECT = [
     "peak_concurrency_by_type",
     "readability_report",
     "template_prefix_dups",
+    "stream_peak_concurrency",
 ]
 ROUND7D_COUNT: list = []
 

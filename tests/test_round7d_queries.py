@@ -215,3 +215,95 @@ def test_template_prefix_python_rederivation(spark):
         assert r.n_docs == len(g)
         assert r.rep_doc == min(d for d, _ in g)
         assert r.n_distinct_texts == len({t for _, t in g})
+
+
+def test_stream_peak_concurrency_resequences_across_batches(spark,
+                                                            tmp_path):
+    """The event-time-timer claim for the concurrency sweep: batch 2
+    delivers events that belong BETWEEN batch 1's buffered events
+    (bounded disorder, inside the 1-hour watermark delay) plus a
+    far-future sentinel that advances the final watermark. The drained
+    per-type peak/peak_at/n_opens must equal the batch +1/−1 sweep of
+    the fully time-sorted union at or below the final watermark —
+    cross-batch arrival order is invisible, and the sentinel (above
+    max(ts) − 1h) never emits a boundary."""
+    import os
+    import time
+
+    from pyspark.sql import functions as F
+
+    from threat_detection_nosql_spark.streaming.stream_queries import (
+        peak_concurrency_agg,
+        run_stream_to_table,
+    )
+
+    base = 1_700_000_000
+    f1 = [(i, base + m * 60, "x") for i, m in
+          enumerate(range(0, 61, 2))]
+    f1 += [(200 + i, base + m * 60, "y") for i, m in
+           enumerate((0, 5, 90))]
+    f2 = [(100 + i, base + m * 60, "x") for i, m in
+          enumerate(range(31, 60, 2))]
+    sentinel = (999, base + 300 * 60, "x")
+    f2.append(sentinel)
+    src = tmp_path / "feed"
+    os.makedirs(src)
+    schema = "event_id long, sec long, event_type string"
+    for name, rows in [("f1.parquet", f1), ("f2.parquet", f2)]:
+        (spark.createDataFrame(rows, schema)
+         .coalesce(1).write.parquet(str(src / name)))
+        time.sleep(1.1)          # file-source processes in mtime order
+
+    stream = (spark.readStream
+              .schema(schema)
+              .option("maxFilesPerTrigger", "1")
+              .parquet(str(src / "*.parquet"))
+              .withColumn("ts", F.timestamp_seconds(F.col("sec")))
+              .withWatermark("ts", "1 hour")
+              .select("event_type", "ts"))
+    table = run_stream_to_table(peak_concurrency_agg(stream),
+                                mode="update")
+    got = {r.event_type: r for r in
+           (table.groupBy("event_type")
+            .agg(F.max(F.struct("n_drained", "n_opens", "peak",
+                                "peak_at_us")).alias("s"))
+            .select("event_type", "s.n_opens", "s.peak",
+                    "s.peak_at_us").collect())}
+
+    cutoff = (sentinel[1] - 3600) * 1_000_000      # us, max(ts) − 1h
+    bounds = defaultdict(list)
+    for _, sec, et in f1 + f2:
+        us = sec * 1_000_000
+        for t, d in ((us, 1), (us + 30 * 60 * 1_000_000, -1)):
+            if t // 1_000 <= cutoff // 1_000:
+                bounds[et].append((t, d))
+    for et, bs in bounds.items():
+        bs.sort()
+        run = peak = n_opens = 0
+        peak_at = None
+        for t, d in bs:
+            run += d
+            if d == 1:
+                n_opens += 1
+                if run > peak:
+                    peak, peak_at = run, t
+        r = got[et]
+        assert (r.n_opens, r.peak, r.peak_at_us) == (n_opens, peak,
+                                                     peak_at), et
+    # the disorder was real: batch 2 interleaves inside batch 1's span
+    assert got["x"].peak > max(
+        _peak_of(sorted(t for i, t, e in f1 if e == "x")),
+        _peak_of(sorted(t for i, t, e in f2[:-1] if e == "x")))
+
+
+def _peak_of(secs):
+    bs = []
+    for s in secs:
+        bs.append((s, 1))
+        bs.append((s + 1800, -1))
+    bs.sort()
+    run = peak = 0
+    for _, d in bs:
+        run += d
+        peak = max(peak, run)
+    return peak

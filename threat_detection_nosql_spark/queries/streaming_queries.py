@@ -578,3 +578,48 @@ GROUP BY a.doc_id
 
 QUERIES_TAIL["stream_incremental_dedup"] = stream_incremental_dedup
 ORACLES_TAIL["stream_incremental_dedup"] = _stream_inc_dedup_sql()
+
+
+def stream_peak_concurrency(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    """Watermark-resequenced streaming concurrency sweep
+    (streaming.stream_queries.ordered_peak_concurrency): the
+    streaming twin of temporal.peak_concurrency_by_type. The oracle
+    replays the final-watermark cutoff — boundaries at or below
+    max(ts) − 1h (epoch-ms floor, both engines), swept per type in
+    (t, delta) order. A −1 boundary inside the cutoff implies its
+    source event is too (t−30m < t), so filtering raw boundaries by
+    the cutoff is exactly the stream's atomic-pair drop."""
+    return S.ordered_peak_concurrency(spark, sf_dir)
+
+
+_PEAK_STREAM_SQL = """
+WITH wm AS (SELECT epoch_ms(max(ts)) - 3600000 AS w FROM events),
+bounds AS (
+  SELECT event_type, ts AS t, 1 AS delta FROM events
+  UNION ALL
+  SELECT event_type, ts + INTERVAL 30 MINUTE AS t, -1 AS delta
+  FROM events),
+inw AS (SELECT b.event_type, b.t, b.delta
+        FROM bounds b, wm WHERE epoch_ms(b.t) <= wm.w),
+run AS (
+  SELECT event_type, t, delta,
+         sum(delta) OVER (PARTITION BY event_type
+                          ORDER BY t, delta
+                          ROWS UNBOUNDED PRECEDING) AS run
+  FROM inw),
+stats AS (
+  SELECT event_type, CAST(max(run) AS BIGINT) AS peak_concurrency,
+         CAST(sum(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_opens
+  FROM run GROUP BY event_type)
+SELECT r.event_type, s.n_opens, s.peak_concurrency,
+       strftime(min(r.t), '%Y-%m-%d %H:%M:%S') AS peak_at
+FROM run r JOIN stats s ON r.event_type = s.event_type
+          AND r.run = s.peak_concurrency
+GROUP BY r.event_type, s.n_opens, s.peak_concurrency
+ORDER BY r.event_type
+"""
+
+QUERIES_TAIL["stream_peak_concurrency"] = stream_peak_concurrency
+ORACLES_TAIL["stream_peak_concurrency"] = _PEAK_STREAM_SQL

@@ -927,3 +927,119 @@ def incremental_dedup_matches(spark: SparkSession,
                       >= 8000))
     agg = dedup_matches_agg(stream, old)
     return run_stream_to_table(agg, mode="complete")
+
+
+_PEAK_OUT_SCHEMA = ("event_type string, n_drained long, n_opens long, "
+                    "peak long, peak_at_us long")
+_PEAK_STATE = ("run long, peak long, peak_at_us long, n_opens long, "
+               "n_drained long, buffered string")
+_PEAK_TTL_US = 30 * 60 * 1_000_000          # 30-minute interval span
+
+
+def peak_concurrency_agg(ev: DataFrame) -> DataFrame:
+    """The watermark-gated stateful plan behind
+    ``ordered_peak_concurrency`` — factored so tests can drive it
+    over arbitrary batchings and arrival orders. ``ev`` must be a
+    watermarked stream of (event_type, ts).
+
+    Each arriving event contributes BOTH sweep boundaries (+1 at ts,
+    −1 at ts+30m) to the per-type buffer — deriving them inside the
+    state function (not as a pre-state explode) keeps the pair atomic:
+    an event is either entirely in the sweep or entirely late-dropped,
+    so the running sum can never drift negative from a half-dropped
+    interval. Boundaries at or below the watermark drain in
+    (t, delta) order — closes before opens at the same instant, the
+    half-open semantics of the batch twin — carrying the running
+    count, peak, and earliest peak time in state; an event-time timer
+    (setTimeoutTimestamp(wm+1)) re-fires each group on the no-data
+    batch so the final watermark advance drains the tail. State is
+    bounded: the buffer holds at most one watermark-delay + 30m of
+    one type's boundaries.
+
+    Emission is update-mode re-statement; ``n_drained`` increases
+    monotonically with every drained boundary, so downstream
+    max(struct(n_drained, ...)) recovers the final state under any
+    batching."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        wm = state.getCurrentWatermarkMs()
+        run = peak = n_opens = n_drained = 0
+        peak_at = 0
+        buffered: list = []
+        if state.exists:
+            run, peak, peak_at, n_opens, n_drained, buf0 = state.get
+            if buf0:
+                for item in buf0.split("|"):
+                    us, delta = item.split(",")
+                    buffered.append((int(us), int(delta)))
+        for chunk in pdfs:
+            for ts in chunk["ts"]:
+                us = pd.Timestamp(ts).value // 1_000
+                if us // 1_000 > wm:      # at/below watermark = late
+                    buffered.append((us, 1))
+                    buffered.append((us + _PEAK_TTL_US, -1))
+        buffered.sort()
+        keep = []
+        for us, delta in buffered:
+            if us // 1_000 <= wm:
+                run += delta
+                n_drained += 1
+                if delta == 1:
+                    n_opens += 1
+                    if run > peak:
+                        peak, peak_at = run, us
+            else:
+                keep.append((us, delta))
+        state.update((run, peak, peak_at, n_opens, n_drained,
+                      "|".join(f"{us},{d}" for us, d in keep)))
+        if keep:      # re-fire on the next watermark advance
+            state.setTimeoutTimestamp(wm + 1)
+        if peak > 0:
+            yield pd.DataFrame({
+                "event_type": [key[0]],
+                "n_drained": pd.array([n_drained], dtype="Int64"),
+                "n_opens": pd.array([n_opens], dtype="Int64"),
+                "peak": pd.array([peak], dtype="Int64"),
+                "peak_at_us": pd.array([peak_at], dtype="Int64"),
+            })
+        else:
+            yield pd.DataFrame({
+                "event_type": pd.array([], dtype=object),
+                "n_drained": pd.array([], dtype="Int64"),
+                "n_opens": pd.array([], dtype="Int64"),
+                "peak": pd.array([], dtype="Int64"),
+                "peak_at_us": pd.array([], dtype="Int64"),
+            })
+
+    return ev.groupBy("event_type").applyInPandasWithState(
+        update,
+        outputStructType=_PEAK_OUT_SCHEMA,
+        stateStructType=_PEAK_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout)
+
+
+def ordered_peak_concurrency(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """Streaming twin of queries/temporal.peak_concurrency_by_type:
+    per-type peak concurrent 30-minute intervals, resequenced behind
+    the watermark so out-of-order arrival cannot corrupt the running
+    sum (the same event-time-timer recipe as
+    markov_ordered_transitions). Rows above the final watermark
+    (max(ts) − 1h) are never emitted — the oracle replays exactly
+    that cutoff."""
+    ev = events_stream(spark, sf_dir).select("event_type", "ts")
+    table = run_stream_to_table(peak_concurrency_agg(ev),
+                                mode="update")
+    final = (table.groupBy("event_type")
+             .agg(F.max(F.struct("n_drained", "n_opens", "peak",
+                                 "peak_at_us")).alias("s")))
+    return (final.select(
+        "event_type",
+        F.col("s.n_opens").alias("n_opens"),
+        F.col("s.peak").alias("peak_concurrency"),
+        F.date_format(F.timestamp_micros(F.col("s.peak_at_us")),
+                      "yyyy-MM-dd HH:mm:ss").alias("peak_at"))
+        .orderBy("event_type"))
