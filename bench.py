@@ -238,6 +238,9 @@ ROUND7D_COLLECT = [
     "readability_report",
     "template_prefix_dups",
     "stream_peak_concurrency",
+    "user_twap_value",
+    "ohlc_hourly_bars",
+    "cohort_ltv_curve",
 ]
 ROUND7D_COUNT: list = []
 

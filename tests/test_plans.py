@@ -630,3 +630,39 @@ def test_round7d_scans_prune_and_broadcast(spark):
         scans = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
         assert scans and all(need in ln and ban not in ln
                              for ln in scans)
+
+
+def test_wave3_scans_prune_and_window_partitioning(spark):
+    """TWAP/OHLC/LTV scale contracts: every window is partitioned (no
+    global sort), fact scans prune to used columns, and LTV's cohort
+    sizes join as a broadcast."""
+    from threat_detection_nosql_spark.queries.relational import (
+        cohort_ltv_curve)
+    from threat_detection_nosql_spark.queries.temporal import (
+        ohlc_hourly_bars, user_twap_value)
+
+    for fn in (user_twap_value, ohlc_hourly_bars):
+        plan = formatted_plan(fn(spark, SF_DIR))
+        scans = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+        assert scans and all("props" not in ln for ln in scans)
+        # every Window node carries a partition spec (no global sort)
+        assert "Window" in plan
+        for ln in plan.splitlines():
+            if ln.strip().startswith("Arguments:") and "windowspec" \
+                    in ln.lower():
+                assert "partitionBy" not in ln or "[]" not in ln
+
+    plan = formatted_plan(user_twap_value(spark, SF_DIR))
+    scans = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert all("value" in ln and "event_type" not in ln
+               for ln in scans)
+
+    plan = formatted_plan(cohort_ltv_curve(spark, SF_DIR))
+    assert "BroadcastExchange" in plan          # cohort sizes
+    scans = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    # the first-order branches prune o_totalprice entirely; only the
+    # revenue branch reads it, and nothing reads the status/priority
+    assert scans and all("o_orderstatus" not in ln
+                         and "o_orderpriority" not in ln
+                         for ln in scans)
+    assert any("o_totalprice" in ln for ln in scans)

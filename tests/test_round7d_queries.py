@@ -307,3 +307,105 @@ def _peak_of(secs):
         run += d
         peak = max(peak, run)
     return peak
+
+
+def test_twap_python_rederivation(spark):
+    """TWAP recomputed in Python with exact integer arithmetic,
+    including the cents-exactness precondition the query relies on."""
+    con = _ddb(SF_SMALL)
+    rows = con.sql("""SELECT user_id, CAST(ts AS DATE), epoch_us(ts),
+                             event_id, value FROM events""").fetchall()
+    con.close()
+    by_ud = defaultdict(list)
+    for u, d, us, eid, v in rows:
+        cents = round(v * 100)
+        assert abs(v * 100 - cents) < 1e-6     # cents-exact corpus
+        by_ud[(u, d)].append((us, eid, cents))
+    num = defaultdict(int)
+    den = defaultdict(int)
+    nev = defaultdict(int)
+    days = defaultdict(set)
+    for (u, d), evs in by_ud.items():
+        evs.sort()
+        for (us, _, cents), (nus, _, _) in zip(evs, evs[1:]):
+            num[u] += cents * (nus - us)
+            den[u] += nus - us
+            nev[u] += 1
+            days[u].add(d)
+    from threat_detection_nosql_spark.queries.temporal import (
+        user_twap_value)
+    got = {r.user: r for r in user_twap_value(spark, SF_SMALL).collect()}
+    assert set(got) == {u for u in den if den[u] > 0}
+    for u, r in got.items():
+        assert r.n_weighted_events == nev[u]
+        assert r.n_active_days == len(days[u])
+        assert r.active_us == den[u]
+        assert abs(r.twap_value - num[u] / den[u] / 100.0) < 1e-6
+
+
+def test_ohlc_python_rederivation(spark):
+    con = _ddb(SF_SMALL)
+    rows = con.sql("""SELECT event_type,
+                             strftime(date_trunc('hour', ts),
+                                      '%Y-%m-%d %H:00'),
+                             epoch_us(ts), event_id,
+                             CAST(round(value*100,0) AS BIGINT)
+                      FROM events""").fetchall()
+    con.close()
+    bars = defaultdict(list)
+    for et, bar, us, eid, cents in rows:
+        bars[(et, bar)].append((us, eid, cents))
+    from threat_detection_nosql_spark.queries.temporal import (
+        ohlc_hourly_bars)
+    got = {(r.event_type, r.bar): r
+           for r in ohlc_hourly_bars(spark, SF_SMALL).collect()}
+    assert set(got) == set(bars)
+    for key, evs in bars.items():
+        evs.sort()
+        r = got[key]
+        cs = [c for _, _, c in evs]
+        assert (r.open_cents, r.close_cents) == (evs[0][2], evs[-1][2])
+        assert (r.high_cents, r.low_cents) == (max(cs), min(cs))
+        assert r.volume == len(evs)
+        assert r.low_cents <= r.open_cents <= r.high_cents
+        assert r.low_cents <= r.close_cents <= r.high_cents
+
+
+def test_cohort_ltv_python_rederivation(spark):
+    con = _ddb(SF_SMALL)
+    rows = con.sql("""SELECT o_custkey,
+                             year(o_orderdate)*12 + month(o_orderdate)
+                               - 1,
+                             CAST(round(o_totalprice*100,0) AS BIGINT)
+                      FROM orders""").fetchall()
+    con.close()
+    first: dict = {}
+    for c, m, _ in rows:
+        first[c] = min(first.get(c, m), m)
+    sizes = Counter(first.values())
+    monthly = defaultdict(int)
+    for c, m, cents in rows:
+        monthly[(first[c], m - first[c])] += cents
+    from threat_detection_nosql_spark.queries.relational import (
+        cohort_ltv_curve)
+    got = cohort_ltv_curve(spark, SF_SMALL).collect()
+    seen = set()
+    for r in got:
+        y, mm = map(int, r.cohort.split("-"))
+        cm = y * 12 + mm - 1
+        seen.add((cm, r.age))
+        cum = sum(v for (c0, a), v in monthly.items()
+                  if c0 == cm and a <= r.age)
+        assert r.cum_rev_cents == cum, (r.cohort, r.age)
+        assert r.n_customers == sizes[cm]
+        assert abs(r.ltv_per_customer
+                   - cum / sizes[cm] / 100.0) < 1e-6
+    assert seen == set(monthly)
+    # per-cohort LTV is monotone nondecreasing in age by construction
+    by_cohort = defaultdict(list)
+    for r in got:
+        by_cohort[r.cohort].append((r.age, r.ltv_per_customer))
+    for cohort, pts in by_cohort.items():
+        pts.sort()
+        vals = [v for _, v in pts]
+        assert all(a <= b for a, b in zip(vals, vals[1:])), cohort

@@ -1532,3 +1532,90 @@ LIMIT 20
 
 QUERIES_TAIL["brand_assoc_rules_top20"] = brand_assoc_rules_top20
 ORACLES_TAIL["brand_assoc_rules_top20"] = _ASSOC_SQL
+
+
+# -- R43: cohort lifetime-value curve ----------------------------------------
+
+def cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer lifetime-value curve by acquisition cohort: customers
+    are grouped by the month of their FIRST order; each cohort's
+    cumulative revenue is tracked across order-month age, per capita.
+    The growth analytic behind "does a newer cohort monetize faster?"
+    — the revenue twin of cohort_retention (which counts activity).
+
+    Exactness: revenue is CENTS (BIGINT); age = exact
+    (year·12+month) arithmetic; the cumulative sum is an ordered
+    window over the tiny (cohort × age) grid, not over rows; the one
+    division (per-capita LTV) is final and rounded.
+
+    Scale shape: one orders scan feeds both the first-order agg and
+    the monthly revenue agg (same groupBy key prefix); the cumsum
+    window is partitioned by cohort over ≤ months² grid rows. Cohort
+    sizes are a broadcast 1-column frame."""
+    from pyspark.sql.window import Window as W
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.select(
+        "o_custkey",
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1)
+        .alias("m"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("long")
+        .alias("cents"))
+    first = (base.groupBy("o_custkey")
+             .agg(F.min("m").alias("cohort_m")))
+    sizes = (first.groupBy("cohort_m")
+             .agg(F.countDistinct("o_custkey").alias("n_customers")))
+    monthly = (base.join(first, "o_custkey")
+               .groupBy("cohort_m",
+                        (F.col("m") - F.col("cohort_m")).alias("age"))
+               .agg(F.sum("cents").alias("rev_cents")))
+    w = (W.partitionBy("cohort_m").orderBy("age")
+         .rowsBetween(W.unboundedPreceding, W.currentRow))
+    cum = monthly.withColumn("cum_rev_cents", F.sum("rev_cents").over(w))
+    out = cum.join(F.broadcast(sizes), "cohort_m")
+    cohort_str = F.concat(
+        F.lpad((F.col("cohort_m") / 12).cast("long").cast("string"),
+               4, "0"),
+        F.lit("-"),
+        F.lpad((F.col("cohort_m") % 12 + 1).cast("string"), 2, "0"))
+    return (out.select(
+        cohort_str.alias("cohort"), "age", "n_customers",
+        F.col("cum_rev_cents").cast("long").alias("cum_rev_cents"),
+        F.round(F.col("cum_rev_cents").cast("double")
+                / F.col("n_customers") / 100.0, 6)
+        .alias("ltv_per_customer"))
+        .orderBy("cohort", "age"))
+
+
+_LTV_SQL = """
+WITH base AS (
+  SELECT o_custkey,
+         year(o_orderdate) * 12 + month(o_orderdate) - 1 AS m,
+         CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+  FROM orders),
+first_m AS (
+  SELECT o_custkey, min(m) AS cohort_m FROM base GROUP BY o_custkey),
+sizes AS (
+  SELECT cohort_m, CAST(count(DISTINCT o_custkey) AS BIGINT)
+           AS n_customers
+  FROM first_m GROUP BY cohort_m),
+monthly AS (
+  SELECT f.cohort_m, b.m - f.cohort_m AS age,
+         CAST(sum(b.cents) AS BIGINT) AS rev_cents
+  FROM base b JOIN first_m f USING (o_custkey)
+  GROUP BY f.cohort_m, b.m - f.cohort_m),
+cum AS (
+  SELECT cohort_m, age,
+         CAST(sum(rev_cents) OVER (PARTITION BY cohort_m ORDER BY age
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_rev_cents
+  FROM monthly)
+SELECT lpad(CAST(cohort_m // 12 AS VARCHAR), 4, '0') || '-'
+         || lpad(CAST(cohort_m % 12 + 1 AS VARCHAR), 2, '0') AS cohort,
+       age, s.n_customers, cum_rev_cents,
+       round(CAST(cum_rev_cents AS DOUBLE) / s.n_customers / 100.0, 6)
+         AS ltv_per_customer
+FROM cum JOIN sizes s USING (cohort_m)
+ORDER BY cohort, age
+"""
+
+QUERIES_TAIL["cohort_ltv_curve"] = cohort_ltv_curve
+ORACLES_TAIL["cohort_ltv_curve"] = _LTV_SQL

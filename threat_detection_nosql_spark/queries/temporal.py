@@ -1868,3 +1868,148 @@ ORDER BY r.event_type
 
 QUERIES_TAIL["peak_concurrency_by_type"] = peak_concurrency_by_type
 ORACLES_TAIL["peak_concurrency_by_type"] = _PEAK_SQL
+
+
+# -- T10: time-weighted average value (TWAP) ---------------------------------
+
+def user_twap_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user time-weighted average event value — the TWAP estimator
+    (each observation weighted by how long it was "current": until the
+    user's next event that day). The unweighted mean over-counts burst
+    activity; TWAP is the standard fix in pricing/telemetry rollups.
+    Weights stop at the day boundary (the last event of a user-day
+    carries no weight), so a quiet overnight gap cannot dominate.
+
+    Exactness: value is cents-exact in this corpus (×100 rounds to an
+    integer — asserted in tests); weight = microseconds to the next
+    same-day event, an exact BIGINT from lead(); the numerator
+    Σ cents·Δus runs in DECIMAL(38,0)/HUGEINT so nothing rounds
+    before the single final division. Users with no weighted events
+    (≤1 event every active day) are excluded — their TWAP is 0/0.
+
+    Scale shape: one lead() window per (user, day) — the natural
+    event-log partitioning, no global sort — then one hash agg per
+    user. Output is entity-grain (one row per qualifying user)."""
+    from pyspark.sql.window import Window as W
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        F.col("user_id").alias("user"),
+        F.to_date("ts").alias("d"),
+        F.unix_micros(F.col("ts")).alias("us"),
+        "event_id",
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"))
+    w = W.partitionBy("user", "d").orderBy("us", "event_id")
+    wt = base.withColumn("delta", F.lead("us").over(w) - F.col("us"))
+    per = (wt.filter(F.col("delta").isNotNull())
+           .groupBy("user")
+           .agg(F.count("*").alias("n_weighted_events"),
+                F.countDistinct("d").alias("n_active_days"),
+                F.sum("delta").alias("active_us"),
+                F.sum(F.col("cents").cast("decimal(38,0)")
+                      * F.col("delta")).alias("num")))
+    return (per.select(
+        "user", "n_weighted_events", "n_active_days", "active_us",
+        F.round(F.col("num").cast("double")
+                / F.col("active_us").cast("double") / 100.0, 6)
+        .alias("twap_value"))
+        .orderBy("user"))
+
+
+_TWAP_SQL = """
+WITH base AS (
+  SELECT user_id AS "user", CAST(ts AS DATE) AS d,
+         epoch_us(ts) AS us, event_id,
+         CAST(round(value * 100, 0) AS BIGINT) AS cents
+  FROM events),
+wt AS (
+  SELECT "user", d, cents,
+         lead(us) OVER (PARTITION BY "user", d
+                        ORDER BY us, event_id) - us AS delta
+  FROM base),
+per AS (
+  SELECT "user", CAST(count(*) AS BIGINT) AS n_weighted_events,
+         CAST(count(DISTINCT d) AS BIGINT) AS n_active_days,
+         CAST(sum(delta) AS BIGINT) AS active_us,
+         sum(CAST(cents AS HUGEINT) * delta) AS num
+  FROM wt WHERE delta IS NOT NULL GROUP BY "user")
+SELECT "user", n_weighted_events, n_active_days, active_us,
+       round(CAST(num AS DOUBLE) / CAST(active_us AS DOUBLE) / 100.0, 6)
+         AS twap_value
+FROM per
+ORDER BY "user"
+"""
+
+QUERIES_TAIL["user_twap_value"] = user_twap_value
+ORACLES_TAIL["user_twap_value"] = _TWAP_SQL
+
+
+# -- T11: OHLC bars ----------------------------------------------------------
+
+def ohlc_hourly_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly OHLC candles per event type over the value stream —
+    open/close are the first/last values in (ts, event_id) order
+    within the bar, high/low the extremes, volume the row count. The
+    canonical time-series downsampling shape (financial bars,
+    telemetry rollups).
+
+    Exactness: values are exact CENTS; open/close are picked by
+    row_number over the unique (ts, event_id) total order — no
+    min_by/arg_min tie ambiguity, both engines replay the same rows.
+
+    Scale shape: one row_number window per (type, hour) — bounded
+    partitions that shrink as data grows finer — then one hash agg;
+    conditional max() pulls open/close through the same pass as
+    high/low. No joins."""
+    from pyspark.sql.window import Window as W
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        "event_type",
+        F.date_format(F.date_trunc("hour", F.col("ts")),
+                      "yyyy-MM-dd HH:00").alias("bar"),
+        "ts", "event_id",
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"))
+    fw = W.partitionBy("event_type", "bar").orderBy("ts", "event_id")
+    lw = W.partitionBy("event_type", "bar").orderBy(
+        F.desc("ts"), F.desc("event_id"))
+    rn = base.withColumn("rf", F.row_number().over(fw)) \
+             .withColumn("rl", F.row_number().over(lw))
+    return (rn.groupBy("event_type", "bar")
+            .agg(F.max(F.when(F.col("rf") == 1, F.col("cents")))
+                 .alias("open_cents"),
+                 F.max("cents").alias("high_cents"),
+                 F.min("cents").alias("low_cents"),
+                 F.max(F.when(F.col("rl") == 1, F.col("cents")))
+                 .alias("close_cents"),
+                 F.count("*").alias("volume"))
+            .orderBy("event_type", "bar"))
+
+
+_OHLC_SQL = """
+WITH base AS (
+  SELECT event_type,
+         strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS bar,
+         ts, event_id,
+         CAST(round(value * 100, 0) AS BIGINT) AS cents
+  FROM events),
+rn AS (
+  SELECT event_type, bar, cents,
+         row_number() OVER (PARTITION BY event_type, bar
+                            ORDER BY ts, event_id) AS rf,
+         row_number() OVER (PARTITION BY event_type, bar
+                            ORDER BY ts DESC, event_id DESC) AS rl
+  FROM base)
+SELECT event_type, bar,
+       CAST(max(CASE WHEN rf = 1 THEN cents END) AS BIGINT)
+         AS open_cents,
+       CAST(max(cents) AS BIGINT) AS high_cents,
+       CAST(min(cents) AS BIGINT) AS low_cents,
+       CAST(max(CASE WHEN rl = 1 THEN cents END) AS BIGINT)
+         AS close_cents,
+       CAST(count(*) AS BIGINT) AS volume
+FROM rn
+GROUP BY event_type, bar
+ORDER BY event_type, bar
+"""
+
+QUERIES_TAIL["ohlc_hourly_bars"] = ohlc_hourly_bars
+ORACLES_TAIL["ohlc_hourly_bars"] = _OHLC_SQL
