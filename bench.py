@@ -241,6 +241,8 @@ ROUND7D_COLLECT = [
     "user_twap_value",
     "ohlc_hourly_bars",
     "cohort_ltv_curve",
+    "session_path_top10",
+    "minhash_calibration_report",
 ]
 ROUND7D_COUNT: list = []
 

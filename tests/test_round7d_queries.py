@@ -409,3 +409,75 @@ def test_cohort_ltv_python_rederivation(spark):
         pts.sort()
         vals = [v for _, v in pts]
         assert all(a <= b for a, b in zip(vals, vals[1:])), cohort
+
+
+def test_session_path_python_rederivation(spark):
+    """Sessionize + path-prefix recomputed in Python (30-min gap,
+    (ts, event_id) order) — top-10 with the exact tie-break."""
+    con = _ddb(SF_SMALL)
+    rows = con.sql("""SELECT user_id, epoch_us(ts), event_id,
+                             event_type FROM events""").fetchall()
+    con.close()
+    by_user = defaultdict(list)
+    for u, us, eid, et in rows:
+        by_user[u].append((us, eid, et))
+    paths: Counter = Counter()
+    for u, evs in by_user.items():
+        evs.sort()
+        cur: list = []
+        prev_us = None
+        for us, eid, et in evs:
+            if prev_us is None or us - prev_us > 30 * 60 * 1_000_000:
+                if cur:
+                    paths[">".join(cur[:3])] += 1
+                cur = []
+            cur.append(et)
+            prev_us = us
+        if cur:
+            paths[">".join(cur[:3])] += 1
+    expect = sorted(paths.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    from threat_detection_nosql_spark.queries.temporal import (
+        session_path_top10)
+    got = [(r.path, r.n_sessions)
+           for r in session_path_top10(spark, SF_SMALL).collect()]
+    assert got == expect
+
+
+def test_minhash_calibration_exactness_and_scurve(spark):
+    """The calibration table's defining invariants: exact Jaccard per
+    agreement bucket recomputed from raw shingle sets on the candidate
+    pairs, and the estimate is unbiased enough that the bucket means
+    are monotone-ish (the S-curve: higher agreement → higher exact
+    similarity at the extremes)."""
+    from threat_detection_nosql_spark.operators.dedup import (
+        minhash_shingles, minhash_signature_near_dups)
+    from threat_detection_nosql_spark.queries.advanced import (
+        minhash_calibration_report)
+    from threat_detection_nosql_spark.sources.readers import load_table
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    sh = defaultdict(set)
+    for r in minhash_shingles(docs).collect():
+        sh[r.doc_id].add(r.shingle)
+    buckets = defaultdict(list)
+    for r in minhash_signature_near_dups(docs).collect():
+        k = round(r.est_jaccard * 16)
+        a, b = sh[r.doc_a], sh[r.doc_b]
+        inter = len(a & b)
+        buckets[k].append(inter * 1_000_000 // (len(a) + len(b)
+                                                - inter))
+    got = {r.k: r for r in
+           minhash_calibration_report(spark, SF_SMALL).collect()}
+    assert set(got) == set(buckets)
+    for k, ppms in buckets.items():
+        r = got[k]
+        assert r.n_pairs == len(ppms)
+        assert abs(r.est_jaccard - k / 16.0) < 1e-6
+        assert abs(r.mean_exact_jaccard
+                   - sum(ppms) / len(ppms) / 1e6) < 1e-6
+        assert abs(r.min_exact_jaccard - min(ppms) / 1e6) < 1e-6
+        assert abs(r.max_exact_jaccard - max(ppms) / 1e6) < 1e-6
+    ks = sorted(got)
+    # S-curve sanity: the top bucket's exact similarity dominates the
+    # bottom bucket's
+    assert got[ks[-1]].mean_exact_jaccard > got[ks[0]].mean_exact_jaccard

@@ -138,6 +138,27 @@ def minhash_params(n_hashes: int) -> list[tuple[int, int]]:
             for i in range(n_hashes)]
 
 
+def minhash_shingles(docs: DataFrame,
+                     shingle_len: int = 3) -> DataFrame:
+    """The distinct word-shingle set behind the MinHash family —
+    (doc_id, shingle), k-grams via zip_with over shifted slices, docs
+    shorter than one shingle dropped. Factored out so the calibration
+    audit measures EXACT Jaccard over the very same sets the
+    signatures sketch (queries/advanced.minhash_calibration_report)."""
+    from threat_detection_nosql_spark.sources.readers import spread
+    docs = spread(docs)
+    w = F.split(F.col("text"), r"\s+")
+    n_sh = F.greatest(F.size(w) - shingle_len + 1, F.lit(0))
+    grams = F.slice(w, 1, n_sh)
+    for j in range(1, shingle_len):
+        grams = F.zip_with(grams, F.slice(w, j + 1, n_sh),
+                           lambda a, b: F.concat_ws(" ", a, b))
+    return (docs
+            .filter(F.size(w) >= shingle_len)
+            .select("doc_id",
+                    F.explode(F.array_distinct(grams)).alias("shingle")))
+
+
 def minhash_signatures(docs: DataFrame, n_hashes: int = 16,
                        shingle_len: int = 3) -> DataFrame:
     """Classic k-permutation MinHash signature per doc: the min over
@@ -149,19 +170,7 @@ def minhash_signatures(docs: DataFrame, n_hashes: int = 16,
     One explode + ONE groupBy computing all components (map-side
     partials make the shuffle |docs|×1 row). Deterministic constants →
     bit-identical in the DuckDB oracle. Returns (doc_id, s0..s{n-1})."""
-    from threat_detection_nosql_spark.sources.readers import spread
-    docs = spread(docs)
-    w = F.split(F.col("text"), r"\s+")
-    # k-grams via zip_with over shifted slices (see minhash_near_dup_pairs)
-    n_sh = F.greatest(F.size(w) - shingle_len + 1, F.lit(0))
-    grams = F.slice(w, 1, n_sh)
-    for j in range(1, shingle_len):
-        grams = F.zip_with(grams, F.slice(w, j + 1, n_sh),
-                           lambda a, b: F.concat_ws(" ", a, b))
-    sh = (docs
-          .filter(F.size(w) >= shingle_len)
-          .select("doc_id",
-                  F.explode(F.array_distinct(grams)).alias("shingle"))
+    sh = (minhash_shingles(docs, shingle_len)
           .withColumn("x", _portable_hash60(F.col("shingle"))
                       % F.lit(_MH_PRIME)))
     aggs = [

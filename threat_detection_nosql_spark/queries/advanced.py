@@ -912,3 +912,115 @@ ORDER BY n.doc_id
 
 QUERIES_TAIL["incremental_corpus_dedup"] = incremental_corpus_dedup
 ORACLES_TAIL["incremental_corpus_dedup"] = _INC_SQL
+
+
+def minhash_calibration_report(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """MinHash accuracy audit: for every banded-LSH candidate pair,
+    the EXACT shingle Jaccard is computed (restricted to candidates —
+    never all-pairs) and grouped by the signature agreement count k
+    (the estimate is exactly k/16). Per k: pair count, the estimate,
+    and mean/min/max exact Jaccard — the calibration curve that tells
+    an operator whether the 16-permutation sketch is trustworthy at
+    their dedup threshold (the companion to ann_recall_report, for
+    the MinHash family).
+
+    Exactness: k is recovered as round(est·16) (est is k/16 rounded
+    to 6 — an exact decimal, 1/16 steps); per-pair exact Jaccard is
+    scaled to an integer j_ppm = |∩|·10⁶ div |∪| BEFORE the
+    cross-pair mean, so the sum is order-independent; min/max ride
+    the same integers.
+
+    Scale shape: the intersection join fans out candidate pairs by
+    doc_a's shingles then equi-joins on (doc_b, shingle) — work
+    proportional to Σ|shingles(a)| over candidate pairs, the same
+    budget as rescoring, not corpus²; per-doc set sizes are one agg,
+    joined twice; output is ≤17 rows."""
+    from threat_detection_nosql_spark.operators import dedup as D
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_signature_near_dups(docs)
+    cand = pairs.select(
+        "doc_a", "doc_b",
+        F.round(F.col("est_jaccard") * 16).cast("int").alias("k"))
+    sh = D.minhash_shingles(docs).localCheckpoint()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    sa = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    sb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (cand.join(sa, "doc_a").join(sb, ["doc_b", "shingle"])
+             .groupBy("doc_a", "doc_b", "k")
+             .agg(F.count("*").alias("inter")))
+    scored = (cand.join(inter.select("doc_a", "doc_b", "inter"),
+                        ["doc_a", "doc_b"], "left")
+              .withColumn("inter", F.coalesce("inter", F.lit(0)))
+              .join(sizes.withColumnRenamed("doc_id", "doc_a")
+                    .withColumnRenamed("n_sh", "na"), "doc_a")
+              .join(sizes.withColumnRenamed("doc_id", "doc_b")
+                    .withColumnRenamed("n_sh", "nb"), "doc_b")
+              .withColumn("j_ppm",
+                          F.expr("CAST(inter * 1000000 AS BIGINT) "
+                                 "div (na + nb - inter)")))
+    return (scored.groupBy("k")
+            .agg(F.count("*").alias("n_pairs"),
+                 F.sum("j_ppm").alias("sum_ppm"),
+                 F.min("j_ppm").alias("min_ppm"),
+                 F.max("j_ppm").alias("max_ppm"))
+            .select(
+                "k", "n_pairs",
+                F.round(F.col("k") / 16.0, 6).alias("est_jaccard"),
+                F.round(F.col("sum_ppm").cast("double")
+                        / F.col("n_pairs") / 1e6, 6)
+                .alias("mean_exact_jaccard"),
+                F.round(F.col("min_ppm").cast("double") / 1e6, 6)
+                .alias("min_exact_jaccard"),
+                F.round(F.col("max_ppm").cast("double") / 1e6, 6)
+                .alias("max_exact_jaccard"))
+            .orderBy("k"))
+
+
+_MH_CALIB_SQL = rf"""
+WITH w AS (SELECT doc_id, string_split_regex(text, '\s+') AS wds
+           FROM documents),
+sh AS (SELECT DISTINCT doc_id,
+              wds[i] || ' ' || wds[i+1] || ' ' || wds[i+2] AS shingle
+       FROM w, LATERAL (SELECT unnest(range(1, len(wds) - 1)) AS i) ix),
+sig AS (SELECT doc_id,
+        {_MH_SIG}
+        FROM sh GROUP BY doc_id),
+cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+         AND ({_MH_BAND_COND})),
+ck AS (SELECT c.doc_a, c.doc_b,
+              CAST(({_MH_EST}) AS INT) AS k
+       FROM cand c
+       JOIN sig sa ON sa.doc_id = c.doc_a
+       JOIN sig sb ON sb.doc_id = c.doc_b),
+sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh
+          FROM sh GROUP BY doc_id),
+inter AS (SELECT k.doc_a, k.doc_b,
+                 CAST(count(sb.shingle) AS BIGINT) AS inter
+          FROM ck k
+          LEFT JOIN sh sa ON sa.doc_id = k.doc_a
+          LEFT JOIN sh sb ON sb.doc_id = k.doc_b
+                         AND sb.shingle = sa.shingle
+          GROUP BY k.doc_a, k.doc_b),
+scored AS (
+  SELECT k.k,
+         CAST(i.inter * 1000000 AS BIGINT)
+           // (za.n_sh + zb.n_sh - i.inter) AS j_ppm
+  FROM ck k
+  JOIN inter i ON i.doc_a = k.doc_a AND i.doc_b = k.doc_b
+  JOIN sizes za ON za.doc_id = k.doc_a
+  JOIN sizes zb ON zb.doc_id = k.doc_b)
+SELECT k, CAST(count(*) AS BIGINT) AS n_pairs,
+       round(k / 16.0, 6) AS est_jaccard,
+       round(CAST(sum(j_ppm) AS DOUBLE) / count(*) / 1e6, 6)
+         AS mean_exact_jaccard,
+       round(CAST(min(j_ppm) AS DOUBLE) / 1e6, 6) AS min_exact_jaccard,
+       round(CAST(max(j_ppm) AS DOUBLE) / 1e6, 6) AS max_exact_jaccard
+FROM scored
+GROUP BY k
+ORDER BY k
+"""
+
+QUERIES_TAIL["minhash_calibration_report"] = minhash_calibration_report
+ORACLES_TAIL["minhash_calibration_report"] = _MH_CALIB_SQL

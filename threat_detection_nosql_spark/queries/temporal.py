@@ -2013,3 +2013,89 @@ ORDER BY event_type, bar
 
 QUERIES_TAIL["ohlc_hourly_bars"] = ohlc_hourly_bars
 ORACLES_TAIL["ohlc_hourly_bars"] = _OHLC_SQL
+
+
+# -- T12: clickstream path analysis ------------------------------------------
+
+def session_path_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 session-opening paths: the first three activities of
+    every 30-min-gap session, joined 'a>b>c', ranked by session count
+    — the classic clickstream entry-path analytic ("what do users do
+    first?"). Shorter sessions contribute their 1- or 2-step prefix.
+
+    Exactness: sessionization is the same gaps-and-islands plan as
+    event_sessions (integer microsecond gap vs threshold); step
+    positions come from row_number over the unique (ts, event_id)
+    order; the path string is concat_ws over the three conditional
+    maxes (concat_ws skips the NULL steps of short sessions
+    identically in both engines); the top-10 cut orders by exact
+    (n_sessions DESC, path ASC).
+
+    Scale shape: two per-user windows (shared shuffle with the
+    sessionizer), a rn<=3 filter BEFORE the path agg — the group-by
+    carries at most 3 rows per session — then a count agg over the
+    tiny path domain and a TakeOrdered 10."""
+    from pyspark.sql.window import Window
+    log = activity_log(spark, sf_dir)
+    w = Window.partitionBy("user").orderBy("ts", "event_id")
+    gap = F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+    marked = log.select(
+        "user", "ts", "event_id", "activity",
+        F.when(gap.isNull() | (gap > _SESSION_GAP_US), 1).otherwise(0)
+         .alias("is_new"))
+    sess = marked.withColumn(
+        "session_id",
+        F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding,
+                                           0)))
+    sw = Window.partitionBy("user", "session_id").orderBy("ts",
+                                                          "event_id")
+    steps = (sess.withColumn("rn", F.row_number().over(sw))
+             .filter(F.col("rn") <= 3))
+    paths = (steps.groupBy("user", "session_id")
+             .agg(F.concat_ws(
+                 ">",
+                 F.max(F.when(F.col("rn") == 1, F.col("activity"))),
+                 F.max(F.when(F.col("rn") == 2, F.col("activity"))),
+                 F.max(F.when(F.col("rn") == 3, F.col("activity"))))
+                 .alias("path")))
+    return (paths.groupBy("path")
+            .agg(F.count("*").alias("n_sessions"))
+            .orderBy(F.desc("n_sessions"), "path")
+            .limit(10))
+
+
+_SESSION_PATH_SQL = f"""
+{_LOG_CTE},
+l AS (SELECT user, ts, event_id, activity,
+             CASE WHEN lag(ts) OVER uw IS NULL
+                    OR epoch_us(ts) - epoch_us(lag(ts) OVER uw)
+                       > {{gap}}
+                  THEN 1 ELSE 0 END AS is_new
+      FROM log
+      WINDOW uw AS (PARTITION BY user ORDER BY ts, event_id)),
+s AS (SELECT user, ts, event_id, activity,
+             CAST(sum(is_new) OVER (PARTITION BY user
+                                    ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING)
+                  AS BIGINT) AS session_id
+      FROM l),
+st AS (SELECT user, session_id, activity,
+              row_number() OVER (PARTITION BY user, session_id
+                                 ORDER BY ts, event_id) AS rn
+       FROM s QUALIFY rn <= 3),
+p AS (SELECT user, session_id,
+             concat_ws('>',
+                       max(CASE WHEN rn = 1 THEN activity END),
+                       max(CASE WHEN rn = 2 THEN activity END),
+                       max(CASE WHEN rn = 3 THEN activity END))
+               AS path
+      FROM st GROUP BY user, session_id)
+SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
+FROM p GROUP BY path
+ORDER BY n_sessions DESC, path ASC
+LIMIT 10
+"""
+
+QUERIES_TAIL["session_path_top10"] = session_path_top10
+ORACLES_TAIL["session_path_top10"] = _SESSION_PATH_SQL.replace(
+    "{gap}", str(_SESSION_GAP_US))
