@@ -243,6 +243,7 @@ ROUND7D_COLLECT = [
     "cohort_ltv_curve",
     "session_path_top10",
     "minhash_calibration_report",
+    "cdc_last_writer_state",
 ]
 ROUND7D_COUNT: list = []
 

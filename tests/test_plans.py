@@ -666,3 +666,25 @@ def test_wave3_scans_prune_and_window_partitioning(spark):
                          and "o_orderpriority" not in ln
                          for ln in scans)
     assert any("o_totalprice" in ln for ln in scans)
+
+
+def test_revenue_pareto_approx_has_no_global_sort(spark):
+    """The executed ntile scale swap (revenue_pareto(approx=True)):
+    the decile assignment must carry NO unpartitioned window and no
+    range partitioning — the exact path keeps both (that contrast is
+    the point)."""
+    from threat_detection_nosql_spark.queries.relational import (
+        revenue_pareto)
+
+    exact = formatted_plan(revenue_pareto(spark, SF_DIR))
+    # the exact form pays the single-partition ntile sort
+    assert "ntile(" in exact
+
+    approx = formatted_plan(revenue_pareto(spark, SF_DIR, approx=True))
+    assert "ntile(" not in approx
+    assert "percentile_approx" in approx
+    # decile assignment stage: broadcast of the 1-row boundary agg,
+    # no rangepartitioning (global sort) anywhere before the final
+    # 10-row ordering
+    assert "BroadcastNestedLoopJoin" in approx \
+        or "BroadcastExchange" in approx

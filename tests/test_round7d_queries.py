@@ -481,3 +481,57 @@ def test_minhash_calibration_exactness_and_scurve(spark):
     # S-curve sanity: the top bucket's exact similarity dominates the
     # bottom bucket's
     assert got[ks[-1]].mean_exact_jaccard > got[ks[0]].mean_exact_jaccard
+
+
+def test_revenue_pareto_approx_matches_exact_within_band(spark):
+    """The executed ntile scale swap: the approx (GK-boundary,
+    no-global-sort) path must reproduce the exact decile curve within
+    sketch tolerance — shares per decile within 2 points, cumulative
+    within 2 points, and identical totals."""
+    from threat_detection_nosql_spark.queries.relational import (
+        revenue_pareto)
+
+    exact = {r.decile: r for r in
+             revenue_pareto(spark, SF_SMALL).collect()}
+    approx = {r.decile: r for r in
+              revenue_pareto(spark, SF_SMALL, approx=True).collect()}
+    assert set(approx) == set(exact) == set(range(1, 11))
+    assert (sum(r.n_customers for r in approx.values())
+            == sum(r.n_customers for r in exact.values()))
+    for d in exact:
+        assert abs(approx[d].revenue_share
+                   - exact[d].revenue_share) < 0.02, d
+        assert abs(approx[d].cum_revenue_share
+                   - exact[d].cum_revenue_share) < 0.02, d
+    # the curve keeps its defining monotone concavity
+    cums = [approx[d].cum_revenue_share for d in range(1, 11)]
+    assert all(a <= b + 1e-9 for a, b in zip(cums, cums[1:]))
+    assert abs(cums[-1] - 1.0) < 1e-6
+
+
+def test_cdc_python_rederivation(spark):
+    con = _ddb(SF_SMALL)
+    rows = con.sql("""SELECT user_id, epoch_us(ts), event_id,
+                             event_type,
+                             CAST(round(value*100,0) AS BIGINT)
+                      FROM events""").fetchall()
+    con.close()
+    by_k = defaultdict(list)
+    for u, us, eid, et, cents in rows:
+        by_k[u].append((us, eid, et, cents))
+    from threat_detection_nosql_spark.queries.relational import (
+        cdc_last_writer_state)
+    got = {r.user_id: r for r in
+           cdc_last_writer_state(spark, SF_SMALL).collect()}
+    for u, evs in by_k.items():
+        evs.sort()
+        last = evs[-1]
+        if last[2] == "error":           # final DELETE: key absent
+            assert u not in got
+        else:
+            r = got[u]
+            assert r.live_value_cents == last[3]
+            assert r.n_changes == len(evs)
+            assert r.n_deletes == sum(1 for e in evs
+                                      if e[2] == "error")
+    assert set(got) <= set(by_k)

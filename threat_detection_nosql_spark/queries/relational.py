@@ -951,7 +951,8 @@ ORACLES_TAIL = {**globals().get("ORACLES_TAIL", {}),
                 "winsorized_order_values": _WINSORIZED_SQL}
 
 
-def revenue_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+def revenue_pareto(spark: SparkSession, sf_dir: str,
+                   approx: bool = False) -> DataFrame:
     """The 80/20 check: customers ranked by lifetime order revenue in
     CENTS (exact BIGINT — o_totalprice has 2 decimals, so ×100 rounds
     to an integer), cut into revenue deciles, with each decile's
@@ -964,20 +965,35 @@ def revenue_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale note: the ntile rides an UNPARTITIONED window over the
     customer dimension — exact (and the registered oracle form), but a
-    single-partition sort once customers reach the billions. The scale
-    swap (house style: customer_value_ntiles, source_quantile_
-    normalized): one `approx_percentile(cents, array(0.1..0.9))`
-    boundary agg, broadcast the 9 cut points, assign deciles with a
-    searchsorted CASE/array comparison — no global sort, same 10-row
-    output grain (decile edges become sketch-approximate)."""
+    single-partition sort once customers reach the billions.
+    ``approx=True`` EXECUTES the scale swap (house style:
+    customer_value_ntiles, source_quantile_normalized): one
+    `approx_percentile(cents, array(0.9..0.1))` boundary agg (GK
+    sketch, bounded state), the 9 cut points broadcast via a 1-row
+    cross join, deciles assigned by a searchsorted array comparison —
+    no global sort anywhere (pinned in tests/test_plans.py); decile
+    edges become sketch-approximate, shares stay exact integer sums.
+    The same swap applies verbatim to customer_rfm_segments and
+    rule_lift_table (identical ntile grain)."""
     from pyspark.sql.window import Window as W
     orders = load_table(spark, sf_dir, "orders")
     rev = (orders.groupBy("o_custkey")
            .agg(F.sum(F.round(F.col("o_totalprice") * 100, 0)
                       .cast("long")).alias("cents")))
-    ranked = rev.withColumn(
-        "decile", F.ntile(10).over(
-            W.orderBy(F.desc("cents"), F.asc("o_custkey"))))
+    if approx:
+        bounds = rev.agg(F.percentile_approx(
+            "cents", [i / 10.0 for i in range(9, 0, -1)],
+            10000).alias("bs"))
+        ranked = (rev.crossJoin(F.broadcast(bounds))
+                  .withColumn(
+                      "decile",
+                      (F.lit(1) + F.size(F.filter(
+                          "bs", lambda b: F.col("cents") < b)))
+                      .cast("int")))
+    else:
+        ranked = rev.withColumn(
+            "decile", F.ntile(10).over(
+                W.orderBy(F.desc("cents"), F.asc("o_custkey"))))
     dec = (ranked.groupBy("decile")
            .agg(F.count("*").alias("n_customers"),
                 F.sum("cents").alias("decile_cents")))
@@ -1619,3 +1635,69 @@ ORDER BY cohort, age
 
 QUERIES_TAIL["cohort_ltv_curve"] = cohort_ltv_curve
 ORACLES_TAIL["cohort_ltv_curve"] = _LTV_SQL
+
+
+# -- R44: CDC apply (last-writer-wins upsert/delete) -------------------------
+
+def cdc_last_writer_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC MERGE semantics over an op-coded changelog: the event log
+    is read as a change stream on a per-user state row — ``error``
+    events are DELETEs, every other event UPSERTs the user's current
+    value — and the materialized table is last-writer-wins by the
+    total (ts, event_id) order. The op-coded apply complements
+    customer_scd2_merge (which keeps history; this keeps the live
+    snapshot the way a MERGE INTO target would).
+
+    Exactness: the winner is row_number()=1 over the unique
+    (ts DESC, event_id DESC) per-key order; value is exact cents;
+    deleted keys are dropped by a filter on the winning op — every
+    step replays in SQL.
+
+    Scale shape: one per-key window (hash-partitioned by user, the
+    CDC key — the same shuffle a MERGE needs) with WindowGroupLimit
+    pruning map-side to 1 row per (key, task); counts ride the same
+    pass as a conditional agg. No joins."""
+    from pyspark.sql.window import Window as W
+    ev = load_table(spark, sf_dir, "events")
+    log = ev.select(
+        F.col("user_id").alias("k"), "ts", "event_id",
+        F.when(F.col("event_type") == "error", F.lit("D"))
+        .otherwise(F.lit("U")).alias("op"),
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"))
+    w = W.partitionBy("k").orderBy(F.desc("ts"), F.desc("event_id"))
+    ranked = log.select(
+        "k", "op", "cents",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(W.partitionBy("k")).alias("n_changes"),
+        F.sum(F.when(F.col("op") == "D", 1).otherwise(0))
+        .over(W.partitionBy("k")).alias("n_deletes"))
+    return (ranked.filter((F.col("rn") == 1) & (F.col("op") == "U"))
+            .select(F.col("k").alias("user_id"),
+                    F.col("cents").alias("live_value_cents"),
+                    F.col("n_changes").cast("long").alias("n_changes"),
+                    F.col("n_deletes").cast("long").alias("n_deletes"))
+            .orderBy("user_id"))
+
+
+_CDC_SQL = """
+WITH log AS (
+  SELECT user_id AS k, ts, event_id,
+         CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+         CAST(round(value * 100, 0) AS BIGINT) AS cents
+  FROM events),
+ranked AS (
+  SELECT k, op, cents,
+         row_number() OVER (PARTITION BY k
+                            ORDER BY ts DESC, event_id DESC) AS rn,
+         CAST(count(*) OVER (PARTITION BY k) AS BIGINT) AS n_changes,
+         CAST(sum(CASE WHEN op = 'D' THEN 1 ELSE 0 END)
+              OVER (PARTITION BY k) AS BIGINT) AS n_deletes
+  FROM log)
+SELECT k AS user_id, cents AS live_value_cents, n_changes, n_deletes
+FROM ranked
+WHERE rn = 1 AND op = 'U'
+ORDER BY user_id
+"""
+
+QUERIES_TAIL["cdc_last_writer_state"] = cdc_last_writer_state
+ORACLES_TAIL["cdc_last_writer_state"] = _CDC_SQL
