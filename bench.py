@@ -244,6 +244,7 @@ ROUND7D_COLLECT = [
     "session_path_top10",
     "minhash_calibration_report",
     "cdc_last_writer_state",
+    "stream_cdc_state",
 ]
 ROUND7D_COUNT: list = []
 

@@ -535,3 +535,54 @@ def test_cdc_python_rederivation(spark):
             assert r.n_deletes == sum(1 for e in evs
                                       if e[2] == "error")
     assert set(got) <= set(by_k)
+
+
+def test_stream_cdc_state_invariant_to_batching(spark, tmp_path):
+    """Struct-max associativity: the streamed live table equals the
+    batch last-writer-wins whatever the file batching — driven as two
+    out-of-order files with interleaved updates and a final delete
+    for one key."""
+    import os
+    import time
+
+    from pyspark.sql import functions as F
+
+    from threat_detection_nosql_spark.streaming.stream_queries import (
+        run_stream_to_table,
+    )
+
+    base = 1_700_000_000
+    # key 1: updates across both files, latest (minute 50, f1) wins
+    # key 2: final op is a delete (minute 60, f2) -> absent
+    # key 3: single update in f2
+    f1 = [(10, base + 50 * 60, 1, "purchase", 5.00),
+          (11, base + 10 * 60, 2, "view", 1.00),
+          (12, base + 20 * 60, 1, "view", 2.00)]
+    f2 = [(20, base + 30 * 60, 1, "click", 3.00),
+          (21, base + 60 * 60, 2, "error", 0.00),
+          (22, base + 5 * 60, 3, "signup", 9.99)]
+    src = tmp_path / "cdc"
+    os.makedirs(src)
+    schema = ("event_id long, sec long, user long, activity string, "
+              "value double")
+    for name, rows in [("f1.parquet", f1), ("f2.parquet", f2)]:
+        (spark.createDataFrame(rows, schema)
+         .coalesce(1).write.parquet(str(src / name)))
+        time.sleep(1.1)
+
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", "1")
+              .parquet(str(src / "*.parquet"))
+              .withColumn("ts", F.timestamp_seconds(F.col("sec"))))
+    log = stream.select(
+        F.col("user").alias("k"), "ts", "event_id",
+        F.when(F.col("activity") == "error", F.lit("D"))
+        .otherwise(F.lit("U")).alias("op"),
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"))
+    agg = (log.groupBy("k")
+           .agg(F.max(F.struct("ts", "event_id", "op", "cents"))
+                .alias("w")))
+    table = run_stream_to_table(agg, mode="complete")
+    live = {r.k: r["w"]["cents"] for r in table.collect()
+            if r["w"]["op"] == "U"}
+    assert live == {1: 500, 3: 999}

@@ -623,3 +623,32 @@ ORDER BY r.event_type
 
 QUERIES_TAIL["stream_peak_concurrency"] = stream_peak_concurrency
 ORACLES_TAIL["stream_peak_concurrency"] = _PEAK_STREAM_SQL
+
+
+def stream_cdc_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC live table (streaming.stream_queries.
+    cdc_live_state); oracle = the batch last-writer-wins winner per
+    key (struct-max associativity makes drained == batch under any
+    batching — the one CDC twin that needs no watermark buffer)."""
+    return S.cdc_live_state(spark, sf_dir)
+
+
+_STREAM_CDC_SQL = """
+WITH log AS (
+  SELECT user_id AS k, ts, event_id,
+         CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+         CAST(round(value * 100, 0) AS BIGINT) AS cents
+  FROM events),
+ranked AS (
+  SELECT k, op, cents,
+         row_number() OVER (PARTITION BY k
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM log)
+SELECT k AS user_id, cents AS live_value_cents
+FROM ranked
+WHERE rn = 1 AND op = 'U'
+ORDER BY user_id
+"""
+
+QUERIES_TAIL["stream_cdc_state"] = stream_cdc_state
+ORACLES_TAIL["stream_cdc_state"] = _STREAM_CDC_SQL

@@ -1043,3 +1043,31 @@ def ordered_peak_concurrency(spark: SparkSession,
         F.date_format(F.timestamp_micros(F.col("s.peak_at_us")),
                       "yyyy-MM-dd HH:mm:ss").alias("peak_at"))
         .orderBy("event_type"))
+
+
+def cdc_live_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of queries/relational.cdc_last_writer_state:
+    the op-coded changelog arrives as a stream and the live table is
+    maintained by ONE streaming aggregation — max over the
+    (ts, event_id, op, cents) struct per key. Struct-max is
+    associative/commutative with a total order (the (ts, event_id)
+    prefix is unique), so the drained state equals the batch
+    last-writer-wins under ANY batching and arrival order — no
+    resequencing buffer needed, unlike the running-sum twins. State
+    is one struct per key, watermark-free by design (a late row
+    simply loses the max). Final DELETE winners are filtered
+    downstream of the drain."""
+    ev = events_stream(spark, sf_dir, watermark=None)
+    log = ev.select(
+        F.col("user").alias("k"), "ts", "event_id",
+        F.when(F.col("activity") == "error", F.lit("D"))
+        .otherwise(F.lit("U")).alias("op"),
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"))
+    agg = (log.groupBy("k")
+           .agg(F.max(F.struct("ts", "event_id", "op", "cents"))
+                .alias("w")))
+    table = run_stream_to_table(agg, mode="complete")
+    return (table.filter(F.col("w.op") == "U")
+            .select(F.col("k").alias("user_id"),
+                    F.col("w.cents").alias("live_value_cents"))
+            .orderBy("user_id"))
