@@ -9,7 +9,7 @@ nested-loop joins are NOT flagged: broadcasts of 1-row/tiny aggregate
 frames (thresholds, totals, min-max stats) are the intended pattern.
 
 Usage: python scripts/audit_plans.py [--sf DIR]
-Exit 1 if anything is flagged. Round-7 baseline: 230 audited, 0 flags.
+Exit 1 if anything is flagged. Round-7 baseline: 236 audited, 0 flags.
 """
 from __future__ import annotations
 

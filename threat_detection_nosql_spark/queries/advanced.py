@@ -936,13 +936,12 @@ def minhash_calibration_report(spark: SparkSession,
     proportional to Σ|shingles(a)| over candidate pairs, the same
     budget as rescoring, not corpus²; per-doc set sizes are one agg,
     joined twice; output is ≤17 rows."""
-    from threat_detection_nosql_spark.operators import dedup as D
     docs = load_table(spark, sf_dir, "documents")
     pairs = dedup.minhash_signature_near_dups(docs)
     cand = pairs.select(
         "doc_a", "doc_b",
         F.round(F.col("est_jaccard") * 16).cast("int").alias("k"))
-    sh = D.minhash_shingles(docs).localCheckpoint()
+    sh = dedup.minhash_shingles(docs).localCheckpoint()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     sa = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
     sb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
