@@ -586,3 +586,90 @@ def test_stream_cdc_state_invariant_to_batching(spark, tmp_path):
     live = {r.k: r["w"]["cents"] for r in table.collect()
             if r["w"]["op"] == "U"}
     assert live == {1: 500, 3: 999}
+
+
+def _write_events(spark, path, rows):
+    """rows: (event_id, sec, user_id, event_type, value)."""
+    import os
+
+    from pyspark.sql import functions as F
+    os.makedirs(path, exist_ok=True)
+    (spark.createDataFrame(
+        rows, "event_id long, sec long, user_id long, "
+              "event_type string, value double")
+     .withColumn("ts", F.timestamp_seconds(F.col("sec")))
+     .withColumn("props", F.lit("{}"))
+     .select("event_id", "ts", "user_id", "event_type", "value",
+             "props")
+     .coalesce(1).write.mode("overwrite")
+     .parquet(str(path) + "/events.parquet"))
+
+
+def test_peak_concurrency_halfopen_boundary_fixture(spark, tmp_path):
+    """The subtlest semantics, pinned on a planted log: an interval
+    closing exactly when another opens must NOT overlap it
+    (half-open), and simultaneous opens stack."""
+    from threat_detection_nosql_spark.queries.temporal import (
+        peak_concurrency_by_type)
+
+    base = 1_700_000_000
+    rows = [
+        # type "x": e0 opens at t=0; e1 opens exactly at t+30min —
+        # e0 closed first, so concurrency never exceeds 1
+        (0, base, 1, "x", 1.0),
+        (1, base + 1800, 2, "x", 1.0),
+        # type "y": three simultaneous opens -> peak 3 at that instant
+        (2, base + 60, 1, "y", 1.0),
+        (3, base + 60, 2, "y", 1.0),
+        (4, base + 60, 3, "y", 1.0),
+    ]
+    _write_events(spark, tmp_path, rows)
+    got = {r.event_type: r for r in
+           peak_concurrency_by_type(spark, str(tmp_path)).collect()}
+    assert got["x"].peak_concurrency == 1          # half-open: no touch
+    assert got["x"].n_intervals == 2
+    assert got["y"].peak_concurrency == 3
+    import datetime
+    assert got["y"].peak_at == datetime.datetime.utcfromtimestamp(
+        base + 60).strftime("%Y-%m-%d %H:%M:%S")
+
+
+def test_ohlc_cdc_twap_same_instant_ties_fixture(spark, tmp_path):
+    """Same-timestamp rows: event_id is the deterministic tie-break
+    for OHLC open/close and the CDC winner; zero-gap TWAP weights
+    contribute nothing but the row still counts as weighted."""
+    from threat_detection_nosql_spark.queries.relational import (
+        cdc_last_writer_state)
+    from threat_detection_nosql_spark.queries.temporal import (
+        ohlc_hourly_bars, user_twap_value)
+
+    base = 1_700_000_000
+    rows = [
+        # user 1, one hour bar, three events, two at the same instant
+        (10, base, 1, "view", 3.00),
+        (11, base, 1, "view", 1.00),       # same ts, higher id
+        (12, base + 600, 1, "view", 2.00),
+    ]
+    _write_events(spark, tmp_path, rows)
+
+    bar = ohlc_hourly_bars(spark, str(tmp_path)).collect()
+    assert len(bar) == 1
+    r = bar[0]
+    # open = event_id 10 (lowest id at the tied first instant),
+    # close = event_id 12
+    assert (r.open_cents, r.close_cents) == (300, 200)
+    assert (r.high_cents, r.low_cents, r.volume) == (300, 100, 3)
+
+    cdc = {r.user_id: r for r in
+           cdc_last_writer_state(spark, str(tmp_path)).collect()}
+    assert cdc[1].live_value_cents == 200          # last (ts, id) wins
+    assert cdc[1].n_changes == 3 and cdc[1].n_deletes == 0
+
+    twap = {r.user: r for r in
+            user_twap_value(spark, str(tmp_path)).collect()}
+    t = twap[1]
+    # weights: id10 -> 0us (tie), id11 -> 600s; weighted mean =
+    # (300*0 + 100*600e6) / 600e6 = 100 cents = 1.0
+    assert t.n_weighted_events == 2
+    assert t.active_us == 600 * 1_000_000
+    assert abs(t.twap_value - 1.0) < 1e-9
