@@ -245,6 +245,8 @@ ROUND7D_COLLECT = [
     "minhash_calibration_report",
     "cdc_last_writer_state",
     "stream_cdc_state",
+    "revenue_bridge_wow",
+    "abc_xyz_parts",
 ]
 ROUND7D_COUNT: list = []
 

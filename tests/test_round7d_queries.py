@@ -673,3 +673,67 @@ def test_ohlc_cdc_twap_same_instant_ties_fixture(spark, tmp_path):
     assert t.n_weighted_events == 2
     assert t.active_us == 600 * 1_000_000
     assert abs(t.twap_value - 1.0) < 1e-9
+
+
+def test_revenue_bridge_decomposition_identity(spark):
+    """The bridge's defining property: volume_effect + price_effect
+    == delta for every row (the waterfall closes), and effects
+    recompute from the emitted integers."""
+    from threat_detection_nosql_spark.queries.tpch import (
+        revenue_bridge_wow)
+
+    rows = revenue_bridge_wow(spark, SF_SMALL).collect()
+    assert len(rows) > 100
+    for r in rows:
+        assert r.delta_cents == r.rev_cents - r.prev_rev_cents
+        assert abs(r.volume_effect + r.price_effect
+                   - r.delta_cents / 100.0) < 2e-6, r
+
+
+def test_abc_xyz_python_rederivation(spark):
+    """Full matrix recomputed in exact integer arithmetic from the
+    raw lineitem — Pareto bands by cumulative share, XYZ by the CV²
+    cross-multiplication."""
+    con = _ddb(SF_SMALL)
+    rows = con.sql("""
+        SELECT l_partkey, date_trunc('month', l_shipdate),
+               CAST(l_quantity AS BIGINT),
+               CAST(round(l_extendedprice*100,0) AS BIGINT)
+                 * (100 - CAST(round(l_discount*100,0) AS BIGINT))
+        FROM lineitem""").fetchall()
+    con.close()
+    monthly = defaultdict(int)
+    rev = defaultdict(int)
+    for pk, m, q, re4 in rows:
+        monthly[(pk, m)] += q
+        rev[pk] += re4
+    stats = defaultdict(lambda: [0, 0, 0])
+    for (pk, _), mq in monthly.items():
+        s = stats[pk]
+        s[0] += 1
+        s[1] += mq
+        s[2] += mq * mq
+    xyz = {}
+    for pk, (n, s, qq) in stats.items():
+        spread = n * qq - s * s
+        xyz[pk] = ("X" if 4 * spread <= s * s
+                   else "Y" if spread <= s * s else "Z")
+    tot = sum(rev.values())
+    cum = 0
+    abc = {}
+    for pk in sorted(rev, key=lambda p: (-rev[p], p)):
+        cum += rev[pk]
+        abc[pk] = ("A" if 5 * cum <= 4 * tot
+                   else "B" if 20 * cum <= 19 * tot else "C")
+    cells = defaultdict(lambda: [0, 0])
+    for pk in rev:
+        c = cells[(abc[pk], xyz[pk])]
+        c[0] += 1
+        c[1] += rev[pk]
+    from threat_detection_nosql_spark.queries.tpch import abc_xyz_parts
+    got = {(r.abc_class, r.xyz_class): r
+           for r in abc_xyz_parts(spark, SF_SMALL).collect()}
+    assert set(got) == set(cells)
+    for key, (n, r4) in cells.items():
+        assert got[key].n_parts == n
+        assert abs(got[key].rev_share - r4 / tot) < 1e-6

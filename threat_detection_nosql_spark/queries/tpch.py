@@ -1086,3 +1086,182 @@ GROUP BY n_name, year(o_orderdate)
 
 QUERIES_TAIL["product_type_profit_full"] = product_type_profit_full
 ORACLES_TAIL["product_type_profit_full"] = _Q9_FULL_SQL
+
+
+# -- B1: week-over-week revenue bridge (price/volume decomposition) ----------
+
+def revenue_bridge_wow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue-bridge decomposition: for every consecutive week pair
+    within each order priority, the revenue delta split into a VOLUME
+    effect ((v1−v0)·p0) and a PRICE/MIX effect (v1·(p1−p0)) — the BI
+    "why did revenue move" waterfall (weekly_revenue_wow reports the
+    delta; this explains it). The two effects sum to the delta by
+    construction.
+
+    Exactness: volumes and cents are BIGINT; each effect is ONE
+    scalar IEEE expression over four exact integers ((v1−v0)·rev0/v0
+    etc.), so engines can't disagree; the complement identity
+    volume+price == delta is pinned in tests to 1e-6.
+
+    Scale shape: one fact agg to (week, priority) grain, then a lag()
+    window PARTITIONED BY priority over the tiny week grid. Nothing
+    global."""
+    from pyspark.sql.window import Window as W
+    orders = load_table(spark, sf_dir, "orders")
+    wk = (orders.groupBy(
+        F.date_format(F.date_trunc("week", F.col("o_orderdate")),
+                      "yyyy-MM-dd").alias("week"),
+        F.col("o_orderpriority").alias("priority"))
+        .agg(F.count("*").alias("v"),
+             F.sum(F.round(F.col("o_totalprice") * 100, 0)
+                   .cast("long")).alias("rev")))
+    w = W.partitionBy("priority").orderBy("week")
+    lagged = wk.select(
+        "week", "priority", "v", "rev",
+        F.lag("v").over(w).alias("v0"),
+        F.lag("rev").over(w).alias("rev0"))
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    vol_eff = (d("v") - d("v0")) * d("rev0") / d("v0")
+    price_eff = (d("rev") - d("rev0")) - vol_eff
+    return (lagged.filter(F.col("v0").isNotNull())
+            .select("week", "priority",
+                    F.col("rev0").alias("prev_rev_cents"),
+                    F.col("rev").alias("rev_cents"),
+                    (F.col("rev") - F.col("rev0")).alias("delta_cents"),
+                    F.round(vol_eff / 100.0, 6).alias("volume_effect"),
+                    F.round(price_eff / 100.0, 6).alias("price_effect"))
+            .orderBy("priority", "week"))
+
+
+_BRIDGE_SQL = """
+WITH wk AS (
+  SELECT strftime(date_trunc('week', o_orderdate), '%Y-%m-%d') AS week,
+         o_orderpriority AS priority,
+         CAST(count(*) AS BIGINT) AS v,
+         CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+              AS BIGINT) AS rev
+  FROM orders GROUP BY 1, 2),
+lagged AS (
+  SELECT week, priority, v, rev,
+         lag(v) OVER pw AS v0, lag(rev) OVER pw AS rev0
+  FROM wk WINDOW pw AS (PARTITION BY priority ORDER BY week))
+SELECT week, priority, rev0 AS prev_rev_cents, rev AS rev_cents,
+       rev - rev0 AS delta_cents,
+       round((CAST(v AS DOUBLE) - v0) * rev0 / v0 / 100.0, 6)
+         AS volume_effect,
+       round(((CAST(rev AS DOUBLE) - rev0)
+              - (CAST(v AS DOUBLE) - v0) * rev0 / v0) / 100.0, 6)
+         AS price_effect
+FROM lagged WHERE v0 IS NOT NULL
+ORDER BY priority, week
+"""
+
+QUERIES_TAIL["revenue_bridge_wow"] = revenue_bridge_wow
+ORACLES_TAIL["revenue_bridge_wow"] = _BRIDGE_SQL
+
+
+# -- B2: ABC-XYZ inventory classification ------------------------------------
+
+def abc_xyz_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ABC-XYZ inventory matrix: parts classed by cumulative
+    revenue share (A ≤ 80%, B ≤ 95%, C rest — Pareto bands) crossed
+    with demand variability (X/Y/Z by the coefficient of variation of
+    monthly shipped quantity: CV² ≤ ¼, ≤ 1, else Z). The standard
+    stocking-policy segmentation; emitted at the 9-cell matrix grain.
+
+    Exactness: quantities are integral and prices cents-exact in this
+    corpus, so revenue runs in e4 units (cents × (100−disc100)) as
+    BIGINT; CV² bands compare 4·(n·Σq²−S²) vs S² / (n·Σq²−S²) vs S²
+    — exact integer cross-multiplications, no division; ABC bands
+    compare 5·cum ≤ 4·tot and 20·cum ≤ 19·tot on DECIMAL(38,0)
+    sums. Not one float enters a comparison.
+
+    Scale shape: two part-grain aggs off one lineitem scan; the ABC
+    cumulative share rides a window over the PART dimension (entity
+    grain — same documented approx_percentile swap as revenue_pareto
+    at extreme scale); the final matrix agg is 9 rows."""
+    from pyspark.sql.window import Window as W
+    li = load_table(spark, sf_dir, "lineitem")
+    base = li.select(
+        "l_partkey",
+        F.date_trunc("month", F.col("l_shipdate")).alias("m"),
+        F.col("l_quantity").cast("long").alias("q"),
+        (F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+         * (F.lit(100) - F.round(F.col("l_discount") * 100, 0)
+            .cast("long"))).alias("rev_e4"))
+    monthly = (base.groupBy("l_partkey", "m")
+               .agg(F.sum("q").alias("mq")))
+    varr = (monthly.groupBy("l_partkey")
+            .agg(F.count("*").alias("n"),
+                 F.sum("mq").alias("s"),
+                 F.sum(F.col("mq") * F.col("mq")).alias("qq")))
+    spread = (F.col("n") * F.col("qq") - F.col("s") * F.col("s"))
+    xyz = varr.select(
+        "l_partkey",
+        F.when(4 * spread <= F.col("s") * F.col("s"), "X")
+        .when(spread <= F.col("s") * F.col("s"), "Y")
+        .otherwise("Z").alias("xyz_class"))
+    rev = base.groupBy("l_partkey").agg(
+        F.sum(F.col("rev_e4").cast("decimal(38,0)")).alias("rev"))
+    w = W.orderBy(F.desc("rev"), F.asc("l_partkey"))
+    tot = rev.agg(F.sum("rev").alias("tot"))
+    abc = (rev.crossJoin(F.broadcast(tot))
+           .withColumn("cum", F.sum("rev").over(
+               w.rowsBetween(W.unboundedPreceding, 0)))
+           .select("l_partkey", "rev", "tot",
+                   F.when(5 * F.col("cum") <= 4 * F.col("tot"), "A")
+                   .when(20 * F.col("cum") <= 19 * F.col("tot"), "B")
+                   .otherwise("C").alias("abc_class")))
+    return (abc.join(xyz, "l_partkey")
+            .groupBy("abc_class", "xyz_class")
+            .agg(F.count("*").alias("n_parts"),
+                 F.round(F.sum("rev").cast("double")
+                         / F.first("tot").cast("double"), 6)
+                 .alias("rev_share"))
+            .orderBy("abc_class", "xyz_class"))
+
+
+_ABC_XYZ_SQL = """
+WITH base AS (
+  SELECT l_partkey, date_trunc('month', l_shipdate) AS m,
+         CAST(l_quantity AS BIGINT) AS q,
+         CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+           * (100 - CAST(round(l_discount * 100, 0) AS BIGINT))
+           AS rev_e4
+  FROM lineitem),
+monthly AS (
+  SELECT l_partkey, m, CAST(sum(q) AS BIGINT) AS mq
+  FROM base GROUP BY 1, 2),
+varr AS (
+  SELECT l_partkey, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(mq) AS BIGINT) AS s,
+         CAST(sum(mq * mq) AS BIGINT) AS qq
+  FROM monthly GROUP BY 1),
+xyz AS (
+  SELECT l_partkey,
+         CASE WHEN 4 * (n * qq - s * s) <= s * s THEN 'X'
+              WHEN n * qq - s * s <= s * s THEN 'Y'
+              ELSE 'Z' END AS xyz_class
+  FROM varr),
+rev AS (SELECT l_partkey, CAST(sum(rev_e4) AS HUGEINT) AS rev
+        FROM base GROUP BY 1),
+tot AS (SELECT CAST(sum(rev) AS HUGEINT) AS tot FROM rev),
+abc AS (
+  SELECT l_partkey, rev, tot,
+         CASE WHEN 5 * sum(rev) OVER (ORDER BY rev DESC, l_partkey ASC
+                   ROWS UNBOUNDED PRECEDING) <= 4 * tot THEN 'A'
+              WHEN 20 * sum(rev) OVER (ORDER BY rev DESC, l_partkey ASC
+                   ROWS UNBOUNDED PRECEDING) <= 19 * tot THEN 'B'
+              ELSE 'C' END AS abc_class
+  FROM rev CROSS JOIN tot)
+SELECT a.abc_class, x.xyz_class,
+       CAST(count(*) AS BIGINT) AS n_parts,
+       round(CAST(sum(a.rev) AS DOUBLE) / CAST(max(a.tot) AS DOUBLE),
+             6) AS rev_share
+FROM abc a JOIN xyz x USING (l_partkey)
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+QUERIES_TAIL["abc_xyz_parts"] = abc_xyz_parts
+ORACLES_TAIL["abc_xyz_parts"] = _ABC_XYZ_SQL
