@@ -247,6 +247,7 @@ ROUND7D_COLLECT = [
     "stream_cdc_state",
     "revenue_bridge_wow",
     "abc_xyz_parts",
+    "neyman_allocation_plan",
 ]
 ROUND7D_COUNT: list = []
 

@@ -737,3 +737,36 @@ def test_abc_xyz_python_rederivation(spark):
     for key, (n, r4) in cells.items():
         assert got[key].n_parts == n
         assert abs(got[key].rev_share - r4 / tot) < 1e-6
+
+
+def test_neyman_allocation_properties(spark):
+    """The apportionment invariants: Σ alloc == K exactly, every
+    alloc within 1 of its fractional ideal (the Hamilton-method
+    quota property), and the weight recomputes from raw lengths as
+    round(1024·sqrt(N·Σx²−S²)) per stratum."""
+    import math
+
+    from threat_detection_nosql_spark.queries.corpus import (
+        _NEYMAN_K, neyman_allocation_plan)
+
+    con = _ddb(SF_SMALL)
+    rows = con.sql("""SELECT source, count(*) ,
+                             sum(CAST(length(text) AS HUGEINT)),
+                             sum(CAST(length(text) AS HUGEINT)
+                                 * length(text))
+                      FROM documents GROUP BY source""").fetchall()
+    con.close()
+    weights = {src: round(math.sqrt(float(n * qq - s * s)) * 1024)
+               for src, n, s, qq in rows}
+    got = {r.source: r for r in
+           neyman_allocation_plan(spark, SF_SMALL).collect()}
+    assert set(got) == set(weights)
+    assert sum(r.alloc for r in got.values()) == _NEYMAN_K
+    tw = sum(weights.values())
+    for src, w in weights.items():
+        r = got[src]
+        assert r.weight == w
+        ideal = _NEYMAN_K * w / tw
+        assert abs(r.ideal - ideal) < 1e-6
+        # Hamilton quota property: floor(ideal) <= alloc <= ceil(ideal)
+        assert math.floor(ideal) <= r.alloc <= math.ceil(ideal), src

@@ -1356,3 +1356,106 @@ ORDER BY fold
 
 QUERIES_TAIL["group_kfold_assignment"] = group_kfold_assignment
 ORACLES_TAIL["group_kfold_assignment"] = _GKFOLD_SQL
+
+
+# -- C15: Neyman allocation with largest-remainder apportionment -------------
+
+_NEYMAN_K = 1000          # total sample budget to apportion
+
+
+def neyman_allocation_plan(spark: SparkSession,
+                           sf_dir: str) -> DataFrame:
+    """Stratified-sampling design: apportion a fixed budget of
+    {K} draws across source strata by Neyman allocation
+    (n_h ∝ N_h·σ_h — minimum-variance for a fixed budget), with the
+    fractional ideal turned into integers by the LARGEST-REMAINDER
+    (Hamilton) method. The sampling-design twin of the executors
+    (deterministic_sample / weighted_doc_sample take samples; this
+    decides how many each stratum deserves).
+
+    Exactness: N_h·σ_h = sqrt(N_h·Σx² − S_h²) — one sqrt of an exact
+    DECIMAL/HUGEINT spread per stratum, scaled and rounded to the
+    integer weight W_h = round(1024·sqrt(spread)). That per-stratum
+    double is a single IEEE expression (identical both engines — no
+    cross-strata float sum ever happens); everything after is exact
+    integer arithmetic: base_h = K·W_h div ΣW, leftover = K − Σbase
+    handed to the largest K·W_h mod ΣW remainders (ties to the
+    smaller source name). Σ alloc == K by construction.
+
+    Scale shape: one fact agg to stratum grain, a broadcast 1-row
+    total, and a rank window over the |strata| rows — constant-size
+    regardless of corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    per = (docs.groupBy("source")
+           .agg(F.count("*").alias("n_docs"),
+                F.sum(F.length("text").cast("decimal(38,0)"))
+                .alias("s"),
+                F.sum((F.length("text").cast("decimal(38,0)")
+                       * F.length("text")).cast("decimal(38,0)"))
+                .alias("qq")))
+    spread = (F.col("n_docs").cast("decimal(38,0)") * F.col("qq")
+              - F.col("s") * F.col("s"))
+    weighted = per.select(
+        "source", "n_docs",
+        F.round(F.sqrt(spread.cast("double")) * 1024, 0).cast("long")
+        .alias("w"))
+    tot = weighted.agg(F.sum("w").alias("tw"),
+                       F.count("*").alias("n_strata"))
+    k = F.lit(_NEYMAN_K)
+    based = (weighted.crossJoin(F.broadcast(tot))
+             .withColumn("base", F.expr(
+                 f"CAST({_NEYMAN_K} AS BIGINT) * w div tw"))
+             .withColumn("rem", F.expr(
+                 f"CAST({_NEYMAN_K} AS BIGINT) * w % tw")))
+    from pyspark.sql.window import Window as W
+    leftover = (k - F.sum("base").over(W.partitionBy()))
+    rk = F.row_number().over(W.orderBy(F.desc("rem"), F.asc("source")))
+    return (based
+            .withColumn("alloc",
+                        (F.col("base")
+                         + (rk <= leftover).cast("long")).cast("long"))
+            .select("source", "n_docs", F.col("w").alias("weight"),
+                    F.round(k * F.col("w")
+                            / F.col("tw").cast("double"), 6)
+                    .alias("ideal"),
+                    "alloc")
+            .orderBy("source"))
+
+
+neyman_allocation_plan.__doc__ = (
+    neyman_allocation_plan.__doc__.replace("{K}", str(_NEYMAN_K)))
+
+
+_NEYMAN_SQL = f"""
+WITH per AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(CAST(length(text) AS HUGEINT)) AS HUGEINT) AS s,
+         CAST(sum(CAST(length(text) AS HUGEINT) * length(text))
+              AS HUGEINT) AS qq
+  FROM documents GROUP BY source),
+weighted AS (
+  SELECT source, n_docs,
+         CAST(round(sqrt(CAST(CAST(n_docs AS HUGEINT) * qq - s * s
+                              AS DOUBLE)) * 1024, 0) AS BIGINT) AS w
+  FROM per),
+tot AS (SELECT CAST(sum(w) AS BIGINT) AS tw FROM weighted),
+based AS (
+  SELECT source, n_docs, w, tw,
+         CAST({_NEYMAN_K} AS BIGINT) * w // tw AS base,
+         CAST({_NEYMAN_K} AS BIGINT) * w % tw AS rem
+  FROM weighted CROSS JOIN tot),
+lo AS (SELECT {_NEYMAN_K} - sum(base) AS leftover FROM based),
+ranked AS (
+  SELECT b.*, l.leftover,
+         row_number() OVER (ORDER BY rem DESC, source ASC) AS rk
+  FROM based b CROSS JOIN lo l)
+SELECT source, n_docs, w AS weight,
+       round({_NEYMAN_K} * w / CAST(tw AS DOUBLE), 6) AS ideal,
+       CAST(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END
+            AS BIGINT) AS alloc
+FROM ranked
+ORDER BY source
+"""
+
+QUERIES_TAIL["neyman_allocation_plan"] = neyman_allocation_plan
+ORACLES_TAIL["neyman_allocation_plan"] = _NEYMAN_SQL
