@@ -248,6 +248,7 @@ ROUND7D_COLLECT = [
     "revenue_bridge_wow",
     "abc_xyz_parts",
     "neyman_allocation_plan",
+    "neyman_quota_sample",
 ]
 ROUND7D_COUNT: list = []
 

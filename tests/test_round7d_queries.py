@@ -770,3 +770,30 @@ def test_neyman_allocation_properties(spark):
         assert abs(r.ideal - ideal) < 1e-6
         # Hamilton quota property: floor(ideal) <= alloc <= ceil(ideal)
         assert math.floor(ideal) <= r.alloc <= math.ceil(ideal), src
+
+
+def test_neyman_quota_sample_execution(spark):
+    """The draw honors the plan exactly: per-stratum count ==
+    min(alloc, N), ranks are the contiguous 1..count prefix, total ==
+    K when no stratum saturates, and the draw is deterministic
+    across invocations."""
+    from threat_detection_nosql_spark.queries.corpus import (
+        _NEYMAN_K, neyman_allocation_plan, neyman_quota_sample)
+
+    plan = {r.source: r for r in
+            neyman_allocation_plan(spark, SF_SMALL).collect()}
+    rows = neyman_quota_sample(spark, SF_SMALL).collect()
+    by_src = defaultdict(list)
+    for r in rows:
+        by_src[r.source].append((r.draw_rank, r.doc_id))
+    assert set(by_src) <= set(plan)
+    for src, drawn in by_src.items():
+        expect = min(plan[src].alloc, plan[src].n_docs)
+        assert len(drawn) == expect, src
+        assert sorted(rk for rk, _ in drawn) == list(
+            range(1, expect + 1))
+    if all(p.alloc <= p.n_docs for p in plan.values()):
+        assert len(rows) == _NEYMAN_K
+    again = neyman_quota_sample(spark, SF_SMALL).collect()
+    assert {(r.source, r.doc_id, r.draw_rank) for r in rows} \
+        == {(r.source, r.doc_id, r.draw_rank) for r in again}

@@ -1360,7 +1360,10 @@ ORACLES_TAIL["group_kfold_assignment"] = _GKFOLD_SQL
 
 # -- C15: Neyman allocation with largest-remainder apportionment -------------
 
-_NEYMAN_K = 1000          # total sample budget to apportion
+_NEYMAN_K = 200          # total sample budget to apportion
+# (small enough that every test SF genuinely subsamples each
+#  stratum; a plan whose alloc exceeds a stratum population
+#  saturates in neyman_quota_sample and shows up as rows < K)
 
 
 def neyman_allocation_plan(spark: SparkSession,
@@ -1459,3 +1462,59 @@ ORDER BY source
 
 QUERIES_TAIL["neyman_allocation_plan"] = neyman_allocation_plan
 ORACLES_TAIL["neyman_allocation_plan"] = _NEYMAN_SQL
+
+
+def neyman_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXECUTION of neyman_allocation_plan: per stratum, draw exactly
+    its allocated quota by deterministic hash order (smallest
+    md5('ney:'||doc_id) first — reproducible, uniform within the
+    stratum, and stable under reruns). Emits the drawn docs with
+    their within-stratum rank; Σ rows == the plan's budget.
+
+    Exactness: the draw order is a portable md5 ranking (the house
+    sampling hash family), the quota join is exact integers from the
+    plan; rank ≤ alloc is the whole filter.
+
+    Scale shape: the plan is a broadcast |strata|-row frame; the draw
+    is one row_number window PARTITIONED BY source (WindowGroupLimit
+    prunes map-side once Spark sees the rank filter) — no global
+    sort, no shuffle beyond the per-stratum rank exchange."""
+    from pyspark.sql.window import Window as W
+    docs = load_table(spark, sf_dir, "documents")
+    plan = neyman_allocation_plan(spark, sf_dir).select(
+        "source", "alloc")
+    key = F.md5(F.concat(F.lit("ney:"),
+                         F.col("doc_id").cast("string")))
+    w = W.partitionBy("source").orderBy(key.asc(), F.asc("doc_id"))
+    ranked = docs.select("doc_id", "source",
+                         F.row_number().over(w).alias("draw_rank"))
+    return (ranked.join(F.broadcast(plan), "source")
+            .filter(F.col("draw_rank") <= F.col("alloc"))
+            .select("source", "doc_id", "draw_rank")
+            .orderBy("source", "draw_rank"))
+
+
+_NEYMAN_SAMPLE_SQL = (
+    _NEYMAN_SQL[:_NEYMAN_SQL.rindex("SELECT source, n_docs")]
+    .rstrip()                      # ends after ranked's closing paren
+    + """,
+plan AS (
+  SELECT source,
+         CAST(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END
+              AS BIGINT) AS alloc
+  FROM ranked),
+drawn AS (
+  SELECT doc_id, source,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY md5('ney:' ||
+                                     CAST(doc_id AS VARCHAR)) ASC,
+                                     doc_id ASC) AS draw_rank
+  FROM documents)
+SELECT d.source, d.doc_id, d.draw_rank
+FROM drawn d JOIN plan p ON d.source = p.source
+WHERE d.draw_rank <= p.alloc
+ORDER BY d.source, d.draw_rank
+""")
+
+QUERIES_TAIL["neyman_quota_sample"] = neyman_quota_sample
+ORACLES_TAIL["neyman_quota_sample"] = _NEYMAN_SAMPLE_SQL
