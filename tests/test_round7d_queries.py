@@ -686,8 +686,11 @@ def test_revenue_bridge_decomposition_identity(spark):
     assert len(rows) > 100
     for r in rows:
         assert r.delta_cents == r.rev_cents - r.prev_rev_cents
-        assert abs(r.volume_effect + r.price_effect
-                   - r.delta_cents / 100.0) < 2e-6, r
+        # the waterfall closes EXACTLY - all-integer decomposition
+        assert (r.volume_effect_cents + r.price_effect_cents
+                == r.delta_cents), r
+        # volume effect recomputes from the emitted integers:
+        # (v1-v0)*rev0 div v0 with truncation toward zero
 
 
 def test_abc_xyz_python_rederivation(spark):

@@ -1098,10 +1098,12 @@ def revenue_bridge_wow(spark: SparkSession, sf_dir: str) -> DataFrame:
     delta; this explains it). The two effects sum to the delta by
     construction.
 
-    Exactness: volumes and cents are BIGINT; each effect is ONE
-    scalar IEEE expression over four exact integers ((v1−v0)·rev0/v0
-    etc.), so engines can't disagree; the complement identity
-    volume+price == delta is pinned in tests to 1e-6.
+    Exactness: volumes and cents are BIGINT; the volume effect is an
+    exact integer division (v1−v0)·rev0 div v0 and the price effect
+    its exact integer complement delta − volume — NO float is ever
+    emitted (a rounded-double form flipped a 6-decimal boundary at
+    the 30× soak once magnitudes hit 10⁸ cents; integers can't), and
+    volume + price == delta holds exactly by construction.
 
     Scale shape: one fact agg to (week, priority) grain, then a lag()
     window PARTITIONED BY priority over the tiny week grid. Nothing
@@ -1120,16 +1122,15 @@ def revenue_bridge_wow(spark: SparkSession, sf_dir: str) -> DataFrame:
         "week", "priority", "v", "rev",
         F.lag("v").over(w).alias("v0"),
         F.lag("rev").over(w).alias("rev0"))
-    d = lambda c: F.col(c).cast("double")  # noqa: E731
-    vol_eff = (d("v") - d("v0")) * d("rev0") / d("v0")
-    price_eff = (d("rev") - d("rev0")) - vol_eff
     return (lagged.filter(F.col("v0").isNotNull())
+            .withColumn("vol_eff", F.expr("(v - v0) * rev0 div v0"))
             .select("week", "priority",
                     F.col("rev0").alias("prev_rev_cents"),
                     F.col("rev").alias("rev_cents"),
                     (F.col("rev") - F.col("rev0")).alias("delta_cents"),
-                    F.round(vol_eff / 100.0, 6).alias("volume_effect"),
-                    F.round(price_eff / 100.0, 6).alias("price_effect"))
+                    F.col("vol_eff").alias("volume_effect_cents"),
+                    (F.col("rev") - F.col("rev0") - F.col("vol_eff"))
+                    .alias("price_effect_cents"))
             .orderBy("priority", "week"))
 
 
@@ -1147,11 +1148,9 @@ lagged AS (
   FROM wk WINDOW pw AS (PARTITION BY priority ORDER BY week))
 SELECT week, priority, rev0 AS prev_rev_cents, rev AS rev_cents,
        rev - rev0 AS delta_cents,
-       round((CAST(v AS DOUBLE) - v0) * rev0 / v0 / 100.0, 6)
-         AS volume_effect,
-       round(((CAST(rev AS DOUBLE) - rev0)
-              - (CAST(v AS DOUBLE) - v0) * rev0 / v0) / 100.0, 6)
-         AS price_effect
+       CAST((v - v0) * rev0 // v0 AS BIGINT) AS volume_effect_cents,
+       CAST(rev - rev0 - (v - v0) * rev0 // v0 AS BIGINT)
+         AS price_effect_cents
 FROM lagged WHERE v0 IS NOT NULL
 ORDER BY priority, week
 """
