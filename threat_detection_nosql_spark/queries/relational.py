@@ -1567,7 +1567,13 @@ def cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: one orders scan feeds both the first-order agg and
     the monthly revenue agg (same groupBy key prefix); the cumsum
     window is partitioned by cohort over ≤ months² grid rows. Cohort
-    sizes are a broadcast 1-column frame."""
+    sizes are a broadcast 1-column frame.
+
+    Precision note: cum_rev_cents is the EXACT value;
+    ltv_per_customer is derived display (6-decimal double — verified
+    through the 30× soak; past ~10¹⁰ cents per capita the 6 decimals
+    would exceed double's digits, the revenue_bridge_wow lesson —
+    consumers at that scale should read the cents column)."""
     from pyspark.sql.window import Window as W
     orders = load_table(spark, sf_dir, "orders")
     base = orders.select(
