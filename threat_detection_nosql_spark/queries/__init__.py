@@ -10,10 +10,10 @@ the FIRST 50 queries in merge order each round.  Rounds 1-4 proved the
 threat/relational/pipeline/advanced/graph/metrics families (94 of 150
 oracle queries driver-green); rounds 5-6 cleared their pinned 50s
 (194/218 cumulative).  Round 7 rotates the EXPLICIT name window onto
-the final 24 never-driver-green oracle queries (the behavioral
+the 24 pre-round-7 never-driver-green oracle queries (the behavioral
 gap-fill/EWMA/CUSUM/Markov wave, the four partsupp TPC-H shapes,
-product_type_profit_full, source_quantile_normalized) plus 26
-least-recently-verified greens — then every other oracle-backed query,
+product_type_profit_full, source_quantile_normalized) plus 26 of
+round 7's own additions — then every other oracle-backed query,
 and parks the rows-only (engine-RNG / model / media) queries at the
 registry end so no window slot is ever burned on a ``no_oracle`` row.
 """
@@ -26,12 +26,13 @@ from pyspark.sql import DataFrame, SparkSession
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
-# Round-7 driver window (scripts/rotate_window.py output): the final 24
-# oracle-backed queries with no driver-green row in CORRECTNESS_r01-r06,
-# topped up to 50 with the least-recently-verified greens (rounds 1-2) as
-# regression re-verification.  Green here closes the ledger: every
-# oracle-backed query will then have a driver-green row.  NEVER reorder
-# mid-round: the driver hashes this exact prefix.
+# Round-7 driver window: the 24 oracle-backed queries with no
+# driver-green row in CORRECTNESS_r01-r06 (the pre-round-7 backlog),
+# then 26 of this round's own additions in registry order — every slot
+# is a never-driver-green query, so green here maximizes ledger
+# coverage (218 -> 244 of 266).  The 22 remaining round-7 additions
+# (isotonic_calibration .. tokenizer_fertility) rotate in next round.
+# NEVER reorder once verified: the driver hashes this exact prefix.
 _WINDOW_R7: tuple[str, ...] = (
     "user_daily_gap_filled",
     "user_daily_ewma",
@@ -57,32 +58,32 @@ _WINDOW_R7: tuple[str, ...] = (
     "excess_stock_suppliers",
     "product_type_profit_full",
     "source_quantile_normalized",
-    "top_tokens",
-    "tfidf_top_terms",
-    "quality_filter_flags",
-    "embedding_near_dups",
-    "multimodal_metadata",
-    "deterministic_sample",
-    "corpus_composition",
-    "repetition_stats",
-    "normalized_text_hash",
-    "packed_sequences",
-    "salted_event_nation_counts",
-    "after_hours_top10",
-    "weekend_top10",
-    "high_activity_top10",
-    "unusual_resources_top10",
-    "activity_profiles",
-    "degree_centrality_top10",
-    "activity_entropy",
-    "temporal_entropy",
-    "resource_entropy",
-    "two_hop_resource_paths",
-    "user_features",
-    "events_null_audit",
-    "user_peak_hour",
-    "dormant_users",
-    "pricing_summary",
+    "doc_perplexity_filter",
+    "dsir_importance_weights",
+    "hard_negative_mining",
+    "nation_revenue_gini",
+    "brand_assoc_rules_top20",
+    "cohort_ltv_curve",
+    "cdc_last_writer_state",
+    "inverted_postings",
+    "phrase_search_hits",
+    "embedding_sq8_audit",
+    "rrf_hybrid_search",
+    "containment_near_dups",
+    "readability_report",
+    "template_prefix_dups",
+    "vocab_richness_report",
+    "group_kfold_assignment",
+    "neyman_allocation_plan",
+    "neyman_quota_sample",
+    "ann_recall_report",
+    "split_leakage_repair",
+    "incremental_corpus_dedup",
+    "minhash_calibration_report",
+    "local_clustering_coefficient",
+    "key_skew_audit",
+    "hll_set_expressions",
+    "rule_pr_auc",
 )
 
 
