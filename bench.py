@@ -252,6 +252,23 @@ ROUND7D_COLLECT = [
 ]
 ROUND7D_COUNT: list = []
 
+# Round-7e audit/robust-stats wave ("round7e_total"): Benford
+# first-digit audit, activity x weekend chi-square, MAD outlier
+# screen, Theil-Sen robust trend, segment x year pivot, FK audit.
+ROUND7E_COLLECT = [
+    "benford_digit_audit",
+    "activity_weekend_chi2",
+    "value_mad_outliers",
+    "theil_sen_user_trend",
+    "segment_year_pivot",
+    "referential_integrity_audit",
+    "stream_funnel_ordered",
+    "mrr_retrieval_eval",
+    "welch_t_variant_test",
+    "diff_in_diff_purchases",
+]
+ROUND7E_COUNT: list = []
+
 
 def main() -> None:
     spark = get_spark("bench")
@@ -316,6 +333,10 @@ def main() -> None:
         timings[name] = median_time(name, name in ROUND7D_COUNT)
     round7d_total = round(sum(timings[n] for n in
                               ROUND7D_COLLECT + ROUND7D_COUNT), 3)
+    for name in ROUND7E_COLLECT + ROUND7E_COUNT:
+        timings[name] = median_time(name, name in ROUND7E_COUNT)
+    round7e_total = round(sum(timings[n] for n in
+                              ROUND7E_COLLECT + ROUND7E_COUNT), 3)
     # Isolated re-measure of the 5 slowest queries: a fresh
     # spark.newSession() per query, after every other group finished.
     # In-run medians on a shared box have twice produced phantom
@@ -326,7 +347,7 @@ def main() -> None:
     count_set = set(HEADLINE_COUNT + PIPELINE_COUNT + EXTENDED_COUNT
                     + ROUND4_COUNT + ROUND5_COUNT + ROUND5B_COUNT
                     + ROUND5C_COUNT + ROUND7_COUNT + ROUND7B_COUNT
-                    + ROUND7C_COUNT + ROUND7D_COUNT)
+                    + ROUND7C_COUNT + ROUND7D_COUNT + ROUND7E_COUNT)
     slowest = sorted(timings, key=timings.get, reverse=True)[:5]
     isolated: dict[str, float] = {}
     for name in slowest:
@@ -352,6 +373,7 @@ def main() -> None:
         "round7b_total": round7b_total,
         "round7c_total": round7c_total,
         "round7d_total": round7d_total,
+        "round7e_total": round7e_total,
     }
     # The full ~150-query timing map overflowed the driver's tail capture
     # in round 5 (BENCH_r05.json: parsed=null, the line was truncated

@@ -2313,3 +2313,495 @@ FROM pair p CROSS JOIN margins m CROSS JOIN tx x CROSS JOIN ty y
 
 QUERIES_TAIL["kendall_tau_binned"] = kendall_tau_binned
 ORACLES_TAIL["kendall_tau_binned"] = _KENDALL_SQL
+
+
+# -- Benford first-digit audit ------------------------------------------------
+
+# Benford expected first-digit probabilities as EXACT integer ppb
+# literals shared by both engines (the ndcg_retrieval_eval
+# literal-table trick): p(d) = log10(1 + 1/d), d = 1..9. Computed once
+# in module Python, embedded in the Spark plan AND the oracle SQL, so
+# no runtime log10 can diverge.
+_BENFORD_PPB = [round(1e9 * _math.log10(1.0 + 1.0 / d)) for d in range(1, 10)]
+
+
+def benford_digit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit of order totals — the classic
+    forensic-accounting screen (public knowledge: Benford 1938, Nigrini
+    1996): natural multi-scale monetary amounts follow
+    p(d) = log10(1+1/d); fabricated or capped data doesn't.
+
+    Exactness: amounts become exact BIGINT cents; the leading digit is
+    a string head on that integer (no float log10 at runtime —
+    expected probabilities are the _BENFORD_PPB literal table);
+    obs_ppm is truncating integer arithmetic (Spark ``DIV`` == DuckDB
+    ``//``, both toward zero on non-negatives); the per-digit chi2
+    contribution is a scalar IEEE expression on (exact n, exact
+    n_total, literal ppb) — identical operand order in both engines,
+    rounded at emission. No cross-row float sum anywhere: consumers
+    that want the chi2 statistic sum the 9 rounded contributions.
+
+    Scale shape: one orders scan → 9-key hash agg (map-combinable) →
+    broadcast of the 1-row total onto a 9-row frame. The dense 1..9
+    domain comes from ``spark.range`` so digits that never occur still
+    audit as n=0."""
+    from threat_detection_nosql_spark.sources.readers import load_table
+    orders = load_table(spark, sf_dir, "orders")
+    digits = (orders.select(
+        F.substring(F.round(F.col("o_totalprice") * 100, 0)
+                    .cast("long").cast("string"), 1, 1)
+        .cast("int").alias("digit"))
+        .groupBy("digit").agg(F.count("*").alias("n_raw")))
+    dom = spark.range(1, 10).select(F.col("id").cast("int").alias("digit"))
+    total = digits.agg(F.sum("n_raw").alias("n_total"))
+    ppb = F.element_at(F.array(*[F.lit(p) for p in _BENFORD_PPB]),
+                       F.col("digit"))
+    e = (F.col("n_total").cast("double") * ppb.cast("double")
+         / F.lit(1_000_000_000.0))
+    return (dom.join(digits, "digit", "left")
+            .select("digit",
+                    F.coalesce("n_raw", F.lit(0).cast("long")).alias("n"))
+            .crossJoin(F.broadcast(total))
+            .withColumn("exp_ppb", ppb)
+            .withColumn("obs_ppm", F.expr("1000000 * n DIV n_total"))
+            .withColumn("chi2_contrib",
+                        F.round((F.col("n") - e) * (F.col("n") - e) / e, 6))
+            .orderBy("digit"))
+
+
+_BENFORD_CASE = " ".join(
+    f"WHEN {d + 1} THEN {p}" for d, p in enumerate(_BENFORD_PPB))
+
+_BENFORD_SQL = f"""
+WITH d AS (SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100, 0)
+                                        AS BIGINT) AS VARCHAR), 1, 1)
+                       AS INT) AS digit
+           FROM orders),
+cnt AS (SELECT digit, CAST(count(*) AS BIGINT) AS n_raw
+        FROM d GROUP BY digit),
+dom AS (SELECT CAST(range AS INT) AS digit FROM range(1, 10)),
+tot AS (SELECT CAST(sum(n_raw) AS BIGINT) AS n_total FROM cnt),
+j AS (SELECT dom.digit, CAST(COALESCE(cnt.n_raw, 0) AS BIGINT) AS n,
+             tot.n_total,
+             CASE dom.digit {_BENFORD_CASE} END AS exp_ppb
+      FROM dom LEFT JOIN cnt USING (digit) CROSS JOIN tot)
+SELECT digit, n, n_total, exp_ppb,
+       CAST((1000000 * n) // n_total AS BIGINT) AS obs_ppm,
+       round((n - (CAST(n_total AS DOUBLE) * CAST(exp_ppb AS DOUBLE)
+                   / 1000000000.0))
+             * (n - (CAST(n_total AS DOUBLE) * CAST(exp_ppb AS DOUBLE)
+                     / 1000000000.0))
+             / (CAST(n_total AS DOUBLE) * CAST(exp_ppb AS DOUBLE)
+                / 1000000000.0), 6) AS chi2_contrib
+FROM j
+ORDER BY digit
+"""
+
+QUERIES_TAIL["benford_digit_audit"] = benford_digit_audit
+ORACLES_TAIL["benford_digit_audit"] = _BENFORD_SQL
+
+
+# -- chi-square independence: activity type x weekend ------------------------
+
+def activity_weekend_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-square independence cells for activity_type ×
+    is_weekend: the standard contingency test behind "does behavior
+    differ on weekends" — per-cell observed count, margins, expected
+    count and chi2 contribution ((obs−exp)²/exp).
+
+    Exactness: observed counts and margins are exact BIGINT window
+    sums over the CELL frame (≤ |activities|·2 rows — margins never
+    rescan the fact table); expected and contribution are per-row
+    scalar IEEE expressions on exact integers with identical operand
+    order in both engines, rounded at emission. Per-cell rows only —
+    the chi2 total is the sum of the rounded contributions (a
+    cross-row double sum left to the consumer, per the float-audit
+    house rule).
+
+    Scale shape: one events scan → hash agg on the ≤10-cell key →
+    three window sums over those 10 rows (single tiny partition by
+    construction — the window is over the AGGREGATED cell frame, not
+    events)."""
+    log = activity_log(spark, sf_dir)
+    cells = (log.groupBy("activity", "is_weekend")
+             .agg(F.count("*").alias("obs")))
+    wr = Window.partitionBy("activity")
+    wc = Window.partitionBy("is_weekend")
+    wt = Window.partitionBy()
+    out = (cells
+           .withColumn("row_n", F.sum("obs").over(wr))
+           .withColumn("col_n", F.sum("obs").over(wc))
+           .withColumn("n_total", F.sum("obs").over(wt)))
+    e = (F.col("row_n").cast("double") * F.col("col_n").cast("double")
+         / F.col("n_total").cast("double"))
+    return (out.withColumn("expected", F.round(e, 6))
+            .withColumn("chi2_contrib",
+                        F.round((F.col("obs") - e) * (F.col("obs") - e) / e,
+                                6))
+            .orderBy("activity", "is_weekend"))
+
+
+_CHI2_SQL = f"""
+WITH log AS ({ACTIVITY_LOG_ORACLE_SQL}),
+cells AS (SELECT activity, is_weekend, CAST(count(*) AS BIGINT) AS obs
+          FROM log GROUP BY activity, is_weekend),
+m AS (SELECT activity, is_weekend, obs,
+             CAST(sum(obs) OVER (PARTITION BY activity) AS BIGINT) AS row_n,
+             CAST(sum(obs) OVER (PARTITION BY is_weekend) AS BIGINT) AS col_n,
+             CAST(sum(obs) OVER () AS BIGINT) AS n_total
+      FROM cells)
+SELECT activity, is_weekend, obs, row_n, col_n, n_total,
+       round(CAST(row_n AS DOUBLE) * CAST(col_n AS DOUBLE)
+             / CAST(n_total AS DOUBLE), 6) AS expected,
+       round((obs - (CAST(row_n AS DOUBLE) * CAST(col_n AS DOUBLE)
+                     / CAST(n_total AS DOUBLE)))
+             * (obs - (CAST(row_n AS DOUBLE) * CAST(col_n AS DOUBLE)
+                       / CAST(n_total AS DOUBLE)))
+             / (CAST(row_n AS DOUBLE) * CAST(col_n AS DOUBLE)
+                / CAST(n_total AS DOUBLE)), 6) AS chi2_contrib
+FROM m
+ORDER BY activity, is_weekend
+"""
+
+QUERIES_TAIL["activity_weekend_chi2"] = activity_weekend_chi2
+ORACLES_TAIL["activity_weekend_chi2"] = _CHI2_SQL
+
+
+# -- MAD robust outlier screen ------------------------------------------------
+
+def value_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier screen per activity type via the median absolute
+    deviation (public knowledge: Hampel identifier, Leys et al. 2013):
+    flag values with |x − median| > 3.5·MAD. Unlike the z-score
+    screens elsewhere in this module, median/MAD have a 50% breakdown
+    point — the outliers themselves can't mask the threshold.
+
+    Exactness: medians are percentile_disc (always an OBSERVED value —
+    same element both engines, the latency-quartiles precedent);
+    |x − med| and the 3.5·MAD compare are per-row scalar IEEE on
+    identical operands; outputs are exact counts plus rounded observed
+    medians.
+
+    Scale shape: three passes over events (median, MAD, flag-count) —
+    each a map-combinable agg on the ≤5-key activity domain with the
+    per-key stats broadcast back. The single-pass approximate swap at
+    corpus scale: approx_percentile for both med and MAD boundaries
+    (house precedent: revenue_pareto's documented swap)."""
+    log = activity_log(spark, sf_dir).select("activity", "value")
+    med = (log.groupBy("activity")
+           .agg(F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY value)")
+                .alias("med")))
+    ad = (log.join(F.broadcast(med), "activity")
+          .withColumn("ad", F.abs(F.col("value") - F.col("med"))))
+    mad = (ad.groupBy("activity")
+           .agg(F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY ad)")
+                .alias("mad")))
+    thr = F.lit(3.5) * F.col("mad")
+    return (ad.join(F.broadcast(mad), "activity")
+            .groupBy("activity")
+            .agg(F.count("*").alias("n"),
+                 F.sum((F.col("ad") > thr).cast("long")).alias("n_outliers"),
+                 F.round(F.first("med"), 6).alias("median_r6"),
+                 F.round(F.first("mad"), 6).alias("mad_r6"))
+            .orderBy("activity"))
+
+
+_MAD_SQL = f"""
+WITH log AS ({ACTIVITY_LOG_ORACLE_SQL}),
+med AS (SELECT activity, quantile_disc(value, 0.5) AS med
+        FROM log GROUP BY activity),
+ad AS (SELECT l.activity, abs(l.value - m.med) AS ad, m.med
+       FROM log l JOIN med m USING (activity)),
+mad AS (SELECT activity, quantile_disc(ad, 0.5) AS mad
+        FROM ad GROUP BY activity)
+SELECT a.activity, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CASE WHEN a.ad > CAST(3.5 AS DOUBLE) * d.mad
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+       round(any_value(a.med), 6) AS median_r6,
+       round(any_value(d.mad), 6) AS mad_r6
+FROM ad a JOIN mad d USING (activity)
+GROUP BY a.activity
+ORDER BY a.activity
+"""
+
+QUERIES_TAIL["value_mad_outliers"] = value_mad_outliers
+ORACLES_TAIL["value_mad_outliers"] = _MAD_SQL
+
+
+# -- MRR: first-relevant-rank quality of the cosine retriever -----------------
+
+def mrr_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank retrieval eval (public knowledge: the TREC MRR
+    metric) on the same 8-query cosine ranking as ndcg_retrieval_eval:
+    per query, the rank of the FIRST relevant candidate and its
+    reciprocal — the metric for known-item search, complementing
+    recall (ann_recall_report) and graded gain (ndcg).
+
+    Exactness: identical ranking contract as ndcg (cosine rounded to
+    6, vec_id tie-break); first_rel_rank is an exact integer min;
+    the reciprocal is one int/int IEEE division rounded at emission.
+    Queries with no relevant candidate emit NULL rank (never dropped).
+
+    Scale shape: one scan, broadcast-nested-loop over the 8 queries,
+    one |Q|-partitioned window, one min-agg; the brute-force ranker
+    swaps for the ANN candidate set at corpus scale exactly as in
+    rrf_hybrid_search."""
+    from threat_detection_nosql_spark.sources.readers import load_table
+    norm = lambda c: F.sqrt(F.aggregate(  # noqa: E731
+        F.transform(c, lambda x: x * x), F.lit(0.0), lambda a, x: a + x))
+    emb = (load_table(spark, sf_dir, "embeddings")
+           .select("vec_id", F.col("label").alias("lab"),
+                   F.col("embedding").cast("array<double>").alias("v"))
+           .withColumn("nv", norm(F.col("v"))))
+    qv = (emb.filter(F.col("vec_id") < 8)
+          .select(F.col("vec_id").alias("q_id"), F.col("lab").alias("q_lab"),
+                  F.col("v").alias("q_v"), F.col("nv").alias("nq")))
+    dot = F.aggregate(F.zip_with("v", "q_v", lambda x, y: x * y),
+                      F.lit(0.0), lambda a, x: a + x)
+    scored = (emb.crossJoin(F.broadcast(qv))
+              .filter(F.col("vec_id") != F.col("q_id"))
+              .select("q_id", "vec_id",
+                      F.round(dot / (F.col("nv") * F.col("nq")), 6)
+                      .alias("cos"),
+                      (F.col("lab") == F.col("q_lab")).cast("long")
+                      .alias("rel")))
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    first_rel = (scored.withColumn("rank", F.row_number().over(w))
+                 .filter(F.col("rel") == 1)
+                 .groupBy("q_id")
+                 .agg(F.min("rank").cast("long").alias("first_rel_rank")))
+    qdom = qv.select("q_id")
+    return (qdom.join(first_rel, "q_id", "left")
+            .select("q_id", "first_rel_rank",
+                    F.round(F.lit(1.0)
+                            / F.col("first_rel_rank").cast("double"), 6)
+                    .alias("reciprocal_rank"))
+            .orderBy("q_id"))
+
+
+_MRR_SQL = """
+WITH emb AS (SELECT vec_id, label AS lab, embedding::DOUBLE[] AS v
+             FROM embeddings),
+q AS (SELECT vec_id AS q_id, lab AS q_lab, v AS q_v
+      FROM emb WHERE vec_id < 8),
+scored AS (SELECT q_id, vec_id,
+                  round(list_dot_product(v, q_v)
+                        / (sqrt(list_dot_product(v, v))
+                           * sqrt(list_dot_product(q_v, q_v))), 6) AS cos,
+                  CAST(lab = q_lab AS BIGINT) AS rel
+           FROM emb CROSS JOIN q WHERE vec_id <> q_id),
+ranked AS (SELECT q_id, rel,
+                  row_number() OVER (PARTITION BY q_id
+                       ORDER BY cos DESC, vec_id ASC) AS rank
+           FROM scored),
+fr AS (SELECT q_id, CAST(min(rank) AS BIGINT) AS first_rel_rank
+       FROM ranked WHERE rel = 1 GROUP BY q_id)
+SELECT q.q_id, fr.first_rel_rank,
+       round(1.0 / CAST(fr.first_rel_rank AS DOUBLE), 6)
+         AS reciprocal_rank
+FROM q LEFT JOIN fr USING (q_id)
+ORDER BY q.q_id
+"""
+
+QUERIES_TAIL["mrr_retrieval_eval"] = mrr_retrieval_eval
+ORACLES_TAIL["mrr_retrieval_eval"] = _MRR_SQL
+
+
+# -- Welch t-test between hash variants ---------------------------------------
+
+def welch_t_variant_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch unequal-variance t-test between the two hash-assigned
+    variants of cuped_adjusted_lift / mann_whitney_variant_test, on
+    the per-user event count — the parametric member of the
+    experimentation panel (public knowledge: Welch 1947, with the
+    Welch-Satterthwaite dof).
+
+    Exactness: per-variant n, Σy, Σy² are exact integer aggregates;
+    the variance numerators n·Σy² − (Σy)² are computed in
+    DECIMAL(38,0) (immune to BIGINT overflow at any realistic n);
+    means, variances, t and dof are fixed-order scalar double algebra
+    on those exact integers — the same literal operand tree in both
+    engines, one sqrt, rounded at emission.
+
+    Scale shape: one per-user count agg (map-combinable) -> one
+    2-group agg -> a 1-row conditional pivot. Nothing is ordered,
+    nothing single-partitions beyond the final 2-row fold."""
+    from threat_detection_nosql_spark.operators.sampling import hash_bucket
+    from threat_detection_nosql_spark.sources.readers import load_table
+    ev = load_table(spark, sf_dir, "events")
+    users = (ev.groupBy("user_id").agg(F.count("*").alias("y"))
+             .select("y", (hash_bucket(F.col("user_id"), salt="exp") % 2)
+                     .alias("variant")))
+    per = (users.groupBy("variant")
+           .agg(F.count("*").alias("n"),
+                F.sum("y").alias("sy"),
+                F.sum(F.col("y") * F.col("y")).alias("syy")))
+    cell = lambda v, c: F.first(  # noqa: E731
+        F.when(F.col("variant") == v, F.col(c)), ignorenulls=True)
+    g = per.agg(cell(0, "n").alias("n_a"), cell(0, "sy").alias("sy_a"),
+                cell(0, "syy").alias("syy_a"),
+                cell(1, "n").alias("n_b"), cell(1, "sy").alias("sy_b"),
+                cell(1, "syy").alias("syy_b"))
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+
+    def var_over_n(n, sy, syy):
+        num = (dec(n) * dec(syy) - dec(sy) * dec(sy)).cast("double")
+        return num / (d(n) * (d(n) - 1.0)) / d(n)
+
+    se2a = var_over_n("n_a", "sy_a", "syy_a")
+    se2b = var_over_n("n_b", "sy_b", "syy_b")
+    se2 = se2a + se2b
+    t = (d("sy_a") / d("n_a") - d("sy_b") / d("n_b")) / F.sqrt(se2)
+    dof = (se2 * se2) / (se2a * se2a / (d("n_a") - 1.0)
+                         + se2b * se2b / (d("n_b") - 1.0))
+    return g.select(
+        "n_a", "n_b",
+        F.round(d("sy_a") / d("n_a"), 6).alias("mean_a"),
+        F.round(d("sy_b") / d("n_b"), 6).alias("mean_b"),
+        F.round(t, 6).alias("t_stat"),
+        F.round(dof, 6).alias("welch_dof"))
+
+
+_WELCH_SQL = """
+WITH u AS (SELECT user_id, CAST(count(*) AS BIGINT) AS y
+           FROM events GROUP BY user_id),
+v AS (SELECT y,
+             CAST(('0x' || substr(md5('exp:' || CAST(user_id AS VARCHAR)),
+                  1, 15)) AS BIGINT) % 10000 % 2 AS variant
+      FROM u),
+per AS (SELECT variant, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(y) AS BIGINT) AS sy,
+               CAST(sum(y * y) AS BIGINT) AS syy
+        FROM v GROUP BY variant),
+g AS (SELECT
+        CAST(max(CASE WHEN variant = 0 THEN n END) AS BIGINT) AS n_a,
+        CAST(max(CASE WHEN variant = 0 THEN sy END) AS BIGINT) AS sy_a,
+        CAST(max(CASE WHEN variant = 0 THEN syy END) AS BIGINT) AS syy_a,
+        CAST(max(CASE WHEN variant = 1 THEN n END) AS BIGINT) AS n_b,
+        CAST(max(CASE WHEN variant = 1 THEN sy END) AS BIGINT) AS sy_b,
+        CAST(max(CASE WHEN variant = 1 THEN syy END) AS BIGINT) AS syy_b
+      FROM per),
+s AS (SELECT *,
+        CAST(CAST(n_a AS DECIMAL(38,0)) * CAST(syy_a AS DECIMAL(38,0))
+             - CAST(sy_a AS DECIMAL(38,0)) * CAST(sy_a AS DECIMAL(38,0))
+             AS DOUBLE)
+          / (CAST(n_a AS DOUBLE) * (CAST(n_a AS DOUBLE) - 1.0))
+          / CAST(n_a AS DOUBLE) AS se2a,
+        CAST(CAST(n_b AS DECIMAL(38,0)) * CAST(syy_b AS DECIMAL(38,0))
+             - CAST(sy_b AS DECIMAL(38,0)) * CAST(sy_b AS DECIMAL(38,0))
+             AS DOUBLE)
+          / (CAST(n_b AS DOUBLE) * (CAST(n_b AS DOUBLE) - 1.0))
+          / CAST(n_b AS DOUBLE) AS se2b
+      FROM g)
+SELECT n_a, n_b,
+       round(CAST(sy_a AS DOUBLE) / CAST(n_a AS DOUBLE), 6) AS mean_a,
+       round(CAST(sy_b AS DOUBLE) / CAST(n_b AS DOUBLE), 6) AS mean_b,
+       round((CAST(sy_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+              - CAST(sy_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+             / sqrt(se2a + se2b), 6) AS t_stat,
+       round(((se2a + se2b) * (se2a + se2b))
+             / (se2a * se2a / (CAST(n_a AS DOUBLE) - 1.0)
+                + se2b * se2b / (CAST(n_b AS DOUBLE) - 1.0)), 6)
+         AS welch_dof
+FROM s
+"""
+
+QUERIES_TAIL["welch_t_variant_test"] = welch_t_variant_test
+ORACLES_TAIL["welch_t_variant_test"] = _WELCH_SQL
+
+
+# -- difference-in-differences lift -------------------------------------------
+
+def diff_in_diff_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences on per-user purchase volume between
+    the two hash-assigned variants (the experimentation family's
+    pre/post causal estimator, public knowledge: Card & Krueger 1994):
+    DiD = (post_b − pre_b) − (post_a − pre_a) of the
+    purchases-per-user cell means, with the period cut fixed at the
+    data's calendar midpoint (events span 2024-01; TESTDATA.md).
+
+    Exactness: every cell is an exact BIGINT purchase count over an
+    exact BIGINT per-variant user count (the user DOMAIN is all event
+    users, so a user silent in a period contributes 0 via the count —
+    no dense grid needed); means and the DiD are fixed-order scalar
+    IEEE on those integers, rounded at emission.
+
+    Scale shape: one events scan -> 2-key hash agg (variant cells via
+    conditional sums + one distinct-user count) -> 1-row fold."""
+    from threat_detection_nosql_spark.operators.sampling import hash_bucket
+    from threat_detection_nosql_spark.sources.readers import load_table
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        "user_id",
+        (hash_bucket(F.col("user_id"), salt="exp") % 2).alias("variant"),
+        (F.col("event_type") == "purchase").cast("long").alias("is_p"),
+        (F.col("ts") >= F.lit("2024-01-16").cast("timestamp"))
+        .cast("long").alias("post"))
+    per = (base.groupBy("variant")
+           .agg(F.countDistinct("user_id").alias("nu"),
+                F.sum(F.when(F.col("post") == 0, F.col("is_p"))
+                      .otherwise(F.lit(0))).alias("pre_p"),
+                F.sum(F.when(F.col("post") == 1, F.col("is_p"))
+                      .otherwise(F.lit(0))).alias("post_p")))
+    cell = lambda v, c: F.first(  # noqa: E731
+        F.when(F.col("variant") == v, F.col(c)), ignorenulls=True)
+    g = per.agg(cell(0, "nu").alias("nu_a"), cell(0, "pre_p").alias("pre_a"),
+                cell(0, "post_p").alias("post_a"),
+                cell(1, "nu").alias("nu_b"), cell(1, "pre_p").alias("pre_b"),
+                cell(1, "post_p").alias("post_b"))
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    m = lambda p, n: d(p) / d(n)  # noqa: E731
+    did = ((m("post_b", "nu_b") - m("pre_b", "nu_b"))
+           - (m("post_a", "nu_a") - m("pre_a", "nu_a")))
+    return g.select(
+        "nu_a", "nu_b",
+        F.round(m("pre_a", "nu_a"), 6).alias("pre_mean_a"),
+        F.round(m("post_a", "nu_a"), 6).alias("post_mean_a"),
+        F.round(m("pre_b", "nu_b"), 6).alias("pre_mean_b"),
+        F.round(m("post_b", "nu_b"), 6).alias("post_mean_b"),
+        F.round(did, 6).alias("did_effect"))
+
+
+_DID_SQL = """
+WITH base AS (
+  SELECT user_id,
+         CAST(('0x' || substr(md5('exp:' || CAST(user_id AS VARCHAR)),
+              1, 15)) AS BIGINT) % 10000 % 2 AS variant,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_p,
+         CASE WHEN ts >= TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END AS post
+  FROM events),
+per AS (SELECT variant,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS nu,
+               CAST(sum(CASE WHEN post = 0 THEN is_p ELSE 0 END)
+                    AS BIGINT) AS pre_p,
+               CAST(sum(CASE WHEN post = 1 THEN is_p ELSE 0 END)
+                    AS BIGINT) AS post_p
+        FROM base GROUP BY variant),
+g AS (SELECT
+        CAST(max(CASE WHEN variant = 0 THEN nu END) AS BIGINT) AS nu_a,
+        CAST(max(CASE WHEN variant = 0 THEN pre_p END) AS BIGINT) AS pre_a,
+        CAST(max(CASE WHEN variant = 0 THEN post_p END) AS BIGINT) AS post_a,
+        CAST(max(CASE WHEN variant = 1 THEN nu END) AS BIGINT) AS nu_b,
+        CAST(max(CASE WHEN variant = 1 THEN pre_p END) AS BIGINT) AS pre_b,
+        CAST(max(CASE WHEN variant = 1 THEN post_p END) AS BIGINT) AS post_b
+      FROM per)
+SELECT nu_a, nu_b,
+       round(CAST(pre_a AS DOUBLE) / CAST(nu_a AS DOUBLE), 6)
+         AS pre_mean_a,
+       round(CAST(post_a AS DOUBLE) / CAST(nu_a AS DOUBLE), 6)
+         AS post_mean_a,
+       round(CAST(pre_b AS DOUBLE) / CAST(nu_b AS DOUBLE), 6)
+         AS pre_mean_b,
+       round(CAST(post_b AS DOUBLE) / CAST(nu_b AS DOUBLE), 6)
+         AS post_mean_b,
+       round((CAST(post_b AS DOUBLE) / CAST(nu_b AS DOUBLE)
+              - CAST(pre_b AS DOUBLE) / CAST(nu_b AS DOUBLE))
+             - (CAST(post_a AS DOUBLE) / CAST(nu_a AS DOUBLE)
+                - CAST(pre_a AS DOUBLE) / CAST(nu_a AS DOUBLE)), 6)
+         AS did_effect
+FROM g
+"""
+
+QUERIES_TAIL["diff_in_diff_purchases"] = diff_in_diff_purchases
+ORACLES_TAIL["diff_in_diff_purchases"] = _DID_SQL

@@ -1707,3 +1707,129 @@ ORDER BY user_id
 
 QUERIES_TAIL["cdc_last_writer_state"] = cdc_last_writer_state
 ORACLES_TAIL["cdc_last_writer_state"] = _CDC_SQL
+
+
+# -- pivot: segment x order-year revenue matrix -------------------------------
+
+_PIVOT_YEARS = list(range(1995, 2002))  # orders span 1995-2001 (TESTDATA.md)
+
+
+def segment_year_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-segment × order-year revenue matrix via the native
+    ``groupBy().pivot()`` operator — the BI crosstab shape (one row
+    per segment, one column per year).
+
+    The pivot VALUES are an explicit literal list: without it Spark
+    runs an extra distinct-scan job just to discover the column set,
+    and the output schema becomes data-dependent — both wrong at
+    100 TB (and the year domain is closed by the data's calendar
+    span, TESTDATA.md). Revenue is exact BIGINT cents; empty
+    (segment, year) cells are NULL in both engines (pivot-sum and
+    FILTER-sum agree on empty input).
+
+    Scale shape: orders joins the customer dim on the grouped key's
+    side (shuffle equi-join on custkey — both sides partition on it),
+    then ONE hash agg produces all 7 year columns (pivot compiles to
+    conditional aggregates, not 7 scans)."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    base = (orders
+            .join(cust, orders.o_custkey == cust.c_custkey)
+            .select("c_mktsegment",
+                    F.concat(F.lit("y"), F.year("o_orderdate")).alias("yr"),
+                    F.round(F.col("o_totalprice") * 100, 0)
+                    .cast("long").alias("cents")))
+    return (base.groupBy("c_mktsegment")
+            .pivot("yr", [f"y{y}" for y in _PIVOT_YEARS])
+            .agg(F.sum("cents"))
+            .orderBy("c_mktsegment"))
+
+
+_PIVOT_COLS = ",\n       ".join(
+    f"CAST(sum(cents) FILTER (WHERE yr = {y}) AS BIGINT) AS y{y}"
+    for y in _PIVOT_YEARS)
+
+_SEGMENT_PIVOT_SQL = f"""
+WITH base AS (SELECT c_mktsegment, year(o_orderdate) AS yr,
+                     CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+              FROM orders JOIN customer ON o_custkey = c_custkey)
+SELECT c_mktsegment,
+       {_PIVOT_COLS}
+FROM base GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+QUERIES_TAIL["segment_year_pivot"] = segment_year_pivot
+ORACLES_TAIL["segment_year_pivot"] = _SEGMENT_PIVOT_SQL
+
+
+# -- referential-integrity audit ----------------------------------------------
+
+def referential_integrity_audit(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """Foreign-key health audit across the warehouse: count of
+    dangling/unreferenced keys on every FK edge — orphan lineitems
+    (order gone), childless orders (no lineitems), customers who never
+    ordered, parts and suppliers never shipped. The first query a data
+    platform runs after every load; one non-zero orphan row means an
+    upstream CDC feed dropped parents.
+
+    All five checks are LEFT ANTI equi-joins (Spark's dedicated
+    anti-join operator — no NOT IN null-trap, which the oracle also
+    avoids via NOT EXISTS) emitting exact BIGINT counts as
+    (audit_check, n) rows.
+
+    Scale shape: each anti-join shuffles both sides on the key being
+    audited (or broadcasts when the parent side is a dim); counts are
+    map-combinable. The five checks are independent branches — on a
+    cluster they run concurrently; none shares a scan, by design, so
+    each prunes to exactly its two key columns."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    part = load_table(spark, sf_dir, "part")
+    supp = load_table(spark, sf_dir, "supplier")
+
+    def anti(name, child, ckey, parent, pkey):
+        return (child.select(F.col(ckey).alias("k"))
+                .join(parent.select(F.col(pkey).alias("k")), "k",
+                      "left_anti")
+                .agg(F.count("*").alias("n"))
+                .select(F.lit(name).alias("audit_check"), "n"))
+
+    return (anti("orphan_lineitems", li, "l_orderkey",
+                 orders, "o_orderkey")
+            .unionAll(anti("childless_orders", orders, "o_orderkey",
+                           li, "l_orderkey"))
+            .unionAll(anti("orderless_customers", cust, "c_custkey",
+                           orders, "o_custkey"))
+            .unionAll(anti("unshipped_parts", part, "p_partkey",
+                           li, "l_partkey"))
+            .unionAll(anti("unshipped_suppliers", supp, "s_suppkey",
+                           li, "l_suppkey")))
+
+
+_RI_AUDIT_SQL = """
+SELECT 'orphan_lineitems' AS audit_check, CAST(count(*) AS BIGINT) AS n
+FROM lineitem l
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+UNION ALL
+SELECT 'childless_orders', CAST(count(*) AS BIGINT)
+FROM orders o
+WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)
+UNION ALL
+SELECT 'orderless_customers', CAST(count(*) AS BIGINT)
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+UNION ALL
+SELECT 'unshipped_parts', CAST(count(*) AS BIGINT)
+FROM part p
+WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_partkey = p.p_partkey)
+UNION ALL
+SELECT 'unshipped_suppliers', CAST(count(*) AS BIGINT)
+FROM supplier s
+WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_suppkey = s.s_suppkey)
+"""
+
+QUERIES_TAIL["referential_integrity_audit"] = referential_integrity_audit
+ORACLES_TAIL["referential_integrity_audit"] = _RI_AUDIT_SQL

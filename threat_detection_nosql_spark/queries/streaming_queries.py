@@ -652,3 +652,43 @@ ORDER BY user_id
 
 QUERIES_TAIL["stream_cdc_state"] = stream_cdc_state
 ORACLES_TAIL["stream_cdc_state"] = _STREAM_CDC_SQL
+
+
+def stream_funnel_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark-resequenced streaming funnel
+    (streaming.stream_queries.funnel_ordered_conversion): per-user
+    view → click → purchase stage progression with the ordered-funnel
+    strict-after rule, correct under any batching / arrival order via
+    the event-time-timer buffer (the stream_markov_ordered recipe —
+    stage assignments are only made when the watermark passes the
+    event, processing each user's drained rows in event-time order).
+    The oracle replays the final-watermark cutoff: the batch stacked
+    conditional-min funnel over rows at or below max(ts) − 1h."""
+    return S.funnel_ordered_conversion(spark, sf_dir)
+
+
+_FUNNEL_ORDERED_SQL = """
+WITH wm AS (SELECT epoch_ms(max(ts)) - 3600000 AS w FROM events),
+inw AS (SELECT user_id AS "user", ts, event_type AS activity
+        FROM events, wm WHERE epoch_ms(ts) <= wm.w),
+w1 AS (SELECT "user", ts, activity,
+              min(CASE WHEN activity = 'view' THEN ts END)
+                OVER (PARTITION BY "user") AS t1
+       FROM inw),
+w2 AS (SELECT *, min(CASE WHEN activity = 'click' AND ts > t1 THEN ts END)
+                   OVER (PARTITION BY "user") AS t2
+       FROM w1),
+w3 AS (SELECT *, min(CASE WHEN activity = 'purchase' AND ts > t2 THEN ts END)
+                   OVER (PARTITION BY "user") AS t3
+       FROM w2),
+pu AS (SELECT "user", any_value(t1) AS t1, any_value(t2) AS t2,
+              any_value(t3) AS t3
+       FROM w3 GROUP BY "user")
+SELECT CAST(count(t1) AS BIGINT) AS viewed,
+       CAST(count(t2) AS BIGINT) AS clicked_after_view,
+       CAST(count(t3) AS BIGINT) AS purchased_after_click
+FROM pu
+"""
+
+QUERIES_TAIL["stream_funnel_ordered"] = stream_funnel_ordered
+ORACLES_TAIL["stream_funnel_ordered"] = _FUNNEL_ORDERED_SQL

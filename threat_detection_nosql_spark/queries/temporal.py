@@ -2099,3 +2099,74 @@ LIMIT 10
 QUERIES_TAIL["session_path_top10"] = session_path_top10
 ORACLES_TAIL["session_path_top10"] = _SESSION_PATH_SQL.replace(
     "{gap}", str(_SESSION_GAP_US))
+
+
+# -- Theil-Sen robust trend (robust twin of user_activity_trend) --------------
+
+def theil_sen_user_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust activity trend per user: the MEDIAN of all
+    pairwise day-over-day slopes of the daily event count (public
+    knowledge: Theil 1950, Sen 1968 — 29.3% breakdown point, the
+    robust twin of user_activity_trend's OLS slope, which one burst
+    day can drag arbitrarily). Top-20 ramping users.
+
+    Exactness: each pairwise slope is one int/int IEEE division
+    (identical operand order both engines — no accumulated error); the
+    median is percentile_disc, always an OBSERVED slope, so both
+    engines pick the same element; ordering totals out on (slope DESC,
+    user ASC) over bit-identical doubles.
+
+    Scale shape: the pair frame is a per-user self-join on the DAILY
+    grain — pairs per user ≤ span²/2 where span is the calendar
+    coverage in days, a constant set by retention policy, NOT by data
+    volume (100× more events widens days-per-user toward the same
+    span cap; it does not add quadratic blowup). One shuffle by user
+    feeds the daily agg, the self-join, and the median re-agg."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (ev.groupBy(F.col("user_id").alias("user"),
+                        F.to_date("ts").alias("day"))
+             .agg(F.count("*").alias("y")))
+    a = daily.select("user", F.col("day").alias("d1"), F.col("y").alias("y1"))
+    b = daily.select("user", F.col("day").alias("d2"), F.col("y").alias("y2"))
+    pairs = (a.join(b, "user")
+             .filter(F.col("d1") < F.col("d2"))
+             .select("user",
+                     ((F.col("y2") - F.col("y1")).cast("double")
+                      / F.datediff("d2", "d1").cast("double"))
+                     .alias("slope")))
+    stats = (pairs.groupBy("user")
+             .agg(F.count("*").alias("n_pairs"),
+                  F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY slope)")
+                  .alias("sen")))
+    ndays = daily.groupBy("user").agg(F.count("*").alias("n_days"))
+    return (stats.join(ndays, "user")
+            .filter(F.col("n_days") >= 10)
+            .select("user", "n_days", "n_pairs",
+                    F.round("sen", 6).alias("sen_slope"))
+            .orderBy(F.desc("sen_slope"), F.asc("user"))
+            .limit(20))
+
+
+_THEIL_SEN_SQL = """
+WITH daily AS (SELECT user_id AS user, CAST(ts AS DATE) AS day,
+                      CAST(count(*) AS BIGINT) AS y
+               FROM events GROUP BY user_id, CAST(ts AS DATE)),
+pairs AS (SELECT a.user,
+                 CAST(b.y - a.y AS DOUBLE)
+                 / CAST(date_diff('day', a.day, b.day) AS DOUBLE) AS slope
+          FROM daily a JOIN daily b
+            ON a.user = b.user AND a.day < b.day),
+stats AS (SELECT user, CAST(count(*) AS BIGINT) AS n_pairs,
+                 quantile_disc(slope, 0.5) AS sen
+          FROM pairs GROUP BY user),
+nd AS (SELECT user, CAST(count(*) AS BIGINT) AS n_days
+       FROM daily GROUP BY user)
+SELECT s.user, n.n_days, s.n_pairs, round(s.sen, 6) AS sen_slope
+FROM stats s JOIN nd n USING (user)
+WHERE n.n_days >= 10
+ORDER BY round(s.sen, 6) DESC, s.user ASC
+LIMIT 20
+"""
+
+QUERIES_TAIL["theil_sen_user_trend"] = theil_sen_user_trend
+ORACLES_TAIL["theil_sen_user_trend"] = _THEIL_SEN_SQL

@@ -1071,3 +1071,102 @@ def cdc_live_state(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.col("k").alias("user_id"),
                     F.col("w.cents").alias("live_value_cents"))
             .orderBy("user_id"))
+
+
+# -- watermark-resequenced ordered funnel -------------------------------------
+
+_FUNNEL_ORD_STATE = "t1_us long, t2_us long, t3_us long, buffered string"
+_FUNNEL_ORD_OUT = "user long, reached1 long, reached2 long, reached3 long"
+
+
+def funnel_ordered_conversion(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """Streaming twin of temporal.funnel_conversion via the
+    event-time-timer recipe (markov_ordered_transitions precedent):
+    per-user view → click → purchase stage timestamps, correct under
+    ANY batching and ANY cross-batch arrival order.
+
+    Why a buffer is required at all: the ordered-funnel rule
+    t2 = min click STRICTLY AFTER t1 is not monotone under arrival —
+    a late-arriving earlier view lowers t1 and can re-admit a click
+    that was previously skipped, so no per-arrival update is final
+    until the watermark passes it. Buffering every arrival above the
+    watermark and draining rows at/below it in (ts, event_id) order
+    makes each stage assignment final at drain time: processing in
+    event-time order means t1 is the global min view the moment it
+    drains, so 'first click with ts > t1' seen in drain order IS the
+    batch min — stage state never needs revision.
+
+    State per user = three stage timestamps (µs; the strict
+    ``>`` compares run at full parquet micro resolution, matching the
+    batch oracle's timestamp compares) + the delay-bounded buffer.
+    An event-time timer re-fires each group on the no-data batch so
+    the final watermark advance drains the tail; rows above
+    max(ts) − delay are never drained — the same final-watermark
+    cutoff the oracle replays. Update-mode re-emissions are monotone
+    0→1 flags, collapsed downstream by max()."""
+    ev = events_stream(spark, sf_dir).select(
+        "user", "ts", "event_id", "activity")
+    table = run_stream_to_table(funnel_ordered_agg(ev), mode="update")
+    per_user = table.groupBy("user").agg(
+        F.max("reached1").alias("r1"), F.max("reached2").alias("r2"),
+        F.max("reached3").alias("r3"))
+    return per_user.agg(
+        F.sum("r1").alias("viewed"),
+        F.sum("r2").alias("clicked_after_view"),
+        F.sum("r3").alias("purchased_after_click"))
+
+
+def funnel_ordered_agg(ev: DataFrame) -> DataFrame:
+    """The stateful plan behind ``funnel_ordered_conversion`` —
+    factored so tests can drive it over arbitrarily-batched,
+    arbitrarily-ordered streams and assert drained == batch. ``ev``
+    must be a watermarked stream of (user, ts, event_id, activity)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        wm = state.getCurrentWatermarkMs()
+        t1, t2, t3, buffered = -1, -1, -1, []
+        if state.exists:
+            t1, t2, t3, buf0 = state.get
+            if buf0:
+                for item in buf0.split("|"):
+                    us, eid, act = item.split(",", 2)
+                    buffered.append((int(us), int(eid), act))
+        for chunk in pdfs:
+            for ts, eid, act in zip(chunk["ts"], chunk["event_id"],
+                                    chunk["activity"]):
+                us = pd.Timestamp(ts).value // 1_000
+                if us // 1_000 > wm:  # at/below watermark = late, drop
+                    buffered.append((us, int(eid), act))
+        buffered.sort()
+        keep = []
+        for us, eid, act in buffered:
+            if us // 1_000 > wm:
+                keep.append((us, eid, act))
+                continue
+            if act == "view" and t1 < 0:
+                t1 = us
+            elif act == "click" and t1 >= 0 and us > t1 and t2 < 0:
+                t2 = us
+            elif act == "purchase" and t2 >= 0 and us > t2 and t3 < 0:
+                t3 = us
+        state.update((t1, t2, t3,
+                      "|".join(f"{us},{eid},{act}"
+                               for us, eid, act in keep)))
+        if keep:  # re-fire on the next watermark advance
+            state.setTimeoutTimestamp(wm + 1)
+        yield pd.DataFrame({
+            "user": pd.array([key[0]], dtype="Int64"),
+            "reached1": pd.array([1 if t1 >= 0 else 0], dtype="Int64"),
+            "reached2": pd.array([1 if t2 >= 0 else 0], dtype="Int64"),
+            "reached3": pd.array([1 if t3 >= 0 else 0], dtype="Int64"),
+        })
+
+    return ev.groupBy("user").applyInPandasWithState(
+        update,
+        outputStructType=_FUNNEL_ORD_OUT,
+        stateStructType=_FUNNEL_ORD_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout)
