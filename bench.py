@@ -266,6 +266,7 @@ ROUND7E_COLLECT = [
     "mrr_retrieval_eval",
     "welch_t_variant_test",
     "diff_in_diff_purchases",
+    "variant_quantile_effects",
 ]
 ROUND7E_COUNT: list = []
 

@@ -688,3 +688,55 @@ def test_revenue_pareto_approx_has_no_global_sort(spark):
     # 10-row ordering
     assert "BroadcastNestedLoopJoin" in approx \
         or "BroadcastExchange" in approx
+
+
+def test_round7e_scans_prune_and_pivot_is_one_agg(spark):
+    """Round-7e scale contracts: the pivot compiles to ONE aggregate
+    pass over the joined frame (no per-year scan — explicit values
+    list, so no distinct-discovery job either); the FK audit runs
+    anti-joins with no cartesian; Benford/chi2/theil-sen scans prune
+    to their used columns."""
+    from threat_detection_nosql_spark.queries.metrics import (
+        benford_digit_audit,
+    )
+    from threat_detection_nosql_spark.queries.relational import (
+        _PIVOT_YEARS,
+        referential_integrity_audit,
+        segment_year_pivot,
+    )
+    from threat_detection_nosql_spark.queries.temporal import (
+        theil_sen_user_trend,
+    )
+
+    plan = formatted_plan(segment_year_pivot(spark, SF_DIR))
+    # one orders scan feeds every year column (pivot = conditional
+    # aggregates, not |years| passes)
+    orders_scans = [ln for ln in plan.splitlines()
+                    if "ReadSchema" in ln and "o_totalprice" in ln]
+    assert len(orders_scans) == 1, plan
+    assert "CartesianProduct" not in plan
+
+    plan = formatted_plan(referential_integrity_audit(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    # 5 anti-join nodes, every one a broadcast (parent side is a dim
+    # or a pre-shrunk key projection); detail blocks repeat the join
+    # type, so count the tree lines
+    anti_nodes = [ln for ln in plan.splitlines()
+                  if "BroadcastHashJoin LeftAnti" in ln
+                  or "SortMergeJoin LeftAnti" in ln]
+    assert len(anti_nodes) == 5, plan
+
+    plan = formatted_plan(benford_digit_audit(spark, SF_DIR))
+    scans = [ln for ln in plan.splitlines()
+             if "ReadSchema" in ln and "o_totalprice" in ln]
+    # the orders scan reads ONLY the price column
+    assert scans and all("o_orderdate" not in ln and "o_custkey" not in ln
+                         for ln in scans), plan
+
+    plan = formatted_plan(theil_sen_user_trend(spark, SF_DIR))
+    scans = [ln for ln in plan.splitlines()
+             if "ReadSchema" in ln and "user_id" in ln]
+    assert scans and all("props" not in ln and "value" not in ln
+                         for ln in scans), plan
+    assert "CartesianProduct" not in plan
+    assert len(_PIVOT_YEARS) == 7

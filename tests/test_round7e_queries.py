@@ -367,3 +367,30 @@ def test_did_python_rederivation(spark):
     assert abs(r.did_effect - did) < 1e-6
     # both periods must carry purchases on both variants
     assert all(cells[k] > 0 for k in m), cells
+
+
+def test_qte_python_rederivation(spark):
+    from threat_detection_nosql_spark.queries.metrics import (
+        variant_quantile_effects,
+    )
+
+    con = _ddb(SF_SMALL)
+    rows = con.sql(
+        "SELECT user_id, count(*) FROM events GROUP BY 1").fetchall()
+    con.close()
+    ys = defaultdict(list)
+    for uid, y in rows:
+        ys[_variant(uid)].append(y)
+
+    def disc(xs, q):
+        s = sorted(xs)
+        return s[math.ceil(q * len(s)) - 1]
+
+    got = {r.q_pct: r for r in
+           variant_quantile_effects(spark, SF_SMALL).collect()}
+    assert sorted(got) == [25, 50, 75, 90]
+    for pct in (25, 50, 75, 90):
+        qa = disc(ys[0], pct / 100)
+        qb = disc(ys[1], pct / 100)
+        r = got[pct]
+        assert (r.q_a, r.q_b, r.qte) == (qa, qb, qb - qa), pct

@@ -2805,3 +2805,80 @@ FROM g
 
 QUERIES_TAIL["diff_in_diff_purchases"] = diff_in_diff_purchases
 ORACLES_TAIL["diff_in_diff_purchases"] = _DID_SQL
+
+
+# -- quantile treatment effects -----------------------------------------------
+
+def variant_quantile_effects(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributional treatment effect between the hash variants: the
+    per-quantile difference of the per-user event-count distribution
+    at q = 0.25/0.5/0.75/0.9 — what the experimentation panel reads
+    when the mean lift (welch_t_variant_test) hides a tail-only
+    effect (public knowledge: quantile treatment effects, Doksum
+    1974).
+
+    Exactness: each quantile is percentile_disc — an OBSERVED integer
+    count, identical element both engines — so the effect is an exact
+    BIGINT difference; no float anywhere.
+
+    Scale shape: one per-user count agg, then one grouped
+    percentile_disc agg per variant over the user frame; the 4×2
+    quantile grid assembles with a broadcast self-join on the
+    variant key."""
+    from threat_detection_nosql_spark.operators.sampling import hash_bucket
+    from threat_detection_nosql_spark.sources.readers import load_table
+    ev = load_table(spark, sf_dir, "events")
+    users = (ev.groupBy("user_id").agg(F.count("*").alias("y"))
+             .select("y", (hash_bucket(F.col("user_id"), salt="exp") % 2)
+                     .alias("variant")))
+    qs = [(25, 0.25), (50, 0.5), (75, 0.75), (90, 0.9)]
+    per = users.groupBy("variant").agg(
+        *[F.expr(f"percentile_disc({q}) WITHIN GROUP (ORDER BY y)")
+          .cast("long").alias(f"q{t}") for t, q in qs])
+    a = per.filter(F.col("variant") == 0)
+    b = per.filter(F.col("variant") == 1)
+    grid = [F.struct(F.lit(t).alias("q_pct"),
+                     F.col(f"q{t}").alias("q_a"),
+                     F.col(f"b_q{t}").alias("q_b")) for t, _ in qs]
+    joined = a.crossJoin(F.broadcast(
+        b.select(*[F.col(f"q{t}").alias(f"b_q{t}") for t, _ in qs])))
+    return (joined
+            .select(F.explode(F.array(*grid)).alias("r"))
+            .select(F.col("r.q_pct").alias("q_pct"),
+                    F.col("r.q_a").alias("q_a"),
+                    F.col("r.q_b").alias("q_b"),
+                    (F.col("r.q_b") - F.col("r.q_a")).alias("qte"))
+            .orderBy("q_pct"))
+
+
+_QTE_SQL = """
+WITH u AS (SELECT user_id, CAST(count(*) AS BIGINT) AS y
+           FROM events GROUP BY user_id),
+v AS (SELECT y,
+             CAST(('0x' || substr(md5('exp:' || CAST(user_id AS VARCHAR)),
+                  1, 15)) AS BIGINT) % 10000 % 2 AS variant
+      FROM u),
+per AS (SELECT variant,
+               CAST(quantile_disc(y, 0.25) AS BIGINT) AS q25,
+               CAST(quantile_disc(y, 0.5) AS BIGINT) AS q50,
+               CAST(quantile_disc(y, 0.75) AS BIGINT) AS q75,
+               CAST(quantile_disc(y, 0.9) AS BIGINT) AS q90
+        FROM v GROUP BY variant),
+grid AS (
+  SELECT 25 AS q_pct, a.q25 AS q_a, b.q25 AS q_b
+  FROM per a, per b WHERE a.variant = 0 AND b.variant = 1
+  UNION ALL
+  SELECT 50, a.q50, b.q50
+  FROM per a, per b WHERE a.variant = 0 AND b.variant = 1
+  UNION ALL
+  SELECT 75, a.q75, b.q75
+  FROM per a, per b WHERE a.variant = 0 AND b.variant = 1
+  UNION ALL
+  SELECT 90, a.q90, b.q90
+  FROM per a, per b WHERE a.variant = 0 AND b.variant = 1)
+SELECT q_pct, q_a, q_b, q_b - q_a AS qte
+FROM grid ORDER BY q_pct
+"""
+
+QUERIES_TAIL["variant_quantile_effects"] = variant_quantile_effects
+ORACLES_TAIL["variant_quantile_effects"] = _QTE_SQL
