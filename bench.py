@@ -267,6 +267,7 @@ ROUND7E_COLLECT = [
     "welch_t_variant_test",
     "diff_in_diff_purchases",
     "variant_quantile_effects",
+    "sprt_daily_monitor",
 ]
 ROUND7E_COUNT: list = []
 

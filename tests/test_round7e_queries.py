@@ -394,3 +394,56 @@ def test_qte_python_rederivation(spark):
         qb = disc(ys[1], pct / 100)
         r = got[pct]
         assert (r.q_a, r.q_b, r.qte) == (qa, qb, qb - qa), pct
+
+
+def test_sprt_python_rederivation(spark):
+    """Day-end cumulative LLR and decision freeze replayed in Python
+    from raw events with the same integer literal table; also pins the
+    SPRT invariants: state is 'continue' strictly before decision_day
+    and frozen at the crossing sign from it onward."""
+    from threat_detection_nosql_spark.queries.metrics import (
+        _SPRT_HIT_PPB,
+        _SPRT_LOWER_PPB,
+        _SPRT_MISS_PPB,
+        _SPRT_UPPER_PPB,
+        sprt_daily_monitor,
+    )
+
+    assert _SPRT_HIT_PPB == round(1e9 * math.log(2.0))
+    assert _SPRT_MISS_PPB == round(1e9 * math.log(0.8 / 0.9))
+    con = _ddb(SF_SMALL)
+    rows = con.sql("""
+        SELECT user_id, CAST(ts AS DATE), event_type FROM events
+        """).fetchall()
+    con.close()
+    daily = defaultdict(lambda: [0, 0])  # (variant, day) -> [trials, hits]
+    for uid, day, et in rows:
+        c = daily[(_variant(uid), day)]
+        c[0] += 1
+        c[1] += et == "purchase"
+    got = defaultdict(list)
+    for r in sprt_daily_monitor(spark, SF_SMALL).collect():
+        got[r.variant].append(r)
+    for v, rs in got.items():
+        assert [r.day for r in rs] == sorted(r.day for r in rs)
+        cum, decided = 0, None
+        for r in rs:
+            trials, hits = daily[(v, r.day)]
+            assert (r.trials, r.hits) == (trials, hits), (v, r.day)
+            cum += hits * _SPRT_HIT_PPB + (trials - hits) * _SPRT_MISS_PPB
+            assert r.cum_llr_ppb == cum, (v, r.day)
+            if decided is None:
+                if cum >= _SPRT_UPPER_PPB:
+                    decided = ("h1", r.day)
+                elif cum <= _SPRT_LOWER_PPB:
+                    decided = ("h0", r.day)
+            if decided is None:
+                assert r.state == "continue"
+            else:
+                # decision_day is a per-variant attribute (same value
+                # on every row of the variant, incl. pre-crossing days)
+                assert r.decision_day == decided[1]
+                exp = decided[0] if r.day >= decided[1] else "continue"
+                assert r.state == exp, (v, r.day)
+    # the purchase rate sits near p1, so the monitor must DECIDE h1
+    assert all(rs[-1].state == "h1" for rs in got.values())

@@ -2882,3 +2882,121 @@ FROM grid ORDER BY q_pct
 
 QUERIES_TAIL["variant_quantile_effects"] = variant_quantile_effects
 ORACLES_TAIL["variant_quantile_effects"] = _QTE_SQL
+
+
+# -- SPRT sequential monitor --------------------------------------------------
+
+# Wald SPRT constants for H0: p = 0.10 vs H1: p = 0.20 on the
+# per-event purchase indicator, alpha = beta = 0.05 — embedded as
+# EXACT integer ppb literals (the Benford/ndcg literal-table trick):
+# one purchase adds ln(p1/p0), one non-purchase adds
+# ln((1-p1)/(1-p0)), cross the bounds ln((1-b)/a) / ln(b/(1-a)) and
+# stop. With integer increments the cumulative LLR is an exact
+# BIGINT — no float accumulates across rows.
+_SPRT_P0, _SPRT_P1 = 0.10, 0.20
+_SPRT_HIT_PPB = round(1e9 * _math.log(_SPRT_P1 / _SPRT_P0))
+_SPRT_MISS_PPB = round(1e9 * _math.log((1 - _SPRT_P1) / (1 - _SPRT_P0)))
+_SPRT_UPPER_PPB = round(1e9 * _math.log(0.95 / 0.05))
+_SPRT_LOWER_PPB = round(1e9 * _math.log(0.05 / 0.95))
+
+
+def sprt_daily_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald sequential probability ratio test (public knowledge: Wald
+    1945) monitoring the purchase rate per hash variant at DAILY
+    granularity: the experimentation family's early-stopping
+    companion to welch_t / mann_whitney (which test once, at the
+    end). Per (variant, day): trials, hits, the day-end cumulative
+    log-likelihood ratio, and the sequential decision state — the
+    first day the cum-LLR exits [lower, upper] freezes the decision
+    ('h1'/'h0'); days after a crossing report the frozen state.
+
+    Exactness: per-trial increments are the _SPRT_*_PPB integer
+    literals, so the day-end cum-LLR is an exact BIGINT
+    (hits·HIT + (trials−hits)·MISS) and every bound compare is
+    integer — no float crosses a row boundary.
+
+    Scale shape: one events scan → (variant, day) hash agg → one
+    window per variant over the DAY grain (rows bounded by the
+    calendar span, a constant — deliberately NOT per-trial order,
+    which would single-partition the fact table; day granularity is
+    the standard peeking cadence). The decision day is then a tiny
+    grouped min re-joined by variant."""
+    from threat_detection_nosql_spark.operators.sampling import hash_bucket
+    from threat_detection_nosql_spark.sources.readers import load_table
+    ev = load_table(spark, sf_dir, "events")
+    daily = (ev.select(
+        (hash_bucket(F.col("user_id"), salt="exp") % 2).alias("variant"),
+        F.to_date("ts").alias("day"),
+        (F.col("event_type") == "purchase").cast("long").alias("hit"))
+        .groupBy("variant", "day")
+        .agg(F.count("*").alias("trials"), F.sum("hit").alias("hits")))
+    w = (Window.partitionBy("variant").orderBy("day")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    cum = (daily
+           .withColumn("cum_llr_ppb",
+                       F.sum(F.col("hits") * F.lit(_SPRT_HIT_PPB)
+                             + (F.col("trials") - F.col("hits"))
+                             * F.lit(_SPRT_MISS_PPB)).over(w))
+           .withColumn("crossed",
+                       F.when(F.col("cum_llr_ppb")
+                              >= F.lit(_SPRT_UPPER_PPB), F.lit("h1"))
+                       .when(F.col("cum_llr_ppb")
+                             <= F.lit(_SPRT_LOWER_PPB), F.lit("h0"))))
+    first = (cum.filter(F.col("crossed").isNotNull())
+             .groupBy("variant")
+             .agg(F.min("day").alias("decision_day")))
+    joined = cum.join(F.broadcast(first), "variant", "left")
+    decided = F.col("decision_day").isNotNull() \
+        & (F.col("day") >= F.col("decision_day"))
+    # the frozen decision = the crossing sign on the decision day;
+    # with integer bounds the day's own `crossed` value is that sign
+    dec_on_day = F.first(
+        F.when(F.col("day") == F.col("decision_day"), F.col("crossed")),
+        ignorenulls=True).over(Window.partitionBy("variant"))
+    return (joined
+            .withColumn("state",
+                        F.when(decided, dec_on_day)
+                        .otherwise(F.lit("continue")))
+            .select("variant", "day", "trials", "hits", "cum_llr_ppb",
+                    "decision_day", "state")
+            .orderBy("variant", "day"))
+
+
+_SPRT_SQL = f"""
+WITH daily AS (
+  SELECT CAST(('0x' || substr(md5('exp:' || CAST(user_id AS VARCHAR)),
+              1, 15)) AS BIGINT) % 10000 % 2 AS variant,
+         CAST(ts AS DATE) AS day,
+         CAST(count(*) AS BIGINT) AS trials,
+         CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS BIGINT) AS hits
+  FROM events GROUP BY 1, 2),
+cum AS (
+  SELECT variant, day, trials, hits,
+         CAST(sum(hits * {_SPRT_HIT_PPB}
+                  + (trials - hits) * {_SPRT_MISS_PPB})
+              OVER (PARTITION BY variant ORDER BY day
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_llr_ppb
+  FROM daily),
+x AS (
+  SELECT *, CASE WHEN cum_llr_ppb >= {_SPRT_UPPER_PPB} THEN 'h1'
+                 WHEN cum_llr_ppb <= {_SPRT_LOWER_PPB} THEN 'h0'
+            END AS crossed
+  FROM cum),
+first AS (SELECT variant, min(day) AS decision_day
+          FROM x WHERE crossed IS NOT NULL GROUP BY variant),
+dd AS (SELECT x.variant, any_value(x.crossed) AS dec_state
+       FROM x JOIN first f
+         ON x.variant = f.variant AND x.day = f.decision_day
+       GROUP BY x.variant)
+SELECT x.variant, x.day, x.trials, x.hits, x.cum_llr_ppb,
+       f.decision_day,
+       CASE WHEN f.decision_day IS NOT NULL AND x.day >= f.decision_day
+            THEN d.dec_state ELSE 'continue' END AS state
+FROM x LEFT JOIN first f ON x.variant = f.variant
+       LEFT JOIN dd d ON x.variant = d.variant
+ORDER BY x.variant, x.day
+"""
+
+QUERIES_TAIL["sprt_daily_monitor"] = sprt_daily_monitor
+ORACLES_TAIL["sprt_daily_monitor"] = _SPRT_SQL
