@@ -2824,7 +2824,13 @@ def variant_quantile_effects(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: one per-user count agg, then one grouped
     percentile_disc agg per variant over the user frame; the 4×2
     quantile grid assembles with a broadcast self-join on the
-    variant key."""
+    variant key. The user frame grows with the data, so at corpus
+    scale swap the exact disc quantiles for a per-variant
+    ``approx_percentile`` boundary agg (house precedent:
+    revenue_pareto's executed swap) — or exploit that the metric is a
+    small-domain integer: a (variant, y) count grid + one running sum
+    recovers the EXACT disc quantile from grid-sized state (the
+    mann_whitney_variant_test rank trick)."""
     from threat_detection_nosql_spark.operators.sampling import hash_bucket
     from threat_detection_nosql_spark.sources.readers import load_table
     ev = load_table(spark, sf_dir, "events")
