@@ -268,6 +268,7 @@ ROUND7E_COLLECT = [
     "diff_in_diff_purchases",
     "variant_quantile_effects",
     "sprt_daily_monitor",
+    "seasonal_naive_backtest",
 ]
 ROUND7E_COUNT: list = []
 

@@ -447,3 +447,30 @@ def test_sprt_python_rederivation(spark):
                 assert r.state == exp, (v, r.day)
     # the purchase rate sits near p1, so the monitor must DECIDE h1
     assert all(rs[-1].state == "h1" for rs in got.values())
+
+
+def test_seasonal_naive_python_rederivation(spark):
+    from threat_detection_nosql_spark.queries.temporal import (
+        seasonal_naive_backtest,
+    )
+
+    con = _ddb(SF_SMALL)
+    rows = con.sql(
+        "SELECT CAST(ts AS DATE), value FROM events").fetchall()
+    con.close()
+    daily = defaultdict(int)
+    for day, v in rows:
+        daily[day] += round(v * 100)
+    mx = max(daily)
+    got = seasonal_naive_backtest(spark, SF_SMALL).collect()
+    expect = []
+    from datetime import timedelta
+    for day in sorted(daily):
+        prev = day - timedelta(days=7)
+        if (mx - day).days < 14 and prev in daily:
+            a, f = daily[day], daily[prev]
+            expect.append((day, a, f, abs(a - f),
+                           (1_000_000 * abs(a - f)) // a))
+    assert [(r.day, r.actual_cents, r.forecast_cents, r.abs_err_cents,
+             r.ape_ppm) for r in got] == expect
+    assert len(expect) == 14  # dense 30-day span -> full horizon

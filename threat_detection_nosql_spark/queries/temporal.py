@@ -2170,3 +2170,63 @@ LIMIT 20
 
 QUERIES_TAIL["theil_sen_user_trend"] = theil_sen_user_trend
 ORACLES_TAIL["theil_sen_user_trend"] = _THEIL_SEN_SQL
+
+
+# -- seasonal-naive forecast backtest ------------------------------------------
+
+def seasonal_naive_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast backtest of daily event value under the seasonal-naive
+    model forecast(d) = actual(d − 7 days) — the standard baseline
+    every demand-forecasting stack must beat (public knowledge:
+    Hyndman & Athanasopoulos, 'Forecasting: Principles and Practice',
+    the M-competition baseline). Scored over the last 14 days of the
+    data's span, one row per day.
+
+    Exactness: daily actuals are exact BIGINT cents (per-event
+    round-to-cents, then integer sum); the forecast is an equi-join on
+    date_add (no window, no ordering); abs error is integer; APE is
+    truncating integer ppm (Spark ``DIV`` == DuckDB ``//``). Zero
+    floats anywhere.
+
+    Scale shape: one events scan → day-grain hash agg (map-combinable;
+    the grid is calendar-bounded) → a self-equi-join on the day grain
+    → a broadcast max-day anchor. The 7-day lag never explodes: it is
+    a key join on the ≤|days| grid, not a range join."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (ev.groupBy(F.to_date("ts").alias("day"))
+             .agg(F.sum(F.round(F.col("value") * 100, 0).cast("long"))
+                  .alias("cents")))
+    anchor = daily.agg(F.max("day").alias("max_day"))
+    lag = daily.select(F.date_add(F.col("day"), 7).alias("day"),
+                       F.col("cents").alias("forecast_cents"))
+    scored = (daily.join(lag, "day")
+              .crossJoin(F.broadcast(anchor))
+              .filter(F.col("day") > F.date_sub(F.col("max_day"), 14)))
+    err = F.abs(F.col("cents") - F.col("forecast_cents"))
+    return (scored.select(
+        "day", F.col("cents").alias("actual_cents"), "forecast_cents",
+        err.alias("abs_err_cents"),
+        F.expr("1000000 * abs(cents - forecast_cents) DIV cents")
+        .alias("ape_ppm"))
+        .orderBy("day"))
+
+
+_SNAIVE_SQL = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day,
+         CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM events GROUP BY CAST(ts AS DATE)),
+anchor AS (SELECT max(day) AS max_day FROM daily),
+lag7 AS (SELECT day + 7 AS day, cents AS forecast_cents FROM daily)
+SELECT d.day, d.cents AS actual_cents, l.forecast_cents,
+       abs(d.cents - l.forecast_cents) AS abs_err_cents,
+       CAST((1000000 * abs(d.cents - l.forecast_cents)) // d.cents
+            AS BIGINT) AS ape_ppm
+FROM daily d JOIN lag7 l USING (day) CROSS JOIN anchor a
+WHERE d.day > a.max_day - 14
+ORDER BY d.day
+"""
+
+QUERIES_TAIL["seasonal_naive_backtest"] = seasonal_naive_backtest
+ORACLES_TAIL["seasonal_naive_backtest"] = _SNAIVE_SQL
