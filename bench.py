@@ -269,6 +269,7 @@ ROUND7E_COLLECT = [
     "variant_quantile_effects",
     "sprt_daily_monitor",
     "seasonal_naive_backtest",
+    "holt_linear_daily",
 ]
 ROUND7E_COUNT: list = []
 

@@ -474,3 +474,42 @@ def test_seasonal_naive_python_rederivation(spark):
     assert [(r.day, r.actual_cents, r.forecast_cents, r.abs_err_cents,
              r.ape_ppm) for r in got] == expect
     assert len(expect) == 14  # dense 30-day span -> full horizon
+
+
+def test_holt_python_rederivation(spark):
+    """Level/trend recurrence replayed in Python over the exact daily
+    cents (compared pre-rounding with an ulp-scale tolerance — the
+    emitted columns round via F.round, which is half-away like the
+    oracle, NOT Python's half-even round())."""
+    from threat_detection_nosql_spark.queries.temporal import (
+        holt_linear_daily,
+    )
+
+    con = _ddb(SF_SMALL)
+    rows = con.sql("""
+        SELECT CAST(ts AS DATE) AS day,
+               CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+        FROM events GROUP BY 1 ORDER BY 1""").fetchall()
+    con.close()
+    got = holt_linear_daily(spark, SF_SMALL).collect()
+    assert [r.day for r in got] == [d for d, _ in rows]
+    l = b = None
+    for r, (day, cents) in zip(got, rows):
+        y = float(cents)
+        if l is None:
+            fc = None
+            l, b = y, 0.0
+        else:
+            fc = l + b
+            l_new = 0.5 * y + 0.5 * (l + b)
+            b = 0.3 * (l_new - l) + 0.7 * b
+            l = l_new
+        assert r.actual_cents == cents
+        assert abs(r.level_r6 - l) < 1e-5
+        assert abs(r.trend_r6 - b) < 1e-5
+        if fc is None:
+            assert r.forecast_r6 is None
+        else:
+            assert abs(r.forecast_r6 - fc) < 1e-5
+    # the trend must actually move (fixture not degenerate)
+    assert any(abs(r.trend_r6) > 1.0 for r in got)

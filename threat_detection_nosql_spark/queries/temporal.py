@@ -2230,3 +2230,91 @@ ORDER BY d.day
 
 QUERIES_TAIL["seasonal_naive_backtest"] = seasonal_naive_backtest
 ORACLES_TAIL["seasonal_naive_backtest"] = _SNAIVE_SQL
+
+
+# -- Holt linear exponential smoothing (day grain) ----------------------------
+
+def holt_linear_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt double exponential smoothing of daily event value (public
+    knowledge: Holt 1957 — level + trend recurrence, the forecasting
+    step up from user_daily_ewma's level-only EWMA), with the
+    one-step-ahead forecast each day — the companion model
+    seasonal_naive_backtest's baseline is judged against.
+
+    alpha = 0.5, beta = 0.3; init l_1 = y_1, b_1 = 0 (documented
+    convention). The recurrence is inherently sequential, so it runs
+    in ONE Arrow batch over the DAY-GRAIN frame — calendar-bounded
+    rows (the sprt_daily_monitor scale argument), never the fact
+    table. The oracle replays it with a RECURSIVE CTE stepping the
+    identical operand tree (0.5*y + 0.5*(l+b); 0.3*(l_new−l) + 0.7*b),
+    so both engines accumulate bit-identical doubles; rounding only
+    at emission."""
+    import pandas as pd
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = (ev.groupBy(F.to_date("ts").alias("day"))
+             .agg(F.sum(F.round(F.col("value") * 100, 0).cast("long"))
+                  .alias("cents"))
+             .withColumn("g", F.lit(1)))
+
+    def holt(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("day").reset_index(drop=True)
+        lvl, trd, fcs = [], [], []
+        l = b = None
+        for y in pdf["cents"].astype("float64"):
+            if l is None:
+                fcs.append(None)
+                l, b = y, 0.0
+            else:
+                fcs.append(l + b)
+                l_new = 0.5 * y + 0.5 * (l + b)
+                b = 0.3 * (l_new - l) + 0.7 * b
+                l = l_new
+            lvl.append(l)
+            trd.append(b)
+        # emit FULL precision; rounding happens in F.round below —
+        # Python round() is half-to-even, DuckDB round() half-away,
+        # and a half-ulp boundary (hit at sf0.001, forecast day 20)
+        # splits them
+        return pd.DataFrame({
+            "day": pdf["day"], "actual_cents": pdf["cents"],
+            "level": lvl, "trend": trd, "forecast": fcs})
+
+    raw = daily.groupBy("g").applyInPandas(
+        holt, schema=("day date, actual_cents long, level double, "
+                      "trend double, forecast double"))
+    return (raw.select("day", "actual_cents",
+                       F.round("level", 6).alias("level_r6"),
+                       F.round("trend", 6).alias("trend_r6"),
+                       F.round("forecast", 6).alias("forecast_r6"))
+            .orderBy("day"))
+
+
+_HOLT_SQL = """
+WITH RECURSIVE daily AS (
+  SELECT CAST(ts AS DATE) AS day,
+         CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+           AS cents,
+         row_number() OVER (ORDER BY CAST(ts AS DATE)) AS rn
+  FROM events GROUP BY CAST(ts AS DATE)),
+holt AS (
+  SELECT rn, day, cents,
+         CAST(cents AS DOUBLE) AS l, CAST(0 AS DOUBLE) AS b,
+         CAST(NULL AS DOUBLE) AS fc
+  FROM daily WHERE rn = 1
+  UNION ALL
+  SELECT d.rn, d.day, d.cents,
+         0.5 * CAST(d.cents AS DOUBLE) + 0.5 * (h.l + h.b) AS l,
+         CAST(0.3 AS DOUBLE)
+           * ((0.5 * CAST(d.cents AS DOUBLE) + 0.5 * (h.l + h.b)) - h.l)
+           + CAST(0.7 AS DOUBLE) * h.b AS b,
+         h.l + h.b AS fc
+  FROM holt h JOIN daily d ON d.rn = h.rn + 1)
+SELECT day, cents AS actual_cents,
+       round(l, 6) AS level_r6, round(b, 6) AS trend_r6,
+       round(fc, 6) AS forecast_r6
+FROM holt ORDER BY day
+"""
+
+QUERIES_TAIL["holt_linear_daily"] = holt_linear_daily
+ORACLES_TAIL["holt_linear_daily"] = _HOLT_SQL
