@@ -270,6 +270,7 @@ ROUND7E_COLLECT = [
     "sprt_daily_monitor",
     "seasonal_naive_backtest",
     "holt_linear_daily",
+    "props_variant_stats",
 ]
 ROUND7E_COUNT: list = []
 

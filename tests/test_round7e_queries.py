@@ -513,3 +513,31 @@ def test_holt_python_rederivation(spark):
             assert abs(r.forecast_r6 - fc) < 1e-5
     # the trend must actually move (fixture not degenerate)
     assert any(abs(r.trend_r6) > 1.0 for r in got)
+
+
+def test_variant_stats_python_rederivation(spark):
+    import json as _json
+
+    from threat_detection_nosql_spark.queries.relational import (
+        props_variant_stats,
+    )
+
+    con = _ddb(SF_SMALL)
+    rows = con.sql("SELECT event_type, props FROM events").fetchall()
+    con.close()
+    agg = defaultdict(lambda: [0, []])
+    for et, props in rows:
+        agg[et][0] += 1
+        try:
+            k = _json.loads(props).get("k")
+        except Exception:
+            k = None
+        if isinstance(k, int):
+            agg[et][1].append(k)
+    got = {r.event_type: r for r in
+           props_variant_stats(spark, SF_SMALL).collect()}
+    assert set(got) == set(agg)
+    for et, (n, ks) in agg.items():
+        r = got[et]
+        assert (r.n, r.n_with_k) == (n, len(ks))
+        assert (r.k_min, r.k_max, r.k_sum) == (min(ks), max(ks), sum(ks))

@@ -1833,3 +1833,53 @@ WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_suppkey = s.s_suppkey)
 
 QUERIES_TAIL["referential_integrity_audit"] = referential_integrity_audit
 ORACLES_TAIL["referential_integrity_audit"] = _RI_AUDIT_SQL
+
+
+# -- VARIANT semi-structured stats ---------------------------------------------
+
+def props_variant_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured aggregation through Spark 4's VARIANT type:
+    ``parse_json`` once into the binary variant encoding, then typed
+    ``try_variant_get`` extraction — the modern engine path for JSON
+    columns (shredded, no per-row string re-parse per field, unlike
+    the get_json_object calls in props_json_extract, which this
+    complements). Per event_type: row count, rows with a numeric
+    ``$.k``, and exact min/max/sum of k.
+
+    Exactness: k is a BIGINT extraction (try_variant_get returns NULL
+    on missing/ill-typed, same as the oracle's TRY_CAST of
+    json_extract_string); every output is an exact integer.
+
+    Scale shape: one scan → parse_json map-side → 5-key hash agg; the
+    variant parse is a JVM expression inside whole-stage codegen, no
+    Python anywhere."""
+    from threat_detection_nosql_spark.sources.readers import load_table
+    ev = load_table(spark, sf_dir, "events")
+    k = F.try_variant_get(F.parse_json("props"), "$.k", "bigint")
+    return (ev.select("event_type", k.alias("k"))
+            .groupBy("event_type")
+            .agg(F.count("*").alias("n"),
+                 F.count("k").alias("n_with_k"),
+                 F.min("k").alias("k_min"),
+                 F.max("k").alias("k_max"),
+                 F.sum("k").alias("k_sum"))
+            .orderBy("event_type"))
+
+
+_PROPS_VARIANT_SQL = """
+SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       CAST(count(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT))
+            AS BIGINT) AS n_with_k,
+       CAST(min(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT))
+            AS BIGINT) AS k_min,
+       CAST(max(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT))
+            AS BIGINT) AS k_max,
+       CAST(sum(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT))
+            AS BIGINT) AS k_sum
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+QUERIES_TAIL["props_variant_stats"] = props_variant_stats
+ORACLES_TAIL["props_variant_stats"] = _PROPS_VARIANT_SQL
