@@ -271,6 +271,7 @@ ROUND7E_COLLECT = [
     "seasonal_naive_backtest",
     "holt_linear_daily",
     "props_variant_stats",
+    "funnel_conversion_24h",
 ]
 ROUND7E_COUNT: list = []
 

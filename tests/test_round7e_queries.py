@@ -541,3 +541,55 @@ def test_variant_stats_python_rederivation(spark):
         r = got[et]
         assert (r.n, r.n_with_k) == (n, len(ks))
         assert (r.k_min, r.k_max, r.k_sum) == (min(ks), max(ks), sum(ks))
+
+
+def test_funnel_gap_greedy_anchor_semantics(spark):
+    """The conversion-window contract: the gap anchors at the ACCEPTED
+    previous stage. User 1: click lands 25h after the first view but
+    within 24h of a LATER view — it must NOT convert (greedy, not
+    best-match). User 2: click within the window converts; purchase
+    outside the window from the click does not."""
+    from pyspark.sql import functions as F
+
+    from threat_detection_nosql_spark.queries.temporal import (
+        funnel_stage_times,
+    )
+
+    H = 3600
+    rows = [
+        # user 1: views at h0 and h10; click at h25 (25h after first
+        # view, 15h after second) -> greedy t1=h0, click out of window
+        (1, 0 * H, "view"), (1, 10 * H, "view"), (1, 25 * H, "click"),
+        # user 2: view h0, click h23 (in window), purchase h23+25h
+        # (out of window from t2)
+        (2, 0 * H, "view"), (2, 23 * H, "click"),
+        (2, 48 * H, "purchase"),
+        # user 3: full funnel inside the windows
+        (3, 0 * H, "view"), (3, 1 * H, "click"), (3, 2 * H, "purchase"),
+    ]
+    log = (spark.createDataFrame(rows, "user long, sec long, "
+                                 "activity string")
+           .withColumn("ts", F.timestamp_seconds(F.col("sec"))))
+    out = {r.user: (r.t1 is not None, r.t2 is not None, r.t3 is not None)
+           for r in funnel_stage_times(
+               log, ["view", "click", "purchase"],
+               max_gap_us=24 * H * 1_000_000).collect()}
+    assert out == {1: (True, False, False),
+                   2: (True, True, False),
+                   3: (True, True, True)}
+
+
+def test_funnel_24h_binds_vs_unbounded(spark):
+    from threat_detection_nosql_spark.queries.temporal import (
+        funnel_conversion,
+        funnel_conversion_24h,
+    )
+
+    b = funnel_conversion_24h(spark, SF_SMALL).collect()[0]
+    u = funnel_conversion(spark, SF_SMALL).collect()[0]
+    assert b.viewed == u.viewed
+    assert b.clicked_24h <= u.clicked_after_view
+    assert b.purchased_24h <= u.purchased_after_click
+    # the window must actually bind on this data (not vacuous)
+    assert b.clicked_24h < u.clicked_after_view
+    assert 0 < b.purchased_24h

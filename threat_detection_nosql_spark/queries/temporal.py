@@ -160,11 +160,18 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def funnel_stage_times(log: DataFrame, stages: list[str],
                        key: str | list[str] = "user", ts: str = "ts",
-                       act: str = "activity") -> DataFrame:
+                       act: str = "activity",
+                       max_gap_us: int | None = None) -> DataFrame:
     """Per-key ordered-funnel stage times: t1 = first stages[0] event,
     t_i = first stages[i-1] event strictly after t_{i-1} (NULL once a
     stage is never reached). ``key`` may be composite (e.g.
-    [user, session]). One exchange on the key with |stages| stacked
+    [user, session]). With ``max_gap_us`` set, a stage only counts
+    within that many microseconds of the previous stage (the marketing
+    "conversion window"; an exact integer epoch-µs compare, so both
+    engines agree bit-for-bit) — NOTE the window anchors at the
+    ACCEPTED previous stage time, the standard greedy semantics: a
+    click 25h after t1 never converts even if a later view would have
+    put it in range. One exchange on the key with |stages| stacked
     windows (tests/test_plans.py pins the single shuffle);
     property-tested against a brute-force reference on arbitrary
     inputs (tests/test_property_funnel.py)."""
@@ -177,6 +184,10 @@ def funnel_stage_times(log: DataFrame, stages: list[str],
         cond = F.col(act) == stage
         if prev is not None:
             cond = cond & (F.col(ts) > F.col(prev))
+            if max_gap_us is not None:
+                cond = cond & (F.unix_micros(F.col(ts))
+                               - F.unix_micros(F.col(prev))
+                               <= F.lit(max_gap_us))
         out = out.withColumn(
             f"t{i}", F.min(F.when(cond, F.col(ts))).over(w))
         prev = f"t{i}"
@@ -2318,3 +2329,54 @@ FROM holt ORDER BY day
 
 QUERIES_TAIL["holt_linear_daily"] = holt_linear_daily
 ORACLES_TAIL["holt_linear_daily"] = _HOLT_SQL
+
+
+# -- time-bounded funnel -------------------------------------------------------
+
+_FUNNEL_GAP_US = 24 * 3600 * 1_000_000  # 24h conversion window
+
+
+def funnel_conversion_24h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """funnel_conversion with the marketing-standard 24-hour
+    conversion window: each stage must land strictly after AND within
+    24h of the accepted previous stage (funnel_stage_times
+    ``max_gap_us`` — greedy anchoring at the accepted time). Same
+    single user-partitioned exchange as the unbounded funnel; the gap
+    test is an exact integer epoch-µs compare, so the cross-engine
+    contract stays bit-exact."""
+    log = activity_log(spark, sf_dir)
+    per_user = funnel_stage_times(log, ["view", "click", "purchase"],
+                                  max_gap_us=_FUNNEL_GAP_US)
+    return per_user.agg(
+        F.count(F.col("t1")).alias("viewed"),
+        F.count(F.col("t2")).alias("clicked_24h"),
+        F.count(F.col("t3")).alias("purchased_24h"))
+
+
+_FUNNEL_24H_SQL = f"""
+{_LOG_CTE},
+w1 AS (SELECT user, ts, activity,
+              min(CASE WHEN activity = 'view' THEN ts END)
+                OVER (PARTITION BY user) AS t1
+       FROM log),
+w2 AS (SELECT *, min(CASE WHEN activity = 'click' AND ts > t1
+                           AND epoch_us(ts) - epoch_us(t1)
+                               <= {_FUNNEL_GAP_US} THEN ts END)
+                   OVER (PARTITION BY user) AS t2
+       FROM w1),
+w3 AS (SELECT *, min(CASE WHEN activity = 'purchase' AND ts > t2
+                           AND epoch_us(ts) - epoch_us(t2)
+                               <= {_FUNNEL_GAP_US} THEN ts END)
+                   OVER (PARTITION BY user) AS t3
+       FROM w2),
+pu AS (SELECT user, any_value(t1) AS t1, any_value(t2) AS t2,
+              any_value(t3) AS t3
+       FROM w3 GROUP BY user)
+SELECT CAST(count(t1) AS BIGINT) AS viewed,
+       CAST(count(t2) AS BIGINT) AS clicked_24h,
+       CAST(count(t3) AS BIGINT) AS purchased_24h
+FROM pu
+"""
+
+QUERIES_TAIL["funnel_conversion_24h"] = funnel_conversion_24h
+ORACLES_TAIL["funnel_conversion_24h"] = _FUNNEL_24H_SQL
