@@ -79,3 +79,51 @@ def test_mixture_sample_is_partition_invariant(spark, seed, parts):
         df.repartition(parts, "doc_id"), "doc_id", "source",
         rates).collect()}
     assert base == shuffled
+
+
+def _brute_funnel_gap(rows, stages, gap_s):
+    out = {}
+    by_user: dict[str, list] = {}
+    for u, s, a in rows:
+        by_user.setdefault(u, []).append((s, a))
+    for u, evs in by_user.items():
+        times, prev = [], None
+        for j, stage in enumerate(stages):
+            cand = [s for s, a in evs if a == stage
+                    and (prev is None
+                         or (s > prev and s - prev <= gap_s))]
+            cur = min(cand) if cand else None
+            times.append(cur)
+            if cur is None:
+                times.extend([None] * (len(stages) - len(times)))
+                break
+            prev = cur
+        out[u] = tuple(times)
+    return out
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(rows=st.lists(st.tuples(_key, _sec, _act), min_size=1, max_size=40),
+       gap_s=st.integers(min_value=1, max_value=900))
+def test_funnel_gap_matches_bruteforce(spark, rows, gap_s):
+    """max_gap_us agrees with the greedy brute force on arbitrary
+    inputs and arbitrary window lengths — including windows short
+    enough to reject most chains."""
+    stages = ["view", "click", "purchase"]
+    pdf = pd.DataFrame({
+        "user": [u for u, _, _ in rows],
+        "ts": [pd.Timestamp("2024-01-01") + pd.Timedelta(seconds=s)
+               for _, s, _ in rows],
+        "activity": [a for _, _, a in rows]})
+    got = {r["user"]: tuple(
+        None if r[f"t{i}"] is None else pd.Timestamp(r[f"t{i}"])
+        for i in range(1, 4))
+        for r in funnel_stage_times(
+            spark.createDataFrame(pdf), stages,
+            max_gap_us=gap_s * 1_000_000).collect()}
+    want = {u: tuple(None if s is None
+                     else pd.Timestamp("2024-01-01")
+                     + pd.Timedelta(seconds=s) for s in ts)
+            for u, ts in _brute_funnel_gap(rows, stages, gap_s).items()}
+    assert got == want
