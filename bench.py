@@ -272,6 +272,7 @@ ROUND7E_COLLECT = [
     "holt_linear_daily",
     "props_variant_stats",
     "funnel_conversion_24h",
+    "linear_touch_attribution",
 ]
 ROUND7E_COUNT: list = []
 

@@ -593,3 +593,51 @@ def test_funnel_24h_binds_vs_unbounded(spark):
     # the window must actually bind on this data (not vacuous)
     assert b.clicked_24h < u.clicked_after_view
     assert 0 < b.purchased_24h
+
+
+def test_linear_attribution_conservation_and_rederivation(spark):
+    """Credited cents must sum EXACTLY to the revenue of attributed
+    purchases (the integer-remainder rule conserves money), and the
+    per-touch totals must match a Python replay."""
+    from threat_detection_nosql_spark.queries.temporal import (
+        _ATTR_WINDOW_US,
+        linear_touch_attribution,
+    )
+
+    con = _ddb(SF_SMALL)
+    rows = con.sql("""
+        SELECT event_id, user_id, epoch_us(ts), event_type, value
+        FROM events WHERE event_type IN ('purchase', 'view', 'click')
+        """).fetchall()
+    con.close()
+    touches = defaultdict(list)
+    purchases = []
+    for eid, uid, us, et, v in rows:
+        if et == "purchase":
+            purchases.append((eid, uid, us, round(v * 100)))
+        else:
+            touches[uid].append((us, eid, et))
+    credit = Counter()
+    ntouch = Counter()
+    attributed_cents = 0
+    for pid, uid, pus, cents in purchases:
+        win = [(us, eid, et) for us, eid, et in touches[uid]
+               if us < pus and pus - us <= _ATTR_WINDOW_US]
+        if not win:
+            continue
+        attributed_cents += cents
+        n = len(win)
+        base = cents // n
+        last = max(win)  # (us, eid) order = the remainder recipient
+        for us, eid, et in win:
+            ntouch[et] += 1
+            credit[et] += base + (cents - n * base
+                                  if (us, eid) == last[:2] else 0)
+    got = {r.touch: r for r in
+           linear_touch_attribution(spark, SF_SMALL).collect()}
+    assert set(got) == set(credit)
+    for et in credit:
+        assert got[et].n_touches == ntouch[et], et
+        assert got[et].credited_cents == credit[et], et
+    assert sum(r.credited_cents for r in got.values()) == attributed_cents
+    assert attributed_cents > 0

@@ -2380,3 +2380,85 @@ FROM pu
 
 QUERIES_TAIL["funnel_conversion_24h"] = funnel_conversion_24h
 ORACLES_TAIL["funnel_conversion_24h"] = _FUNNEL_24H_SQL
+
+
+# -- linear multi-touch attribution --------------------------------------------
+
+_ATTR_WINDOW_US = 7 * 24 * 3600 * 1_000_000  # 7-day lookback
+
+
+def linear_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear (equal-credit) multi-touch attribution — the standard
+    alternative to purchase_attribution's last-touch rule: every view
+    or click in the 7 days before a purchase shares that purchase's
+    revenue equally. Credit splitting is EXACT integer arithmetic:
+    each touch gets cents DIV n, and the remainder goes to the LAST
+    touch (latest ts, event_id tie-break) — a deterministic rule both
+    engines replay, so credited cents sum exactly to the attributed
+    revenue (invariant pinned in tests). Rolled up per touch type.
+
+    Scale shape: purchases join touches on the user key (equi-join;
+    the range predicate is an integer epoch-µs filter on the joined
+    row, not a range-join explosion — pairs per purchase are bounded
+    by one user's 7-day activity, a retention-grade constant); one
+    window per purchase over that bounded group assigns n and the
+    last-touch flag; final 2-row hash agg."""
+    from pyspark.sql.window import Window as W
+    log = activity_log(spark, sf_dir)
+    purchases = (log.filter(F.col("activity") == "purchase")
+                 .select(F.col("event_id").alias("p_id"), "user",
+                         F.unix_micros("ts").alias("p_us"),
+                         F.round(F.col("value") * 100, 0).cast("long")
+                         .alias("cents")))
+    touches = (log.filter(F.col("activity").isin("view", "click"))
+               .select("user", F.col("event_id").alias("t_id"),
+                       F.col("activity").alias("touch"),
+                       F.unix_micros("ts").alias("t_us")))
+    pairs = (purchases.join(touches, "user")
+             .filter((F.col("t_us") < F.col("p_us"))
+                     & (F.col("p_us") - F.col("t_us")
+                        <= F.lit(_ATTR_WINDOW_US))))
+    wp = W.partitionBy("p_id")
+    wr = W.partitionBy("p_id").orderBy(F.desc("t_us"), F.desc("t_id"))
+    credited = (pairs
+                .withColumn("n", F.count("*").over(wp))
+                .withColumn("rn", F.row_number().over(wr))
+                .withColumn("base", F.expr("cents DIV n"))
+                .withColumn("credit",
+                            F.col("base")
+                            + F.when(F.col("rn") == 1,
+                                     F.col("cents")
+                                     - F.col("n") * F.col("base"))
+                            .otherwise(F.lit(0))))
+    return (credited.groupBy("touch")
+            .agg(F.count("*").alias("n_touches"),
+                 F.sum("credit").alias("credited_cents"))
+            .orderBy("touch"))
+
+
+_LINEAR_ATTR_SQL = f"""
+{_LOG_CTE},
+p AS (SELECT event_id AS p_id, user, epoch_us(ts) AS p_us,
+             CAST(round(value * 100, 0) AS BIGINT) AS cents
+      FROM log WHERE activity = 'purchase'),
+t AS (SELECT user, event_id AS t_id, activity AS touch,
+             epoch_us(ts) AS t_us
+      FROM log WHERE activity IN ('view', 'click')),
+pairs AS (SELECT p.p_id, p.cents, t.t_id, t.touch, t.t_us
+          FROM p JOIN t ON p.user = t.user
+          WHERE t.t_us < p.p_us
+            AND p.p_us - t.t_us <= {_ATTR_WINDOW_US}),
+c AS (SELECT *,
+             CAST(count(*) OVER (PARTITION BY p_id) AS BIGINT) AS n,
+             row_number() OVER (PARTITION BY p_id
+                                ORDER BY t_us DESC, t_id DESC) AS rn
+      FROM pairs)
+SELECT touch, CAST(count(*) AS BIGINT) AS n_touches,
+       CAST(sum((cents // n)
+                + CASE WHEN rn = 1 THEN cents - n * (cents // n)
+                       ELSE 0 END) AS BIGINT) AS credited_cents
+FROM c GROUP BY touch ORDER BY touch
+"""
+
+QUERIES_TAIL["linear_touch_attribution"] = linear_touch_attribution
+ORACLES_TAIL["linear_touch_attribution"] = _LINEAR_ATTR_SQL
