@@ -2399,11 +2399,14 @@ def linear_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: purchases join touches on the user key (equi-join;
     the range predicate is an integer epoch-µs filter on the joined
-    row, not a range-join explosion — pairs per purchase are bounded
-    by one user's 7-day activity, a retention-grade constant); one
-    window per purchase over that bounded group assigns n and the
-    last-touch flag; final 2-row hash agg."""
-    from pyspark.sql.window import Window as W
+    row). The pair frame is the workload by definition — every
+    in-window (purchase, touch) pair carries credit — and it is
+    reduced by ONE map-combinable (p_id, touch) aggregation (count +
+    max-struct last-touch), never a per-pair window: partial aggs
+    collapse the pairs map-side, so the shuffled state is bounded by
+    |purchases|·|touch types|, not |pairs| (the 30× soak exposed the
+    original two-window form paying full pair-frame sort+shuffle
+    twice). A tiny p_id self-join then splits the integer remainder."""
     log = activity_log(spark, sf_dir)
     purchases = (log.filter(F.col("activity") == "purchase")
                  .select(F.col("event_id").alias("p_id"), "user",
@@ -2418,20 +2421,22 @@ def linear_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
              .filter((F.col("t_us") < F.col("p_us"))
                      & (F.col("p_us") - F.col("t_us")
                         <= F.lit(_ATTR_WINDOW_US))))
-    wp = W.partitionBy("p_id")
-    wr = W.partitionBy("p_id").orderBy(F.desc("t_us"), F.desc("t_id"))
-    credited = (pairs
-                .withColumn("n", F.count("*").over(wp))
-                .withColumn("rn", F.row_number().over(wr))
+    per_pt = (pairs.groupBy("p_id", "cents", "touch")
+              .agg(F.count("*").alias("cnt"),
+                   F.max(F.struct("t_us", "t_id")).alias("last_t")))
+    per_p = (per_pt.groupBy("p_id")
+             .agg(F.sum("cnt").alias("n"),
+                  F.max("last_t").alias("last_all")))
+    credited = (per_pt.join(per_p, "p_id")
                 .withColumn("base", F.expr("cents DIV n"))
                 .withColumn("credit",
-                            F.col("base")
-                            + F.when(F.col("rn") == 1,
+                            F.col("cnt") * F.col("base")
+                            + F.when(F.col("last_t") == F.col("last_all"),
                                      F.col("cents")
                                      - F.col("n") * F.col("base"))
                             .otherwise(F.lit(0))))
     return (credited.groupBy("touch")
-            .agg(F.count("*").alias("n_touches"),
+            .agg(F.sum("cnt").alias("n_touches"),
                  F.sum("credit").alias("credited_cents"))
             .orderBy("touch"))
 
