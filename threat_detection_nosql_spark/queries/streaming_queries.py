@@ -692,3 +692,31 @@ FROM pu
 
 QUERIES_TAIL["stream_funnel_ordered"] = stream_funnel_ordered
 ORACLES_TAIL["stream_funnel_ordered"] = _FUNNEL_ORDERED_SQL
+
+
+def stream_linear_attribution(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """Streaming twin of temporal.linear_touch_attribution: the
+    in-window (purchase, touch) pairs arrive from a stream-stream
+    self interval join (streaming.stream_queries.
+    linear_attribution_pairs — delay-bounded join state, pairs emit
+    as soon as both sides arrive), then the SAME money-conserving
+    credit rollup (temporal.attribution_credit_rollup) runs over the
+    drained pair table, so the oracle is the batch attribution SQL
+    verbatim."""
+    from threat_detection_nosql_spark.queries.temporal import (
+        attribution_credit_rollup,
+    )
+    pairs = S.linear_attribution_pairs(spark, sf_dir)
+    return attribution_credit_rollup(pairs)
+
+
+def _stream_linear_attr_sql() -> str:
+    from threat_detection_nosql_spark.queries.temporal import (
+        _LINEAR_ATTR_SQL,
+    )
+    return _LINEAR_ATTR_SQL
+
+
+QUERIES_TAIL["stream_linear_attribution"] = stream_linear_attribution
+ORACLES_TAIL["stream_linear_attribution"] = _stream_linear_attr_sql()

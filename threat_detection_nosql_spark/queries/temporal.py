@@ -2421,13 +2421,26 @@ def linear_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
              .filter((F.col("t_us") < F.col("p_us"))
                      & (F.col("p_us") - F.col("t_us")
                         <= F.lit(_ATTR_WINDOW_US))))
+    return attribution_credit_rollup(pairs)
+
+
+def attribution_credit_rollup(pairs: DataFrame) -> DataFrame:
+    """The money-conserving credit rollup shared by the batch query
+    and its streaming twin: ``pairs`` is any (p_id, cents, touch,
+    t_us, t_id) frame of in-window (purchase, touch) rows. One
+    map-combinable (p_id, touch) agg + a tiny p_id join — see
+    linear_touch_attribution's scale note."""
     per_pt = (pairs.groupBy("p_id", "cents", "touch")
               .agg(F.count("*").alias("cnt"),
                    F.max(F.struct("t_us", "t_id")).alias("last_t")))
-    per_p = (per_pt.groupBy("p_id")
+    # the per-purchase re-agg joins back onto its own source frame;
+    # rename the key so the self-join never carries conflicting
+    # attribute ids (the memory-sink View in the streaming twin breaks
+    # Spark's automatic dedup of them)
+    per_p = (per_pt.groupBy(F.col("p_id").alias("pp_id"))
              .agg(F.sum("cnt").alias("n"),
                   F.max("last_t").alias("last_all")))
-    credited = (per_pt.join(per_p, "p_id")
+    credited = (per_pt.join(per_p, F.col("p_id") == F.col("pp_id"))
                 .withColumn("base", F.expr("cents DIV n"))
                 .withColumn("credit",
                             F.col("cnt") * F.col("base")

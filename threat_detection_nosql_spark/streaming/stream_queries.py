@@ -1170,3 +1170,38 @@ def funnel_ordered_agg(ev: DataFrame) -> DataFrame:
         stateStructType=_FUNNEL_ORD_STATE,
         outputMode="update",
         timeoutConf=GroupStateTimeout.EventTimeTimeout)
+
+
+def linear_attribution_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream self interval join feeding the linear-attribution
+    credit rollup: purchases matched to the same user's view/click
+    touches in the preceding 7 days. Both sides watermark their own
+    event-time column and the join bounds time on both ends, so
+    purchase state evicts one hour past the watermark and touch state
+    seven days past it (delay-bounded, like purchase_error_pairs —
+    without the range condition the self-join state would grow without
+    bound). Inner join in append mode: a pair emits as soon as both
+    sides have arrived, so the drained pair SET equals the batch
+    interval join under any batching."""
+    pur = (events_stream(spark, sf_dir, watermark=None)
+           .where(F.col("activity") == "purchase")
+           .select(F.col("event_id").alias("p_id"),
+                   F.col("user").alias("p_user"),
+                   F.col("ts").alias("p_ts"),
+                   F.round(F.col("value") * 100, 0).cast("long")
+                   .alias("cents"))
+           .withWatermark("p_ts", "1 hour"))
+    tch = (events_stream(spark, sf_dir, watermark=None)
+           .where(F.col("activity").isin("view", "click"))
+           .select(F.col("user").alias("t_user"),
+                   F.col("event_id").alias("t_id"),
+                   F.col("activity").alias("touch"),
+                   F.col("ts").alias("t_ts"))
+           .withWatermark("t_ts", "1 hour"))
+    joined = pur.join(tch, F.expr("""
+        p_user = t_user
+        AND t_ts < p_ts
+        AND t_ts >= p_ts - INTERVAL 7 DAYS"""))
+    out = joined.select("p_id", "cents", "touch",
+                        F.unix_micros("t_ts").alias("t_us"), "t_id")
+    return run_stream_to_table(out, mode="append")
