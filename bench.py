@@ -273,6 +273,7 @@ ROUND7E_COLLECT = [
     "props_variant_stats",
     "funnel_conversion_24h",
     "linear_touch_attribution",
+    "session_entry_exit_report",
 ]
 ROUND7E_COUNT: list = []
 

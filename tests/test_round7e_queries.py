@@ -641,3 +641,46 @@ def test_linear_attribution_conservation_and_rederivation(spark):
         assert got[et].credited_cents == credit[et], et
     assert sum(r.credited_cents for r in got.values()) == attributed_cents
     assert attributed_cents > 0
+
+
+def test_session_entry_exit_python_rederivation(spark):
+    from threat_detection_nosql_spark.queries.temporal import (
+        _SESSION_GAP_US,
+        session_entry_exit_report,
+    )
+
+    con = _ddb(SF_SMALL)
+    rows = con.sql("""
+        SELECT user_id, epoch_us(ts), event_id, event_type
+        FROM events ORDER BY user_id, epoch_us(ts), event_id
+        """).fetchall()
+    con.close()
+    entries = Counter()
+    exits = Counter()
+    bounces = Counter()
+    by_user = defaultdict(list)
+    for uid, us, eid, et in rows:
+        by_user[uid].append((us, eid, et))
+    for uid, evs in by_user.items():
+        sessions = []
+        prev_us = None
+        for us, eid, et in evs:  # already (us, eid)-sorted
+            if prev_us is None or us - prev_us > _SESSION_GAP_US:
+                sessions.append([])
+            sessions[-1].append(et)
+            prev_us = us
+        for s in sessions:
+            entries[s[0]] += 1
+            exits[s[-1]] += 1
+            if len(s) == 1:
+                bounces[s[0]] += 1
+    got = {r.activity: r for r in
+           session_entry_exit_report(spark, SF_SMALL).collect()}
+    assert set(got) == set(entries) | set(exits)
+    total_sessions = sum(entries.values())
+    for et, r in got.items():
+        assert r.n_entries == entries[et], et
+        assert r.n_exits == exits[et], et
+        assert r.n_bounces == bounces[et], et
+    assert sum(r.n_entries for r in got.values()) == total_sessions
+    assert sum(r.n_exits for r in got.values()) == total_sessions

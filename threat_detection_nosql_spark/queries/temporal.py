@@ -2480,3 +2480,76 @@ FROM c GROUP BY touch ORDER BY touch
 
 QUERIES_TAIL["linear_touch_attribution"] = linear_touch_attribution
 ORACLES_TAIL["linear_touch_attribution"] = _LINEAR_ATTR_SQL
+
+
+# -- session entry/exit/bounce report -------------------------------------------
+
+def session_entry_exit_report(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """Web-analytics landing/exit report over the 30-minute
+    sessionization: per activity type, how many sessions OPEN with it
+    (entry), CLOSE with it (exit), and how many are single-event
+    bounces. Exact integer counts; first/last membership is decided
+    by the total (ts, event_id) order, so ties cannot split engines.
+
+    Scale shape: the same single per-user exchange as event_sessions
+    (the session-id cumsum and both within-session row_numbers sort
+    once on the user key); the final agg is a ≤|activities|-row
+    map-combinable count."""
+    from pyspark.sql.window import Window
+    log = activity_log(spark, sf_dir)
+    w = Window.partitionBy("user").orderBy("ts", "event_id")
+    gap = F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+    sess = (log.select("user", "ts", "event_id", "activity",
+                       F.when(gap.isNull() | (gap > _SESSION_GAP_US), 1)
+                        .otherwise(0).alias("is_new"))
+            .withColumn("session_id",
+                        F.sum("is_new").over(
+                            w.rowsBetween(Window.unboundedPreceding, 0))))
+    ws = Window.partitionBy("user", "session_id").orderBy("ts", "event_id")
+    wsd = Window.partitionBy("user", "session_id").orderBy(
+        F.desc("ts"), F.desc("event_id"))
+    flagged = (sess.withColumn("rn_a", F.row_number().over(ws))
+               .withColumn("rn_d", F.row_number().over(wsd)))
+    return (flagged.groupBy("activity")
+            .agg(F.sum((F.col("rn_a") == 1).cast("long"))
+                 .alias("n_entries"),
+                 F.sum((F.col("rn_d") == 1).cast("long"))
+                 .alias("n_exits"),
+                 F.sum(((F.col("rn_a") == 1) & (F.col("rn_d") == 1))
+                       .cast("long")).alias("n_bounces"))
+            .orderBy("activity"))
+
+
+_SESSION_ENTRY_EXIT_SQL = f"""
+{_LOG_CTE},
+l AS (SELECT user, ts, event_id, activity,
+             CASE WHEN lag(ts) OVER uw IS NULL
+                    OR epoch_us(ts) - epoch_us(lag(ts) OVER uw)
+                       > {_SESSION_GAP_US}
+                  THEN 1 ELSE 0 END AS is_new
+      FROM log
+      WINDOW uw AS (PARTITION BY user ORDER BY ts, event_id)),
+s AS (SELECT user, ts, event_id, activity,
+             CAST(sum(is_new) OVER (PARTITION BY user ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS session_id
+      FROM l),
+f AS (SELECT activity,
+             row_number() OVER (PARTITION BY user, session_id
+                                ORDER BY ts, event_id) AS rn_a,
+             row_number() OVER (PARTITION BY user, session_id
+                                ORDER BY ts DESC, event_id DESC) AS rn_d
+      FROM s)
+SELECT activity,
+       CAST(sum(CASE WHEN rn_a = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_entries,
+       CAST(sum(CASE WHEN rn_d = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_exits,
+       CAST(sum(CASE WHEN rn_a = 1 AND rn_d = 1 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_bounces
+FROM f GROUP BY activity ORDER BY activity
+"""
+
+QUERIES_TAIL["session_entry_exit_report"] = session_entry_exit_report
+ORACLES_TAIL["session_entry_exit_report"] = _SESSION_ENTRY_EXIT_SQL
