@@ -274,6 +274,7 @@ ROUND7E_COLLECT = [
     "funnel_conversion_24h",
     "linear_touch_attribution",
     "session_entry_exit_report",
+    "revenue_retention_waterfall",
 ]
 ROUND7E_COUNT: list = []
 

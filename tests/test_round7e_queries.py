@@ -684,3 +684,31 @@ def test_session_entry_exit_python_rederivation(spark):
         assert r.n_bounces == bounces[et], et
     assert sum(r.n_entries for r in got.values()) == total_sessions
     assert sum(r.n_exits for r in got.values()) == total_sessions
+
+
+def test_retention_waterfall_conservation(spark):
+    """end = start + new + expansion − contraction − churned on every
+    week, start/end chain across consecutive weeks, and the fixture
+    exercises every movement class."""
+    from datetime import timedelta
+
+    from threat_detection_nosql_spark.queries.temporal import (
+        revenue_retention_waterfall,
+    )
+
+    rows = revenue_retention_waterfall(spark, SF_SMALL).collect()
+    assert len(rows) >= 4
+    for r in rows:
+        assert (r.end_cents == r.start_cents + r.new_cents
+                + r.expansion_cents - r.contraction_cents
+                - r.churned_cents), r
+    by_week = {r.week: r for r in rows}
+    for r in rows:
+        nxt = by_week.get(r.week + timedelta(days=7))
+        if nxt is not None and nxt.churned_cents + nxt.start_cents > 0:
+            # start of week w+1 == end of week w (same weekly frame)
+            assert nxt.start_cents == r.end_cents, (r.week, nxt.week)
+    assert any(r.new_cents > 0 for r in rows)
+    assert any(r.expansion_cents > 0 for r in rows)
+    assert any(r.contraction_cents > 0 for r in rows)
+    assert any(r.churned_cents > 0 for r in rows)

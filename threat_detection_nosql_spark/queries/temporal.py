@@ -2553,3 +2553,88 @@ FROM f GROUP BY activity ORDER BY activity
 
 QUERIES_TAIL["session_entry_exit_report"] = session_entry_exit_report
 ORACLES_TAIL["session_entry_exit_report"] = _SESSION_ENTRY_EXIT_SQL
+
+
+# -- weekly revenue retention waterfall ----------------------------------------
+
+def revenue_retention_waterfall(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """The SaaS revenue-movement waterfall at weekly grain: each
+    week's purchase revenue decomposed against the previous week
+    per user into NEW (user had none last week), EXPANSION (grew),
+    CONTRACTION (shrank), and CHURNED (user had revenue last week,
+    none this week) — the decomposition behind every net-revenue-
+    retention chart. Money conserves exactly:
+    end = start + new + expansion − contraction − churned
+    (exact BIGINT cents; identity pinned in tests).
+
+    Scale shape: one events scan → (user, week) hash agg → a
+    self full-outer equi-join on (user, next-week) — both sides
+    partition on the user key — → a ≤|weeks|-row map-combinable agg.
+    No window, no ordering; weeks are ISO-Monday date_trunc in both
+    engines."""
+    log = activity_log(spark, sf_dir)
+    weekly = (log.filter(F.col("activity") == "purchase")
+              .groupBy("user",
+                       F.date_trunc("week", "ts").cast("date").alias("wk"))
+              .agg(F.sum(F.round(F.col("value") * 100, 0).cast("long"))
+                   .alias("cents")))
+    cur = weekly.select(F.col("user").alias("c_user"),
+                        F.col("wk").alias("c_wk"),
+                        F.col("cents").alias("c_cents"))
+    prev = weekly.select(F.col("user").alias("p_user"),
+                         F.date_add("wk", 7).alias("p_next"),
+                         F.col("cents").alias("p_cents"))
+    j = cur.join(prev, (F.col("c_user") == F.col("p_user"))
+                 & (F.col("c_wk") == F.col("p_next")), "full_outer")
+    wk = F.coalesce("c_wk", "p_next")
+    c = F.coalesce("c_cents", F.lit(0))
+    p = F.coalesce("p_cents", F.lit(0))
+    return (j.groupBy(wk.alias("week"))
+            .agg(F.sum(p).alias("start_cents"),
+                 F.sum(c).alias("end_cents"),
+                 F.sum(F.when(F.col("p_cents").isNull(), c)
+                       .otherwise(F.lit(0))).alias("new_cents"),
+                 F.sum(F.when(F.col("c_cents").isNull(), p)
+                       .otherwise(F.lit(0))).alias("churned_cents"),
+                 F.sum(F.when(F.col("c_cents").isNotNull()
+                              & F.col("p_cents").isNotNull()
+                              & (c > p), c - p)
+                       .otherwise(F.lit(0))).alias("expansion_cents"),
+                 F.sum(F.when(F.col("c_cents").isNotNull()
+                              & F.col("p_cents").isNotNull()
+                              & (p > c), p - c)
+                       .otherwise(F.lit(0))).alias("contraction_cents"))
+            .orderBy("week"))
+
+
+_RETENTION_SQL = f"""
+{_LOG_CTE},
+weekly AS (
+  SELECT user, CAST(date_trunc('week', ts) AS DATE) AS wk,
+         CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM log WHERE activity = 'purchase' GROUP BY user, wk),
+j AS (SELECT c.user AS c_user, c.wk AS c_wk, c.cents AS c_cents,
+             p.user AS p_user, p.wk + 7 AS p_next, p.cents AS p_cents
+      FROM weekly c FULL OUTER JOIN weekly p
+        ON c.user = p.user AND c.wk = p.wk + 7)
+SELECT COALESCE(c_wk, p_next) AS week,
+       CAST(sum(COALESCE(p_cents, 0)) AS BIGINT) AS start_cents,
+       CAST(sum(COALESCE(c_cents, 0)) AS BIGINT) AS end_cents,
+       CAST(sum(CASE WHEN p_cents IS NULL THEN COALESCE(c_cents, 0)
+                     ELSE 0 END) AS BIGINT) AS new_cents,
+       CAST(sum(CASE WHEN c_cents IS NULL THEN COALESCE(p_cents, 0)
+                     ELSE 0 END) AS BIGINT) AS churned_cents,
+       CAST(sum(CASE WHEN c_cents IS NOT NULL AND p_cents IS NOT NULL
+                      AND c_cents > p_cents THEN c_cents - p_cents
+                     ELSE 0 END) AS BIGINT) AS expansion_cents,
+       CAST(sum(CASE WHEN c_cents IS NOT NULL AND p_cents IS NOT NULL
+                      AND p_cents > c_cents THEN p_cents - c_cents
+                     ELSE 0 END) AS BIGINT) AS contraction_cents
+FROM j GROUP BY COALESCE(c_wk, p_next)
+ORDER BY week
+"""
+
+QUERIES_TAIL["revenue_retention_waterfall"] = revenue_retention_waterfall
+ORACLES_TAIL["revenue_retention_waterfall"] = _RETENTION_SQL
