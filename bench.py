@@ -275,6 +275,7 @@ ROUND7E_COLLECT = [
     "linear_touch_attribution",
     "session_entry_exit_report",
     "revenue_retention_waterfall",
+    "fulfillment_cycle_percentiles",
 ]
 ROUND7E_COUNT: list = []
 

@@ -712,3 +712,37 @@ def test_retention_waterfall_conservation(spark):
     assert any(r.expansion_cents > 0 for r in rows)
     assert any(r.contraction_cents > 0 for r in rows)
     assert any(r.churned_cents > 0 for r in rows)
+
+
+def test_fulfillment_percentiles_python_rederivation(spark):
+    from threat_detection_nosql_spark.queries.relational import (
+        fulfillment_cycle_percentiles,
+    )
+
+    con = _ddb(SF_SMALL)
+    rows = con.sql("""
+        SELECT o_orderpriority,
+               date_diff('day', o_orderdate, l_shipdate)
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        """).fetchall()
+    con.close()
+    by_prio = defaultdict(list)
+    for prio, d in rows:
+        by_prio[prio].append(d)
+
+    def disc(xs, q):
+        s = sorted(xs)
+        return s[math.ceil(q * len(s)) - 1]
+
+    got = {r.o_orderpriority: r for r in
+           fulfillment_cycle_percentiles(spark, SF_SMALL).collect()}
+    assert set(got) == set(by_prio)
+    for prio, ds in by_prio.items():
+        r = got[prio]
+        n_late = sum(1 for d in ds if d > 90)
+        assert r.n == len(ds)
+        assert r.p50_ship_days == disc(ds, 0.5), prio
+        assert r.p90_ship_days == disc(ds, 0.9), prio
+        assert r.n_late == n_late
+        assert r.late_ppm == (1_000_000 * n_late) // len(ds)
+        assert r.p50_ship_days <= r.p90_ship_days

@@ -1883,3 +1883,63 @@ ORDER BY event_type
 
 QUERIES_TAIL["props_variant_stats"] = props_variant_stats
 ORACLES_TAIL["props_variant_stats"] = _PROPS_VARIANT_SQL
+
+
+# -- fulfillment cycle-time percentiles -----------------------------------------
+
+def fulfillment_cycle_percentiles(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """Order-fulfillment cycle-time panel per order priority: p50/p90
+    of order→ship days (percentile_disc on exact integer day diffs —
+    an observed element, same in both engines), plus the late rate in
+    truncating integer ppm (shipped more than 90 days after the order
+    — the same lateness proxy as late_shipment_priority_counts; the
+    synthetic lineitem carries no commit/receipt dates) — the ops
+    dashboard next to the Q12 counts.
+
+    Scale shape: lineitem joins the orders dim on orderkey (both
+    partition on it), one hash agg on the ≤5-key priority domain; the
+    disc percentiles aggregate per group. At corpus scale the exact
+    disc quantiles swap for approx_percentile or a day-grain count
+    grid exactly as documented on variant_quantile_effects (day diffs
+    are a small integer domain)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    j = (li.join(orders, li.l_orderkey == orders.o_orderkey)
+         .select("o_orderpriority",
+                 F.datediff("l_shipdate", "o_orderdate").cast("long")
+                 .alias("ship_days"))
+         .withColumn("late", (F.col("ship_days") > 90).cast("long")))
+    return (j.groupBy("o_orderpriority")
+            .agg(F.count("*").alias("n"),
+                 F.expr("percentile_disc(0.5) WITHIN GROUP "
+                        "(ORDER BY ship_days)").cast("long")
+                 .alias("p50_ship_days"),
+                 F.expr("percentile_disc(0.9) WITHIN GROUP "
+                        "(ORDER BY ship_days)").cast("long")
+                 .alias("p90_ship_days"),
+                 F.sum("late").alias("n_late"))
+            .withColumn("late_ppm",
+                        F.expr("1000000 * n_late DIV n"))
+            .orderBy("o_orderpriority"))
+
+
+_FULFILL_SQL = """
+WITH j AS (
+  SELECT o_orderpriority,
+         CAST(date_diff('day', o_orderdate, l_shipdate) AS BIGINT)
+           AS ship_days,
+         CASE WHEN date_diff('day', o_orderdate, l_shipdate) > 90
+              THEN 1 ELSE 0 END AS late
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+       CAST(quantile_disc(ship_days, 0.5) AS BIGINT) AS p50_ship_days,
+       CAST(quantile_disc(ship_days, 0.9) AS BIGINT) AS p90_ship_days,
+       CAST(sum(late) AS BIGINT) AS n_late,
+       CAST((1000000 * CAST(sum(late) AS BIGINT)) // count(*) AS BIGINT)
+         AS late_ppm
+FROM j GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+QUERIES_TAIL["fulfillment_cycle_percentiles"] = fulfillment_cycle_percentiles
+ORACLES_TAIL["fulfillment_cycle_percentiles"] = _FULFILL_SQL
