@@ -50,17 +50,16 @@ def _hash(pdf: pd.DataFrame) -> str:
 def main() -> int:
     args = sys.argv[1:]
     sf_dir = SF_DIR
-    if args and args[0] == "--sf":
-        sf_dir = args[1]
-        args = args[2:]
     first_n = None
-    if args and args[0] == "--first":
-        first_n = int(args[1])
-        args = args[2:]
     mem = None  # default: the driver's own 1g — sized for sf0.01
-    if args and args[0] == "--mem":
-        mem = args[1]  # scale soaks (10x+ dirs) need a bigger JVM heap
-        args = args[2:]
+    while args and args[0] in ("--sf", "--first", "--mem"):
+        flag, val, args = args[0], args[1], args[2:]
+        if flag == "--sf":
+            sf_dir = val
+        elif flag == "--first":
+            first_n = int(val)
+        else:  # --mem: scale soaks (10x+ dirs) need a bigger JVM heap
+            mem = val
     filters = args
     sys.path.insert(0, "/root/repo")
     import __spark_entry__ as entrymod

@@ -8,14 +8,15 @@ and ``ORACLES: dict[str, str]`` (DuckDB ANSI SQL). ``all_queries()`` /
 Ordering IS the driver's sampling policy: the correctness gate hashes
 the FIRST 50 queries in merge order each round.  Rounds 1-4 proved the
 threat/relational/pipeline/advanced/graph/metrics families (94 of 150
-oracle queries driver-green); rounds 5-6 cleared their pinned 50s
-(194/218 cumulative).  Round 7 rotates the EXPLICIT name window onto
-the 24 pre-round-7 never-driver-green oracle queries (the behavioral
-gap-fill/EWMA/CUSUM/Markov wave, the four partsupp TPC-H shapes,
-product_type_profit_full, source_quantile_normalized) plus 26 of
-round 7's own additions — then every other oracle-backed query,
-and parks the rows-only (engine-RNG / model / media) queries at the
-registry end so no window slot is ever burned on a ``no_oracle`` row.
+oracle queries driver-green); rounds 5-7 cleared their pinned 50s
+(244/287 cumulative).  Round 8 rotates the EXPLICIT name window onto
+the 43 remaining never-driver-green oracle queries (every round-7
+addition the r7 window couldn't hold: retrieval eval, variant stats,
+streaming event-time timers, forecasting, attribution) plus 7
+least-recently-verified refills — then every other oracle-backed
+query, and parks the rows-only (engine-RNG / model / media) queries at
+the registry end so no window slot is ever burned on a ``no_oracle``
+row.
 """
 
 from __future__ import annotations
@@ -26,64 +27,65 @@ from pyspark.sql import DataFrame, SparkSession
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
-# Round-7 driver window: the 24 oracle-backed queries with no
-# driver-green row in CORRECTNESS_r01-r06 (the pre-round-7 backlog),
-# then 26 of this round's own additions in registry order — every slot
-# is a never-driver-green query, so green here maximizes ledger
-# coverage (218 -> 244 of 266).  The 22 remaining round-7 additions
-# (isotonic_calibration .. tokenizer_fertility) rotate in next round.
+# Round-8 driver window: the 43 oracle-backed queries with no
+# driver-green row in CORRECTNESS_r01-r07 (every remaining round-7
+# addition: the retrieval-eval / variant-stats / streaming-timer /
+# forecasting / attribution waves), topped up with the 7
+# least-recently-verified greens (rotate_window.py TAIL discipline).
+# Green here closes the driver ledger: cumulative driver-green rises
+# from 244 to 287 of 287 oracle-backed queries.
 # NEVER reorder once verified: the driver hashes this exact prefix.
-_WINDOW_R7: tuple[str, ...] = (
-    "user_daily_gap_filled",
-    "user_daily_ewma",
-    "seasonal_zscore_anomalies",
-    "user_activity_trend",
-    "activity_transition_matrix",
-    "sequence_surprise_top10",
-    "longest_after_hours_streak",
-    "arrival_burstiness_top10",
-    "activity_trigram_top10",
-    "conversion_latency_quartiles",
-    "dau_wau_stickiness",
-    "worst_error_windows_top10",
-    "new_vs_returning_users",
-    "session_activity_lift",
-    "user_cusum_alerts",
-    "user_daily_autocorr",
-    "daily_mix_drift",
-    "error_recovery_stats",
-    "min_cost_regional_supplier",
-    "important_stock_parts",
-    "supplier_count_by_part_attrs",
-    "excess_stock_suppliers",
-    "product_type_profit_full",
-    "source_quantile_normalized",
-    "doc_perplexity_filter",
-    "dsir_importance_weights",
-    "hard_negative_mining",
-    "nation_revenue_gini",
-    "brand_assoc_rules_top20",
-    "cohort_ltv_curve",
-    "cdc_last_writer_state",
-    "inverted_postings",
-    "phrase_search_hits",
-    "embedding_sq8_audit",
-    "rrf_hybrid_search",
-    "containment_near_dups",
-    "readability_report",
-    "template_prefix_dups",
-    "vocab_richness_report",
-    "group_kfold_assignment",
-    "neyman_allocation_plan",
-    "neyman_quota_sample",
-    "ann_recall_report",
-    "split_leakage_repair",
-    "incremental_corpus_dedup",
-    "minhash_calibration_report",
-    "local_clustering_coefficient",
-    "key_skew_audit",
-    "hll_set_expressions",
-    "rule_pr_auc",
+_WINDOW_R8: tuple[str, ...] = (
+    "segment_year_pivot",
+    "referential_integrity_audit",
+    "props_variant_stats",
+    "fulfillment_cycle_percentiles",
+    "isotonic_calibration",
+    "ndcg_retrieval_eval",
+    "bootstrap_revenue_ci",
+    "conformal_price_threshold",
+    "cuped_adjusted_lift",
+    "mann_whitney_variant_test",
+    "regression_metrics_report",
+    "kendall_tau_binned",
+    "benford_digit_audit",
+    "activity_weekend_chi2",
+    "value_mad_outliers",
+    "mrr_retrieval_eval",
+    "welch_t_variant_test",
+    "diff_in_diff_purchases",
+    "variant_quantile_effects",
+    "sprt_daily_monitor",
+    "stream_token_df",
+    "stream_markov_ordered",
+    "stream_incremental_dedup",
+    "stream_peak_concurrency",
+    "stream_cdc_state",
+    "stream_funnel_ordered",
+    "stream_linear_attribution",
+    "kaplan_meier_conversion",
+    "peak_concurrency_by_type",
+    "user_twap_value",
+    "ohlc_hourly_bars",
+    "session_path_top10",
+    "theil_sen_user_trend",
+    "seasonal_naive_backtest",
+    "holt_linear_daily",
+    "funnel_conversion_24h",
+    "linear_touch_attribution",
+    "session_entry_exit_report",
+    "revenue_retention_waterfall",
+    "revenue_bridge_wow",
+    "abc_xyz_parts",
+    "ks_split_drift",
+    "tokenizer_fertility",
+    "top_tokens",
+    "tfidf_top_terms",
+    "quality_filter_flags",
+    "embedding_near_dups",
+    "multimodal_metadata",
+    "deterministic_sample",
+    "corpus_composition",
 )
 
 
@@ -126,7 +128,7 @@ def all_queries() -> dict[str, QueryFn]:
     queries = _merged("QUERIES", "QUERIES_TAIL")
     oracles = _merged("ORACLES", "ORACLES_TAIL")
     out: dict[str, QueryFn] = {}
-    for name in _WINDOW_R7:  # pinned driver window, positions 1-50
+    for name in _WINDOW_R8:  # pinned driver window, positions 1-50
         out[name] = queries[name]
     for name, fn in queries.items():  # oracle-backed middle, module order
         if name not in out and name in oracles:
