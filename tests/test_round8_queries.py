@@ -1,0 +1,142 @@
+"""Round-8 additions: scale caps and planted-fixture semantics."""
+from __future__ import annotations
+
+import datetime as dt
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+
+def _write_events(tmp_path, rows):
+    """rows: (event_id, ts, user_id, event_type, value)."""
+    table = pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+        "user_id": pa.array([r[2] for r in rows], pa.int64()),
+        "event_type": pa.array([r[3] for r in rows]),
+        "value": pa.array([r[4] for r in rows], pa.float64()),
+        "props": pa.array(['{"k": 1}'] * len(rows)),
+    })
+    pq.write_table(table, str(tmp_path / "events.parquet"))
+
+
+def test_similar_user_pairs_cap_semantics(spark, tmp_path, monkeypatch):
+    """The 100-TB contributor bound, on a planted dense key: with the
+    cap at 3, the "login" activity keeps its three strongest users
+    (count DESC, user ASC breaks the 3-vs-3 tie toward user 3), so
+    pairs only ever form among {1, 2, 3} — the dropped {4, 5} appear
+    in NO pair, and per-key join output is O(CAP²) no matter how many
+    users share the activity."""
+    import itertools
+
+    from threat_detection_nosql_spark.queries import threat as T
+
+    rows = []
+    eid = 0
+    base = dt.datetime(2024, 1, 1, 9, 0, 0)
+    for user, n_logins in [(1, 5), (2, 4), (3, 3), (4, 3), (5, 1)]:
+        for _ in range(n_logins):
+            rows.append((eid, base + dt.timedelta(minutes=eid),
+                         user, "login", 1.0))
+            eid += 1
+    _write_events(tmp_path, rows)
+
+    monkeypatch.setattr(T, "_SIM_USER_CAP", 3)
+    out = T.similar_user_pairs_top10(spark, str(tmp_path)).collect()
+    got = {(r.u1, r.u2) for r in out}
+    assert got == set(itertools.combinations([1, 2, 3], 2))
+    assert all(4 not in p and 5 not in p for p in got)
+    # 1-D vectors on the shared key: every surviving cosine is exactly 1
+    assert all(r.cosine == 1.0 for r in out)
+
+
+def test_similar_user_pairs_unchanged_below_cap(spark, tmp_path):
+    """Below the cap the query is the exact uncapped cosine: two users
+    with identical activity mixes score 1.0 ahead of a mixed pair."""
+    from threat_detection_nosql_spark.queries.threat import (
+        similar_user_pairs_top10)
+
+    rows = []
+    eid = 0
+    base = dt.datetime(2024, 1, 1, 9, 0, 0)
+    mixes = {1: [("login", 4), ("error", 2)],
+             2: [("login", 2), ("error", 1)],   # same direction as 1
+             3: [("purchase", 5)]}               # orthogonal
+    for user, mix in mixes.items():
+        for act, n in mix:
+            for _ in range(n):
+                rows.append((eid, base + dt.timedelta(minutes=eid),
+                             user, act, 1.0))
+                eid += 1
+    _write_events(tmp_path, rows)
+
+    out = similar_user_pairs_top10(spark, str(tmp_path)).collect()
+    assert (out[0].u1, out[0].u2, out[0].cosine) == (1, 2, 1.0)
+    # user 3 shares no activity with anyone: no pair row at all
+    assert {(r.u1, r.u2) for r in out} == {(1, 2)}
+
+
+# -- lib-free media codecs ----------------------------------------------------
+
+def test_bmp_roundtrip_and_layout():
+    """BMP encode→decode round-trips pixel-exactly, and the encoded
+    bytes obey the on-disk layout: 54-byte header, bottom-up rows, BGR
+    order, rows padded to 4 bytes (w=5 → 15 data bytes + 1 pad)."""
+    import numpy as np
+
+    from threat_detection_nosql_spark.operators.multimodal import (
+        decode_bmp, encode_bmp)
+
+    rng = np.arange(5 * 3 * 3, dtype=np.uint8).reshape(3, 5, 3)
+    blob = encode_bmp(rng)
+    assert blob[:2] == b"BM"
+    row_size = (5 * 3 + 3) // 4 * 4
+    assert row_size == 16 and len(blob) == 54 + 16 * 3
+    # first stored row is the LAST image row, first pixel stored B,G,R
+    assert blob[54] == rng[2, 0, 2] and blob[56] == rng[2, 0, 0]
+    assert (decode_bmp(blob) == rng).all()
+
+
+def test_ppm_roundtrip_with_comment_header():
+    import numpy as np
+
+    from threat_detection_nosql_spark.operators.multimodal import (
+        decode_ppm, encode_ppm)
+
+    img = (np.arange(4 * 2 * 3, dtype=np.uint8) * 7 % 251).reshape(2, 4, 3)
+    blob = encode_ppm(img)
+    assert (decode_ppm(blob) == img).all()
+    # spec allows comments anywhere in the header
+    commented = b"P6\n# a comment\n4 2\n# more\n255\n" + img.tobytes()
+    assert (decode_ppm(commented) == img).all()
+
+
+def test_wav_roundtrip_and_chunk_walk():
+    import numpy as np
+
+    from threat_detection_nosql_spark.operators.multimodal import (
+        decode_wav, encode_wav)
+
+    s = (np.arange(100) * 31 - 1500).astype(np.int16)
+    blob = encode_wav(s, 16000)
+    out, rate = decode_wav(blob)
+    assert rate == 16000 and (out == s).all()
+    # decoder must walk past an extra LIST chunk before data
+    import struct as st
+    extra = b"LIST" + st.pack("<I", 4) + b"INFO"
+    patched = blob[:12] + extra + blob[12:]
+    patched = b"RIFF" + st.pack("<I", len(patched) - 8) + patched[8:]
+    out2, rate2 = decode_wav(patched)
+    assert rate2 == 16000 and (out2 == s).all()
+
+
+def test_decode_media_rejects_codec_formats():
+    import pytest as pt
+
+    from threat_detection_nosql_spark.operators.multimodal import (
+        decode_bmp, decode_media)
+
+    with pt.raises(ValueError, match="no lib-free decoder"):
+        decode_media(b"\x89PNG....", "png")
+    with pt.raises(ValueError, match="bad magic"):
+        decode_bmp(b"XXnotabmp")

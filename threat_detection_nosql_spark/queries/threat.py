@@ -512,6 +512,21 @@ ORACLES_TAIL = {**globals().get("ORACLES_TAIL", {}),
 
 # -- user-user behavioral similarity ------------------------------------------
 
+# Per-activity contributor cap for the similarity self-join: each
+# activity key contributes at most CAP² pair rows no matter how many
+# users touch it.  With a bounded activity vocabulary EVERY user hits
+# "login", so uncapped per-key output is |users|² in disguise — the
+# same quadratic class the 10× soak exposed in link_prediction_top20
+# (fixed there by _LP_ADJ_CAP).  The cap keeps each activity's
+# strongest contributors (count DESC, user ASC — deterministic, the
+# oracle replays it verbatim); norms stay FULL-vector so surviving
+# pairs score their true cosine (DIMSUM-style: prune the dot, not the
+# denominator).  Inactive below 2048 users per activity, so test-SF
+# results are unchanged; the planted-fixture test monkeypatches it low
+# to pin the semantics.
+_SIM_USER_CAP = 2048
+
+
 def similar_user_pairs_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-10 most behaviorally similar user pairs: cosine similarity
     between per-user activity-count vectors — "who acts like whom",
@@ -522,21 +537,34 @@ def similar_user_pairs_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
     the dot product Σₐ c(u₁,a)·c(u₂,a) decomposes over the shared
     activity key, so pairs materialize through an equi-join of the
     (user, activity, count) table with itself ON ACTIVITY (key
-    cardinality = |activity types| — bounded, and each key's join
-    output is |users touching it|², the sparse-dimension bound every
-    item-item similarity engine rides). Norms are per-user aggs joined
-    broadcast; u₁ < u₂ halves the output; the cut orders by the
-    ROUNDED cosine then ids. At 100× users the join still keys on
-    activity and the only growth is the true pair count."""
+    cardinality = |activity types| — bounded), and each key's join
+    output is bounded at _SIM_USER_CAP² by the per-activity
+    contributor cap (see its comment).  The cap itself is computed
+    scale-safely: a salted two-stage top-K (top-K within each of 32
+    hash buckets, then top-K of the ≤32K survivors) — exact, because
+    every global top-K row is in its bucket's top-K, and no single
+    window partition ever holds more than max(|key|/32, 32·K) rows.
+    Norms are per-user aggs joined broadcast; u₁ < u₂ halves the
+    output; the cut orders by the ROUNDED cosine then ids."""
     log = activity_log(spark, sf_dir)
     ua = (log.groupBy("user", "activity")
           .agg(F.count("*").alias("c")))
     norms = (ua.groupBy("user")
              .agg(F.sqrt(F.sum(F.col("c") * F.col("c"))).alias("nrm")))
-    a = ua.select(F.col("user").alias("u1"), "activity",
-                  F.col("c").alias("c1"))
-    b = ua.select(F.col("user").alias("u2"), "activity",
-                  F.col("c").alias("c2"))
+    from pyspark.sql.window import Window
+    w1 = (Window.partitionBy("activity", "salt")
+          .orderBy(F.desc("c"), F.asc("user")))
+    w2 = Window.partitionBy("activity").orderBy(F.desc("c"), F.asc("user"))
+    capped = (ua.withColumn("salt", F.pmod(F.hash("user"), F.lit(32)))
+              .withColumn("rk1", F.row_number().over(w1))
+              .filter(F.col("rk1") <= _SIM_USER_CAP)
+              .withColumn("rk", F.row_number().over(w2))
+              .filter(F.col("rk") <= _SIM_USER_CAP)
+              .select("user", "activity", "c"))
+    a = capped.select(F.col("user").alias("u1"), "activity",
+                      F.col("c").alias("c1"))
+    b = capped.select(F.col("user").alias("u2"), "activity",
+                      F.col("c").alias("c2"))
     dots = (a.join(b, "activity")
             .filter(F.col("u1") < F.col("u2"))
             .groupBy("u1", "u2")
@@ -558,10 +586,15 @@ _SIMILAR_USERS_SQL = f"""
 ua AS (SELECT user, activity, CAST(count(*) AS BIGINT) AS c
        FROM log GROUP BY 1, 2),
 norms AS (SELECT user, sqrt(sum(c * c)) AS nrm FROM ua GROUP BY 1),
+capped AS (SELECT user, activity, c FROM (
+             SELECT user, activity, c,
+                    row_number() OVER (PARTITION BY activity
+                         ORDER BY c DESC, "user" ASC) AS rk
+             FROM ua) t WHERE rk <= {_SIM_USER_CAP}),
 dots AS (SELECT a."user" AS u1, b."user" AS u2,
                 CAST(sum(a.c * b.c) AS BIGINT) AS dot
-         FROM ua a JOIN ua b ON a.activity = b.activity
-                            AND a."user" < b."user"
+         FROM capped a JOIN capped b ON a.activity = b.activity
+                                    AND a."user" < b."user"
          GROUP BY 1, 2)
 SELECT u1, u2, round(dot / (n1.nrm * n2.nrm), 6) AS cosine
 FROM dots
