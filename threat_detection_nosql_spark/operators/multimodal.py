@@ -2,18 +2,23 @@
 metadata, processed with Arrow-batched ``mapInPandas`` (BASELINE.json
 north star).
 
-The container has no image/audio/video libraries, so the decode kernels
-are STUBBED (deterministic fakes / NotImplementedError) — but the
-Spark-side plumbing is real and tested: schema contract, batch
-iteration shape, partition-preserving transforms, binary hashing and
-metadata derivation. Swapping a stub for Pillow/librosa/pyav changes
-only the inner function body.
+Decode is REAL for the lib-free container formats — BMP (24-bit
+uncompressed, bottom-up rows, 4-byte row padding), PPM (binary P6 with
+comment-tolerant header), and WAV (RIFF chunk walk, PCM16) — parsed
+byte-level with ``struct`` + ``numpy`` (no Pillow/librosa/pyav, which
+the container lacks). Codec formats that genuinely need external
+decoders (PNG/JPEG/MP4) raise a clear error from ``decode_media``.
+The Spark-side plumbing is the 100-TB shape either way: binary column
+in, Arrow-batched ``mapInPandas`` kernel, partition-parallel, no
+driver collect.
 """
 
 from __future__ import annotations
 
+import struct
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -89,8 +94,210 @@ def frame_sample(media: DataFrame, every_n: int = 8) -> DataFrame:
                         F.lit(every_n))).alias("frame_idx")))
 
 
-def decode_image(blob: bytes) -> "object":
-    """Real image decode — unavailable in this container."""
-    raise NotImplementedError(
-        "image decoding requires Pillow/opencv, not present in the "
-        "container; use extract_media_features' stub kernel for tests")
+# ---------------------------------------------------------------------------
+# Real lib-free codecs: BMP / PPM / WAV, byte-level struct + numpy.
+# Encoders exist to plant deterministic binary fixtures; decoders are
+# independent byte-level parsers (any drift in padding, row order,
+# channel order, or chunk walk breaks the round-trip oracle).
+# ---------------------------------------------------------------------------
+
+
+def encode_bmp(pixels: np.ndarray) -> bytes:
+    """Encode an (h, w, 3) uint8 RGB array as a 24-bit uncompressed BMP
+    (BITMAPINFOHEADER, positive height = bottom-up rows, BGR byte
+    order, rows padded to 4-byte boundaries)."""
+    h, w, _ = pixels.shape
+    row_size = (w * 3 + 3) // 4 * 4
+    img_size = row_size * h
+    header = struct.pack("<2sIHHI", b"BM", 14 + 40 + img_size, 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, img_size,
+                       2835, 2835, 0, 0)
+    rows = np.zeros((h, row_size), dtype=np.uint8)
+    rows[:, :w * 3] = pixels[::-1, :, ::-1].reshape(h, w * 3)  # flip + BGR
+    return header + info + rows.tobytes()
+
+
+def decode_bmp(blob: bytes) -> np.ndarray:
+    """Parse a 24-bit uncompressed BMP into an (h, w, 3) uint8 RGB
+    array. Validates magic / bpp / compression; handles bottom-up
+    (positive height) and top-down (negative) row order and the 4-byte
+    row padding."""
+    if blob[:2] != b"BM":
+        raise ValueError("not a BMP: bad magic")
+    offset = struct.unpack_from("<I", blob, 10)[0]
+    w, h_signed = struct.unpack_from("<ii", blob, 18)
+    planes, bpp = struct.unpack_from("<HH", blob, 26)
+    compression = struct.unpack_from("<I", blob, 30)[0]
+    if bpp != 24 or compression != 0:
+        raise ValueError(f"unsupported BMP: bpp={bpp} comp={compression}")
+    h = abs(h_signed)
+    row_size = (w * 3 + 3) // 4 * 4
+    data = np.frombuffer(blob, np.uint8, count=row_size * h, offset=offset)
+    rows = data.reshape(h, row_size)[:, :w * 3].reshape(h, w, 3)
+    if h_signed > 0:
+        rows = rows[::-1]  # stored bottom-up
+    return rows[:, :, ::-1]  # BGR -> RGB
+
+
+def encode_ppm(pixels: np.ndarray) -> bytes:
+    """Encode an (h, w, 3) uint8 RGB array as binary PPM (P6)."""
+    h, w, _ = pixels.shape
+    return f"P6\n{w} {h}\n255\n".encode() + pixels.tobytes()
+
+
+def decode_ppm(blob: bytes) -> np.ndarray:
+    """Parse a binary PPM (P6) into an (h, w, 3) uint8 RGB array, with
+    the spec's whitespace- and comment-tolerant header scan."""
+    if blob[:2] != b"P6":
+        raise ValueError("not a P6 PPM: bad magic")
+    pos, tokens = 2, []
+    while len(tokens) < 3:
+        while pos < len(blob) and blob[pos:pos + 1].isspace():
+            pos += 1
+        if blob[pos:pos + 1] == b"#":  # comment runs to end of line
+            while pos < len(blob) and blob[pos:pos + 1] != b"\n":
+                pos += 1
+            continue
+        start = pos
+        while pos < len(blob) and not blob[pos:pos + 1].isspace():
+            pos += 1
+        tokens.append(int(blob[start:pos]))
+    pos += 1  # single whitespace after maxval, then raster
+    w, h, maxval = tokens
+    if maxval != 255:
+        raise ValueError(f"unsupported PPM maxval {maxval}")
+    data = np.frombuffer(blob, np.uint8, count=w * h * 3, offset=pos)
+    return data.reshape(h, w, 3)
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int) -> bytes:
+    """Encode a 1-D int16 array as a mono PCM16 RIFF/WAVE file."""
+    data = samples.astype("<i2").tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, sample_rate * 2, 2, 16)
+    body = (b"WAVE"
+            + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data)
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_wav(blob: bytes) -> tuple[np.ndarray, int]:
+    """Walk RIFF chunks of a PCM16 WAV; returns (samples int16 1-D,
+    sample_rate). Tolerates extra chunks (LIST/INFO…) before data."""
+    if blob[:4] != b"RIFF" or blob[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    pos, sample_rate, bits, samples = 12, None, None, None
+    while pos + 8 <= len(blob):
+        cid, size = blob[pos:pos + 4], struct.unpack_from("<I", blob, pos + 4)[0]
+        body = pos + 8
+        if cid == b"fmt ":
+            audio_fmt, _ch, sample_rate, _, _, bits = struct.unpack_from(
+                "<HHIIHH", blob, body)
+            if audio_fmt != 1 or bits != 16:
+                raise ValueError(f"unsupported WAV: fmt={audio_fmt} bits={bits}")
+        elif cid == b"data":
+            samples = np.frombuffer(blob, "<i2", count=size // 2, offset=body)
+        pos = body + size + (size & 1)  # chunks are word-aligned
+    if sample_rate is None or samples is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    return samples, sample_rate
+
+
+def decode_media(blob: bytes, media_kind: str):
+    """Dispatch decode by kind. The codec formats the container cannot
+    decode without external libs raise explicitly."""
+    if media_kind == "bmp":
+        return decode_bmp(blob)
+    if media_kind == "ppm":
+        return decode_ppm(blob)
+    if media_kind == "wav":
+        return decode_wav(blob)
+    raise ValueError(
+        f"no lib-free decoder for {media_kind!r}; PNG/JPEG/MP4 need "
+        "Pillow/pyav, not present in this container")
+
+
+MEDIA_BLOB_SCHEMA = "doc_id long, media_kind string, blob binary"
+
+MEDIA_STATS_SCHEMA = (
+    "doc_id long, media_kind string, width int, height int, "
+    "n_channels int, pixel_sum_c0 long, pixel_sum_c1 long, "
+    "pixel_sum_c2 long, n_samples long, sample_rate int, "
+    "sample_sum long, sample_peak int")
+
+
+def _synth_blob(doc_id: int) -> tuple[str, bytes]:
+    """Deterministic planted media for doc_id — pure integer patterns
+    so a SQL oracle can replay every decoded statistic in closed form.
+    Patterns stay under 256 (no uint8 wraparound): bmp ≤ 179+7+32+3,
+    ppm ≤ 179+8+64."""
+    if doc_id % 3 == 0:  # BMP: row gradient + c%4 ripple, varying pad
+        w, h, base = 4 + doc_id % 5, 8, doc_id % 180
+        r, c, k = np.ogrid[0:h, 0:w, 0:3]
+        return "bmp", encode_bmp((base + r + 16 * k + c % 4).astype(np.uint8))
+    if doc_id % 3 == 1:  # PPM: column gradient (constant down rows —
+        # 0*r forces the broadcast to the full (h, w, 3) shape)
+        w, h, base = 3 + doc_id % 7, 6, doc_id % 180
+        r, c, k = np.ogrid[0:h, 0:w, 0:3]
+        return "ppm", encode_ppm((base + c + 32 * k + 0 * r).astype(np.uint8))
+    base, n = doc_id % 1000, 64 + doc_id % 100  # WAV: sawtooth PCM16
+    rate = 8000 + (doc_id % 4) * 4000
+    return "wav", encode_wav(
+        (base + 7 * (np.arange(n) % 40)).astype(np.int16), rate)
+
+
+def synth_media(docs: DataFrame) -> DataFrame:
+    """Plant one deterministic binary blob per document (kind cycles
+    bmp/ppm/wav by doc_id). A separate mapInPandas stage from the
+    decoder so the blobs genuinely round-trip through Arrow binary
+    columns — the transport a real 100-TB media table rides."""
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            kinds, blobs = zip(*(_synth_blob(int(d)) for d in pdf["doc_id"])) \
+                if len(pdf) else ((), ())
+            yield pd.DataFrame({"doc_id": pdf["doc_id"],
+                                "media_kind": list(kinds),
+                                "blob": list(blobs)})
+
+    return docs.select("doc_id").mapInPandas(batches,
+                                             schema=MEDIA_BLOB_SCHEMA)
+
+
+def media_stats(media: DataFrame) -> DataFrame:
+    """REAL decode → per-blob statistics, Arrow-batched. Images emit
+    parsed width/height and exact per-channel pixel sums; audio emits
+    parsed sample count/rate, exact sample sum and peak. Every value
+    comes from the DECODED bytes (header fields and numpy sums), so a
+    closed-form oracle over the planting pattern pins the whole
+    encode→transport→parse path."""
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {k: [] for k in ("doc_id", "media_kind", "width",
+                                   "height", "n_channels", "pixel_sum_c0",
+                                   "pixel_sum_c1", "pixel_sum_c2",
+                                   "n_samples", "sample_rate",
+                                   "sample_sum", "sample_peak")}
+            for doc_id, kind, blob in zip(pdf["doc_id"], pdf["media_kind"],
+                                          pdf["blob"]):
+                out["doc_id"].append(doc_id)
+                out["media_kind"].append(kind)
+                img = snd = None
+                if kind in ("bmp", "ppm"):
+                    img = decode_media(bytes(blob), kind)
+                else:
+                    snd, rate = decode_media(bytes(blob), kind)
+                out["width"].append(None if img is None else img.shape[1])
+                out["height"].append(None if img is None else img.shape[0])
+                out["n_channels"].append(None if img is None else img.shape[2])
+                for k in range(3):
+                    out[f"pixel_sum_c{k}"].append(
+                        None if img is None
+                        else int(img[:, :, k].astype(np.int64).sum()))
+                out["n_samples"].append(None if snd is None else len(snd))
+                out["sample_rate"].append(None if snd is None else rate)
+                out["sample_sum"].append(
+                    None if snd is None else int(snd.astype(np.int64).sum()))
+                out["sample_peak"].append(
+                    None if snd is None else int(snd.max()))
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(batches, schema=MEDIA_STATS_SCHEMA)

@@ -331,3 +331,55 @@ def bloom_probe(words: DataFrame, probes: DataFrame, key_col: str,
     return (hits.groupBy(key_col)
             .agg((F.sum("hit") == n_hashes).cast("int")
                  .alias("in_filter")))
+
+
+# -- Portable KMV quantile sketch (bottom-k by hash) --------------------------
+
+KMV_K = 256
+
+
+def kmv_daily_value_samples(events: DataFrame, k: int = KMV_K) -> DataFrame:
+    """Per (day, event_type) bottom-k sample of ``value``: the k rows
+    with the smallest md5(event_id) — the k-minimum-values sketch, the
+    PORTABLE cousin of the KLL pipeline above. The hash is a uniform
+    (and deterministic) rank, so the kept rows are a uniform sample of
+    the group and any SQL engine replays the sketch exactly — unlike
+    the DataSketches blobs, every byte here is oracle-checkable.
+
+    Mergeability is structural: the bottom-k of a union IS the
+    bottom-k of the per-part bottom-k's (every globally-small hash is
+    small in its own part), so daily sketches materialize once and any
+    coarser rollup merges k-row samples without rescanning the fact
+    table — the same 100 TB story as the HLL/KLL rollups."""
+    from pyspark.sql.window import Window
+    h = F.md5(F.col("event_id").cast("string"))
+    return (events
+            .select(F.to_date("ts").alias("day"), "event_type",
+                    "event_id", "value", h.alias("h"))
+            .withColumn("rk", F.row_number().over(
+                Window.partitionBy("day", "event_type")
+                .orderBy(F.col("h").asc(), F.col("event_id").asc())))
+            .filter(F.col("rk") <= k)
+            .drop("rk"))
+
+
+def kmv_merge_quantiles(daily: DataFrame, k: int = KMV_K) -> DataFrame:
+    """Merge daily KMV samples per event_type (re-take the bottom-k of
+    the union — touches |days|·k rows per type, never the fact table)
+    and read off discrete quantiles. percentile_disc returns an
+    OBSERVED sample value, so the result is bit-identical across
+    engines — no interpolation arithmetic."""
+    from pyspark.sql.window import Window
+    merged = (daily
+              .withColumn("rk", F.row_number().over(
+                  Window.partitionBy("event_type")
+                  .orderBy(F.col("h").asc(), F.col("event_id").asc())))
+              .filter(F.col("rk") <= k))
+    return (merged.groupBy("event_type")
+            .agg(F.count("*").alias("n_sampled"),
+                 F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY value)")
+                 .alias("p50"),
+                 F.expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY value)")
+                 .alias("p90"),
+                 F.expr("percentile_disc(0.99) WITHIN GROUP (ORDER BY value)")
+                 .alias("p99")))

@@ -3006,3 +3006,53 @@ ORDER BY x.variant, x.day
 
 QUERIES_TAIL["sprt_daily_monitor"] = sprt_daily_monitor
 ORACLES_TAIL["sprt_daily_monitor"] = _SPRT_SQL
+
+
+# -- portable KMV quantile sketch rollup (oracle-backed KLL twin) -------------
+
+def kmv_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type value quantiles from merged daily KMV (bottom-k by
+    md5) sketches — the ORACLE-BACKED twin of `sketch_value_quantiles`
+    (whose DataSketches KLL blobs are engine-specific by design). Same
+    materialize-daily/merge-coarser architecture, but every kept row
+    is a deterministic hash-rank sample any SQL engine replays, and
+    percentile_disc reads an observed value — so the whole sketch
+    pipeline is hash-checkable end to end. Sampling error vs exact
+    percentiles is pinned by tests/test_sketches.py."""
+    from threat_detection_nosql_spark.operators import sketches
+    from threat_detection_nosql_spark.sources.readers import load_table
+    ev = load_table(spark, sf_dir, "events")
+    daily = sketches.kmv_daily_value_samples(ev)
+    return (sketches.kmv_merge_quantiles(daily)
+            .orderBy("event_type"))
+
+
+from threat_detection_nosql_spark.operators.sketches import KMV_K  # noqa: E402
+
+_KMV_SQL = f"""
+WITH ev AS (
+  SELECT CAST(ts AS DATE) AS day, event_type, event_id, value,
+         md5(CAST(event_id AS VARCHAR)) AS h
+  FROM events),
+daily AS (
+  SELECT day, event_type, event_id, value, h FROM (
+    SELECT *, row_number() OVER (PARTITION BY day, event_type
+                                 ORDER BY h ASC, event_id ASC) AS rk
+    FROM ev) t WHERE rk <= {KMV_K}),
+merged AS (
+  SELECT event_type, value FROM (
+    SELECT event_type, value,
+           row_number() OVER (PARTITION BY event_type
+                              ORDER BY h ASC, event_id ASC) AS rk
+    FROM daily) t WHERE rk <= {KMV_K})
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_sampled,
+       quantile_disc(value, 0.5) AS p50,
+       quantile_disc(value, 0.9) AS p90,
+       quantile_disc(value, 0.99) AS p99
+FROM merged
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+QUERIES_TAIL["kmv_value_quantiles"] = kmv_value_quantiles
+ORACLES_TAIL["kmv_value_quantiles"] = _KMV_SQL

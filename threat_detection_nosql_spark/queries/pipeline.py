@@ -558,10 +558,10 @@ FROM s
 
 def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal pattern: media as opaque `binary` + typed metadata.
-    The blob here is the utf-8 encoding of `text` (the container has no
-    image/audio libs — decode itself is stubbed in
-    operators/multimodal.py); the Spark-side plumbing (binary column,
-    byte length, content hash, format tag) is real."""
+    The blob here is the utf-8 encoding of `text`; the Spark-side
+    plumbing (binary column, byte length, content hash, format tag) is
+    the point of this entry — real byte-level decode lives in
+    `media_features` (BMP/PPM/WAV parsers, operators/multimodal.py)."""
     docs = load_table(spark, sf_dir, "documents")
     blob = F.encode(F.col("text"), "utf-8")
     return docs.select(
@@ -2184,3 +2184,74 @@ ORDER BY n_docs DESC, prefix
 
 QUERIES_TAIL["template_prefix_dups"] = template_prefix_dups
 ORACLES_TAIL["template_prefix_dups"] = _PREFIX_SQL
+
+
+# -- D6b: REAL media decode over planted binary fixtures ----------------------
+
+def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-level media decode, end to end: plant one deterministic
+    blob per document (BMP / PPM / WAV cycling by doc_id, pure integer
+    pixel/sample patterns), ship the binary column through Arrow, then
+    PARSE it back with the lib-free struct+numpy codecs
+    (operators/multimodal.py: decode_bmp handles bottom-up rows, BGR
+    order and 4-byte row padding; decode_wav walks RIFF chunks) and
+    emit per-blob statistics computed from the decoded bytes only.
+
+    The oracle replays every statistic in closed form from the
+    planting pattern — any drift in the encoder, the Arrow transport,
+    or the parser (padding, row order, channel order, chunk sizes)
+    breaks the hash. Two mapInPandas stages, partition-parallel, no
+    driver collect: the shape a real 100-TB media table needs (swap
+    the planted blobs for parquet-stored bytes and the decode kernel
+    for Pillow/pyav; everything else stands)."""
+    from threat_detection_nosql_spark.operators.multimodal import (
+        media_stats, synth_media)
+    docs = load_table(spark, sf_dir, "documents")
+    return media_stats(synth_media(docs))
+
+
+# Closed-form replay of the planted patterns (operators/multimodal.py
+# _synth_blob): bmp pixel[r,c,k] = base+r+16k+(c%4) over (8 x 4+id%5);
+# ppm pixel[r,c,k] = base+c+32k over (6 x 3+id%7); wav s[i] =
+# base+7*(i%40) over n = 64+id%100 samples. All sums are exact integer
+# arithmetic -- no floats anywhere in this query.
+_MEDIA_FEATURES_SQL = """
+WITH d AS (
+  SELECT doc_id, doc_id % 3 AS kind,
+         4 + doc_id % 5 AS bw, 3 + doc_id % 7 AS pw,
+         doc_id % 180 AS bbase, doc_id % 180 AS pbase,
+         doc_id % 1000 AS wbase, 64 + doc_id % 100 AS n
+  FROM documents)
+SELECT doc_id,
+       CASE WHEN kind = 0 THEN 'bmp' WHEN kind = 1 THEN 'ppm'
+            ELSE 'wav' END AS media_kind,
+       CAST(CASE WHEN kind = 0 THEN bw WHEN kind = 1 THEN pw END
+            AS INT) AS width,
+       CAST(CASE WHEN kind = 0 THEN 8 WHEN kind = 1 THEN 6 END
+            AS INT) AS height,
+       CAST(CASE WHEN kind <= 1 THEN 3 END AS INT) AS n_channels,
+       CAST(CASE WHEN kind = 0 THEN 8*bw*bbase + 28*bw
+                      + 8*(6*(bw//4) + (bw%4)*((bw%4)-1)//2)
+                 WHEN kind = 1 THEN 6*pw*pbase + 3*pw*(pw-1)
+            END AS BIGINT) AS pixel_sum_c0,
+       CAST(CASE WHEN kind = 0 THEN 8*bw*bbase + 28*bw
+                      + 8*(6*(bw//4) + (bw%4)*((bw%4)-1)//2) + 128*bw
+                 WHEN kind = 1 THEN 6*pw*pbase + 3*pw*(pw-1) + 192*pw
+            END AS BIGINT) AS pixel_sum_c1,
+       CAST(CASE WHEN kind = 0 THEN 8*bw*bbase + 28*bw
+                      + 8*(6*(bw//4) + (bw%4)*((bw%4)-1)//2) + 256*bw
+                 WHEN kind = 1 THEN 6*pw*pbase + 3*pw*(pw-1) + 384*pw
+            END AS BIGINT) AS pixel_sum_c2,
+       CAST(CASE WHEN kind = 2 THEN n END AS BIGINT) AS n_samples,
+       CAST(CASE WHEN kind = 2 THEN 8000 + (doc_id % 4) * 4000 END
+            AS INT) AS sample_rate,
+       CAST(CASE WHEN kind = 2 THEN n*wbase
+                      + 7*(780*(n//40) + (n%40)*((n%40)-1)//2)
+            END AS BIGINT) AS sample_sum,
+       CAST(CASE WHEN kind = 2 THEN wbase + 273 END AS INT)
+         AS sample_peak
+FROM d
+"""
+
+QUERIES_TAIL["media_features"] = media_features
+ORACLES_TAIL["media_features"] = _MEDIA_FEATURES_SQL
