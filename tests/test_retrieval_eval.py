@@ -233,7 +233,6 @@ def test_mmr_matches_driver_side_greedy_and_diversifies(spark):
     import numpy as np
 
     from threat_detection_nosql_spark.queries.pipeline import (
-        _MMR_LAMBDA,
         _MMR_TOPN,
         mmr_diversified_topk,
     )
@@ -260,16 +259,19 @@ def test_mmr_matches_driver_side_greedy_and_diversifies(spark):
                       key=lambda t: (-t[0], t[1]))[:50]
         cand.sort(key=lambda t: t[1])
         ids = [i for _, i in cand]
-        rel = np.array([s for s, _ in cand])
+        rel_ppb = np.floor(np.array([s for s, _ in cand]) * 1e9)\
+            .astype(np.int64)
         V = np.stack([unit[i] for i in ids])
         sims = V @ V.T
-        chosen, max_sim = [], np.zeros(len(ids))
+        sim_ppb = np.floor(sims * 1e9).astype(np.int64)
+        chosen = []
+        max_sim = np.zeros(len(ids), dtype=np.int64)
         for _ in range(_MMR_TOPN):
-            mmr = _MMR_LAMBDA * rel - (1 - _MMR_LAMBDA) * max_sim
-            mmr[chosen] = -np.inf
+            mmr = 7 * rel_ppb - 3 * max_sim
+            mmr[chosen] = np.iinfo(np.int64).min
             pick = int(np.argmax(mmr))
             chosen.append(pick)
-            max_sim = np.maximum(max_sim, sims[:, pick])
+            max_sim = np.maximum(max_sim, sim_ppb[:, pick])
         assert [r.item_id for r in rows] == [ids[p] for p in chosen]
         # rank 1 is the pure-relevance argmax (id tie-break)
         assert rows[0].item_id == min(

@@ -192,3 +192,164 @@ def test_kmv_sample_accuracy_and_mergeability(spark):
     d = {r["event_type"]: r["ids"] for r in direct.collect()}
     m = {r["event_type"]: r["ids"] for r in merged.collect()}
     assert d == m
+
+
+# -- power-method PCA ----------------------------------------------------------
+
+def test_power_components_match_numpy_eig():
+    """_power_components recovers the top-2 eigenvectors of a planted
+    symmetric matrix (|cosine| ≈ 1 vs numpy's eigh) with the pinned
+    sign, and they are orthogonal."""
+    import numpy as np
+
+    from threat_detection_nosql_spark.queries.ml_queries import (
+        _power_components)
+
+    rng = np.random.default_rng(7)
+    A = rng.normal(size=(6, 6))
+    R = (A @ A.T)  # SPD, distinct eigenvalues almost surely
+    v1, v2 = _power_components([list(map(float, row)) for row in R])
+    w, V = np.linalg.eigh(R)
+    top1, top2 = V[:, -1], V[:, -2]
+    assert abs(float(np.dot(v1, top1))) > 1 - 1e-9
+    assert abs(float(np.dot(v2, top2))) > 1 - 1e-6
+    assert abs(float(np.dot(v1, v2))) < 1e-6
+    # sign pin: largest-|component| coordinate is positive
+    for v in (v1, v2):
+        a = [abs(x) for x in v]
+        assert v[a.index(max(a))] > 0
+
+
+def test_user_pca_projection_variance_order(spark):
+    """PC1 captures at least as much variance as PC2 on real data, and
+    the projection is centered (means ~0)."""
+    from pyspark.sql import functions as F
+
+    from threat_detection_nosql_spark.queries.ml_queries import (
+        user_pca_projection)
+
+    out = user_pca_projection(spark, "/root/testdata/sf0.001")
+    r = out.agg(F.var_pop("pc1").alias("v1"),
+                F.var_pop("pc2").alias("v2"),
+                F.avg("pc1").alias("m1"),
+                F.avg("pc2").alias("m2")).collect()[0]
+    assert r["v1"] >= r["v2"] - 1e-9
+    assert abs(r["m1"]) < 1e-3 and abs(r["m2"]) < 1e-3
+
+
+# -- attribution interval-join state eviction -----------------------------------
+
+def test_attribution_join_state_evicts_past_watermark(spark, tmp_path):
+    """linear_attribution_pairs' state-budget claim, pinned on a
+    planted two-batch stream (same join shape: watermarked self
+    interval join, 7-day touch horizon): after the watermark advances
+    a month, (1) the old touches are EVICTED — final state holds only
+    the recent rows, not everything ever fed — and (2) a purchase
+    arriving behind the watermark is dropped as late instead of
+    resurrecting evicted touch state."""
+    import os
+    import time
+
+    from pyspark.sql import functions as F
+
+    base = str(tmp_path / "in")
+    schema = "ts timestamp, user long, activity string, event_id long"
+
+    def write_batch(sub, rows, mtime):
+        df = (spark.createDataFrame(
+                  [(t, u, a, e) for t, u, a, e in rows],
+                  "ts string, user long, activity string, event_id long")
+              .select(F.to_timestamp("ts").alias("ts"), "user",
+                      "activity", "event_id"))
+        path = f"{base}/{sub}"
+        df.coalesce(1).write.mode("overwrite").parquet(path)
+        for f in os.listdir(path):
+            os.utime(os.path.join(path, f), (mtime, mtime))
+        os.utime(path, (mtime, mtime))
+
+    now = time.time()
+    # the GLOBAL watermark is the MIN across both sides' watermarks,
+    # so batch 1 must advance BOTH: a far-future view (touch side) AND
+    # a far-future purchase (purchase side)
+    write_batch("b1", [
+        ("2024-01-01 00:00:00", 1, "view", 1),      # pairs with 3
+        ("2024-01-01 01:00:00", 1, "click", 2),     # pairs with 3
+        ("2024-01-05 00:00:00", 1, "purchase", 3),
+        ("2024-02-10 00:00:00", 2, "view", 4),      # advances tch wm
+        ("2024-02-10 00:30:00", 2, "purchase", 7),  # advances pur wm
+    ], now - 100)
+
+    src = spark.readStream.schema(schema).parquet(f"{base}/b*")
+    pur = (src.where(F.col("activity") == "purchase")
+           .select(F.col("event_id").alias("p_id"),
+                   F.col("user").alias("p_user"),
+                   F.col("ts").alias("p_ts"))
+           .withWatermark("p_ts", "1 hour"))
+    tch = (src.where(F.col("activity").isin("view", "click"))
+           .select(F.col("user").alias("t_user"),
+                   F.col("event_id").alias("t_id"),
+                   F.col("ts").alias("t_ts"))
+           .withWatermark("t_ts", "1 hour"))
+    joined = pur.join(tch, F.expr(
+        "p_user = t_user AND t_ts < p_ts "
+        "AND t_ts >= p_ts - INTERVAL 7 DAYS"))
+
+    q = (joined.select("p_id", "t_id").writeStream.outputMode("append")
+         .format("memory").queryName("attr_evict").start())
+    try:
+        q.processAllAvailable()   # batch 1: wm -> 2024-02-09 23:00
+        write_batch("b2", [
+            ("2024-02-10 01:00:00", 2, "purchase", 5),  # pairs with 4
+            ("2024-01-06 00:00:00", 1, "purchase", 6),  # LATE: dropped
+        ], now)
+        q.processAllAvailable()
+        state_rows = None
+        for prog in reversed(q.recentProgress):
+            ops = prog.get("stateOperators") or []
+            if ops:
+                state_rows = ops[0]["numRowsTotal"]
+                break
+    finally:
+        q.stop()
+
+    got = {(r.p_id, r.t_id) for r in spark.table("attr_evict").collect()}
+    # late purchase 6 produced NO pairs (its touches 1/2 are in-window
+    # by time arithmetic — only eviction/late-drop explains absence)
+    assert got == {(3, 1), (3, 2), (7, 4), (5, 4)}
+    # state kept only the post-watermark rows, not all 7 fed
+    assert state_rows is not None and state_rows <= 4, state_rows
+
+
+# -- round-8 plan pins ----------------------------------------------------------
+
+def test_round8_plans_scan_once_and_prune(spark):
+    """Scale-critical plan properties of the round-8 wave:
+    similar_user_pairs reads the fact table ONCE (ua/capped are
+    localCheckpointed — the norms agg and both self-join sides reuse
+    the materialized RDD, no per-subtree rescan and no downstream
+    window nodes); the KMV sketch scan prunes to exactly the four
+    consumed columns; media synthesis ships only doc_id into Python."""
+    from tests.conftest import SF_DIR
+    from tests.test_plans import formatted_plan
+    from threat_detection_nosql_spark.queries.metrics import (
+        kmv_value_quantiles)
+    from threat_detection_nosql_spark.queries.pipeline import (
+        media_decode_stats)
+    from threat_detection_nosql_spark.queries.threat import (
+        similar_user_pairs_top10)
+
+    plan = formatted_plan(similar_user_pairs_top10(spark, SF_DIR))
+    assert "Scan parquet" not in plan and "ExistingRDD" in plan
+    assert "Window" not in plan  # cap windows paid at checkpoint time
+
+    plan = formatted_plan(kmv_value_quantiles(spark, SF_DIR))
+    scans = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert scans
+    for ln in scans:
+        assert "event_id" in ln and "value" in ln
+        assert "props" not in ln and "user_id" not in ln
+
+    plan = formatted_plan(media_decode_stats(spark, SF_DIR))
+    scans = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert scans and all("doc_id" in ln and "text" not in ln
+                         for ln in scans)

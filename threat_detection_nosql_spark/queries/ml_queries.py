@@ -398,13 +398,240 @@ ORACLES_TAIL = {**globals().get("ORACLES_TAIL", {}),
                 "kmeans_silhouette": _kf_silhouette_sql()}
 
 
+# -- oracle-backed PCA: fixed-iteration power method --------------------------
+#
+# The Spark-ML SVD variant (ml.unsupervised.pca_2d_projection, M8)
+# stays as the operator; the REGISTERED query computes the same top-2
+# projection by a deterministic fixed-iteration power method whose
+# every float op a SQL engine replays bit-for-bit:
+#   - the 6 features are exact BIGINT counts, so n/Σx/Σxy (and hence
+#     each correlation numerator/denominator) are exact integers in
+#     BOTH engines — no cross-row float summation anywhere;
+#   - the 6x6 correlation matrix, the _PCA_ITERS power iterations with
+#     per-step normalization, the deflation, and the sign pin are all
+#     written with the SAME left-associated expression shapes here (in
+#     driver Python over one collected 28-integer row) and in the
+#     oracle's recursive CTE — identical IEEE doubles by construction;
+#   - per-user z-scores and projections are per-row expressions over
+#     exact integers and the (identical) eigenvector components.
+
+_PCA_ITERS = 100
+_PCA_FEATS = ("total_activities", "after_hours_activities",
+              "weekend_activities", "unique_systems",
+              "unique_resources", "activity_types")
+
+
+def _power_components(R: list[list[float]]) -> tuple[list[float],
+                                                      list[float]]:
+    """Top-2 eigenvectors of symmetric R by _PCA_ITERS power
+    iterations + one deflation. Every op is left-associated to match
+    the oracle SQL's expression order exactly."""
+    import math
+    d = len(R)
+
+    def matvec(M, v):
+        out = []
+        for j in range(d):
+            acc = M[j][0] * v[0]
+            for i in range(1, d):
+                acc = acc + M[j][i] * v[i]
+            out.append(acc)
+        return out
+
+    def normalize(w):
+        acc = w[0] * w[0]
+        for i in range(1, d):
+            acc = acc + w[i] * w[i]
+        nrm = math.sqrt(acc)
+        return [x / nrm for x in w]
+
+    def iterate(M):
+        v = normalize([1.0] * d)
+        for _ in range(_PCA_ITERS):
+            v = normalize(matvec(M, v))
+        mx = 0  # sign pin: first-largest-|component| positive
+        for i in range(1, d):
+            if abs(v[i]) > abs(v[mx]):
+                mx = i
+        if v[mx] < 0:
+            v = [-1.0 * x for x in v]
+        return v
+
+    v1 = iterate(R)
+    w = matvec(R, v1)
+    lam = v1[0] * w[0]
+    for i in range(1, d):
+        lam = lam + v1[i] * w[i]
+    R2 = [[R[j][i] - lam * v1[j] * v1[i] for i in range(d)]
+          for j in range(d)]
+    return v1, iterate(R2)
+
+
+def _user_count_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from threat_detection_nosql_spark.operators.etl import activity_log
+    log = activity_log(spark, sf_dir)
+    return (log.groupBy("user").agg(
+        F.count("*").alias("total_activities"),
+        F.sum(F.when(F.col("is_after_hours") == 1, 1).otherwise(0))
+         .alias("after_hours_activities"),
+        F.sum(F.when(F.col("is_weekend") == 1, 1).otherwise(0))
+         .alias("weekend_activities"),
+        F.countDistinct("pc").alias("unique_systems"),
+        F.countDistinct("resource").alias("unique_resources"),
+        F.countDistinct("activity").alias("activity_types")))
+
+
 def user_pca_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user (PC1, PC2) scatter coordinates — the data behind the
     reference's committed resultats_non_supervise.csv PC1/PC2 columns
-    (rows-only: eigenvectors come from Spark ML's SVD; the sign pin in
-    ml.unsupervised.pca_2d_projection makes refits deterministic, but
-    no SQL engine replays the decomposition)."""
-    return U.pca_2d_projection(scaled_user_features(spark, sf_dir))
+    — via the exact-parity power method (see block comment above).
+    One aggregation collects the 28 exact integer moments (the only
+    driver fetch — 100 TB safe: the moments agg is map-combinable and
+    its result is one row); the d×2 rotation rides back into the plan
+    as literals, so the projection itself is a pure per-row
+    expression."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    feats = _user_count_features(spark, sf_dir).localCheckpoint()
+    d = len(_PCA_FEATS)
+    aggs = [F.count("*").alias("n")]
+    aggs += [F.sum(c).alias(f"s{j}") for j, c in enumerate(_PCA_FEATS)]
+    aggs += [F.sum(F.col(_PCA_FEATS[j]) * F.col(_PCA_FEATS[k]))
+             .alias(f"s{j}_{k}")
+             for j in range(d) for k in range(j, d)]
+    m = feats.agg(*aggs).collect()[0]
+    n = int(m["n"])
+    sx = [int(m[f"s{j}"]) for j in range(d)]
+    sxx = {(j, k): int(m[f"s{j}_{k}"])
+           for j in range(d) for k in range(j, d)}
+    var = [n * sxx[(j, j)] - sx[j] * sx[j] for j in range(d)]
+    den = [math.sqrt(float(v)) if v > 0 else 0.0 for v in var]
+    R = [[(float(n * sxx[(min(j, k), max(j, k))] - sx[j] * sx[k])
+           / (den[j] * den[k]))
+          if var[j] > 0 and var[k] > 0 else 0.0
+          for k in range(d)] for j in range(d)]
+    v1, v2 = _power_components(R)
+
+    def z(j):
+        if var[j] <= 0:
+            return F.lit(0.0)
+        return ((F.lit(n) * F.col(_PCA_FEATS[j]) - F.lit(sx[j]))
+                .cast("double") / F.lit(den[j]))
+
+    def proj(v, name):
+        e = z(0) * F.lit(v[0])
+        for j in range(1, d):
+            e = e + z(j) * F.lit(v[j])
+        return F.round(e, 6).alias(name)
+
+    return feats.select("user", proj(v1, "pc1"), proj(v2, "pc2"))
+
+
+def _pca_sql() -> str:
+    """Oracle: the SAME fixed-iteration power method in DuckDB — exact
+    integer moments, recursive-CTE iterations with per-step
+    normalization, greatest-|component| sign pin, deflation, and the
+    per-row projection. Every float expression is left-associated to
+    mirror _power_components exactly."""
+    from threat_detection_nosql_spark.operators.etl import (
+        ACTIVITY_LOG_ORACLE_SQL,
+    )
+    d = len(_PCA_FEATS)
+    rng = range(d)
+    T = _PCA_ITERS
+
+    def matvec(m, v):  # left-assoc R·v expressions
+        return [" + ".join(f"{m}_{j}_{i}*{v}{i}" for i in rng)
+                for j in rng]
+
+    def sq_norm(ws):
+        return " + ".join(f"({w})*({w})" for w in ws)
+
+    def recursion(name, mat, mcte):
+        ws = matvec(mat, f"{name}.v")
+        upd = ", ".join(f"w{j}/nrm AS v{j}" for j in rng)
+        wsel = ", ".join(f"{w} AS w{j}" for j, w in enumerate(ws))
+        return f"""{name} AS (
+  SELECT 0 AS i, {', '.join(f'CAST(1.0 AS DOUBLE)/sqrt(CAST({d}.0 AS DOUBLE)) AS v{j}' for j in rng)}
+  UNION ALL
+  SELECT i + 1, {upd}
+  FROM (SELECT i, {', '.join(f'w{j}' for j in rng)},
+               sqrt({sq_norm([f'w{j}' for j in rng])}) AS nrm
+        FROM (SELECT {name}.i, {wsel}
+              FROM {name}, {mcte} WHERE {name}.i < {T}) a) b)"""
+
+    def pin(src, out):
+        m = f"greatest({', '.join(f'abs(v{j})' for j in rng)})"
+        sel = "CASE " + " ".join(
+            f"WHEN abs(v{j}) >= m THEN v{j}" for j in rng) + " END"
+        cols = ", ".join(f"sgn*v{j} AS p{j}" for j in rng)
+        return f"""{out}a AS (SELECT *, {m} AS m FROM {src} WHERE i = {T}),
+{out}b AS (SELECT *, CASE WHEN ({sel}) < 0
+                          THEN CAST(-1.0 AS DOUBLE)
+                          ELSE CAST(1.0 AS DOUBLE) END AS sgn
+           FROM {out}a),
+{out} AS (SELECT {cols} FROM {out}b)"""
+
+    feat_sql = {
+        0: "CAST(count(*) AS BIGINT)",
+        1: "CAST(sum(CASE WHEN is_after_hours = 1 THEN 1 ELSE 0 END) "
+           "AS BIGINT)",
+        2: "CAST(sum(CASE WHEN is_weekend = 1 THEN 1 ELSE 0 END) "
+           "AS BIGINT)",
+        3: "CAST(count(DISTINCT pc) AS BIGINT)",
+        4: "CAST(count(DISTINCT resource) AS BIGINT)",
+        5: "CAST(count(DISTINCT activity) AS BIGINT)",
+    }
+    f_cols = ", ".join(f"{feat_sql[j]} AS x{j}" for j in rng)
+    mom = (["CAST(count(*) AS BIGINT) AS n"]
+           + [f"CAST(sum(x{j}) AS BIGINT) AS s{j}" for j in rng]
+           + [f"CAST(sum(x{j}*x{k}) AS BIGINT) AS s{j}_{k}"
+              for j in rng for k in rng if j <= k])
+    vars_ = ", ".join(f"n*s{j}_{j} - s{j}*s{j} AS var{j}" for j in rng)
+    r_cols = ", ".join(
+        f"CASE WHEN var{j} > 0 AND var{k} > 0 THEN "
+        f"CAST(n*s{min(j, k)}_{max(j, k)} - s{j}*s{k} AS DOUBLE)"
+        f"/(sqrt(CAST(var{j} AS DOUBLE))*sqrt(CAST(var{k} AS DOUBLE))) "
+        f"ELSE CAST(0.0 AS DOUBLE) END AS r_{j}_{k}"
+        for j in rng for k in rng)
+    # lam = p·(R p), each term left-assoc, matching _power_components
+    lam_terms = " + ".join(
+        "p{j}*({w})".format(
+            j=j, w=" + ".join(f"r_{j}_{i}*p{i}" for i in rng))
+        for j in rng)
+    q_cols = ", ".join(f"r_{j}_{k} - lam*p{j}*p{k} AS q_{j}_{k}"
+                       for j in rng for k in rng)
+    z = {j: (f"CASE WHEN var{j} > 0 THEN "
+             f"CAST(n*x{j} - s{j} AS DOUBLE)"
+             f"/sqrt(CAST(var{j} AS DOUBLE)) "
+             f"ELSE CAST(0.0 AS DOUBLE) END") for j in rng}
+    pc1 = " + ".join(f"({z[j]})*p1c.p{j}" for j in rng)
+    pc2 = " + ".join(f"({z[j]})*p2c.p{j}" for j in rng)
+    # MATERIALIZED everywhere: a recursive member re-evaluates every
+    # CTE it references on EVERY iteration — without materialization
+    # the 2x101 iterations re-scanned the fact table ~200 times (the
+    # round-5 iterative-oracle lesson, relearned on a 10x soak).
+    return f"""WITH RECURSIVE log AS MATERIALIZED ({ACTIVITY_LOG_ORACLE_SQL}),
+f AS MATERIALIZED (SELECT user, {f_cols} FROM log GROUP BY user),
+mom AS MATERIALIZED (SELECT {', '.join(mom)} FROM f),
+vr AS MATERIALIZED (SELECT *, {vars_} FROM mom),
+rmat AS MATERIALIZED (SELECT *, {r_cols} FROM vr),
+{recursion('it1', 'r', 'rmat')},
+{pin('it1', 'p1c')},
+lamc AS (SELECT {lam_terms} AS lam FROM p1c,
+         (SELECT {', '.join(f'r_{j}_{k} AS r_{j}_{k}'
+                            for j in rng for k in rng)} FROM rmat) r),
+qmat AS MATERIALIZED (SELECT {q_cols} FROM rmat, p1c, lamc),
+{recursion('it2', 'q', 'qmat')},
+{pin('it2', 'p2c')}
+SELECT f.user, round({pc1}, 6) AS pc1, round({pc2}, 6) AS pc2
+FROM f CROSS JOIN vr CROSS JOIN p1c CROSS JOIN p2c
+"""
 
 
 QUERIES_TAIL["user_pca_projection"] = user_pca_projection
+ORACLES_TAIL["user_pca_projection"] = _pca_sql()

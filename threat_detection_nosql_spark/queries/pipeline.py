@@ -561,7 +561,7 @@ def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     The blob here is the utf-8 encoding of `text`; the Spark-side
     plumbing (binary column, byte length, content hash, format tag) is
     the point of this entry — real byte-level decode lives in
-    `media_features` (BMP/PPM/WAV parsers, operators/multimodal.py)."""
+    `media_decode_stats` (BMP/PPM/WAV parsers, operators/multimodal.py)."""
     docs = load_table(spark, sf_dir, "documents")
     blob = F.encode(F.col("text"), "utf-8")
     return docs.select(
@@ -1997,12 +1997,19 @@ def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     quadratic (50x50 GEMM) is capped by the candidate constant, never
     by the corpus.
 
-    Greedy is not SQL-expressible, so this registers rows-only; value
-    parity is pinned by a pure-numpy rederivation test
-    (tests/test_retrieval_eval.py). Determinism: relevance is the
-    round-6 cosine with id tie-breaks from the JVM side; within the
-    greedy, ties pick the smallest item_id (candidates sorted by id,
-    argmax takes the first maximum)."""
+    Cross-engine exactness (what makes the greedy ORACLE-BACKED
+    despite being iterative): relevance and candidate-candidate
+    cosines are quantized to ppb INTEGERS with floor() — identical
+    doubles in, identical integers out — and the MMR objective
+    0.7·rel − 0.3·max_sim becomes the exact integer
+    7·rel_ppb − 3·max_sim_ppb (score scale ×10⁹·10). The kernel
+    accumulates every dot product in DIMENSION ORDER (elementwise adds
+    starting from 0.0), bit-matching the oracle's left-associated
+    unrolled sums, so argmax decisions agree exactly; ties pick the
+    smallest item_id in both. The oracle replays the greedy as a
+    DuckDB recursive CTE carrying the picked set as a LIST column.
+    A pure-numpy rederivation test additionally pins the Arrow/
+    grouping mechanics (tests/test_retrieval_eval.py)."""
     import numpy as np
     import pandas as pd
 
@@ -2029,30 +2036,37 @@ def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("q_id", "item_id", "relevance", "u"))
 
     out_schema = ("q_id long, item_id long, relevance double, "
-                  "mmr_score double, mmr_rank int")
+                  "mmr_ppb10 long, mmr_rank int")
 
     def greedy(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("item_id").reset_index(drop=True)
         V = np.stack(pdf["u"].to_numpy())          # (n, d), unit rows
-        sims = V @ V.T                              # candidate-candidate
+        n, dim = V.shape
+        sims = np.zeros((n, n))                     # dimension-ordered
+        for dd in range(dim):                       # adds == the SQL
+            sims = sims + np.outer(V[:, dd], V[:, dd])  # unrolled sum
+        sim_ppb = np.floor(sims * 1e9).astype(np.int64)
         rel = pdf["relevance"].to_numpy()
-        n = len(pdf)
+        rel_ppb = np.floor(rel * 1e9).astype(np.int64)
         chosen: list[int] = []
-        scores: list[float] = []
-        max_sim = np.zeros(n)
+        scores: list[int] = []
+        # running max STARTS AT 0: the diversity penalty is
+        # max(0, max sim-to-picked) — negative similarity never turns
+        # into a bonus (the oracle mirrors with greatest(..., 0))
+        max_sim = np.zeros(n, dtype=np.int64)
         for step in range(min(_MMR_TOPN, n)):
-            mmr = _MMR_LAMBDA * rel - (1 - _MMR_LAMBDA) * max_sim
-            mmr[chosen] = -np.inf
+            mmr = 7 * rel_ppb - 3 * max_sim         # 0.7/0.3 ×10
+            mmr[chosen] = np.iinfo(np.int64).min
             pick = int(np.argmax(mmr))              # first max = min id
             chosen.append(pick)
-            scores.append(float(mmr[pick]))
-            max_sim = np.maximum(max_sim, sims[:, pick])
+            scores.append(int(mmr[pick]))
+            max_sim = np.maximum(max_sim, sim_ppb[:, pick])
         sel = pdf.iloc[chosen]
         return pd.DataFrame({
             "q_id": sel["q_id"].to_numpy(),
             "item_id": sel["item_id"].to_numpy(),
             "relevance": sel["relevance"].to_numpy(),
-            "mmr_score": np.round(np.array(scores), 6),
+            "mmr_ppb10": np.array(scores, dtype=np.int64),
             "mmr_rank": np.arange(1, len(chosen) + 1, dtype="int32"),
         })
 
@@ -2060,9 +2074,78 @@ def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("q_id", "mmr_rank"))
 
 
+_EMB_DIM = 64
+
+
+def _mmr_sql() -> str:
+    """Oracle: the SAME greedy in DuckDB — unit vectors and rounded
+    relevance replayed with left-associated unrolled sums, ppb-floor
+    quantization, then a recursive CTE that carries the picked set as
+    a LIST and takes each step's argmax via a struct max (numer DESC,
+    item_id ASC)."""
+    d = range(1, _EMB_DIM + 1)
+    sq = " + ".join(f"CAST(embedding[{i}] AS DOUBLE)"
+                    f"*CAST(embedding[{i}] AS DOUBLE)" for i in d)
+    reldot = " + ".join(f"e.u[{i}]*q.q_u[{i}]" for i in d)
+    simdot = " + ".join(f"a.u[{i}]*b.u[{i}]" for i in d)
+    return f"""WITH RECURSIVE
+u AS MATERIALIZED (SELECT vec_id,
+             list_transform(embedding,
+                            x -> CAST(x AS DOUBLE) / sqrt(0.0 + {sq}))
+               AS u
+      FROM embeddings),
+q AS (SELECT vec_id AS q_id, u AS q_u FROM u WHERE vec_id < 8),
+scored AS MATERIALIZED (SELECT q.q_id, e.vec_id AS item_id,
+                  round(0.0 + {reldot}, 6) AS relevance, e.u AS u
+           FROM u e CROSS JOIN q WHERE e.vec_id <> q.q_id),
+cand AS MATERIALIZED (SELECT q_id, item_id, relevance, u,
+                CAST(floor(relevance * 1e9) AS BIGINT) AS rel_ppb
+         FROM (SELECT *, row_number() OVER (
+                   PARTITION BY q_id
+                   ORDER BY relevance DESC, item_id ASC) AS rk
+               FROM scored) t WHERE rk <= {_MMR_CAND}),
+sims AS MATERIALIZED (SELECT a.q_id, a.item_id AS a_id, b.item_id AS b_id,
+                CAST(floor((0.0 + {simdot}) * 1e9) AS BIGINT) AS sim_ppb
+         FROM cand a JOIN cand b
+           ON a.q_id = b.q_id AND a.item_id <> b.item_id),
+rec AS (
+  SELECT q_id, 0 AS step, CAST([] AS BIGINT[]) AS picked,
+         CAST(NULL AS BIGINT) AS item_id,
+         CAST(NULL AS BIGINT) AS mmr_ppb10,
+         CAST(NULL AS DOUBLE) AS relevance
+  FROM (SELECT DISTINCT q_id FROM cand) t
+  UNION ALL
+  SELECT o.q_id, o.step + 1, list_append(o.picked, -(o.best.ni)),
+         -(o.best.ni), o.best.n, o.best.r
+  FROM (
+    SELECT i.q_id, i.step, i.picked,
+           max(struct_pack(n := i.numer, ni := -i.item_id,
+                           r := i.relevance)) AS best
+    FROM (
+      SELECT r.q_id, r.step, r.picked, c.item_id, c.relevance,
+             7*c.rel_ppb
+               - 3*greatest(coalesce(max(s.sim_ppb), CAST(0 AS BIGINT)),
+                            CAST(0 AS BIGINT)) AS numer
+      FROM rec r
+      JOIN cand c ON c.q_id = r.q_id
+                 AND NOT list_contains(r.picked, c.item_id)
+      LEFT JOIN sims s ON s.q_id = c.q_id AND s.a_id = c.item_id
+                      AND list_contains(r.picked, s.b_id)
+      WHERE r.step < {_MMR_TOPN}
+      GROUP BY r.q_id, r.step, r.picked, c.item_id, c.relevance,
+               c.rel_ppb
+    ) i
+    GROUP BY i.q_id, i.step, i.picked
+  ) o
+)
+SELECT q_id, item_id, relevance, mmr_ppb10, CAST(step AS INT) AS mmr_rank
+FROM rec WHERE step >= 1
+ORDER BY q_id, mmr_rank
+"""
+
+
 QUERIES_TAIL["mmr_diversified_topk"] = mmr_diversified_topk
-# rows-only: greedy selection has no SQL form; value parity is pinned
-# by the numpy rederivation in tests/test_retrieval_eval.py
+ORACLES_TAIL["mmr_diversified_topk"] = _mmr_sql()
 
 
 # -- D26: readability scoring (Flesch family, exact integer counts) ----------
@@ -2188,7 +2271,7 @@ ORACLES_TAIL["template_prefix_dups"] = _PREFIX_SQL
 
 # -- D6b: REAL media decode over planted binary fixtures ----------------------
 
-def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+def media_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Byte-level media decode, end to end: plant one deterministic
     blob per document (BMP / PPM / WAV cycling by doc_id, pure integer
     pixel/sample patterns), ship the binary column through Arrow, then
@@ -2253,5 +2336,5 @@ SELECT doc_id,
 FROM d
 """
 
-QUERIES_TAIL["media_features"] = media_features
-ORACLES_TAIL["media_features"] = _MEDIA_FEATURES_SQL
+QUERIES_TAIL["media_decode_stats"] = media_decode_stats
+ORACLES_TAIL["media_decode_stats"] = _MEDIA_FEATURES_SQL
