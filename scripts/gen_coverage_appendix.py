@@ -6,7 +6,6 @@ the header counts — so the appendix can never drift from the code.
 """
 from __future__ import annotations
 
-import importlib
 import os
 import re
 import sys
@@ -14,18 +13,16 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))))
 
-MODULES = ["threat", "relational", "pipeline", "corpus", "advanced",
-           "graph_queries", "metrics", "ml_queries",
-           "streaming_queries", "temporal", "tpch", "cleaning",
-           "tokenizer", "curation"]
-
 
 def main() -> None:
+    # the registry's own module list — a module added there shows up
+    # here automatically (no second hardcoded list to drift)
+    from threat_detection_nosql_spark.queries import _modules
+
     lines = []
     total = oracle = 0
-    for name in MODULES:
-        mod = importlib.import_module(
-            f"threat_detection_nosql_spark.queries.{name}")
+    for mod in _modules():
+        name = mod.__name__.rsplit(".", 1)[-1]
         qs = {**mod.QUERIES, **getattr(mod, "QUERIES_TAIL", {})}
         os_ = {**mod.ORACLES, **getattr(mod, "ORACLES_TAIL", {})}
         marks = [f"{q} ({'o' if q in os_ else 'r'})" for q in sorted(qs)]

@@ -393,7 +393,8 @@ def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
 
 
 def minhash_signature_exprs(text: Column, n_hashes: int = 16,
-                            shingle_len: int = 3) -> tuple[Column, list]:
+                            shingle_len: int = 3,
+                            xs_col: str = "_mh_xs") -> tuple[Column, list]:
     """Per-ROW (stateless) MinHash signature — bit-identical to
     ``minhash_signatures``'s grouped aggregation (same shingling, same
     base hash, same affine permutations), for streaming sides where a
@@ -402,11 +403,11 @@ def minhash_signature_exprs(text: Column, n_hashes: int = 16,
 
     Returns ``(xs, [s0..s{n-1}])`` where ``xs`` is the per-shingle
     base-hash ARRAY column and every signature component is expressed
-    over ``F.col(name)`` of the pinned xs — the caller MUST project
-    ``xs`` to a real column first (``.withColumn(name, xs)``) and then
-    select the components: referencing the md5 chain directly from all
-    16 components would let CollapseProject inline it 16x per row (the
-    element_at-in-transform lesson, operators-wide)."""
+    over ``F.col(xs_col)`` — the caller MUST project ``xs`` to a real
+    column named ``xs_col`` first (``.withColumn(xs_col, xs)``) and
+    then select the components: referencing the md5 chain directly
+    from all 16 components would let CollapseProject inline it 16x per
+    row (the element_at-in-transform lesson, operators-wide)."""
     w = F.split(text, r"\s+")
     n_sh = F.greatest(F.size(w) - shingle_len + 1, F.lit(0))
     grams = F.slice(w, 1, n_sh)
@@ -420,7 +421,7 @@ def minhash_signature_exprs(text: Column, n_hashes: int = 16,
         return lambda v: (F.lit(a) * v + F.lit(b)) % F.lit(_MH_PRIME)
 
     sigs = [
-        F.array_min(F.transform(F.col("_mh_xs"), _perm(a, b)))
+        F.array_min(F.transform(F.col(xs_col), _perm(a, b)))
         .alias(f"s{i}")
         for i, (a, b) in enumerate(minhash_params(n_hashes))]
     return xs, sigs

@@ -671,6 +671,11 @@ def markov_transition_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             if last is not None:
                 counts[(last, act)] = counts.get((last, act), 0) + 1
             last = act
+        # codec guard: keys must not contain the state separators
+        assert all("|" not in p and "," not in p
+                   and "|" not in a and "," not in a
+                   for p, a in counts), \
+            "transition key contains a state-codec separator"
         packed = "|".join(f"{p},{a},{n}" for (p, a), n in
                           sorted(counts.items()))
         state.update((last, packed))
@@ -838,6 +843,18 @@ def markov_ordered_agg(ev: DataFrame) -> DataFrame:
             if last is not None:
                 counts[(last, act)] = counts.get((last, act), 0) + 1
             last = act
+        # state codec guard: activity rides last in each ','-record and
+        # records join on '|' — a '|' INSIDE an activity value would
+        # corrupt decode (',' is safe: decode splits (',', 2) keeping
+        # the tail intact). The vocabulary is fixed today; assert so a
+        # future free-text activity fails loudly instead of silently.
+        assert all("|" not in act for _, _, act in keep), \
+            "activity value contains the '|' record separator"
+        # the (prev, act, n) records split on BOTH separators
+        assert all("|" not in p and "," not in p
+                   and "|" not in a and "," not in a
+                   for p, a in counts), \
+            "transition key contains a state-codec separator"
         state.update((
             last or "",
             "|".join(f"{ms},{eid},{act}" for ms, eid, act in keep),
@@ -1152,6 +1169,10 @@ def funnel_ordered_agg(ev: DataFrame) -> DataFrame:
                 t2 = us
             elif act == "purchase" and t2 >= 0 and us > t2 and t3 < 0:
                 t3 = us
+        # codec guard: activity rides last (split(',', 2) keeps its
+        # tail) but '|' joins records — must not appear in the value
+        assert all("|" not in act for _, _, act in keep), \
+            "activity value contains the '|' record separator"
         state.update((t1, t2, t3,
                       "|".join(f"{us},{eid},{act}"
                                for us, eid, act in keep)))
@@ -1182,7 +1203,17 @@ def linear_attribution_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     without the range condition the self-join state would grow without
     bound). Inner join in append mode: a pair emits as soon as both
     sides have arrived, so the drained pair SET equals the batch
-    interval join under any batching."""
+    interval join under any batching.
+
+    State budget (the design cost of a 7-day horizon, stated not
+    hidden): steady-state rows ≈ touch_rate × (7 d + 1 h delay) +
+    purchase_rate × 1 h — linear in the horizon, independent of total
+    stream length. Eviction at the horizon is pinned by
+    tests/test_round8_queries.py::
+    test_attribution_join_state_evicts_past_watermark; shrinking the
+    horizon (e.g. 3 d) cuts state proportionally but must change the
+    batch oracle in lockstep (temporal._LINEAR_ATTR_SQL hardcodes the
+    same 7-day window)."""
     pur = (events_stream(spark, sf_dir, watermark=None)
            .where(F.col("activity") == "purchase")
            .select(F.col("event_id").alias("p_id"),
