@@ -279,6 +279,19 @@ ROUND7E_COLLECT = [
 ]
 ROUND7E_COUNT: list = []
 
+# Round-8 wave ("round8_total"): real media decode over planted
+# blobs, portable KMV quantile sketch rollup, exact power-method PCA.
+ROUND8_COLLECT = [
+    "media_decode_stats",
+    "kmv_value_quantiles",
+    "user_pca_projection",
+]
+ROUND8_COUNT: list = []
+
+# Always isolated-re-measured regardless of in-run rank: queries whose
+# in-run numbers have previously disagreed with quiet-box reruns.
+ISOLATE_ALWAYS = ["stream_topk_users"]
+
 
 def main() -> None:
     spark = get_spark("bench")
@@ -347,18 +360,24 @@ def main() -> None:
         timings[name] = median_time(name, name in ROUND7E_COUNT)
     round7e_total = round(sum(timings[n] for n in
                               ROUND7E_COLLECT + ROUND7E_COUNT), 3)
-    # Isolated re-measure of the 5 slowest queries: a fresh
-    # spark.newSession() per query, after every other group finished.
-    # In-run medians on a shared box have twice produced phantom
-    # regressions (r3 decontamination, r4 threat family: in-run numbers
-    # ran ~1.5-2x a quiet-box re-run of identical code); recording a
-    # second, quieter sample alongside lets a reviewer adjudicate noise
-    # vs real regression without re-running the bench.
+    for name in ROUND8_COLLECT + ROUND8_COUNT:
+        timings[name] = median_time(name, name in ROUND8_COUNT)
+    round8_total = round(sum(timings[n] for n in
+                             ROUND8_COLLECT + ROUND8_COUNT), 3)
+    # Isolated re-measure of the 10 slowest queries (plus the
+    # ISOLATE_ALWAYS watchlist): a fresh spark.newSession() per query,
+    # after every other group finished. In-run medians on a shared box
+    # have repeatedly produced phantom regressions (r3 decontamination,
+    # r4 threat family, r7 stream_markov 7.1 s in-run vs 1.9 s
+    # isolated); recording a second, quieter sample alongside lets a
+    # reviewer adjudicate noise vs real regression without re-running.
     count_set = set(HEADLINE_COUNT + PIPELINE_COUNT + EXTENDED_COUNT
                     + ROUND4_COUNT + ROUND5_COUNT + ROUND5B_COUNT
                     + ROUND5C_COUNT + ROUND7_COUNT + ROUND7B_COUNT
-                    + ROUND7C_COUNT + ROUND7D_COUNT + ROUND7E_COUNT)
-    slowest = sorted(timings, key=timings.get, reverse=True)[:5]
+                    + ROUND7C_COUNT + ROUND7D_COUNT + ROUND7E_COUNT
+                    + ROUND8_COUNT)
+    slowest = sorted(timings, key=timings.get, reverse=True)[:10]
+    slowest += [n for n in ISOLATE_ALWAYS if n not in slowest]
     isolated: dict[str, float] = {}
     for name in slowest:
         fresh = spark.newSession()
@@ -384,6 +403,7 @@ def main() -> None:
         "round7c_total": round7c_total,
         "round7d_total": round7d_total,
         "round7e_total": round7e_total,
+        "round8_total": round8_total,
     }
     # The full ~150-query timing map overflowed the driver's tail capture
     # in round 5 (BENCH_r05.json: parsed=null, the line was truncated

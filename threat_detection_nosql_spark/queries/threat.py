@@ -547,8 +547,12 @@ def similar_user_pairs_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
     Norms are per-user aggs joined broadcast; u₁ < u₂ halves the
     output; the cut orders by the ROUNDED cosine then ids."""
     log = activity_log(spark, sf_dir)
+    # localCheckpoint: ua (|users|x|activities| rows) feeds the norms
+    # agg AND both self-join sides — without it the plan scans the
+    # fact table four times (once per subtree copy)
     ua = (log.groupBy("user", "activity")
-          .agg(F.count("*").alias("c")))
+          .agg(F.count("*").alias("c"))
+          .localCheckpoint())
     norms = (ua.groupBy("user")
              .agg(F.sqrt(F.sum(F.col("c") * F.col("c"))).alias("nrm")))
     from pyspark.sql.window import Window
@@ -560,7 +564,8 @@ def similar_user_pairs_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
               .filter(F.col("rk1") <= _SIM_USER_CAP)
               .withColumn("rk", F.row_number().over(w2))
               .filter(F.col("rk") <= _SIM_USER_CAP)
-              .select("user", "activity", "c"))
+              .select("user", "activity", "c")
+              .localCheckpoint())  # referenced by BOTH join sides
     a = capped.select(F.col("user").alias("u1"), "activity",
                       F.col("c").alias("c1"))
     b = capped.select(F.col("user").alias("u2"), "activity",
