@@ -285,6 +285,9 @@ ROUND8_COLLECT = [
     "media_decode_stats",
     "kmv_value_quantiles",
     "user_pca_projection",
+    "stream_kmv_quantiles",
+    "audio_frame_features",
+    "image_tile_stats",
 ]
 ROUND8_COUNT: list = []
 

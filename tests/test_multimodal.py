@@ -46,6 +46,16 @@ def test_frame_sample_only_video(media):
     assert all(r.frame_idx % 8 == 0 for r in rows)
 
 
-def test_decode_image_is_stubbed():
-    with pytest.raises(NotImplementedError):
-        multimodal.decode_image(b"\x89PNG")
+def test_decode_media_dispatch_and_codec_refusal():
+    """Round 8 replaced the NotImplementedError stub with real
+    lib-free codecs: decode_media dispatches bmp/ppm/wav to byte-level
+    parsers (round-trip tests in tests/test_round8_queries.py) and
+    refuses codec formats the container cannot decode without
+    Pillow/pyav."""
+    import numpy as np
+
+    img = np.arange(2 * 2 * 3, dtype=np.uint8).reshape(2, 2, 3)
+    assert (multimodal.decode_media(
+        multimodal.encode_bmp(img), "bmp") == img).all()
+    with pytest.raises(ValueError, match="no lib-free decoder"):
+        multimodal.decode_media(b"\x89PNG", "png")

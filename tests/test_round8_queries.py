@@ -353,3 +353,46 @@ def test_round8_plans_scan_once_and_prune(spark):
     scans = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
     assert scans and all("doc_id" in ln and "text" not in ln
                          for ln in scans)
+
+
+# -- streaming KMV sketch -------------------------------------------------------
+
+def test_stream_kmv_drained_equals_batch_under_any_batching(spark, tmp_path):
+    """Bottom-k mergeability must hold under ANY batching: drive the
+    same events as TWO micro-batches (maxFilesPerTrigger=1), take each
+    type's LAST emission, and assert it equals the batch KMV rollup —
+    sample size AND every quantile value."""
+    from pyspark.sql import functions as F
+
+    from threat_detection_nosql_spark.operators import sketches
+    from threat_detection_nosql_spark.sources.readers import load_table
+    from threat_detection_nosql_spark.streaming.stream_queries import (
+        kmv_quantile_agg,
+        run_stream_to_table,
+    )
+
+    ev = load_table(spark, "/root/testdata/sf0.01", "events").select(
+        "event_type", "event_id", "value")
+    src = str(tmp_path / "ev_feed")
+    ev.repartition(2).write.parquet(src)
+    stream = (spark.readStream.schema(ev.schema)
+              .option("maxFilesPerTrigger", "1").parquet(src))
+    table = run_stream_to_table(kmv_quantile_agg(stream, k=64),
+                                mode="update")
+    last = (table.groupBy("event_type")
+            .agg(F.max(F.struct("seq", "n_sampled",
+                                "p50", "p90", "p99")).alias("s")))
+    drained = {r["event_type"]: (r["s"]["n_sampled"], r["s"]["p50"],
+                                 r["s"]["p90"], r["s"]["p99"])
+               for r in last.collect()}
+    # at least two emissions for some group proves multi-batch ran
+    assert table.groupBy("event_type").count().agg(
+        F.max("count")).collect()[0][0] >= 2
+
+    batch = {r["event_type"]: (r["n_sampled"], r["p50"], r["p90"],
+                               r["p99"])
+             for r in sketches.kmv_merge_quantiles(
+                 sketches.kmv_daily_value_samples(ev.withColumn(
+                     "ts", F.timestamp_micros(F.col("event_id"))), k=64),
+                 k=64).collect()}
+    assert drained == batch

@@ -301,3 +301,81 @@ def media_stats(media: DataFrame) -> DataFrame:
             yield pd.DataFrame(out)
 
     return media.mapInPandas(batches, schema=MEDIA_STATS_SCHEMA)
+
+
+AUDIO_FRAME_SCHEMA = ("doc_id long, frame_idx int, n_samples int, "
+                      "sample_sum long, sample_sumsq long, "
+                      "frame_peak int, n_rises int")
+
+
+def audio_frame_features(media: DataFrame,
+                         frame_len: int = 32) -> DataFrame:
+    """Frame-level audio features from REAL decoded PCM: split each
+    WAV's samples into fixed windows (last partial frame kept) and
+    emit per-frame energy/peak/slope statistics computed from the
+    decoded int16 values — exact integers, so an oracle can replay
+    them from the planting pattern (or a lag window over a generated
+    series) with zero float drift. The shape is the standard audio
+    featurization pipeline (VAD energy gates, onset detection) minus
+    the codec: swap decode_wav for a real decoder and the framing,
+    stats, and Arrow transport all stand."""
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {k: [] for k in ("doc_id", "frame_idx", "n_samples",
+                                   "sample_sum", "sample_sumsq",
+                                   "frame_peak", "n_rises")}
+            for doc_id, kind, blob in zip(pdf["doc_id"], pdf["media_kind"],
+                                          pdf["blob"]):
+                if kind != "wav":
+                    continue
+                samples, _rate = decode_wav(bytes(blob))
+                s = samples.astype(np.int64)
+                for f in range(0, len(s), frame_len):
+                    fr = s[f:f + frame_len]
+                    out["doc_id"].append(doc_id)
+                    out["frame_idx"].append(f // frame_len)
+                    out["n_samples"].append(len(fr))
+                    out["sample_sum"].append(int(fr.sum()))
+                    out["sample_sumsq"].append(int((fr * fr).sum()))
+                    out["frame_peak"].append(int(fr.max()))
+                    out["n_rises"].append(int((fr[1:] > fr[:-1]).sum()))
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(batches, schema=AUDIO_FRAME_SCHEMA)
+
+
+IMAGE_TILE_SCHEMA = ("doc_id long, tile_r int, tile_c int, n_px int, "
+                     "sum_c0 long, sum_c1 long, sum_c2 long")
+
+
+def image_tile_stats(media: DataFrame, tile: int = 4) -> DataFrame:
+    """Tile/patch statistics from REAL decoded pixels: split each
+    decoded image into tile×tile patches (edge tiles partial) and emit
+    exact-integer per-channel sums — the patching step of every
+    ViT-style vision pipeline, minus the codec. Works on both planted
+    formats (BMP exercises padding + bottom-up rows, PPM the P6
+    raster); the oracle regenerates the pixel lattice with
+    generate_series and replays the same tiling."""
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {k: [] for k in ("doc_id", "tile_r", "tile_c", "n_px",
+                                   "sum_c0", "sum_c1", "sum_c2")}
+            for doc_id, kind, blob in zip(pdf["doc_id"], pdf["media_kind"],
+                                          pdf["blob"]):
+                if kind not in ("bmp", "ppm"):
+                    continue
+                img = decode_media(bytes(blob), kind).astype(np.int64)
+                h, w, _ = img.shape
+                for tr in range(0, h, tile):
+                    for tc in range(0, w, tile):
+                        patch = img[tr:tr + tile, tc:tc + tile]
+                        out["doc_id"].append(doc_id)
+                        out["tile_r"].append(tr // tile)
+                        out["tile_c"].append(tc // tile)
+                        out["n_px"].append(patch.shape[0] * patch.shape[1])
+                        for k in range(3):
+                            out[f"sum_c{k}"].append(
+                                int(patch[:, :, k].sum()))
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(batches, schema=IMAGE_TILE_SCHEMA)

@@ -2338,3 +2338,101 @@ FROM d
 
 QUERIES_TAIL["media_decode_stats"] = media_decode_stats
 ORACLES_TAIL["media_decode_stats"] = _MEDIA_FEATURES_SQL
+
+
+# -- D6c: frame-level audio features over decoded PCM --------------------------
+
+def audio_frame_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-frame audio statistics from REAL decoded PCM: plant the
+    deterministic WAV blobs, parse them back (RIFF walk + int16
+    samples), window into 32-sample frames, and emit exact-integer
+    energy/peak/slope features per frame — the lib-free skeleton of
+    every VAD/onset pipeline. The oracle never touches the bytes: it
+    regenerates each doc's sample series with unnest(generate_series),
+    applies the SAME framing, and computes rises with a lag window —
+    so the decode path is checked against an independent formulation
+    of the feature definitions, not a copy of the kernel."""
+    from threat_detection_nosql_spark.operators.multimodal import (
+        audio_frame_features as frames, synth_media)
+    docs = load_table(spark, sf_dir, "documents")
+    return frames(synth_media(docs))
+
+
+_AUDIO_FRAMES_SQL = """
+WITH d AS (
+  SELECT doc_id, doc_id % 1000 AS base, 64 + doc_id % 100 AS n
+  FROM documents WHERE doc_id % 3 = 2),
+s0 AS (
+  SELECT doc_id, base, unnest(generate_series(0, n - 1)) AS i FROM d),
+s AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS i,
+         CAST(base + 7 * (i % 40) AS BIGINT) AS v
+  FROM s0),
+lagged AS (
+  SELECT doc_id, i // 32 AS frame_idx, v,
+         lag(v) OVER (PARTITION BY doc_id, i // 32 ORDER BY i) AS pv
+  FROM s)
+SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
+       CAST(count(*) AS INT) AS n_samples,
+       CAST(sum(v) AS BIGINT) AS sample_sum,
+       CAST(sum(v * v) AS BIGINT) AS sample_sumsq,
+       CAST(max(v) AS INT) AS frame_peak,
+       CAST(sum(CASE WHEN pv IS NOT NULL AND v > pv THEN 1 ELSE 0 END)
+            AS INT) AS n_rises
+FROM lagged
+GROUP BY doc_id, frame_idx
+"""
+
+QUERIES_TAIL["audio_frame_features"] = audio_frame_features
+ORACLES_TAIL["audio_frame_features"] = _AUDIO_FRAMES_SQL
+
+
+# -- D6d: image tile/patch statistics over decoded pixels ----------------------
+
+def image_tile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ViT-style patching over REAL decoded pixels (BMP padding +
+    bottom-up rows and PPM raster both exercised): 4x4 tiles,
+    exact-integer per-channel sums. Oracle regenerates the pixel
+    lattice (two sequential unnest(generate_series) CTEs — they zip
+    if stacked in one SELECT) and replays the same tiling without
+    touching the bytes."""
+    from threat_detection_nosql_spark.operators.multimodal import (
+        image_tile_stats as tiles, synth_media)
+    docs = load_table(spark, sf_dir, "documents")
+    return tiles(synth_media(docs))
+
+
+_IMAGE_TILES_SQL = """
+WITH d AS (
+  SELECT doc_id, doc_id % 3 AS kind,
+         CASE WHEN doc_id % 3 = 0 THEN 4 + doc_id % 5
+              ELSE 3 + doc_id % 7 END AS w,
+         CASE WHEN doc_id % 3 = 0 THEN 8 ELSE 6 END AS h,
+         doc_id % 180 AS base
+  FROM documents WHERE doc_id % 3 IN (0, 1)),
+rws AS (
+  SELECT doc_id, kind, w, base,
+         unnest(generate_series(0, h - 1)) AS r
+  FROM d),
+px AS (
+  SELECT doc_id, kind, base, r,
+         unnest(generate_series(0, w - 1)) AS c
+  FROM rws),
+v AS (
+  SELECT doc_id, r // 4 AS tile_r, c // 4 AS tile_c,
+         CASE WHEN kind = 0 THEN base + r + c % 4
+              ELSE base + c END AS v0,
+         CASE WHEN kind = 0 THEN 16 ELSE 32 END AS step
+  FROM px)
+SELECT doc_id, CAST(tile_r AS INT) AS tile_r,
+       CAST(tile_c AS INT) AS tile_c,
+       CAST(count(*) AS INT) AS n_px,
+       CAST(sum(v0) AS BIGINT) AS sum_c0,
+       CAST(sum(v0 + step) AS BIGINT) AS sum_c1,
+       CAST(sum(v0 + 2 * step) AS BIGINT) AS sum_c2
+FROM v
+GROUP BY doc_id, tile_r, tile_c
+"""
+
+QUERIES_TAIL["image_tile_stats"] = image_tile_stats
+ORACLES_TAIL["image_tile_stats"] = _IMAGE_TILES_SQL

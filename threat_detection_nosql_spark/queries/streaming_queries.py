@@ -720,3 +720,23 @@ def _stream_linear_attr_sql() -> str:
 
 QUERIES_TAIL["stream_linear_attribution"] = stream_linear_attribution
 ORACLES_TAIL["stream_linear_attribution"] = _stream_linear_attr_sql()
+
+
+def stream_kmv_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming KMV quantile sketch (streaming.stream_queries.
+    kmv_quantile_agg): bottom-k-by-md5 state per event_type — FIXED
+    state size regardless of stream length — re-emitting discrete
+    quantiles each batch. Oracle = the batch KMV rollup SQL verbatim
+    (metrics.kmv_value_quantiles): the bottom-k of a union is the
+    bottom-k of per-part bottom-k's, so drained == batch under any
+    batching."""
+    return S.stream_kmv_quantiles(spark, sf_dir)
+
+
+def _stream_kmv_sql() -> str:
+    from threat_detection_nosql_spark.queries.metrics import _KMV_SQL
+    return _KMV_SQL
+
+
+QUERIES_TAIL["stream_kmv_quantiles"] = stream_kmv_quantiles
+ORACLES_TAIL["stream_kmv_quantiles"] = _stream_kmv_sql()

@@ -1236,3 +1236,95 @@ def linear_attribution_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = joined.select("p_id", "cents", "touch",
                         F.unix_micros("t_ts").alias("t_us"), "t_id")
     return run_stream_to_table(out, mode="append")
+
+
+# ---------------------------------------------------------------------------
+# Streaming KMV quantile sketch (bottom-k by md5 — bounded state,
+# portable, exactly oracle-replayable)
+# ---------------------------------------------------------------------------
+
+_KMV_OUT_SCHEMA = ("event_type string, seq long, n_sampled long, "
+                   "p50 double, p90 double, p99 double")
+_KMV_STATE = "seq long, packed string"
+
+
+def kmv_quantile_agg(ev: DataFrame, k: int = 256) -> DataFrame:
+    """Streaming twin of operators.sketches' KMV rollup: per
+    event_type, keep the k rows with the smallest md5(event_id) —
+    FIXED state per group no matter how long the stream runs — and
+    re-emit discrete quantiles of the sample each batch (update
+    mode). Because the bottom-k of a union is the bottom-k of
+    per-part bottom-k's, the drained final sample equals the batch
+    sketch under ANY batching, so the batch oracle replays every
+    value. The md5 rank is computed with hashlib to the same hex
+    string Spark's md5(CAST(event_id AS VARCHAR)) and DuckDB's
+    md5(...) produce; quantiles use the percentile_disc convention
+    sorted[ceil(q*n)-1] (an OBSERVED value — no interpolation
+    arithmetic to diverge). `seq` is a monotone per-group update
+    counter so the consumer (and the registered query) can take each
+    group's LAST emission from an append-only sink."""
+    import hashlib
+    import math
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        seq = 0
+        sample: list[tuple[str, int, float]] = []
+        if state.exists:
+            seq = int(state.get[0])
+            packed = state.get[1]
+            if packed:
+                for item in packed.split("|"):
+                    h, eid, val = item.split(",", 2)
+                    sample.append((h, int(eid), float(val)))
+        for chunk in pdfs:
+            for eid, val in zip(chunk["event_id"], chunk["value"]):
+                eid = int(eid)
+                h = hashlib.md5(str(eid).encode()).hexdigest()
+                sample.append((h, eid, float(val)))
+        sample.sort()
+        sample = sample[:k]
+        seq += 1
+        # repr() round-trips doubles exactly; h is hex (no separators)
+        state.update((seq, "|".join(f"{h},{eid},{val!r}"
+                                    for h, eid, val in sample)))
+        vals = sorted(v for _, _, v in sample)
+        n = len(vals)
+
+        def disc(q: float) -> float:
+            return vals[max(0, math.ceil(q * n) - 1)]
+
+        yield pd.DataFrame({
+            "event_type": [key[0]],
+            "seq": pd.array([seq], dtype="Int64"),
+            "n_sampled": pd.array([n], dtype="Int64"),
+            "p50": [disc(0.5)], "p90": [disc(0.9)], "p99": [disc(0.99)],
+        })
+
+    return ev.groupBy("event_type").applyInPandasWithState(
+        update,
+        outputStructType=_KMV_OUT_SCHEMA,
+        stateStructType=_KMV_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout)
+
+
+def stream_kmv_quantiles(spark: SparkSession, sf_dir: str,
+                         k: int = 256) -> DataFrame:
+    """Drive the streaming KMV sketch over the finite events stream
+    and return each type's final quantiles (latest emission per group
+    via struct-max on the monotone seq)."""
+    ev = events_stream(spark, sf_dir).select(
+        "event_type", "event_id", "value")
+    table = run_stream_to_table(kmv_quantile_agg(ev, k), mode="update")
+    last = (table.groupBy("event_type")
+            .agg(F.max(F.struct("seq", "n_sampled",
+                                "p50", "p90", "p99")).alias("s")))
+    return (last.select("event_type",
+                        F.col("s.n_sampled").alias("n_sampled"),
+                        F.col("s.p50").alias("p50"),
+                        F.col("s.p90").alias("p90"),
+                        F.col("s.p99").alias("p99"))
+            .orderBy("event_type"))
