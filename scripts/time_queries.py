@@ -39,6 +39,10 @@ def main() -> int:
              .config("spark.ui.enabled", "false")
              .appName("time_queries").getOrCreate())
     queries = entrymod.queries()
+    # warm codegen/Arrow/parquet once so the first timed query is not
+    # charged JVM startup (same rationale as bench.py)
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    spark.read.parquet(f"{sf_dir}/events.parquet").limit(1).collect()
     for name in names:
         start = time.perf_counter()
         df = queries[name](spark, sf_dir)

@@ -396,3 +396,50 @@ def test_stream_kmv_drained_equals_batch_under_any_batching(spark, tmp_path):
                      "ts", F.timestamp_micros(F.col("event_id"))), k=64),
                  k=64).collect()}
     assert drained == batch
+
+
+# -- bucketed co-located join ----------------------------------------------------
+
+def test_bucketed_join_has_no_exchange(spark):
+    """Two tables bucketed on the same (key, bucket-count) must join
+    with NO Exchange on either side (and no Sort when written
+    sortBy) — the co-located fact-fact join layout. A plain parquet
+    write of the same data shuffles both sides; bucketing is what
+    removes it."""
+    from pyspark.sql import functions as F
+
+    from tests.test_plans import formatted_plan
+    from threat_detection_nosql_spark.sources.readers import load_table
+    from threat_detection_nosql_spark.sources.writers import write_bucketed
+
+    ev = load_table(spark, "/root/testdata/sf0.01", "events")
+    facts = ev.select("user_id", "event_id", "value")
+    dims = (ev.groupBy("user_id")
+            .agg(F.count("*").alias("n_events")))
+    try:
+        write_bucketed(facts, "r8_facts_b", "user_id", buckets=8)
+        write_bucketed(dims, "r8_dims_b", "user_id", buckets=8)
+        j = (spark.table("r8_facts_b")
+             .join(spark.table("r8_dims_b"), "user_id")
+             .groupBy("user_id").agg(F.sum("value").alias("v"),
+                                     F.max("n_events").alias("n")))
+        # disable broadcast so the join strategy itself is under test
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            plan = formatted_plan(j)
+        finally:
+            spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        join_section = plan.split("Exchange")[0]
+        assert "SortMergeJoin" in plan
+        # no shuffle feeds the join: every Exchange (if any) sits
+        # ABOVE it (the final agg), never between scan and join
+        assert "SortMergeJoin" in join_section
+        # correctness unchanged vs the plain join
+        plain = (facts.join(dims, "user_id")
+                 .groupBy("user_id").agg(F.sum("value").alias("v"),
+                                         F.max("n_events").alias("n")))
+        assert sorted(map(tuple, j.collect())) == \
+            sorted(map(tuple, plain.collect()))
+    finally:
+        spark.sql("DROP TABLE IF EXISTS r8_facts_b")
+        spark.sql("DROP TABLE IF EXISTS r8_dims_b")

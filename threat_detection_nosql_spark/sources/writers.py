@@ -155,3 +155,23 @@ def schema_drift(spark, old_path: str, new_path: str) -> list[dict]:
             drift.append({"column": c, "change": "type_changed",
                           "old_type": old[c], "new_type": new[c]})
     return drift
+
+
+def write_bucketed(df: DataFrame, table: str, key: str,
+                   buckets: int = 32,
+                   sort_within: bool = True) -> None:
+    """Materialize a catalog table bucketed (and optionally sorted)
+    on ``key`` — the co-located-join layout for fact-fact joins that
+    repeat across a pipeline. Two tables bucketed the same way join
+    with ZERO exchange (and zero sort when sort_within): at 100 TB
+    the shuffle this removes is usually the single largest cost of
+    the join, and bucket pruning serves point lookups on the key.
+    The 100-TB caveats, stated: bucket count is fixed at write time
+    (size it for the TARGET scale, not the test scale) and both sides
+    must agree on (key, buckets) — a mismatch silently falls back to
+    a shuffled join, which the plan test pins against."""
+    w = df.write.mode("overwrite").format("parquet")
+    w = w.bucketBy(buckets, key)
+    if sort_within:
+        w = w.sortBy(key)
+    w.saveAsTable(table)
