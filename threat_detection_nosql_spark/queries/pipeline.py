@@ -1909,6 +1909,14 @@ def containment_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     ubiquitous boilerplate shingles are exactly the ones that carry
     no duplication signal.
 
+    Regime boundary (measured at the 100x soak, stated not hidden):
+    a corpus whose every document is >CAP-way duplicated prunes ALL
+    shingles and yields zero containment pairs — by design. Mass
+    duplication is the exact/MinHash families' regime (they stay
+    recall-complete at the same soaks); containment targets the
+    asymmetric subset case in the deduplicated tail, and the absolute
+    cap is what keeps its fan-out scale-safe.
+
     Scale shape: shingle build (one explode, array ops, no UDF) ->
     df agg -> semi-join prune -> shingle-equi-join bounded by the cap
     -> pair agg -> two broadcast size joins. The checkpointed shingle
