@@ -288,6 +288,7 @@ ROUND8_COLLECT = [
     "stream_kmv_quantiles",
     "audio_frame_features",
     "image_tile_stats",
+    "chunked_documents",
 ]
 ROUND8_COUNT: list = []
 

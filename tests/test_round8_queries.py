@@ -443,3 +443,77 @@ def test_bucketed_join_has_no_exchange(spark):
     finally:
         spark.sql("DROP TABLE IF EXISTS r8_facts_b")
         spark.sql("DROP TABLE IF EXISTS r8_dims_b")
+
+
+# -- property-based codec round-trips -------------------------------------------
+
+def test_codec_roundtrips_property():
+    """Property test: ANY uint8 image round-trips BMP and PPM
+    byte-exactly (odd widths exercise BMP's row padding), and ANY
+    int16 signal round-trips WAV — driven by hypothesis so the codecs
+    are pinned on shapes the planted fixtures never hit."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from threat_detection_nosql_spark.operators.multimodal import (
+        decode_bmp, decode_ppm, decode_wav, encode_bmp, encode_ppm,
+        encode_wav)
+
+    @settings(max_examples=40, deadline=None)
+    @given(st.integers(1, 9), st.integers(1, 9), st.integers(0, 2**32 - 1))
+    def roundtrip_images(w, h, seed):
+        rng = np.random.default_rng(seed)
+        img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        assert (decode_bmp(encode_bmp(img)) == img).all()
+        assert (decode_ppm(encode_ppm(img)) == img).all()
+
+    @settings(max_examples=40, deadline=None)
+    @given(st.integers(1, 500), st.integers(0, 2**32 - 1),
+           st.sampled_from([8000, 16000, 44100]))
+    def roundtrip_audio(n, seed, rate):
+        rng = np.random.default_rng(seed)
+        s = rng.integers(-32768, 32768, size=n, dtype=np.int16)
+        out, r = decode_wav(encode_wav(s, rate))
+        assert r == rate and (out == s).all()
+
+    roundtrip_images()
+    roundtrip_audio()
+
+
+# -- RAG chunking ----------------------------------------------------------------
+
+def test_chunked_documents_boundaries(spark, tmp_path):
+    """Chunk boundary semantics on planted docs: a 100-token doc gets
+    chunks starting at 0/48/96 with the last partial (4 tokens); each
+    chunk overlaps the previous by 16; a 1-token doc yields exactly
+    one 1-token chunk; chunk_md5 matches the md5 of the joined slice."""
+    import hashlib
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from threat_detection_nosql_spark.queries.pipeline import (
+        chunked_documents)
+
+    toks_a = [f"t{i}" for i in range(100)]
+    table = pa.table({
+        "doc_id": pa.array([1, 2], pa.int64()),
+        "text": pa.array([" ".join(toks_a), "solo"]),
+        "lang": pa.array(["en", "en"]),
+        "source": pa.array(["s", "s"]),
+        "n_chars": pa.array([len(" ".join(toks_a)), 4], pa.int64()),
+    })
+    pq.write_table(table, str(tmp_path / "documents.parquet"))
+
+    rows = {(r.doc_id, r.chunk_idx): r
+            for r in chunked_documents(spark, str(tmp_path)).collect()}
+    assert sorted(rows) == [(1, 0), (1, 1), (1, 2), (2, 0)]
+    assert (rows[(1, 0)].start_tok, rows[(1, 0)].chunk_tokens) == (0, 64)
+    assert (rows[(1, 1)].start_tok, rows[(1, 1)].chunk_tokens) == (48, 52)
+    assert (rows[(1, 2)].start_tok, rows[(1, 2)].chunk_tokens) == (96, 4)
+    assert (rows[(2, 0)].start_tok, rows[(2, 0)].chunk_tokens) == (0, 1)
+    want = hashlib.md5(" ".join(toks_a[48:100]).encode()).hexdigest()
+    assert rows[(1, 1)].chunk_md5 == want
+    # 16-token overlap: chunk 1 starts 16 tokens before chunk 0 ends
+    assert 64 - 48 == 16

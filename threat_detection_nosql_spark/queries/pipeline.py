@@ -2444,3 +2444,71 @@ GROUP BY doc_id, tile_r, tile_c
 
 QUERIES_TAIL["image_tile_stats"] = image_tile_stats
 ORACLES_TAIL["image_tile_stats"] = _IMAGE_TILES_SQL
+
+
+# -- D27: RAG chunking (overlapping token windows) ------------------------------
+
+_CHUNK_W = 64   # tokens per chunk
+_CHUNK_S = 48   # stride (W - S = 16-token overlap)
+
+
+def chunked_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic RAG chunking: split each document into
+    overlapping token windows (64-token chunks, 48-token stride — the
+    overlap keeps answers that straddle a boundary retrievable), one
+    output row per chunk with its position and content hash. Pure
+    array expressions: split → filter empties → sequence of starts →
+    explode → slice → concat_ws → md5; no UDF, whole-stage codegen,
+    and the shuffle-free shape means 100 TB chunks at scan speed.
+    The md5 stands in for the chunk text in the registered output so
+    result rows stay narrow; a real pipeline would keep the text and
+    feed the embedder."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.col("text"), r"\s+"),
+                    lambda x: x != F.lit(""))
+    d = docs.select("doc_id", toks.alias("toks"),
+                    F.size(toks).alias("n_tok"))
+    starts = F.sequence(F.lit(0),
+                        F.greatest(F.col("n_tok") - 1, F.lit(0)),
+                        F.lit(_CHUNK_S))
+    chunk = F.slice("toks", F.col("start") + 1, _CHUNK_W)
+    return (d.filter(F.col("n_tok") > 0)
+            .select("doc_id", "toks", F.explode(starts).alias("start"))
+            .select("doc_id",
+                    (F.col("start") / _CHUNK_S).cast("int")
+                    .alias("chunk_idx"),
+                    F.col("start").cast("int").alias("start_tok"),
+                    F.size(chunk).cast("int").alias("chunk_tokens"),
+                    F.md5(F.concat_ws(" ", chunk)).alias("chunk_md5"))
+            .orderBy("doc_id", "chunk_idx"))
+
+
+_CHUNKS_SQL = rf"""
+WITH d AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\s+'),
+                     x -> x <> '') AS toks
+  FROM documents),
+sized AS (SELECT doc_id, toks, len(toks) AS n_tok FROM d
+          WHERE len(toks) > 0),
+starts AS (
+  SELECT doc_id, toks, n_tok,
+         unnest(generate_series(0, greatest(n_tok - 1, 0),
+                                {_CHUNK_S})) AS start
+  FROM sized)
+SELECT doc_id,
+       CAST(start // {_CHUNK_S} AS INT) AS chunk_idx,
+       CAST(start AS INT) AS start_tok,
+       CAST(len(list_slice(toks, start + 1,
+                           least(start + {_CHUNK_W}, n_tok))) AS INT)
+         AS chunk_tokens,
+       md5(array_to_string(
+           list_slice(toks, start + 1,
+                      least(start + {_CHUNK_W}, n_tok)), ' '))
+         AS chunk_md5
+FROM starts
+ORDER BY doc_id, chunk_idx
+"""
+
+QUERIES_TAIL["chunked_documents"] = chunked_documents
+ORACLES_TAIL["chunked_documents"] = _CHUNKS_SQL
