@@ -296,6 +296,24 @@ ROUND8_COUNT: list = []
 # in-run numbers have previously disagreed with quiet-box reruns.
 ISOLATE_ALWAYS = ["stream_topk_users"]
 
+# One row per bench group: (json label, collect-list, count-list).
+# A new round adds ONE tuple here — the timing loop, group totals,
+# and the isolated-rerun count_set all derive from it.
+GROUP_SPECS = [
+    ("pipeline_total", PIPELINE_COLLECT, PIPELINE_COUNT),
+    ("extended_total", EXTENDED_COLLECT, EXTENDED_COUNT),
+    ("round4_total", ROUND4_COLLECT, ROUND4_COUNT),
+    ("round5_total", ROUND5_COLLECT, ROUND5_COUNT),
+    ("round5b_total", ROUND5B_COLLECT, ROUND5B_COUNT),
+    ("round5c_total", ROUND5C_COLLECT, ROUND5C_COUNT),
+    ("round7_total", ROUND7_COLLECT, ROUND7_COUNT),
+    ("round7b_total", ROUND7B_COLLECT, ROUND7B_COUNT),
+    ("round7c_total", ROUND7C_COLLECT, ROUND7C_COUNT),
+    ("round7d_total", ROUND7D_COLLECT, ROUND7D_COUNT),
+    ("round7e_total", ROUND7E_COLLECT, ROUND7E_COUNT),
+    ("round8_total", ROUND8_COLLECT, ROUND8_COUNT),
+]
+
 
 def main() -> None:
     spark = get_spark("bench")
@@ -320,54 +338,11 @@ def main() -> None:
     for name in HEADLINE_COLLECT + HEADLINE_COUNT:
         timings[name] = median_time(name, name in HEADLINE_COUNT)
     total = round(sum(timings.values()), 3)
-    for name in PIPELINE_COLLECT + PIPELINE_COUNT:
-        timings[name] = median_time(name, name in PIPELINE_COUNT)
-    pipeline_total = round(sum(timings[n] for n in
-                               PIPELINE_COLLECT + PIPELINE_COUNT), 3)
-    for name in EXTENDED_COLLECT + EXTENDED_COUNT:
-        timings[name] = median_time(name, name in EXTENDED_COUNT)
-    extended_total = round(sum(timings[n] for n in
-                               EXTENDED_COLLECT + EXTENDED_COUNT), 3)
-    for name in ROUND4_COLLECT + ROUND4_COUNT:
-        timings[name] = median_time(name, name in ROUND4_COUNT)
-    round4_total = round(sum(timings[n] for n in
-                             ROUND4_COLLECT + ROUND4_COUNT), 3)
-    for name in ROUND5_COLLECT + ROUND5_COUNT:
-        timings[name] = median_time(name, name in ROUND5_COUNT)
-    round5_total = round(sum(timings[n] for n in
-                             ROUND5_COLLECT + ROUND5_COUNT), 3)
-    for name in ROUND5B_COLLECT + ROUND5B_COUNT:
-        timings[name] = median_time(name, name in ROUND5B_COUNT)
-    round5b_total = round(sum(timings[n] for n in
-                              ROUND5B_COLLECT + ROUND5B_COUNT), 3)
-    for name in ROUND5C_COLLECT + ROUND5C_COUNT:
-        timings[name] = median_time(name, name in ROUND5C_COUNT)
-    round5c_total = round(sum(timings[n] for n in
-                              ROUND5C_COLLECT + ROUND5C_COUNT), 3)
-    for name in ROUND7_COLLECT + ROUND7_COUNT:
-        timings[name] = median_time(name, name in ROUND7_COUNT)
-    round7_total = round(sum(timings[n] for n in
-                             ROUND7_COLLECT + ROUND7_COUNT), 3)
-    for name in ROUND7B_COLLECT + ROUND7B_COUNT:
-        timings[name] = median_time(name, name in ROUND7B_COUNT)
-    round7b_total = round(sum(timings[n] for n in
-                              ROUND7B_COLLECT + ROUND7B_COUNT), 3)
-    for name in ROUND7C_COLLECT + ROUND7C_COUNT:
-        timings[name] = median_time(name, name in ROUND7C_COUNT)
-    round7c_total = round(sum(timings[n] for n in
-                              ROUND7C_COLLECT + ROUND7C_COUNT), 3)
-    for name in ROUND7D_COLLECT + ROUND7D_COUNT:
-        timings[name] = median_time(name, name in ROUND7D_COUNT)
-    round7d_total = round(sum(timings[n] for n in
-                              ROUND7D_COLLECT + ROUND7D_COUNT), 3)
-    for name in ROUND7E_COLLECT + ROUND7E_COUNT:
-        timings[name] = median_time(name, name in ROUND7E_COUNT)
-    round7e_total = round(sum(timings[n] for n in
-                              ROUND7E_COLLECT + ROUND7E_COUNT), 3)
-    for name in ROUND8_COLLECT + ROUND8_COUNT:
-        timings[name] = median_time(name, name in ROUND8_COUNT)
-    round8_total = round(sum(timings[n] for n in
-                             ROUND8_COLLECT + ROUND8_COUNT), 3)
+    groups: dict[str, float] = {}
+    for label, collect, count in GROUP_SPECS:
+        for name in collect + count:
+            timings[name] = median_time(name, name in count)
+        groups[label] = round(sum(timings[n] for n in collect + count), 3)
     # Isolated re-measure of the 10 slowest queries (plus the
     # ISOLATE_ALWAYS watchlist): a fresh spark.newSession() per query,
     # after every other group finished. In-run medians on a shared box
@@ -375,11 +350,9 @@ def main() -> None:
     # r4 threat family, r7 stream_markov 7.1 s in-run vs 1.9 s
     # isolated); recording a second, quieter sample alongside lets a
     # reviewer adjudicate noise vs real regression without re-running.
-    count_set = set(HEADLINE_COUNT + PIPELINE_COUNT + EXTENDED_COUNT
-                    + ROUND4_COUNT + ROUND5_COUNT + ROUND5B_COUNT
-                    + ROUND5C_COUNT + ROUND7_COUNT + ROUND7B_COUNT
-                    + ROUND7C_COUNT + ROUND7D_COUNT + ROUND7E_COUNT
-                    + ROUND8_COUNT)
+    count_set = set(HEADLINE_COUNT)
+    for _, _, count in GROUP_SPECS:
+        count_set.update(count)
     slowest = sorted(timings, key=timings.get, reverse=True)[:10]
     slowest += [n for n in ISOLATE_ALWAYS if n not in slowest]
     isolated: dict[str, float] = {}
@@ -395,20 +368,6 @@ def main() -> None:
         isolated[name] = round(sorted(runs)[1], 3)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
-    groups = {
-        "pipeline_total": pipeline_total,
-        "extended_total": extended_total,
-        "round4_total": round4_total,
-        "round5_total": round5_total,
-        "round5b_total": round5b_total,
-        "round5c_total": round5c_total,
-        "round7_total": round7_total,
-        "round7b_total": round7b_total,
-        "round7c_total": round7c_total,
-        "round7d_total": round7d_total,
-        "round7e_total": round7e_total,
-        "round8_total": round8_total,
-    }
     # The full ~150-query timing map overflowed the driver's tail capture
     # in round 5 (BENCH_r05.json: parsed=null, the line was truncated
     # mid-string).  Per-query detail goes to BENCH_DETAIL.json; the ONE

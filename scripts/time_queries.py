@@ -18,6 +18,11 @@ import time
 
 def main() -> int:
     args = sys.argv[1:]
+    usage = ("usage: python scripts/time_queries.py SF_DIR "
+             "[--mem 32g] [--count] name...")
+    if not args:
+        print(usage)
+        return 2
     sf_dir = args.pop(0)
     mem = "8g"
     use_count = False
@@ -29,6 +34,11 @@ def main() -> int:
             use_count = True
             args = args[1:]
     names = args
+    stray = [n for n in names if n.startswith("--")]
+    if not names or stray:
+        print(f"usage error: flags go before query names ({stray})"
+              if stray else "usage error: no query names given")
+        return 2
     sys.path.insert(0, "/root/repo")
     import __spark_entry__ as entrymod
     from pyspark.sql import SparkSession

@@ -234,6 +234,8 @@ def test_mmr_matches_driver_side_greedy_and_diversifies(spark):
 
     from threat_detection_nosql_spark.queries.pipeline import (
         _MMR_TOPN,
+        _MMR_W_REL,
+        _MMR_W_SIM,
         mmr_diversified_topk,
     )
     from threat_detection_nosql_spark.sources.readers import load_table
@@ -246,15 +248,35 @@ def test_mmr_matches_driver_side_greedy_and_diversifies(spark):
 
     emb = {r.vec_id: np.array(r.embedding, dtype="float64")
            for r in load_table(spark, SF_DIR, "embeddings").collect()}
-    unit = {k: v / np.sqrt((v * v).sum()) for k, v in emb.items()}
+
+    def seq_norm(v):  # fold-left like the JVM aggregate
+        acc = 0.0
+        for x in v:
+            acc = acc + x * x
+        return np.sqrt(acc)
+
+    def seq_dot(a, b):  # dimension-ordered, matching kernel + oracle
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + x * y
+        return acc
+
+    def round_half_away(x, nd=6):  # Spark F.round, not banker's
+        s = 10.0 ** nd
+        return np.copysign(np.floor(abs(x) * s + 0.5), x) / s
+
+    unit = {k: v / seq_norm(v) for k, v in emb.items()}
 
     tighter = 0
     for q, rows in by_q.items():
         rows = sorted(rows, key=lambda r: r.mmr_rank)
         assert [r.mmr_rank for r in rows] == list(range(1, _MMR_TOPN + 1))
         assert len({r.item_id for r in rows}) == _MMR_TOPN
-        # driver-side greedy over the same round-6 relevance candidates
-        cand = sorted(((round(float(unit[q] @ unit[i]), 6), i)
+        # driver-side greedy over the same round-6 relevance candidates,
+        # accumulating every dot in DIMENSION ORDER with half-away
+        # rounding — bit-matching the kernel/oracle convention so the
+        # exact-pick assertion cannot flake on BLAS summation order
+        cand = sorted(((round_half_away(seq_dot(unit[q], unit[i])), i)
                        for i in unit if i != q),
                       key=lambda t: (-t[0], t[1]))[:50]
         cand.sort(key=lambda t: t[1])
@@ -262,12 +284,14 @@ def test_mmr_matches_driver_side_greedy_and_diversifies(spark):
         rel_ppb = np.floor(np.array([s for s, _ in cand]) * 1e9)\
             .astype(np.int64)
         V = np.stack([unit[i] for i in ids])
-        sims = V @ V.T
+        sims = np.zeros((len(ids), len(ids)))
+        for dd in range(V.shape[1]):
+            sims = sims + np.outer(V[:, dd], V[:, dd])
         sim_ppb = np.floor(sims * 1e9).astype(np.int64)
         chosen = []
         max_sim = np.zeros(len(ids), dtype=np.int64)
         for _ in range(_MMR_TOPN):
-            mmr = 7 * rel_ppb - 3 * max_sim
+            mmr = _MMR_W_REL * rel_ppb - _MMR_W_SIM * max_sim
             mmr[chosen] = np.iinfo(np.int64).min
             pick = int(np.argmax(mmr))
             chosen.append(pick)

@@ -429,11 +429,13 @@ def test_bucketed_join_has_no_exchange(spark):
             plan = formatted_plan(j)
         finally:
             spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
-        join_section = plan.split("Exchange")[0]
-        assert "SortMergeJoin" in plan
-        # no shuffle feeds the join: every Exchange (if any) sits
-        # ABOVE it (the final agg), never between scan and join
-        assert "SortMergeJoin" in join_section
+        tree = plan.split("\n\n")[0]  # root-first tree section
+        assert "SortMergeJoin" in tree
+        # no shuffle FEEDS the join: root-first printing puts the
+        # join's inputs after its line, so nothing below it may be an
+        # Exchange (one above it — e.g. the final agg — is fine)
+        below_join = tree.split("SortMergeJoin", 1)[1]
+        assert "Exchange" not in below_join, below_join
         # correctness unchanged vs the plain join
         plain = (facts.join(dims, "user_id")
                  .groupBy("user_id").agg(F.sum("value").alias("v"),

@@ -392,9 +392,12 @@ def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
         F.col("node").alias("doc_id"), F.col("component").alias("comp"))
 
 
+MH_XS_COL = "_mh_xs"  # the one definition callers must project to
+
+
 def minhash_signature_exprs(text: Column, n_hashes: int = 16,
                             shingle_len: int = 3,
-                            xs_col: str = "_mh_xs") -> tuple[Column, list]:
+                            xs_col: str = MH_XS_COL) -> tuple[Column, list]:
     """Per-ROW (stateless) MinHash signature — bit-identical to
     ``minhash_signatures``'s grouped aggregation (same shingling, same
     base hash, same affine permutations), for streaming sides where a

@@ -1982,7 +1982,9 @@ ORACLES_TAIL["containment_near_dups"] = _CONTAINMENT_SQL
 
 # -- D-tail: MMR-diversified retrieval (applyInPandas custom operator) --------
 
-_MMR_LAMBDA = 0.7
+_MMR_LAMBDA = 0.7          # documented objective weight...
+_MMR_W_REL = round(_MMR_LAMBDA * 10)        # ...enforced via these
+_MMR_W_SIM = 10 - _MMR_W_REL                # exact integer weights
 _MMR_CAND = 50
 _MMR_TOPN = 10
 
@@ -2063,7 +2065,7 @@ def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         # into a bonus (the oracle mirrors with greatest(..., 0))
         max_sim = np.zeros(n, dtype=np.int64)
         for step in range(min(_MMR_TOPN, n)):
-            mmr = 7 * rel_ppb - 3 * max_sim         # 0.7/0.3 ×10
+            mmr = _MMR_W_REL * rel_ppb - _MMR_W_SIM * max_sim
             mmr[chosen] = np.iinfo(np.int64).min
             pick = int(np.argmax(mmr))              # first max = min id
             chosen.append(pick)
@@ -2131,8 +2133,9 @@ rec AS (
                            r := i.relevance)) AS best
     FROM (
       SELECT r.q_id, r.step, r.picked, c.item_id, c.relevance,
-             7*c.rel_ppb
-               - 3*greatest(coalesce(max(s.sim_ppb), CAST(0 AS BIGINT)),
+             {_MMR_W_REL}*c.rel_ppb
+               - {_MMR_W_SIM}*greatest(coalesce(max(s.sim_ppb),
+                                         CAST(0 AS BIGINT)),
                             CAST(0 AS BIGINT)) AS numer
       FROM rec r
       JOIN cand c ON c.q_id = r.q_id

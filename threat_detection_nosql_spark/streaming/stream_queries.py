@@ -672,10 +672,12 @@ def markov_transition_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
                 counts[(last, act)] = counts.get((last, act), 0) + 1
             last = act
         # codec guard: keys must not contain the state separators
-        assert all("|" not in p and "," not in p
-                   and "|" not in a and "," not in a
-                   for p, a in counts), \
-            "transition key contains a state-codec separator"
+        # (explicit raise, not assert — asserts vanish under -O and
+        # this is corruption protection, not a debug check)
+        if any("|" in p or "," in p or "|" in a or "," in a
+               for p, a in counts):
+            raise ValueError(
+                "transition key contains a state-codec separator")
         packed = "|".join(f"{p},{a},{n}" for (p, a), n in
                           sorted(counts.items()))
         state.update((last, packed))
@@ -848,13 +850,14 @@ def markov_ordered_agg(ev: DataFrame) -> DataFrame:
         # corrupt decode (',' is safe: decode splits (',', 2) keeping
         # the tail intact). The vocabulary is fixed today; assert so a
         # future free-text activity fails loudly instead of silently.
-        assert all("|" not in act for _, _, act in keep), \
-            "activity value contains the '|' record separator"
+        if any("|" in act for _, _, act in keep):
+            raise ValueError(
+                "activity value contains the '|' record separator")
         # the (prev, act, n) records split on BOTH separators
-        assert all("|" not in p and "," not in p
-                   and "|" not in a and "," not in a
-                   for p, a in counts), \
-            "transition key contains a state-codec separator"
+        if any("|" in p or "," in p or "|" in a or "," in a
+               for p, a in counts):
+            raise ValueError(
+                "transition key contains a state-codec separator")
         state.update((
             last or "",
             "|".join(f"{ms},{eid},{act}" for ms, eid, act in keep),
@@ -910,7 +913,7 @@ def dedup_matches_agg(docs_stream: DataFrame,
             for b in range(n_bands)])).alias("bkey"))
 
     xs, sigs = D.minhash_signature_exprs(F.col("text"))
-    new_sig = (docs_stream.withColumn("_mh_xs", xs)
+    new_sig = (docs_stream.withColumn(D.MH_XS_COL, xs)
                .select("doc_id", *sigs))
     new_bands = new_sig.select(
         "doc_id", *[f"s{i}" for i in range(n)],
@@ -1171,8 +1174,9 @@ def funnel_ordered_agg(ev: DataFrame) -> DataFrame:
                 t3 = us
         # codec guard: activity rides last (split(',', 2) keeps its
         # tail) but '|' joins records — must not appear in the value
-        assert all("|" not in act for _, _, act in keep), \
-            "activity value contains the '|' record separator"
+        if any("|" in act for _, _, act in keep):
+            raise ValueError(
+                "activity value contains the '|' record separator")
         state.update((t1, t2, t3,
                       "|".join(f"{us},{eid},{act}"
                                for us, eid, act in keep)))
