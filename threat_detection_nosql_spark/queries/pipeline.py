@@ -2467,6 +2467,14 @@ def chunked_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     result rows stay narrow; a real pipeline would keep the text and
     feed the embedder."""
     docs = load_table(spark, sf_dir, "documents")
+    return chunk_select(docs).orderBy("doc_id", "chunk_idx")
+
+
+def chunk_select(docs: DataFrame) -> DataFrame:
+    """The chunking transform itself — STATELESS expressions shared by
+    the batch query and its streaming twin (chunk-on-ingest needs no
+    state, watermark, or aggregation: one document row in, its chunk
+    rows out)."""
     toks = F.filter(F.split(F.col("text"), r"\s+"),
                     lambda x: x != F.lit(""))
     d = docs.select("doc_id", toks.alias("toks"),
@@ -2482,8 +2490,7 @@ def chunked_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .alias("chunk_idx"),
                     F.col("start").cast("int").alias("start_tok"),
                     F.size(chunk).cast("int").alias("chunk_tokens"),
-                    F.md5(F.concat_ws(" ", chunk)).alias("chunk_md5"))
-            .orderBy("doc_id", "chunk_idx"))
+                    F.md5(F.concat_ws(" ", chunk)).alias("chunk_md5")))
 
 
 _CHUNKS_SQL = rf"""

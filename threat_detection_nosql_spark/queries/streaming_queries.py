@@ -740,3 +740,25 @@ def _stream_kmv_sql() -> str:
 
 QUERIES_TAIL["stream_kmv_quantiles"] = stream_kmv_quantiles
 ORACLES_TAIL["stream_kmv_quantiles"] = _stream_kmv_sql()
+
+
+def stream_chunked_documents(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """Chunk-on-ingest: the RAG chunking transform applied to the live
+    document feed — fully STATELESS (append mode, no watermark, no
+    aggregation), so drained == batch under any batching by
+    construction and backpressure is the only scaling concern. Oracle
+    = the batch chunking SQL verbatim."""
+    from threat_detection_nosql_spark.queries.pipeline import chunk_select
+    table = S.run_stream_to_table(
+        chunk_select(S.documents_stream(spark, sf_dir)), mode="append")
+    return table.orderBy("doc_id", "chunk_idx")
+
+
+def _stream_chunks_sql() -> str:
+    from threat_detection_nosql_spark.queries.pipeline import _CHUNKS_SQL
+    return _CHUNKS_SQL
+
+
+QUERIES_TAIL["stream_chunked_documents"] = stream_chunked_documents
+ORACLES_TAIL["stream_chunked_documents"] = _stream_chunks_sql()
