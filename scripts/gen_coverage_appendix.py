@@ -3,6 +3,10 @@
 Replaces everything from the '## Appendix:' heading to EOF with the
 current registry state — per-module entry lists with o/r marks and
 the header counts — so the appendix can never drift from the code.
+
+THE APPENDIX MUST STAY THE LAST SECTION: anything added after it is
+deleted by the next regeneration (this silently ate two round-8
+sections once — append new COVERAGE sections BEFORE the appendix).
 """
 from __future__ import annotations
 
