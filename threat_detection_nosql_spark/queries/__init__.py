@@ -8,11 +8,10 @@ and ``ORACLES: dict[str, str]`` (DuckDB ANSI SQL). ``all_queries()`` /
 Ordering IS the driver's sampling policy: the correctness gate hashes
 the FIRST 50 queries in merge order each round.  Rounds 1-4 proved the
 threat/relational/pipeline/advanced/graph/metrics families (94 of 150
-oracle queries driver-green); rounds 5-7 cleared their pinned 50s
-(244/287 cumulative).  Round 8 rotates the EXPLICIT name window onto
-the 43 remaining never-driver-green oracle queries (every round-7
-addition the r7 window couldn't hold: retrieval eval, variant stats,
-streaming event-time timers, forecasting, attribution) plus 7
+oracle queries driver-green); rounds 5-8 cleared their pinned 50s
+(287/287 cumulative).  Round 9 rotates the EXPLICIT name window onto
+the 9 remaining never-driver-green oracle queries (the round-8 media /
+chunking / KMV / PCA / MMR wave and its streaming twins) plus 41
 least-recently-verified refills — then every other oracle-backed
 query, and parks the rows-only (engine-RNG / model / media) queries at
 the registry end so no window slot is ever burned on a ``no_oracle``
@@ -27,65 +26,65 @@ from pyspark.sql import DataFrame, SparkSession
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
-# Round-8 driver window: the 43 oracle-backed queries with no
-# driver-green row in CORRECTNESS_r01-r07 (every remaining round-7
-# addition: the retrieval-eval / variant-stats / streaming-timer /
-# forecasting / attribution waves), topped up with the 7
-# least-recently-verified greens (rotate_window.py TAIL discipline).
-# Green here closes the driver ledger: cumulative driver-green rises
-# from 244 to 287 of 287 oracle-backed queries.
+# Round-9 driver window: the 9 oracle-backed round-8 additions with no
+# driver-green row in CORRECTNESS_r01-r08 (media codecs, chunking, KMV
+# quantiles, PCA projection, MMR re-ranking, their streaming twins),
+# topped up with the 41 least-recently-verified greens
+# (rotate_window.py TAIL discipline).  Green here closes the driver
+# ledger: cumulative driver-green rises from 287 to 296 of 296
+# oracle-backed queries.
 # NEVER reorder once verified: the driver hashes this exact prefix.
-_WINDOW_R8: tuple[str, ...] = (
-    "segment_year_pivot",
-    "referential_integrity_audit",
-    "props_variant_stats",
-    "fulfillment_cycle_percentiles",
-    "isotonic_calibration",
-    "ndcg_retrieval_eval",
-    "bootstrap_revenue_ci",
-    "conformal_price_threshold",
-    "cuped_adjusted_lift",
-    "mann_whitney_variant_test",
-    "regression_metrics_report",
-    "kendall_tau_binned",
-    "benford_digit_audit",
-    "activity_weekend_chi2",
-    "value_mad_outliers",
-    "mrr_retrieval_eval",
-    "welch_t_variant_test",
-    "diff_in_diff_purchases",
-    "variant_quantile_effects",
-    "sprt_daily_monitor",
-    "stream_token_df",
-    "stream_markov_ordered",
-    "stream_incremental_dedup",
-    "stream_peak_concurrency",
-    "stream_cdc_state",
-    "stream_funnel_ordered",
-    "stream_linear_attribution",
-    "kaplan_meier_conversion",
-    "peak_concurrency_by_type",
-    "user_twap_value",
-    "ohlc_hourly_bars",
-    "session_path_top10",
-    "theil_sen_user_trend",
-    "seasonal_naive_backtest",
-    "holt_linear_daily",
-    "funnel_conversion_24h",
-    "linear_touch_attribution",
-    "session_entry_exit_report",
-    "revenue_retention_waterfall",
-    "revenue_bridge_wow",
-    "abc_xyz_parts",
-    "ks_split_drift",
-    "tokenizer_fertility",
-    "top_tokens",
-    "tfidf_top_terms",
-    "quality_filter_flags",
-    "embedding_near_dups",
-    "multimodal_metadata",
-    "deterministic_sample",
-    "corpus_composition",
+_WINDOW_R9: tuple[str, ...] = (
+    "mmr_diversified_topk",
+    "media_decode_stats",
+    "audio_frame_features",
+    "image_tile_stats",
+    "chunked_documents",
+    "kmv_value_quantiles",
+    "user_pca_projection",
+    "stream_kmv_quantiles",
+    "stream_chunked_documents",
+    "repetition_stats",
+    "normalized_text_hash",
+    "packed_sequences",
+    "salted_event_nation_counts",
+    "after_hours_top10",
+    "weekend_top10",
+    "high_activity_top10",
+    "unusual_resources_top10",
+    "activity_profiles",
+    "degree_centrality_top10",
+    "activity_entropy",
+    "temporal_entropy",
+    "resource_entropy",
+    "two_hop_resource_paths",
+    "user_features",
+    "events_null_audit",
+    "user_peak_hour",
+    "dormant_users",
+    "pricing_summary",
+    "top_revenue_orders",
+    "nation_revenue",
+    "customers_without_orders",
+    "parts_with_sales",
+    "top_orders_per_customer",
+    "supplier_running_revenue",
+    "returnflag_rollup",
+    "order_cube_counts",
+    "status_by_priority_pivot",
+    "above_nation_avg_customers",
+    "customer_only_nations",
+    "all_active_nations",
+    "high_value_orders",
+    "normalized_acctbal",
+    "value_quantiles",
+    "props_json_extract",
+    "customer_value_ntiles",
+    "user_event_gaps",
+    "error_without_purchase_users",
+    "error_and_purchase_users",
+    "user_modal_activity",
+    "rolling_week_order_value",
 )
 
 
@@ -128,7 +127,7 @@ def all_queries() -> dict[str, QueryFn]:
     queries = _merged("QUERIES", "QUERIES_TAIL")
     oracles = _merged("ORACLES", "ORACLES_TAIL")
     out: dict[str, QueryFn] = {}
-    for name in _WINDOW_R8:  # pinned driver window, positions 1-50
+    for name in _WINDOW_R9:  # pinned driver window, positions 1-50
         out[name] = queries[name]
     for name, fn in queries.items():  # oracle-backed middle, module order
         if name not in out and name in oracles:
