@@ -264,14 +264,22 @@ def test_personalized_pagerank_rejects_empty_seeds(spark):
         pagerank_personalized(df, empty)
 
 
-def test_components_zero_max_iter_raises_runtime_error(spark):
-    """max_iter=0 must surface the under-convergence RuntimeError, not
-    a NameError on the unbound loop counter (ADVICE r6)."""
-    import pytest
-
+def test_components_star_handoff_on_exhausted_passes(spark):
+    """Round 9: exhausting the min-label pass budget hands off to
+    star-contraction instead of raising — a 120-node path (diameter
+    120) with a 2-pass budget must still produce exact components.
+    max_iter=0 skips min-label entirely (pure star path)."""
     from threat_detection_nosql_spark.operators.graph import (
         connected_components)
 
-    df = spark.createDataFrame([(1, 2)], "src long, dst long")
-    with pytest.raises(RuntimeError, match="did not converge"):
-        connected_components(df, max_iter=0)
+    path = [(i, i + 1) for i in range(120)]
+    df = spark.createDataFrame(path, "src long, dst long")
+    got = {r.node: r.component
+           for r in connected_components(df, max_iter=2).collect()}
+    assert len(got) == 121 and all(c == 0 for c in got.values())
+
+    tiny = spark.createDataFrame([(5, 9), (9, 3), (20, 21)],
+                                 "src long, dst long")
+    got0 = {r.node: r.component
+            for r in connected_components(tiny, max_iter=0).collect()}
+    assert got0 == {5: 3, 9: 3, 3: 3, 20: 20, 21: 20}
