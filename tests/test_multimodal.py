@@ -1,8 +1,9 @@
-"""Multimodal plumbing: schema contract, Arrow batch shape, stubbed
-decode determinism, frame sampling."""
+"""Multimodal plumbing: schema contract, Arrow batch shape, real
+decode determinism, frame sampling, stride downsampling."""
 
 from __future__ import annotations
 
+import numpy as np
 import pytest
 
 from tests.conftest import SF_SMALL
@@ -13,37 +14,70 @@ from threat_detection_nosql_spark.sources.readers import load_table
 @pytest.fixture(scope="module")
 def media(spark):
     docs = load_table(spark, SF_SMALL, "documents").limit(60)
-    return multimodal.attach_fake_media(docs).cache()
+    return multimodal.synth_media(docs).cache()
 
 
 def test_media_schema(media):
     assert dict(media.dtypes) == {
-        "doc_id": "bigint", "media_type": "string", "blob": "binary",
-        "width": "int", "height": "int", "n_frames": "int"}
+        "doc_id": "bigint", "media_kind": "string", "blob": "binary"}
+    kinds = {r.media_kind for r in media.select("media_kind").collect()}
+    assert kinds == {"bmp", "ppm", "wav"}
 
 
-def test_feature_extraction_contract(media):
-    feats = multimodal.extract_media_features(media, dim=16)
-    rows = feats.collect()
-    assert len(rows) == media.count()
-    for r in rows[:5]:
-        assert r.feat_dim == 16 and len(r.features) == 16
-        assert abs(sum(r.features) - 1.0) < 1e-6  # normalized histogram
+def test_value_histogram_contract(media):
+    hist = multimodal.media_value_histogram(media, bucket=32)
+    rows = hist.collect()
+    assert {r.doc_id for r in rows} == {r.doc_id for r in media.collect()}
+    # per-doc counts must total the decoded payload size exactly
+    by_doc: dict[int, int] = {}
+    kind_of: dict[int, str] = {}
+    for r in rows:
+        by_doc[r.doc_id] = by_doc.get(r.doc_id, 0) + r.n_values
+        kind_of[r.doc_id] = r.media_kind
+    for m in media.collect():
+        expect = (len(multimodal.decode_wav(bytes(m.blob))[0])
+                  if m.media_kind == "wav" else
+                  multimodal.decode_media(bytes(m.blob), m.media_kind).size)
+        assert by_doc[m.doc_id] == expect
+        assert kind_of[m.doc_id] == m.media_kind
 
 
-def test_feature_extraction_deterministic(media):
-    a = sorted(multimodal.extract_media_features(media).collect(),
-               key=lambda r: r.doc_id)
-    b = sorted(multimodal.extract_media_features(media).collect(),
-               key=lambda r: r.doc_id)
-    assert [r.features for r in a] == [r.features for r in b]
+def test_value_histogram_deterministic(media):
+    a = sorted(multimodal.media_value_histogram(media).collect())
+    b = sorted(multimodal.media_value_histogram(media).collect())
+    assert a == b
 
 
-def test_frame_sample_only_video(media):
-    frames = multimodal.frame_sample(media, every_n=8)
+def test_frame_sample_stride_and_stats(media):
+    frames = multimodal.frame_sample(media, frame_len=16, every_n=4)
     rows = frames.collect()
-    assert rows and all(r.media_type == "video/mp4" for r in rows)
-    assert all(r.frame_idx % 8 == 0 for r in rows)
+    assert rows and all(r.frame_idx % 4 == 0 for r in rows)
+    # spot-check one wav doc against a driver-side decode
+    wav = next(m for m in media.collect() if m.media_kind == "wav")
+    samples, _ = multimodal.decode_wav(bytes(wav.blob))
+    s = samples.astype(np.int64)
+    got = sorted((r for r in rows if r.doc_id == wav.doc_id),
+                 key=lambda r: r.frame_idx)
+    n_frames = (len(s) + 15) // 16
+    assert [r.frame_idx for r in got] == list(range(0, n_frames, 4))
+    for r in got:
+        fr = s[r.frame_idx * 16:(r.frame_idx + 1) * 16]
+        assert (r.n_samples, r.sample_sum, r.frame_peak) == (
+            len(fr), int(fr.sum()), int(fr.max()))
+
+
+def test_downsample_image_stats(media):
+    small = multimodal.downsample_image_stats(media, stride=2)
+    rows = {r.doc_id: r for r in small.collect()}
+    imgs = [m for m in media.collect() if m.media_kind in ("bmp", "ppm")]
+    assert set(rows) == {m.doc_id for m in imgs}
+    for m in imgs[:10]:
+        img = multimodal.decode_media(bytes(m.blob), m.media_kind)
+        dec = img[::2, ::2].astype(np.int64)
+        r = rows[m.doc_id]
+        assert (r.out_h, r.out_w) == dec.shape[:2]
+        assert [r.sum_c0, r.sum_c1, r.sum_c2] == [
+            int(dec[:, :, k].sum()) for k in range(3)]
 
 
 def test_decode_media_dispatch_and_codec_refusal():
@@ -52,8 +86,6 @@ def test_decode_media_dispatch_and_codec_refusal():
     parsers (round-trip tests in tests/test_round8_queries.py) and
     refuses codec formats the container cannot decode without
     Pillow/pyav."""
-    import numpy as np
-
     img = np.arange(2 * 2 * 3, dtype=np.uint8).reshape(2, 2, 3)
     assert (multimodal.decode_media(
         multimodal.encode_bmp(img), "bmp") == img).all()

@@ -487,9 +487,11 @@ def test_codec_roundtrips_property():
 
 def test_chunked_documents_boundaries(spark, tmp_path):
     """Chunk boundary semantics on planted docs: a 100-token doc gets
-    chunks starting at 0/48/96 with the last partial (4 tokens); each
-    chunk overlaps the previous by 16; a 1-token doc yields exactly
-    one 1-token chunk; chunk_md5 matches the md5 of the joined slice."""
+    chunks starting at 0/48 — the start sequence stops at
+    n_tok - (W-S) - 1 (ADVICE r8), so the would-be chunk at 96 (a
+    strict suffix-subset of the chunk at 48, which already covers
+    tokens 48-99) is NOT emitted; a 1-token doc yields exactly one
+    1-token chunk; chunk_md5 matches the md5 of the joined slice."""
     import hashlib
 
     import pyarrow as pa
@@ -510,10 +512,9 @@ def test_chunked_documents_boundaries(spark, tmp_path):
 
     rows = {(r.doc_id, r.chunk_idx): r
             for r in chunked_documents(spark, str(tmp_path)).collect()}
-    assert sorted(rows) == [(1, 0), (1, 1), (1, 2), (2, 0)]
+    assert sorted(rows) == [(1, 0), (1, 1), (2, 0)]
     assert (rows[(1, 0)].start_tok, rows[(1, 0)].chunk_tokens) == (0, 64)
     assert (rows[(1, 1)].start_tok, rows[(1, 1)].chunk_tokens) == (48, 52)
-    assert (rows[(1, 2)].start_tok, rows[(1, 2)].chunk_tokens) == (96, 4)
     assert (rows[(2, 0)].start_tok, rows[(2, 0)].chunk_tokens) == (0, 1)
     want = hashlib.md5(" ".join(toks_a[48:100]).encode()).hexdigest()
     assert rows[(1, 1)].chunk_md5 == want

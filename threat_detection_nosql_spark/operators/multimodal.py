@@ -21,77 +21,110 @@ from collections.abc import Iterator
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
-from pyspark.sql import functions as F
 
-MEDIA_SCHEMA = ("doc_id long, media_type string, blob binary, "
-                "width int, height int, n_frames int")
-
-FEATURE_SCHEMA = ("doc_id long, media_type string, feat_dim int, "
-                  "features array<float>")
+MEDIA_HIST_SCHEMA = ("doc_id long, media_kind string, bucket int, "
+                     "n_values long")
 
 
-def attach_fake_media(docs: DataFrame) -> DataFrame:
-    """Derive a deterministic opaque blob + metadata from `documents`
-    (test stand-in for an image/audio column; real pipelines read the
-    bytes from parquet/tar shards)."""
-    blob = F.encode(F.col("text"), "utf-8")
-    return docs.select(
-        "doc_id",
-        F.when(F.col("doc_id") % 3 == 0, "image/png")
-         .when(F.col("doc_id") % 3 == 1, "audio/wav")
-         .otherwise("video/mp4").alias("media_type"),
-        blob.alias("blob"),
-        (F.octet_length(blob) % 640).cast("int").alias("width"),
-        (F.octet_length(blob) % 480).cast("int").alias("height"),
-        (F.col("doc_id") % 32).cast("int").alias("n_frames"))
+def media_value_histogram(media: DataFrame, bucket: int = 32) -> DataFrame:
+    """REAL decode → value-histogram feature extraction over the binary
+    column: images contribute every decoded pixel byte (all channels),
+    audio every decoded int16 sample, bucketed by ``value // bucket``
+    into exact integer counts — the long-format histogram a quality
+    filter or corpus profiler consumes.
 
-
-def _fake_decode(blob: bytes, media_type: str, dim: int) -> list[float]:
-    """STUB decode→feature kernel. A real implementation would decode
-    the media (Pillow/librosa/pyav) and run feature extraction; the
-    container lacks those libs, so this produces a deterministic
-    byte-histogram feature instead — same shape, same contract."""
-    hist = [0.0] * dim
-    for b in blob:
-        hist[b % dim] += 1.0
-    total = sum(hist) or 1.0
-    return [h / total for h in hist]
-
-
-def extract_media_features(media: DataFrame, dim: int = 16) -> DataFrame:
-    """Arrow-batched feature extraction over the binary column.
-
-    ``mapInPandas`` streams record batches through Python once —
-    the expensive decode runs vectorized per batch, partition-parallel,
-    with no driver collect. At 100 TB this is the only viable shape:
-    executors each decode their partition's blobs.
+    ``mapInPandas`` streams record batches through Python once — the
+    decode runs per batch, partition-parallel, no driver collect. At
+    100 TB this is the only viable shape: executors each decode their
+    partition's blobs; output is ≤ a few dozen rows per blob.
     """
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            yield pd.DataFrame({
-                "doc_id": pdf["doc_id"],
-                "media_type": pdf["media_type"],
-                "feat_dim": dim,
-                "features": [
-                    _fake_decode(blob, mt, dim)
-                    for blob, mt in zip(pdf["blob"], pdf["media_type"])
-                ],
-            })
+            out = {"doc_id": [], "media_kind": [], "bucket": [],
+                   "n_values": []}
+            for doc_id, kind, blob in zip(pdf["doc_id"], pdf["media_kind"],
+                                          pdf["blob"]):
+                if kind in ("bmp", "ppm"):
+                    vals = decode_media(bytes(blob), kind).ravel()
+                else:
+                    vals, _rate = decode_wav(bytes(blob))
+                buckets, counts = np.unique(
+                    vals.astype(np.int64) // bucket, return_counts=True)
+                out["doc_id"].extend([doc_id] * len(buckets))
+                out["media_kind"].extend([kind] * len(buckets))
+                out["bucket"].extend(int(b) for b in buckets)
+                out["n_values"].extend(int(c) for c in counts)
+            yield pd.DataFrame(out)
 
-    return media.mapInPandas(batches, schema=FEATURE_SCHEMA)
+    return media.mapInPandas(batches, schema=MEDIA_HIST_SCHEMA)
 
 
-def frame_sample(media: DataFrame, every_n: int = 8) -> DataFrame:
-    """Frame-sampling plumbing for video rows: one output row per
-    sampled frame index — pure expressions (sequence + explode), the
-    decode of the actual frame bytes being the stubbed kernel above."""
-    return (media
-            .filter(F.col("media_type") == "video/mp4")
-            .select("doc_id", "media_type",
-                    F.explode(F.sequence(
-                        F.lit(0),
-                        F.greatest(F.col("n_frames") - 1, F.lit(0)),
-                        F.lit(every_n))).alias("frame_idx")))
+FRAME_SAMPLE_SCHEMA = ("doc_id long, frame_idx int, n_samples int, "
+                       "sample_sum long, frame_peak int")
+
+
+def frame_sample(media: DataFrame, frame_len: int = 16,
+                 every_n: int = 4) -> DataFrame:
+    """Strided frame sampling over REAL decoded media: window each
+    WAV's decoded samples into ``frame_len``-sample frames and keep
+    every ``every_n``-th frame with its exact-integer stats — the
+    keyframe-sampling step of a media-curation pipeline (the container
+    has no video codec, so the time-series medium standing in for
+    video frames is decoded PCM; swap decode_wav for a frame iterator
+    and the striding, stats, and Arrow transport all stand)."""
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {k: [] for k in ("doc_id", "frame_idx", "n_samples",
+                                   "sample_sum", "frame_peak")}
+            for doc_id, kind, blob in zip(pdf["doc_id"], pdf["media_kind"],
+                                          pdf["blob"]):
+                if kind != "wav":
+                    continue
+                samples, _rate = decode_wav(bytes(blob))
+                s = samples.astype(np.int64)
+                for fi in range(0, (len(s) + frame_len - 1) // frame_len,
+                                every_n):
+                    fr = s[fi * frame_len:(fi + 1) * frame_len]
+                    out["doc_id"].append(doc_id)
+                    out["frame_idx"].append(fi)
+                    out["n_samples"].append(len(fr))
+                    out["sample_sum"].append(int(fr.sum()))
+                    out["frame_peak"].append(int(fr.max()))
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(batches, schema=FRAME_SAMPLE_SCHEMA)
+
+
+RESIZE_SCHEMA = ("doc_id long, media_kind string, out_h int, out_w int, "
+                 "sum_c0 long, sum_c1 long, sum_c2 long")
+
+
+def downsample_image_stats(media: DataFrame, stride: int = 2) -> DataFrame:
+    """Resize step over REAL decoded pixels: stride-``n`` decimation
+    (keep every n-th row/column — nearest-neighbor downsampling) of
+    each decoded image, emitting the output dimensions and exact
+    per-channel sums of the kept pixels. The resize slot of a vision
+    preprocessing pipeline minus the codec: swap the decimation for an
+    area/bilinear kernel and the Spark plumbing stands."""
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {k: [] for k in ("doc_id", "media_kind", "out_h",
+                                   "out_w", "sum_c0", "sum_c1", "sum_c2")}
+            for doc_id, kind, blob in zip(pdf["doc_id"], pdf["media_kind"],
+                                          pdf["blob"]):
+                if kind not in ("bmp", "ppm"):
+                    continue
+                img = decode_media(bytes(blob), kind).astype(np.int64)
+                small = img[::stride, ::stride]
+                out["doc_id"].append(doc_id)
+                out["media_kind"].append(kind)
+                out["out_h"].append(small.shape[0])
+                out["out_w"].append(small.shape[1])
+                for k in range(3):
+                    out[f"sum_c{k}"].append(int(small[:, :, k].sum()))
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(batches, schema=RESIZE_SCHEMA)
 
 
 # ---------------------------------------------------------------------------

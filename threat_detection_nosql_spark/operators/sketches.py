@@ -338,6 +338,35 @@ def bloom_probe(words: DataFrame, probes: DataFrame, key_col: str,
 KMV_K = 256
 
 
+_KMV_SALT = 32
+
+
+def _salted_bottom_k(df: DataFrame, part_cols: list[str],
+                     k: int) -> DataFrame:
+    """Exact bottom-k by (h, event_id) per partition key, salted: a
+    first row_number window over (key, hash(event_id) % 32) buckets
+    caps any hot key's window partition at ~rows/32, then a second
+    window over the ≤ 32·k survivors takes the true bottom-k. Exact
+    for the same structural reason the similar_user_pairs cap is
+    (threat.py): every global bottom-k row is in its salt bucket's
+    bottom-k. ADVICE r8: the previous single window put a hot key's
+    ENTIRE row set in one window partition — the unbounded-partition
+    shape this repo already fixed elsewhere."""
+    from pyspark.sql.window import Window
+    w1 = (Window.partitionBy(*part_cols, "salt")
+          .orderBy(F.col("h").asc(), F.col("event_id").asc()))
+    w2 = (Window.partitionBy(*part_cols)
+          .orderBy(F.col("h").asc(), F.col("event_id").asc()))
+    return (df
+            .withColumn("salt", F.pmod(F.hash("event_id"),
+                                       F.lit(_KMV_SALT)))
+            .withColumn("rk", F.row_number().over(w1))
+            .filter(F.col("rk") <= k)
+            .withColumn("rk", F.row_number().over(w2))
+            .filter(F.col("rk") <= k)
+            .drop("rk", "salt"))
+
+
 def kmv_daily_value_samples(events: DataFrame, k: int = KMV_K) -> DataFrame:
     """Per (day, event_type) bottom-k sample of ``value``: the k rows
     with the smallest md5(event_id) — the k-minimum-values sketch, the
@@ -350,17 +379,14 @@ def kmv_daily_value_samples(events: DataFrame, k: int = KMV_K) -> DataFrame:
     bottom-k of the per-part bottom-k's (every globally-small hash is
     small in its own part), so daily sketches materialize once and any
     coarser rollup merges k-row samples without rescanning the fact
-    table — the same 100 TB story as the HLL/KLL rollups."""
-    from pyspark.sql.window import Window
+    table — the same 100 TB story as the HLL/KLL rollups. The bottom-k
+    itself runs as a salted two-stage window (``_salted_bottom_k``) so
+    a hot (day, type) never lands in one window partition."""
     h = F.md5(F.col("event_id").cast("string"))
-    return (events
-            .select(F.to_date("ts").alias("day"), "event_type",
-                    "event_id", "value", h.alias("h"))
-            .withColumn("rk", F.row_number().over(
-                Window.partitionBy("day", "event_type")
-                .orderBy(F.col("h").asc(), F.col("event_id").asc())))
-            .filter(F.col("rk") <= k)
-            .drop("rk"))
+    return _salted_bottom_k(
+        events.select(F.to_date("ts").alias("day"), "event_type",
+                      "event_id", "value", h.alias("h")),
+        ["day", "event_type"], k)
 
 
 def kmv_merge_quantiles(daily: DataFrame, k: int = KMV_K) -> DataFrame:
@@ -368,13 +394,10 @@ def kmv_merge_quantiles(daily: DataFrame, k: int = KMV_K) -> DataFrame:
     the union — touches |days|·k rows per type, never the fact table)
     and read off discrete quantiles. percentile_disc returns an
     OBSERVED sample value, so the result is bit-identical across
-    engines — no interpolation arithmetic."""
-    from pyspark.sql.window import Window
-    merged = (daily
-              .withColumn("rk", F.row_number().over(
-                  Window.partitionBy("event_type")
-                  .orderBy(F.col("h").asc(), F.col("event_id").asc())))
-              .filter(F.col("rk") <= k))
+    engines — no interpolation arithmetic. Salted two-stage bottom-k
+    again: |days|·k rows per type is bounded, but a multi-year rollup
+    of a hot type still shouldn't ride one window partition."""
+    merged = _salted_bottom_k(daily, ["event_type"], k)
     return (merged.groupBy("event_type")
             .agg(F.count("*").alias("n_sampled"),
                  F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY value)")

@@ -87,21 +87,94 @@ def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL decode → value-histogram features (round 9 retired the
+    byte-histogram ``_fake_decode`` stand-in): plant the deterministic
+    BMP/PPM/WAV blobs, parse them back with the lib-free codecs, and
+    bucket every decoded pixel byte / PCM sample into exact integer
+    counts. The oracle regenerates the planted pixel lattice / sample
+    series with generate_series and replays the same bucketing —
+    decode drift anywhere breaks the hash."""
     docs = load_table(spark, sf_dir, "documents")
-    media = multimodal.attach_fake_media(docs)
-    feats = multimodal.extract_media_features(media)
-    # the driver's canonicalizer hashes atomic columns only; serialize
-    # the feature vector to a rounded JSON string at the query surface
-    return feats.select(
-        "doc_id", "media_type", "feat_dim",
-        F.to_json(F.transform("features",
-                              lambda x: F.round(x.cast("double"), 6)))
-         .alias("features_json"))
+    media = multimodal.synth_media(docs)
+    return multimodal.media_value_histogram(media, bucket=32)
 
 
 def media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strided keyframe sampling over REAL decoded PCM (round 9
+    retired the metadata-only explode over fake media): 16-sample
+    frames, every 4th kept, exact-integer stats per kept frame. Oracle
+    = generate_series replay of the planted sawtooth with the same
+    framing + stride filter."""
     docs = load_table(spark, sf_dir, "documents")
-    return multimodal.frame_sample(multimodal.attach_fake_media(docs))
+    media = multimodal.synth_media(docs)
+    return multimodal.frame_sample(media, frame_len=16, every_n=4)
+
+
+# Oracle replay of the planted patterns (operators/multimodal.py
+# _synth_blob): bmp pixel[r,c,k] = base+r+16k+(c%4) over (8 x 4+id%5);
+# ppm pixel[r,c,k] = base+c+32k over (6 x 3+id%7); wav s[i] =
+# base+7*(i%40) over n = 64+id%100 samples. Sequential CTE levels so
+# the generate_series unnests CROSS (stacked in one SELECT they zip).
+_MEDIA_HIST_SQL = """
+WITH d AS (
+  SELECT doc_id, doc_id % 3 AS kind,
+         CASE WHEN doc_id % 3 = 0 THEN 4 + doc_id % 5
+              WHEN doc_id % 3 = 1 THEN 3 + doc_id % 7 END AS w,
+         CASE WHEN doc_id % 3 = 0 THEN 8
+              WHEN doc_id % 3 = 1 THEN 6 END AS h,
+         doc_id % 180 AS ibase,
+         doc_id % 1000 AS wbase, 64 + doc_id % 100 AS n
+  FROM documents),
+rws AS (
+  SELECT doc_id, kind, w, ibase,
+         unnest(generate_series(0, h - 1)) AS r
+  FROM d WHERE kind IN (0, 1)),
+px AS (
+  SELECT doc_id, kind, ibase, r,
+         unnest(generate_series(0, w - 1)) AS c
+  FROM rws),
+chan AS (
+  SELECT doc_id, kind, ibase, r, c,
+         unnest(generate_series(0, 2)) AS k
+  FROM px),
+imgv AS (
+  SELECT doc_id,
+         CASE WHEN kind = 0 THEN 'bmp' ELSE 'ppm' END AS media_kind,
+         CASE WHEN kind = 0 THEN ibase + r + 16 * k + c % 4
+              ELSE ibase + c + 32 * k END AS v
+  FROM chan),
+wavs AS (
+  SELECT doc_id, wbase,
+         unnest(generate_series(0, n - 1)) AS i
+  FROM d WHERE kind = 2),
+wavv AS (
+  SELECT doc_id, 'wav' AS media_kind, wbase + 7 * (i % 40) AS v
+  FROM wavs),
+allv AS (SELECT * FROM imgv UNION ALL SELECT * FROM wavv)
+SELECT doc_id, media_kind, CAST(v // 32 AS INT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n_values
+FROM allv
+GROUP BY doc_id, media_kind, v // 32
+"""
+
+_FRAME_SAMPLE_SQL = """
+WITH d AS (
+  SELECT doc_id, doc_id % 1000 AS base, 64 + doc_id % 100 AS n
+  FROM documents WHERE doc_id % 3 = 2),
+s0 AS (
+  SELECT doc_id, base, unnest(generate_series(0, n - 1)) AS i FROM d),
+s AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS i,
+         CAST(base + 7 * (i % 40) AS BIGINT) AS v
+  FROM s0),
+frames AS (
+  SELECT doc_id, CAST(i // 16 AS INT) AS frame_idx,
+         CAST(count(*) AS INT) AS n_samples,
+         CAST(sum(v) AS BIGINT) AS sample_sum,
+         CAST(max(v) AS INT) AS frame_peak
+  FROM s GROUP BY doc_id, i // 16)
+SELECT * FROM frames WHERE frame_idx % 4 = 0
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -236,6 +309,8 @@ ORACLES: dict[str, str] = {
     "simhash_near_dups": _SIMHASH_PAIRS_SQL,
     "winnowing_fingerprints": _WINNOW_FP_SQL,
     "fingerprint_overlap": _FP_OVERLAP_SQL,
+    "media_features": _MEDIA_HIST_SQL,
+    "media_frame_sample": _FRAME_SAMPLE_SQL,
 }
 
 

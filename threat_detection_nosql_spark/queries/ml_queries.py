@@ -416,6 +416,7 @@ ORACLES_TAIL = {**globals().get("ORACLES_TAIL", {}),
 #     exact integers and the (identical) eigenvector components.
 
 _PCA_ITERS = 100
+_PCA_PPB = 10 ** 9  # eigenvector quantization grid (parts-per-billion)
 _PCA_FEATS = ("total_activities", "after_hours_activities",
               "weekend_activities", "unique_systems",
               "unique_resources", "activity_types")
@@ -425,7 +426,14 @@ def _power_components(R: list[list[float]]) -> tuple[list[float],
                                                       list[float]]:
     """Top-2 eigenvectors of symmetric R by _PCA_ITERS power
     iterations + one deflation. Every op is left-associated to match
-    the oracle SQL's expression order exactly."""
+    the oracle SQL's expression order exactly. Each converged, sign-
+    pinned eigenvector is floor-quantized to the ppb grid (the MMR
+    pattern — ADVICE r8) BEFORE deflation/projection: downstream
+    parity then rests on identical 9-decimal integers, not on the two
+    engines' libm staying bit-identical through 2×100 amplifying
+    iterations (a single-ulp sqrt divergence mid-iteration is absorbed
+    unless the converged component lands within ~1e-9 of a grid
+    line)."""
     import math
     d = len(R)
 
@@ -455,7 +463,7 @@ def _power_components(R: list[list[float]]) -> tuple[list[float],
                 mx = i
         if v[mx] < 0:
             v = [-1.0 * x for x in v]
-        return v
+        return [math.floor(x * _PCA_PPB) / _PCA_PPB for x in v]
 
     v1 = iterate(R)
     w = matvec(R, v1)
@@ -565,10 +573,16 @@ def _pca_sql() -> str:
               FROM {name}, {mcte} WHERE {name}.i < {T}) a) b)"""
 
     def pin(src, out):
+        # sign pin, then floor-quantize to the ppb grid — mirrors
+        # _power_components.iterate's trailing quantization exactly
+        # (floor of an integer-valued double ≤ 1e9 divided by the
+        # exactly-representable 1e9: identical IEEE ops both engines).
         m = f"greatest({', '.join(f'abs(v{j})' for j in rng)})"
         sel = "CASE " + " ".join(
             f"WHEN abs(v{j}) >= m THEN v{j}" for j in rng) + " END"
-        cols = ", ".join(f"sgn*v{j} AS p{j}" for j in rng)
+        cols = ", ".join(
+            f"floor(sgn*v{j} * {float(_PCA_PPB)})/{float(_PCA_PPB)} "
+            f"AS p{j}" for j in rng)
         return f"""{out}a AS (SELECT *, {m} AS m FROM {src} WHERE i = {T}),
 {out}b AS (SELECT *, CASE WHEN ({sel}) < 0
                           THEN CAST(-1.0 AS DOUBLE)

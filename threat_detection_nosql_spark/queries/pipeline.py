@@ -2449,6 +2449,59 @@ QUERIES_TAIL["image_tile_stats"] = image_tile_stats
 ORACLES_TAIL["image_tile_stats"] = _IMAGE_TILES_SQL
 
 
+# -- D6e: image resize (stride decimation) over decoded pixels -----------------
+
+def media_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The resize slot of a vision preprocessing pipeline over REAL
+    decoded pixels: stride-2 decimation (nearest-neighbor downsample)
+    of each planted BMP/PPM, emitting output dimensions and exact
+    per-channel sums of the kept pixels. Oracle regenerates the pixel
+    lattice and keeps only even rows/columns — any drift in decode
+    (padding, bottom-up rows, channel order) or the decimation
+    arithmetic breaks the hash."""
+    from threat_detection_nosql_spark.operators.multimodal import (
+        downsample_image_stats, synth_media)
+    docs = load_table(spark, sf_dir, "documents")
+    return downsample_image_stats(synth_media(docs), stride=2)
+
+
+_RESIZE_SQL = """
+WITH d AS (
+  SELECT doc_id, doc_id % 3 AS kind,
+         CASE WHEN doc_id % 3 = 0 THEN 4 + doc_id % 5
+              ELSE 3 + doc_id % 7 END AS w,
+         CASE WHEN doc_id % 3 = 0 THEN 8 ELSE 6 END AS h,
+         doc_id % 180 AS base
+  FROM documents WHERE doc_id % 3 IN (0, 1)),
+rws AS (
+  SELECT doc_id, kind, w, h, base,
+         unnest(generate_series(0, h - 1, 2)) AS r
+  FROM d),
+px AS (
+  SELECT doc_id, kind, w, h, base, r,
+         unnest(generate_series(0, w - 1, 2)) AS c
+  FROM rws),
+v AS (
+  SELECT doc_id, kind, w, h,
+         CASE WHEN kind = 0 THEN base + r + c % 4
+              ELSE base + c END AS v0,
+         CASE WHEN kind = 0 THEN 16 ELSE 32 END AS step
+  FROM px)
+SELECT doc_id,
+       CASE WHEN kind = 0 THEN 'bmp' ELSE 'ppm' END AS media_kind,
+       CAST((h + 1) // 2 AS INT) AS out_h,
+       CAST((w + 1) // 2 AS INT) AS out_w,
+       CAST(sum(v0) AS BIGINT) AS sum_c0,
+       CAST(sum(v0 + step) AS BIGINT) AS sum_c1,
+       CAST(sum(v0 + 2 * step) AS BIGINT) AS sum_c2
+FROM v
+GROUP BY doc_id, kind, w, h
+"""
+
+QUERIES_TAIL["media_resize_stats"] = media_resize_stats
+ORACLES_TAIL["media_resize_stats"] = _RESIZE_SQL
+
+
 # -- D27: RAG chunking (overlapping token windows) ------------------------------
 
 _CHUNK_W = 64   # tokens per chunk
@@ -2474,14 +2527,20 @@ def chunk_select(docs: DataFrame) -> DataFrame:
     """The chunking transform itself — STATELESS expressions shared by
     the batch query and its streaming twin (chunk-on-ingest needs no
     state, watermark, or aggregation: one document row in, its chunk
-    rows out)."""
+    rows out).
+
+    The start sequence stops at n_tok - (W - S) - 1 (ADVICE r8): a
+    start beyond that produces a chunk whose tokens are all inside the
+    previous chunk (its window end ≤ the previous window's end) — a
+    strict suffix-subset that only inflates retriever duplicates."""
     toks = F.filter(F.split(F.col("text"), r"\s+"),
                     lambda x: x != F.lit(""))
     d = docs.select("doc_id", toks.alias("toks"),
                     F.size(toks).alias("n_tok"))
-    starts = F.sequence(F.lit(0),
-                        F.greatest(F.col("n_tok") - 1, F.lit(0)),
-                        F.lit(_CHUNK_S))
+    starts = F.sequence(
+        F.lit(0),
+        F.greatest(F.col("n_tok") - (_CHUNK_W - _CHUNK_S) - 1, F.lit(0)),
+        F.lit(_CHUNK_S))
     chunk = F.slice("toks", F.col("start") + 1, _CHUNK_W)
     return (d.filter(F.col("n_tok") > 0)
             .select("doc_id", "toks", F.explode(starts).alias("start"))
@@ -2503,8 +2562,9 @@ sized AS (SELECT doc_id, toks, len(toks) AS n_tok FROM d
           WHERE len(toks) > 0),
 starts AS (
   SELECT doc_id, toks, n_tok,
-         unnest(generate_series(0, greatest(n_tok - 1, 0),
-                                {_CHUNK_S})) AS start
+         unnest(generate_series(
+             0, greatest(n_tok - {_CHUNK_W - _CHUNK_S} - 1, 0),
+             {_CHUNK_S})) AS start
   FROM sized)
 SELECT doc_id,
        CAST(start // {_CHUNK_S} AS INT) AS chunk_idx,
