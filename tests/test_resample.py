@@ -56,3 +56,28 @@ def test_undersample_majority(spark):
     assert n[1] == 20                       # minority kept whole
     # majority sampled toward n_min/ratio = 25 (Bernoulli, so approx)
     assert n[0] < 60
+
+
+def test_undersample_hash_mode_portable_and_deterministic(spark):
+    """hash_col mode: the kept majority set is a pure function of
+    md5(user) — identical across runs, NULL-keyed synthetics kept iff
+    minority, and the kept count matches a driver-side replay of the
+    same top-40-bit threshold."""
+    import hashlib
+
+    from threat_detection_nosql_spark.ml.resample import (
+        hash_keep_threshold)
+
+    fix = synthetic_anomaly_fixture(spark)
+    a = undersample_majority(fix, ratio=0.8, hash_col="user")
+    b = undersample_majority(fix, ratio=0.8, hash_col="user")
+    users_a = sorted(r.user for r in a.collect())
+    assert users_a == sorted(r.user for r in b.collect())
+
+    t = hash_keep_threshold(20, 180, 0.8)
+    want = [u for u in range(180)
+            if int(hashlib.md5(str(u).encode()).hexdigest()[:10], 16) < t]
+    got_major = sorted(r.user for r in
+                       a.filter(F.col("is_anomaly") == 0).collect())
+    assert got_major == want
+    assert a.filter(F.col("is_anomaly") == 1).count() == 20

@@ -99,15 +99,51 @@ def smote_oversample(df: DataFrame, feature_cols: list[str],
     return df.unionByName(syn_rows.select(*out_cols))
 
 
+_HASH_BITS = 40  # top-40 md5 bits: frac·2^40 thresholds fit a long
+
+
+def hash_keep_threshold(n_min: int, n: int, ratio: float) -> int:
+    """Keep threshold for the portable hash sampler: a majority row
+    survives iff its top-40 md5 bits are below
+    floor(min(1, n_min/(ratio·n)) · 2^40). Shared by the operator and
+    the DuckDB oracle builder (queries/ml_queries.py) so both sides
+    run the SAME float-then-floor arithmetic."""
+    frac = min(1.0, n_min / (ratio * n)) if n else 1.0
+    return int(frac * (1 << _HASH_BITS))
+
+
 def undersample_majority(df: DataFrame, label: str = "is_anomaly",
                          minority: int = 1, ratio: float = 0.8,
-                         seed: int = 42) -> DataFrame:
+                         seed: int = 42,
+                         hash_col: str | None = None) -> DataFrame:
     """RandomUnderSampler analog: keep the minority class whole, sample
-    the majority down so |minority| ≈ ratio·|majority| (seeded
-    `sampleBy` — executor-side Bernoulli, no driver materialization)."""
+    the majority down so |minority| ≈ ratio·|majority|.
+
+    Default: seeded `sampleBy` — executor-side Bernoulli, no driver
+    materialization, the closest analog to the reference's RNG.
+
+    ``hash_col``: PORTABLE deterministic sampling instead — keep a
+    majority row iff the top-40 bits of md5(hash_col) fall below the
+    class's keep fraction (``hash_keep_threshold``). Same Bernoulli
+    marginals, but the decision is a pure function of the row key, so
+    any SQL engine replays the exact kept set (the KMV/minhash
+    md5-derivation pattern). Rows with NULL ``hash_col`` (e.g. SMOTE
+    synthetics, which carry NULL non-feature columns) are kept iff
+    they are minority-labeled."""
     n_by_class = {r[label]: r["n"] for r in
                   df.groupBy(label).agg(F.count("*").alias("n")).collect()}
     n_min = n_by_class.get(minority, 0)
+    if hash_col is not None:
+        h40 = F.conv(F.substring(
+            F.md5(F.col(hash_col).cast("string")), 1, 10), 16, 10
+        ).cast("long")
+        cond = F.col(label) == minority
+        for c, n in n_by_class.items():
+            if c == minority:
+                continue
+            t = hash_keep_threshold(n_min, n, ratio)
+            cond = cond | ((F.col(label) == c) & (h40 < F.lit(t)))
+        return df.filter(cond)
     fracs = {}
     for c, n in n_by_class.items():
         if c == minority:

@@ -259,19 +259,58 @@ def sketch_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("event_type"))
 
 
+_HH_K = 64  # Misra-Gries counters; heavy = count > n/(k+1)
+
+
 def heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Misra-Gries heavy-hitter tokens over the corpus (bounded-state
-    alternative to the exact `top_tokens` groupBy). Rows-only: the
-    surviving-counter set depends on partition boundaries; the
-    certified error bound and planted-key recovery are pinned by
-    tests/test_sketches.py."""
+    alternative to the exact `top_tokens` groupBy), two-pass:
+
+    1. MG candidate pass (operators/sketches.py) — ≤ k counters per
+       partition, merged by key-sum; shuffles ≤ k rows per partition
+       regardless of token cardinality.
+    2. Exact refinement — count ONLY the candidate tokens (a broadcast
+       semi-join, so the groupBy key set is ≤ the merged candidate
+       set) and keep those with exact count > n/(k+1), compared in
+       integer arithmetic (count·(k+1) > n — no floats).
+
+    Oracle-backed since round 9: the raw surviving-counter set depends
+    on partition boundaries, but the REFINED set doesn't — merged MG
+    decrements total ≤ n/(k+1), so every token above that threshold is
+    guaranteed to survive pass 1 whatever the layout (Misra-Gries '82;
+    mergeability per Agarwal et al. 2013). The oracle is the direct
+    SQL definition: tokens with count·(k+1) > total."""
     from threat_detection_nosql_spark.operators import sketches
     from threat_detection_nosql_spark.sources.readers import load_table, spread
     docs = spread(load_table(spark, sf_dir, "documents"))
-    toks = docs.select(
+    toks = (docs.select(
         F.explode(F.split(F.col("text"), r"\s+")).alias("token"))
-    return (sketches.misra_gries_heavy_hitters(toks, "token", k=64)
-            .limit(20))
+        .filter(F.col("token") != ""))
+    cands = (sketches.misra_gries_heavy_hitters(toks, "token", k=_HH_K)
+             .select("token"))
+    total = toks.agg(F.count("*").alias("corpus_tokens"))
+    return (toks.join(F.broadcast(cands), "token")
+            .groupBy("token")
+            .agg(F.count("*").alias("exact_count"))
+            .crossJoin(F.broadcast(total))
+            .filter(F.col("exact_count") * (_HH_K + 1)
+                    > F.col("corpus_tokens"))
+            .orderBy(F.desc("exact_count"), F.asc("token")))
+
+
+_HEAVY_HITTERS_SQL = rf"""
+WITH toks AS (
+  SELECT unnest(string_split_regex(text, '\s+')) AS token
+  FROM documents),
+t AS (SELECT token FROM toks WHERE token <> ''),
+c AS (SELECT token, CAST(count(*) AS BIGINT) AS exact_count
+      FROM t GROUP BY token),
+n AS (SELECT CAST(count(*) AS BIGINT) AS corpus_tokens FROM t)
+SELECT token, exact_count, corpus_tokens
+FROM c, n
+WHERE exact_count * {_HH_K + 1} > corpus_tokens
+ORDER BY exact_count DESC, token ASC
+"""
 
 
 QUERIES = {
@@ -286,6 +325,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "heavy_hitter_tokens": _HEAVY_HITTERS_SQL,
     "rule_confusion_matrix": _CONFUSION_SQL,
     "rule_classification_metrics": _CLS_METRICS_SQL,
     "rule_auc": _AUC_SQL,

@@ -94,25 +94,65 @@ def ensemble_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
                                parts=parts)
 
 
+_SMOTE_N, _SMOTE_ANOM = 200, 20
+_SMOTE_RATIO, _UNDER_RATIO = 0.7, 0.8
+
+
 def smote_resampled_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M10 as a queryable op: SMOTE(0.7) + undersample(0.8) on the
     planted-anomaly fixture (`Comparaison_ML.py:568-582` pipeline),
-    returning per-class counts before/after. Deterministic given the
-    fixed seeds; rows-only (interpolated values are RNG-stream
-    specific)."""
+    returning per-class counts before/after.
+
+    Oracle-backed since round 9: the SMOTE synthetic count is pure
+    integer arithmetic (max(0, floor(0.7·n_maj) − n_min) — feature
+    values never touch it), and the undersample runs in the portable
+    hash mode (``undersample_majority(hash_col="user")``), so the kept
+    majority set is a function of md5(user), not a Spark RNG stream.
+    The oracle replays the md5 threshold over generate_series and the
+    same count arithmetic (``hash_keep_threshold`` is shared code, so
+    both sides run identical float-then-floor ops). The interpolated
+    feature VALUES still use engine RNG — they are deliberately not
+    part of this query's output."""
     from pyspark.sql import functions as F
 
     from threat_detection_nosql_spark.ml.resample import (
         smote_oversample,
         undersample_majority,
     )
-    fix = synthetic_anomaly_fixture(spark)
+    fix = synthetic_anomaly_fixture(spark, n=_SMOTE_N,
+                                    n_anomalies=_SMOTE_ANOM)
     res = undersample_majority(
-        smote_oversample(fix, [f"f{i}" for i in range(8)], ratio=0.7),
-        ratio=0.8)
+        smote_oversample(fix, [f"f{i}" for i in range(8)],
+                         ratio=_SMOTE_RATIO),
+        ratio=_UNDER_RATIO, hash_col="user")
     before = fix.groupBy("is_anomaly").agg(F.count("*").alias("n_before"))
     after = res.groupBy("is_anomaly").agg(F.count("*").alias("n_after"))
     return before.join(after, "is_anomaly")
+
+
+def _smote_counts_sql() -> str:
+    """Oracle: replay the count arithmetic and the md5 keep-set.
+    n_min/n_maj/target/n_new mirror smote_oversample line by line;
+    the majority keep count re-derives each kept user id from the
+    SAME top-40-md5-bits threshold the operator filters on."""
+    from threat_detection_nosql_spark.ml.resample import (
+        hash_keep_threshold)
+    n_maj = _SMOTE_N - _SMOTE_ANOM
+    n_min0 = _SMOTE_ANOM
+    target = int(_SMOTE_RATIO * n_maj)
+    n_min1 = n_min0 + max(0, target - n_min0)
+    t = hash_keep_threshold(n_min1, n_maj, _UNDER_RATIO)
+    return f"""
+WITH maj AS (SELECT unnest(generate_series(0, {n_maj - 1})) AS u),
+kept AS (
+  SELECT CAST(count(*) AS BIGINT) AS c FROM maj
+  WHERE CAST(('0x' || substr(md5(CAST(u AS VARCHAR)), 1, 10)) AS BIGINT)
+        < {t})
+SELECT CAST(0 AS INT) AS is_anomaly,
+       CAST({n_maj} AS BIGINT) AS n_before, c AS n_after FROM kept
+UNION ALL
+SELECT CAST(1 AS INT), CAST({n_min0} AS BIGINT), CAST({n_min1} AS BIGINT)
+"""
 
 
 def supervised_model_report(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -135,7 +175,9 @@ QUERIES = {
     "supervised_model_report": supervised_model_report,
 }
 
-ORACLES: dict[str, str] = {}  # rows-only by construction
+ORACLES: dict[str, str] = {  # the detector queries stay rows-only
+    "smote_resampled_counts": _smote_counts_sql(),
+}
 
 # added mid-round-4: TAIL keeps the driver's first-50 sampling window
 # stable (see queries/__init__.all_queries)
