@@ -691,3 +691,83 @@ FROM f CROSS JOIN vr CROSS JOIN p1c CROSS JOIN p2c
 
 QUERIES_TAIL["user_pca_projection"] = user_pca_projection
 ORACLES_TAIL["user_pca_projection"] = _pca_sql()
+
+
+# -- M9 substitute: 2-D neighbor embedding (t-SNE's slot) ----------------------
+
+_TSNE_K = 5        # neighbors per point
+_TSNE_ROUNDS = 3   # smoothing rounds
+_TSNE_CELL = 0.75  # grid cell size in PCA units (z-scored space)
+
+
+def tsne_substitute_projection(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """M9's slot (`Comparaison_ML.py:888-889` feeds a t-SNE scatter
+    plot) — filled by an HONEST substitute, not Barnes-Hut t-SNE: the
+    deterministic PCA projection (user_pca_projection's power-method
+    machinery) initializes 2-D coordinates, then ``_TSNE_ROUNDS``
+    rounds of neighbor-mean smoothing over a ``_TSNE_K``-NN graph pull
+    local clusters together — the local-structure emphasis t-SNE
+    exists for, with none of its RNG, perplexity calibration, or
+    O(n·iter) KL gradient. Scope note: the reference uses t-SNE only
+    as plot input; this substitute is plot-equivalent, documented as
+    such (COVERAGE.md §2.8), and registered rows-only (float summation
+    order in the neighbor means is engine-specific).
+
+    Scale shape: the kNN graph is a GRID-BUCKETED spatial join — each
+    point joins only its own and the 8 surrounding cells of a
+    ``_TSNE_CELL``-sized lattice over the 2-D plane (the IVF-cell
+    pattern), never the O(n²) all-pairs frame; smoothing rounds are
+    ≤ k-row-per-node aggregations against a localCheckpoint-pinned
+    edge list."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    pts = user_pca_projection(spark, sf_dir).localCheckpoint()
+    cells = pts.select(
+        "user", "pc1", "pc2",
+        F.floor(F.col("pc1") / _TSNE_CELL).alias("cx"),
+        F.floor(F.col("pc2") / _TSNE_CELL).alias("cy"))
+    # candidate pairs: same or adjacent cell (3x3 neighborhood)
+    off = spark.range(9).select(
+        (F.col("id") % 3 - 1).alias("dx"),
+        (F.col("id") / 3).cast("long").alias("dy0")) \
+        .select("dx", (F.col("dy0") - 1).alias("dy"))
+    probes = (cells.crossJoin(F.broadcast(off))
+              .select("user", "pc1", "pc2",
+                      (F.col("cx") + F.col("dx")).alias("cx"),
+                      (F.col("cy") + F.col("dy")).alias("cy")))
+    nbrs = (probes.alias("a")
+            .join(cells.select(F.col("user").alias("nbr"),
+                               F.col("pc1").alias("npc1"),
+                               F.col("pc2").alias("npc2"),
+                               "cx", "cy").alias("b"),
+                  ["cx", "cy"])
+            .filter(F.col("user") != F.col("nbr"))
+            .withColumn("d2", (F.col("pc1") - F.col("npc1")) ** 2
+                        + (F.col("pc2") - F.col("npc2")) ** 2))
+    w = Window.partitionBy("user").orderBy(F.asc("d2"), F.asc("nbr"))
+    edges = (nbrs.withColumn("rk", F.row_number().over(w))
+             .filter(F.col("rk") <= _TSNE_K)
+             .select("user", "nbr").localCheckpoint())
+    cur = pts.select("user", F.col("pc1").alias("x"),
+                     F.col("pc2").alias("y"))
+    for _ in range(_TSNE_ROUNDS):
+        nbr_mean = (edges
+                    .join(cur.select(F.col("user").alias("nbr"),
+                                     F.col("x").alias("nx"),
+                                     F.col("y").alias("ny")), "nbr")
+                    .groupBy("user")
+                    .agg(F.avg("nx").alias("mx"), F.avg("ny").alias("my")))
+        cur = (cur.join(nbr_mean, "user", "left")
+               .select("user",
+                       ((F.col("x") + F.coalesce("mx", F.col("x"))) / 2)
+                       .alias("x"),
+                       ((F.col("y") + F.coalesce("my", F.col("y"))) / 2)
+                       .alias("y"))
+               .localCheckpoint())
+    return cur.select("user", F.round("x", 6).alias("x"),
+                      F.round("y", 6).alias("y")).orderBy("user")
+
+
+QUERIES_TAIL["tsne_substitute_projection"] = tsne_substitute_projection

@@ -69,6 +69,15 @@ def events_stream(spark: SparkSession, sf_dir: str,
     return out.withWatermark("ts", watermark) if watermark else out
 
 
+# Observability side-channel: after every run_stream_to_table drain,
+# the final batch's state-operator metrics land here (list of dicts
+# with operatorName / numRowsTotal / numRowsUpdated, plus the drain's
+# cumulative numInputRows). scripts/soak_stream_state.py reads it to
+# build the state-rows-vs-input scaling table; product code never
+# depends on it.
+LAST_STREAM_PROGRESS: dict = {}
+
+
 def run_stream_to_table(stream_df: DataFrame, *,
                         mode: str = "complete") -> DataFrame:
     """Drive a finite stream to completion through a memory sink and
@@ -79,6 +88,20 @@ def run_stream_to_table(stream_df: DataFrame, *,
          .format("memory").queryName(name).start())
     try:
         q.processAllAvailable()
+        state_ops: list[dict] = []
+        for prog in reversed(q.recentProgress):
+            ops = prog.get("stateOperators") or []
+            if ops:
+                state_ops = [{k: op.get(k) for k in
+                              ("operatorName", "numRowsTotal",
+                               "numRowsUpdated")} for op in ops]
+                break
+        LAST_STREAM_PROGRESS.clear()
+        LAST_STREAM_PROGRESS.update({
+            "state_operators": state_ops,
+            "input_rows": sum(p.get("numInputRows", 0)
+                              for p in q.recentProgress),
+        })
     finally:
         q.stop()
     return stream_df.sparkSession.table(name)
