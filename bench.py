@@ -292,6 +292,19 @@ ROUND8_COLLECT = [
 ]
 ROUND8_COUNT: list = []
 
+# Round-9 wave ("round9_total"): real-decode histogram/frame/resize
+# conversions, two-pass Misra-Gries refinement, hash-mode SMOTE
+# counts, PCA-init neighbor embedding.
+ROUND9_COLLECT = [
+    "media_features",
+    "media_frame_sample",
+    "media_resize_stats",
+    "heavy_hitter_tokens",
+    "smote_resampled_counts",
+    "tsne_substitute_projection",
+]
+ROUND9_COUNT: list = []
+
 # Always isolated-re-measured regardless of in-run rank: queries whose
 # in-run numbers have previously disagreed with quiet-box reruns.
 ISOLATE_ALWAYS = ["stream_topk_users"]
@@ -312,6 +325,7 @@ GROUP_SPECS = [
     ("round7d_total", ROUND7D_COLLECT, ROUND7D_COUNT),
     ("round7e_total", ROUND7E_COLLECT, ROUND7E_COUNT),
     ("round8_total", ROUND8_COLLECT, ROUND8_COUNT),
+    ("round9_total", ROUND9_COLLECT, ROUND9_COUNT),
 ]
 
 

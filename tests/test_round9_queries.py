@@ -35,3 +35,56 @@ def test_tsne_substitute_contracts_neighborhoods(spark):
         return tot / len(coords)
 
     assert mean_knn(out) < mean_knn(init)
+
+
+# -- GIF87a codec (the compressed-format path) -------------------------------
+
+def test_gif_roundtrip_randomized():
+    """Encoder/decoder round-trip across random sizes and palette
+    cardinalities — crossing several LZW width boundaries — plus the
+    degenerate constant raster (max run folding) and a 256-color noise
+    image large enough to hit the 4096-entry table clear."""
+    import numpy as np
+
+    from threat_detection_nosql_spark.operators import multimodal as M
+
+    rng = np.random.RandomState(0)
+    for _ in range(25):
+        h, w = rng.randint(1, 40), rng.randint(1, 40)
+        n = rng.randint(2, 256)
+        pal = rng.randint(0, 256, (n, 3)).astype(np.uint8)
+        idx = rng.randint(0, n, (h, w)).astype(np.uint8)
+        assert (M.decode_gif(M.encode_gif(idx, pal)) == pal[idx]).all()
+    const = np.zeros((64, 64), np.uint8)
+    pal8 = np.arange(24, dtype=np.uint8).reshape(8, 3)
+    assert (M.decode_gif(M.encode_gif(const, pal8)) == pal8[const]).all()
+    noise = rng.randint(0, 256, (120, 120)).astype(np.uint8)
+    pal256 = rng.randint(0, 256, (256, 3)).astype(np.uint8)
+    assert (M.decode_gif(M.encode_gif(noise, pal256))
+            == pal256[noise]).all()
+
+
+def test_gif_decoder_width_schedule_is_decoder_side():
+    """The decoder widens at 2^w - 1 (one entry before the encoder) —
+    an image long enough to cross a width boundary desynchronizes if
+    either side uses the other's rule. 600 pixels of 8-color gradient
+    crosses the 4->5 and 5->6 boundaries."""
+    import numpy as np
+
+    from threat_detection_nosql_spark.operators import multimodal as M
+
+    idx = (np.add.outer(np.arange(20), np.arange(30)) % 8).astype(np.uint8)
+    pal = (np.arange(8)[:, None] * 16 + np.arange(3)[None, :] * 32 + 5
+           ).astype(np.uint8)
+    assert (M.decode_gif(M.encode_gif(idx, pal)) == pal[idx]).all()
+
+
+def test_gif_decoder_refusals():
+    import pytest as _pytest
+
+    from threat_detection_nosql_spark.operators import multimodal as M
+
+    with _pytest.raises(ValueError, match="bad magic"):
+        M.decode_gif(b"NOTGIF" + b"\x00" * 20)
+    with _pytest.raises(ValueError, match="truncated"):
+        M._lzw_decode(b"", 3, 10)

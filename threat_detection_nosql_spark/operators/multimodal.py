@@ -235,6 +235,166 @@ def decode_wav(blob: bytes) -> tuple[np.ndarray, int]:
     return samples, sample_rate
 
 
+# -- GIF87a: the one COMPRESSED format here (round 9). BMP/PPM/WAV are
+# raw rasters; GIF exercises a real entropy coder — variable-width LZW
+# with clear/EOI codes, LSB-first bit packing, and 255-byte sub-blocks
+# — implemented from the published spec (GIF87a, CompuServe 1987;
+# Welch 1984), no codec libs.
+
+
+def _lzw_encode(indices: bytes, min_code_size: int) -> bytes:
+    """GIF variable-width LZW. Width grows when the NEXT code to
+    assign reaches 2^width (encoder side; the decoder grows one entry
+    earlier — see _lzw_decode). Emits an initial clear code and a
+    trailing EOI; resets the table at the 4096-entry ceiling."""
+    clear, eoi = 1 << min_code_size, (1 << min_code_size) + 1
+    out = bytearray()
+    acc = n_bits = 0
+
+    def put(code: int, width: int) -> None:
+        nonlocal acc, n_bits
+        acc |= code << n_bits
+        n_bits += width
+        while n_bits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            n_bits -= 8
+
+    table = {bytes([i]): i for i in range(clear)}
+    next_code, width = eoi + 1, min_code_size + 1
+    put(clear, width)
+    w = b""
+    for b in indices:
+        wk = w + bytes([b])
+        if wk in table:
+            w = wk
+            continue
+        put(table[w], width)
+        if next_code < 4096:
+            table[wk] = next_code
+            next_code += 1
+            if next_code == (1 << width) and width < 12:
+                width += 1
+        else:  # table full: clear and restart (spec-sanctioned)
+            put(clear, width)
+            table = {bytes([i]): i for i in range(clear)}
+            next_code, width = eoi + 1, min_code_size + 1
+        w = bytes([b])
+    if w:
+        put(table[w], width)
+    put(eoi, width)
+    if n_bits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _lzw_decode(data: bytes, min_code_size: int, n_expected: int) -> bytes:
+    """Inverse of _lzw_encode. The decoder's table lags the encoder's
+    by exactly one entry at read time, so it must widen at
+    2^width − 1 — the classic GIF off-by-one; using the encoder's rule
+    here desynchronizes the bit stream at every width boundary."""
+    clear, eoi = 1 << min_code_size, (1 << min_code_size) + 1
+    pos = acc = n_bits = 0
+    width = min_code_size + 1
+    table: list[bytes] = [bytes([i]) for i in range(clear)] + [b"", b""]
+    next_code = eoi + 1
+    out = bytearray()
+    prev: bytes | None = None
+    while len(out) < n_expected:
+        while n_bits < width:
+            if pos >= len(data):
+                raise ValueError("GIF LZW stream truncated")
+            acc |= data[pos] << n_bits
+            pos += 1
+            n_bits += 8
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        n_bits -= width
+        if code == clear:
+            table = [bytes([i]) for i in range(clear)] + [b"", b""]
+            next_code, width, prev = eoi + 1, min_code_size + 1, None
+            continue
+        if code == eoi:
+            break
+        if code < next_code:
+            entry = table[code]
+        elif code == next_code and prev is not None:
+            entry = prev + prev[:1]  # KwKwK
+        else:
+            raise ValueError(f"GIF LZW: invalid code {code}")
+        out.extend(entry)
+        if prev is not None and next_code < 4096:
+            table.append(prev + entry[:1])
+            next_code += 1
+            if next_code == (1 << width) - 1 and width < 12:
+                width += 1
+        prev = entry
+    return bytes(out)
+
+
+def encode_gif(indices: np.ndarray, palette: np.ndarray) -> bytes:
+    """Encode an (h, w) uint8 index raster + (n≤256, 3) palette as a
+    non-interlaced GIF87a with a global color table and LZW-compressed
+    image data in 255-byte sub-blocks."""
+    h, w = indices.shape
+    n = len(palette)
+    gct_bits = max(1, (int(n) - 1).bit_length())
+    gct = np.zeros((1 << gct_bits, 3), dtype=np.uint8)
+    gct[:n] = palette
+    min_code_size = max(2, gct_bits)
+    lzw = _lzw_encode(indices.astype(np.uint8).tobytes(), min_code_size)
+    blocks = bytearray()
+    for i in range(0, len(lzw), 255):
+        chunk = lzw[i:i + 255]
+        blocks.append(len(chunk))
+        blocks.extend(chunk)
+    blocks.append(0)  # block terminator
+    return (b"GIF87a"
+            + struct.pack("<HHBBB", w, h, 0x80 | (gct_bits - 1), 0, 0)
+            + gct.tobytes()
+            + b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+            + bytes([min_code_size]) + bytes(blocks) + b"\x3b")
+
+
+def decode_gif(blob: bytes) -> np.ndarray:
+    """Parse a GIF87a/89a (single non-interlaced image, global color
+    table) into an (h, w, 3) uint8 RGB array: header walk, GCT read,
+    sub-block reassembly, LZW decode, palette lookup."""
+    if blob[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF: bad magic")
+    sw, sh, flags, _bg, _ar = struct.unpack_from("<HHBBB", blob, 6)
+    pos = 13
+    if not flags & 0x80:
+        raise ValueError("GIF without global color table unsupported")
+    gct_size = 2 << (flags & 0x07)
+    palette = np.frombuffer(blob, np.uint8, count=gct_size * 3,
+                            offset=pos).reshape(gct_size, 3)
+    pos += gct_size * 3
+    while pos < len(blob) and blob[pos] == 0x21:  # skip 89a extensions
+        pos += 2
+        while blob[pos]:
+            pos += 1 + blob[pos]
+        pos += 1
+    if pos >= len(blob) or blob[pos] != 0x2C:
+        raise ValueError("GIF image descriptor not found")
+    x0, y0, w, h, iflags = struct.unpack_from("<HHHHB", blob, pos + 1)
+    if iflags & 0xC0:
+        raise ValueError("interlaced/local-palette GIF unsupported")
+    pos += 10
+    min_code_size = blob[pos]
+    pos += 1
+    lzw = bytearray()
+    while blob[pos]:
+        size = blob[pos]
+        lzw.extend(blob[pos + 1:pos + 1 + size])
+        pos += 1 + size
+    idx = np.frombuffer(
+        _lzw_decode(bytes(lzw), min_code_size, w * h), np.uint8)
+    if len(idx) != w * h:
+        raise ValueError(f"GIF pixel count {len(idx)} != {w * h}")
+    return palette[idx.reshape(h, w)]
+
+
 def decode_media(blob: bytes, media_kind: str):
     """Dispatch decode by kind. The codec formats the container cannot
     decode without external libs raise explicitly."""
@@ -242,6 +402,8 @@ def decode_media(blob: bytes, media_kind: str):
         return decode_bmp(blob)
     if media_kind == "ppm":
         return decode_ppm(blob)
+    if media_kind == "gif":
+        return decode_gif(blob)
     if media_kind == "wav":
         return decode_wav(blob)
     raise ValueError(
@@ -334,6 +496,65 @@ def media_stats(media: DataFrame) -> DataFrame:
             yield pd.DataFrame(out)
 
     return media.mapInPandas(batches, schema=MEDIA_STATS_SCHEMA)
+
+
+GIF_PALETTE_N = 8
+GIF_STATS_SCHEMA = ("doc_id long, width int, height int, n_px int, "
+                    "sum_c0 long, sum_c1 long, sum_c2 long")
+
+
+def _synth_gif_blob(doc_id: int) -> bytes:
+    """Deterministic planted GIF: diagonal-gradient index raster
+    idx[r,c] = (base + r + c) % 8 over (7 × 5+id%6), linear palette
+    color[i][k] = 16i + 32k + 5 — pure integer patterns so SQL replays
+    every decoded channel sum in closed form THROUGH the LZW
+    round-trip."""
+    w, h, base = 5 + doc_id % 6, 7, doc_id % GIF_PALETTE_N
+    r, c = np.ogrid[0:h, 0:w]
+    idx = ((base + r + c) % GIF_PALETTE_N).astype(np.uint8)
+    i, k = np.ogrid[0:GIF_PALETTE_N, 0:3]
+    palette = (16 * i + 32 * k + 5).astype(np.uint8)
+    return encode_gif(idx, palette)
+
+
+def synth_gif_media(docs: DataFrame) -> DataFrame:
+    """Plant one GIF blob per document — a separate mapInPandas stage
+    from the decoder so the compressed bytes genuinely round-trip
+    through Arrow binary columns (same two-stage shape as
+    synth_media/media_stats)."""
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "blob": [_synth_gif_blob(int(d)) for d in pdf["doc_id"]]})
+
+    return docs.select("doc_id").mapInPandas(
+        batches, schema="doc_id long, blob binary")
+
+
+def gif_decode_stats(media: DataFrame) -> DataFrame:
+    """Parse planted GIF blobs back (header walk, sub-block
+    reassembly, variable-width LZW, palette lookup) and emit
+    exact-integer per-channel sums from the DECODED pixels. Unlike the
+    BMP/PPM/WAV trio this crosses a real entropy coder — a single bad
+    bit in the LZW width schedule shifts every later code and the sums
+    collapse."""
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {k: [] for k in ("doc_id", "width", "height", "n_px",
+                                   "sum_c0", "sum_c1", "sum_c2")}
+            for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
+                img = decode_gif(bytes(blob)).astype(np.int64)
+                h, w, _ = img.shape
+                out["doc_id"].append(doc_id)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["n_px"].append(h * w)
+                for k in range(3):
+                    out[f"sum_c{k}"].append(int(img[:, :, k].sum()))
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(batches, schema=GIF_STATS_SCHEMA)
 
 
 AUDIO_FRAME_SCHEMA = ("doc_id long, frame_idx int, n_samples int, "

@@ -2502,6 +2502,51 @@ QUERIES_TAIL["media_resize_stats"] = media_resize_stats
 ORACLES_TAIL["media_resize_stats"] = _RESIZE_SQL
 
 
+# -- D6f: GIF decode — the compressed-codec path (round 9) ---------------------
+
+def gif_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end decode of a COMPRESSED format: plant one GIF87a per
+    document (from-scratch variable-width LZW encoder,
+    operators/multimodal.py), ship the compressed bytes through Arrow,
+    parse them back with the independent decoder (header walk,
+    sub-block reassembly, LZW with the decoder-side width schedule,
+    palette lookup) and emit exact per-channel pixel sums. The oracle
+    never touches the bytes: it regenerates the planted index lattice
+    idx=(base+r+c)%8 and linear palette 16i+32k+5 with generate_series
+    — so every LZW bit (clear/EOI codes, LSB packing, the 2^w−1
+    decoder widen rule) is pinned by the hash."""
+    from threat_detection_nosql_spark.operators.multimodal import (
+        gif_decode_stats as stats, synth_gif_media)
+    docs = load_table(spark, sf_dir, "documents")
+    return stats(synth_gif_media(docs))
+
+
+_GIF_STATS_SQL = """
+WITH d AS (
+  SELECT doc_id, 5 + doc_id % 6 AS w, 7 AS h, doc_id % 8 AS base
+  FROM documents),
+rws AS (
+  SELECT doc_id, w, base, unnest(generate_series(0, h - 1)) AS r
+  FROM d),
+px AS (
+  SELECT doc_id, base, r, unnest(generate_series(0, w - 1)) AS c
+  FROM rws),
+agg AS (
+  SELECT doc_id, CAST(count(*) AS INT) AS n_px,
+         CAST(sum((base + r + c) % 8) AS BIGINT) AS sum_idx
+  FROM px GROUP BY doc_id)
+SELECT d.doc_id, CAST(d.w AS INT) AS width, CAST(d.h AS INT) AS height,
+       a.n_px,
+       CAST(16 * a.sum_idx + 5 * a.n_px AS BIGINT) AS sum_c0,
+       CAST(16 * a.sum_idx + 37 * a.n_px AS BIGINT) AS sum_c1,
+       CAST(16 * a.sum_idx + 69 * a.n_px AS BIGINT) AS sum_c2
+FROM d JOIN agg a ON a.doc_id = d.doc_id
+"""
+
+QUERIES_TAIL["gif_decode_stats"] = gif_decode_stats
+ORACLES_TAIL["gif_decode_stats"] = _GIF_STATS_SQL
+
+
 # -- D27: RAG chunking (overlapping token windows) ------------------------------
 
 _CHUNK_W = 64   # tokens per chunk
