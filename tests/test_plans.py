@@ -740,3 +740,33 @@ def test_round7e_scans_prune_and_pivot_is_one_agg(spark):
                          for ln in scans), plan
     assert "CartesianProduct" not in plan
     assert len(_PIVOT_YEARS) == 7
+
+
+def test_round9_heavy_hitter_refinement_broadcasts_candidates(spark):
+    """heavy_hitter_tokens' exact-refinement pass must join the token
+    explosion against the MG candidate set via BroadcastHashJoin
+    (candidates ≤ k·partitions rows) — a SortMergeJoin here would
+    shuffle the full token stream by token, which is exactly what the
+    MG pass exists to avoid. The corpus-total scalar must ride a
+    broadcast too."""
+    from threat_detection_nosql_spark.queries.metrics import (
+        heavy_hitter_tokens)
+
+    plan = formatted_plan(heavy_hitter_tokens(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_round9_media_queries_prune_to_doc_id(spark):
+    """The planted-media queries only need doc_id from the documents
+    scan — ReadSchema must not drag the text column through the
+    decode kernels."""
+    from threat_detection_nosql_spark.queries.pipeline import (
+        gif_decode_stats, media_resize_stats)
+
+    for q in (gif_decode_stats, media_resize_stats):
+        plan = formatted_plan(q(spark, SF_DIR))
+        scan = [ln for ln in plan.splitlines()
+                if "ReadSchema" in ln and "documents" in plan]
+        assert scan and all("text" not in ln for ln in scan), plan
