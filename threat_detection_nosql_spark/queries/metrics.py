@@ -279,16 +279,24 @@ def heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     decrements total ≤ n/(k+1), so every token above that threshold is
     guaranteed to survive pass 1 whatever the layout (Misra-Gries '82;
     mergeability per Agarwal et al. 2013). The oracle is the direct
-    SQL definition: tokens with count·(k+1) > total."""
+    SQL definition: tokens with count·(k+1) > total.
+
+    The corpus total needs NO extra scan: every input token either
+    lands in a counter (summed into est) or fires a decrement that
+    consumes exactly k+1 counts (the incoming token + k counters), so
+    n = Σest + (k+1)·Σdec exactly — the total is an aggregate of the
+    k-row summary frame."""
     from threat_detection_nosql_spark.operators import sketches
     from threat_detection_nosql_spark.sources.readers import load_table, spread
     docs = spread(load_table(spark, sf_dir, "documents"))
     toks = (docs.select(
         F.explode(F.split(F.col("text"), r"\s+")).alias("token"))
         .filter(F.col("token") != ""))
-    cands = (sketches.misra_gries_heavy_hitters(toks, "token", k=_HH_K)
-             .select("token"))
-    total = toks.agg(F.count("*").alias("corpus_tokens"))
+    mg = sketches.misra_gries_heavy_hitters(toks, "token", k=_HH_K)
+    cands = mg.select("token")
+    total = mg.agg(
+        (F.sum("est_count") + (_HH_K + 1) * F.max("err_bound"))
+        .alias("corpus_tokens"))
     return (toks.join(F.broadcast(cands), "token")
             .groupBy("token")
             .agg(F.count("*").alias("exact_count"))
