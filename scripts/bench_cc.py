@@ -45,14 +45,17 @@ def main() -> int:
              .config("spark.ui.enabled", "false").getOrCreate())
     spark.sparkContext.setLogLevel("ERROR")
 
-    # SHALLOW: 10-cliques — node i joins clique i//10 via a ring+chord
-    # pattern (each clique = 10 nodes, edges (i, i+1) within clique and
-    # (base, base+k) spokes): diameter 2 after symmetrization.
+    # SHALLOW: one 10-node star per block — every node attaches to its
+    # block's base (id//10)*10, so each full block is a diameter-2
+    # component. A trailing partial block of 1 node has no edge (the
+    # self-loop is filtered) and is not edge-incident, hence not a
+    # component; partial blocks of >= 2 nodes are.
     ids = spark.range(n_shallow)
     shallow = (ids.select(
         F.col("id").alias("src"),
         ((F.col("id") / 10).cast("long") * 10).alias("dst"))
         .filter(F.col("src") != F.col("dst")))
+    n_shallow_comps = n_shallow // 10 + (1 if n_shallow % 10 >= 2 else 0)
     # DEEP: n_chains paths of chain_len nodes each.
     seq = spark.range(n_chains * chain_len)
     deep = (seq.select(F.col("id").alias("src"),
@@ -60,7 +63,7 @@ def main() -> int:
             .filter((F.col("id") + 1) % chain_len != 0))
 
     cases = {
-        "shallow_cliques": (shallow, n_shallow // 10),
+        "shallow_cliques": (shallow, n_shallow_comps),
         "deep_chains": (deep, n_chains),
     }
     algos = {

@@ -141,8 +141,14 @@ def undersample_majority(df: DataFrame, label: str = "is_anomaly",
         for c, n in n_by_class.items():
             if c == minority:
                 continue
+            # NULL-labeled rows (possible in dirty/outer-join inputs)
+            # form their own class in n_by_class and must be sampled
+            # like the sampleBy path samples them, not silently
+            # dropped by a `label = NULL` predicate
+            is_c = (F.col(label).isNull() if c is None
+                    else F.col(label) == c)
             t = hash_keep_threshold(n_min, n, ratio)
-            cond = cond | ((F.col(label) == c) & (h40 < F.lit(t)))
+            cond = cond | (is_c & (h40 < F.lit(t)))
         return df.filter(cond)
     fracs = {}
     for c, n in n_by_class.items():

@@ -10,12 +10,12 @@ the FIRST 50 queries in merge order each round.  Rounds 1-4 proved the
 threat/relational/pipeline/advanced/graph/metrics families (94 of 150
 oracle queries driver-green); rounds 5-8 cleared their pinned 50s
 (287/287 cumulative).  Round 9 rotates the EXPLICIT name window onto
-the 9 remaining never-driver-green oracle queries (the round-8 media /
-chunking / KMV / PCA / MMR wave and its streaming twins) plus 41
-least-recently-verified refills — then every other oracle-backed
-query, and parks the rows-only (engine-RNG / model / media) queries at
-the registry end so no window slot is ever burned on a ``no_oracle``
-row.
+all 12 never-driver-seen round-8 additions — 9 oracle-backed (the
+media / chunking / KMV / PCA / MMR wave and its streaming twins) plus
+the 3 rows-only ones the r8 verdict asked to window for executed-clean
+records — then 38 least-recently-verified refills, then every other
+oracle-backed query, with the remaining rows-only (engine-RNG / model
+state) queries parked at the registry end.
 """
 
 from __future__ import annotations
@@ -26,13 +26,18 @@ from pyspark.sql import DataFrame, SparkSession
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
-# Round-9 driver window: the 9 oracle-backed round-8 additions with no
-# driver-green row in CORRECTNESS_r01-r08 (media codecs, chunking, KMV
-# quantiles, PCA projection, MMR re-ranking, their streaming twins),
-# topped up with the 41 least-recently-verified greens
-# (rotate_window.py TAIL discipline).  Green here closes the driver
-# ledger: cumulative driver-green rises from 287 to 296 of 296
-# oracle-backed queries.
+# Round-9 driver window: ALL 12 never-driver-seen round-8 additions —
+# the 9 oracle-backed ones (media codecs, chunking, KMV quantiles, PCA
+# projection, MMR re-ranking, their streaming twins) PLUS the 3
+# rows-only ones the r8 verdict explicitly asked to window
+# (autoencoder/ocsvm/stream_model_scores get driver executed-clean
+# records even though there is nothing to hash them against) — topped
+# up with the 38 least-recently-verified greens (rotate_window.py TAIL
+# discipline).  Green here closes the pre-round-9 driver ledger at
+# 296/296 oracle-backed ever windowed; the 6 round-9 additions
+# (media_features, media_frame_sample, media_resize_stats,
+# gif_decode_stats, heavy_hitter_tokens, smote_resampled_counts) wait
+# for the R10 rotation.
 # NEVER reorder once verified: the driver hashes this exact prefix.
 _WINDOW_R9: tuple[str, ...] = (
     "mmr_diversified_topk",
@@ -44,6 +49,9 @@ _WINDOW_R9: tuple[str, ...] = (
     "user_pca_projection",
     "stream_kmv_quantiles",
     "stream_chunked_documents",
+    "autoencoder_anomalies",
+    "ocsvm_anomalies",
+    "stream_model_scores",
     "repetition_stats",
     "normalized_text_hash",
     "packed_sequences",
@@ -82,9 +90,6 @@ _WINDOW_R9: tuple[str, ...] = (
     "customer_value_ntiles",
     "user_event_gaps",
     "error_without_purchase_users",
-    "error_and_purchase_users",
-    "user_modal_activity",
-    "rolling_week_order_value",
 )
 
 
