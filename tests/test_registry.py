@@ -63,21 +63,26 @@ def _current_window():
 
 def test_driver_window_is_oracle_backed_and_rows_only_parked():
     """Driver-window invariants (rotation-proof): the first 50 registry
-    entries are exactly the current ``_WINDOW_R*`` tuple (every one
-    oracle-backed), every oracle-backed query precedes every rows-only
-    one, and the rows-only queries are parked at the end — no window
-    slot can record ``no_oracle``."""
+    entries are exactly the current ``_WINDOW_R*`` tuple; outside the
+    window, every oracle-backed query precedes every rows-only one
+    (the park). Rows-only names may appear INSIDE the window — the r8
+    verdict asks rotations to window never-driver-seen rows-only
+    additions once for an executed-clean record — but never more than
+    a handful of slots."""
     merged = Q.all_queries()
     oracles = Q.all_oracles()
     names = list(merged)
     window = _current_window()
     assert len(window) == 50
     assert tuple(names[:50]) == window
-    n_oracle = sum(1 for n in names if n in oracles)
-    assert n_oracle >= 150
-    for n in names[:n_oracle]:
+    ro_in_window = [n for n in window if n not in oracles]
+    assert len(ro_in_window) <= 5, ro_in_window
+    rest = names[50:]
+    n_oracle_rest = sum(1 for n in rest if n in oracles)
+    assert len(window) - len(ro_in_window) + n_oracle_rest >= 150
+    for n in rest[:n_oracle_rest]:
         assert n in oracles, f"{n} ahead of the park but has no oracle"
-    for n in names[n_oracle:]:
+    for n in rest[n_oracle_rest:]:
         assert n not in oracles, f"rows-only park holds oracle query {n}"
 
 
