@@ -12,7 +12,7 @@ from threat_detection_nosql_spark import queries as Q
 _MODULES = ["threat", "relational", "pipeline", "corpus", "advanced",
             "graph_queries", "metrics", "ml_queries",
             "streaming_queries", "temporal", "tpch", "cleaning",
-            "tokenizer", "curation"]
+            "tokenizer", "curation", "formats"]
 
 
 def _modules():

@@ -99,6 +99,7 @@ def _modules():
         cleaning,
         corpus,
         curation,
+        formats,
         graph_queries,
         metrics,
         ml_queries,
@@ -112,7 +113,7 @@ def _modules():
     )
     return (threat, relational, pipeline, corpus, advanced, graph_queries,
             metrics, ml_queries, streaming_queries, temporal, tpch,
-            cleaning, tokenizer, curation)
+            cleaning, tokenizer, curation, formats)
 
 
 def _merged(attr: str, tail_attr: str) -> dict:

@@ -1,0 +1,254 @@
+"""Source/sink format matrix under the oracle gate (SURVEY.md §2.1).
+
+The reference's only interchange surfaces are a pandas CSV load
+(`data_preprocessing.py:12`) and driver-side CSV dumps
+(`Comparaison_ML.py:1166-1168`). A Spark engine at 100 TB needs the
+full format matrix — columnar (parquet, ORC), line-delimited JSON for
+interchange, RFC-4180 CSV with real quoting, and hive-partitioned
+layouts with partition-pruned scans. `sources/writers.write_results`
+has carried json/orc/csv since round 1, but only pytest exercised
+them; these queries put each format's WRITE → SCAN round-trip under
+the driver's DuckDB hash gate: the oracle states the semantics
+directly off the source table, so any fidelity loss in the format
+round-trip (timestamp truncation, quote mangling, type widening)
+breaks the hash.
+
+Scale notes: every query here writes once, scans once, and aggregates
+to a handful of rows — both sides partition-parallel. The partitioned
+sink shuffles on the partition column before writing so the layout is
+one-file-per-partition-value instead of |tasks|×|values| fragments
+(the same discipline as write_ivf_index), and the read-back filter is
+a PartitionFilter (directory pruning, pinned by tests/test_formats.py)
+— the property that makes a 100 TB fact table scannable for one key.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from threat_detection_nosql_spark.sources.readers import load_table
+
+QUERIES: dict = {}
+ORACLES: dict = {}
+QUERIES_TAIL: dict = {}
+ORACLES_TAIL: dict = {}
+
+# Micro-precision on both write and read: Spark's DEFAULT json/csv
+# timestamp pattern keeps milliseconds only, which would silently
+# truncate micros — exactly the fidelity bug the oracle hash exists
+# to catch, so the round-trip pins the full precision explicitly.
+_TS_MICROS = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+
+_US_PER_DAY = 86_400_000_000  # sub-day micros fit a BIGINT sum
+_DIGEST_MOD = 1_000_000_007  # prime fold keeps md5-digest sums in BIGINT
+
+
+def _fmt_dir(sf_dir: str, name: str) -> str:
+    """Deterministic per-(dataset, query) scratch layout under /tmp —
+    overwrite mode makes every run idempotent, and keying by sf_dir
+    keeps concurrent test sessions at different SFs apart."""
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    return f"/tmp/tdns_formats/{tag}/{name}"
+
+
+# ---------------------------------------------------------------------------
+# FX1: line-delimited JSON round-trip (the interchange format)
+# ---------------------------------------------------------------------------
+
+_EVENTS_JSON_SCHEMA = T.StructType([
+    T.StructField("event_id", T.LongType()),
+    T.StructField("ts", T.TimestampType()),
+    T.StructField("user_id", T.LongType()),
+    T.StructField("event_type", T.StringType()),
+    T.StructField("value", T.DoubleType()),
+    T.StructField("props", T.StringType()),
+])
+
+
+def events_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events → JSONL sink → explicit-schema FAILFAST scan → per-type
+    fidelity digest. min/max epoch-micros pin the date range,
+    the sub-day micros sum pins every row's sub-second part, and the
+    value sum pins the doubles — if the sink or the scan loses
+    anything, the digest diverges from the oracle's direct read."""
+    path = _fmt_dir(sf_dir, "events_jsonl")
+    ev = load_table(spark, sf_dir, "events")
+    (ev.write.mode("overwrite")
+       .option("timestampFormat", _TS_MICROS).json(path))
+    back = (spark.read.schema(_EVENTS_JSON_SCHEMA)
+            .option("timestampFormat", _TS_MICROS)
+            .option("mode", "FAILFAST").json(path))
+    us = F.unix_micros("ts")
+    return (back.groupBy("event_type")
+            .agg(F.count("*").alias("n"),
+                 F.countDistinct("user_id").alias("n_users"),
+                 F.min(us).alias("ts_us_min"),
+                 F.max(us).alias("ts_us_max"),
+                 F.sum(us % F.lit(_US_PER_DAY)).alias("ts_us_day_sum"),
+                 F.round(F.sum("value"), 4).alias("value_sum"),
+                 F.sum(F.length("props")).alias("props_len_sum")))
+
+
+_EVENTS_JSONL_SQL = f"""
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       min(epoch_us(ts)) AS ts_us_min,
+       max(epoch_us(ts)) AS ts_us_max,
+       CAST(sum(epoch_us(ts) % {_US_PER_DAY}) AS BIGINT) AS ts_us_day_sum,
+       round(sum(value), 4) AS value_sum,
+       CAST(sum(length(props)) AS BIGINT) AS props_len_sum
+FROM events
+GROUP BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# FX2: ORC round-trip (the second columnar format)
+# ---------------------------------------------------------------------------
+
+def orders_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orders → ORC sink → scan → per-status digest. ORC carries its
+    own types (no format options to get wrong); the digest pins that
+    the timestamp/double/decimal-ish columns survive the column
+    encoding untouched."""
+    path = _fmt_dir(sf_dir, "orders_orc")
+    orders = load_table(spark, sf_dir, "orders")
+    orders.write.mode("overwrite").orc(path)
+    back = spark.read.orc(path)
+    # o_orderdate loads as TIMESTAMP_NTZ on a vanilla session — pin its
+    # fidelity as a wall-clock string, which is timezone-free on both
+    # engines (epoch micros would shift with the session timezone)
+    wall = F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss")
+    return (back.groupBy("o_orderstatus")
+            .agg(F.count("*").alias("n"),
+                 F.countDistinct("o_custkey").alias("n_cust"),
+                 F.round(F.sum("o_totalprice"), 4).alias("price_sum"),
+                 F.min(wall).alias("date_min"),
+                 F.max(wall).alias("date_max"),
+                 F.sum(F.length("o_orderpriority"))
+                  .alias("prio_len_sum")))
+
+
+_ORDERS_ORC_SQL = """
+SELECT o_orderstatus,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_cust,
+       round(sum(o_totalprice), 4) AS price_sum,
+       min(strftime(o_orderdate, '%Y-%m-%d %H:%M:%S')) AS date_min,
+       max(strftime(o_orderdate, '%Y-%m-%d %H:%M:%S')) AS date_max,
+       CAST(sum(length(o_orderpriority)) AS BIGINT) AS prio_len_sum
+FROM orders
+GROUP BY o_orderstatus
+"""
+
+
+# ---------------------------------------------------------------------------
+# FX3: RFC-4180 CSV gauntlet (quoting under adversarial content)
+# ---------------------------------------------------------------------------
+
+def documents_csv_gauntlet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV round-trip under content the testdata itself never
+    stresses: a payload with embedded delimiters, double quotes, and a
+    newline built deterministically around each document's text, so
+    the sink must quote and the scan must parse multi-line records
+    (RFC 4180 doubled-quote escaping — Spark's default escape is the
+    non-standard backslash, overridden here on BOTH sides). The md5
+    digest sum certifies byte-exact payload survival per language."""
+    path = _fmt_dir(sf_dir, "documents_csv")
+    docs = load_table(spark, sf_dir, "documents")
+    payload = F.concat(F.col("lang"), F.lit(',"'), F.col("text"),
+                       F.lit('"\n'), F.col("source"))
+    staged = docs.select("doc_id", F.col("lang").alias("lang"),
+                         payload.alias("payload"))
+    (staged.write.mode("overwrite")
+     .option("header", True).option("quote", '"').option("escape", '"')
+     .csv(path))
+    back = (spark.read
+            .schema("doc_id BIGINT, lang STRING, payload STRING")
+            .option("header", True).option("multiLine", True)
+            .option("quote", '"').option("escape", '"')
+            .option("mode", "FAILFAST").csv(path))
+    # 48-bit md5 prefix folded mod a prime so the SUM stays inside
+    # BIGINT even at the 100x soak corpus (5e8 rows x <1e9 each)
+    digest = (F.conv(F.substring(F.md5("payload"), 1, 12), 16, 10)
+              .cast("long") % F.lit(_DIGEST_MOD))
+    return (back.groupBy("lang")
+            .agg(F.count("*").alias("n"),
+                 F.sum(F.length("payload")).alias("payload_len_sum"),
+                 F.sum(digest).alias("payload_md5_sum")))
+
+
+_DOCS_CSV_SQL = f"""
+WITH staged AS (
+  SELECT lang,
+         lang || ',"' || text || '"' || chr(10) || source AS payload
+  FROM documents
+)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(length(payload)) AS BIGINT) AS payload_len_sum,
+       CAST(sum(CAST(('0x' || substr(md5(payload), 1, 12)) AS BIGINT)
+                % {_DIGEST_MOD}) AS BIGINT) AS payload_md5_sum
+FROM staged
+GROUP BY lang
+"""
+
+
+# ---------------------------------------------------------------------------
+# FX4: hive-partitioned sink + partition-pruned scan
+# ---------------------------------------------------------------------------
+
+_PRUNE_TYPE = "purchase"
+
+
+def events_partitioned_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events → parquet partitioned by event_type → scan filtered to
+    one type → daily rollup. The filter resolves against the directory
+    layout (PartitionFilters in the plan, pinned by
+    tests/test_formats.py), so the scan reads exactly one partition's
+    files — at 100 TB the difference between touching 1/|types| of the
+    table and all of it. The pre-write repartition on the partition
+    column yields one file per directory instead of one per task."""
+    path = _fmt_dir(sf_dir, "events_by_type")
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value")
+    (ev.repartition("event_type")
+       .write.mode("overwrite").partitionBy("event_type").parquet(path))
+    back = spark.read.parquet(path)
+    return (back.filter(F.col("event_type") == _PRUNE_TYPE)
+            .groupBy(F.to_date("ts").alias("day"))
+            .agg(F.count("*").alias("n"),
+                 F.countDistinct("user_id").alias("n_users"),
+                 F.round(F.sum("value"), 4).alias("value_sum")))
+
+
+_EVENTS_PRUNE_SQL = f"""
+SELECT CAST(ts AS DATE) AS day,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       round(sum(value), 4) AS value_sum
+FROM events
+WHERE event_type = '{_PRUNE_TYPE}'
+GROUP BY CAST(ts AS DATE)
+"""
+
+
+QUERIES_TAIL.update({
+    "events_jsonl_roundtrip": events_jsonl_roundtrip,
+    "orders_orc_roundtrip": orders_orc_roundtrip,
+    "documents_csv_gauntlet": documents_csv_gauntlet,
+    "events_partitioned_prune": events_partitioned_prune,
+})
+
+ORACLES_TAIL.update({
+    "events_jsonl_roundtrip": _EVENTS_JSONL_SQL,
+    "orders_orc_roundtrip": _ORDERS_ORC_SQL,
+    "documents_csv_gauntlet": _DOCS_CSV_SQL,
+    "events_partitioned_prune": _EVENTS_PRUNE_SQL,
+})
