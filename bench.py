@@ -294,7 +294,8 @@ ROUND8_COUNT: list = []
 
 # Round-9 wave ("round9_total"): real-decode histogram/frame/resize
 # conversions, two-pass Misra-Gries refinement, hash-mode SMOTE
-# counts, PCA-init neighbor embedding.
+# counts, PCA-init neighbor embedding, LZW GIF decode, and the
+# format-matrix round-trips (JSONL/ORC/CSV/partitioned sinks).
 ROUND9_COLLECT = [
     "media_features",
     "media_frame_sample",
@@ -302,6 +303,11 @@ ROUND9_COLLECT = [
     "heavy_hitter_tokens",
     "smote_resampled_counts",
     "tsne_substitute_projection",
+    "gif_decode_stats",
+    "events_jsonl_roundtrip",
+    "orders_orc_roundtrip",
+    "documents_csv_gauntlet",
+    "events_partitioned_prune",
 ]
 ROUND9_COUNT: list = []
 

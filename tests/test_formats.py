@@ -79,6 +79,39 @@ def test_partitioned_prune_plan(spark):
     assert formats._PRUNE_TYPE in pf[0]
 
 
+def test_schema_evolution_v1_rows_surface_null_value(spark):
+    """mergeSchema back-fills the missing column with NULLs for the
+    old generation, and the merged schema carries the new column."""
+    formats.schema_evolution_union(spark, SF_SMALL).collect()  # write
+    root = formats._fmt_dir(SF_SMALL, "events_evolved")
+    back = (spark.read.option("mergeSchema", True)
+            .parquet(f"{root}/v1", f"{root}/v2"))
+    assert "value" in back.columns
+    v1_nonnull = back.filter(
+        (F.col("event_id") % 2 == 0) & F.col("value").isNotNull()).count()
+    assert v1_nonnull == 0
+    assert back.filter(F.col("value").isNotNull()).count() > 0
+
+
+def test_codec_report_rows_identical(spark):
+    rows = formats.compression_codec_report(spark, SF_SMALL).collect()
+    assert sorted(r["codec"] for r in rows) == ["gzip", "snappy", "zstd"]
+    digests = {(r["n"], r["id_sum"], r["value_sum"]) for r in rows}
+    assert len(digests) == 1
+
+
+def test_stream_jsonl_ingest_multi_batch(spark):
+    """The landing-zone stream really ingests file-by-file (one
+    micro-batch per part file) and still lands the batch answer."""
+    from threat_detection_nosql_spark.streaming.stream_queries import (
+        LAST_STREAM_PROGRESS,
+    )
+    got = formats.stream_jsonl_ingest(spark, SF_SMALL)
+    src = load_table(spark, SF_SMALL, "events")
+    assert got.agg(F.sum("n")).first()[0] == src.count()
+    assert LAST_STREAM_PROGRESS["input_rows"] == src.count()
+
+
 def test_partitioned_layout_one_file_per_type(spark):
     """The pre-write repartition keeps the layout at one data file per
     partition directory (not |tasks| fragments)."""

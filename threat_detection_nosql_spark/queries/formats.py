@@ -239,11 +239,145 @@ GROUP BY CAST(ts AS DATE)
 """
 
 
+# ---------------------------------------------------------------------------
+# FX5: schema evolution — mergeSchema over two dataset generations
+# ---------------------------------------------------------------------------
+
+def schema_evolution_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two parquet generations of the same table — v1 written before a
+    `value` column existed, v2 after — scanned together with
+    mergeSchema. The digest pins Spark's evolution semantics: v1 rows
+    surface a NULL `value`, aggregates skip them, nothing is dropped
+    or misaligned. The standing situation of any long-lived 100 TB
+    table whose producer added a column mid-history."""
+    root = _fmt_dir(sf_dir, "events_evolved")
+    base = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value")
+    v1 = base.filter(F.col("event_id") % 2 == 0).drop("value")
+    v2 = base.filter(F.col("event_id") % 2 == 1)
+    v1.write.mode("overwrite").parquet(f"{root}/v1")
+    v2.write.mode("overwrite").parquet(f"{root}/v2")
+    back = (spark.read.option("mergeSchema", True)
+            .parquet(f"{root}/v1", f"{root}/v2"))
+    return (back.groupBy("event_type")
+            .agg(F.count("*").alias("n"),
+                 F.count(F.when(F.col("value").isNull(), 1))
+                  .alias("n_missing_value"),
+                 F.round(F.sum("value"), 4).alias("value_sum"),
+                 F.countDistinct("user_id").alias("n_users")))
+
+
+_EVOLUTION_SQL = """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CASE WHEN event_id % 2 = 0 OR value IS NULL
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_missing_value,
+       round(sum(CASE WHEN event_id % 2 = 1 THEN value END), 4)
+         AS value_sum,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events
+GROUP BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# FX6: compression codec fidelity — same digest under every codec
+# ---------------------------------------------------------------------------
+
+_CODECS = ("snappy", "gzip", "zstd")
+
+
+def compression_codec_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One digest row per parquet compression codec, written and
+    scanned under that codec — all three rows must carry the
+    identical digest (compression is transparent to values, or the
+    hash breaks). Codec choice is a first-order 100 TB knob
+    (zstd ~30% smaller than snappy at similar scan cost); this query
+    certifies the knob is safe to turn on this engine build."""
+    base = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value")
+    parts = []
+    for codec in _CODECS:
+        path = _fmt_dir(sf_dir, f"events_{codec}")
+        (base.write.mode("overwrite")
+         .option("compression", codec).parquet(path))
+        back = spark.read.parquet(path)
+        parts.append(back.agg(
+            F.count("*").alias("n"),
+            F.sum("event_id").alias("id_sum"),
+            F.round(F.sum("value"), 4).alias("value_sum"))
+            .select(F.lit(codec).alias("codec"), "n", "id_sum",
+                    "value_sum"))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+_CODEC_SQL = f"""
+WITH d AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                  CAST(sum(event_id) AS BIGINT) AS id_sum,
+                  round(sum(value), 4) AS value_sum
+           FROM events)
+SELECT c.codec, d.n, d.id_sum, d.value_sum
+FROM (VALUES {", ".join(f"('{c}')" for c in _CODECS)}) c(codec)
+CROSS JOIN d
+"""
+
+
+# ---------------------------------------------------------------------------
+# FX7: streaming JSONL ingest — the JSON file source, incrementally
+# ---------------------------------------------------------------------------
+
+def stream_jsonl_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events staged as a JSONL directory, then consumed as a JSON
+    FILE STREAM one file per micro-batch — the landing-zone ingest
+    shape (upstream drops line-delimited JSON, the engine tails the
+    directory). The per-type digest must match the batch oracle no
+    matter how the files were batched: count/sum/min/max are all
+    merge-able, so state is one row per event_type forever. Every
+    other stream in the repo sources parquet; this pins the JSON
+    source's schema projection + timestamp parse under the same gate."""
+    from threat_detection_nosql_spark.streaming.stream_queries import (
+        run_stream_to_table,
+    )
+    path = _fmt_dir(sf_dir, "events_jsonl_stream")
+    ev = load_table(spark, sf_dir, "events")
+    (ev.write.mode("overwrite")
+       .option("timestampFormat", _TS_MICROS).json(path))
+    raw = (spark.readStream.schema(_EVENTS_JSON_SCHEMA)
+           .option("timestampFormat", _TS_MICROS)
+           .option("pathGlobFilter", "*.json")
+           .option("maxFilesPerTrigger", 1)
+           .json(path))
+    us = F.unix_micros("ts")
+    agg = (raw.groupBy("event_type")
+           .agg(F.count("*").alias("n"),
+                F.min(us).alias("ts_us_min"),
+                F.max(us).alias("ts_us_max"),
+                F.round(F.sum("value"), 4).alias("value_sum")))
+    return run_stream_to_table(agg, mode="complete")
+
+
+_STREAM_JSONL_SQL = """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       min(epoch_us(ts)) AS ts_us_min,
+       max(epoch_us(ts)) AS ts_us_max,
+       round(sum(value), 4) AS value_sum
+FROM events
+GROUP BY event_type
+"""
+
+
 QUERIES_TAIL.update({
     "events_jsonl_roundtrip": events_jsonl_roundtrip,
     "orders_orc_roundtrip": orders_orc_roundtrip,
     "documents_csv_gauntlet": documents_csv_gauntlet,
     "events_partitioned_prune": events_partitioned_prune,
+    "schema_evolution_union": schema_evolution_union,
+    "compression_codec_report": compression_codec_report,
+    "stream_jsonl_ingest": stream_jsonl_ingest,
 })
 
 ORACLES_TAIL.update({
@@ -251,4 +385,7 @@ ORACLES_TAIL.update({
     "orders_orc_roundtrip": _ORDERS_ORC_SQL,
     "documents_csv_gauntlet": _DOCS_CSV_SQL,
     "events_partitioned_prune": _EVENTS_PRUNE_SQL,
+    "schema_evolution_union": _EVOLUTION_SQL,
+    "compression_codec_report": _CODEC_SQL,
+    "stream_jsonl_ingest": _STREAM_JSONL_SQL,
 })
