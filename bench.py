@@ -308,6 +308,8 @@ ROUND9_COLLECT = [
     "orders_orc_roundtrip",
     "documents_csv_gauntlet",
     "events_partitioned_prune",
+    "pq_quantization_report",
+    "pq_adc_topk",
 ]
 ROUND9_COUNT: list = []
 

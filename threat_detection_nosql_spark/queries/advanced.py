@@ -1098,3 +1098,183 @@ ORDER BY k
 
 QUERIES_TAIL["minhash_calibration_report"] = minhash_calibration_report
 ORACLES_TAIL["minhash_calibration_report"] = _MH_CALIB_SQL
+
+
+# ---------------------------------------------------------------------------
+# PQ: product quantization — the compression half of IVF-PQ ANN
+# (codebook quality report + asymmetric-distance top-k search)
+# ---------------------------------------------------------------------------
+
+_PQ_M = 4        # subspaces: the 64-dim embeddings split into 16-dim slices
+_PQ_K = 4        # codes per subspace codebook
+_PQ_ITERS = 2    # fixed synchronous Lloyd steps per codebook (no RNG)
+_PQ_TOPK = 5
+_PQ_DIM = _SRP_DIM // _PQ_M  # 16
+
+
+def _pq_codebooks(spark: SparkSession, sf_dir: str):
+    """Per-subspace (assigned, centroids) from kmeans_fixed over the
+    m-th 16-dim slice — the PQ trainer is M independent replays of the
+    IVF coarse quantizer (operators/clustering.kmeans_fixed:
+    deterministic seed = _PQ_K smallest vec_ids, no RNG), which is
+    what makes the whole codebook SQL-replayable below."""
+    from threat_detection_nosql_spark.operators import clustering
+    emb, qs = _emb_and_queries(spark, sf_dir)
+    books = []
+    for m in range(_PQ_M):
+        sub = emb.select(
+            "vec_id", F.slice("v", m * _PQ_DIM + 1, _PQ_DIM).alias("v"))
+        books.append(clustering.kmeans_fixed(
+            sub, k=_PQ_K, n_iters=_PQ_ITERS))
+    return books, qs
+
+
+def pq_quantization_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-subspace PQ codebook quality: vectors quantized, codes
+    actually used, mean/max squared reconstruction error. The go/no-go
+    audit before swapping a 100 TB float corpus for M-byte codes —
+    64 dims × 4 B become 4 code bytes (64× smaller), and this report
+    says what that costs in distortion, per subspace."""
+    books, _ = _pq_codebooks(spark, sf_dir)
+    reps = []
+    for m, (assigned, _cent) in enumerate(books):
+        reps.append(
+            assigned.agg(
+                F.count("*").alias("n"),
+                F.countDistinct("cell").alias("n_codes_used"),
+                F.round(F.avg(F.col("dist") * F.col("dist")), 6)
+                 .alias("mse"),
+                F.round(F.max("dist"), 6).alias("max_dist"))
+            .select(F.lit(m).alias("subspace"), "n", "n_codes_used",
+                    "mse", "max_dist"))
+    out = reps[0]
+    for r in reps[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric-distance PQ search: each query precomputes a lookup
+    table of squared distances from its m-th slice to every codebook
+    centroid (|Q|·M·K rows — tiny, broadcast), then the corpus is
+    scored by JOINING ITS CODES against the LUT and summing M partial
+    distances per (query, vector). The corpus side never touches
+    floats at search time — at 100 TB the scan reads 4 code bytes per
+    vector instead of 256 float bytes, the LUT join is broadcast, and
+    the only shuffle is the (q_id, vec_id) partial-sum aggregation,
+    pre-combined map-side. Rank by rounded distance with a vec_id
+    tie-break so the top-k set is deterministic in both engines."""
+    from pyspark.sql.window import Window as W
+
+    from threat_detection_nosql_spark.operators.clustering import _sq_dist
+    books, qs = _pq_codebooks(spark, sf_dir)
+    codes = None
+    luts = None
+    for m, (assigned, cent) in enumerate(books):
+        c = assigned.select(F.lit(m).alias("m"), "vec_id",
+                            F.col("cell").alias("code"))
+        q_slice = F.slice("v", m * _PQ_DIM + 1, _PQ_DIM)
+        l = (qs.select("q_id", q_slice.alias("qv"))
+             .crossJoin(F.broadcast(cent))
+             .select("q_id", F.lit(m).alias("m"),
+                     F.col("cell").alias("code"),
+                     _sq_dist(F.col("qv"), F.col("cv")).alias("pd")))
+        codes = c if codes is None else codes.unionByName(c)
+        luts = l if luts is None else luts.unionByName(l)
+    scored = (codes.join(F.broadcast(luts), ["m", "code"])
+              .filter(F.col("vec_id") != F.col("q_id"))
+              .groupBy("q_id", "vec_id")
+              .agg(F.round(F.sum("pd"), 6).alias("adist")))
+    w = W.partitionBy("q_id").orderBy(F.asc("adist"), F.asc("vec_id"))
+    return (scored.withColumn("rank",
+                              F.row_number().over(w).cast("int"))
+            .filter(F.col("rank") <= _PQ_TOPK)
+            .select("q_id", "vec_id", "adist", "rank"))
+
+
+def _pq_ctes() -> tuple[list[str], list[tuple[str, str]]]:
+    """Unroll the M per-subspace Lloyd chains as CTEs (the _ivf_ctes
+    pattern, parameterized by a sliced source): s{m} is the m-th
+    16-dim slice, p{m}c{i}/p{m}a{i} the centroid/assignment states.
+    Returns (ctes, [(final_assign, final_cent) per subspace])."""
+    assign = (
+        "{out} AS (SELECT vec_id, v, cell FROM (\n"
+        "  SELECT e.vec_id, e.v, c.cell,\n"
+        "         row_number() OVER (PARTITION BY e.vec_id\n"
+        "           ORDER BY list_distance(e.v, c.cv), c.cell) AS rn\n"
+        "  FROM {src} e CROSS JOIN {cent} c) t WHERE rn = 1)")
+    update = (
+        "{out} AS (SELECT cell, list(val ORDER BY pos) AS cv FROM (\n"
+        "  SELECT cell, pos, avg(v[pos]) AS val\n"
+        "  FROM {asg}, LATERAL (SELECT unnest(range(1, len(v) + 1))\n"
+        "                       AS pos) ix\n"
+        "  GROUP BY cell, pos) s GROUP BY cell)")
+    ctes: list[str] = []
+    finals: list[tuple[str, str]] = []
+    for m in range(_PQ_M):
+        lo, hi = m * _PQ_DIM + 1, (m + 1) * _PQ_DIM
+        src = f"s{m}"
+        ctes.append(f"{src} AS (SELECT vec_id, v[{lo}:{hi}] AS v "
+                    f"FROM emb)")
+        ctes.append(f"p{m}c0 AS (SELECT CAST(vec_id AS INT) AS cell, "
+                    f"v AS cv FROM {src} WHERE vec_id < {_PQ_K})")
+        for i in range(_PQ_ITERS):
+            ctes.append(assign.format(out=f"p{m}a{i + 1}", src=src,
+                                      cent=f"p{m}c{i}"))
+            ctes.append(update.format(out=f"p{m}c{i + 1}",
+                                      asg=f"p{m}a{i + 1}"))
+        final_asg = f"p{m}a{_PQ_ITERS + 1}"
+        ctes.append(assign.format(out=final_asg, src=src,
+                                  cent=f"p{m}c{_PQ_ITERS}"))
+        finals.append((final_asg, f"p{m}c{_PQ_ITERS}"))
+    return ctes, finals
+
+
+def _pq_report_sql() -> str:
+    ctes, finals = _pq_ctes()
+    parts = []
+    for m, (asg, cent) in enumerate(finals):
+        parts.append(f"""
+SELECT {m} AS subspace, CAST(count(*) AS BIGINT) AS n,
+       CAST(count(DISTINCT a.cell) AS BIGINT) AS n_codes_used,
+       round(avg(pow(list_distance(a.v, c.cv), 2)), 6) AS mse,
+       round(max(list_distance(a.v, c.cv)), 6) AS max_dist
+FROM {asg} a JOIN {cent} c USING (cell)""")
+        pass
+    return ("WITH " + ",\n".join([_EMB_CTE, *ctes])
+            + "\nSELECT * FROM (" + "\nUNION ALL".join(parts) + ") t")
+
+
+def _pq_adc_sql() -> str:
+    ctes, finals = _pq_ctes()
+    code_parts = [f"SELECT {m} AS m, vec_id, cell AS code FROM {asg}"
+                  for m, (asg, _cent) in enumerate(finals)]
+    lut_parts = []
+    for m, (_asg, cent) in enumerate(finals):
+        lo, hi = m * _PQ_DIM + 1, (m + 1) * _PQ_DIM
+        lut_parts.append(f"""
+SELECT q.vec_id AS q_id, {m} AS m, c.cell AS code,
+       pow(list_distance(q.v[{lo}:{hi}], c.cv), 2) AS pd
+FROM (SELECT * FROM emb WHERE vec_id < {_N_QUERIES}) q
+CROSS JOIN {cent} c""")
+    return ("WITH " + ",\n".join([
+        _EMB_CTE, *ctes,
+        "codes AS (" + " UNION ALL ".join(code_parts) + ")",
+        "lut AS (" + " UNION ALL ".join(lut_parts) + ")",
+        """scored AS (SELECT l.q_id, cd.vec_id,
+       round(sum(l.pd), 6) AS adist
+  FROM codes cd JOIN lut l USING (m, code)
+  WHERE cd.vec_id <> l.q_id
+  GROUP BY l.q_id, cd.vec_id)"""]) + f"""
+SELECT q_id, vec_id, adist, rank FROM (
+  SELECT q_id, vec_id, adist,
+         CAST(row_number() OVER (PARTITION BY q_id
+              ORDER BY adist ASC, vec_id ASC) AS INT) AS rank
+  FROM scored) t
+WHERE rank <= {_PQ_TOPK}""")
+
+
+QUERIES_TAIL["pq_quantization_report"] = pq_quantization_report
+ORACLES_TAIL["pq_quantization_report"] = _pq_report_sql()
+QUERIES_TAIL["pq_adc_topk"] = pq_adc_topk
+ORACLES_TAIL["pq_adc_topk"] = _pq_adc_sql()
