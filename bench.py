@@ -310,6 +310,7 @@ ROUND9_COLLECT = [
     "events_partitioned_prune",
     "pq_quantization_report",
     "pq_adc_topk",
+    "hyperball_reach_report",
 ]
 ROUND9_COUNT: list = []
 

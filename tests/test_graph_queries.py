@@ -283,3 +283,68 @@ def test_components_star_handoff_on_exhausted_passes(spark):
     got0 = {r.node: r.component
             for r in connected_components(tiny, max_iter=0).collect()}
     assert got0 == {5: 3, 9: 3, 3: 3, 20: 20, 21: 20}
+
+
+# ---------------------------------------------------------------------------
+# HyperBall
+# ---------------------------------------------------------------------------
+
+def _hb_py_regs(names, p=4):
+    """Python replay of the per-node initial registers (portable
+    60-bit md5 hash, same arithmetic as operators/dedup hash)."""
+    import hashlib
+    w_bits = 60 - p
+    out = {}
+    for s in names:
+        x = int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+        w = x % (1 << w_bits)
+        idx = x >> w_bits
+        rho = (w_bits + 1) if w == 0 else (w_bits + 1 - w.bit_length())
+        out[s] = (idx, rho)
+    return out
+
+
+def test_hyperball_registers_equal_exact_ball_hll(spark):
+    """The defining HyperBall invariant: registers at radius t are the
+    element-wise max of the INITIAL registers over the exact ball
+    members — checked on a path graph where balls are hand-countable."""
+    from threat_detection_nosql_spark.operators.graph import (
+        hyperball_registers,
+    )
+    chain = ["a", "b", "c", "d", "e"]
+    pairs = list(zip(chain, chain[1:]))
+    edges = spark.createDataFrame(
+        [(s, d) for s, d in pairs] + [(d, s) for s, d in pairs],
+        "src string, dst string")
+    by_t = hyperball_registers(edges, n_iters=2, p=4)
+    init = _hb_py_regs(chain)
+    idx_of = {n: init[n][0] for n in chain}
+    for t, regs in enumerate(by_t):
+        got = {}
+        for r in regs.collect():
+            got.setdefault(r["node"], {})[r["idx"]] = r["r"]
+        for i, n in enumerate(chain):
+            ball = [chain[j] for j in range(len(chain))
+                    if abs(j - i) <= t]
+            want: dict[int, int] = {}
+            for m in ball:
+                ix, rho = init[m]
+                want[ix] = max(want.get(ix, 0), rho)
+            assert got[n] == want, (n, t)
+
+
+def test_hyperball_report_shape_and_growth(spark):
+    from tests.conftest import SF_SMALL
+    from threat_detection_nosql_spark.queries.graph_queries import (
+        hyperball_reach_report,
+    )
+    rows = {r["t"]: r for r in
+            hyperball_reach_report(spark, SF_SMALL).collect()}
+    assert sorted(rows) == [0, 1, 2]
+    n_nodes = {r["n_nodes"] for r in rows.values()}
+    assert len(n_nodes) == 1  # every node keeps a sketch at every t
+    # balls only grow with t; t=0 is the single-element ball whose
+    # linear-counting estimate is near-exact for m=16
+    assert abs(rows[0]["avg_ball"] - 1.0) < 0.15
+    assert rows[0]["avg_ball"] <= rows[1]["avg_ball"] <= rows[2]["avg_ball"]
+    assert rows[1]["max_ball"] <= rows[2]["max_ball"]

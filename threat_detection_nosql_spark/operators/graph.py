@@ -378,3 +378,46 @@ def pagerank_personalized(edges: DataFrame, seeds: DataFrame,
                           + damping * F.coalesce("s", F.lit(0.0)))
                          .alias("rank")))
     return ranks
+
+
+def hyperball_registers(edges: DataFrame, n_iters: int = 2,
+                        p: int = 4) -> list[DataFrame]:
+    """HyperBall (Boldi/Vigna): the neighborhood function N(v, t) =
+    |ball(v, t)| estimated by one tiny HLL sketch per node, grown one
+    hop per round — registers for t+1 = element-wise max of v's own
+    registers and its neighbors'. Returns the LONG-FORM register
+    table [(node, idx, r)] per radius t = 0..n_iters.
+
+    This is THE way to ask "how big is everyone's k-hop neighborhood"
+    at 100 TB: exact 2-hop reach is a quadratic explosion, while each
+    HyperBall round is one (edges ⋈ registers) shuffle bounded by
+    |nodes|·2^p rows, map-combined max — same register arithmetic as
+    sketches.hll_portable_registers (portable 60-bit md5 hash, integer
+    div/mod/bin-length), so a SQL oracle replays every round
+    bit-for-bit. p stays small (16 registers) because each sketch
+    counts ONE ball, not the corpus.
+    """
+    from threat_detection_nosql_spark.operators.dedup import (
+        _portable_hash60,
+    )
+    w_bits = 60 - p
+    wmod = 1 << w_bits
+    rmax = w_bits + 1
+    nodes = (edges.select(F.col("src").alias("node"))
+             .unionByName(edges.select(F.col("dst").alias("node")))
+             .distinct())
+    x = _portable_hash60(F.col("node"))
+    w = x % F.lit(wmod)
+    idx = ((x - w) / F.lit(float(wmod))).cast("long")
+    rho = F.when(w == 0, F.lit(rmax)).otherwise(
+        F.lit(rmax) - F.length(F.bin(w)))
+    regs = nodes.select("node", idx.alias("idx"), rho.alias("r"))
+    out = [regs]
+    for _ in range(n_iters):
+        contrib = (edges.join(regs.withColumnRenamed("node", "dst"),
+                              "dst")
+                   .select(F.col("src").alias("node"), "idx", "r"))
+        regs = (regs.unionByName(contrib)
+                .groupBy("node", "idx").agg(F.max("r").alias("r")))
+        out.append(regs)
+    return out

@@ -694,3 +694,103 @@ LIMIT 20
 
 QUERIES_TAIL["local_clustering_coefficient"] = local_clustering_coefficient
 ORACLES_TAIL["local_clustering_coefficient"] = _CLUSTERING_COEFF_SQL
+
+
+# ---------------------------------------------------------------------------
+# HyperBall: the neighborhood function N(t) by per-node HLL sketches
+# ---------------------------------------------------------------------------
+
+_HB_P = 4                    # 16 registers per node (each counts ONE ball)
+_HB_M = 1 << _HB_P
+_HB_ALPHA = 0.673            # the standard HLL alpha for m=16
+_HB_ITERS = 2
+
+
+def hyperball_reach_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neighborhood function of the user↔resource access graph (same
+    symmetric bipartite edges as pagerank_top20): for each radius
+    t = 0..2, the count of nodes plus the average and maximum
+    estimated ball size |ball(v, t)|, from one 16-register HyperBall
+    sketch per node (operators/graph.hyperball_registers). The
+    reachability-growth profile — how fast the graph closes on itself —
+    which at 100 TB is only askable by sketch: exact 2-hop reach is
+    quadratic, HyperBall is one bounded shuffle per radius. Every
+    register is portable md5 integer arithmetic, so the oracle replays
+    rounds AND estimates bit-for-bit."""
+    from threat_detection_nosql_spark.operators.graph import (
+        hyperball_registers,
+    )
+    log = activity_log(spark, sf_dir).filter(F.col("resource").isNotNull())
+    ur = (log.select(
+        F.concat(F.lit("u:"), F.col("user")).alias("src"),
+        F.concat(F.lit("r:"), F.col("resource")).alias("dst"))
+        .distinct())
+    edges = ur.unionByName(
+        ur.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    m = float(_HB_M)
+    amm = _HB_ALPHA * m * m
+    rows = None
+    for t, regs in enumerate(
+            hyperball_registers(edges, n_iters=_HB_ITERS, p=_HB_P)):
+        per = (regs.groupBy("node")
+               .agg(F.count("*").alias("nn"),
+                    F.sum(F.pow(F.lit(2.0), -F.col("r"))).alias("s_ne")))
+        v = F.lit(m) - F.col("nn")
+        e_raw = F.lit(amm) / (F.col("s_ne") + v)
+        est = F.when((e_raw <= 2.5 * m) & (v > 0),
+                     F.lit(m) * F.log(F.lit(m) / v)).otherwise(e_raw)
+        one = (per.select(est.alias("est"))
+               .agg(F.count("*").alias("n_nodes"),
+                    F.round(F.avg("est"), 4).alias("avg_ball"),
+                    F.round(F.max("est"), 4).alias("max_ball"))
+               .select(F.lit(t).alias("t"), "n_nodes", "avg_ball",
+                       "max_ball"))
+        rows = one if rows is None else rows.unionByName(one)
+    return rows
+
+
+def _hyperball_sql() -> str:
+    w_bits = 60 - _HB_P
+    wmod = 1 << w_bits
+    rmax = w_bits + 1
+    m = float(_HB_M)
+    amm = repr(_HB_ALPHA * m * m)
+    ctes = [
+        """ur AS (SELECT DISTINCT 'u:' || user AS src,
+                        'r:' || resource AS dst
+        FROM log WHERE resource IS NOT NULL)""",
+        "e AS (SELECT src, dst FROM ur UNION ALL SELECT dst, src FROM ur)",
+        "nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e)",
+        """h AS (SELECT node,
+              CAST(('0x' || substr(md5(node), 1, 15)) AS BIGINT) AS x
+       FROM nodes)""",
+        f"""b0 AS (SELECT node, x // {wmod} AS idx,
+              CASE WHEN x % {wmod} = 0 THEN {rmax}
+                   ELSE {rmax} - length(bin(x % {wmod})) END AS r
+       FROM h)""",
+    ]
+    for i in range(_HB_ITERS):
+        ctes.append(f"""b{i + 1} AS (SELECT node, idx, max(r) AS r FROM (
+  SELECT node, idx, r FROM b{i}
+  UNION ALL
+  SELECT e.src AS node, b.idx, b.r
+  FROM e JOIN b{i} b ON e.dst = b.node) t
+GROUP BY node, idx)""")
+    for t in range(_HB_ITERS + 1):
+        ctes.append(f"""est{t} AS (
+  SELECT CASE WHEN {amm} / (s_ne + ({m} - nn)) <= {2.5 * m}
+               AND ({m} - nn) > 0
+              THEN {m} * ln({m} / ({m} - nn))
+              ELSE {amm} / (s_ne + ({m} - nn)) END AS est
+  FROM (SELECT node, count(*) AS nn, sum(power(2.0, -r)) AS s_ne
+        FROM b{t} GROUP BY node) g)""")
+    selects = [
+        f"""SELECT {t} AS t, CAST(count(*) AS BIGINT) AS n_nodes,
+       round(avg(est), 4) AS avg_ball, round(max(est), 4) AS max_ball
+FROM est{t}""" for t in range(_HB_ITERS + 1)]
+    return (f"{_LOG_CTE},\n" + ",\n".join(ctes) + "\n"
+            + "\nUNION ALL\n".join(selects))
+
+
+QUERIES_TAIL["hyperball_reach_report"] = hyperball_reach_report
+ORACLES_TAIL["hyperball_reach_report"] = _hyperball_sql()
