@@ -311,6 +311,7 @@ ROUND9_COLLECT = [
     "pq_quantization_report",
     "pq_adc_topk",
     "hyperball_reach_report",
+    "truncated_embedding_recall",
 ]
 ROUND9_COUNT: list = []
 

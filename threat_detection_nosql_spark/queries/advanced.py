@@ -1278,3 +1278,106 @@ QUERIES_TAIL["pq_quantization_report"] = pq_quantization_report
 ORACLES_TAIL["pq_quantization_report"] = _pq_report_sql()
 QUERIES_TAIL["pq_adc_topk"] = pq_adc_topk
 ORACLES_TAIL["pq_adc_topk"] = _pq_adc_sql()
+
+
+# ---------------------------------------------------------------------------
+# Truncated-embedding (prefix-dimension) retrieval audit
+# ---------------------------------------------------------------------------
+
+_TRUNC_DIMS = (8, 16, 32)
+_TRUNC_TOPK = 5
+
+
+def truncated_embedding_recall(spark: SparkSession, sf_dir: str
+                               ) -> DataFrame:
+    """Recall@5 of prefix-truncated cosine search against the exact
+    full-dimension top-5, per truncation width — the audit behind the
+    matryoshka-style storage knob: if the first 16 of 64 dims already
+    carry recall ~1, the ANN index (and every distance computation)
+    shrinks 4x with no re-embedding. Complements the PQ report
+    (codes) and sq8 audit (scalar quantization) as the third
+    compression axis: dimensionality.
+
+    Shape: the same broadcast-queries exact scan as cosine_topk run
+    once per width over sliced arrays — an audit run on a sample at
+    100 TB, never the serving path (that is the ANN family)."""
+    from pyspark.sql.window import Window as W
+    norm = lambda c: F.sqrt(F.aggregate(  # noqa: E731
+        F.transform(c, lambda x: x * x), F.lit(0.0),
+        lambda acc, x: acc + x))
+    dot = F.aggregate(F.zip_with("v", "q_v", lambda x, y: x * y),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    emb0, _ = _emb_and_queries(spark, sf_dir)
+
+    def topk(d: int | None) -> DataFrame:
+        emb = (emb0 if d is None else
+               emb0.select("vec_id", F.slice("v", 1, d).alias("v")))
+        qs = (emb.filter(F.col("vec_id") < _N_QUERIES)
+              .select(F.col("vec_id").alias("q_id"),
+                      F.col("v").alias("q_v")))
+        scored = (emb.crossJoin(F.broadcast(qs))
+                  .filter(F.col("vec_id") != F.col("q_id"))
+                  .select("q_id", "vec_id",
+                          F.round(dot / (norm(F.col("v"))
+                                         * norm(F.col("q_v"))), 6)
+                          .alias("cosine")))
+        w = W.partitionBy("q_id").orderBy(F.desc("cosine"),
+                                          F.asc("vec_id"))
+        return (scored.withColumn("rank", F.row_number().over(w))
+                .filter(F.col("rank") <= _TRUNC_TOPK)
+                .select("q_id", "vec_id"))
+
+    exact = topk(None)
+    denom = float(_N_QUERIES * _TRUNC_TOPK)
+    out = None
+    for d in _TRUNC_DIMS:
+        inter = (topk(d).join(exact, ["q_id", "vec_id"])
+                 .agg(F.count("*").alias("n_inter")))
+        one = inter.select(
+            F.lit(d).alias("trunc_dim"),
+            F.col("n_inter"),
+            F.round(F.col("n_inter") / F.lit(denom), 4)
+            .alias("mean_recall"))
+        out = one if out is None else out.unionByName(one)
+    return out
+
+
+def _trunc_recall_sql() -> str:
+    def topk_cte(name: str, vexpr: str) -> str:
+        return f"""{name} AS (
+  SELECT q_id, vec_id FROM (
+    SELECT q.q_id, e.vec_id,
+           round(list_dot_product({vexpr('e')}, {vexpr('q')})
+                 / (sqrt(list_dot_product({vexpr('e')}, {vexpr('e')}))
+                    * sqrt(list_dot_product({vexpr('q')},
+                                            {vexpr('q')}))), 6)
+             AS cosine,
+           row_number() OVER (PARTITION BY q.q_id
+             ORDER BY round(list_dot_product({vexpr('e')}, {vexpr('q')})
+                 / (sqrt(list_dot_product({vexpr('e')}, {vexpr('e')}))
+                    * sqrt(list_dot_product({vexpr('q')},
+                                            {vexpr('q')}))), 6) DESC,
+               e.vec_id ASC) AS rank
+    FROM emb e CROSS JOIN
+         (SELECT vec_id AS q_id, v FROM emb
+          WHERE vec_id < {_N_QUERIES}) q
+    WHERE e.vec_id <> q.q_id) t
+  WHERE rank <= {_TRUNC_TOPK})"""
+
+    full = lambda a: f"{a}.v"  # noqa: E731
+    ctes = [_EMB_CTE, topk_cte("ex", full)]
+    selects = []
+    denom = float(_N_QUERIES * _TRUNC_TOPK)
+    for d in _TRUNC_DIMS:
+        sliced = lambda a, d=d: f"{a}.v[1:{d}]"  # noqa: E731
+        ctes.append(topk_cte(f"t{d}", sliced))
+        selects.append(f"""
+SELECT {d} AS trunc_dim, CAST(count(*) AS BIGINT) AS n_inter,
+       round(count(*) / {denom}, 4) AS mean_recall
+FROM t{d} JOIN ex USING (q_id, vec_id)""")
+    return ("WITH " + ",\n".join(ctes)
+            + "\nUNION ALL\n".join(selects))
+
+
+QUERIES_TAIL["truncated_embedding_recall"] = truncated_embedding_recall
+ORACLES_TAIL["truncated_embedding_recall"] = _trunc_recall_sql()
