@@ -96,7 +96,7 @@ def test_schema_evolution_v1_rows_surface_null_value(spark):
 def test_codec_report_rows_identical(spark):
     rows = formats.compression_codec_report(spark, SF_SMALL).collect()
     assert sorted(r["codec"] for r in rows) == ["gzip", "snappy", "zstd"]
-    digests = {(r["n"], r["id_sum"], r["value_sum"]) for r in rows}
+    digests = {(r["n"], r["id_sum"], r["value_sum_e4"]) for r in rows}
     assert len(digests) == 1
 
 

@@ -48,6 +48,19 @@ _US_PER_DAY = 86_400_000_000  # sub-day micros fit a BIGINT sum
 _DIGEST_MOD = 1_000_000_007  # prime fold keeps md5-digest sums in BIGINT
 
 
+def _sum_e4(c) -> F.Column:
+    """Exact value digest: sum of round(x·10⁴) as BIGINT. A rounded
+    DOUBLE sum is only reproducible while |sum|·2⁻⁵² · √n stays under
+    the rounding grain — the 10× soak broke that for order totals
+    (~1e11) — so every fidelity digest here sums integers instead:
+    associative, engine- and partitioning-independent at ANY scale."""
+    return F.sum(F.round(F.col(c) * 10000, 0).cast("long"))
+
+
+def _sum_e4_sql(expr: str) -> str:
+    return f"CAST(sum(CAST(round(({expr}) * 10000) AS BIGINT)) AS BIGINT)"
+
+
 def _fmt_dir(sf_dir: str, name: str) -> str:
     """Deterministic per-(dataset, query) scratch layout under /tmp —
     overwrite mode makes every run idempotent, and keying by sf_dir
@@ -90,7 +103,7 @@ def events_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.min(us).alias("ts_us_min"),
                  F.max(us).alias("ts_us_max"),
                  F.sum(us % F.lit(_US_PER_DAY)).alias("ts_us_day_sum"),
-                 F.round(F.sum("value"), 4).alias("value_sum"),
+                 _sum_e4("value").alias("value_sum_e4"),
                  F.sum(F.length("props")).alias("props_len_sum")))
 
 
@@ -101,7 +114,7 @@ SELECT event_type,
        min(epoch_us(ts)) AS ts_us_min,
        max(epoch_us(ts)) AS ts_us_max,
        CAST(sum(epoch_us(ts) % {_US_PER_DAY}) AS BIGINT) AS ts_us_day_sum,
-       round(sum(value), 4) AS value_sum,
+       {_sum_e4_sql("value")} AS value_sum_e4,
        CAST(sum(length(props)) AS BIGINT) AS props_len_sum
 FROM events
 GROUP BY event_type
@@ -128,18 +141,18 @@ def orders_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (back.groupBy("o_orderstatus")
             .agg(F.count("*").alias("n"),
                  F.countDistinct("o_custkey").alias("n_cust"),
-                 F.round(F.sum("o_totalprice"), 4).alias("price_sum"),
+                 _sum_e4("o_totalprice").alias("price_sum_e4"),
                  F.min(wall).alias("date_min"),
                  F.max(wall).alias("date_max"),
                  F.sum(F.length("o_orderpriority"))
                   .alias("prio_len_sum")))
 
 
-_ORDERS_ORC_SQL = """
+_ORDERS_ORC_SQL = f"""
 SELECT o_orderstatus,
        CAST(count(*) AS BIGINT) AS n,
        CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_cust,
-       round(sum(o_totalprice), 4) AS price_sum,
+       {_sum_e4_sql("o_totalprice")} AS price_sum_e4,
        min(strftime(o_orderdate, '%Y-%m-%d %H:%M:%S')) AS date_min,
        max(strftime(o_orderdate, '%Y-%m-%d %H:%M:%S')) AS date_max,
        CAST(sum(length(o_orderpriority)) AS BIGINT) AS prio_len_sum
@@ -225,14 +238,14 @@ def events_partitioned_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy(F.to_date("ts").alias("day"))
             .agg(F.count("*").alias("n"),
                  F.countDistinct("user_id").alias("n_users"),
-                 F.round(F.sum("value"), 4).alias("value_sum")))
+                 _sum_e4("value").alias("value_sum_e4")))
 
 
 _EVENTS_PRUNE_SQL = f"""
 SELECT CAST(ts AS DATE) AS day,
        CAST(count(*) AS BIGINT) AS n,
        CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
-       round(sum(value), 4) AS value_sum
+       {_sum_e4_sql("value")} AS value_sum_e4
 FROM events
 WHERE event_type = '{_PRUNE_TYPE}'
 GROUP BY CAST(ts AS DATE)
@@ -263,17 +276,17 @@ def schema_evolution_union(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count("*").alias("n"),
                  F.count(F.when(F.col("value").isNull(), 1))
                   .alias("n_missing_value"),
-                 F.round(F.sum("value"), 4).alias("value_sum"),
+                 _sum_e4("value").alias("value_sum_e4"),
                  F.countDistinct("user_id").alias("n_users")))
 
 
-_EVOLUTION_SQL = """
+_EVOLUTION_SQL = f"""
 SELECT event_type,
        CAST(count(*) AS BIGINT) AS n,
        CAST(sum(CASE WHEN event_id % 2 = 0 OR value IS NULL
                      THEN 1 ELSE 0 END) AS BIGINT) AS n_missing_value,
-       round(sum(CASE WHEN event_id % 2 = 1 THEN value END), 4)
-         AS value_sum,
+       {_sum_e4_sql("CASE WHEN event_id % 2 = 1 THEN value END")}
+         AS value_sum_e4,
        CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
 FROM events
 GROUP BY event_type
@@ -305,9 +318,9 @@ def compression_codec_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         parts.append(back.agg(
             F.count("*").alias("n"),
             F.sum("event_id").alias("id_sum"),
-            F.round(F.sum("value"), 4).alias("value_sum"))
+            _sum_e4("value").alias("value_sum_e4"))
             .select(F.lit(codec).alias("codec"), "n", "id_sum",
-                    "value_sum"))
+                    "value_sum_e4"))
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
@@ -317,9 +330,9 @@ def compression_codec_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CODEC_SQL = f"""
 WITH d AS (SELECT CAST(count(*) AS BIGINT) AS n,
                   CAST(sum(event_id) AS BIGINT) AS id_sum,
-                  round(sum(value), 4) AS value_sum
+                  {_sum_e4_sql("value")} AS value_sum_e4
            FROM events)
-SELECT c.codec, d.n, d.id_sum, d.value_sum
+SELECT c.codec, d.n, d.id_sum, d.value_sum_e4
 FROM (VALUES {", ".join(f"('{c}')" for c in _CODECS)}) c(codec)
 CROSS JOIN d
 """
@@ -355,16 +368,16 @@ def stream_jsonl_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
            .agg(F.count("*").alias("n"),
                 F.min(us).alias("ts_us_min"),
                 F.max(us).alias("ts_us_max"),
-                F.round(F.sum("value"), 4).alias("value_sum")))
+                _sum_e4("value").alias("value_sum_e4")))
     return run_stream_to_table(agg, mode="complete")
 
 
-_STREAM_JSONL_SQL = """
+_STREAM_JSONL_SQL = f"""
 SELECT event_type,
        CAST(count(*) AS BIGINT) AS n,
        min(epoch_us(ts)) AS ts_us_min,
        max(epoch_us(ts)) AS ts_us_max,
-       round(sum(value), 4) AS value_sum
+       {_sum_e4_sql("value")} AS value_sum_e4
 FROM events
 GROUP BY event_type
 """
