@@ -312,6 +312,7 @@ ROUND9_COLLECT = [
     "pq_adc_topk",
     "hyperball_reach_report",
     "truncated_embedding_recall",
+    "png_decode_stats",
 ]
 ROUND9_COUNT: list = []
 

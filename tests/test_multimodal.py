@@ -89,5 +89,7 @@ def test_decode_media_dispatch_and_codec_refusal():
     img = np.arange(2 * 2 * 3, dtype=np.uint8).reshape(2, 2, 3)
     assert (multimodal.decode_media(
         multimodal.encode_bmp(img), "bmp") == img).all()
+    assert (multimodal.decode_media(
+        multimodal.encode_png(img), "png") == img).all()
     with pytest.raises(ValueError, match="no lib-free decoder"):
-        multimodal.decode_media(b"\x89PNG", "png")
+        multimodal.decode_media(b"\xff\xd8\xff", "jpeg")

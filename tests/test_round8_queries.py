@@ -137,7 +137,9 @@ def test_decode_media_rejects_codec_formats():
         decode_bmp, decode_media)
 
     with pt.raises(ValueError, match="no lib-free decoder"):
-        decode_media(b"\x89PNG....", "png")
+        decode_media(b"\xff\xd8\xff....", "jpeg")
+    with pt.raises(ValueError, match="bad signature"):
+        decode_media(b"\x89PNG....", "png")  # truncated: not a real PNG
     with pt.raises(ValueError, match="bad magic"):
         decode_bmp(b"XXnotabmp")
 

@@ -88,3 +88,57 @@ def test_gif_decoder_refusals():
         M.decode_gif(b"NOTGIF" + b"\x00" * 20)
     with _pytest.raises(ValueError, match="truncated"):
         M._lzw_decode(b"", 3, 10)
+
+
+# -- PNG codec (stdlib-zlib DEFLATE + scanline filters) ------------------------
+
+def test_png_roundtrip_all_filters_and_sizes():
+    import numpy as np
+
+    from threat_detection_nosql_spark.operators.multimodal import (
+        decode_png, encode_png)
+    rng = np.random.default_rng(11)
+    for h, w in [(1, 1), (1, 7), (6, 1), (5, 5), (9, 3)]:
+        img = rng.integers(0, 256, (h, w, 3)).astype(np.uint8)
+        for f in range(5):  # each filter alone, full image
+            assert (decode_png(encode_png(
+                img, row_filters=[f] * h)) == img).all(), (h, w, f)
+        # the default mixed schedule (r % 5)
+        assert (decode_png(encode_png(img)) == img).all()
+
+
+def test_png_decoder_rejects_corruption():
+    import numpy as np
+    import pytest as pt
+
+    from threat_detection_nosql_spark.operators.multimodal import (
+        decode_png, encode_png)
+    img = np.arange(4 * 3 * 3, dtype=np.uint8).reshape(4, 3, 3)
+    blob = bytearray(encode_png(img))
+    with pt.raises(ValueError, match="bad signature"):
+        decode_png(b"\x89PNG....")
+    flipped = bytearray(blob)
+    flipped[40] ^= 0xFF  # inside IDAT payload -> CRC must catch it
+    with pt.raises(ValueError, match="CRC mismatch"):
+        decode_png(bytes(flipped))
+    with pt.raises(ValueError, match="unsupported PNG"):
+        # rewrite IHDR color type to palette and fix its CRC
+        import struct
+        import zlib as z
+        ihdr = bytearray(blob[8:8 + 25])
+        ihdr[8 + 9] = 3  # color type byte inside IHDR data
+        data = bytes(ihdr[8:8 + 13])
+        patched = (blob[:8] + ihdr[:8] + data
+                   + struct.pack(">I", z.crc32(b"IHDR" + data) & 0xFFFFFFFF)
+                   + bytes(blob[8 + 25:]))
+        decode_png(patched)
+
+
+def test_png_paeth_spec_order():
+    """Paeth ties resolve left -> up -> up-left per the spec."""
+    from threat_detection_nosql_spark.operators.multimodal import _paeth
+    assert _paeth(1, 1, 1) == 1          # all equal -> left
+    assert _paeth(5, 5, 0) == 5          # pa == pb -> left
+    assert _paeth(0, 4, 2) == 2          # pc=0 strictly smallest -> up-left
+    assert _paeth(10, 0, 0) == 10        # p=10: pa=0 -> left
+    assert _paeth(0, 10, 0) == 10        # p=10: pb=0 -> up

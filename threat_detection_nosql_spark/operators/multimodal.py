@@ -5,9 +5,11 @@ north star).
 Decode is REAL for the lib-free container formats — BMP (24-bit
 uncompressed, bottom-up rows, 4-byte row padding), PPM (binary P6 with
 comment-tolerant header), and WAV (RIFF chunk walk, PCM16) — parsed
-byte-level with ``struct`` + ``numpy`` (no Pillow/librosa/pyav, which
-the container lacks). Codec formats that genuinely need external
-decoders (PNG/JPEG/MP4) raise a clear error from ``decode_media``.
+byte-level with ``struct`` + ``numpy``, plus two compressed codecs:
+GIF87a (from-scratch variable-width LZW) and PNG (chunk walk + CRC32,
+stdlib-``zlib`` DEFLATE, and all five scanline filters including
+Paeth, implemented here). Formats that genuinely need external
+decoders (JPEG/MP4) raise a clear error from ``decode_media``.
 The Spark-side plumbing is the 100-TB shape either way: binary column
 in, Arrow-batched ``mapInPandas`` kernel, partition-parallel, no
 driver collect.
@@ -16,6 +18,7 @@ driver collect.
 from __future__ import annotations
 
 import struct
+import zlib
 from collections.abc import Iterator
 
 import numpy as np
@@ -395,6 +398,144 @@ def decode_gif(blob: bytes) -> np.ndarray:
     return palette[idx.reshape(h, w)]
 
 
+# -- PNG: chunk walk + CRC32 + stdlib-zlib DEFLATE + scanline filters ---------
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    return (struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF))
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    """The PNG Paeth predictor: whichever of left/up/up-left is
+    closest to a+b−c, ties resolved left → up → up-left (the spec's
+    order — getting it wrong corrupts every filter-4 row)."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def encode_png(pixels: np.ndarray,
+               row_filters: list[int] | None = None) -> bytes:
+    """8-bit truecolor (color type 2) PNG from an (h, w, 3) uint8
+    array. ``row_filters`` picks the per-scanline filter type (0-4);
+    the default cycles r % 5 so a planted image exercises None / Sub /
+    Up / Average / Paeth — every defilter path in the decoder. DEFLATE
+    is stdlib zlib (public, no external imaging lib)."""
+    h, w, ch = pixels.shape
+    if ch != 3 or pixels.dtype != np.uint8:
+        raise ValueError("encode_png expects (h, w, 3) uint8")
+    bpp = 3
+    if row_filters is None:
+        row_filters = [r % 5 for r in range(h)]
+    prior = np.zeros(w * bpp, dtype=np.int64)
+    out = bytearray()
+    for r in range(h):
+        line = pixels[r].astype(np.int64).reshape(-1)
+        f = row_filters[r]
+        out.append(f)
+        for i in range(len(line)):
+            a = int(line[i - bpp]) if i >= bpp else 0
+            b = int(prior[i])
+            c = int(prior[i - bpp]) if i >= bpp else 0
+            x = int(line[i])
+            if f == 0:
+                v = x
+            elif f == 1:
+                v = x - a
+            elif f == 2:
+                v = x - b
+            elif f == 3:
+                v = x - (a + b) // 2
+            elif f == 4:
+                v = x - _paeth(a, b, c)
+            else:
+                raise ValueError(f"invalid PNG filter {f}")
+            out.append(v % 256)
+        prior = line
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (_PNG_SIG + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(bytes(out)))
+            + _png_chunk(b"IEND", b""))
+
+
+def decode_png(blob: bytes) -> np.ndarray:
+    """Parse a PNG back to (h, w, 3) uint8: signature, chunk walk with
+    CRC32 verification, concatenated-IDAT zlib inflate, then per-row
+    defiltering (all five filter types). Supports what encode_png
+    emits — 8-bit truecolor, non-interlaced; anything else raises
+    (palette/alpha/16-bit/interlace need no new ideas, just tables)."""
+    if blob[:8] != _PNG_SIG:
+        raise ValueError("not a PNG: bad signature")
+    pos, w, h = 8, None, None
+    idat = bytearray()
+    while pos + 12 <= len(blob):
+        (ln,) = struct.unpack(">I", blob[pos:pos + 4])
+        ctype = blob[pos + 4:pos + 8]
+        data = blob[pos + 8:pos + 8 + ln]
+        if len(data) != ln:
+            raise ValueError("PNG chunk truncated")
+        (crc,) = struct.unpack(">I", blob[pos + 8 + ln:pos + 12 + ln])
+        if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {ctype!r}: CRC mismatch")
+        if ctype == b"IHDR":
+            w, h, depth, color, comp, filt, ilace = struct.unpack(
+                ">IIBBBBB", data)
+            if depth != 8 or color != 2 or comp or filt or ilace:
+                raise ValueError(
+                    f"unsupported PNG: depth={depth} color={color} "
+                    f"interlace={ilace}")
+        elif ctype == b"IDAT":
+            idat.extend(data)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + ln
+    if w is None:
+        raise ValueError("PNG missing IHDR")
+    raw = zlib.decompress(bytes(idat))
+    bpp, stride = 3, w * 3
+    if len(raw) != h * (stride + 1):
+        raise ValueError(
+            f"PNG scanline payload {len(raw)} != {h * (stride + 1)}")
+    img = np.zeros((h, stride), dtype=np.int64)
+    prior = np.zeros(stride, dtype=np.int64)
+    p = 0
+    for r in range(h):
+        f = raw[p]
+        p += 1
+        line = np.frombuffer(raw, dtype=np.uint8, count=stride,
+                             offset=p).astype(np.int64)
+        p += stride
+        rec = np.zeros(stride, dtype=np.int64)
+        for i in range(stride):
+            a = int(rec[i - bpp]) if i >= bpp else 0
+            b = int(prior[i])
+            c = int(prior[i - bpp]) if i >= bpp else 0
+            x = int(line[i])
+            if f == 0:
+                v = x
+            elif f == 1:
+                v = x + a
+            elif f == 2:
+                v = x + b
+            elif f == 3:
+                v = x + (a + b) // 2
+            elif f == 4:
+                v = x + _paeth(a, b, c)
+            else:
+                raise ValueError(f"PNG: invalid filter type {f}")
+            rec[i] = v % 256
+        img[r] = rec
+        prior = rec
+    return img.reshape(h, w, 3).astype(np.uint8)
+
+
 def decode_media(blob: bytes, media_kind: str):
     """Dispatch decode by kind. The codec formats the container cannot
     decode without external libs raise explicitly."""
@@ -404,10 +545,12 @@ def decode_media(blob: bytes, media_kind: str):
         return decode_ppm(blob)
     if media_kind == "gif":
         return decode_gif(blob)
+    if media_kind == "png":
+        return decode_png(blob)
     if media_kind == "wav":
         return decode_wav(blob)
     raise ValueError(
-        f"no lib-free decoder for {media_kind!r}; PNG/JPEG/MP4 need "
+        f"no lib-free decoder for {media_kind!r}; JPEG/MP4 need "
         "Pillow/pyav, not present in this container")
 
 
@@ -633,3 +776,51 @@ def image_tile_stats(media: DataFrame, tile: int = 4) -> DataFrame:
             yield pd.DataFrame(out)
 
     return media.mapInPandas(batches, schema=IMAGE_TILE_SCHEMA)
+
+
+def _synth_png_blob(doc_id: int) -> bytes:
+    """Deterministic planted PNG: val(r,c,k) = (base + 3r + 5c + 11k)
+    with w = 4 + doc_id%5, h = 6, base = doc_id%16 (max 92 < 256, no
+    wraparound) — closed-form for the SQL oracle. Default row filters
+    (r % 5) exercise every defilter path including Paeth."""
+    w, h, base = 4 + doc_id % 5, 6, doc_id % 16
+    r, c, k = np.ogrid[0:h, 0:w, 0:3]
+    return encode_png((base + 3 * r + 5 * c + 11 * k).astype(np.uint8))
+
+
+def synth_png_media(docs: DataFrame) -> DataFrame:
+    """Plant one PNG blob per document (separate mapInPandas stage so
+    the compressed bytes genuinely cross Arrow binary columns — same
+    two-stage shape as synth_gif_media)."""
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "blob": [_synth_png_blob(int(d)) for d in pdf["doc_id"]]})
+
+    return docs.select("doc_id").mapInPandas(
+        batches, schema="doc_id long, blob binary")
+
+
+def png_decode_stats(media: DataFrame) -> DataFrame:
+    """Decode planted PNGs (chunk walk, CRC verify, zlib inflate,
+    five-filter defilter) and emit exact per-channel pixel sums — one
+    wrong Paeth tie-break or filter byte corrupts every later byte of
+    the row and the sums collapse, so the oracle hash pins the whole
+    filter/DEFLATE round-trip."""
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {k: [] for k in ("doc_id", "width", "height", "n_px",
+                                   "sum_c0", "sum_c1", "sum_c2")}
+            for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
+                img = decode_png(bytes(blob)).astype(np.int64)
+                h, w, _ = img.shape
+                out["doc_id"].append(doc_id)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["n_px"].append(h * w)
+                for k in range(3):
+                    out[f"sum_c{k}"].append(int(img[:, :, k].sum()))
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(batches, schema=GIF_STATS_SCHEMA)

@@ -2627,3 +2627,48 @@ ORDER BY doc_id, chunk_idx
 
 QUERIES_TAIL["chunked_documents"] = chunked_documents
 ORACLES_TAIL["chunked_documents"] = _CHUNKS_SQL
+
+
+# -- D6g: PNG decode — DEFLATE + scanline filters (late round 9) ---------------
+
+def png_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end decode of the SECOND compressed format: plant one
+    8-bit truecolor PNG per document (stdlib-zlib DEFLATE; row filters
+    cycle None/Sub/Up/Average/Paeth so every defilter path runs), ship
+    the bytes through Arrow, parse them back (chunk walk, CRC32
+    verification, inflate, per-row defiltering) and emit exact
+    per-channel pixel sums. The oracle regenerates the planted lattice
+    val=(base+3r+5c+11k) in closed form — a single wrong Paeth
+    tie-break or filter byte corrupts the rest of the row, so the hash
+    pins the whole filter/DEFLATE round-trip. Same partition-parallel
+    two-stage mapInPandas shape as gif_decode_stats."""
+    from threat_detection_nosql_spark.operators.multimodal import (
+        png_decode_stats as stats, synth_png_media)
+    docs = load_table(spark, sf_dir, "documents")
+    return stats(synth_png_media(docs))
+
+
+_PNG_STATS_SQL = """
+WITH d AS (
+  SELECT doc_id, 4 + doc_id % 5 AS w, 6 AS h, doc_id % 16 AS base
+  FROM documents),
+rws AS (
+  SELECT doc_id, w, base, unnest(generate_series(0, h - 1)) AS r
+  FROM d),
+px AS (
+  SELECT doc_id, base, r, unnest(generate_series(0, w - 1)) AS c
+  FROM rws),
+agg AS (
+  SELECT doc_id, CAST(count(*) AS INT) AS n_px,
+         CAST(sum(base + 3 * r + 5 * c) AS BIGINT) AS s0
+  FROM px GROUP BY doc_id)
+SELECT d.doc_id, CAST(d.w AS INT) AS width, CAST(d.h AS INT) AS height,
+       a.n_px,
+       a.s0 AS sum_c0,
+       CAST(a.s0 + 11 * a.n_px AS BIGINT) AS sum_c1,
+       CAST(a.s0 + 22 * a.n_px AS BIGINT) AS sum_c2
+FROM d JOIN agg a ON a.doc_id = d.doc_id
+"""
+
+QUERIES_TAIL["png_decode_stats"] = png_decode_stats
+ORACLES_TAIL["png_decode_stats"] = _PNG_STATS_SQL
