@@ -313,6 +313,7 @@ ROUND9_COLLECT = [
     "hyperball_reach_report",
     "truncated_embedding_recall",
     "png_decode_stats",
+    "ivfpq_adc_topk",
 ]
 ROUND9_COUNT: list = []
 

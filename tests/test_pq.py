@@ -101,3 +101,23 @@ def test_pq_adc_lut_join_is_broadcast(spark):
             ._jdf.queryExecution().executedPlan().toString())
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_ivfpq_candidates_only_from_probed_cells(spark):
+    """Pruning lives in the join key: every returned neighbor's coarse
+    cell must be one of its query's probed cells."""
+    from threat_detection_nosql_spark.operators import clustering
+    got = advanced.ivfpq_adc_topk(spark, SF_SMALL).collect()
+    assert len(got) == advanced._N_QUERIES * advanced._IVF_TOPK
+    emb, qs = advanced._emb_and_queries(spark, SF_SMALL)
+    assigned, cent = clustering.kmeans_fixed(
+        emb, k=advanced._IVF_K, n_iters=advanced._IVF_ITERS)
+    cell_of = {r["vec_id"]: r["cell"] for r in
+               assigned.select("vec_id", "cell").collect()}
+    probed = {}
+    for r in clustering.probe_cells(
+            cent, qs, n_probe=advanced._IVF_PROBE).collect():
+        probed.setdefault(r["q_id"], set()).add(r["cell"])
+    for r in got:
+        assert cell_of[r["vec_id"]] in probed[r["q_id"]], r
+        assert r["adist"] >= 0.0

@@ -1192,10 +1192,12 @@ def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("q_id", "vec_id", "adist", "rank"))
 
 
-def _pq_ctes() -> tuple[list[str], list[tuple[str, str]]]:
+def _pq_ctes(src: str = "emb") -> tuple[list[str], list[tuple[str, str]]]:
     """Unroll the M per-subspace Lloyd chains as CTEs (the _ivf_ctes
     pattern, parameterized by a sliced source): s{m} is the m-th
-    16-dim slice, p{m}c{i}/p{m}a{i} the centroid/assignment states.
+    16-dim slice of ``src`` (a (vec_id, v) CTE — the raw embeddings
+    for plain PQ, coarse-cell residuals for IVF-PQ), p{m}c{i}/p{m}a{i}
+    the centroid/assignment states.
     Returns (ctes, [(final_assign, final_cent) per subspace])."""
     assign = (
         "{out} AS (SELECT vec_id, v, cell FROM (\n"
@@ -1213,18 +1215,18 @@ def _pq_ctes() -> tuple[list[str], list[tuple[str, str]]]:
     finals: list[tuple[str, str]] = []
     for m in range(_PQ_M):
         lo, hi = m * _PQ_DIM + 1, (m + 1) * _PQ_DIM
-        src = f"s{m}"
-        ctes.append(f"{src} AS (SELECT vec_id, v[{lo}:{hi}] AS v "
-                    f"FROM emb)")
+        sliced = f"s{m}"
+        ctes.append(f"{sliced} AS (SELECT vec_id, v[{lo}:{hi}] AS v "
+                    f"FROM {src})")
         ctes.append(f"p{m}c0 AS (SELECT CAST(vec_id AS INT) AS cell, "
-                    f"v AS cv FROM {src} WHERE vec_id < {_PQ_K})")
+                    f"v AS cv FROM {sliced} WHERE vec_id < {_PQ_K})")
         for i in range(_PQ_ITERS):
-            ctes.append(assign.format(out=f"p{m}a{i + 1}", src=src,
+            ctes.append(assign.format(out=f"p{m}a{i + 1}", src=sliced,
                                       cent=f"p{m}c{i}"))
             ctes.append(update.format(out=f"p{m}c{i + 1}",
                                       asg=f"p{m}a{i + 1}"))
         final_asg = f"p{m}a{_PQ_ITERS + 1}"
-        ctes.append(assign.format(out=final_asg, src=src,
+        ctes.append(assign.format(out=final_asg, src=sliced,
                                   cent=f"p{m}c{_PQ_ITERS}"))
         finals.append((final_asg, f"p{m}c{_PQ_ITERS}"))
     return ctes, finals
@@ -1381,3 +1383,121 @@ FROM t{d} JOIN ex USING (q_id, vec_id)""")
 
 QUERIES_TAIL["truncated_embedding_recall"] = truncated_embedding_recall
 ORACLES_TAIL["truncated_embedding_recall"] = _trunc_recall_sql()
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ: the full composed ANN index — coarse quantizer for pruning,
+# residual product quantization for in-cell scoring
+# ---------------------------------------------------------------------------
+
+def ivfpq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production ANN composition: the fixed-Lloyd coarse
+    quantizer prunes the search to _IVF_PROBE cells per query, and
+    within those cells vectors are scored by asymmetric distance over
+    PQ codes trained on COARSE-CELL RESIDUALS (v − centroid) — the
+    residual trick is what makes 4 code bytes competitive, because
+    residual magnitudes are a fraction of raw-vector ones. Everything
+    is the deterministic kmeans_fixed machinery, so index build +
+    probe + residual PQ + ADC scoring all replay in one DuckDB oracle.
+
+    Scale shape: the corpus persists as (coarse cell, 4 code bytes) —
+    cell-partitioned like write_ivf_index, so a probe reads n_probe
+    directories of code bytes and never a float vector; the LUT
+    (|Q|·probe·M·K rows) broadcasts; the only shuffle is the
+    (q_id, vec_id) partial-sum aggregation. Candidates joining on
+    (coarse cell, m, code) means non-probed cells never produce rows —
+    pruning happens IN the join key, not as a post-filter."""
+    from pyspark.sql.window import Window as W
+
+    from threat_detection_nosql_spark.operators import clustering
+    from threat_detection_nosql_spark.operators.clustering import (
+        _sq_dist,
+        probe_cells,
+    )
+    emb, qs = _emb_and_queries(spark, sf_dir)
+    assigned, cent = clustering.kmeans_fixed(
+        emb, k=_IVF_K, n_iters=_IVF_ITERS)
+    res = (assigned.join(cent, "cell")
+           .select("vec_id",
+                   F.zip_with("v", "cv", lambda x, y: x - y).alias("v")))
+    books = []
+    for m in range(_PQ_M):
+        sub = res.select(
+            "vec_id", F.slice("v", m * _PQ_DIM + 1, _PQ_DIM).alias("v"))
+        books.append(clustering.kmeans_fixed(
+            sub, k=_PQ_K, n_iters=_PQ_ITERS))
+    coarse = assigned.select("vec_id", F.col("cell").alias("ccell"))
+    codes = None
+    for m, (pasg, _pc) in enumerate(books):
+        c = (pasg.select("vec_id", F.col("cell").alias("code"))
+             .join(coarse, "vec_id")
+             .select("vec_id", "ccell", F.lit(m).alias("m"), "code"))
+        codes = c if codes is None else codes.unionByName(c)
+    probes = probe_cells(cent, qs, n_probe=_IVF_PROBE)
+    qres = (probes.join(cent, "cell")
+            .select("q_id", F.col("cell").alias("ccell"),
+                    F.zip_with("q_v", "cv", lambda x, y: x - y)
+                    .alias("rqv")))
+    luts = None
+    for m, (_pasg, pcent) in enumerate(books):
+        sl = F.slice("rqv", m * _PQ_DIM + 1, _PQ_DIM)
+        l = (qres.select("q_id", "ccell", sl.alias("rq"))
+             .crossJoin(F.broadcast(pcent))
+             .select("q_id", "ccell", F.lit(m).alias("m"),
+                     F.col("cell").alias("code"),
+                     _sq_dist(F.col("rq"), F.col("cv")).alias("pd")))
+        luts = l if luts is None else luts.unionByName(l)
+    scored = (codes.join(F.broadcast(luts), ["ccell", "m", "code"])
+              .filter(F.col("vec_id") != F.col("q_id"))
+              .groupBy("q_id", "vec_id")
+              .agg(F.round(F.sum("pd"), 6).alias("adist")))
+    w = W.partitionBy("q_id").orderBy(F.asc("adist"), F.asc("vec_id"))
+    return (scored.withColumn("rank",
+                              F.row_number().over(w).cast("int"))
+            .filter(F.col("rank") <= _IVF_TOPK)
+            .select("q_id", "vec_id", "adist", "rank"))
+
+
+def _ivfpq_sql() -> str:
+    coarse_ctes, coarse_final = _ivf_ctes()
+    final_cent = f"c{_IVF_ITERS}"
+    res = (f"res AS (SELECT a.vec_id,\n"
+           f"  list_transform(generate_series(1, len(a.v)),\n"
+           f"                 i -> a.v[i] - c.cv[i]) AS v\n"
+           f"  FROM {coarse_final} a JOIN {final_cent} c USING (cell))")
+    pq_ctes, pq_finals = _pq_ctes(src="res")
+    qres = (f"qres AS (SELECT qc.q_id, qc.cell AS ccell,\n"
+            f"  list_transform(generate_series(1, len(qc.q_v)),\n"
+            f"                 i -> qc.q_v[i] - c.cv[i]) AS rqv\n"
+            f"  FROM qc JOIN {final_cent} c USING (cell))")
+    code_parts = [
+        f"SELECT a.vec_id, a.cell AS ccell, {m} AS m, p.cell AS code\n"
+        f"  FROM {pasg} p JOIN {coarse_final} a USING (vec_id)"
+        for m, (pasg, _pc) in enumerate(pq_finals)]
+    lut_parts = []
+    for m, (_pasg, pcent) in enumerate(pq_finals):
+        lo, hi = m * _PQ_DIM + 1, (m + 1) * _PQ_DIM
+        lut_parts.append(
+            f"SELECT q_id, ccell, {m} AS m, pc.cell AS code,\n"
+            f"  pow(list_distance(rqv[{lo}:{hi}], pc.cv), 2) AS pd\n"
+            f"  FROM qres CROSS JOIN {pcent} pc")
+    return ("WITH " + ",\n".join([
+        _EMB_CTE, *coarse_ctes, res, *pq_ctes, qres,
+        "codes AS (" + " UNION ALL ".join(code_parts) + ")",
+        "lut AS (" + " UNION ALL ".join(lut_parts) + ")",
+        """scored AS (SELECT l.q_id, cd.vec_id,
+       round(sum(l.pd), 6) AS adist
+  FROM codes cd
+  JOIN lut l ON l.ccell = cd.ccell AND l.m = cd.m AND l.code = cd.code
+  WHERE cd.vec_id <> l.q_id
+  GROUP BY l.q_id, cd.vec_id)"""]) + f"""
+SELECT q_id, vec_id, adist, rank FROM (
+  SELECT q_id, vec_id, adist,
+         CAST(row_number() OVER (PARTITION BY q_id
+              ORDER BY adist ASC, vec_id ASC) AS INT) AS rank
+  FROM scored) t
+WHERE rank <= {_IVF_TOPK}""")
+
+
+QUERIES_TAIL["ivfpq_adc_topk"] = ivfpq_adc_topk
+ORACLES_TAIL["ivfpq_adc_topk"] = _ivfpq_sql()
