@@ -34,10 +34,10 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # records even though there is nothing to hash them against) — topped
 # up with the 38 least-recently-verified greens (rotate_window.py TAIL
 # discipline).  Green here closes the pre-round-9 driver ledger at
-# 296/296 oracle-backed ever windowed; the 6 round-9 additions
-# (media_features, media_frame_sample, media_resize_stats,
-# gif_decode_stats, heavy_hitter_tokens, smote_resampled_counts) wait
-# for the R10 rotation.
+# 296/296 oracle-backed ever windowed; every round-9 addition (the
+# media/GIF/PNG codecs, heavy hitters, SMOTE counts, the format
+# matrix, PQ/IVF-PQ, HyperBall, truncation audit) sits in module TAIL
+# dicts and waits for the R10 rotation.
 # NEVER reorder once verified: the driver hashes this exact prefix.
 _WINDOW_R9: tuple[str, ...] = (
     "mmr_diversified_topk",

@@ -1242,7 +1242,6 @@ SELECT {m} AS subspace, CAST(count(*) AS BIGINT) AS n,
        round(avg(pow(list_distance(a.v, c.cv), 2)), 6) AS mse,
        round(max(list_distance(a.v, c.cv)), 6) AS max_dist
 FROM {asg} a JOIN {cent} c USING (cell)""")
-        pass
     return ("WITH " + ",\n".join([_EMB_CTE, *ctes])
             + "\nSELECT * FROM (" + "\nUNION ALL".join(parts) + ") t")
 

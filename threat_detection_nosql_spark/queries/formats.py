@@ -177,8 +177,7 @@ def documents_csv_gauntlet(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     payload = F.concat(F.col("lang"), F.lit(',"'), F.col("text"),
                        F.lit('"\n'), F.col("source"))
-    staged = docs.select("doc_id", F.col("lang").alias("lang"),
-                         payload.alias("payload"))
+    staged = docs.select("doc_id", "lang", payload.alias("payload"))
     (staged.write.mode("overwrite")
      .option("header", True).option("quote", '"').option("escape", '"')
      .csv(path))
