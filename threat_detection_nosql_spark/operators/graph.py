@@ -391,26 +391,19 @@ def hyperball_registers(edges: DataFrame, n_iters: int = 2,
     This is THE way to ask "how big is everyone's k-hop neighborhood"
     at 100 TB: exact 2-hop reach is a quadratic explosion, while each
     HyperBall round is one (edges ⋈ registers) shuffle bounded by
-    |nodes|·2^p rows, map-combined max — same register arithmetic as
-    sketches.hll_portable_registers (portable 60-bit md5 hash, integer
-    div/mod/bin-length), so a SQL oracle replays every round
+    |nodes|·2^p rows, map-combined max — the register derivation is
+    the SHARED sketches.hll_register_cols (portable 60-bit md5 hash,
+    integer div/mod/bin-length), so a SQL oracle replays every round
     bit-for-bit. p stays small (16 registers) because each sketch
     counts ONE ball, not the corpus.
     """
-    from threat_detection_nosql_spark.operators.dedup import (
-        _portable_hash60,
+    from threat_detection_nosql_spark.operators.sketches import (
+        hll_register_cols,
     )
-    w_bits = 60 - p
-    wmod = 1 << w_bits
-    rmax = w_bits + 1
     nodes = (edges.select(F.col("src").alias("node"))
              .unionByName(edges.select(F.col("dst").alias("node")))
              .distinct())
-    x = _portable_hash60(F.col("node"))
-    w = x % F.lit(wmod)
-    idx = ((x - w) / F.lit(float(wmod))).cast("long")
-    rho = F.when(w == 0, F.lit(rmax)).otherwise(
-        F.lit(rmax) - F.length(F.bin(w)))
+    idx, rho = hll_register_cols(F.col("node"), p=p)
     regs = nodes.select("node", idx.alias("idx"), rho.alias("r"))
     out = [regs]
     for _ in range(n_iters):

@@ -780,9 +780,9 @@ def image_tile_stats(media: DataFrame, tile: int = 4) -> DataFrame:
 
 def _synth_png_blob(doc_id: int) -> bytes:
     """Deterministic planted PNG: val(r,c,k) = (base + 3r + 5c + 11k)
-    with w = 4 + doc_id%5, h = 6, base = doc_id%16 (max 92 < 256, no
-    wraparound) — closed-form for the SQL oracle. Default row filters
-    (r % 5) exercise every defilter path including Paeth."""
+    with w = 4 + doc_id%5, h = 6, base = doc_id%16 (max 15+15+35+22 =
+    87 < 256, no wraparound) — closed-form for the SQL oracle. Default
+    row filters (r % 5) exercise every defilter path including Paeth."""
     w, h, base = 4 + doc_id % 5, 6, doc_id % 16
     r, c, k = np.ogrid[0:h, 0:w, 0:3]
     return encode_png((base + 3 * r + 5 * c + 11 * k).astype(np.uint8))

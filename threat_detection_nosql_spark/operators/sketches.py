@@ -220,22 +220,32 @@ _HLL_W_BITS = 60 - _HLL_P      # rank window: low 50 bits
 _HLL_ALPHA = 0.7213 / (1 + 1.079 / _HLL_M)
 
 
-def hll_portable_registers(df: DataFrame, key_col: str) -> DataFrame:
-    """(idx, r) register table: idx = high p bits of the 60-bit md5
-    hash, r = max over keys of (leading zeros in the low-bit window
-    + 1). All integer arithmetic (div/mod/bin-length — no float bit
-    tricks), identical in Spark and DuckDB. Map-combined max, shuffle
-    bounded at 2^p rows."""
+def hll_register_cols(key: Column, p: int = _HLL_P
+                      ) -> tuple[Column, Column]:
+    """(idx, rho) register columns for a 2^p-register portable HLL of
+    ``key``: idx = high p bits of the 60-bit md5 hash, rho = leading
+    zeros in the low-bit window + 1. All integer arithmetic
+    (div/mod/bin-length — no float bit tricks), identical in Spark and
+    DuckDB. Shared by the corpus-level sketch below (p=_HLL_P) and the
+    per-node HyperBall sketches (graph.hyperball_registers, small p)."""
     from threat_detection_nosql_spark.operators.dedup import (
         _portable_hash60,
     )
-    x = _portable_hash60(F.col(key_col).cast("string"))
-    w = x % F.lit(1 << _HLL_W_BITS)
-    # idx: exact integer div by 2^50 — (x - x%2^50) is a multiple of
-    # 2^50 ≤ 2^60, which double divides by a power of two exactly
-    idx = ((x - w) / F.lit(float(1 << _HLL_W_BITS))).cast("long")
-    rho = F.when(w == 0, F.lit(_HLL_W_BITS + 1)).otherwise(
-        F.lit(_HLL_W_BITS + 1) - F.length(F.bin(w)))
+    w_bits = 60 - p
+    x = _portable_hash60(key)
+    w = x % F.lit(1 << w_bits)
+    # idx: exact integer div by 2^w_bits — (x - x%2^w) is a multiple
+    # of 2^w ≤ 2^60, which double divides by a power of two exactly
+    idx = ((x - w) / F.lit(float(1 << w_bits))).cast("long")
+    rho = F.when(w == 0, F.lit(w_bits + 1)).otherwise(
+        F.lit(w_bits + 1) - F.length(F.bin(w)))
+    return idx, rho
+
+
+def hll_portable_registers(df: DataFrame, key_col: str) -> DataFrame:
+    """(idx, r) register table over the whole frame (corpus-level
+    distinct sketch). Map-combined max, shuffle bounded at 2^p rows."""
+    idx, rho = hll_register_cols(F.col(key_col).cast("string"))
     return (df.select(idx.alias("idx"), rho.alias("rho"))
             .groupBy("idx").agg(F.max("rho").alias("r")))
 

@@ -1328,7 +1328,10 @@ def truncated_embedding_recall(spark: SparkSession, sf_dir: str
                 .filter(F.col("rank") <= _TRUNC_TOPK)
                 .select("q_id", "vec_id"))
 
-    exact = topk(None)
+    # the exact baseline is joined into every per-width branch — pin
+    # its 40 rows once instead of replaying the full-dimension corpus
+    # scan per truncation width
+    exact = topk(None).localCheckpoint()
     denom = float(_N_QUERIES * _TRUNC_TOPK)
     out = None
     for d in _TRUNC_DIMS:

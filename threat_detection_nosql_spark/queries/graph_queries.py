@@ -732,6 +732,10 @@ def hyperball_reach_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = None
     for t, regs in enumerate(
             hyperball_registers(edges, n_iters=_HB_ITERS, p=_HB_P)):
+        # per-NODE estimator (sketches.hll_portable_estimate is the
+        # corpus-level one-row form; this stays inline because it is a
+        # grouped column expression and its amm literal must match the
+        # oracle's precomputed constant bit-for-bit)
         per = (regs.groupBy("node")
                .agg(F.count("*").alias("nn"),
                     F.sum(F.pow(F.lit(2.0), -F.col("r"))).alias("s_ne")))
