@@ -308,6 +308,9 @@ ROUND9_COLLECT = [
     "orders_orc_roundtrip",
     "documents_csv_gauntlet",
     "events_partitioned_prune",
+    "schema_evolution_union",
+    "compression_codec_report",
+    "stream_jsonl_ingest",
     "pq_quantization_report",
     "pq_adc_topk",
     "hyperball_reach_report",

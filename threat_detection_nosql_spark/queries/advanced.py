@@ -1419,6 +1419,15 @@ def ivfpq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb, qs = _emb_and_queries(spark, sf_dir)
     assigned, cent = clustering.kmeans_fixed(
         emb, k=_IVF_K, n_iters=_IVF_ITERS)
+    # kmeans_fixed is deliberately lazy (single-consumer queries replay
+    # the short Lloyd lineage cheaper than a collect round-trip), but
+    # THIS query fans each trainer output into several consumers
+    # (residuals, codes, probes, per-cell query residuals, LUTs) —
+    # pin them once. At production scale the pinned index is a parquet
+    # sink instead (write_ivf_index); localCheckpoint is its
+    # query-scale stand-in. Measured 12 s → ~3 s at sf0.1.
+    assigned = assigned.localCheckpoint()
+    cent = cent.localCheckpoint()
     res = (assigned.join(cent, "cell")
            .select("vec_id",
                    F.zip_with("v", "cv", lambda x, y: x - y).alias("v")))
@@ -1426,8 +1435,9 @@ def ivfpq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     for m in range(_PQ_M):
         sub = res.select(
             "vec_id", F.slice("v", m * _PQ_DIM + 1, _PQ_DIM).alias("v"))
-        books.append(clustering.kmeans_fixed(
-            sub, k=_PQ_K, n_iters=_PQ_ITERS))
+        pasg, pcent = clustering.kmeans_fixed(
+            sub, k=_PQ_K, n_iters=_PQ_ITERS)
+        books.append((pasg.localCheckpoint(), pcent.localCheckpoint()))
     coarse = assigned.select("vec_id", F.col("cell").alias("ccell"))
     codes = None
     for m, (pasg, _pc) in enumerate(books):

@@ -27,7 +27,7 @@ from __future__ import annotations
 import hashlib
 import os
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -48,7 +48,7 @@ _US_PER_DAY = 86_400_000_000  # sub-day micros fit a BIGINT sum
 _DIGEST_MOD = 1_000_000_007  # prime fold keeps md5-digest sums in BIGINT
 
 
-def _sum_e4(c) -> F.Column:
+def _sum_e4(c: str) -> Column:
     """Exact value digest: sum of round(x·10⁴) as BIGINT. A rounded
     DOUBLE sum is only reproducible while |sum|·2⁻⁵² · √n stays under
     the rounding grain — the 10× soak broke that for order totals
