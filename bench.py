@@ -311,6 +311,8 @@ ROUND9_COLLECT = [
     "schema_evolution_union",
     "compression_codec_report",
     "stream_jsonl_ingest",
+    "compacted_scan_digest",
+    "schema_drift_report",
     "pq_quantization_report",
     "pq_adc_topk",
     "hyperball_reach_report",

@@ -124,3 +124,23 @@ def test_partitioned_layout_one_file_per_type(spark):
     for d in dirs:
         files = [f for f in os.listdir(d) if f.endswith(".parquet")]
         assert len(files) == 1, (d, files)
+
+
+def test_compaction_reduces_file_count(spark):
+    """The fragmented layout (64 writer tasks) collapses to the
+    byte-target file count; the digest equality itself is pinned by
+    the oracle gate, the file count here (environment-dependent byte
+    sizes keep it out of the hashed result)."""
+    import glob
+    import os
+    formats.compacted_scan_digest(spark, SF_SMALL).collect()
+    root = formats._fmt_dir(SF_SMALL, "events_fragmented")
+    files = glob.glob(os.path.join(root, "*.parquet"))
+    assert 1 <= len(files) < 64
+
+
+def test_schema_drift_report_rows(spark):
+    rows = {(r["col_name"], r["change"])
+            for r in formats.schema_drift_report(spark, SF_SMALL).collect()}
+    assert rows == {("event_type", "removed"), ("props", "added"),
+                    ("value", "type_changed")}

@@ -401,3 +401,87 @@ ORACLES_TAIL.update({
     "compression_codec_report": _CODEC_SQL,
     "stream_jsonl_ingest": _STREAM_JSONL_SQL,
 })
+
+
+# ---------------------------------------------------------------------------
+# FX8: small-file compaction under the gate (the maintenance verb)
+# ---------------------------------------------------------------------------
+
+def compacted_scan_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deliberately fragment a dataset (64 writer tasks -> 64 files),
+    run sources/writers.compact_dataset over it, and digest the
+    COMPACTED layout — the oracle reads the source table directly, so
+    the hash certifies the rewrite is value-lossless. File-count
+    reduction itself is pinned by tests/test_formats.py (the target
+    byte size makes the post-compaction count environment-dependent,
+    so it stays out of the hashed result)."""
+    from threat_detection_nosql_spark.sources.writers import (
+        compact_dataset,
+    )
+    path = _fmt_dir(sf_dir, "events_fragmented")
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value")
+    ev.repartition(64).write.mode("overwrite").parquet(path)
+    compact_dataset(spark, path)
+    back = spark.read.parquet(path)
+    return (back.groupBy("event_type")
+            .agg(F.count("*").alias("n"),
+                 F.sum("event_id").alias("id_sum"),
+                 _sum_e4("value").alias("value_sum_e4")))
+
+
+_COMPACT_SQL = f"""
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(event_id) AS BIGINT) AS id_sum,
+       {_sum_e4_sql("value")} AS value_sum_e4
+FROM events
+GROUP BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# FX9: schema drift detection (the pre-ingest audit verb)
+# ---------------------------------------------------------------------------
+
+def schema_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plant two dataset generations with a removed column, an added
+    column, AND a type change (value DOUBLE -> FLOAT), then run
+    sources/writers.schema_drift over them. Metadata-only (two parquet
+    footer reads, no data scan) -- the audit that catches an upstream
+    producer silently widening or dropping a field before a backfill
+    bakes it in. The planted drift is fixed, so the oracle is its
+    literal three-row answer."""
+    from threat_detection_nosql_spark.sources.writers import schema_drift
+    root = _fmt_dir(sf_dir, "events_drift")
+    ev = load_table(spark, sf_dir, "events")
+    v1 = ev.select("event_id", "event_type", "value")
+    v2 = ev.select("event_id", F.col("value").cast("float").alias("value"),
+                   "props")
+    v1.write.mode("overwrite").parquet(f"{root}/v1")
+    v2.write.mode("overwrite").parquet(f"{root}/v2")
+    drift = schema_drift(spark, f"{root}/v1", f"{root}/v2")
+    return spark.createDataFrame(
+        [(d["column"], d["change"], d["old_type"], d["new_type"])
+         for d in drift],
+        "col_name string, change string, old_type string, "
+        "new_type string")
+
+
+_DRIFT_SQL = """
+SELECT * FROM (VALUES
+  ('event_type', 'removed', 'string', NULL),
+  ('props', 'added', NULL, 'string'),
+  ('value', 'type_changed', 'double', 'float'))
+  t(col_name, change, old_type, new_type)
+"""
+
+
+QUERIES_TAIL.update({
+    "compacted_scan_digest": compacted_scan_digest,
+    "schema_drift_report": schema_drift_report,
+})
+ORACLES_TAIL.update({
+    "compacted_scan_digest": _COMPACT_SQL,
+    "schema_drift_report": _DRIFT_SQL,
+})
