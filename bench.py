@@ -313,6 +313,7 @@ ROUND9_COLLECT = [
     "stream_jsonl_ingest",
     "compacted_scan_digest",
     "schema_drift_report",
+    "documents_text_roundtrip",
     "pq_quantization_report",
     "pq_adc_topk",
     "hyperball_reach_report",

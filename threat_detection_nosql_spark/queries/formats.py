@@ -485,3 +485,54 @@ ORACLES_TAIL.update({
     "compacted_scan_digest": _COMPACT_SQL,
     "schema_drift_report": _DRIFT_SQL,
 })
+
+
+# ---------------------------------------------------------------------------
+# FX10: text-format round-trip (the line-per-record source)
+# ---------------------------------------------------------------------------
+
+def documents_text_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → one tab-delimited line per doc via the `text` sink
+    → line scan → parse → per-lang digest. The text format is the
+    rawest ingest shape (access logs, WET extracts, jsonl-before-
+    parsing all arrive this way); the round-trip pins that lines carry
+    through byte-exact and the downstream split/cast re-derives the
+    typed columns. The payload embeds the md5 of the document text, so
+    the digest certifies content identity without writing multi-line
+    text into a line-oriented format."""
+    path = _fmt_dir(sf_dir, "documents_text")
+    docs = load_table(spark, sf_dir, "documents")
+    line = F.concat_ws("\t", F.col("doc_id").cast("string"),
+                       F.col("lang"), F.md5("text"),
+                       F.col("n_chars").cast("string"))
+    docs.select(line.alias("value")).write.mode("overwrite").text(path)
+    back = spark.read.text(path)
+    parts = F.split(F.col("value"), "\t")
+    parsed = back.select(
+        parts.getItem(0).cast("long").alias("doc_id"),
+        parts.getItem(1).alias("lang"),
+        parts.getItem(2).alias("text_md5"),
+        parts.getItem(3).cast("long").alias("n_chars"))
+    digest = (F.conv(F.substring("text_md5", 1, 12), 16, 10)
+              .cast("long") % F.lit(_DIGEST_MOD))
+    return (parsed.groupBy("lang")
+            .agg(F.count("*").alias("n"),
+                 F.sum("doc_id").alias("doc_id_sum"),
+                 F.sum("n_chars").alias("n_chars_sum"),
+                 F.sum(digest).alias("text_md5_sum")))
+
+
+_DOCS_TEXT_SQL = f"""
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(doc_id) AS BIGINT) AS doc_id_sum,
+       CAST(sum(n_chars) AS BIGINT) AS n_chars_sum,
+       CAST(sum(CAST(('0x' || substr(md5(text), 1, 12)) AS BIGINT)
+                % {_DIGEST_MOD}) AS BIGINT) AS text_md5_sum
+FROM documents
+GROUP BY lang
+"""
+
+
+QUERIES_TAIL["documents_text_roundtrip"] = documents_text_roundtrip
+ORACLES_TAIL["documents_text_roundtrip"] = _DOCS_TEXT_SQL
