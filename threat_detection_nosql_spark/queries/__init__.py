@@ -26,70 +26,67 @@ from pyspark.sql import DataFrame, SparkSession
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
-# Round-9 driver window: ALL 12 never-driver-seen round-8 additions —
-# the 9 oracle-backed ones (media codecs, chunking, KMV quantiles, PCA
-# projection, MMR re-ranking, their streaming twins) PLUS the 3
-# rows-only ones the r8 verdict explicitly asked to window
-# (autoencoder/ocsvm/stream_model_scores get driver executed-clean
-# records even though there is nothing to hash them against) — topped
-# up with the 38 least-recently-verified greens (rotate_window.py TAIL
-# discipline).  Green here closes the pre-round-9 driver ledger at
-# 296/296 oracle-backed ever windowed; every round-9 addition (the
-# media/GIF/PNG codecs, heavy hitters, SMOTE counts, the format
-# matrix, PQ/IVF-PQ, HyperBall, truncation audit) sits in module TAIL
-# dicts and waits for the R10 rotation.
+# Round-10 driver window: ALL 22 never-driver-seen round-9 additions
+# (the format matrix, PQ/IVF-PQ ANN, HyperBall, truncation audit,
+# GIF/PNG decode, media conversions, heavy hitters, SMOTE counts) PLUS
+# 6 rows-only queries the r9 verdict asked to window for executed-clean
+# records (tsne substitute, ivf/lsh ANN, minhash dedup pair, distinct
+# sketch — the rest of ask #7 rotates in at R11) — topped up with the
+# 22 least-recently-verified greens (rotate_window.py TAIL discipline).
+# Green here closes the driver ledger at ~318/318 oracle-backed ever
+# windowed.
 # NEVER reorder once verified: the driver hashes this exact prefix.
-_WINDOW_R9: tuple[str, ...] = (
-    "mmr_diversified_topk",
-    "media_decode_stats",
-    "audio_frame_features",
-    "image_tile_stats",
-    "chunked_documents",
-    "kmv_value_quantiles",
-    "user_pca_projection",
-    "stream_kmv_quantiles",
-    "stream_chunked_documents",
-    "autoencoder_anomalies",
-    "ocsvm_anomalies",
-    "stream_model_scores",
-    "repetition_stats",
-    "normalized_text_hash",
-    "packed_sequences",
-    "salted_event_nation_counts",
-    "after_hours_top10",
-    "weekend_top10",
-    "high_activity_top10",
-    "unusual_resources_top10",
-    "activity_profiles",
-    "degree_centrality_top10",
-    "activity_entropy",
-    "temporal_entropy",
-    "resource_entropy",
-    "two_hop_resource_paths",
-    "user_features",
-    "events_null_audit",
-    "user_peak_hour",
-    "dormant_users",
-    "pricing_summary",
-    "top_revenue_orders",
-    "nation_revenue",
-    "customers_without_orders",
-    "parts_with_sales",
-    "top_orders_per_customer",
-    "supplier_running_revenue",
-    "returnflag_rollup",
-    "order_cube_counts",
-    "status_by_priority_pivot",
-    "above_nation_avg_customers",
-    "customer_only_nations",
-    "all_active_nations",
-    "high_value_orders",
-    "normalized_acctbal",
-    "value_quantiles",
-    "props_json_extract",
-    "customer_value_ntiles",
-    "user_event_gaps",
-    "error_without_purchase_users",
+_WINDOW_R10: tuple[str, ...] = (
+    "media_features",
+    "media_frame_sample",
+    "heavy_hitter_tokens",
+    "smote_resampled_counts",
+    "media_resize_stats",
+    "gif_decode_stats",
+    "png_decode_stats",
+    "pq_quantization_report",
+    "pq_adc_topk",
+    "truncated_embedding_recall",
+    "ivfpq_adc_topk",
+    "hyperball_reach_report",
+    "events_jsonl_roundtrip",
+    "orders_orc_roundtrip",
+    "documents_csv_gauntlet",
+    "events_partitioned_prune",
+    "schema_evolution_union",
+    "compression_codec_report",
+    "stream_jsonl_ingest",
+    "compacted_scan_digest",
+    "schema_drift_report",
+    "documents_text_roundtrip",
+    "tsne_substitute_projection",
+    "ivf_ann_topk",
+    "lsh_ann_topk",
+    "minhash_dedup",
+    "minhash_near_dups",
+    "sketch_distinct_users",
+    "error_and_purchase_users",
+    "user_modal_activity",
+    "rolling_week_order_value",
+    "customer_scd2_merge",
+    "sql_segment_summary",
+    "order_value_histogram",
+    "top_orders_second_page",
+    "part_grouping_sets",
+    "customer_snapshot_diff",
+    "exact_dedup_groups",
+    "unigram_logprob_scores",
+    "ngram_jaccard_top_pairs",
+    "doc_quality_stats",
+    "lang_id_heuristic",
+    "cosine_topk",
+    "token_counts",
+    "minhash_sig_near_dups",
+    "simhash_fingerprints",
+    "simhash_near_dups",
+    "winnowing_fingerprints",
+    "fingerprint_overlap",
+    "srp_ann_topk",
 )
 
 
@@ -133,7 +130,7 @@ def all_queries() -> dict[str, QueryFn]:
     queries = _merged("QUERIES", "QUERIES_TAIL")
     oracles = _merged("ORACLES", "ORACLES_TAIL")
     out: dict[str, QueryFn] = {}
-    for name in _WINDOW_R9:  # pinned driver window, positions 1-50
+    for name in _WINDOW_R10:  # pinned driver window, positions 1-50
         out[name] = queries[name]
     for name, fn in queries.items():  # oracle-backed middle, module order
         if name not in out and name in oracles:
