@@ -1,5 +1,6 @@
-"""Registry-wide physical-plan audit: flags CartesianProduct (and
-build errors) across every lazily-buildable registered query.
+"""Registry-wide physical-plan audit: flags CartesianProduct,
+single-partition window funnels, and build errors across every
+lazily-buildable registered query.
 
 Eager-build families are skipped — streaming drains, model fits, BPE
 training, and checkpointing ANN/closure paths execute real jobs at
@@ -8,12 +9,65 @@ plan-build time and carry their own pinned plan tests
 nested-loop joins are NOT flagged: broadcasts of 1-row/tiny aggregate
 frames (thresholds, totals, min-max stats) are the intended pattern.
 
+A ``Window`` fed by ``Exchange SinglePartition`` IS flagged unless the
+exchange's subtree contains an aggregate: a global window over a
+pre-aggregated k-row frame (distinct scores, per-partition counts,
+grouped quantile edges) is bounded, but one over raw fact-table rows
+funnels the whole table through a single task — the round-9 verdict's
+one scale-killer (the old order_value_histogram equi-depth ntile).
+
 Usage: python scripts/audit_plans.py [--sf DIR]
 Exit 1 if anything is flagged. Round-7 baseline: 236 audited, 0 flags.
 """
 from __future__ import annotations
 
 import sys
+
+
+def _tree_depth(line: str) -> int:
+    """Character offset where the operator name starts in Spark's
+    tree rendering (`+- ` / `:- ` connectors); 0 for the root line."""
+    i = max(line.find("+- "), line.find(":- "))
+    return i + 3 if i >= 0 else 0
+
+
+def single_partition_windows(plan: str) -> int:
+    """Count Window operators whose input is an un-aggregated
+    Exchange SinglePartition (global sort of raw rows)."""
+    lines = plan.splitlines()
+    hits = 0
+    for idx, line in enumerate(lines):
+        if "Exchange SinglePartition" not in line:
+            continue
+        d = _tree_depth(line)
+        # nearest ancestors: lines above with strictly decreasing depth
+        cur, window_above = d, False
+        for j in range(idx - 1, -1, -1):
+            dj = _tree_depth(lines[j])
+            if dj < cur:
+                cur = dj
+                if "Window" in lines[j]:
+                    window_above = True
+                    break
+                if cur == 0 or "Exchange" in lines[j] \
+                        or "Aggregate" in lines[j] or "Join" in lines[j]:
+                    break  # a reducing/reshuffling op owns this exchange
+        if not window_above:
+            continue
+        # subtree below the exchange: an aggregate means bounded input;
+        # so does a localCheckpoint scan (`Scan ExistingRDD`) — by repo
+        # convention only k-row aggregate frames are checkpointed
+        reduced = False
+        for j in range(idx + 1, len(lines)):
+            dj = _tree_depth(lines[j])
+            if dj <= d:
+                break
+            if "Aggregate" in lines[j] or "Scan ExistingRDD" in lines[j]:
+                reduced = True
+                break
+        if not reduced:
+            hits += 1
+    return hits
 
 SKIP = ("stream_", "bpe_", "kmeans", "iforest", "pca_", "mahalanobis",
         "dbscan", "ensemble", "smote", "supervised", "autoencoder",
@@ -45,6 +99,9 @@ def main() -> int:
         cart = plan.count("CartesianProduct")
         if cart:
             flagged[name] = f"CartesianProduct x{cart}"
+        spw = single_partition_windows(plan)
+        if spw:
+            flagged[name] = f"single-partition window x{spw}"
     print(f"audited {n} queries; {len(flagged)} flagged")
     for k, v in sorted(flagged.items()):
         print(f"FLAG {k}: {v}")

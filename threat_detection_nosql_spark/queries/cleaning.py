@@ -392,20 +392,25 @@ def source_quantile_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     join on the integer decile. The doubles only appear in the final
     rounded average; bucketing itself is pure integer rank logic.
 
-    Scale note: the GLOBAL ntile is a single-partition sort — exact
-    equal-count deciles require a total order. At 100 TB swap that one
-    window for approx_percentile boundaries (the ``value_quantiles``
-    pattern) broadcast as range predicates; the within-source window
-    partitions by source and scales horizontally either way."""
+    Scale note: the within-source ntile partitions by source and
+    scales horizontally; the GLOBAL decile uses the distributed exact
+    ntile (operators/ranking.py — range-partition + per-slice
+    row_number + broadcast offsets), so no single-partition sort
+    remains and the unchanged plain-ntile oracle hash-proves the
+    rebased ranking identical."""
     from pyspark.sql.window import Window as W
+    from threat_detection_nosql_spark.operators.ranking import \
+        with_global_ntile
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "source", "n_chars")
     src_w = W.partitionBy("source").orderBy("n_chars", "doc_id")
-    glob_w = W.orderBy("n_chars", "doc_id")
-    bucketed = docs.select(
-        "doc_id", "source", "n_chars",
-        F.ntile(_QN_BUCKETS).over(src_w).alias("source_decile"),
-        F.ntile(_QN_BUCKETS).over(glob_w).alias("global_decile"))
+    bucketed = (with_global_ntile(docs, ["n_chars", "doc_id"], _QN_BUCKETS,
+                                  bucket_col="global_decile")
+                .select(
+                    "doc_id", "source", "n_chars",
+                    F.ntile(_QN_BUCKETS).over(src_w)
+                    .alias("source_decile"),
+                    "global_decile"))
     ref = (bucketed.groupBy("global_decile")
            .agg(F.round(F.avg("n_chars"), 6).alias("norm_chars"))
            .withColumnRenamed("global_decile", "source_decile"))

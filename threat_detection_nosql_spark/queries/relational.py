@@ -739,12 +739,18 @@ _HIST_LO, _HIST_HI = 0.0, 60000.0
 
 
 def order_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Both histogram families over o_totalprice in one pass: the
-    equi-width bucket is a pure `width_bucket` expression (scan-side,
-    map-combined counts), the equi-depth bucket an `ntile` window
-    (one global sort exchange — the price of exact quantile edges;
-    the approx path is percentile_approx in value_quantiles). Output:
-    one row per (kind, bucket) with count + value span."""
+    """Both histogram families over o_totalprice: the equi-width bucket
+    is a pure `width_bucket` expression (scan-side, map-combined
+    counts); the equi-depth bucket is a DISTRIBUTED exact ``ntile`` —
+    range-partition the sort key so every task sorts only its slice,
+    compute per-partition ``row_number``, rebase onto global ranks via
+    a broadcast k-row cumulative-offset table, then apply the ntile
+    quota formula (first ``N mod B`` buckets take ``ceil(N/B)`` rows).
+    Replaces the former single-partition global-sort window (the one
+    plan that funnelled the whole fact table through one task); the
+    oracle still uses plain ``ntile`` so the hash-compare proves the
+    rebased ranking identical. Output: one row per (kind, bucket) with
+    count + value span."""
     orders = load_table(spark, sf_dir, "orders")
     ew = (orders
           .select(F.width_bucket("o_totalprice", F.lit(_HIST_LO),
@@ -756,10 +762,10 @@ def order_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
                F.round(F.min("o_totalprice"), 4).alias("lo"),
                F.round(F.max("o_totalprice"), 4).alias("hi"))
           .withColumn("kind", F.lit("equi_width")))
-    ed = (orders
-          .select(F.ntile(_HIST_BUCKETS).over(
-              Window.orderBy(F.asc("o_totalprice"), F.asc("o_orderkey")))
-              .alias("bucket"), "o_totalprice")
+    from threat_detection_nosql_spark.operators.ranking import \
+        with_global_ntile
+    ed = (with_global_ntile(orders.select("o_totalprice", "o_orderkey"),
+                            ["o_totalprice", "o_orderkey"], _HIST_BUCKETS)
           .groupBy("bucket")
           .agg(F.count("*").alias("n"),
                F.round(F.min("o_totalprice"), 4).alias("lo"),
