@@ -121,3 +121,34 @@ def test_ivfpq_candidates_only_from_probed_cells(spark):
     for r in got:
         assert cell_of[r["vec_id"]] in probed[r["q_id"]], r
         assert r["adist"] >= 0.0
+
+
+def test_ivfpq_search_scan_is_partition_pruned(spark):
+    """Round-10 split: the registered query searches a PERSISTED
+    cell-partitioned index — the codes scan must carry the probed
+    cells as PartitionFilters (directory pruning, not a post-filter),
+    and the LUT join must broadcast."""
+    plan = (advanced.ivfpq_adc_topk(spark, SF_SMALL)
+            ._jdf.queryExecution().executedPlan().toString())
+    pf = [ln for ln in plan.splitlines()
+          if "PartitionFilters" in ln and "/codes" in ln]
+    assert pf, "codes scan missing"
+    assert "ccell" in pf[0].split("PartitionFilters")[1][:80]
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_ivfpq_index_reused_across_invocations(spark):
+    """ensure_ivfpq_index is build-once: a second invocation must
+    return the same ready path without retraining (marker present,
+    same directory), and the search results must be identical."""
+    import os
+    p1 = advanced.ensure_ivfpq_index(spark, SF_SMALL)
+    assert os.path.exists(os.path.join(p1, "_INDEX_READY"))
+    p2 = advanced.ensure_ivfpq_index(spark, SF_SMALL)
+    assert p1 == p2
+    a = sorted(map(tuple, advanced.ivfpq_adc_topk(
+        spark, SF_SMALL).collect()))
+    b = sorted(map(tuple, advanced.ivfpq_adc_topk(
+        spark, SF_SMALL).collect()))
+    assert a == b

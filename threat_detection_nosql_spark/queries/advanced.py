@@ -1392,74 +1392,139 @@ ORACLES_TAIL["truncated_embedding_recall"] = _trunc_recall_sql()
 # residual product quantization for in-cell scoring
 # ---------------------------------------------------------------------------
 
-def ivfpq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The production ANN composition: the fixed-Lloyd coarse
-    quantizer prunes the search to _IVF_PROBE cells per query, and
-    within those cells vectors are scored by asymmetric distance over
-    PQ codes trained on COARSE-CELL RESIDUALS (v − centroid) — the
-    residual trick is what makes 4 code bytes competitive, because
-    residual magnitudes are a fraction of raw-vector ones. Everything
-    is the deterministic kmeans_fixed machinery, so index build +
-    probe + residual PQ + ADC scoring all replay in one DuckDB oracle.
+def _ivfpq_train(spark: SparkSession, sf_dir: str):
+    """Deterministic IVF-PQ index build: fixed-Lloyd coarse quantizer,
+    then per-subspace fixed-Lloyd codebooks over COARSE-CELL RESIDUALS
+    (v − centroid) — the residual trick is what makes 4 code bytes
+    competitive, because residual magnitudes are a fraction of raw
+    ones. Returns ``(cent, books, codes)``: (cell, cv) coarse
+    centroids, (m, code, cv) flattened codebooks, and
+    (vec_id, ccell, m, code) corpus codes.
 
-    Scale shape: the corpus persists as (coarse cell, 4 code bytes) —
-    cell-partitioned like write_ivf_index, so a probe reads n_probe
-    directories of code bytes and never a float vector; the LUT
-    (|Q|·probe·M·K rows) broadcasts; the only shuffle is the
-    (q_id, vec_id) partial-sum aggregation. Candidates joining on
-    (coarse cell, m, code) means non-probed cells never produce rows —
-    pruning happens IN the join key, not as a post-filter."""
-    from pyspark.sql.window import Window as W
-
+    kmeans_fixed is deliberately lazy (single-consumer queries replay
+    the short Lloyd lineage cheaper than a collect round-trip), but
+    the build fans each trainer output into several consumers
+    (residuals, codes, codebook write) — pin them once via
+    localCheckpoint before the sink writes."""
     from threat_detection_nosql_spark.operators import clustering
-    from threat_detection_nosql_spark.operators.clustering import (
-        _sq_dist,
-        probe_cells,
-    )
-    emb, qs = _emb_and_queries(spark, sf_dir)
+
+    emb, _qs = _emb_and_queries(spark, sf_dir)
     assigned, cent = clustering.kmeans_fixed(
         emb, k=_IVF_K, n_iters=_IVF_ITERS)
-    # kmeans_fixed is deliberately lazy (single-consumer queries replay
-    # the short Lloyd lineage cheaper than a collect round-trip), but
-    # THIS query fans each trainer output into several consumers
-    # (residuals, codes, probes, per-cell query residuals, LUTs) —
-    # pin them once. At production scale the pinned index is a parquet
-    # sink instead (write_ivf_index); localCheckpoint is its
-    # query-scale stand-in. Measured 12 s → ~3 s at sf0.1.
     assigned = assigned.localCheckpoint()
     cent = cent.localCheckpoint()
     res = (assigned.join(cent, "cell")
            .select("vec_id",
                    F.zip_with("v", "cv", lambda x, y: x - y).alias("v")))
-    books = []
+    coarse = assigned.select("vec_id", F.col("cell").alias("ccell"))
+    books = codes = None
     for m in range(_PQ_M):
         sub = res.select(
             "vec_id", F.slice("v", m * _PQ_DIM + 1, _PQ_DIM).alias("v"))
         pasg, pcent = clustering.kmeans_fixed(
             sub, k=_PQ_K, n_iters=_PQ_ITERS)
-        books.append((pasg.localCheckpoint(), pcent.localCheckpoint()))
-    coarse = assigned.select("vec_id", F.col("cell").alias("ccell"))
-    codes = None
-    for m, (pasg, _pc) in enumerate(books):
+        pasg, pcent = pasg.localCheckpoint(), pcent.localCheckpoint()
+        b = pcent.select(F.lit(m).alias("m"),
+                         F.col("cell").alias("code"), "cv")
+        books = b if books is None else books.unionByName(b)
         c = (pasg.select("vec_id", F.col("cell").alias("code"))
              .join(coarse, "vec_id")
              .select("vec_id", "ccell", F.lit(m).alias("m"), "code"))
         codes = c if codes is None else codes.unionByName(c)
+    return cent, books, codes
+
+
+def _ivfpq_index_path(sf_dir: str) -> str:
+    """Index location keyed by dataset identity (absolute path + source
+    mtime), so a rebuilt soak directory invalidates the index while
+    bench/check/driver runs over the same data reuse one build."""
+    import hashlib
+    import os
+    emb = os.path.join(os.path.abspath(sf_dir), "embeddings.parquet")
+    key = hashlib.md5(
+        f"{emb}|{os.path.getmtime(emb)}".encode()).hexdigest()[:16]
+    return f"/tmp/tdns_ivfpq_index_{key}"
+
+
+def ensure_ivfpq_index(spark: SparkSession, sf_dir: str) -> str:
+    """Build the IVF-PQ index once per dataset and persist it:
+    ``coarse/`` (k rows), ``codebooks/`` (M·K rows), and ``codes/``
+    cell-partitioned like write_ivf_index so a probe scans only the
+    probed directories. Concurrent-safe: each session builds into a
+    unique staging dir and promotes it with one atomic rename; the
+    loser of a race discards its build and uses the winner's."""
+    import os
+    import shutil
+    path = _ivfpq_index_path(sf_dir)
+    if os.path.exists(os.path.join(path, "_INDEX_READY")):
+        return path
+    staging = (f"{path}.build-{spark.sparkContext.applicationId}"
+               f"-{os.getpid()}")
+    cent, books, codes = _ivfpq_train(spark, sf_dir)
+    cent.write.mode("overwrite").parquet(os.path.join(staging, "coarse"))
+    books.write.mode("overwrite").parquet(
+        os.path.join(staging, "codebooks"))
+    (codes.repartition("ccell")
+     .write.mode("overwrite").partitionBy("ccell")
+     .parquet(os.path.join(staging, "codes")))
+    open(os.path.join(staging, "_INDEX_READY"), "w").close()
+    try:
+        os.rename(staging, path)
+    except OSError:  # another session promoted first — use theirs
+        shutil.rmtree(staging, ignore_errors=True)
+    return path
+
+
+def ivfpq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production ANN composition, now split build/search (round-9
+    verdict ask): :func:`ensure_ivfpq_index` trains the deterministic
+    coarse quantizer + residual PQ ONCE per dataset and persists the
+    index; every invocation after the first is SEARCH-ONLY — probe the
+    _IVF_PROBE nearest cells per query, slice per-subspace LUTs from
+    the persisted codebooks, and asymmetric-distance-score only the
+    code bytes in the probed cell directories. Because the build is
+    the same fixed-Lloyd machinery, the Lloyd-unrolled DuckDB oracle
+    still replays index build + probe + ADC end-to-end — the hash
+    compare proves the persisted round-trip changes nothing.
+
+    Scale shape: the corpus persists as (coarse cell, 4 code bytes),
+    cell-partitioned, so the probe scan lists only n_probe directories
+    per query batch (PartitionFilters, pinned by test) and never reads
+    a float vector; the LUT (|Q|·probe·M·K rows) broadcasts; the only
+    shuffle is the (q_id, vec_id) partial-sum aggregation. Candidates
+    joining on (coarse cell, m, code) means non-probed cells never
+    produce rows — pruning happens IN the join key AND in the file
+    listing."""
+    import os
+
+    from pyspark.sql.window import Window as W
+
+    from threat_detection_nosql_spark.operators.clustering import (
+        _sq_dist,
+        probe_cells,
+    )
+    path = ensure_ivfpq_index(spark, sf_dir)
+    _emb, qs = _emb_and_queries(spark, sf_dir)
+    cent = spark.read.parquet(os.path.join(path, "coarse"))
+    books = spark.read.parquet(os.path.join(path, "codebooks"))
     probes = probe_cells(cent, qs, n_probe=_IVF_PROBE)
     qres = (probes.join(cent, "cell")
             .select("q_id", F.col("cell").alias("ccell"),
                     F.zip_with("q_v", "cv", lambda x, y: x - y)
                     .alias("rqv")))
-    luts = None
-    for m, (_pasg, pcent) in enumerate(books):
-        sl = F.slice("rqv", m * _PQ_DIM + 1, _PQ_DIM)
-        l = (qres.select("q_id", "ccell", sl.alias("rq"))
-             .crossJoin(F.broadcast(pcent))
-             .select("q_id", "ccell", F.lit(m).alias("m"),
-                     F.col("cell").alias("code"),
-                     _sq_dist(F.col("rq"), F.col("cv")).alias("pd")))
-        luts = l if luts is None else luts.unionByName(l)
-    scored = (codes.join(F.broadcast(luts), ["ccell", "m", "code"])
+    # per-(m, code) LUT: slice the query residual by the codebook's own
+    # m column (Column-typed slice start), one broadcastable frame
+    lut = (qres.crossJoin(F.broadcast(books))
+           .select("q_id", "ccell", "m", "code",
+                   _sq_dist(F.slice("rqv", F.col("m") * _PQ_DIM + 1,
+                                    F.lit(_PQ_DIM)),
+                            F.col("cv")).alias("pd")))
+    # bounded driver action: ≤ |Q|·n_probe cell ids → partition pruning
+    probed = sorted({r["cell"] for r in
+                     probes.select("cell").distinct().collect()})
+    codes = (spark.read.parquet(os.path.join(path, "codes"))
+             .filter(F.col("ccell").isin(probed)))
+    scored = (codes.join(F.broadcast(lut), ["ccell", "m", "code"])
               .filter(F.col("vec_id") != F.col("q_id"))
               .groupBy("q_id", "vec_id")
               .agg(F.round(F.sum("pd"), 6).alias("adist")))
