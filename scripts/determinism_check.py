@@ -14,21 +14,21 @@ Usage: python scripts/determinism_check.py [--sf DIR] [names...]
 from __future__ import annotations
 
 import hashlib
+import os
 import sys
 import time
 
 import pandas as pd
 
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 SF_DIR = "/root/testdata/sf0.01"
 
 # Queries whose output is EXPECTED to differ run-to-run, with the
-# reason. Everything else rows-only must be bit-stable.
-EXPECTED_NONDETERMINISTIC = {
-    "sketch_value_quantiles":
-        "Apache DataSketches KLL compaction draws unseeded random "
-        "bits; rank accuracy is tolerance-tested (test_sketches) and "
-        "the deterministic twin kmv_value_quantiles is oracle-backed",
-}
+# reason. Everything else rows-only must be bit-stable. Empty since
+# round 10: the one exception (sketch_value_quantiles, unseeded
+# DataSketches KLL compaction) was demoted to test-only coverage and
+# the registry slot passed to the deterministic kmv_value_quantiles.
+EXPECTED_NONDETERMINISTIC: dict[str, str] = {}
 
 
 def _canon(pdf: pd.DataFrame, float_round: int = 6) -> pd.DataFrame:
@@ -53,7 +53,7 @@ def main() -> int:
     sf_dir = SF_DIR
     if args and args[0] == "--sf":
         sf_dir, args = args[1], args[2:]
-    sys.path.insert(0, "/root/repo")
+    sys.path.insert(0, REPO)
     import __spark_entry__ as entry
     from pyspark.sql import SparkSession
 
@@ -77,7 +77,11 @@ def main() -> int:
                 hashes.append((f"ERR:{exc}"[:80], -1, 0.0))
             finally:
                 spark.stop()
-        ok = hashes[0][0] == hashes[1][0] and hashes[0][1] >= 0
+        # any ERR hash is a problem on its own — two different
+        # failures truncated to the same 80 chars must not compare OK
+        ok = (hashes[0][0] == hashes[1][0]
+              and hashes[0][1] >= 0 and hashes[1][1] >= 0
+              and not any(h[0].startswith("ERR:") for h in hashes))
         if not ok and name in EXPECTED_NONDETERMINISTIC:
             print(f"RND {name:40s} rows={hashes[0][1]} "
                   f"(expected: {EXPECTED_NONDETERMINISTIC[name][:60]}...)")

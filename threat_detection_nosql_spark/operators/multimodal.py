@@ -485,6 +485,9 @@ def decode_png(blob: bytes) -> np.ndarray:
         if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
             raise ValueError(f"PNG chunk {ctype!r}: CRC mismatch")
         if ctype == b"IHDR":
+            if len(data) != 13:
+                raise ValueError(
+                    f"PNG: bad IHDR length {len(data)} (want 13)")
             w, h, depth, color, comp, filt, ilace = struct.unpack(
                 ">IIBBBBB", data)
             if depth != 8 or color != 2 or comp or filt or ilace:

@@ -62,11 +62,14 @@ def _sum_e4_sql(expr: str) -> str:
 
 
 def _fmt_dir(sf_dir: str, name: str) -> str:
-    """Deterministic per-(dataset, query) scratch layout under /tmp —
-    overwrite mode makes every run idempotent, and keying by sf_dir
-    keeps concurrent test sessions at different SFs apart."""
+    """Per-(process, dataset, query) scratch layout under /tmp —
+    overwrite mode makes every run idempotent; keying by sf_dir keeps
+    different scale factors apart, and folding the PID in keeps two
+    CONCURRENT runs at the same SF (bench + driver, parallel test
+    sessions) from overwriting each other's dataset mid-scan (the
+    round-9 ADVICE race)."""
     tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
-    return f"/tmp/tdns_formats/{tag}/{name}"
+    return f"/tmp/tdns_formats/{tag}-{os.getpid()}/{name}"
 
 
 # ---------------------------------------------------------------------------

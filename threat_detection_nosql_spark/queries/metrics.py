@@ -249,8 +249,16 @@ def sketch_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def sketch_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Merged KLL quantiles per event_type from daily sketches —
-    rows-only, tolerance-tested against exact percentile."""
+    """Merged KLL quantiles per event_type from daily sketches.
+
+    NOT REGISTERED since round 10 (r9 verdict ask #6): Apache
+    DataSketches KLL compaction draws unseeded random bits and Spark
+    exposes no seeded builder, so the output is inherently
+    run-to-run unstable — the one exception in the r9 determinism
+    sweep. The operator stays (tolerance-tested in
+    tests/test_sketches.py against exact percentiles); the registry
+    slot belongs to the deterministic, oracle-backed
+    ``kmv_value_quantiles`` twin."""
     from threat_detection_nosql_spark.operators import sketches
     from threat_detection_nosql_spark.sources.readers import load_table
     ev = load_table(spark, sf_dir, "events")
@@ -323,7 +331,6 @@ ORDER BY exact_count DESC, token ASC
 
 QUERIES = {
     "sketch_distinct_users": sketch_distinct_users,
-    "sketch_value_quantiles": sketch_value_quantiles,
     "heavy_hitter_tokens": heavy_hitter_tokens,
     "rule_confusion_matrix": rule_confusion_matrix,
     "rule_classification_metrics": rule_classification_metrics,
