@@ -81,7 +81,16 @@ def kmeans_detector(scaled: DataFrame, k: int = 2, seed: int = 42,
 
     km = KMeans(k=k, seed=seed, featuresCol="scaled",
                 predictionCol="cluster")
-    model = km.fit(scaled)
+    # fit on ONE partition in KEY order: the upstream feature build
+    # ends in a shuffle, whose reader-side row order varies run-to-run
+    # (map-output fetch order), and k-means|| init samples by row — so
+    # an order-unpinned fit converges to a different local optimum per
+    # run (caught by the round-10 determinism sweep). One sorted
+    # partition pins init AND float-reduction order. The fit frame is
+    # the bounded per-user feature table (|users| rows — production
+    # would subsample like the other driver-side fits); scoring below
+    # stays distributed.
+    model = km.fit(scaled.repartition(1).sortWithinPartitions(key))
     pred = model.transform(scaled)
     centers = [c.tolist() for c in model.clusterCenters()]
     centers_df = F.broadcast(scaled.sparkSession.createDataFrame(

@@ -19,7 +19,7 @@ md5 hash, so DuckDB replays candidate generation + scoring exactly.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from threat_detection_nosql_spark.operators import dedup, multimodal, similarity
@@ -862,6 +862,69 @@ ORACLES_TAIL["split_leakage_repair"] = _SPLIT_REPAIR_SQL
 _INC_EST_MIN = 8  # near-dup verify: >= 8/16 agreeing signature parts
 
 
+_INC_BANDS, _INC_R = 8, 2
+
+
+def _inc_normh() -> Column:
+    return F.md5(F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")))
+
+
+def _inc_band_rows(sig: DataFrame, id_alias: str) -> DataFrame:
+    """(id, band, v0..v{r-1}) long form of a signature frame — the
+    join-key layout the persisted band index stores."""
+    return sig.select(
+        F.col("doc_id").alias(id_alias),
+        F.explode(F.array(*[
+            F.struct(F.lit(b).alias("band"),
+                     *[F.col(f"s{b * _INC_R + j}").alias(f"v{j}")
+                       for j in range(_INC_R)])
+            for b in range(_INC_BANDS)])).alias("bkey")
+    ).select(id_alias, "bkey.*")
+
+
+def _dedup_index_path(sf_dir: str) -> str:
+    import hashlib
+    import os
+    doc = os.path.join(os.path.abspath(sf_dir), "documents.parquet")
+    key = hashlib.md5(
+        f"{doc}|{os.path.getmtime(doc)}".encode()).hexdigest()[:16]
+    return f"/tmp/tdns_dedup_index_{key}"
+
+
+def ensure_corpus_dedup_index(spark: SparkSession, sf_dir: str) -> str:
+    """Persist the corpus side of the continuous-crawl dedup screen
+    once per dataset: ``exact/`` (normalized-text md5 → smallest
+    owning doc_id), ``signatures/`` (old_id, s0..s15), and ``bands/``
+    (band, v0, v1, old_id) partitioned by band. Append-only in
+    production (MinHash signatures are mergeable state; a new batch's
+    signatures union in after screening). At 100 TB the bands table
+    would be BUCKETED on the band key (sources/writers.write_bucketed)
+    so each batch probe shuffles only the batch side; the partitioned
+    parquet layout here keeps the same read pattern at test scale.
+    Concurrent-safe via :func:`_promote_index`."""
+    import os
+
+    from threat_detection_nosql_spark.operators.sampling import hash_bucket
+    path = _dedup_index_path(sf_dir)
+    if _index_ready(path):
+        return path
+    staging = _index_staging(spark, path)
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(hash_bucket(F.col("doc_id"), salt="batch") < 8000)
+    (corpus.select(F.col("doc_id").alias("old_id"),
+                   _inc_normh().alias("h"))
+     .groupBy("h").agg(F.min("old_id").alias("exact_old"))
+     .write.mode("overwrite").parquet(os.path.join(staging, "exact")))
+    sig = dedup.minhash_signatures(corpus).localCheckpoint()
+    (sig.withColumnRenamed("doc_id", "old_id")
+     .write.mode("overwrite").parquet(os.path.join(staging, "signatures")))
+    (_inc_band_rows(sig, "old_id").repartition("band")
+     .write.mode("overwrite").partitionBy("band")
+     .parquet(os.path.join(staging, "bands")))
+    _promote_index(staging, path)
+    return path
+
+
 def incremental_corpus_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Continuous-crawl dedup: screen an incoming batch against the
     EXISTING corpus instead of re-deduping the world. Docs split by
@@ -871,53 +934,44 @@ def incremental_corpus_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     'near_dup' (shares a MinHash LSH band with an existing doc AND
     >= 8/16 signature components agree — the S-curve verify), or
     'unique', with the smallest matching existing doc_id attached.
-    This asymmetric (new x old) screen is the production shape of
-    dedup at 100 TB: the corpus side is indexed once (signatures are
-    mergeable, append-only state), each batch joins against it —
-    never all-pairs over the union.
 
-    Reuses the EXACT machinery the symmetric queries ship
+    Round 10 gave the corpus side the PRODUCTION shape its round-9
+    docstring promised: :func:`ensure_corpus_dedup_index` builds the
+    exact-hash map, signature table, and band index ONCE per dataset
+    and persists them; every invocation after the first touches only
+    the batch documents plus the persisted index — the asymmetric
+    (new × old) screen that never rescans (let alone re-pairs) the
+    corpus. The build is the same deterministic machinery
     (operators/dedup.minhash_signatures: one md5 per shingle, affine
-    permutations in codegen; cleaning's normalization for the exact
-    hash), so the oracle replays signatures, banding, agreement
-    counts and the normalization bit-for-bit.
+    permutations in codegen), so the UNCHANGED oracle still replays
+    normalization, signatures, banding, and agreement bit-for-bit —
+    the hash compare proves the persisted round-trip changes nothing.
 
-    Scale shape: one signature build over the union (the corpus-side
-    signatures would be a precomputed table in production — noted),
-    band explode -> equi-join on the band struct bounded by bucket
+    Scale shape: batch signature build over ~20% of docs, band
+    equi-join against the persisted index bounded by bucket
     collisions, one agreement verify join on the |candidates| frame,
     two broadcast-size left joins back onto the batch."""
-    from threat_detection_nosql_spark.operators.sampling import hash_bucket
-    docs = load_table(spark, sf_dir, "documents")
-    bucket = hash_bucket(F.col("doc_id"), salt="batch")
-    normh = F.md5(F.trim(F.regexp_replace(F.lower("text"),
-                                          r"\s+", " ")))
-    hashed = docs.select("doc_id", bucket.alias("bk"), normh.alias("h"))
-    new_h = (hashed.filter(F.col("bk") >= 8000)
-             .select("doc_id", "h").localCheckpoint())
-    old_h = (hashed.filter(F.col("bk") < 8000)
-             .select(F.col("doc_id").alias("old_id"), "h"))
-    exact = (new_h.join(old_h, "h")
-             .groupBy("doc_id").agg(F.min("old_id").alias("exact_old")))
+    import os
 
-    sig = dedup.minhash_signatures(docs).localCheckpoint()
-    sb = sig.withColumn("bk", hash_bucket(F.col("doc_id"), salt="batch"))
-    n_bands, r = 8, 2
-    bands = lambda df, name: df.select(  # noqa: E731
-        F.col("doc_id").alias(name),
-        F.explode(F.array(*[
-            F.struct(F.lit(b).alias("band"),
-                     *[F.col(f"s{b * r + j}").alias(f"v{j}")
-                       for j in range(r)])
-            for b in range(n_bands)])).alias("bkey"))
-    new_b = bands(sb.filter(F.col("bk") >= 8000), "new_id")
-    old_b = bands(sb.filter(F.col("bk") < 8000), "old_id")
-    cand = (new_b.join(old_b, "bkey")
+    from threat_detection_nosql_spark.operators.sampling import hash_bucket
+    path = ensure_corpus_dedup_index(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    batch = docs.filter(hash_bucket(F.col("doc_id"), salt="batch") >= 8000)
+    new_h = (batch.select("doc_id", _inc_normh().alias("h"))
+             .localCheckpoint())
+    exact_idx = spark.read.parquet(os.path.join(path, "exact"))
+    exact = new_h.join(exact_idx, "h").select("doc_id", "exact_old")
+
+    bsig = dedup.minhash_signatures(batch).localCheckpoint()
+    old_b = spark.read.parquet(os.path.join(path, "bands"))
+    cand = (_inc_band_rows(bsig, "new_id")
+            .join(old_b, ["band"] + [f"v{j}" for j in range(_INC_R)])
             .select("new_id", "old_id").distinct())
-    sa = sig.select(F.col("doc_id").alias("new_id"),
-                    *[F.col(f"s{i}").alias(f"a{i}") for i in range(16)])
-    sc = sig.select(F.col("doc_id").alias("old_id"),
-                    *[F.col(f"s{i}").alias(f"b{i}") for i in range(16)])
+    sa = bsig.select(F.col("doc_id").alias("new_id"),
+                     *[F.col(f"s{i}").alias(f"a{i}") for i in range(16)])
+    sc = (spark.read.parquet(os.path.join(path, "signatures"))
+          .select("old_id",
+                  *[F.col(f"s{i}").alias(f"b{i}") for i in range(16)]))
     agree = sum((F.col(f"a{i}") == F.col(f"b{i}")).cast("int")
                 for i in range(16))
     near = (cand.join(sa, "new_id").join(sc, "old_id")
@@ -1446,20 +1500,40 @@ def _ivfpq_index_path(sf_dir: str) -> str:
     return f"/tmp/tdns_ivfpq_index_{key}"
 
 
+def _index_ready(path: str) -> bool:
+    import os
+    return os.path.exists(os.path.join(path, "_INDEX_READY"))
+
+
+def _index_staging(spark: SparkSession, path: str) -> str:
+    import os
+    return (f"{path}.build-{spark.sparkContext.applicationId}"
+            f"-{os.getpid()}")
+
+
+def _promote_index(staging: str, path: str) -> None:
+    """Atomic publish of a freshly built index: marker file, then ONE
+    rename. The loser of a concurrent-build race discards its staging
+    dir and uses the winner's — no torn index is ever visible."""
+    import os
+    import shutil
+    open(os.path.join(staging, "_INDEX_READY"), "w").close()
+    try:
+        os.rename(staging, path)
+    except OSError:  # another session promoted first — use theirs
+        shutil.rmtree(staging, ignore_errors=True)
+
+
 def ensure_ivfpq_index(spark: SparkSession, sf_dir: str) -> str:
     """Build the IVF-PQ index once per dataset and persist it:
     ``coarse/`` (k rows), ``codebooks/`` (M·K rows), and ``codes/``
     cell-partitioned like write_ivf_index so a probe scans only the
-    probed directories. Concurrent-safe: each session builds into a
-    unique staging dir and promotes it with one atomic rename; the
-    loser of a race discards its build and uses the winner's."""
+    probed directories. Concurrent-safe via :func:`_promote_index`."""
     import os
-    import shutil
     path = _ivfpq_index_path(sf_dir)
-    if os.path.exists(os.path.join(path, "_INDEX_READY")):
+    if _index_ready(path):
         return path
-    staging = (f"{path}.build-{spark.sparkContext.applicationId}"
-               f"-{os.getpid()}")
+    staging = _index_staging(spark, path)
     cent, books, codes = _ivfpq_train(spark, sf_dir)
     cent.write.mode("overwrite").parquet(os.path.join(staging, "coarse"))
     books.write.mode("overwrite").parquet(
@@ -1467,11 +1541,7 @@ def ensure_ivfpq_index(spark: SparkSession, sf_dir: str) -> str:
     (codes.repartition("ccell")
      .write.mode("overwrite").partitionBy("ccell")
      .parquet(os.path.join(staging, "codes")))
-    open(os.path.join(staging, "_INDEX_READY"), "w").close()
-    try:
-        os.rename(staging, path)
-    except OSError:  # another session promoted first — use theirs
-        shutil.rmtree(staging, ignore_errors=True)
+    _promote_index(staging, path)
     return path
 
 

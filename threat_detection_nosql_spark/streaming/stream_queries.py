@@ -247,7 +247,11 @@ def model_scored_stream(spark: SparkSession, sf_dir: str,
                      F.col("n_after_hours").cast("double")))
     asm = VectorAssembler(inputCols=["n_events", "n_after_hours"],
                           outputCol="features")
-    train = asm.transform(batch)
+    # one sorted partition pins k-means|| init sampling and float
+    # reduction order (post-shuffle row order varies run-to-run —
+    # same fix as ml/unsupervised.kmeans_detector, round 10)
+    train = asm.transform(batch).repartition(1).sortWithinPartitions(
+        "n_events", "n_after_hours")
     model = KMeans(k=k, seed=seed, featuresCol="features",
                    predictionCol="cluster").fit(train)
     sizes = (model.transform(train).groupBy("cluster").count().collect())
