@@ -421,6 +421,21 @@ def _paeth(a: int, b: int, c: int) -> int:
     return c
 
 
+def _paeth_vec(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
+    """Vectorized Paeth over whole scanlines (same tie order)."""
+    p = a + b - c
+    pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+    return np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
+
+
+def _shift_bpp(line: np.ndarray, bpp: int) -> np.ndarray:
+    """The 'left neighbor' vector: line shifted right by one pixel
+    (bpp samples), zero-filled — PNG's out-of-row a/c convention."""
+    out = np.zeros_like(line)
+    out[bpp:] = line[:-bpp]
+    return out
+
+
 def encode_png(pixels: np.ndarray,
                row_filters: list[int] | None = None) -> bytes:
     """8-bit truecolor (color type 2) PNG from an (h, w, 3) uint8
@@ -436,28 +451,26 @@ def encode_png(pixels: np.ndarray,
         row_filters = [r % 5 for r in range(h)]
     prior = np.zeros(w * bpp, dtype=np.int64)
     out = bytearray()
+    # filtering reads only RAW current/prior rows (no recurrence), so
+    # every filter type vectorizes whole-scanline (round-10 ADVICE)
     for r in range(h):
         line = pixels[r].astype(np.int64).reshape(-1)
         f = row_filters[r]
         out.append(f)
-        for i in range(len(line)):
-            a = int(line[i - bpp]) if i >= bpp else 0
-            b = int(prior[i])
-            c = int(prior[i - bpp]) if i >= bpp else 0
-            x = int(line[i])
-            if f == 0:
-                v = x
-            elif f == 1:
-                v = x - a
-            elif f == 2:
-                v = x - b
-            elif f == 3:
-                v = x - (a + b) // 2
-            elif f == 4:
-                v = x - _paeth(a, b, c)
-            else:
-                raise ValueError(f"invalid PNG filter {f}")
-            out.append(v % 256)
+        a, b = _shift_bpp(line, bpp), prior
+        if f == 0:
+            v = line
+        elif f == 1:
+            v = line - a
+        elif f == 2:
+            v = line - b
+        elif f == 3:
+            v = line - (a + b) // 2
+        elif f == 4:
+            v = line - _paeth_vec(a, b, _shift_bpp(prior, bpp))
+        else:
+            raise ValueError(f"invalid PNG filter {f}")
+        out.extend((v % 256).astype(np.uint8).tobytes())
         prior = line
     ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
     return (_PNG_SIG + _png_chunk(b"IHDR", ihdr)
@@ -515,25 +528,31 @@ def decode_png(blob: bytes) -> np.ndarray:
         line = np.frombuffer(raw, dtype=np.uint8, count=stride,
                              offset=p).astype(np.int64)
         p += stride
-        rec = np.zeros(stride, dtype=np.int64)
-        for i in range(stride):
-            a = int(rec[i - bpp]) if i >= bpp else 0
-            b = int(prior[i])
-            c = int(prior[i - bpp]) if i >= bpp else 0
-            x = int(line[i])
-            if f == 0:
-                v = x
-            elif f == 1:
-                v = x + a
-            elif f == 2:
-                v = x + b
-            elif f == 3:
-                v = x + (a + b) // 2
-            elif f == 4:
-                v = x + _paeth(a, b, c)
-            else:
-                raise ValueError(f"PNG: invalid filter type {f}")
-            rec[i] = v % 256
+        # None/Up are pure vector adds; Sub's left-recurrence is a
+        # per-channel prefix sum (cumsum mod 256). Average and Paeth
+        # carry a true serial dependency on the RECONSTRUCTED left
+        # pixel, so they keep the scalar recurrence — 2 of 5 rows
+        # under the planted filter cycle (round-10 ADVICE).
+        if f == 0:
+            rec = line.copy()
+        elif f == 1:
+            rec = np.cumsum(line.reshape(-1, bpp), axis=0).reshape(-1) % 256
+        elif f == 2:
+            rec = (line + prior) % 256
+        elif f in (3, 4):
+            rec = np.zeros(stride, dtype=np.int64)
+            for i in range(stride):
+                a = int(rec[i - bpp]) if i >= bpp else 0
+                b = int(prior[i])
+                c = int(prior[i - bpp]) if i >= bpp else 0
+                x = int(line[i])
+                if f == 3:
+                    v = x + (a + b) // 2
+                else:
+                    v = x + _paeth(a, b, c)
+                rec[i] = v % 256
+        else:
+            raise ValueError(f"PNG: invalid filter type {f}")
         img[r] = rec
         prior = rec
     return img.reshape(h, w, 3).astype(np.uint8)
