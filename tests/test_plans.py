@@ -677,8 +677,12 @@ def test_revenue_pareto_approx_has_no_global_sort(spark):
         revenue_pareto)
 
     exact = formatted_plan(revenue_pareto(spark, SF_DIR))
-    # the exact form pays the single-partition ntile sort
-    assert "ntile(" in exact
+    # the exact form rides the distributed ntile since round 10: the
+    # range-partitioned frame is pinned (checkpoint scan), ranked by a
+    # per-slice row_number — NO single-partition ntile window anywhere
+    assert "Scan ExistingRDD" in exact
+    assert "row_number" in exact
+    assert "ntile(" not in exact
 
     approx = formatted_plan(revenue_pareto(spark, SF_DIR, approx=True))
     assert "ntile(" not in approx

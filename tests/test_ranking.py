@@ -1,0 +1,98 @@
+"""operators/ranking.py — distributed exact rank / ntile / cumsum.
+
+The helpers must be bit-equal to their single-partition window forms,
+INCLUDING when chained (round-10 found chained calls corrupting ranks
+when the twice-referenced range exchange materialized twice with
+different sampled boundaries — fixed by pinning the keyed frame)."""
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from tests.conftest import SF_SMALL
+from threat_detection_nosql_spark.operators.ranking import (
+    with_global_cumsum,
+    with_global_ntile,
+    with_global_rank,
+)
+from threat_detection_nosql_spark.sources.readers import load_table
+
+
+def _orders(spark):
+    return (load_table(spark, SF_SMALL, "orders")
+            .select("o_orderkey", "o_custkey",
+                    F.round(F.col("o_totalprice") * 100, 0).cast("long")
+                    .alias("cents")))
+
+
+def test_global_rank_matches_window(spark):
+    df = _orders(spark)
+    got = {r["o_orderkey"]: r["rk"] for r in with_global_rank(
+        df, ["cents", "o_orderkey"]).collect()}
+    want = {r["o_orderkey"]: r["rk"] for r in df.withColumn(
+        "rk", F.row_number().over(
+            W.orderBy("cents", "o_orderkey"))).collect()}
+    assert got == want
+
+
+def test_global_rank_desc_and_total(spark):
+    df = _orders(spark)
+    n = df.count()
+    rows = with_global_rank(df, [F.desc("cents"), F.asc("o_orderkey")],
+                            total_col="n").collect()
+    assert all(r["n"] == n for r in rows)
+    want = {r["o_orderkey"]: r["rk"] for r in df.withColumn(
+        "rk", F.row_number().over(
+            W.orderBy(F.desc("cents"), F.asc("o_orderkey")))).collect()}
+    assert {r["o_orderkey"]: r["rk"] for r in rows} == want
+
+
+def test_global_ntile_matches_window_all_bucket_counts(spark):
+    df = _orders(spark)
+    for b in (3, 7, 10):
+        got = {r["o_orderkey"]: r["bucket"] for r in with_global_ntile(
+            df, ["cents", "o_orderkey"], b).collect()}
+        want = {r["o_orderkey"]: r["bucket"] for r in df.withColumn(
+            "bucket", F.ntile(b).over(
+                W.orderBy("cents", "o_orderkey"))).collect()}
+        assert got == want, f"ntile({b})"
+
+
+def test_global_ntile_more_buckets_than_rows(spark):
+    df = _orders(spark).limit(5)
+    got = sorted(r["bucket"] for r in with_global_ntile(
+        df, ["cents", "o_orderkey"], 10).collect())
+    assert got == [1, 2, 3, 4, 5]  # ntile = rank when N < B
+
+
+def test_chained_ntiles_stay_exact(spark):
+    """The round-10 regression: a second helper call on the first's
+    output must still match two independent window ntiles."""
+    df = _orders(spark)
+    c = with_global_ntile(df, ["cents", "o_orderkey"], 3,
+                          bucket_col="a")
+    c = with_global_ntile(c, [F.desc("cents"), F.asc("o_orderkey")], 4,
+                          bucket_col="b")
+    got = {r["o_orderkey"]: (r["a"], r["b"]) for r in c.collect()}
+    w2 = (df.withColumn("a", F.ntile(3).over(
+              W.orderBy("cents", "o_orderkey")))
+          .withColumn("b", F.ntile(4).over(
+              W.orderBy(F.desc("cents"), F.asc("o_orderkey")))))
+    want = {r["o_orderkey"]: (r["a"], r["b"]) for r in w2.collect()}
+    assert got == want
+    assert max(v[0] for v in got.values()) == 3
+    assert max(v[1] for v in got.values()) == 4
+
+
+def test_global_cumsum_matches_window_multi_col(spark):
+    df = _orders(spark).withColumn("one", F.lit(1))
+    got = {r["o_orderkey"]: (r["cs"], r["cnt"]) for r in
+           with_global_cumsum(df, ["cents", "o_orderkey"],
+                              ["cents", "one"],
+                              cumsum_cols=["cs", "cnt"]).collect()}
+    w = (W.orderBy("cents", "o_orderkey")
+         .rowsBetween(W.unboundedPreceding, 0))
+    want = {r["o_orderkey"]: (r["cs"], r["cnt"]) for r in
+            df.withColumn("cs", F.sum("cents").over(w))
+              .withColumn("cnt", F.sum("one").over(w)).collect()}
+    assert got == want

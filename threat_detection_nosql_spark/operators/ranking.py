@@ -23,13 +23,21 @@ rank, no further shuffle.  Both helpers are deterministic for a total
 order key (callers must include a tie-break column, same as any
 rank-consuming query).
 
-The range-partitioned lineage is referenced twice (ranks + offsets);
-under AQE (``spark.sql.adaptive.enabled``, default on since Spark 3.2)
-the two identical range exchanges dedupe into one materialized shuffle
-stage (``ReusedExchange`` — verified in the executed plan), so the
-fact table is scanned and range-shuffled exactly once.  Without AQE
-the lineage would run twice — acceptable, parallel, but wasteful;
-every supported session shape here has AQE on.
+The range-partitioned frame is referenced twice (ranks + offsets) and
+MUST be pinned once (``localCheckpoint``) before both consumers read
+it: ``repartitionByRange`` picks boundaries by reservoir-sampling its
+input, which is sensitive to shuffle-reader arrival ORDER — two
+separate materializations of the "same" exchange can choose different
+boundaries, making the broadcast offsets disagree with the window's
+partition ids (observed as impossible bucket ids at the 10x soak when
+helper calls were chained: AQE's ReusedExchange dedupes the simple
+case, but a subtree containing ``spark_partition_id()`` from a
+previous helper level does not canonicalize equal, so reuse silently
+stops applying).  The checkpoint makes partition identity a fact
+about materialized data rather than a property of plan-level reuse.
+At 100 TB this is one projection-narrow materialization — the same
+order of cost as the range shuffle itself, and the price of exact
+distributed ranking.
 
 Correctness is pinned the strongest way available: the registry queries
 built on these helpers (``order_value_histogram``,
@@ -52,7 +60,14 @@ _OFF = "__rank_offset"
 _TOT = "__rank_total"
 
 
-def with_global_rank(df: DataFrame, order_cols: list[str], *,
+def _keys(order_cols) -> list[Column]:
+    """Plain strings sort ascending; pass ``F.desc(...)`` Columns for
+    descending axes — both repartitionByRange and Window.orderBy honor
+    the direction, so the rebased rank follows it too."""
+    return [F.asc(c) if isinstance(c, str) else c for c in order_cols]
+
+
+def with_global_rank(df: DataFrame, order_cols, *,
                      num_partitions: int | None = None,
                      rank_col: str = "rk",
                      total_col: str | None = None) -> DataFrame:
@@ -63,11 +78,15 @@ def with_global_rank(df: DataFrame, order_cols: list[str], *,
     appended (free — it is the last cumulative offset), letting callers
     express rank-relative logic (ntile, percentile) without a separate
     ``count()`` job."""
-    keys = [F.asc(c) for c in order_cols]
+    keys = _keys(order_cols)
     n_parts = num_partitions or int(
         df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    # pinned once: both consumers below must see the SAME boundaries
+    # (module docstring — reservoir sampling is arrival-order
+    # sensitive, exchange reuse is not guaranteed across levels)
     keyed = (df.repartitionByRange(n_parts, *keys)
-             .withColumn(_PID, F.spark_partition_id()))
+             .withColumn(_PID, F.spark_partition_id())
+             .localCheckpoint())
     local = keyed.withColumn(
         _LRK, F.row_number().over(Window.partitionBy(_PID).orderBy(*keys)))
     k_rows = Window.orderBy(_PID)  # k = shuffle partitions, bounded
@@ -107,7 +126,7 @@ def ntile_from_rank(rank: Column, total: Column, n_buckets: int) -> Column:
             .cast("int"))
 
 
-def with_global_ntile(df: DataFrame, order_cols: list[str],
+def with_global_ntile(df: DataFrame, order_cols,
                       n_buckets: int, *,
                       bucket_col: str = "bucket",
                       num_partitions: int | None = None) -> DataFrame:
@@ -122,3 +141,52 @@ def with_global_ntile(df: DataFrame, order_cols: list[str],
                         ntile_from_rank(F.col("__rank_g"),
                                         F.col("__rank_n"), n_buckets))
             .drop("__rank_g", "__rank_n"))
+
+
+def with_global_cumsum(df: DataFrame, order_cols, val_cols, *,
+                       cumsum_cols=None,
+                       num_partitions: int | None = None) -> DataFrame:
+    """Append the running sum of each of ``val_cols`` in
+    ``order_cols`` order — the distributed replacement for
+    ``sum(v).over(Window.orderBy(...).rowsBetween(unboundedPreceding,
+    currentRow))``.  Same shape as :func:`with_global_rank`, but the
+    broadcast k-row offset table carries each range partition's
+    preceding VALUE totals instead of its preceding row count:
+    cumsum = value offset + local running sum (all columns share one
+    range exchange and one offset table).  Exact for integer/decimal
+    values (the repo's digest convention); for doubles the summation
+    order differs from the single-sort form by float associativity,
+    so callers should sum scaled integers."""
+    if isinstance(val_cols, str):
+        val_cols = [val_cols]
+    cumsum_cols = cumsum_cols or [f"{c}_cumsum" for c in val_cols]
+    keys = _keys(order_cols)
+    n_parts = num_partitions or int(
+        df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    # pinned once — same boundary-consistency requirement as
+    # with_global_rank (module docstring)
+    keyed = (df.repartitionByRange(n_parts, *keys)
+             .withColumn(_PID, F.spark_partition_id())
+             .localCheckpoint())
+    run = (Window.partitionBy(_PID).orderBy(*keys)
+           .rowsBetween(Window.unboundedPreceding, 0))
+    local = keyed.select(
+        "*", *[F.sum(v).over(run).alias(f"__cs_{i}")
+               for i, v in enumerate(val_cols)])
+    k_rows = Window.orderBy(_PID)
+    offsets = (keyed.groupBy(_PID)
+               .agg(*[F.sum(v).alias(f"__t_{i}")
+                      for i, v in enumerate(val_cols)])
+               .select(
+                   _PID,
+                   *[F.coalesce(
+                       F.sum(f"__t_{i}").over(
+                           k_rows.rowsBetween(Window.unboundedPreceding,
+                                              -1)),
+                       F.lit(0)).alias(f"__o_{i}")
+                     for i in range(len(val_cols))]))
+    out = local.join(F.broadcast(offsets), _PID)
+    for i, cc in enumerate(cumsum_cols):
+        out = out.withColumn(cc, F.col(f"__o_{i}") + F.col(f"__cs_{i}"))
+    return out.drop(_PID, *[f"__cs_{i}" for i in range(len(val_cols))],
+                    *[f"__o_{i}" for i in range(len(val_cols))])

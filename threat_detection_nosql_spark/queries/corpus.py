@@ -1110,10 +1110,13 @@ def vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     Cumulative DISTINCT has no window form, so the curve is built from
     first occurrences: a token's first_doc is one min-agg, the
     cumulative vocabulary at doc d is a running count of tokens whose
-    first_doc ≤ d — i.e. one join-free window over the per-doc counts
-    of first occurrences. Everything is an integer count; two windows
-    over ONE doc_id ordering."""
-    from pyspark.sql.window import Window as W
+    first_doc ≤ d. Everything is an integer count; since round 10 the
+    two running sums ride ONE distributed prefix-sum pass
+    (operators/ranking.with_global_cumsum — range partition +
+    per-slice running sums + broadcast value offsets), so the per-doc
+    frame never funnels through a single-partition sort."""
+    from threat_detection_nosql_spark.operators.ranking import \
+        with_global_cumsum
     docs = load_table(spark, sf_dir, "documents")
     tok = (docs.select("doc_id",
                        F.explode(F.split(F.col("text"), r"\s+"))
@@ -1126,11 +1129,9 @@ def vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
                          per_doc["doc_id"] == news["first_doc"], "left")
             .select("doc_id", "n_tokens",
                     F.coalesce("n_new", F.lit(0)).alias("n_new")))
-    w = W.orderBy("doc_id").rowsBetween(W.unboundedPreceding, W.currentRow)
-    return base.select(
-        "doc_id",
-        F.sum("n_tokens").over(w).alias("cum_tokens"),
-        F.sum("n_new").over(w).alias("cum_vocab"))
+    return (with_global_cumsum(base, ["doc_id"], ["n_tokens", "n_new"],
+                               cumsum_cols=["cum_tokens", "cum_vocab"])
+            .select("doc_id", "cum_tokens", "cum_vocab"))
 
 
 _VOCAB_GROWTH_SQL = r"""
@@ -1177,10 +1178,15 @@ def zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
                         .alias("token"))
             .filter(F.col("token") != "")
             .groupBy("token").agg(F.count("*").alias("freq")))
-    ranked = (freq.withColumn(
-        "rank", F.row_number().over(W.orderBy(F.desc("freq"),
-                                              F.asc("token"))))
-        .filter(F.col("rank") <= _ZIPF_TOP))
+    # top-K FIRST (sort+limit = distributed TakeOrderedAndProject per-
+    # partition heaps), THEN the rank window over the K-row remainder —
+    # the former row_number-then-filter funneled the whole vocabulary
+    # through one window task (round-10 audit)
+    ranked = (freq.orderBy(F.desc("freq"), F.asc("token"))
+              .limit(_ZIPF_TOP)
+              .withColumn(
+                  "rank", F.row_number().over(
+                      W.orderBy(F.desc("freq"), F.asc("token")))))
     xy = ranked.select(F.log("rank").alias("x"), F.log("freq").alias("y"))
     s = xy.agg(F.count("*").alias("n"),
                F.sum("x").alias("sx"), F.sum("y").alias("sy"),

@@ -445,13 +445,20 @@ def spend_acctbal_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spearman rank correlation between customer account balance and
     total spend — the monotone-association test that ignores the
     heavy-tailed spend distribution (Pearson over average ranks).
-    Ranks are windowed (`rank + (ties−1)/2` = the canonical average
-    rank), the correlation is one algebraic aggregate over them; both
-    steps replay exactly in SQL, unlike sampled/approximate
+    Midranks since round 10 come from the DISTRIBUTED global rank
+    (operators/ranking.py) over the (value, custkey) total order: the
+    canonical average rank of a tie group equals the MEAN of the
+    consecutive row numbers inside it (rank + (ties−1)/2 — exact in
+    IEEE halves), recovered by a value-partitioned avg window — no
+    unpartitioned rank window over the customer dimension remains.
+    The correlation is one algebraic aggregate over the midranks;
+    both steps replay exactly in SQL, unlike sampled/approximate
     correlation estimators."""
     from pyspark.sql import Window as W
     from pyspark.sql import functions as F
 
+    from threat_detection_nosql_spark.operators.ranking import \
+        with_global_rank
     from threat_detection_nosql_spark.sources.readers import load_table
     cust = load_table(spark, sf_dir, "customer").select(
         "c_custkey", "c_acctbal")
@@ -459,13 +466,12 @@ def spend_acctbal_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
              .groupBy("o_custkey")
              .agg(F.round(F.sum("o_totalprice"), 4).alias("spend")))
     both = cust.join(spend, F.col("c_custkey") == F.col("o_custkey"))
-
-    def avg_rank(col):
-        return (F.rank().over(W.orderBy(F.col(col)))
-                + (F.count("*").over(W.partitionBy(F.col(col))) - 1) / 2.0)
-
-    ranked = both.select(avg_rank("c_acctbal").alias("rx"),
-                         avg_rank("spend").alias("ry"))
+    r = with_global_rank(both, ["c_acctbal", "c_custkey"],
+                         rank_col="_rnx")
+    r = with_global_rank(r, ["spend", "c_custkey"], rank_col="_rny")
+    ranked = r.select(
+        F.avg("_rnx").over(W.partitionBy("c_acctbal")).alias("rx"),
+        F.avg("_rny").over(W.partitionBy("spend")).alias("ry"))
     n = F.count("*")
     sx = F.sum("rx")
     sy = F.sum("ry")
@@ -727,16 +733,18 @@ def rule_lift_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     no float-aggregation ulp risk anywhere. One |users|-row window
     pass + a 10-row re-aggregation.
 
-    Scale note: the decile ntile is an UNPARTITIONED window over the
-    scored-user dimension — exact (the registered oracle form), but a
-    single-partition sort when users number in the billions. The scale
-    swap (house style: source_quantile_normalized): an
-    `approx_percentile(weekend_ratio, array(0.1..0.9))` boundary agg
-    broadcast back as 9 cut points, decile assignment by array
-    comparison — the 10-row lift/gain re-aggregation is unchanged."""
+    Scale note (round 10): the decile now rides the DISTRIBUTED ntile
+    (operators/ranking.py) — no single-partition sort over the
+    scored-user dimension remains, and the unchanged plain-ntile
+    oracle hash-proves the rebased bucketing identical. The
+    `approx_percentile` cut-point swap stays available where
+    sketch-approximate decile edges suffice."""
+    from threat_detection_nosql_spark.operators.ranking import \
+        with_global_ntile
     lab = _labeled(spark, sf_dir)
-    w = Window.orderBy(F.desc("weekend_ratio"), F.asc("user"))
-    deciled = lab.select("label", F.ntile(10).over(w).alias("decile"))
+    deciled = with_global_ntile(
+        lab, [F.desc("weekend_ratio"), F.asc("user")], 10,
+        bucket_col="decile").select("label", "decile")
     per = (deciled.groupBy("decile")
            .agg(F.count("*").alias("n"),
                 F.sum("label").alias("positives")))
@@ -1836,11 +1844,13 @@ def conformal_price_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: one scan fans into the three split aggregates (the
     train agg is 5 groups, map-combinable; cal/test join the 5-row
-    broadcast predictor). The calibration rank is a single-partition
-    sort of the cal split — exact (the registered oracle form); the
-    scale swap at billions of cal rows is approx_percentile on the
-    residual (source_quantile_normalized house style), qhat becoming
-    sketch-approximate."""
+    broadcast predictor). The calibration order statistic rides the
+    DISTRIBUTED global rank since round 10 (operators/ranking.py —
+    range partition + per-slice row_number + broadcast offsets), so
+    even a billions-row calibration split never funnels through one
+    sort task; the unchanged oracle hash-proves the rebased rank picks
+    the same row. approx_percentile remains the cheaper sketch swap
+    where an approximate qhat suffices."""
     from threat_detection_nosql_spark.operators.sampling import hash_bucket
     from threat_detection_nosql_spark.sources.readers import load_table
     orders = load_table(spark, sf_dir, "orders")
@@ -1857,13 +1867,13 @@ def conformal_price_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
     cal_sc = (cal.join(F.broadcast(pred), "pri")
               .select("k", F.abs(F.col("cents").cast("double")
                                  - F.col("pred")).alias("score")))
-    n_cal = cal_sc.agg(F.count("*").alias("n_cal"))
-    rw = Window.orderBy("score", "k")
+    from threat_detection_nosql_spark.operators.ranking import \
+        with_global_rank
     q_idx = F.least(
         F.ceil((F.col("n_cal") + 1) * F.lit(1.0 - _CONF_ALPHA)),
         F.col("n_cal"))
-    qhat = (cal_sc.withColumn("rk", F.row_number().over(rw))
-            .crossJoin(F.broadcast(n_cal))
+    qhat = (with_global_rank(cal_sc, ["score", "k"], rank_col="rk",
+                             total_col="n_cal")
             .filter(F.col("rk") == q_idx)
             .select("n_cal", F.col("score").alias("qhat")))
     cov = (test.join(F.broadcast(pred), "pri")

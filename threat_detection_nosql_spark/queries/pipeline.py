@@ -1506,10 +1506,11 @@ def stopword_density_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
                        F.explode(F.split(F.col("text"), r"\s+"))
                        .alias("token"))
            .filter(F.col("token") != ""))
+    # top-K via sort+limit (TakeOrderedAndProject — per-partition
+    # heaps), not a full-vocabulary row_number window (round-10 audit)
     top = (tok.groupBy("token").agg(F.count("*").alias("freq"))
-           .withColumn("rk", F.row_number().over(
-               W.orderBy(F.desc("freq"), F.asc("token"))))
-           .filter(F.col("rk") <= _STOPWORD_K)
+           .orderBy(F.desc("freq"), F.asc("token"))
+           .limit(_STOPWORD_K)
            .select("token", F.lit(1).alias("is_stop")))
     scored = (tok.join(F.broadcast(top), "token", "left")
               .groupBy("doc_id")

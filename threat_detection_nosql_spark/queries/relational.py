@@ -969,18 +969,17 @@ def revenue_pareto(spark: SparkSession, sf_dir: str,
     custkey) total order, one decile re-agg, one running-sum window
     over 10 rows. All arithmetic integer until the one share division.
 
-    Scale note: the ntile rides an UNPARTITIONED window over the
-    customer dimension — exact (and the registered oracle form), but a
-    single-partition sort once customers reach the billions.
-    ``approx=True`` EXECUTES the scale swap (house style:
-    customer_value_ntiles, source_quantile_normalized): one
+    Scale note (round 10): the exact path now uses the DISTRIBUTED
+    ntile (operators/ranking.py — range partition + per-slice
+    row_number + broadcast offsets), so no single-partition sort
+    remains even over a billion-customer dimension, and the unchanged
+    plain-ntile oracle hash-proves the rebased bucketing identical.
+    ``approx=True`` still offers the sketch swap: one
     `approx_percentile(cents, array(0.9..0.1))` boundary agg (GK
     sketch, bounded state), the 9 cut points broadcast via a 1-row
-    cross join, deciles assigned by a searchsorted array comparison —
-    no global sort anywhere (pinned in tests/test_plans.py); decile
-    edges become sketch-approximate, shares stay exact integer sums.
-    The same swap applies verbatim to customer_rfm_segments and
-    rule_lift_table (identical ntile grain)."""
+    cross join, deciles assigned by a searchsorted array comparison
+    (pinned in tests/test_plans.py); decile edges become
+    sketch-approximate, shares stay exact integer sums."""
     from pyspark.sql.window import Window as W
     orders = load_table(spark, sf_dir, "orders")
     rev = (orders.groupBy("o_custkey")
@@ -997,9 +996,11 @@ def revenue_pareto(spark: SparkSession, sf_dir: str,
                           "bs", lambda b: F.col("cents") < b)))
                       .cast("int")))
     else:
-        ranked = rev.withColumn(
-            "decile", F.ntile(10).over(
-                W.orderBy(F.desc("cents"), F.asc("o_custkey"))))
+        from threat_detection_nosql_spark.operators.ranking import \
+            with_global_ntile
+        ranked = with_global_ntile(
+            rev, [F.desc("cents"), F.asc("o_custkey")], 10,
+            bucket_col="decile")
     dec = (ranked.groupBy("decile")
            .agg(F.count("*").alias("n_customers"),
                 F.sum("cents").alias("decile_cents")))
@@ -1258,14 +1259,16 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     tie-breaks (engine-identical); the only division is the two
     rounded per-cell means.
 
-    Scale note: each tercile is an UNPARTITIONED ntile over every
-    ordering customer — exact (the registered oracle form), but three
-    single-partition sorts of the customer dimension at 100×. The
-    scale swap: one `approx_percentile` agg yielding the 1/3 and 2/3
-    cut points for all three axes at once, broadcast-join the 6
-    scalars, score with CASE — the 27-cell rollup is unchanged and no
-    global sort remains."""
-    from pyspark.sql.window import Window as W
+    Scale note (round 10): each tercile now rides the DISTRIBUTED
+    ntile (operators/ranking.py) — three parallel range-partitioned
+    rankings instead of three single-partition sorts of the customer
+    dimension; the unchanged plain-ntile oracle hash-proves the
+    rebased terciles identical. The sketch alternative
+    (`approx_percentile` cut points broadcast as CASE thresholds)
+    remains the cheaper-still swap where approximate tercile edges
+    are acceptable."""
+    from threat_detection_nosql_spark.operators.ranking import \
+        with_global_ntile
     orders = load_table(spark, sf_dir, "orders")
     anchor = orders.agg(F.max("o_orderdate").alias("anchor"))
     per_cust = (orders.crossJoin(F.broadcast(anchor))
@@ -1275,21 +1278,26 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.count("*").alias("frequency"),
                      F.sum(F.round(F.col("o_totalprice") * 100, 0)
                            .cast("long")).alias("monetary_cents")))
-    scored = (per_cust
-              .withColumn("r", F.ntile(3).over(
-                  W.orderBy(F.desc("recency_d"), F.asc("o_custkey"))))
-              .withColumn("f", F.ntile(3).over(
-                  W.orderBy(F.asc("frequency"), F.asc("o_custkey"))))
-              .withColumn("m", F.ntile(3).over(
-                  W.orderBy(F.asc("monetary_cents"),
-                            F.asc("o_custkey")))))
+    scored = per_cust
+    for col, keys in (("r", [F.desc("recency_d"), F.asc("o_custkey")]),
+                      ("f", [F.asc("frequency"), F.asc("o_custkey")]),
+                      ("m", [F.asc("monetary_cents"),
+                             F.asc("o_custkey")])):
+        scored = with_global_ntile(scored, keys, 3, bucket_col=col)
     return (scored.groupBy(
                 F.concat(F.col("r"), F.col("f"), F.col("m"))
                 .alias("segment"))
             .agg(F.count("*").alias("n_customers"),
-                 F.round(F.avg("recency_d"), 6).alias("avg_recency_d"),
-                 F.round(F.avg("monetary_cents"), 6)
-                 .alias("avg_monetary_cents"))
+                 F.round(F.sum("recency_d").cast("double")
+                         / F.count("*"), 6).alias("avg_recency_d"),
+                 F.sum("monetary_cents").alias("_sum_cents"))
+            # whole-cent integer mean: at ~1e9-cent magnitudes the 6th
+            # decimal sits BELOW the double ULP, so engine round()
+            # implementations disagree (10x soak); BIGINT div is exact
+            # at any scale
+            .withColumn("avg_monetary_cents",
+                        F.expr("_sum_cents div n_customers"))
+            .drop("_sum_cents")
             .orderBy("segment"))
 
 
@@ -1314,8 +1322,10 @@ scored AS (
   FROM per_cust)
 SELECT (r::VARCHAR || f::VARCHAR || m::VARCHAR) AS segment,
        CAST(count(*) AS BIGINT) AS n_customers,
-       round(avg(recency_d), 6) AS avg_recency_d,
-       round(avg(monetary_cents), 6) AS avg_monetary_cents
+       round(CAST(sum(recency_d) AS DOUBLE) / count(*), 6)
+         AS avg_recency_d,
+       CAST(sum(monetary_cents) // count(*) AS BIGINT)
+         AS avg_monetary_cents
 FROM scored
 GROUP BY 1
 ORDER BY 1

@@ -1176,10 +1176,13 @@ def abc_xyz_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     sums. Not one float enters a comparison.
 
     Scale shape: two part-grain aggs off one lineitem scan; the ABC
-    cumulative share rides a window over the PART dimension (entity
-    grain — same documented approx_percentile swap as revenue_pareto
-    at extreme scale); the final matrix agg is 9 rows."""
-    from pyspark.sql.window import Window as W
+    cumulative share rides the DISTRIBUTED prefix sum
+    (operators/ranking.with_global_cumsum, round 10 — range partition
+    + per-slice running sum + broadcast value offsets), so no
+    single-partition sort of the part dimension remains; the final
+    matrix agg is 9 rows."""
+    from threat_detection_nosql_spark.operators.ranking import \
+        with_global_cumsum
     li = load_table(spark, sf_dir, "lineitem")
     base = li.select(
         "l_partkey",
@@ -1202,11 +1205,11 @@ def abc_xyz_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("Z").alias("xyz_class"))
     rev = base.groupBy("l_partkey").agg(
         F.sum(F.col("rev_e4").cast("decimal(38,0)")).alias("rev"))
-    w = W.orderBy(F.desc("rev"), F.asc("l_partkey"))
     tot = rev.agg(F.sum("rev").alias("tot"))
-    abc = (rev.crossJoin(F.broadcast(tot))
-           .withColumn("cum", F.sum("rev").over(
-               w.rowsBetween(W.unboundedPreceding, 0)))
+    abc = (with_global_cumsum(rev,
+                              [F.desc("rev"), F.asc("l_partkey")],
+                              "rev", cumsum_cols=["cum"])
+           .crossJoin(F.broadcast(tot))
            .select("l_partkey", "rev", "tot",
                    F.when(5 * F.col("cum") <= 4 * F.col("tot"), "A")
                    .when(20 * F.col("cum") <= 19 * F.col("tot"), "B")
