@@ -113,8 +113,10 @@ def ntile_from_rank(rank: Column, total: Column, n_buckets: int) -> Column:
     """SQL ``ntile(B)`` as arithmetic on a 1-based global rank: with
     ``q = total div B`` and ``r = total mod B``, the first ``r``
     buckets hold ``q+1`` rows (ranks 1..(q+1)*r) and the rest hold
-    ``q``.  Integer-exact via ``div``; when ``total < B`` (q = 0) the
-    bucket is the rank itself, matching SQL semantics."""
+    ``q``.  The quotient uses floor over a double division — exact
+    while ranks stay below 2^53 (~9e15 rows, far past any real
+    table); when ``total < B`` (q = 0) the bucket is the rank itself,
+    matching SQL semantics."""
     b = F.lit(n_buckets)
     q = F.floor(total.cast("long") / b).cast("long")
     r = (total.cast("long") % b).cast("long")
