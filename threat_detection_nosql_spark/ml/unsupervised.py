@@ -259,8 +259,12 @@ def autoencoder_detector(scaled: DataFrame,
     import pandas as pd
     from pyspark.ml.functions import vector_to_array
 
-    pdf = (scaled.select(vector_to_array("scaled").alias("x"))
-           .limit(max_fit_rows).toPandas())
+    # fit sample pinned to KEY order (TakeOrderedAndProject): an
+    # unordered limit().toPandas() varies row order run-to-run, and
+    # the seeded trainer consumes rows positionally — the round-10
+    # determinism sweep caught the drift
+    pdf = (scaled.select(F.col(key), vector_to_array("scaled").alias("x"))
+           .orderBy(key).limit(max_fit_rows).toPandas())
     mat = np.array(pdf["x"].tolist())
     d = mat.shape[1]
     dims = [d, *hidden, *hidden[-2::-1], d]
@@ -322,8 +326,9 @@ def rff_ocsvm_detector(scaled: DataFrame, nu: float = CONTAMINATION,
 
     from threat_detection_nosql_spark.ml.supervised import _rff_planes
 
-    pdf = (scaled.select(vector_to_array("scaled").alias("x"))
-           .limit(max_fit_rows).toPandas())
+    # key-ordered fit sample — same determinism pin as the autoencoder
+    pdf = (scaled.select(F.col(key), vector_to_array("scaled").alias("x"))
+           .orderBy(key).limit(max_fit_rows).toPandas())
     mat = np.array(pdf["x"].tolist())
     n, d = mat.shape
     w_pl, b_pl = _rff_planes(d, n_features, seed, gamma)
@@ -527,8 +532,9 @@ def iforest_detector(scaled: DataFrame, n_trees: int = 200,
     from pyspark.ml.functions import vector_to_array
 
     fit_n = n_trees * max_samples
-    pdf = (scaled.select(vector_to_array("scaled").alias("x"))
-           .limit(fit_n).toPandas())
+    # key-ordered fit sample — same determinism pin as the autoencoder
+    pdf = (scaled.select(F.col(key), vector_to_array("scaled").alias("x"))
+           .orderBy(key).limit(fit_n).toPandas())
     mat = np.array(pdf["x"].tolist())
     rng = np.random.default_rng(seed)
     forests, _ = _build_iforest(mat, n_trees, max_samples, rng)
