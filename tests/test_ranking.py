@@ -96,3 +96,35 @@ def test_global_cumsum_matches_window_multi_col(spark):
             df.withColumn("cs", F.sum("cents").over(w))
               .withColumn("cnt", F.sum("one").over(w)).collect()}
     assert got == want
+
+
+def test_ntile_quota_formula_property():
+    """Property check of the quota arithmetic itself (pure Python
+    replica of ntile_from_rank) against DuckDB's ntile over every rank
+    of randomized (N, B) — no Spark needed, so hypothesis can sweep
+    hundreds of shapes."""
+    import duckdb
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    def formula(rk: int, n: int, b: int) -> int:
+        q, r = divmod(n, b)
+        if q == 0:
+            return rk
+        pivot = (q + 1) * r
+        if rk <= pivot:
+            return (rk - 1) // (q + 1) + 1
+        return r + (rk - pivot - 1) // q + 1
+
+    con = duckdb.connect()
+
+    @settings(max_examples=60, deadline=None)
+    @given(n=st.integers(1, 500), b=st.integers(1, 40))
+    def check(n: int, b: int) -> None:
+        want = [r[0] for r in con.execute(
+            f"SELECT ntile({b}) OVER (ORDER BY range) FROM range({n}) "
+            f"ORDER BY range").fetchall()]
+        got = [formula(rk, n, b) for rk in range(1, n + 1)]
+        assert got == want, (n, b)
+
+    check()
