@@ -83,11 +83,27 @@ def main() -> int:
     oracles = entrymod.oracle_sql()
     results: dict[str, dict] = {}
     n_bad = 0
+    # Per-query watchdog: an intermittent Spark AQE race (observed
+    # twice at the 10x soak — a collect parks forever in
+    # AdaptiveSparkPlanExec.withFinalPlanUpdate's event-queue take)
+    # can otherwise hang the WHOLE sweep. cancelAllJobs() fails the
+    # running stages, which posts the missing stage event and unblocks
+    # the AQE loop with an error; the query records as BAD-timeout and
+    # the sweep continues. Override via CHECK_ALL_TIMEOUT_S (0 = off).
+    import os
+    import threading
+    wd_s = int(os.environ.get("CHECK_ALL_TIMEOUT_S", "900"))
     for name, fn in qs.items():
         if filters and not any(f in name for f in filters):
             continue
         t0 = time.time()
         rec: dict = {}
+        timer = None
+        if wd_s:
+            timer = threading.Timer(
+                wd_s, spark.sparkContext.cancelAllJobs)
+            timer.daemon = True
+            timer.start()
         try:
             sdf = fn(spark, sf_dir)
             spdf = _canon(sdf.toPandas())
@@ -114,6 +130,9 @@ def main() -> int:
         except Exception:
             rec["err"] = traceback.format_exc()[-1500:]
             n_bad += 1
+        finally:
+            if timer is not None:
+                timer.cancel()
         results[name] = rec
         status = ("OK " if rec.get("hash_match") else
                   "ro " if rec.get("check") else "BAD")

@@ -723,7 +723,18 @@ def tsne_substitute_projection(spark: SparkSession,
     from pyspark.sql import functions as F
     from pyspark.sql.window import Window
 
-    pts = user_pca_projection(spark, sf_dir).localCheckpoint()
+    # persist+count instead of localCheckpoint: this query chains FOUR
+    # eager materializations and its final collect twice parked forever
+    # in AQE's withFinalPlanUpdate at the 10x soak (intermittent Spark
+    # race, see COVERAGE.md round-10); cached materialization pins the
+    # data identically for the multi-consumer reads without the RDD
+    # checkpoint machinery the hang implicates
+    def _pin(df):
+        df = df.persist()
+        df.count()
+        return df
+
+    pts = _pin(user_pca_projection(spark, sf_dir))
     cells = pts.select(
         "user", "pc1", "pc2",
         F.floor(F.col("pc1") / _TSNE_CELL).alias("cx"),
@@ -747,9 +758,9 @@ def tsne_substitute_projection(spark: SparkSession,
             .withColumn("d2", (F.col("pc1") - F.col("npc1")) ** 2
                         + (F.col("pc2") - F.col("npc2")) ** 2))
     w = Window.partitionBy("user").orderBy(F.asc("d2"), F.asc("nbr"))
-    edges = (nbrs.withColumn("rk", F.row_number().over(w))
-             .filter(F.col("rk") <= _TSNE_K)
-             .select("user", "nbr").localCheckpoint())
+    edges = _pin(nbrs.withColumn("rk", F.row_number().over(w))
+                 .filter(F.col("rk") <= _TSNE_K)
+                 .select("user", "nbr"))
     cur = pts.select("user", F.col("pc1").alias("x"),
                      F.col("pc2").alias("y"))
     for _ in range(_TSNE_ROUNDS):
@@ -759,13 +770,12 @@ def tsne_substitute_projection(spark: SparkSession,
                                      F.col("y").alias("ny")), "nbr")
                     .groupBy("user")
                     .agg(F.avg("nx").alias("mx"), F.avg("ny").alias("my")))
-        cur = (cur.join(nbr_mean, "user", "left")
-               .select("user",
-                       ((F.col("x") + F.coalesce("mx", F.col("x"))) / 2)
-                       .alias("x"),
-                       ((F.col("y") + F.coalesce("my", F.col("y"))) / 2)
-                       .alias("y"))
-               .localCheckpoint())
+        cur = _pin(cur.join(nbr_mean, "user", "left")
+                   .select("user",
+                           ((F.col("x") + F.coalesce("mx", F.col("x")))
+                            / 2).alias("x"),
+                           ((F.col("y") + F.coalesce("my", F.col("y")))
+                            / 2).alias("y")))
     return cur.select("user", F.round("x", 6).alias("x"),
                       F.round("y", 6).alias("y")).orderBy("user")
 
