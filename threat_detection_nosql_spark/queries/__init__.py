@@ -26,67 +26,65 @@ from pyspark.sql import DataFrame, SparkSession
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
-# Round-10 driver window: ALL 22 never-driver-seen round-9 additions
-# (the format matrix, PQ/IVF-PQ ANN, HyperBall, truncation audit,
-# GIF/PNG decode, media conversions, heavy hitters, SMOTE counts) PLUS
-# 6 rows-only queries the r9 verdict asked to window for executed-clean
-# records (tsne substitute, ivf/lsh ANN, minhash dedup pair, distinct
-# sketch — the rest of ask #7 rotates in at R11) — topped up with the
-# 22 least-recently-verified greens (rotate_window.py TAIL discipline).
-# Green here closes the driver ledger at ~318/318 oracle-backed ever
-# windowed.
+# Round-11 driver window (r10 verdict ask #1, closes the ledger):
+# stream_tws_profiles (the one never-driver-seen query — registered
+# with its applyInPandasWithState fallback in r10) + the 7 rows-only
+# ML-family queries whose only driver record is round 4 (kmeans /
+# iforest / pca-recon / mahalanobis / dbscan / ensemble / supervised
+# report — refreshed executed-clean records), topped up with the 42
+# least-recently-verified oracle greens (rotate_window.py ordering).
 # NEVER reorder once verified: the driver hashes this exact prefix.
-_WINDOW_R10: tuple[str, ...] = (
-    "media_features",
-    "media_frame_sample",
-    "heavy_hitter_tokens",
-    "smote_resampled_counts",
-    "media_resize_stats",
-    "gif_decode_stats",
-    "png_decode_stats",
-    "pq_quantization_report",
-    "pq_adc_topk",
-    "truncated_embedding_recall",
-    "ivfpq_adc_topk",
-    "hyperball_reach_report",
-    "events_jsonl_roundtrip",
-    "orders_orc_roundtrip",
-    "documents_csv_gauntlet",
-    "events_partitioned_prune",
-    "schema_evolution_union",
-    "compression_codec_report",
-    "stream_jsonl_ingest",
-    "compacted_scan_digest",
-    "schema_drift_report",
-    "documents_text_roundtrip",
-    "tsne_substitute_projection",
-    "ivf_ann_topk",
-    "lsh_ann_topk",
-    "minhash_dedup",
-    "minhash_near_dups",
-    "sketch_distinct_users",
-    "error_and_purchase_users",
-    "user_modal_activity",
-    "rolling_week_order_value",
-    "customer_scd2_merge",
-    "sql_segment_summary",
-    "order_value_histogram",
-    "top_orders_second_page",
-    "part_grouping_sets",
-    "customer_snapshot_diff",
-    "exact_dedup_groups",
-    "unigram_logprob_scores",
-    "ngram_jaccard_top_pairs",
-    "doc_quality_stats",
-    "lang_id_heuristic",
-    "cosine_topk",
-    "token_counts",
-    "minhash_sig_near_dups",
-    "simhash_fingerprints",
-    "simhash_near_dups",
-    "winnowing_fingerprints",
-    "fingerprint_overlap",
-    "srp_ann_topk",
+_WINDOW_R11: tuple[str, ...] = (
+    "stream_tws_profiles",
+    "kmeans_anomalies",
+    "iforest_anomalies",
+    "pca_reconstruction_anomalies",
+    "mahalanobis_anomalies",
+    "dbscan_noise_anomalies",
+    "ensemble_anomalies",
+    "supervised_model_report",
+    "ivf_fixed_ann_topk",
+    "graph_summary",
+    "performs_edges",
+    "pagerank_top20",
+    "copurchase_triangles",
+    "rule_confusion_matrix",
+    "rule_classification_metrics",
+    "rule_auc",
+    "percentile_threshold_flags",
+    "feature_correlation_matrix",
+    "value_robust_stats",
+    "benford_deviation",
+    "spend_acctbal_spearman",
+    "kmeans_fixed_anomalies",
+    "time_since_last_error",
+    "burst_pair_counts",
+    "hourly_event_histogram",
+    "event_sessions",
+    "funnel_conversion",
+    "cohort_retention",
+    "weekly_revenue_wow",
+    "session_funnel_conversion",
+    "purchase_attribution",
+    "shipping_priority_top10",
+    "pii_redaction",
+    "benchmark_decontamination",
+    "data_quality_report",
+    "edit_distance_near_dups",
+    "vocab_coverage",
+    "cross_source_leakage",
+    "dataset_split_assignment",
+    "semantic_cluster_dedup",
+    "doc_chunks",
+    "corpus_curation_pipeline",
+    "domain_capped_sample",
+    "stream_static_enriched_counts",
+    "stream_windowed_user_counts",
+    "stream_sliding_type_counts",
+    "stream_session_windows",
+    "stream_anomaly_flags",
+    "stream_stateful_profiles",
+    "stream_deduped_counts",
 )
 
 
@@ -130,7 +128,7 @@ def all_queries() -> dict[str, QueryFn]:
     queries = _merged("QUERIES", "QUERIES_TAIL")
     oracles = _merged("ORACLES", "ORACLES_TAIL")
     out: dict[str, QueryFn] = {}
-    for name in _WINDOW_R10:  # pinned driver window, positions 1-50
+    for name in _WINDOW_R11:  # pinned driver window, positions 1-50
         out[name] = queries[name]
     for name, fn in queries.items():  # oracle-backed middle, module order
         if name not in out and name in oracles:
