@@ -86,12 +86,18 @@ def main() -> int:
     # Per-query watchdog: an intermittent Spark AQE race (observed
     # twice at the 10x soak — a collect parks forever in
     # AdaptiveSparkPlanExec.withFinalPlanUpdate's event-queue take)
-    # can otherwise hang the WHOLE sweep. cancelAllJobs() fails the
-    # running stages, which posts the missing stage event and unblocks
-    # the AQE loop with an error; the query records as BAD-timeout and
-    # the sweep continues. Override via CHECK_ALL_TIMEOUT_S (0 = off).
+    # can otherwise hang the WHOLE sweep. Cancellation is scoped to a
+    # per-query job group (NOT cancelAllJobs): timer.cancel() cannot
+    # stop a callback that already fired, so a context-global cancel
+    # racing a query that finishes near the deadline would kill the
+    # NEXT query's jobs and record a spurious BAD. cancelJobGroup on a
+    # finished group is a harmless no-op warning. Jobs submitted from
+    # other threads (streaming microbatches) aren't covered — those
+    # paths carry their own awaitTermination timeouts. Override via
+    # CHECK_ALL_TIMEOUT_S (0 = off).
     import os
     import threading
+    import uuid
     wd_s = int(os.environ.get("CHECK_ALL_TIMEOUT_S", "900"))
     for name, fn in qs.items():
         if filters and not any(f in name for f in filters):
@@ -100,8 +106,12 @@ def main() -> int:
         rec: dict = {}
         timer = None
         if wd_s:
+            group = f"check_all:{name}:{uuid.uuid4().hex[:8]}"
+            spark.sparkContext.setJobGroup(
+                group, name, interruptOnCancel=True)
             timer = threading.Timer(
-                wd_s, spark.sparkContext.cancelAllJobs)
+                wd_s,
+                lambda g=group: spark.sparkContext.cancelJobGroup(g))
             timer.daemon = True
             timer.start()
         try:
@@ -133,6 +143,8 @@ def main() -> int:
         finally:
             if timer is not None:
                 timer.cancel()
+                # no clearJobGroup in the Python API; the next
+                # iteration's setJobGroup supersedes this group anyway
         results[name] = rec
         status = ("OK " if rec.get("hash_match") else
                   "ro " if rec.get("check") else "BAD")
