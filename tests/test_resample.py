@@ -48,6 +48,41 @@ def test_smote_deterministic(spark):
     assert a == b
 
 
+def test_smote_bucketed_path_counts_and_convexity(spark):
+    """exact_cap=0 forces the grid-bucketed kNN on the fixture: the
+    synthetic count must be IDENTICAL to the exact path (replica
+    allocation is arithmetic on the anchor id, independent of which
+    neighbors the grid finds) and convexity must still hold (grid
+    neighbors are minority rows, and the isolated-anchor fallback
+    interpolates a row with itself)."""
+    fix = synthetic_anomaly_fixture(spark)
+    out = smote_oversample(fix, FEATS, ratio=0.7, seed=42, exact_cap=0)
+    n = {r["is_anomaly"]: r["n"] for r in
+         out.groupBy("is_anomaly").agg(F.count("*").alias("n")).collect()}
+    assert n[0] == 180
+    assert n[1] == int(0.7 * 180)
+    syn = out.filter(F.col("user").isNull())
+    real = fix.filter(F.col("is_anomaly") == 1)
+    bounds = real.agg(*[F.min(c).alias(f"mn_{c}") for c in FEATS],
+                      *[F.max(c).alias(f"mx_{c}") for c in FEATS]).first()
+    checks = syn.agg(*[
+        F.sum(((F.col(c) < bounds[f"mn_{c}"] - 1e-9)
+               | (F.col(c) > bounds[f"mx_{c}"] + 1e-9)).cast("int"))
+        .alias(c) for c in FEATS]).first()
+    assert all(checks[c] == 0 for c in FEATS)
+
+
+def test_smote_tiny_minority_count_exact(spark):
+    """n_min ≤ k used to silently under-produce (picks pointing past
+    the last neighbor matched nothing); the pmod pick keeps the count
+    exact: 3 anomalies, k=5 → target floor(0.7·197)=137, 134 new."""
+    fix = synthetic_anomaly_fixture(spark, n=200, n_anomalies=3)
+    out = smote_oversample(fix, FEATS, ratio=0.7, seed=42)
+    n = {r["is_anomaly"]: r["n"] for r in
+         out.groupBy("is_anomaly").agg(F.count("*").alias("n")).collect()}
+    assert n[1] == int(0.7 * 197)
+
+
 def test_undersample_majority(spark):
     fix = synthetic_anomaly_fixture(spark)
     out = undersample_majority(fix, ratio=0.8, seed=42)
