@@ -54,15 +54,18 @@ def single_partition_windows(plan: str) -> int:
                     break  # a reducing/reshuffling op owns this exchange
         if not window_above:
             continue
-        # subtree below the exchange: an aggregate means bounded input;
-        # so does a localCheckpoint scan (`Scan ExistingRDD`) — by repo
-        # convention only k-row aggregate frames are checkpointed
+        # subtree below the exchange: an aggregate means bounded input.
+        # A bare localCheckpoint scan (`Scan ExistingRDD`) is NOT
+        # exempt by itself — the ranking helpers checkpoint fact-scale
+        # frames too. Their size-gated small-path windows never appear
+        # here: main() forces TDNS_RANKING_FORCE_DISTRIBUTED, so every
+        # helper builds the distributed (scale) plan for this audit.
         reduced = False
         for j in range(idx + 1, len(lines)):
             dj = _tree_depth(lines[j])
             if dj <= d:
                 break
-            if "Aggregate" in lines[j] or "Scan ExistingRDD" in lines[j]:
+            if "Aggregate" in lines[j]:
                 reduced = True
                 break
         if not reduced:
@@ -81,6 +84,12 @@ def main() -> int:
     if args and args[0] == "--sf":
         sf_dir = args[1]
     sys.path.insert(0, "/root/repo")
+    import os
+    # audit the SCALE path: the ranking helpers' size gate would pick
+    # the (runtime-bounded, legal) plain window at sf0.01 — force the
+    # distributed form so the plan this audit grades is the one a
+    # 100x run executes
+    os.environ["TDNS_RANKING_FORCE_DISTRIBUTED"] = "1"
     from threat_detection_nosql_spark.queries import all_queries
     from threat_detection_nosql_spark.session import get_spark
     spark = get_spark("audit_plans")

