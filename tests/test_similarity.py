@@ -39,6 +39,21 @@ def test_lsh_ann_recall(spark, emb_queries, exact_topk):
     assert _recall(rows, exact_topk) >= 0.8
 
 
+def test_e2lsh_ann_recall_and_determinism(spark, emb_queries,
+                                          exact_topk):
+    """Portable E2LSH (round 11, the oracle-backed lsh_ann_topk): high
+    recall vs brute force AND bit-identical across two runs (md5
+    params, no engine RNG — unlike the MLlib variant above)."""
+    emb, qs = emb_queries
+    rows = similarity.e2lsh_neighbors(
+        emb, qs, k=5, queries_in_corpus=True).collect()
+    assert _recall(rows, exact_topk) >= 0.8
+    again = similarity.e2lsh_neighbors(
+        emb, qs, k=5, queries_in_corpus=True).collect()
+    key = lambda r: (r.q_id, r.rank)  # noqa: E731
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
 def test_ivf_ann_recall(spark, emb_queries, exact_topk):
     # the testdata's true top-5 neighbors are weak (cosine ≈ 0.3), so
     # cell pruning caps recall ≈ 0.78 even probing half the cells;

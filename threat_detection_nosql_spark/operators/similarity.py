@@ -203,13 +203,20 @@ def srp_lsh_neighbors(emb: DataFrame, queries: DataFrame, k: int = 5,
             .filter(F.col("_qid") != F.col("vec_id"))
             .select(F.col("_qid").alias("q_id"), "vec_id")
             .distinct())
+    return cosine_topk_from_candidates(emb, queries, cand, k)
+
+
+def cosine_topk_from_candidates(emb: DataFrame, queries: DataFrame,
+                                cand: DataFrame, k: int) -> DataFrame:
+    """Exact-cosine rescore + per-query top-k over (q_id, vec_id)
+    candidate pairs — the shared back half of every candidate-generating
+    ANN (SRP sign-LSH, E2LSH bucket join). Cosine runs as a batched
+    numpy kernel (the HOF dot runs interpreted — srp_signatures
+    rationale); the final HALF_UP rounding stays in Spark so oracle
+    round semantics are exact."""
     import numpy as np
     import pandas as pd
 
-    # cosine over the candidate pairs as a batched numpy kernel (same
-    # rationale as srp_signatures: the HOF dot runs interpreted); the
-    # final HALF_UP rounding stays in Spark so oracle round semantics
-    # are exact
     def cosine_batch(batches):
         for pdf in batches:
             if not len(pdf):
@@ -237,3 +244,120 @@ def srp_lsh_neighbors(emb: DataFrame, queries: DataFrame, k: int = 5,
     return (scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
             .select("q_id", "vec_id", "cosine", "rank"))
+
+
+# ---------------------------------------------------------------------------
+# Portable E2LSH (p-stable Euclidean bucket LSH, Datar et al. 2004)
+# ---------------------------------------------------------------------------
+
+
+def e2lsh_params(n_tables: int, n_proj: int, dim: int,
+                 bucket_w: float) -> tuple[list[list[list[float]]],
+                                           list[list[float]]]:
+    """Deterministic E2LSH parameters from md5 (the srp_planes
+    derivation): per (table t, projection i) a UNIT direction vector
+    (components hash60(f"e2:{t}:{i}:{j}") mapped onto [-1, 1), then
+    L2-normalized — driver-side Python floats, emitted as literals so
+    the oracle replays the normalized values exactly), and an offset b
+    in [0, bucket_w) from hash60(f"e2b:{t}:{i}"). Classic E2LSH draws
+    Gaussian directions; the uniform family keeps the locality
+    property (close vectors land in equal or adjacent buckets) and is
+    what the md5 derivation can replay in SQL."""
+    import hashlib
+    import math
+
+    def h60(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    dirs = []
+    for t in range(n_tables):
+        tbl = []
+        for i in range(n_proj):
+            raw = [h60(f"e2:{t}:{i}:{j}") / float(1 << 59) - 1.0
+                   for j in range(dim)]
+            nrm = math.sqrt(sum(c * c for c in raw))
+            tbl.append([c / nrm for c in raw])
+        dirs.append(tbl)
+    offs = [[h60(f"e2b:{t}:{i}") / float(1 << 60) * bucket_w
+             for i in range(n_proj)]
+            for t in range(n_tables)]
+    return dirs, offs
+
+
+_E2_BASE = 1000   # per-projection bucket ids packed base-1000
+_E2_SHIFT = 500   # bucket ids recentered to >=0 before packing
+
+
+def e2lsh_keys(emb: DataFrame, dirs, offs, bucket_w: float,
+               id_col: str = "vec_id") -> DataFrame:
+    """(id, tbl, key) per input row: each table's key packs its
+    ``n_proj`` bucket ids floor((v·r/‖v‖ + b)/w) into one BIGINT
+    (bucket + 500, base-1000 positional — projections of unit vectors
+    against [-1,1)^dim directions stay far inside ±500). One Arrow
+    GEMM per batch, mirroring srp_signatures; the raw dot runs first
+    and the norm divides after, matching the SQL oracle's
+    list_dot_product(v,r)/sqrt(list_dot_product(v,v)) op order. Floor
+    at a bucket boundary is the same measure-zero float caveat as
+    SRP's sign bit (boundary hits need the dot within ~1e-15 of an
+    exact boundary; pinned green at two scale factors)."""
+    import numpy as np
+    import pandas as pd
+
+    from threat_detection_nosql_spark.sources.readers import spread
+    emb = spread(emb)
+    n_tables, n_proj = len(dirs), len(dirs[0])
+    plane_mat = np.asarray(
+        [d for tbl in dirs for d in tbl], dtype=np.float64).T
+    b_vec = np.asarray([b for tbl in offs for b in tbl],
+                       dtype=np.float64)
+    mult = (_E2_BASE ** np.arange(n_proj)).astype(np.int64)
+
+    def keyer(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            vecs = np.vstack(pdf["v"].to_numpy())
+            raw = vecs @ plane_mat
+            norms = np.linalg.norm(vecs, axis=1)
+            bk = np.floor((raw / norms[:, None] + b_vec)
+                          / bucket_w).astype(np.int64)
+            keys = ((bk.reshape(len(pdf), n_tables, n_proj) + _E2_SHIFT)
+                    * mult).sum(axis=2)
+            yield pd.DataFrame({
+                id_col: np.repeat(pdf[id_col].to_numpy(), n_tables),
+                "tbl": np.tile(np.arange(n_tables, dtype=np.int32),
+                               len(pdf)),
+                "key": keys.reshape(-1),
+            })
+
+    return (emb.select(id_col, "v")
+            .mapInPandas(keyer, schema=f"{id_col} long, tbl int, key long"))
+
+
+def e2lsh_neighbors(emb: DataFrame, queries: DataFrame, k: int = 5,
+                    n_tables: int = 8, n_proj: int = 1,
+                    bucket_w: float = 0.1, dim: int = 64,
+                    queries_in_corpus: bool = False) -> DataFrame:
+    """ANN top-k via portable E2LSH: candidates are (query, corpus)
+    pairs whose ``n_proj`` quantized projections agree in at least one
+    table; only candidates are cosine-scored. Fully deterministic
+    (md5-derived directions/offsets), so a DuckDB oracle replays
+    bucketing, candidate join and scoring exactly
+    (queries/advanced.lsh_ann_topk) — the oracle-backed replacement
+    for the Spark-RNG BucketedRandomProjectionLSH variant
+    (lsh_cosine_neighbors, kept for MLlib parity in tests)."""
+    dirs, offs = e2lsh_params(n_tables, n_proj, dim, bucket_w)
+    c_key = e2lsh_keys(emb, dirs, offs, bucket_w)
+    if queries_in_corpus:
+        q_ids = queries.select(F.col("q_id").alias("vec_id"))
+        q_key = (c_key.join(F.broadcast(q_ids), "vec_id")
+                 .withColumnRenamed("vec_id", "_qid"))
+    else:
+        q_key = (e2lsh_keys(queries, dirs, offs, bucket_w, id_col="q_id")
+                 .withColumnRenamed("q_id", "_qid"))
+    cand = (c_key.join(q_key, (c_key.tbl == q_key.tbl)
+                       & (c_key.key == q_key.key))
+            .filter(F.col("_qid") != F.col("vec_id"))
+            .select(F.col("_qid").alias("q_id"), "vec_id")
+            .distinct())
+    return cosine_topk_from_candidates(emb, queries, cand, k)

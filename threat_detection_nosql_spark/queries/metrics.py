@@ -239,8 +239,14 @@ def _corr_sql() -> str:
 def sketch_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable-sketch rollup surface (operators/sketches.py): daily
     HLL sketches of user_id unioned to per-type distinct estimates.
-    Rows-only check (estimates are engine-specific); accuracy vs exact
-    is pinned by tests/test_sketches.py at rsd ~2%."""
+
+    NOT REGISTERED since round 11 (r10 verdict ask #7, rows-only
+    diet): the DataSketches HLL estimate is engine-specific, and the
+    registry slot belongs to the deterministic, oracle-backed
+    ``hll_portable_distinct_users`` twin (its registers are replayed
+    bit-for-bit in SQL). The operator stays, accuracy vs exact pinned
+    by tests/test_sketches.py at rsd ~2% (one executed-clean driver
+    record exists: CORRECTNESS_r10)."""
     from threat_detection_nosql_spark.operators import sketches
     from threat_detection_nosql_spark.sources.readers import load_table
     ev = load_table(spark, sf_dir, "events")
@@ -330,7 +336,6 @@ ORDER BY exact_count DESC, token ASC
 
 
 QUERIES = {
-    "sketch_distinct_users": sketch_distinct_users,
     "heavy_hitter_tokens": heavy_hitter_tokens,
     "rule_confusion_matrix": rule_confusion_matrix,
     "rule_classification_metrics": rule_classification_metrics,
