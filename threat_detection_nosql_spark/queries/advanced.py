@@ -963,13 +963,55 @@ def _inc_band_rows(sig: DataFrame, id_alias: str) -> DataFrame:
     ).select(id_alias, "bkey.*")
 
 
+def _cache_root() -> str:
+    """Per-user 0700 cache directory for persisted indexes (r10
+    ADVICE): the former predictable world-shared /tmp paths let any
+    other local user pre-plant a poisoned index that ``_index_ready``
+    would trust. Override with TDNS_CACHE_DIR (e.g. a job-scoped
+    scratch dir on a shared cluster)."""
+    import os
+    import tempfile
+    root = os.environ.get("TDNS_CACHE_DIR") or os.path.join(
+        tempfile.gettempdir(), f"tdns-{os.getuid()}")
+    os.makedirs(root, mode=0o700, exist_ok=True)
+    st = os.stat(root)
+    if st.st_uid != os.getuid():
+        raise RuntimeError(
+            f"index cache {root} is owned by uid {st.st_uid}, "
+            f"not {os.getuid()} — set TDNS_CACHE_DIR")
+    os.chmod(root, 0o700)  # makedirs mode only applies on creation
+    return root
+
+
+def _sweep_stale_indexes(prefix: str, keep: str,
+                         max_age_s: float = 7 * 86400) -> None:
+    """Best-effort GC of old mtime-keyed index dirs (every rebuild of
+    a soak directory mints a new key, so stale siblings accumulate
+    unbounded). Only dirs untouched for ``max_age_s`` go — a
+    concurrent session's live index for another dataset is never
+    younger than its own build."""
+    import os
+    import shutil
+    import time
+    root = _cache_root()
+    now = time.time()
+    for name in os.listdir(root):
+        p = os.path.join(root, name)
+        if name.startswith(prefix) and p != keep:
+            try:
+                if now - os.path.getmtime(p) > max_age_s:
+                    shutil.rmtree(p, ignore_errors=True)
+            except OSError:
+                pass
+
+
 def _dedup_index_path(sf_dir: str) -> str:
     import hashlib
     import os
     doc = os.path.join(os.path.abspath(sf_dir), "documents.parquet")
     key = hashlib.md5(
         f"{doc}|{os.path.getmtime(doc)}".encode()).hexdigest()[:16]
-    return f"/tmp/tdns_dedup_index_{key}"
+    return os.path.join(_cache_root(), f"dedup_index_{key}")
 
 
 def ensure_corpus_dedup_index(spark: SparkSession, sf_dir: str) -> str:
@@ -990,19 +1032,27 @@ def ensure_corpus_dedup_index(spark: SparkSession, sf_dir: str) -> str:
     if _index_ready(path):
         return path
     staging = _index_staging(spark, path)
-    docs = load_table(spark, sf_dir, "documents")
-    corpus = docs.filter(hash_bucket(F.col("doc_id"), salt="batch") < 8000)
-    (corpus.select(F.col("doc_id").alias("old_id"),
-                   _inc_normh().alias("h"))
-     .groupBy("h").agg(F.min("old_id").alias("exact_old"))
-     .write.mode("overwrite").parquet(os.path.join(staging, "exact")))
-    sig = dedup.minhash_signatures(corpus).localCheckpoint()
-    (sig.withColumnRenamed("doc_id", "old_id")
-     .write.mode("overwrite").parquet(os.path.join(staging, "signatures")))
-    (_inc_band_rows(sig, "old_id").repartition("band")
-     .write.mode("overwrite").partitionBy("band")
-     .parquet(os.path.join(staging, "bands")))
+    try:
+        docs = load_table(spark, sf_dir, "documents")
+        corpus = docs.filter(
+            hash_bucket(F.col("doc_id"), salt="batch") < 8000)
+        (corpus.select(F.col("doc_id").alias("old_id"),
+                       _inc_normh().alias("h"))
+         .groupBy("h").agg(F.min("old_id").alias("exact_old"))
+         .write.mode("overwrite").parquet(os.path.join(staging, "exact")))
+        sig = dedup.minhash_signatures(corpus).localCheckpoint()
+        (sig.withColumnRenamed("doc_id", "old_id")
+         .write.mode("overwrite")
+         .parquet(os.path.join(staging, "signatures")))
+        (_inc_band_rows(sig, "old_id").repartition("band")
+         .write.mode("overwrite").partitionBy("band")
+         .parquet(os.path.join(staging, "bands")))
+    except BaseException:
+        import shutil
+        shutil.rmtree(staging, ignore_errors=True)  # no leaked staging
+        raise
     _promote_index(staging, path)
+    _sweep_stale_indexes("dedup_index_", path)
     return path
 
 
@@ -1578,7 +1628,7 @@ def _ivfpq_index_path(sf_dir: str) -> str:
     emb = os.path.join(os.path.abspath(sf_dir), "embeddings.parquet")
     key = hashlib.md5(
         f"{emb}|{os.path.getmtime(emb)}".encode()).hexdigest()[:16]
-    return f"/tmp/tdns_ivfpq_index_{key}"
+    return os.path.join(_cache_root(), f"ivfpq_index_{key}")
 
 
 def _index_ready(path: str) -> bool:
@@ -1615,14 +1665,21 @@ def ensure_ivfpq_index(spark: SparkSession, sf_dir: str) -> str:
     if _index_ready(path):
         return path
     staging = _index_staging(spark, path)
-    cent, books, codes = _ivfpq_train(spark, sf_dir)
-    cent.write.mode("overwrite").parquet(os.path.join(staging, "coarse"))
-    books.write.mode("overwrite").parquet(
-        os.path.join(staging, "codebooks"))
-    (codes.repartition("ccell")
-     .write.mode("overwrite").partitionBy("ccell")
-     .parquet(os.path.join(staging, "codes")))
+    try:
+        cent, books, codes = _ivfpq_train(spark, sf_dir)
+        cent.write.mode("overwrite").parquet(
+            os.path.join(staging, "coarse"))
+        books.write.mode("overwrite").parquet(
+            os.path.join(staging, "codebooks"))
+        (codes.repartition("ccell")
+         .write.mode("overwrite").partitionBy("ccell")
+         .parquet(os.path.join(staging, "codes")))
+    except BaseException:
+        import shutil
+        shutil.rmtree(staging, ignore_errors=True)  # no leaked staging
+        raise
     _promote_index(staging, path)
+    _sweep_stale_indexes("ivfpq_index_", path)
     return path
 
 
