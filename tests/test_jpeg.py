@@ -1,0 +1,144 @@
+"""Baseline JPEG codec (operators/multimodal.py, round 11): marker
+walk, canonical huffman, entropy coding, DC prediction, IDCT.
+
+The registry oracle (queries/pipeline.jpeg_decode_stats) pins the
+end-to-end sums; these tests pin the pieces independently — the
+canonical-code builder against T.81's own Annex K table, byte
+stuffing, marker tolerance, and the decoder's declared capability
+boundary."""
+from __future__ import annotations
+
+import math
+import struct
+
+import numpy as np
+import pytest
+
+from threat_detection_nosql_spark.operators import multimodal as M
+
+# T.81 Annex K.3.1: luminance DC table — BITS and HUFFVAL straight
+# from the spec (public document), used ONLY as an independent check
+# of the canonical-code builder.
+_K_DC_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+_K_DC_SYMS = list(range(12))
+
+
+def test_canonical_codes_match_annex_k():
+    """T.81 Annex C applied to the Annex K luminance DC table yields
+    the well-known codes: cat 0 = '00' (2 bits), cat 1 = '010',
+    cat 2 = '011', ..., cat 11 = 9 bits of 111111110."""
+    codes = M.jpeg_canonical_codes(_K_DC_BITS, _K_DC_SYMS)
+    assert codes[0] == (0b00, 2)
+    assert codes[1] == (0b010, 3)
+    assert codes[2] == (0b011, 3)
+    assert codes[3] == (0b100, 3)
+    assert codes[4] == (0b101, 3)
+    assert codes[5] == (0b110, 3)
+    assert codes[6] == (0b1110, 4)
+    assert codes[7] == (0b11110, 5)
+    assert codes[8] == (0b111110, 6)
+    assert codes[9] == (0b1111110, 7)
+    assert codes[10] == (0b11111110, 8)
+    assert codes[11] == (0b111111110, 9)
+
+
+def test_zigzag_is_the_standard_scan():
+    zz = M.JPEG_ZIGZAG
+    assert zz[:6] == [(0, 0), (0, 1), (1, 0), (2, 0), (1, 1), (0, 2)]
+    assert zz[63] == (7, 7)
+    assert sorted(zz) == [(u, v) for u in range(8) for v in range(8)]
+
+
+def test_roundtrip_matches_closed_form_across_docs():
+    """decoder(encoder(lattice)) must equal the oracle's arithmetic
+    EXACTLY (same basis doubles, same op order) — zero tolerance."""
+    B0 = M.jpeg_basis(0, 0)
+    B1 = M.jpeg_basis(0, 1)
+    B3 = M.jpeg_basis(2, 0)
+    for doc_id in (0, 1, 2, 7, 19, 100, 255, 499):
+        w, h, blocks = M._jpeg_planted_blocks(doc_id)
+        img = M.decode_jpeg_gray(M._synth_jpeg_blob(doc_id))
+        assert img.shape == (h, w)
+        for (br, bc), coefs in blocks.items():
+            for y in range(8):
+                for x in range(8):
+                    v = 128.0
+                    v = v + (coefs[0] * 16) * B0[y][x]
+                    v = v + (coefs[1] * 11) * B1[y][x]
+                    v = v + (coefs[3] * 14) * B3[y][x]
+                    assert img[br * 8 + y, bc * 8 + x] == int(
+                        math.floor(v + 0.5)), (doc_id, br, bc, y, x)
+
+
+def test_dc_prediction_and_eob_paths():
+    """A 3-block image: DC 5 → 0 → 5 exercises positive, negative and
+    zero DC differences (category-0 code) and immediate EOB. DC-only
+    blocks decode to constants 128 + dc·16/8."""
+    blocks = {(0, 0): {0: 5}, (0, 1): {}, (0, 2): {0: 5}}
+    img = M.decode_jpeg_gray(M.encode_jpeg_gray(24, 8, blocks))
+    assert img.shape == (8, 24)
+    assert (img[:, :8] == 138).all()
+    assert (img[:, 8:16] == 128).all()   # empty block = dc 0
+    assert (img[:, 16:] == 138).all()
+
+
+def test_byte_stuffing_roundtrip():
+    """0xFF bytes in the entropy segment must be stuffed with 0x00 on
+    encode and unstuffed on decode — pinned at the bit layer and end
+    to end."""
+    bw = M._BitWriter()
+    bw.put(0xFF, 8)
+    bw.flush()
+    assert bytes(bw.out) == b"\xff\x00"
+    br = M._BitReader(b"\xff\x00", 0)
+    assert br.bits(8) == 0xFF
+
+    # end to end: DC diffs +31 (cat 5, bits 11111) / -31 (bits 00000)
+    # across 8 blocks line up runs of 1-bits that cross byte edges
+    blocks = {(0, c): {0: 31 if c % 2 == 0 else 0} for c in range(8)}
+    blob = M.encode_jpeg_gray(64, 8, blocks)
+    img = M.decode_jpeg_gray(blob)
+    for c in range(8):
+        want = 128 + (62 if c % 2 == 0 else 0)
+        assert (img[:, c * 8:(c + 1) * 8] == want).all(), c
+
+
+def test_marker_tolerance_app0_and_com():
+    """A JFIF APP0 and a COM segment inserted after SOI must be
+    skipped — real-world JPEGs always carry them."""
+    blob = M._synth_jpeg_blob(3)
+    app0 = (b"\xff\xe0" + struct.pack(">H", 16)
+            + b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00")
+    com = b"\xff\xfe" + struct.pack(">H", 7) + b"hello"
+    patched = blob[:2] + app0 + com + blob[2:]
+    assert (M.decode_jpeg_gray(patched)
+            == M.decode_jpeg_gray(blob)).all()
+
+
+def test_progressive_and_color_raise():
+    blob = bytearray(M._synth_jpeg_blob(1))
+    sof = bytes(blob).find(b"\xff\xc0")
+    blob[sof + 1] = 0xC2  # pretend progressive
+    with pytest.raises(ValueError):
+        M.decode_jpeg_gray(bytes(blob))
+    with pytest.raises(ValueError):
+        M.decode_media(b"\x00\x00", "mp4")
+
+
+def test_decode_media_dispatches_jpeg():
+    img = M.decode_media(M._synth_jpeg_blob(11), "jpeg")
+    assert isinstance(img, np.ndarray) and img.shape[0] == 16
+
+
+def test_spark_jpeg_stats_pipeline(spark):
+    """The two-stage mapInPandas shape over real Arrow binary columns
+    (plant → decode) on a small planted frame."""
+    docs = spark.range(12).withColumnRenamed("id", "doc_id")
+    out = {r["doc_id"]: r for r in
+           M.jpeg_decode_stats(M.synth_jpeg_media(docs)).collect()}
+    assert len(out) == 12
+    for doc_id, r in out.items():
+        w, h, blocks = M._jpeg_planted_blocks(doc_id)
+        assert (r["width"], r["height"]) == (w, h)
+        img = M.decode_jpeg_gray(M._synth_jpeg_blob(doc_id))
+        assert r["sum_y"] == int(img.astype(np.int64).sum())

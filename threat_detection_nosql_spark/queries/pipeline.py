@@ -2673,3 +2673,63 @@ FROM d JOIN agg a ON a.doc_id = d.doc_id
 
 QUERIES_TAIL["png_decode_stats"] = png_decode_stats
 ORACLES_TAIL["png_decode_stats"] = _PNG_STATS_SQL
+
+
+# -- D6h: JPEG decode — huffman entropy coding + IDCT (round 11) ---------------
+
+def jpeg_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end decode of the THIRD compressed format, baseline
+    sequential JPEG (ITU T.81, from-scratch — r10 verdict ask #5):
+    plant one grayscale JPEG per document from a deterministic
+    quantized-coefficient lattice (DC + two ACs per 8x8 block), ship
+    the entropy-coded bytes through Arrow, parse them back (marker
+    walk, generic DHT canonical-code build, huffman decode with 0xFF00
+    unstuffing, DC prediction, dequant, sparse zigzag-ordered
+    basis-sum IDCT, floor(x+0.5), clip) and emit the exact luma sum.
+    The oracle regenerates the lattice and replays the IDCT arithmetic
+    with the decoder's OWN basis doubles as literals — identical
+    operands in identical order, so the hash has no float tolerance;
+    one bad huffman bit shifts every later code and the sums
+    collapse."""
+    from threat_detection_nosql_spark.operators.multimodal import (
+        jpeg_decode_stats as stats, synth_jpeg_media)
+    docs = load_table(spark, sf_dir, "documents")
+    return stats(synth_jpeg_media(docs))
+
+
+def _jpeg_stats_sql() -> str:
+    from threat_detection_nosql_spark.operators.multimodal import (
+        jpeg_basis)
+    b0 = jpeg_basis(0, 0)[0][0]           # constant over the block
+    c1 = [jpeg_basis(0, 1)[0][x] for x in range(8)]   # varies along x
+    c3 = [jpeg_basis(2, 0)[y][0] for y in range(8)]   # varies along y
+    case1 = ("CASE x "
+             + " ".join(f"WHEN {x} THEN {c1[x]!r}" for x in range(8))
+             + " END")
+    case3 = ("CASE y "
+             + " ".join(f"WHEN {y} THEN {c3[y]!r}" for y in range(8))
+             + " END")
+    return f"""
+WITH d AS (SELECT doc_id, 2 + doc_id % 3 AS wb FROM documents),
+blk AS (SELECT doc_id, wb, unnest(generate_series(0, 1)) AS br FROM d),
+blk2 AS (SELECT doc_id, wb, br,
+                unnest(generate_series(0, wb - 1)) AS bc FROM blk),
+py AS (SELECT doc_id, wb, br, bc,
+              unnest(generate_series(0, 7)) AS y FROM blk2),
+px AS (SELECT doc_id, wb, br, bc, y,
+              unnest(generate_series(0, 7)) AS x FROM py),
+val AS (SELECT doc_id, wb,
+  CAST(floor(128.0
+    + ((doc_id + 3 * br + 5 * bc) % 21 - 10) * 16 * {b0!r}
+    + ((doc_id + br + 2 * bc) % 7 - 3) * 11 * ({case1})
+    + ((doc_id + 2 * br + bc) % 5 - 2) * 14 * ({case3})
+    + 0.5) AS BIGINT) AS v
+  FROM px)
+SELECT doc_id, CAST(wb * 8 AS INT) AS width, CAST(16 AS INT) AS height,
+       CAST(count(*) AS INT) AS n_px, CAST(sum(v) AS BIGINT) AS sum_y
+FROM val GROUP BY doc_id, wb
+"""
+
+
+QUERIES_TAIL["jpeg_decode_stats"] = jpeg_decode_stats
+ORACLES_TAIL["jpeg_decode_stats"] = _jpeg_stats_sql()
