@@ -81,7 +81,8 @@ _TOT = "__rank_total"
 # helper (no explode / cross-join fan-out) — true of every in-repo
 # call site; such callers must force the distributed path themselves.
 GATE_ROWS = 1_000_000
-GATE_BYTES = 128 * 1024 * 1024
+GATE_BYTES = int(os.environ.get("TDNS_RANKING_GATE_BYTES",
+                                128 * 1024 * 1024))
 _FORCE_ENV = "TDNS_RANKING_FORCE_DISTRIBUTED"
 
 
