@@ -2733,3 +2733,103 @@ FROM val GROUP BY doc_id, wb
 
 QUERIES_TAIL["jpeg_decode_stats"] = jpeg_decode_stats
 ORACLES_TAIL["jpeg_decode_stats"] = _jpeg_stats_sql()
+
+
+# -- D28: exact substring-level dedup (repeated-span extraction) ---------------
+# The training-data op MinHash can't do: document-LEVEL near-dup
+# screens keep a doc that embeds a long verbatim quote of another —
+# substring dedup finds the duplicated REGION itself (the "exact
+# substring deduplication" of Lee et al. 2022, "Deduplicating Training
+# Data Makes Language Models Better" — public paper; their
+# suffix-array build is single-node, this is the distributed k-gram
+# re-expression of the same semantics).
+
+_SPAN_K = 8  # tokens per gram; duplicated regions are >= K tokens
+
+
+def repeated_substring_spans(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """Contiguous duplicated-token regions across the corpus: every
+    maximal token span covered by ``_SPAN_K``-grams that occur >= 2
+    times corpus-wide (within OR across documents). Emits (doc_id,
+    span_start, span_end, n_tokens, n_dup_grams) per region — the
+    strip-list a substring-dedup pass consumes.
+
+    Plan shape (100-TB story): positional gram projection is
+    map-side (zip_with over shifted slices + posexplode, no shuffle);
+    duplicate grams come from ONE hash groupBy on md5(gram) — 16-byte
+    keys instead of ~50-byte strings through the exchange, and the
+    >= 2 filter runs after map-side partial counts; hit positions
+    shuffle-join back on the same md5 key; island merging is a window
+    PARTITIONED by doc_id (per-doc slices, never a global sort).
+    Gap rule: grams at positions p, q (p < q) merge into one region
+    iff q <= p + K — their covered ranges [p, p+K-1], [q, q+K-1]
+    overlap or touch, so each region is a contiguous duplicated run.
+
+    Exactness: tokenization = split on a single space (the
+    template_prefix_dups convention, identical in DuckDB); md5 is
+    byte-identical in both engines; all counts/positions integers."""
+    from pyspark.sql.window import Window
+    docs = load_table(spark, sf_dir, "documents")
+    w = F.split(F.col("text"), " ")
+    n_g = F.greatest(F.size(w) - _SPAN_K + 1, F.lit(0))
+    grams = F.slice(w, 1, n_g)
+    for j in range(1, _SPAN_K):
+        grams = F.zip_with(grams, F.slice(w, j + 1, n_g),
+                           lambda a, b: F.concat_ws(" ", a, b))
+    pos_grams = (docs.filter(F.size(w) >= _SPAN_K)
+                 .select("doc_id", F.posexplode(grams)
+                         .alias("pos", "gram"))
+                 .select("doc_id", "pos", F.md5("gram").alias("gh")))
+    dup = (pos_grams.groupBy("gh")
+           .agg(F.count("*").alias("n_occ"))
+           .filter(F.col("n_occ") >= 2))
+    hits = pos_grams.join(dup, "gh").select("doc_id", "pos")
+    wd = Window.partitionBy("doc_id").orderBy("pos")
+    isl = (hits
+           .withColumn("brk", F.when(
+               F.col("pos") > F.coalesce(
+                   F.lag("pos").over(wd), F.lit(-10 ** 9)) + _SPAN_K,
+               1).otherwise(0))
+           .withColumn("isl", F.sum("brk").over(
+               wd.rowsBetween(Window.unboundedPreceding, 0))))
+    return (isl.groupBy("doc_id", "isl")
+            .agg(F.min("pos").alias("span_start"),
+                 (F.max("pos") + _SPAN_K - 1).alias("span_end"),
+                 F.count("*").cast("long").alias("n_dup_grams"))
+            .select("doc_id", "span_start", "span_end",
+                    (F.col("span_end") - F.col("span_start") + 1)
+                    .cast("long").alias("n_tokens"), "n_dup_grams")
+            .orderBy("doc_id", "span_start"))
+
+
+_SPAN_SQL = f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+g AS (SELECT doc_id, i - 1 AS pos,
+             md5(array_to_string(w[i:i + {_SPAN_K - 1}], ' ')) AS gh
+      FROM t, LATERAL (SELECT unnest(range(1, len(w) - {_SPAN_K - 2}))
+                       AS i) ix
+      WHERE len(w) >= {_SPAN_K}),
+dup AS (SELECT gh FROM g GROUP BY gh HAVING count(*) >= 2),
+h AS (SELECT doc_id, pos FROM g JOIN dup USING (gh)),
+isl AS (SELECT doc_id, pos,
+               CASE WHEN pos > coalesce(lag(pos) OVER (
+                      PARTITION BY doc_id ORDER BY pos), -1000000000)
+                      + {_SPAN_K}
+                    THEN 1 ELSE 0 END AS brk
+        FROM h),
+c AS (SELECT doc_id, pos,
+             sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS UNBOUNDED PRECEDING) AS isl
+      FROM isl)
+SELECT doc_id, CAST(min(pos) AS INT) AS span_start,
+       CAST(max(pos) + {_SPAN_K - 1} AS INT) AS span_end,
+       CAST(max(pos) + {_SPAN_K - 1} - min(pos) + 1 AS BIGINT)
+         AS n_tokens,
+       CAST(count(*) AS BIGINT) AS n_dup_grams
+FROM c GROUP BY doc_id, isl
+ORDER BY doc_id, span_start
+"""
+
+QUERIES_TAIL["repeated_substring_spans"] = repeated_substring_spans
+ORACLES_TAIL["repeated_substring_spans"] = _SPAN_SQL
