@@ -142,3 +142,63 @@ def test_spark_jpeg_stats_pipeline(spark):
         assert (r["width"], r["height"]) == (w, h)
         img = M.decode_jpeg_gray(M._synth_jpeg_blob(doc_id))
         assert r["sum_y"] == int(img.astype(np.int64).sum())
+
+
+def test_color_roundtrip_matches_closed_form():
+    """4:4:4 color: interleaved MCU decode + integer-plane YCbCr→RGB
+    must equal the oracle arithmetic exactly (shared basis/JFIF
+    doubles, shared op order) — zero tolerance."""
+    B0, B1, B3 = M.jpeg_basis(0, 0), M.jpeg_basis(0, 1), M.jpeg_basis(2, 0)
+    qs = [(16, 11, 14), (17, 18, 24), (17, 18, 24)]
+    for doc_id in (0, 4, 10, 57, 111, 220):
+        w, h, blocks3 = M._jpeg_color_planted_blocks(doc_id)
+        img = M.decode_jpeg_color(M._synth_jpeg_color_blob(doc_id))
+        assert img.shape == (h, w, 3)
+        comp = np.zeros((3, h, w))
+        for c in range(3):
+            q0, q1, q3 = qs[c]
+            for (br, bc), coefs in blocks3[c].items():
+                for y in range(8):
+                    for x in range(8):
+                        v = 128.0
+                        v = v + (coefs[0] * q0) * B0[y][x]
+                        v = v + (coefs[1] * q1) * B1[y][x]
+                        v = v + (coefs[3] * q3) * B3[y][x]
+                        comp[c, br * 8 + y, bc * 8 + x] = min(
+                            255, max(0, int(math.floor(v + 0.5))))
+        y_, cb, cr = comp
+        want = np.clip(np.floor(np.stack([
+            y_ + M.JPEG_CR_R * (cr - 128.0),
+            y_ - M.JPEG_CB_G * (cb - 128.0)
+               - M.JPEG_CR_G * (cr - 128.0),
+            y_ + M.JPEG_CB_B * (cb - 128.0)], axis=2) + 0.5),
+            0, 255).astype(np.uint8)
+        assert (img == want).all(), doc_id
+
+
+def test_color_per_component_predictors_independent():
+    """Y/Cb/Cr carry separate DC predictors: constant-DC blocks per
+    component decode to the right per-plane constants."""
+    blocks3 = [{(0, 0): {0: 8}, (0, 1): {0: 8}},
+               {(0, 0): {0: -8}, (0, 1): {0: -8}},
+               {(0, 0): {0: 0}, (0, 1): {0: 0}}]
+    img = M.decode_jpeg_color(M.encode_jpeg_color(16, 8, blocks3))
+    y, cb, cr = 128 + 16, 128 - 17, 128  # dc*Q[0]/8 per table
+    want_r = int(math.floor(y + M.JPEG_CR_R * (cr - 128.0) + 0.5))
+    want_b = int(math.floor(y + M.JPEG_CB_B * (cb - 128.0) + 0.5))
+    assert (img[:, :, 0] == want_r).all()
+    assert (img[:, :, 2] == want_b).all()
+
+
+def test_color_subsampled_raises():
+    blob = bytearray(M._synth_jpeg_color_blob(1))
+    sof = bytes(blob).find(b"\xff\xc0")
+    # payload: len(2) prec(1) h(2) w(2) ncomp(1) [id samp tq]...
+    blob[sof + 11] = 0x22  # Y sampling 2x2 → 4:2:0
+    with pytest.raises(ValueError, match="4:4:4"):
+        M.decode_jpeg_color(bytes(blob))
+
+
+def test_decode_jpeg_dispatches_by_component_count():
+    assert M.decode_jpeg(M._synth_jpeg_blob(2)).ndim == 2
+    assert M.decode_jpeg(M._synth_jpeg_color_blob(2)).ndim == 3

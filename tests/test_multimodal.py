@@ -82,14 +82,15 @@ def test_downsample_image_stats(media):
 
 def test_decode_media_dispatch_and_codec_refusal():
     """Round 8 replaced the NotImplementedError stub with real
-    lib-free codecs: decode_media dispatches bmp/ppm/wav to byte-level
-    parsers (round-trip tests in tests/test_round8_queries.py) and
-    refuses codec formats the container cannot decode without
-    Pillow/pyav."""
+    lib-free codecs: decode_media dispatches bmp/ppm/wav/gif/png to
+    byte-level parsers, round 11 added baseline JPEG (gray + 4:4:4
+    color, tests/test_jpeg.py); only video formats still refuse."""
     img = np.arange(2 * 2 * 3, dtype=np.uint8).reshape(2, 2, 3)
     assert (multimodal.decode_media(
         multimodal.encode_bmp(img), "bmp") == img).all()
     assert (multimodal.decode_media(
         multimodal.encode_png(img), "png") == img).all()
+    assert multimodal.decode_media(
+        multimodal._synth_jpeg_blob(5), "jpeg").shape == (16, 32)
     with pytest.raises(ValueError, match="no lib-free decoder"):
-        multimodal.decode_media(b"\xff\xd8\xff", "jpeg")
+        multimodal.decode_media(b"\x00\x00\x00\x18ftyp", "mp4")

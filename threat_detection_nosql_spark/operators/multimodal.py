@@ -574,7 +574,7 @@ def decode_media(blob: bytes, media_kind: str):
     if media_kind == "wav":
         return decode_wav(blob)
     if media_kind == "jpeg":
-        return decode_jpeg_gray(blob)
+        return decode_jpeg(blob)
     raise ValueError(
         f"no lib-free decoder for {media_kind!r}; MP4/video needs "
         "pyav, not present in this container (JPEG is covered for "
@@ -1067,14 +1067,11 @@ def _jpeg_extend(bits: int, size: int) -> int:
     return bits if bits >= (1 << (size - 1)) else bits - (1 << size) + 1
 
 
-def decode_jpeg_gray(blob: bytes) -> np.ndarray:
-    """Decode a baseline sequential GRAYSCALE JPEG: marker walk
-    (APPn/COM skipped), DQT (multi-table, zigzag→natural), SOF0
-    (8-bit, 1 component), generic DHT canonical-code build, SOS, then
-    huffman + DC-prediction + dequant + sparse IDCT (zigzag-ordered
-    basis accumulation onto a 128-filled block — the exact float op
-    order the oracle replays), floor(x+0.5) rounding, 0-255 clip.
-    Raises on progressive (SOF2), color, or 12-bit streams."""
+def _parse_jpeg_headers(blob: bytes):
+    """Shared marker walk up to SOS: (qtables, huff, width, height,
+    comps, scan, entropy_start). ``comps`` maps component id →
+    (sampling, quant-table id); ``scan`` is the SOS component list
+    [(comp_id, dc_table, ac_table), ...]."""
     import struct
     if blob[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (no SOI)")
@@ -1082,7 +1079,7 @@ def decode_jpeg_gray(blob: bytes) -> np.ndarray:
     qtables: dict[int, list[int]] = {}
     huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
     width = height = -1
-    comp_q = 0
+    comps: dict[int, tuple[int, int]] = {}
     while pos < len(blob):
         if blob[pos] != 0xFF:
             raise ValueError(f"expected marker at {pos}")
@@ -1107,10 +1104,11 @@ def decode_jpeg_gray(blob: bytes) -> np.ndarray:
         elif marker == 0xC0:  # SOF0 baseline
             prec, height, width, ncomp = struct.unpack(
                 ">BHHB", payload[:6])
-            if prec != 8 or ncomp != 1:
-                raise ValueError(
-                    "only 8-bit grayscale baseline JPEG supported")
-            comp_q = payload[8]
+            if prec != 8:
+                raise ValueError("12-bit precision unsupported")
+            for c in range(ncomp):
+                cid, samp, tq = payload[6 + 3 * c:9 + 3 * c]
+                comps[cid] = (samp, tq)
         elif marker in (0xC1, 0xC2, 0xC3):
             raise ValueError("non-baseline SOF unsupported")
         elif marker == 0xC4:  # DHT — possibly several tables
@@ -1126,16 +1124,23 @@ def decode_jpeg_gray(blob: bytes) -> np.ndarray:
                 p += 17 + n
         elif marker == 0xDA:  # SOS
             ns = payload[0]
-            if ns != 1:
-                raise ValueError("interleaved color scans unsupported")
-            td, ta = payload[2] >> 4, payload[2] & 0xF
-            br_ = _BitReader(blob, pos + ln)
-            break
+            scan = []
+            for c in range(ns):
+                cid = payload[1 + 2 * c]
+                tds = payload[2 + 2 * c]
+                scan.append((cid, tds >> 4, tds & 0xF))
+            return qtables, huff, width, height, comps, scan, pos + ln
         pos += ln
-    else:
-        raise ValueError("no SOS marker")
+    raise ValueError("no SOS marker")
 
-    def read_sym(table: dict[tuple[int, int], int]) -> int:
+
+def _read_jpeg_block(br_, dc_tab, ac_tab, pred: int, qt: list[int]
+                     ) -> tuple[np.ndarray, int]:
+    """One entropy-coded 8x8 block: huffman DC/AC decode, DC
+    prediction, dequant, sparse zigzag-ordered basis-sum IDCT onto a
+    128-filled accumulator (the exact float op order the SQL oracles
+    replay). Returns (float accumulator, new DC predictor)."""
+    def read_sym(table):
         code, ln_ = 0, 0
         while ln_ < 17:
             code = (code << 1) | br_.bit()
@@ -1144,35 +1149,178 @@ def decode_jpeg_gray(blob: bytes) -> np.ndarray:
                 return table[(ln_, code)]
         raise ValueError("invalid huffman code")
 
-    qt = qtables[comp_q]
+    size = read_sym(dc_tab)
+    pred += _jpeg_extend(br_.bits(size), size)
+    sparse = [(0, pred)]
+    zz = 1
+    while zz < 64:
+        sym = read_sym(ac_tab)
+        if sym == 0x00:  # EOB
+            break
+        run, size = sym >> 4, sym & 0xF
+        if size == 0 and run == 15:  # ZRL
+            zz += 16
+            continue
+        zz += run
+        sparse.append((zz, _jpeg_extend(br_.bits(size), size)))
+        zz += 1
+    acc = np.full((8, 8), 128.0)
+    for zz_i, coef in sparse:
+        u, v = JPEG_ZIGZAG[zz_i]
+        acc += (coef * qt[u * 8 + v]) * _JPEG_BASIS[zz_i]
+    return acc, pred
+
+
+def decode_jpeg_gray(blob: bytes) -> np.ndarray:
+    """Decode a baseline sequential GRAYSCALE JPEG: marker walk
+    (APPn/COM skipped), DQT (multi-table, zigzag→natural), SOF0
+    (8-bit, 1 component), generic DHT canonical-code build, SOS, then
+    huffman + DC-prediction + dequant + sparse IDCT, floor(x+0.5)
+    rounding, 0-255 clip. Raises on progressive (SOF2), color, or
+    12-bit streams — color goes through :func:`decode_jpeg_color`."""
+    qtables, huff, width, height, comps, scan, epos = \
+        _parse_jpeg_headers(blob)
+    if len(comps) != 1 or len(scan) != 1:
+        raise ValueError(
+            "only 8-bit grayscale baseline JPEG supported here "
+            "(use decode_jpeg_color for 3-component 4:4:4)")
+    cid, td, ta = scan[0]
+    qt = qtables[comps[cid][1]]
     dc_tab, ac_tab = huff[(0, td)], huff[(1, ta)]
+    br_ = _BitReader(blob, epos)
     wb, hb = (width + 7) // 8, (height + 7) // 8
     img = np.zeros((hb * 8, wb * 8), dtype=np.uint8)
     pred = 0
     for brow in range(hb):
         for bcol in range(wb):
-            size = read_sym(dc_tab)
-            pred += _jpeg_extend(br_.bits(size), size)
-            sparse = [(0, pred)]
-            zz = 1
-            while zz < 64:
-                sym = read_sym(ac_tab)
-                if sym == 0x00:  # EOB
-                    break
-                run, size = sym >> 4, sym & 0xF
-                if size == 0 and run == 15:  # ZRL
-                    zz += 16
-                    continue
-                zz += run
-                sparse.append((zz, _jpeg_extend(br_.bits(size), size)))
-                zz += 1
-            acc = np.full((8, 8), 128.0)
-            for zz_i, coef in sparse:  # zigzag order — oracle op order
-                u, v = JPEG_ZIGZAG[zz_i]
-                acc += (coef * qt[u * 8 + v]) * _JPEG_BASIS[zz_i]
+            acc, pred = _read_jpeg_block(br_, dc_tab, ac_tab, pred, qt)
             img[brow * 8:brow * 8 + 8, bcol * 8:bcol * 8 + 8] = \
                 np.clip(np.floor(acc + 0.5), 0, 255).astype(np.uint8)
     return img[:height, :width]
+
+
+# JFIF (CCIR 601) YCbCr -> RGB constants — literal doubles shared
+# with the color oracle generator
+JPEG_CR_R = 1.402
+JPEG_CB_G = 0.344136
+JPEG_CR_G = 0.714136
+JPEG_CB_B = 1.772
+
+
+def decode_jpeg_color(blob: bytes) -> np.ndarray:
+    """Decode a baseline sequential 4:4:4 COLOR JPEG (3 components,
+    all 1x1 sampling, one interleaved scan): per-MCU Y/Cb/Cr block
+    decode with per-component DC predictors and huffman/quant tables,
+    each component rounded to its integer sample plane first
+    (floor(x+0.5), clip — same as grayscale), then JFIF YCbCr→RGB on
+    the integer samples with literal constants and one more
+    floor(x+0.5)/clip. Subsampled (4:2:0) streams raise — honest
+    capability boundary."""
+    qtables, huff, width, height, comps, scan, epos = \
+        _parse_jpeg_headers(blob)
+    if len(comps) != 3 or len(scan) != 3:
+        raise ValueError("decode_jpeg_color needs a 3-component scan")
+    if any(comps[cid][0] != 0x11 for cid, _, _ in scan):
+        raise ValueError("only 4:4:4 (1x1 sampling) supported")
+    br_ = _BitReader(blob, epos)
+    wb, hb = (width + 7) // 8, (height + 7) // 8
+    planes = {cid: np.zeros((hb * 8, wb * 8), dtype=np.int64)
+              for cid, _, _ in scan}
+    preds = {cid: 0 for cid, _, _ in scan}
+    for brow in range(hb):
+        for bcol in range(wb):
+            for cid, td, ta in scan:  # interleaved MCU, scan order
+                acc, preds[cid] = _read_jpeg_block(
+                    br_, huff[(0, td)], huff[(1, ta)], preds[cid],
+                    qtables[comps[cid][1]])
+                planes[cid][brow * 8:brow * 8 + 8,
+                            bcol * 8:bcol * 8 + 8] = \
+                    np.clip(np.floor(acc + 0.5), 0, 255)
+    y_, cb, cr = (planes[cid][:height, :width].astype(np.float64)
+                  for cid, _, _ in scan)
+    r = y_ + JPEG_CR_R * (cr - 128.0)
+    g = y_ - JPEG_CB_G * (cb - 128.0) - JPEG_CR_G * (cr - 128.0)
+    b = y_ + JPEG_CB_B * (cb - 128.0)
+    rgb = np.stack([r, g, b], axis=2)
+    return np.clip(np.floor(rgb + 0.5), 0, 255).astype(np.uint8)
+
+
+# ITU T.81 Annex K.1 chrominance quantization table (natural order)
+JPEG_QTABLE_CHROMA = [
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+]
+
+
+def encode_jpeg_color(width: int, height: int,
+                      blocks3: list[dict[tuple[int, int],
+                                         dict[int, int]]]) -> bytes:
+    """Baseline sequential 4:4:4 YCbCr JPEG from QUANTIZED
+    coefficients per component (``blocks3[c][(br, bc)]`` for
+    c = Y, Cb, Cr): Y on quant/huffman table pair 0, chroma on pair 1
+    (the minimal tables registered twice — the DECODER still reads
+    whatever DHT ids the stream declares), one interleaved scan with
+    per-component DC prediction."""
+    import struct
+    dc_codes = jpeg_canonical_codes(_JPEG_DC_BITS, _JPEG_DC_SYMS)
+    ac_codes = jpeg_canonical_codes(_JPEG_AC_BITS, _JPEG_AC_SYMS)
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+    out = bytearray(b"\xff\xd8")
+    for tq, qt in ((0, JPEG_QTABLE), (1, JPEG_QTABLE_CHROMA)):
+        zz_q = bytes(qt[u * 8 + v] for u, v in JPEG_ZIGZAG)
+        out += seg(0xFFDB, bytes([tq]) + zz_q)
+    out += seg(0xFFC0, struct.pack(">BHHB", 8, height, width, 3)
+               + bytes([1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1]))
+    for th in (0, 1):
+        out += seg(0xFFC4, bytes([th]) + bytes(_JPEG_DC_BITS)
+                   + bytes(_JPEG_DC_SYMS))
+        out += seg(0xFFC4, bytes([0x10 | th]) + bytes(_JPEG_AC_BITS)
+                   + bytes(_JPEG_AC_SYMS))
+    out += seg(0xFFDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
+    bw = _BitWriter()
+    preds = [0, 0, 0]
+    for br in range(height // 8):
+        for bc in range(width // 8):
+            for c in range(3):
+                coefs = blocks3[c].get((br, bc), {})
+                dc = coefs.get(0, 0)
+                size, bits = _jpeg_magnitude(dc - preds[c])
+                preds[c] = dc
+                code, length = dc_codes[size]
+                bw.put(code, length)
+                if size:
+                    bw.put(bits, size)
+                run = 0
+                for zz in range(1, 64):
+                    v = coefs.get(zz, 0)
+                    if v == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        code, length = ac_codes[0xF0]
+                        bw.put(code, length)
+                        run -= 16
+                    size, bits = _jpeg_magnitude(v)
+                    code, length = ac_codes[(run << 4) | size]
+                    bw.put(code, length)
+                    bw.put(bits, size)
+                    run = 0
+                if run:
+                    code, length = ac_codes[0x00]
+                    bw.put(code, length)
+    bw.flush()
+    out += bw.out
+    out += b"\xff\xd9"
+    return bytes(out)
 
 
 # planted lattice: wb blocks across (2 + doc_id%3), 2 block rows; per
@@ -1209,6 +1357,78 @@ def synth_jpeg_media(docs: DataFrame) -> DataFrame:
 
     return docs.select("doc_id").mapInPandas(
         batches, schema="doc_id long, blob binary")
+
+
+def decode_jpeg(blob: bytes) -> np.ndarray:
+    """Dispatch gray vs 4:4:4 color by the SOF component count."""
+    _q, _h, _w, _ht, comps, _s, _e = _parse_jpeg_headers(blob)
+    return (decode_jpeg_gray(blob) if len(comps) == 1
+            else decode_jpeg_color(blob))
+
+
+# color lattice: same block grid as grayscale; per component c the
+# coefficient phases shift by (7c, 3c, 5c) so Y/Cb/Cr planes differ.
+# Ranges sized so neither the component samples nor the RGB outputs
+# clip (chroma quant 17/18/24 at the three planted positions).
+def _jpeg_color_planted_blocks(doc_id: int) -> tuple[int, int, list]:
+    wb = 2 + doc_id % 3
+    blocks3 = []
+    for c in range(3):
+        blocks = {}
+        for br in range(2):
+            for bc in range(wb):
+                blocks[(br, bc)] = {
+                    0: (doc_id + 3 * br + 5 * bc + 7 * c) % 21 - 10,
+                    1: (doc_id + br + 2 * bc + 3 * c) % 7 - 3,
+                    3: (doc_id + 2 * br + bc + 5 * c) % 5 - 2,
+                }
+        blocks3.append(blocks)
+    return wb * 8, 16, blocks3
+
+
+def _synth_jpeg_color_blob(doc_id: int) -> bytes:
+    w, h, blocks3 = _jpeg_color_planted_blocks(doc_id)
+    return encode_jpeg_color(w, h, blocks3)
+
+
+def synth_jpeg_color_media(docs: DataFrame) -> DataFrame:
+    """Plant one 4:4:4 color JPEG per document (two-stage mapInPandas
+    shape — the bytes genuinely cross Arrow binary columns)."""
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "blob": [_synth_jpeg_color_blob(int(d))
+                         for d in pdf["doc_id"]]})
+
+    return docs.select("doc_id").mapInPandas(
+        batches, schema="doc_id long, blob binary")
+
+
+JPEG_COLOR_STATS_SCHEMA = ("doc_id long, width int, height int, "
+                           "n_px int, sum_r long, sum_g long, "
+                           "sum_b long")
+
+
+def jpeg_color_decode_stats(media: DataFrame) -> DataFrame:
+    """Decode planted color JPEGs (interleaved MCUs, per-component
+    predictors/tables, YCbCr→RGB) and emit exact per-channel sums."""
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {k: [] for k in ("doc_id", "width", "height", "n_px",
+                                   "sum_r", "sum_g", "sum_b")}
+            for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
+                img = decode_jpeg_color(bytes(blob)).astype(np.int64)
+                h, w, _ = img.shape
+                out["doc_id"].append(doc_id)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["n_px"].append(h * w)
+                for i, ch in enumerate(("sum_r", "sum_g", "sum_b")):
+                    out[ch].append(int(img[:, :, i].sum()))
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(batches, schema=JPEG_COLOR_STATS_SCHEMA)
 
 
 JPEG_STATS_SCHEMA = ("doc_id long, width int, height int, n_px int, "

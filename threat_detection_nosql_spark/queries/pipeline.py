@@ -2703,11 +2703,18 @@ def _jpeg_stats_sql() -> str:
     b0 = jpeg_basis(0, 0)[0][0]           # constant over the block
     c1 = [jpeg_basis(0, 1)[0][x] for x in range(8)]   # varies along x
     c3 = [jpeg_basis(2, 0)[y][0] for y in range(8)]   # varies along y
+    # every float literal is ::DOUBLE — DuckDB parses bare decimal
+    # literals as DECIMAL and decimal arithmetic diverges from the
+    # decoder's IEEE doubles at round boundaries (found by the color
+    # twin: 128.0 + -8.500000000000002 is exactly 119.5 in binary64
+    # but not in DECIMAL(18,17))
     case1 = ("CASE x "
-             + " ".join(f"WHEN {x} THEN {c1[x]!r}" for x in range(8))
+             + " ".join(f"WHEN {x} THEN {c1[x]!r}::DOUBLE"
+                        for x in range(8))
              + " END")
     case3 = ("CASE y "
-             + " ".join(f"WHEN {y} THEN {c3[y]!r}" for y in range(8))
+             + " ".join(f"WHEN {y} THEN {c3[y]!r}::DOUBLE"
+                        for y in range(8))
              + " END")
     return f"""
 WITH d AS (SELECT doc_id, 2 + doc_id % 3 AS wb FROM documents),
@@ -2719,11 +2726,11 @@ py AS (SELECT doc_id, wb, br, bc,
 px AS (SELECT doc_id, wb, br, bc, y,
               unnest(generate_series(0, 7)) AS x FROM py),
 val AS (SELECT doc_id, wb,
-  CAST(floor(128.0
-    + ((doc_id + 3 * br + 5 * bc) % 21 - 10) * 16 * {b0!r}
+  CAST(floor(128.0::DOUBLE
+    + ((doc_id + 3 * br + 5 * bc) % 21 - 10) * 16 * {b0!r}::DOUBLE
     + ((doc_id + br + 2 * bc) % 7 - 3) * 11 * ({case1})
     + ((doc_id + 2 * br + bc) % 5 - 2) * 14 * ({case3})
-    + 0.5) AS BIGINT) AS v
+    + 0.5::DOUBLE) AS BIGINT) AS v
   FROM px)
 SELECT doc_id, CAST(wb * 8 AS INT) AS width, CAST(16 AS INT) AS height,
        CAST(count(*) AS INT) AS n_px, CAST(sum(v) AS BIGINT) AS sum_y
@@ -2833,3 +2840,89 @@ ORDER BY doc_id, span_start
 
 QUERIES_TAIL["repeated_substring_spans"] = repeated_substring_spans
 ORACLES_TAIL["repeated_substring_spans"] = _SPAN_SQL
+
+
+# -- D6i: color JPEG decode — interleaved MCUs + YCbCr (round 11) --------------
+
+def jpeg_color_decode_stats(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    """4:4:4 COLOR baseline JPEG end to end: plant one 3-component
+    YCbCr JPEG per document (per-component coefficient lattices, Y on
+    the Annex-K luminance quant table, chroma on the chrominance
+    table, separate huffman table pairs), decode the interleaved MCU
+    scan (per-component DC predictors), convert integer YCbCr planes
+    to RGB with the JFIF constants, and emit exact per-channel sums.
+    The oracle replays components AND color conversion with the
+    decoder's own basis/JFIF doubles as literals — identical operands
+    in identical order, zero float tolerance."""
+    from threat_detection_nosql_spark.operators.multimodal import (
+        jpeg_color_decode_stats as stats, synth_jpeg_color_media)
+    docs = load_table(spark, sf_dir, "documents")
+    return stats(synth_jpeg_color_media(docs))
+
+
+def _jpeg_color_stats_sql() -> str:
+    from threat_detection_nosql_spark.operators.multimodal import (
+        JPEG_CB_B, JPEG_CB_G, JPEG_CR_G, JPEG_CR_R, jpeg_basis)
+    b0 = jpeg_basis(0, 0)[0][0]
+    c1 = [jpeg_basis(0, 1)[0][x] for x in range(8)]
+    c3 = [jpeg_basis(2, 0)[y][0] for y in range(8)]
+    case1 = ("CASE x "
+             + " ".join(f"WHEN {x} THEN {c1[x]!r}::DOUBLE"
+                        for x in range(8))
+             + " END")
+    case3 = ("CASE y "
+             + " ".join(f"WHEN {y} THEN {c3[y]!r}::DOUBLE"
+                        for y in range(8))
+             + " END")
+
+    def comp(c: int, q0: int, q1: int, q3: int) -> str:
+        """Integer sample plane for component c (clip is a no-op by
+        lattice construction but kept for decoder fidelity)."""
+        return (
+            f"greatest(0, least(255, CAST(floor(128.0::DOUBLE"
+            f" + ((doc_id + 3 * br + 5 * bc + {7 * c}) % 21 - 10)"
+            f" * {q0} * {b0!r}::DOUBLE"
+            f" + ((doc_id + br + 2 * bc + {3 * c}) % 7 - 3)"
+            f" * {q1} * ({case1})"
+            f" + ((doc_id + 2 * br + bc + {5 * c}) % 5 - 2)"
+            f" * {q3} * ({case3})"
+            f" + 0.5::DOUBLE) AS BIGINT)))")
+
+    return f"""
+WITH d AS (SELECT doc_id, 2 + doc_id % 3 AS wb FROM documents),
+blk AS (SELECT doc_id, wb, unnest(generate_series(0, 1)) AS br FROM d),
+blk2 AS (SELECT doc_id, wb, br,
+                unnest(generate_series(0, wb - 1)) AS bc FROM blk),
+py AS (SELECT doc_id, wb, br, bc,
+              unnest(generate_series(0, 7)) AS y FROM blk2),
+px AS (SELECT doc_id, wb, br, bc, y,
+              unnest(generate_series(0, 7)) AS x FROM py),
+ycc AS (SELECT doc_id, wb,
+               {comp(0, 16, 11, 14)} AS yv,
+               {comp(1, 17, 18, 24)} AS cbv,
+               {comp(2, 17, 18, 24)} AS crv
+        FROM px),
+rgb AS (SELECT doc_id, wb,
+  greatest(0, least(255, CAST(floor(
+    yv + {JPEG_CR_R!r}::DOUBLE * (crv - 128.0::DOUBLE)
+       + 0.5::DOUBLE) AS BIGINT))) AS r,
+  greatest(0, least(255, CAST(floor(
+    yv - {JPEG_CB_G!r}::DOUBLE * (cbv - 128.0::DOUBLE)
+       - {JPEG_CR_G!r}::DOUBLE * (crv - 128.0::DOUBLE)
+       + 0.5::DOUBLE) AS BIGINT))) AS g,
+  greatest(0, least(255, CAST(floor(
+    yv + {JPEG_CB_B!r}::DOUBLE * (cbv - 128.0::DOUBLE)
+       + 0.5::DOUBLE) AS BIGINT))) AS b
+  FROM ycc)
+SELECT doc_id, CAST(wb * 8 AS INT) AS width, CAST(16 AS INT) AS height,
+       CAST(count(*) AS INT) AS n_px,
+       CAST(sum(r) AS BIGINT) AS sum_r,
+       CAST(sum(g) AS BIGINT) AS sum_g,
+       CAST(sum(b) AS BIGINT) AS sum_b
+FROM rgb GROUP BY doc_id, wb
+"""
+
+
+QUERIES_TAIL["jpeg_color_decode_stats"] = jpeg_color_decode_stats
+ORACLES_TAIL["jpeg_color_decode_stats"] = _jpeg_color_stats_sql()
