@@ -190,13 +190,40 @@ def test_color_per_component_predictors_independent():
     assert (img[:, :, 2] == want_b).all()
 
 
-def test_color_subsampled_raises():
-    blob = bytearray(M._synth_jpeg_color_blob(1))
-    sof = bytes(blob).find(b"\xff\xc0")
-    # payload: len(2) prec(1) h(2) w(2) ncomp(1) [id samp tq]...
-    blob[sof + 11] = 0x22  # Y sampling 2x2 → 4:2:0
-    with pytest.raises(ValueError, match="4:4:4"):
-        M.decode_jpeg_color(bytes(blob))
+def test_420_subsampled_decode_and_upsampling():
+    """4:2:0: four Y blocks + one Cb + one Cr per MCU, chroma
+    replicated 2x2 — each 2x2 pixel quad shares its chroma sample, so
+    B − Y (a pure Cb function) is constant within every quad."""
+    for doc_id in (0, 1, 5):
+        w, h, _ = M._jpeg_420_planted_blocks(doc_id)
+        img = M.decode_jpeg_color(M._synth_jpeg_420_blob(doc_id))
+        assert img.shape == (h, w, 3)
+        b_minus = img[:, :, 2].astype(int)  # varies only via Y + Cb
+        # reconstruct the chroma contribution: B - Y uses only Cb;
+        # check quad-constancy of round(1.772*(Cb-128)) by comparing
+        # the four quad corners' (B - Y) deltas
+        y_, b_ = (img[:, :, i].astype(int) for i in (0, 2))
+        # floor interplay makes B-Y differ by at most 1 within a quad
+        for qy in range(0, h, 2):
+            for qx in range(0, w, 2):
+                d = (b_ - y_)[qy:qy + 2, qx:qx + 2]
+                assert d.max() - d.min() <= 1, (doc_id, qy, qx)
+
+
+def test_420_mcu_interleave_order():
+    """A single 16x16 MCU with distinct DC per Y block: the decoded
+    luma quadrants must land in raster order (Y00 Y01 Y10 Y11) — a
+    swapped block order inside the MCU walk scrambles them."""
+    y_blocks = {(0, 0): {0: 4}, (0, 1): {0: 8},
+                (1, 0): {0: -4}, (1, 1): {0: -8}}
+    blocks3 = [y_blocks, {(0, 0): {0: 0}}, {(0, 0): {0: 0}}]
+    img = M.decode_jpeg_color(M.encode_jpeg_color(
+        16, 16, blocks3, sampling=((2, 2), (1, 1), (1, 1))))
+    g = img[:, :, 1]  # Cb=Cr=128 → G == Y exactly
+    assert (g[:8, :8] == 128 + 8).all()
+    assert (g[:8, 8:] == 128 + 16).all()
+    assert (g[8:, :8] == 128 - 8).all()
+    assert (g[8:, 8:] == 128 - 16).all()
 
 
 def test_decode_jpeg_dispatches_by_component_count():

@@ -1208,36 +1208,51 @@ JPEG_CB_B = 1.772
 
 
 def decode_jpeg_color(blob: bytes) -> np.ndarray:
-    """Decode a baseline sequential 4:4:4 COLOR JPEG (3 components,
-    all 1x1 sampling, one interleaved scan): per-MCU Y/Cb/Cr block
-    decode with per-component DC predictors and huffman/quant tables,
-    each component rounded to its integer sample plane first
-    (floor(x+0.5), clip — same as grayscale), then JFIF YCbCr→RGB on
-    the integer samples with literal constants and one more
-    floor(x+0.5)/clip. Subsampled (4:2:0) streams raise — honest
-    capability boundary."""
+    """Decode a baseline sequential COLOR JPEG — 4:4:4 AND subsampled
+    (4:2:0 / 4:2:2, any h,v factors): per-MCU interleaved block decode
+    (each component contributes h·v blocks per MCU in raster order)
+    with per-component DC predictors and huffman/quant tables, each
+    component rounded to its integer sample plane first (floor(x+0.5),
+    clip — same as grayscale), chroma upsampled by nearest-neighbor
+    replication (sample index = pixel·h_i÷hmax — the deterministic
+    rule the SQL oracle replays; JFIF's centered filter is a
+    documented deviation), then JFIF YCbCr→RGB with literal constants
+    and one more floor(x+0.5)/clip."""
     qtables, huff, width, height, comps, scan, epos = \
         _parse_jpeg_headers(blob)
     if len(comps) != 3 or len(scan) != 3:
         raise ValueError("decode_jpeg_color needs a 3-component scan")
-    if any(comps[cid][0] != 0x11 for cid, _, _ in scan):
-        raise ValueError("only 4:4:4 (1x1 sampling) supported")
+    samp = {cid: (comps[cid][0] >> 4, comps[cid][0] & 0xF)
+            for cid, _, _ in scan}
+    hmax = max(h for h, _ in samp.values())
+    vmax = max(v for _, v in samp.values())
     br_ = _BitReader(blob, epos)
-    wb, hb = (width + 7) // 8, (height + 7) // 8
-    planes = {cid: np.zeros((hb * 8, wb * 8), dtype=np.int64)
+    mcus_x = -(-width // (8 * hmax))
+    mcus_y = -(-height // (8 * vmax))
+    planes = {cid: np.zeros((mcus_y * 8 * samp[cid][1],
+                             mcus_x * 8 * samp[cid][0]), dtype=np.int64)
               for cid, _, _ in scan}
     preds = {cid: 0 for cid, _, _ in scan}
-    for brow in range(hb):
-        for bcol in range(wb):
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
             for cid, td, ta in scan:  # interleaved MCU, scan order
-                acc, preds[cid] = _read_jpeg_block(
-                    br_, huff[(0, td)], huff[(1, ta)], preds[cid],
-                    qtables[comps[cid][1]])
-                planes[cid][brow * 8:brow * 8 + 8,
-                            bcol * 8:bcol * 8 + 8] = \
-                    np.clip(np.floor(acc + 0.5), 0, 255)
-    y_, cb, cr = (planes[cid][:height, :width].astype(np.float64)
-                  for cid, _, _ in scan)
+                h_i, v_i = samp[cid]
+                for by in range(v_i):
+                    for bx in range(h_i):
+                        acc, preds[cid] = _read_jpeg_block(
+                            br_, huff[(0, td)], huff[(1, ta)],
+                            preds[cid], qtables[comps[cid][1]])
+                        r0, c0 = (my * v_i + by) * 8, (mx * h_i + bx) * 8
+                        planes[cid][r0:r0 + 8, c0:c0 + 8] = \
+                            np.clip(np.floor(acc + 0.5), 0, 255)
+    ys = np.arange(height)
+    xs = np.arange(width)
+    full = []
+    for cid, _, _ in scan:
+        h_i, v_i = samp[cid]
+        plane = planes[cid][np.ix_(ys * v_i // vmax, xs * h_i // hmax)]
+        full.append(plane.astype(np.float64))
+    y_, cb, cr = full
     r = y_ + JPEG_CR_R * (cr - 128.0)
     g = y_ - JPEG_CB_G * (cb - 128.0) - JPEG_CR_G * (cr - 128.0)
     b = y_ + JPEG_CB_B * (cb - 128.0)
@@ -1260,16 +1275,23 @@ JPEG_QTABLE_CHROMA = [
 
 def encode_jpeg_color(width: int, height: int,
                       blocks3: list[dict[tuple[int, int],
-                                         dict[int, int]]]) -> bytes:
-    """Baseline sequential 4:4:4 YCbCr JPEG from QUANTIZED
-    coefficients per component (``blocks3[c][(br, bc)]`` for
-    c = Y, Cb, Cr): Y on quant/huffman table pair 0, chroma on pair 1
-    (the minimal tables registered twice — the DECODER still reads
-    whatever DHT ids the stream declares), one interleaved scan with
-    per-component DC prediction."""
+                                         dict[int, int]]],
+                      sampling: tuple = ((1, 1), (1, 1), (1, 1)),
+                      ) -> bytes:
+    """Baseline sequential YCbCr JPEG from QUANTIZED coefficients per
+    component (``blocks3[c][(br, bc)]`` indexed in each component's
+    OWN block grid): Y on quant/huffman table pair 0, chroma on pair
+    1, one interleaved scan with per-component DC prediction.
+    ``sampling[c] = (h, v)`` — ((1,1),)*3 is 4:4:4,
+    ((2,2),(1,1),(1,1)) is 4:2:0; width/height must be multiples of
+    the MCU size (8·hmax, 8·vmax)."""
     import struct
     dc_codes = jpeg_canonical_codes(_JPEG_DC_BITS, _JPEG_DC_SYMS)
     ac_codes = jpeg_canonical_codes(_JPEG_AC_BITS, _JPEG_AC_SYMS)
+    hmax = max(h for h, _ in sampling)
+    vmax = max(v for _, v in sampling)
+    if width % (8 * hmax) or height % (8 * vmax):
+        raise ValueError("dimensions must be whole MCUs")
 
     def seg(marker: int, payload: bytes) -> bytes:
         return struct.pack(">HH", marker, len(payload) + 2) + payload
@@ -1278,8 +1300,10 @@ def encode_jpeg_color(width: int, height: int,
     for tq, qt in ((0, JPEG_QTABLE), (1, JPEG_QTABLE_CHROMA)):
         zz_q = bytes(qt[u * 8 + v] for u, v in JPEG_ZIGZAG)
         out += seg(0xFFDB, bytes([tq]) + zz_q)
-    out += seg(0xFFC0, struct.pack(">BHHB", 8, height, width, 3)
-               + bytes([1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1]))
+    sof = bytearray(struct.pack(">BHHB", 8, height, width, 3))
+    for c, (h_i, v_i) in enumerate(sampling):
+        sof += bytes([c + 1, (h_i << 4) | v_i, 0 if c == 0 else 1])
+    out += seg(0xFFC0, bytes(sof))
     for th in (0, 1):
         out += seg(0xFFC4, bytes([th]) + bytes(_JPEG_DC_BITS)
                    + bytes(_JPEG_DC_SYMS))
@@ -1288,35 +1312,39 @@ def encode_jpeg_color(width: int, height: int,
     out += seg(0xFFDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
     bw = _BitWriter()
     preds = [0, 0, 0]
-    for br in range(height // 8):
-        for bc in range(width // 8):
+    for my in range(height // (8 * vmax)):
+        for mx in range(width // (8 * hmax)):
             for c in range(3):
-                coefs = blocks3[c].get((br, bc), {})
-                dc = coefs.get(0, 0)
-                size, bits = _jpeg_magnitude(dc - preds[c])
-                preds[c] = dc
-                code, length = dc_codes[size]
-                bw.put(code, length)
-                if size:
-                    bw.put(bits, size)
-                run = 0
-                for zz in range(1, 64):
-                    v = coefs.get(zz, 0)
-                    if v == 0:
-                        run += 1
-                        continue
-                    while run > 15:
-                        code, length = ac_codes[0xF0]
+                h_i, v_i = sampling[c]
+                for by in range(v_i):
+                    for bx in range(h_i):
+                        coefs = blocks3[c].get(
+                            (my * v_i + by, mx * h_i + bx), {})
+                        dc = coefs.get(0, 0)
+                        size, bits = _jpeg_magnitude(dc - preds[c])
+                        preds[c] = dc
+                        code, length = dc_codes[size]
                         bw.put(code, length)
-                        run -= 16
-                    size, bits = _jpeg_magnitude(v)
-                    code, length = ac_codes[(run << 4) | size]
-                    bw.put(code, length)
-                    bw.put(bits, size)
-                    run = 0
-                if run:
-                    code, length = ac_codes[0x00]
-                    bw.put(code, length)
+                        if size:
+                            bw.put(bits, size)
+                        run = 0
+                        for zz in range(1, 64):
+                            v = coefs.get(zz, 0)
+                            if v == 0:
+                                run += 1
+                                continue
+                            while run > 15:
+                                code, length = ac_codes[0xF0]
+                                bw.put(code, length)
+                                run -= 16
+                            size, bits = _jpeg_magnitude(v)
+                            code, length = ac_codes[(run << 4) | size]
+                            bw.put(code, length)
+                            bw.put(bits, size)
+                            run = 0
+                        if run:
+                            code, length = ac_codes[0x00]
+                            bw.put(code, length)
     bw.flush()
     out += bw.out
     out += b"\xff\xd9"
@@ -1456,3 +1484,42 @@ def jpeg_decode_stats(media: DataFrame) -> DataFrame:
             yield pd.DataFrame(out)
 
     return media.mapInPandas(batches, schema=JPEG_STATS_SCHEMA)
+
+
+# 4:2:0 planted lattice: 1 MCU row, (1 + doc_id%2) MCUs across —
+# w ∈ {16, 32}, h = 16. Y grid 2x(2·wm) blocks, chroma grids 1x wm.
+def _jpeg_420_planted_blocks(doc_id: int) -> tuple[int, int, list]:
+    wm = 1 + doc_id % 2
+    blocks3 = []
+    grids = [(2, 2 * wm), (1, wm), (1, wm)]
+    for c, (hb, wb) in enumerate(grids):
+        blocks = {}
+        for br in range(hb):
+            for bc in range(wb):
+                blocks[(br, bc)] = {
+                    0: (doc_id + 3 * br + 5 * bc + 7 * c) % 21 - 10,
+                    1: (doc_id + br + 2 * bc + 3 * c) % 7 - 3,
+                    3: (doc_id + 2 * br + bc + 5 * c) % 5 - 2,
+                }
+        blocks3.append(blocks)
+    return wm * 16, 16, blocks3
+
+
+def _synth_jpeg_420_blob(doc_id: int) -> bytes:
+    w, h, blocks3 = _jpeg_420_planted_blocks(doc_id)
+    return encode_jpeg_color(w, h, blocks3,
+                             sampling=((2, 2), (1, 1), (1, 1)))
+
+
+def synth_jpeg_420_media(docs: DataFrame) -> DataFrame:
+    """Plant one 4:2:0 color JPEG per document (two-stage mapInPandas
+    shape)."""
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "blob": [_synth_jpeg_420_blob(int(d))
+                         for d in pdf["doc_id"]]})
+
+    return docs.select("doc_id").mapInPandas(
+        batches, schema="doc_id long, blob binary")

@@ -2926,3 +2926,85 @@ FROM rgb GROUP BY doc_id, wb
 
 QUERIES_TAIL["jpeg_color_decode_stats"] = jpeg_color_decode_stats
 ORACLES_TAIL["jpeg_color_decode_stats"] = _jpeg_color_stats_sql()
+
+
+# -- D6j: 4:2:0 JPEG decode — chroma subsampling (round 11) --------------------
+
+def jpeg420_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subsampled color JPEG end to end — the sampling real photos
+    use: plant one 4:2:0 YCbCr JPEG per document (each MCU carries
+    FOUR Y blocks + one Cb + one Cr; per-component block grids),
+    decode the interleaved scan, replicate chroma 2x (nearest
+    neighbor: sample = pixel//2 — the deterministic rule the oracle
+    replays; JFIF's centered filter is a documented deviation),
+    convert to RGB, emit exact per-channel sums. One wrong block in
+    the 6-block MCU walk or a swapped predictor shifts every later
+    huffman code — the hash pins the interleave order itself."""
+    from threat_detection_nosql_spark.operators.multimodal import (
+        jpeg_color_decode_stats as stats, synth_jpeg_420_media)
+    docs = load_table(spark, sf_dir, "documents")
+    return stats(synth_jpeg_420_media(docs))
+
+
+def _jpeg420_stats_sql() -> str:
+    from threat_detection_nosql_spark.operators.multimodal import (
+        JPEG_CB_B, JPEG_CB_G, JPEG_CR_G, JPEG_CR_R, jpeg_basis)
+    b0 = jpeg_basis(0, 0)[0][0]
+    c1 = [jpeg_basis(0, 1)[0][x] for x in range(8)]
+    c3 = [jpeg_basis(2, 0)[y][0] for y in range(8)]
+
+    def case(var: str, vals: list[float]) -> str:
+        return ("CASE " + var + " "
+                + " ".join(f"WHEN {i} THEN {vals[i]!r}::DOUBLE"
+                           for i in range(8))
+                + " END")
+
+    def comp(c: int, q0: int, q1: int, q3: int,
+             br: str, bc: str, iy: str, ix: str) -> str:
+        """Component sample at its own plane coordinates — br/bc/iy/ix
+        are SQL expressions for block row/col and in-block offsets."""
+        return (
+            f"greatest(0, least(255, CAST(floor(128.0::DOUBLE"
+            f" + ((doc_id + 3 * ({br}) + 5 * ({bc}) + {7 * c}) % 21"
+            f" - 10) * {q0} * {b0!r}::DOUBLE"
+            f" + ((doc_id + ({br}) + 2 * ({bc}) + {3 * c}) % 7 - 3)"
+            f" * {q1} * ({case(ix, c1)})"
+            f" + ((doc_id + 2 * ({br}) + ({bc}) + {5 * c}) % 5 - 2)"
+            f" * {q3} * ({case(iy, c3)})"
+            f" + 0.5::DOUBLE) AS BIGINT)))")
+
+    yv = comp(0, 16, 11, 14, "y // 8", "x // 8", "y % 8", "x % 8")
+    cbv = comp(1, 17, 18, 24, "(y // 2) // 8", "(x // 2) // 8",
+               "(y // 2) % 8", "(x // 2) % 8")
+    crv = comp(2, 17, 18, 24, "(y // 2) // 8", "(x // 2) // 8",
+               "(y // 2) % 8", "(x // 2) % 8")
+    return f"""
+WITH d AS (SELECT doc_id, 16 * (1 + doc_id % 2) AS w FROM documents),
+py AS (SELECT doc_id, w, unnest(generate_series(0, 15)) AS y FROM d),
+px AS (SELECT doc_id, w, y, unnest(generate_series(0, w - 1)) AS x
+       FROM py),
+ycc AS (SELECT doc_id, w, {yv} AS yv, {cbv} AS cbv, {crv} AS crv
+        FROM px),
+rgb AS (SELECT doc_id, w,
+  greatest(0, least(255, CAST(floor(
+    yv + {JPEG_CR_R!r}::DOUBLE * (crv - 128.0::DOUBLE)
+       + 0.5::DOUBLE) AS BIGINT))) AS r,
+  greatest(0, least(255, CAST(floor(
+    yv - {JPEG_CB_G!r}::DOUBLE * (cbv - 128.0::DOUBLE)
+       - {JPEG_CR_G!r}::DOUBLE * (crv - 128.0::DOUBLE)
+       + 0.5::DOUBLE) AS BIGINT))) AS g,
+  greatest(0, least(255, CAST(floor(
+    yv + {JPEG_CB_B!r}::DOUBLE * (cbv - 128.0::DOUBLE)
+       + 0.5::DOUBLE) AS BIGINT))) AS b
+  FROM ycc)
+SELECT doc_id, CAST(w AS INT) AS width, CAST(16 AS INT) AS height,
+       CAST(count(*) AS INT) AS n_px,
+       CAST(sum(r) AS BIGINT) AS sum_r,
+       CAST(sum(g) AS BIGINT) AS sum_g,
+       CAST(sum(b) AS BIGINT) AS sum_b
+FROM rgb GROUP BY doc_id, w
+"""
+
+
+QUERIES_TAIL["jpeg420_decode_stats"] = jpeg420_decode_stats
+ORACLES_TAIL["jpeg420_decode_stats"] = _jpeg420_stats_sql()
