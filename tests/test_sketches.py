@@ -202,3 +202,30 @@ def test_bloom_words_or_merge_equals_single_build(spark):
               .groupBy("word").agg(F.bit_or("word_bits")
                                    .alias("word_bits")))
     assert {(r.word, r.word_bits) for r in merged.collect()} == single
+
+
+def test_theta_overlap_exact_mode_and_estimator(spark):
+    """Theta intersection (round 11): sets below k decode EXACTLY
+    (theta = hash-space max -> estimate == intersection); sets above
+    k estimate within the KMV error envelope."""
+    from threat_detection_nosql_spark.operators.sketches import (
+        THETA_K, theta_overlap_estimates, theta_user_sketches)
+
+    # exact mode: 30 shared users across two types (30 < k)
+    rows = ([("a", u) for u in range(40)]
+            + [("b", u) for u in range(10, 50)])
+    ev = spark.createDataFrame(rows, "event_type string, user_id long")
+    out = {(r.type_a, r.type_b): r for r in theta_overlap_estimates(
+        theta_user_sketches(ev)).collect()}
+    r = out[("a", "b")]
+    assert r.est_overlap == r.n_common == 30
+
+    # estimator mode: 4k users per side, 2k shared (>> k)
+    big = ([("a", u) for u in range(4000)]
+           + [("b", u) for u in range(2000, 6000)])
+    ev2 = spark.createDataFrame(big, "event_type string, user_id long")
+    r2 = {(r.type_a, r.type_b): r for r in theta_overlap_estimates(
+        theta_user_sketches(ev2)).collect()}[("a", "b")]
+    # rel err ~ few/sqrt(k): generous 4-sigma band
+    assert abs(r2.est_overlap - 2000) / 2000 < 4 / THETA_K ** 0.5
+    assert r2.n_common < THETA_K  # genuinely sketch-sized evidence

@@ -416,3 +416,84 @@ def kmv_merge_quantiles(daily: DataFrame, k: int = KMV_K) -> DataFrame:
                  .alias("p90"),
                  F.expr("percentile_disc(0.99) WITHIN GROUP (ORDER BY value)")
                  .alias("p99")))
+
+
+# ---------------------------------------------------------------------------
+# Theta/KMV set operations (round 11): distinct-set INTERSECTION
+# estimates from mergeable bottom-k sketches — the sketch-family gap
+# after frequency (CM), cardinality (HLL), quantiles (KLL/KMV),
+# heavy hitters (MG) and membership (Bloom). Public framework:
+# Beyer et al. 2007 (KMV) / the theta-sketch generalization.
+# ---------------------------------------------------------------------------
+
+THETA_K = 64  # sized so the ESTIMATOR path (not just exact
+# mode) engages on the 150-distinct-user test types; rel err
+# ~1/sqrt(k) with the exact audit column alongside
+_H60_MAX = 1 << 60  # md5-60bit hash space; "exact mode" theta
+
+
+def theta_user_sketches(events: DataFrame,
+                        k: int = THETA_K) -> DataFrame:
+    """Per event_type bottom-k sketch of DISTINCT md5-60bit user
+    hashes — (event_type, h) rows, ≤ k per type. Salted two-stage
+    bottom-k (the _salted_bottom_k shape) so a hot type's full
+    distinct-user set never rides one window partition. Mergeable the
+    KMV way: the bottom-k of a union is the bottom-k of per-part
+    bottom-k's."""
+    from pyspark.sql.window import Window
+    h = F.conv(F.substring(
+        F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    du = events.select("event_type", h.alias("h")).distinct()
+    w1 = Window.partitionBy("event_type", "salt").orderBy("h")
+    w2 = Window.partitionBy("event_type").orderBy("h")
+    return (du
+            .withColumn("salt", F.pmod(F.hash("h"), F.lit(_KMV_SALT)))
+            .withColumn("rk", F.row_number().over(w1))
+            .filter(F.col("rk") <= k)
+            .withColumn("rk", F.row_number().over(w2))
+            .filter(F.col("rk") <= k)
+            .drop("rk", "salt"))
+
+
+def theta_overlap_estimates(sk: DataFrame,
+                            k: int = THETA_K) -> DataFrame:
+    """Pairwise intersection-cardinality estimates from the sketches:
+    theta_X = k-th smallest hash when |X| >= k else 2^60 (exact
+    mode); for a pair, theta = min(theta_a, theta_b), n = common
+    sketch hashes strictly below theta, estimate = n·2^60/theta.
+    When both sides are exact-mode the estimate IS the exact
+    intersection. Everything is integer until the one final division,
+    so a SQL oracle replays the estimator bit-for-bit."""
+    stats = (sk.groupBy("event_type")
+             .agg(F.count("*").alias("n_sk"), F.max("h").alias("h_max")))
+    th = stats.select(
+        "event_type",
+        F.when(F.col("n_sk") >= k, F.col("h_max"))
+        .otherwise(F.lit(_H60_MAX)).alias("theta"))
+    pairs = (th.select(F.col("event_type").alias("type_a"),
+                       F.col("theta").alias("th_a"))
+             .join(F.broadcast(
+                 th.select(F.col("event_type").alias("type_b"),
+                           F.col("theta").alias("th_b"))),
+                   F.col("type_a") < F.col("type_b"))
+             .select("type_a", "type_b",
+                     F.least("th_a", "th_b").alias("theta_i")))
+    common = (sk.select(F.col("event_type").alias("type_a"), "h")
+              .join(sk.select(F.col("event_type").alias("type_b"),
+                              F.col("h").alias("hb")),
+                    F.col("h") == F.col("hb"))
+              .filter(F.col("type_a") < F.col("type_b"))
+              .select("type_a", "type_b", "h"))
+    n = (common.join(F.broadcast(pairs), ["type_a", "type_b"])
+         .filter(F.col("h") < F.col("theta_i"))
+         .groupBy("type_a", "type_b")
+         .agg(F.count("*").alias("n_common")))
+    return (pairs.join(n, ["type_a", "type_b"], "left")
+            .select("type_a", "type_b",
+                    F.coalesce("n_common", F.lit(0)).cast("long")
+                    .alias("n_common"),
+                    F.round(F.coalesce("n_common", F.lit(0))
+                            .cast("double") * F.lit(float(_H60_MAX))
+                            / F.col("theta_i").cast("double"), 4)
+                    .alias("est_overlap")))

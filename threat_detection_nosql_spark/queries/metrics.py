@@ -3130,3 +3130,90 @@ ORDER BY event_type
 
 QUERIES_TAIL["kmv_value_quantiles"] = kmv_value_quantiles
 ORACLES_TAIL["kmv_value_quantiles"] = _KMV_SQL
+
+
+# -- Theta-sketch set intersection (round 11) ----------------------------------
+
+def theta_user_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-user OVERLAP between every event-type pair, estimated
+    from mergeable bottom-k theta sketches (operators/sketches.py:
+    theta_user_sketches / theta_overlap_estimates) side by side with
+    the exact intersection — the set-operation member of the sketch
+    family (CM frequency / HLL cardinality / KMV quantiles / MG heavy
+    hitters / Bloom membership). At 100 TB the exact audit column is
+    the piece you'd drop: the sketches merge from per-partition
+    bottom-k's without rescanning the fact table, while the exact
+    intersection is a full distinct self-join. md5-derived hashes end
+    to end, integer until the one final division — the oracle replays
+    the estimator bit-for-bit."""
+    from threat_detection_nosql_spark.operators import sketches
+    from threat_detection_nosql_spark.sources.readers import load_table
+    ev = load_table(spark, sf_dir, "events")
+    est = sketches.theta_overlap_estimates(
+        sketches.theta_user_sketches(ev))
+    du = ev.select("event_type", "user_id").distinct()
+    exact = (du.select(F.col("event_type").alias("type_a"), "user_id")
+             .join(du.select(F.col("event_type").alias("type_b"),
+                             F.col("user_id").alias("ub")),
+                   F.col("user_id") == F.col("ub"))
+             .filter(F.col("type_a") < F.col("type_b"))
+             .groupBy("type_a", "type_b")
+             .agg(F.count("*").cast("long").alias("exact_overlap")))
+    return (est.join(exact, ["type_a", "type_b"], "left")
+            .select("type_a", "type_b", "n_common", "est_overlap",
+                    F.coalesce("exact_overlap", F.lit(0)).cast("long")
+                    .alias("exact_overlap"))
+            .orderBy("type_a", "type_b"))
+
+
+from threat_detection_nosql_spark.operators.sketches import (  # noqa: E402
+    THETA_K as _THETA_K)
+
+_THETA_SQL = f"""
+WITH du AS (
+  SELECT DISTINCT event_type,
+         CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+              AS BIGINT) AS h
+  FROM events),
+rk AS (SELECT event_type, h,
+              row_number() OVER (PARTITION BY event_type ORDER BY h)
+                AS rk
+       FROM du),
+sk AS (SELECT event_type, h FROM rk WHERE rk <= {_THETA_K}),
+st AS (SELECT event_type, count(*) AS n_sk, max(h) AS h_max
+       FROM sk GROUP BY event_type),
+th AS (SELECT event_type,
+              CASE WHEN n_sk >= {_THETA_K} THEN h_max
+                   ELSE 1152921504606846976 END AS theta
+       FROM st),
+pairs AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+                 least(a.theta, b.theta) AS theta_i
+          FROM th a JOIN th b ON a.event_type < b.event_type),
+common AS (SELECT sa.event_type AS type_a, sb.event_type AS type_b,
+                  sa.h
+           FROM sk sa JOIN sk sb
+             ON sa.h = sb.h AND sa.event_type < sb.event_type),
+cnt AS (SELECT p.type_a, p.type_b, p.theta_i,
+               CAST(count(c.h) AS BIGINT) AS n_common
+        FROM pairs p LEFT JOIN common c
+          ON c.type_a = p.type_a AND c.type_b = p.type_b
+         AND c.h < p.theta_i
+        GROUP BY p.type_a, p.type_b, p.theta_i),
+duu AS (SELECT DISTINCT event_type, user_id FROM events),
+ex AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+              CAST(count(*) AS BIGINT) AS exact_overlap
+       FROM duu a JOIN duu b
+         ON a.user_id = b.user_id AND a.event_type < b.event_type
+       GROUP BY 1, 2)
+SELECT c.type_a, c.type_b, c.n_common,
+       round(CAST(c.n_common AS DOUBLE)
+             * CAST(1152921504606846976 AS DOUBLE)
+             / CAST(c.theta_i AS DOUBLE), 4) AS est_overlap,
+       coalesce(ex.exact_overlap, 0) AS exact_overlap
+FROM cnt c LEFT JOIN ex ON ex.type_a = c.type_a
+                       AND ex.type_b = c.type_b
+ORDER BY c.type_a, c.type_b
+"""
+
+QUERIES_TAIL["theta_user_overlap"] = theta_user_overlap
+ORACLES_TAIL["theta_user_overlap"] = _THETA_SQL
