@@ -770,3 +770,45 @@ def _stream_chunks_sql() -> str:
 
 QUERIES_TAIL["stream_chunked_documents"] = stream_chunked_documents
 ORACLES_TAIL["stream_chunked_documents"] = _stream_chunks_sql()
+
+
+def stream_theta_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-sketch set intersection ON THE STREAM (round 11): the
+    per-type bottom-k distinct-user-hash sketch accumulates as
+    applyInPandasWithState state (FIXED k entries per type — the
+    set-dedup lives inside the bounded sample), the pairwise
+    intersection estimator runs batch-side over the drained sketches,
+    and the exact-audit column comes from the static warehouse table
+    — the "sketch the firehose, audit the warehouse" composition.
+    Oracle = the batch theta SQL verbatim: bottom-k-of-union
+    mergeability makes drained == batch under any batching."""
+    from pyspark.sql import functions as F
+
+    from threat_detection_nosql_spark.operators.sketches import (
+        THETA_K, theta_overlap_estimates)
+    from threat_detection_nosql_spark.sources.readers import load_table
+    sk = S.stream_theta_sketches(spark, sf_dir, THETA_K)
+    est = theta_overlap_estimates(sk, THETA_K)
+    du = (load_table(spark, sf_dir, "events")
+          .select("event_type", "user_id").distinct())
+    exact = (du.select(F.col("event_type").alias("type_a"), "user_id")
+             .join(du.select(F.col("event_type").alias("type_b"),
+                             F.col("user_id").alias("ub")),
+                   F.col("user_id") == F.col("ub"))
+             .filter(F.col("type_a") < F.col("type_b"))
+             .groupBy("type_a", "type_b")
+             .agg(F.count("*").cast("long").alias("exact_overlap")))
+    return (est.join(exact, ["type_a", "type_b"], "left")
+            .select("type_a", "type_b", "n_common", "est_overlap",
+                    F.coalesce("exact_overlap", F.lit(0)).cast("long")
+                    .alias("exact_overlap"))
+            .orderBy("type_a", "type_b"))
+
+
+def _stream_theta_sql() -> str:
+    from threat_detection_nosql_spark.queries.metrics import _THETA_SQL
+    return _THETA_SQL
+
+
+QUERIES_TAIL["stream_theta_overlap"] = stream_theta_overlap
+ORACLES_TAIL["stream_theta_overlap"] = _stream_theta_sql()

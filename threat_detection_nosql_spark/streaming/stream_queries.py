@@ -1359,3 +1359,72 @@ def stream_kmv_quantiles(spark: SparkSession, sf_dir: str,
                         F.col("s.p90").alias("p90"),
                         F.col("s.p99").alias("p99"))
             .orderBy("event_type"))
+
+
+# -- Theta sketch on the stream (round 11) -------------------------------------
+
+_THETA_OUT_SCHEMA = "event_type string, seq long, hs string"
+_THETA_STATE = "seq long, packed string"
+
+
+def theta_sketch_agg(ev: DataFrame, k: int) -> DataFrame:
+    """Streaming twin of operators.sketches.theta_user_sketches: per
+    event_type keep the k smallest DISTINCT md5-60bit user hashes —
+    FIXED state per group no matter how long the stream runs (the
+    set-dedup happens inside the bounded sample: a hash already in
+    the bottom-k inserts as a no-op; one outside it can only enter by
+    being smaller than the current k-th, so the state never exceeds k
+    entries). Bottom-k-of-union mergeability makes the drained final
+    sketch equal the batch sketch under ANY batching, so the batch
+    theta-overlap oracle replays the stream end to end."""
+    import hashlib
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        seq = 0
+        sample: list[int] = []
+        if state.exists:
+            seq = int(state.get[0])
+            packed = state.get[1]
+            if packed:
+                sample = [int(x) for x in packed.split(",")]
+        have = set(sample)
+        for chunk in pdfs:
+            for uid in chunk["user_id"]:
+                h = int(hashlib.md5(
+                    str(int(uid)).encode()).hexdigest()[:15], 16)
+                if h not in have:
+                    have.add(h)
+                    sample.append(h)
+        sample.sort()
+        sample = sample[:k]
+        seq += 1
+        state.update((seq, ",".join(str(h) for h in sample)))
+        yield pd.DataFrame({
+            "event_type": [key[0]],
+            "seq": pd.array([seq], dtype="Int64"),
+            "hs": [",".join(str(h) for h in sample)],
+        })
+
+    return ev.groupBy("event_type").applyInPandasWithState(
+        update,
+        outputStructType=_THETA_OUT_SCHEMA,
+        stateStructType=_THETA_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout)
+
+
+def stream_theta_sketches(spark: SparkSession, sf_dir: str,
+                          k: int) -> DataFrame:
+    """Drive the streaming theta sketch over the finite events stream
+    and return the final (event_type, h) sketch rows — the exact
+    shape operators.sketches.theta_overlap_estimates consumes."""
+    ev = events_stream(spark, sf_dir).select("event_type", "user_id")
+    table = run_stream_to_table(theta_sketch_agg(ev, k), mode="update")
+    last = (table.groupBy("event_type")
+            .agg(F.max(F.struct("seq", "hs")).alias("s")))
+    return (last.select("event_type",
+                        F.explode(F.split("s.hs", ",")).alias("hstr"))
+            .select("event_type", F.col("hstr").cast("long").alias("h")))
