@@ -323,6 +323,22 @@ ROUND9_COLLECT = [
 ]
 ROUND9_COUNT: list = []
 
+# Round-11 wave ("round11_total"): the baseline JPEG decode family
+# (gray / 4:4:4 / 4:2:0), exact substring-level dedup spans, the
+# portable E2LSH ANN, and theta-sketch set intersection (batch +
+# streaming twin).
+ROUND11_COLLECT = [
+    "jpeg_decode_stats",
+    "jpeg_color_decode_stats",
+    "jpeg420_decode_stats",
+    "lsh_ann_topk",
+    "theta_user_overlap",
+    "stream_theta_overlap",
+]
+ROUND11_COUNT = [
+    "repeated_substring_spans",
+]
+
 # Always isolated-re-measured regardless of in-run rank: queries whose
 # in-run numbers have previously disagreed with quiet-box reruns.
 ISOLATE_ALWAYS = ["stream_topk_users"]
@@ -344,6 +360,7 @@ GROUP_SPECS = [
     ("round7e_total", ROUND7E_COLLECT, ROUND7E_COUNT),
     ("round8_total", ROUND8_COLLECT, ROUND8_COUNT),
     ("round9_total", ROUND9_COLLECT, ROUND9_COUNT),
+    ("round11_total", ROUND11_COLLECT, ROUND11_COUNT),
 ]
 
 
