@@ -32,6 +32,7 @@ QUERIES = [
     "stream_funnel_ordered",
     "stream_cdc_state",
     "stream_peak_concurrency",
+    "stream_theta_overlap",  # round 11: fixed k-entry theta sketches
 ]
 
 
