@@ -676,13 +676,23 @@ def test_revenue_pareto_approx_has_no_global_sort(spark):
     from threat_detection_nosql_spark.queries.relational import (
         revenue_pareto)
 
+    # round 11: the helper is SIZE-GATED — at sf0.01 the bytes gate
+    # picks the lazy plain ntile (the round-9 shape); forcing the
+    # distributed form (the audit_plans knob) restores the round-10
+    # scale plan: pinned range-partitioned frame + per-slice
+    # row_number, no single-partition ntile anywhere
+    import os
     exact = formatted_plan(revenue_pareto(spark, SF_DIR))
-    # the exact form rides the distributed ntile since round 10: the
-    # range-partitioned frame is pinned (checkpoint scan), ranked by a
-    # per-slice row_number — NO single-partition ntile window anywhere
-    assert "Scan ExistingRDD" in exact
-    assert "row_number" in exact
-    assert "ntile(" not in exact
+    assert "ntile(" in exact
+
+    os.environ["TDNS_RANKING_FORCE_DISTRIBUTED"] = "1"
+    try:
+        dist = formatted_plan(revenue_pareto(spark, SF_DIR))
+    finally:
+        del os.environ["TDNS_RANKING_FORCE_DISTRIBUTED"]
+    assert "Scan ExistingRDD" in dist
+    assert "row_number" in dist
+    assert "ntile(" not in dist
 
     approx = formatted_plan(revenue_pareto(spark, SF_DIR, approx=True))
     assert "ntile(" not in approx

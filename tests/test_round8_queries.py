@@ -136,8 +136,12 @@ def test_decode_media_rejects_codec_formats():
     from threat_detection_nosql_spark.operators.multimodal import (
         decode_bmp, decode_media)
 
-    with pt.raises(ValueError, match="no lib-free decoder"):
+    # round 11: jpeg DECODES now (tests/test_jpeg.py) — garbage after
+    # SOI fails structurally, not as a capability refusal
+    with pt.raises(ValueError):
         decode_media(b"\xff\xd8\xff....", "jpeg")
+    with pt.raises(ValueError, match="no lib-free decoder"):
+        decode_media(b"\x00\x00\x00\x18ftyp", "mp4")
     with pt.raises(ValueError, match="bad signature"):
         decode_media(b"\x89PNG....", "png")  # truncated: not a real PNG
     with pt.raises(ValueError, match="bad magic"):

@@ -7,15 +7,14 @@ and ``ORACLES: dict[str, str]`` (DuckDB ANSI SQL). ``all_queries()`` /
 
 Ordering IS the driver's sampling policy: the correctness gate hashes
 the FIRST 50 queries in merge order each round.  Rounds 1-4 proved the
-threat/relational/pipeline/advanced/graph/metrics families (94 of 150
-oracle queries driver-green); rounds 5-8 cleared their pinned 50s
-(287/287 cumulative).  Round 9 rotates the EXPLICIT name window onto
-all 12 never-driver-seen round-8 additions — 9 oracle-backed (the
-media / chunking / KMV / PCA / MMR wave and its streaming twins) plus
-the 3 rows-only ones the r8 verdict asked to window for executed-clean
-records — then 38 least-recently-verified refills, then every other
-oracle-backed query, with the remaining rows-only (engine-RNG / model
-state) queries parked at the registry end.
+threat/relational/pipeline/advanced/graph/metrics families; rounds
+5-10 cleared their pinned 50s (cumulatively, every oracle-backed
+query has at least one driver-green record and every rows-only query
+at least one executed-clean record).  Round 11 rotates the window
+onto the one never-driver-seen query plus the rows-only ML family
+whose records dated to round 4, then least-recently-verified refills,
+then every other oracle-backed query, with the remaining rows-only
+(engine-RNG / model state) queries parked at the registry end.
 """
 
 from __future__ import annotations
