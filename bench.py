@@ -372,7 +372,13 @@ def main() -> None:
     spark.range(1_000_000).selectExpr("sum(id)").collect()
     queries["after_hours_top10"](spark, SF_DIR).limit(1).collect()
     # median of 3 runs per query: single-run numbers on a shared box
-    # jitter ±20%; the median is the standard steady-state estimate
+    # jitter ±20%; the median is the standard steady-state estimate.
+    # min/max are kept too (r11 verdict ask #5): the min-sum is the
+    # quiet-box estimate — a 16% driver-vs-quiet spread on identical
+    # trees kept muddying round-over-round comparison, and the spread
+    # lets a reviewer adjudicate box noise without re-running.
+    spread: dict[str, list[float]] = {}
+
     def median_time(name: str, count_it: bool) -> float:
         fn = queries[name]
         runs = []
@@ -381,12 +387,19 @@ def main() -> None:
             df = fn(spark, SF_DIR)
             df.count() if count_it else df.collect()
             runs.append(time.perf_counter() - start)
-        return round(sorted(runs)[1], 3)
+        runs.sort()
+        spread[name] = [round(runs[0], 3), round(runs[1], 3),
+                        round(runs[2], 3)]
+        return round(runs[1], 3)
 
     timings: dict[str, float] = {}
     for name in HEADLINE_COLLECT + HEADLINE_COUNT:
         timings[name] = median_time(name, name in HEADLINE_COUNT)
     total = round(sum(timings.values()), 3)
+    total_min = round(sum(spread[n][0]
+                          for n in HEADLINE_COLLECT + HEADLINE_COUNT), 3)
+    total_max = round(sum(spread[n][2]
+                          for n in HEADLINE_COLLECT + HEADLINE_COUNT), 3)
     groups: dict[str, float] = {}
     for label, collect, count in GROUP_SPECS:
         for name in collect + count:
@@ -424,11 +437,15 @@ def main() -> None:
     # timings + group totals.
     with open("BENCH_DETAIL.json", "w") as fh:
         json.dump({"metric": "headline_queries_total", "value": total,
-                   "unit": "sec", "queries": timings, **groups,
+                   "value_min": total_min, "value_max": total_max,
+                   "unit": "sec", "queries": timings,
+                   "spread_min_med_max": spread, **groups,
                    "isolated": isolated, "sf": float(sf)}, fh, indent=1)
     print(json.dumps({
         "metric": "headline_queries_total",
         "value": total,
+        "value_min": total_min,
+        "value_max": total_max,
         "unit": "sec",
         "queries": {n: timings[n] for n in HEADLINE_COLLECT + HEADLINE_COUNT},
         **groups,

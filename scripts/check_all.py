@@ -91,10 +91,16 @@ def main() -> int:
     # stop a callback that already fired, so a context-global cancel
     # racing a query that finishes near the deadline would kill the
     # NEXT query's jobs and record a spurious BAD. cancelJobGroup on a
-    # finished group is a harmless no-op warning. Jobs submitted from
-    # other threads (streaming microbatches) aren't covered — those
-    # paths carry their own awaitTermination timeouts. Override via
-    # CHECK_ALL_TIMEOUT_S (0 = off).
+    # finished group is a harmless no-op warning. Streaming
+    # microbatches run under StreamExecution's OWN runId job group
+    # (jobs submitted from its thread), so the per-query group cancel
+    # can't reach them and run_stream_to_table blocks in
+    # processAllAvailable() with no timeout — the timer therefore also
+    # stops every active streaming query. A done-flag checked inside
+    # the callback closes the finish-near-deadline race (a fired timer
+    # can't be cancel()ed, and stopping the NEXT query's streams would
+    # record a spurious BAD). Override via CHECK_ALL_TIMEOUT_S
+    # (0 = off).
     import os
     import threading
     import uuid
@@ -105,13 +111,25 @@ def main() -> int:
         t0 = time.time()
         rec: dict = {}
         timer = None
+        done = threading.Event()
         if wd_s:
             group = f"check_all:{name}:{uuid.uuid4().hex[:8]}"
             spark.sparkContext.setJobGroup(
                 group, name, interruptOnCancel=True)
-            timer = threading.Timer(
-                wd_s,
-                lambda g=group: spark.sparkContext.cancelJobGroup(g))
+
+            def _kill(g=group, ev=done, qname=name):
+                if ev.is_set():
+                    return
+                print(f"WATCHDOG firing for {qname}", flush=True)
+                spark.sparkContext.cancelJobGroup(g)
+                try:
+                    for q in spark.streams.active:
+                        if not ev.is_set():
+                            q.stop()
+                except Exception:
+                    pass  # stream may race to completion; cancel wins
+
+            timer = threading.Timer(wd_s, _kill)
             timer.daemon = True
             timer.start()
         try:
@@ -141,6 +159,7 @@ def main() -> int:
             rec["err"] = traceback.format_exc()[-1500:]
             n_bad += 1
         finally:
+            done.set()
             if timer is not None:
                 timer.cancel()
                 # no clearJobGroup in the Python API; the next

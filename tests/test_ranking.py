@@ -182,3 +182,58 @@ def test_ntile_quota_formula_property():
         assert got == want, (n, b)
 
     check()
+
+
+def test_gate_bypasses_bytes_heuristic_on_explode(spark):
+    """r11 verdict ask #3: a Generate (explode) between the FileScan
+    and a gated helper invalidates the input-file-bytes heuristic —
+    the tiny-bytes plan below fans out to >threshold ROWS, and the
+    gate must notice via the runtime count, not wave it through on
+    scan size."""
+    from threat_detection_nosql_spark.operators.ranking import (
+        _gate_small, _has_generate)
+    base = load_table(spark, SF_SMALL, "orders").select("o_orderkey")
+    fanned = base.select(
+        "o_orderkey",
+        F.explode(F.sequence(F.lit(1), F.lit(50))).alias("rep"))
+    assert _has_generate(fanned)
+    assert not _has_generate(base)
+    n = fanned.count()
+    small, _ = _gate_small(fanned, n - 1)  # exploded count > threshold
+    assert small is False  # bytes heuristic would have said True
+    small, _ = _gate_small(fanned, n + 1)
+    assert small is True  # runtime count still gates correctly
+
+
+def test_gate_env_flag_parsing(spark, monkeypatch):
+    """TDNS_RANKING_FORCE_DISTRIBUTED=0/false must NOT force the
+    distributed path (r11 ADVICE: raw truthiness treated '0' as on)."""
+    from threat_detection_nosql_spark.operators import ranking
+    df = _orders(spark)
+    for off in ("0", "false", "no", ""):
+        monkeypatch.setenv(ranking._FORCE_ENV, off)
+        assert ranking._force_distributed() is False
+        assert ranking._gate_small(df, 1_000_000)[0] is True
+    monkeypatch.setenv(ranking._FORCE_ENV, "1")
+    assert ranking._force_distributed() is True
+    assert ranking._gate_small(df, 1_000_000)[0] is False
+
+
+def test_gate_known_small_and_pinned_short_circuits(spark):
+    """KNOWN_SMALL skips every gate job; an already-checkpointed frame
+    is not re-checkpointed by the runtime fallback (r11 ADVICE)."""
+    from threat_detection_nosql_spark.operators.ranking import (
+        KNOWN_SMALL, _gate_small, _is_pinned_scan)
+    tiny = spark.createDataFrame([(i,) for i in range(5)], "k int")
+    small, frame = _gate_small(tiny, KNOWN_SMALL)
+    assert small is True and frame is tiny
+    pinned = tiny.localCheckpoint()
+    assert _is_pinned_scan(pinned)
+    assert _is_pinned_scan(tiny)  # parallelized collections count too
+    assert not _is_pinned_scan(tiny.select(F.col("k") + 1))
+    small, frame = _gate_small(pinned, 100)
+    assert small is True and frame is pinned  # same object, no re-pin
+    # and KNOWN_SMALL still yields the exact window result end-to-end
+    got = {r["k"]: r["rk"] for r in with_global_rank(
+        tiny, ["k"], small_threshold=KNOWN_SMALL).collect()}
+    assert got == {i: i + 1 for i in range(5)}

@@ -76,14 +76,27 @@ _TOT = "__rank_total"
 # against GATE_ROWS (eager but exact). Callers that KNOW the frame is
 # big pass small_threshold=0 to force the distributed path; plan
 # audits set TDNS_RANKING_FORCE_DISTRIBUTED=1 to audit the shape the
-# helpers emit at scale. Caveat: the bytes heuristic assumes the plan
-# does not expand cardinality by orders of magnitude between scan and
-# helper (no explode / cross-join fan-out) — true of every in-repo
-# call site; such callers must force the distributed path themselves.
+# helpers emit at scale. The bytes heuristic cannot see cardinality
+# expansion between scan and helper, so plans containing a Generate
+# node (explode / posexplode / inline fan-out) bypass it and take the
+# exact runtime pin+count gate instead — a 128MB scan that explodes to
+# 50GB of rows never rides the single-partition window on the honor
+# system (r11 verdict ask #3; checked invariant, see _gate_small).
 GATE_ROWS = 1_000_000
 GATE_BYTES = int(os.environ.get("TDNS_RANKING_GATE_BYTES",
                                 128 * 1024 * 1024))
 _FORCE_ENV = "TDNS_RANKING_FORCE_DISTRIBUTED"
+# Callers that KNOW their frame is tiny (e.g. a <=20-row checkpointed
+# bin table) pass this as small_threshold: plain window, no gate jobs.
+KNOWN_SMALL = -1
+
+
+def _force_distributed() -> bool:
+    """Parsed env flag — '0'/'false'/'no'/'' all mean off (the raw
+    truthiness test let TDNS_RANKING_FORCE_DISTRIBUTED=0 force the
+    distributed path)."""
+    return os.environ.get(_FORCE_ENV, "").strip().lower() not in (
+        "", "0", "false", "no")
 
 
 def _keys(order_cols) -> list[Column]:
@@ -113,18 +126,52 @@ def _input_bytes(df: DataFrame) -> int | None:
     return total
 
 
+def _has_generate(df: DataFrame) -> bool:
+    """True when the optimized plan contains a Generate node (explode /
+    posexplode / inline) — the one shape that expands cardinality by
+    orders of magnitude between scan and helper, invalidating the
+    input-file-bytes gate. Conservative on inspection failure."""
+    try:
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+    except Exception:  # noqa: BLE001 - metadata probe only
+        return True
+    return "Generate" in plan
+
+
+def _is_pinned_scan(df: DataFrame) -> bool:
+    """True when the frame IS an RDD scan (root analyzed node
+    LogicalRDD, no operators on top): a localCheckpoint result or a
+    parallelized local collection. Both are already-materialized,
+    order-stable sources, so the runtime gate's pin would be a
+    redundant full copy — and skipping it is equally safe as the
+    distributed path's boundary pin (re-evaluation reproduces
+    identical partitions in identical order)."""
+    try:
+        node = df._jdf.queryExecution().analyzed()
+        return node.getClass().getSimpleName() == "LogicalRDD"
+    except Exception:  # noqa: BLE001 - metadata probe only
+        return False
+
+
 def _gate_small(df: DataFrame, small_threshold: int
                 ) -> tuple[bool, DataFrame]:
     """Decide the path. Returns (use_plain_window, frame): the frame is
     ``df`` unchanged on the lazy bytes path, or the pinned input when
     the runtime count fallback had to materialize (the pin then doubles
-    as the distributed path's boundary pin)."""
-    if small_threshold <= 0 or os.environ.get(_FORCE_ENV):
+    as the distributed path's boundary pin). ``KNOWN_SMALL`` callers
+    vouch for the size themselves: plain window, zero gate jobs."""
+    if _force_distributed():
+        return False, df
+    if small_threshold == KNOWN_SMALL:
+        return True, df
+    if small_threshold <= 0:
         return False, df
     nbytes = _input_bytes(df)
-    if nbytes is not None:
+    if nbytes is not None and not _has_generate(df):
         return nbytes <= GATE_BYTES, df
-    pinned = df.localCheckpoint()
+    # runtime gate: exact but eager — explode plans land here so the
+    # COUNT, not the pre-explosion file bytes, decides the path
+    pinned = df if _is_pinned_scan(df) else df.localCheckpoint()
     return pinned.count() <= small_threshold, pinned
 
 

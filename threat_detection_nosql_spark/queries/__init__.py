@@ -8,13 +8,14 @@ and ``ORACLES: dict[str, str]`` (DuckDB ANSI SQL). ``all_queries()`` /
 Ordering IS the driver's sampling policy: the correctness gate hashes
 the FIRST 50 queries in merge order each round.  Rounds 1-4 proved the
 threat/relational/pipeline/advanced/graph/metrics families; rounds
-5-10 cleared their pinned 50s (cumulatively, every oracle-backed
+5-11 cleared their pinned 50s (cumulatively, every oracle-backed
 query has at least one driver-green record and every rows-only query
-at least one executed-clean record).  Round 11 rotates the window
-onto the one never-driver-seen query plus the rows-only ML family
-whose records dated to round 4, then least-recently-verified refills,
-then every other oracle-backed query, with the remaining rows-only
-(engine-RNG / model state) queries parked at the registry end.
+at least one executed-clean record).  Round 12 rotates the window
+onto the seven round-11 additions the driver has never recorded
+(jpeg family, theta pair, repeated_substring_spans, lsh_ann_topk),
+then least-recently-verified refills, then every other oracle-backed
+query, with the remaining rows-only (engine-RNG / model state)
+queries parked at the registry end.
 """
 
 from __future__ import annotations
@@ -25,65 +26,63 @@ from pyspark.sql import DataFrame, SparkSession
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
-# Round-11 driver window (r10 verdict ask #1, closes the ledger):
-# stream_tws_profiles (the one never-driver-seen query — registered
-# with its applyInPandasWithState fallback in r10) + the 7 rows-only
-# ML-family queries whose only driver record is round 4 (kmeans /
-# iforest / pca-recon / mahalanobis / dbscan / ensemble / supervised
-# report — refreshed executed-clean records), topped up with the 42
+# Round-12 driver window (r11 verdict ask #1): the 7 round-11
+# additions the driver has never seen (jpeg family, theta pair,
+# repeated_substring_spans, lsh_ann_topk — builder-verified green but
+# absent from the driver ledger), topped up with the 43
 # least-recently-verified oracle greens (rotate_window.py ordering).
 # NEVER reorder once verified: the driver hashes this exact prefix.
-_WINDOW_R11: tuple[str, ...] = (
-    "stream_tws_profiles",
-    "kmeans_anomalies",
-    "iforest_anomalies",
-    "pca_reconstruction_anomalies",
-    "mahalanobis_anomalies",
-    "dbscan_noise_anomalies",
-    "ensemble_anomalies",
-    "supervised_model_report",
-    "ivf_fixed_ann_topk",
-    "graph_summary",
-    "performs_edges",
-    "pagerank_top20",
-    "copurchase_triangles",
-    "rule_confusion_matrix",
-    "rule_classification_metrics",
-    "rule_auc",
-    "percentile_threshold_flags",
-    "feature_correlation_matrix",
-    "value_robust_stats",
-    "benford_deviation",
-    "spend_acctbal_spearman",
-    "kmeans_fixed_anomalies",
-    "time_since_last_error",
-    "burst_pair_counts",
-    "hourly_event_histogram",
-    "event_sessions",
-    "funnel_conversion",
-    "cohort_retention",
-    "weekly_revenue_wow",
-    "session_funnel_conversion",
-    "purchase_attribution",
-    "shipping_priority_top10",
-    "pii_redaction",
-    "benchmark_decontamination",
-    "data_quality_report",
-    "edit_distance_near_dups",
-    "vocab_coverage",
-    "cross_source_leakage",
-    "dataset_split_assignment",
-    "semantic_cluster_dedup",
-    "doc_chunks",
-    "corpus_curation_pipeline",
-    "domain_capped_sample",
-    "stream_static_enriched_counts",
-    "stream_windowed_user_counts",
-    "stream_sliding_type_counts",
-    "stream_session_windows",
-    "stream_anomaly_flags",
-    "stream_stateful_profiles",
-    "stream_deduped_counts",
+_WINDOW_R12: tuple[str, ...] = (
+    "lsh_ann_topk",
+    "jpeg_decode_stats",
+    "repeated_substring_spans",
+    "jpeg_color_decode_stats",
+    "jpeg420_decode_stats",
+    "theta_user_overlap",
+    "stream_theta_overlap",
+    "stream_purchase_error_pairs",
+    "stream_after_hours_top10",
+    "order_priority_counts",
+    "promo_revenue_ratio",
+    "top_supplier_by_revenue",
+    "local_supplier_volume",
+    "revenue_change_forecast",
+    "nation_volume_shipping",
+    "nation_market_share",
+    "product_type_profit",
+    "returned_items_top20",
+    "customer_order_distribution",
+    "small_quantity_revenue",
+    "large_volume_customers",
+    "discounted_revenue",
+    "monthly_return_rate",
+    "bpe_merges",
+    "bpe_top_segments",
+    "bpe_subword_freqs",
+    "bpe_encode_part_names",
+    "bigram_logprob_scores",
+    "weighted_doc_sample",
+    "countmin_token_estimates",
+    "hll_portable_distinct_users",
+    "rule_calibration_table",
+    "rule_lift_table",
+    "stream_countmin_user_cells",
+    "stream_drift_psi",
+    "time_to_next_purchase",
+    "activity_heatmap",
+    "late_shipment_priority_counts",
+    "waiting_supplier_top10",
+    "dormant_customer_balance_groups",
+    "feature_drift_psi",
+    "pseudonymized_activity",
+    "orders_profile",
+    "user_features_unpivot",
+    "event_zorder",
+    "temperature_mixture_plan",
+    "temperature_mixture_sample",
+    "length_bucket_batches",
+    "rare_resource_access_top10",
+    "similar_user_pairs_top10",
 )
 
 
@@ -127,7 +126,7 @@ def all_queries() -> dict[str, QueryFn]:
     queries = _merged("QUERIES", "QUERIES_TAIL")
     oracles = _merged("ORACLES", "ORACLES_TAIL")
     out: dict[str, QueryFn] = {}
-    for name in _WINDOW_R11:  # pinned driver window, positions 1-50
+    for name in _WINDOW_R12:  # pinned driver window, positions 1-50
         out[name] = queries[name]
     for name, fn in queries.items():  # oracle-backed middle, module order
         if name not in out and name in oracles:

@@ -1633,7 +1633,18 @@ def _ivfpq_index_path(sf_dir: str) -> str:
 
 def _index_ready(path: str) -> bool:
     import os
-    return os.path.exists(os.path.join(path, "_INDEX_READY"))
+    ok = os.path.exists(os.path.join(path, "_INDEX_READY"))
+    if ok:
+        # reset the GC clock on every successful open: directory mtime
+        # is otherwise frozen at build time, so a long-lived index
+        # another session still reads would look stale to
+        # _sweep_stale_indexes after max_age_s and get rmtree'd
+        # mid-query (r11 ADVICE)
+        try:
+            os.utime(path, None)
+        except OSError:
+            pass
+    return ok
 
 
 def _index_staging(spark: SparkSession, path: str) -> str:

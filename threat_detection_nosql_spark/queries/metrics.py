@@ -1511,14 +1511,14 @@ def isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
                .agg(F.count("*").alias("n"),
                     F.sum(F.col("label").cast("long")).alias("npos"))
                .localCheckpoint())
-    # prefix sums via the gated ranking helper: on this <=20-row frame
-    # it runs the plain window once and checkpoints the result, so the
-    # j/k fan-out below reads materialized data (and audit_plans sees
-    # no single-partition window over the opaque checkpoint scan)
+    # prefix sums via the gated ranking helper; KNOWN_SMALL vouches for
+    # the <=20-row frame so the gate runs zero jobs (the bin domain is
+    # fixed, and per_bin is already checkpointed for the j/k fan-out)
     from threat_detection_nosql_spark.operators.ranking import (
-        with_global_cumsum)
+        KNOWN_SMALL, with_global_cumsum)
     cum = with_global_cumsum(per_bin, ["bin"], ["n", "npos"],
-                             cumsum_cols=["cn", "cp"])
+                             cumsum_cols=["cn", "cp"],
+                             small_threshold=KNOWN_SMALL)
     j = cum.select(F.col("bin").alias("j"),
                    (F.col("cp") - F.col("npos")).alias("cp_j"),
                    (F.col("cn") - F.col("n")).alias("cn_j"))
