@@ -578,7 +578,8 @@ def decode_media(blob: bytes, media_kind: str):
     raise ValueError(
         f"no lib-free decoder for {media_kind!r}; MP4/video needs "
         "pyav, not present in this container (JPEG is covered for "
-        "baseline sequential grayscale — decode_jpeg_gray)")
+        "baseline sequential — gray + 4:4:4/4:2:2/4:2:0 color, "
+        "DRI/RSTn restart intervals; progressive SOF2 raises)")
 
 
 MEDIA_BLOB_SCHEMA = "doc_id long, media_kind string, blob binary"
@@ -972,12 +973,16 @@ def _jpeg_magnitude(v: int) -> tuple[int, int]:
 
 def encode_jpeg_gray(width: int, height: int,
                      blocks: dict[tuple[int, int], dict[int, int]],
-                     qtable: list[int] = JPEG_QTABLE) -> bytes:
+                     qtable: list[int] = JPEG_QTABLE,
+                     restart_interval: int = 0) -> bytes:
     """Baseline sequential grayscale JPEG from QUANTIZED coefficients:
     ``blocks[(br, bc)] = {zigzag_index: quantized_value}``. Emits SOI,
     DQT (zigzag order), SOF0, two DHT segments, SOS, the
     huffman-coded/byte-stuffed entropy segment (DC prediction across
-    blocks in raster order), EOI."""
+    blocks in raster order), EOI. ``restart_interval`` > 0 emits a DRI
+    segment and an RSTm marker (m cycling 0-7) after every that many
+    MCUs — byte-aligned with 1-bit fill, DC predictor reset — the
+    T.81 F.2.2.4 restart structure camera JPEGs carry."""
     import struct
     dc_codes = jpeg_canonical_codes(_JPEG_DC_BITS, _JPEG_DC_SYMS)
     ac_codes = jpeg_canonical_codes(_JPEG_AC_BITS, _JPEG_AC_SYMS)
@@ -994,11 +999,21 @@ def encode_jpeg_gray(width: int, height: int,
                + bytes(_JPEG_DC_SYMS))                  # DHT class0 id0
     out += seg(0xFFC4, bytes([0x10]) + bytes(_JPEG_AC_BITS)
                + bytes(_JPEG_AC_SYMS))                  # DHT class1 id0
+    if restart_interval:
+        out += seg(0xFFDD, struct.pack(">H", restart_interval))  # DRI
     out += seg(0xFFDA, bytes([1, 1, 0x00, 0, 63, 0]))   # SOS
     bw = _BitWriter()
     pred = 0
+    mcu = 0
+    rst = 0
     for br in range(height // 8):
         for bc in range(width // 8):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                bw.flush()                    # byte-align with 1-fill
+                bw.out += bytes([0xFF, 0xD0 + rst])
+                rst = (rst + 1) % 8
+                pred = 0                      # predictor resets at RST
+            mcu += 1
             coefs = blocks.get((br, bc), {})
             dc = coefs.get(0, 0)
             size, bits = _jpeg_magnitude(dc - pred)
@@ -1060,6 +1075,25 @@ class _BitReader:
             v = (v << 1) | self.bit()
         return v
 
+    def restart(self) -> int:
+        """Consume an RSTn marker at an MCU-row boundary: discard the
+        current byte's remaining fill bits (encoders pad with 1s to
+        byte-align before the marker), skip any 0xFF fill bytes, then
+        eat the two marker bytes. Returns n (0-7) so the decode loop
+        can verify the modulo-8 sequence."""
+        self._n = 0
+        while (self.data[self.pos] == 0xFF
+               and self.data[self.pos + 1] == 0xFF):
+            self.pos += 1  # fill byte before the marker (T.81 B.1.1.2)
+        if (self.data[self.pos] != 0xFF
+                or not 0xD0 <= self.data[self.pos + 1] <= 0xD7):
+            raise ValueError(
+                f"expected restart marker at {self.pos}, found "
+                f"{self.data[self.pos:self.pos + 2].hex()}")
+        n = self.data[self.pos + 1] - 0xD0
+        self.pos += 2
+        return n
+
 
 def _jpeg_extend(bits: int, size: int) -> int:
     if size == 0:
@@ -1069,9 +1103,12 @@ def _jpeg_extend(bits: int, size: int) -> int:
 
 def _parse_jpeg_headers(blob: bytes):
     """Shared marker walk up to SOS: (qtables, huff, width, height,
-    comps, scan, entropy_start). ``comps`` maps component id →
-    (sampling, quant-table id); ``scan`` is the SOS component list
-    [(comp_id, dc_table, ac_table), ...]."""
+    comps, scan, entropy_start, restart_interval). ``comps`` maps
+    component id → (sampling, quant-table id); ``scan`` is the SOS
+    component list [(comp_id, dc_table, ac_table), ...];
+    ``restart_interval`` is the DRI MCU count (0 = no restarts).
+    Handles 0xFF fill bytes before markers and standalone markers
+    (TEM / RSTn — no length field) per T.81 B.1.1."""
     import struct
     if blob[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (no SOI)")
@@ -1080,13 +1117,18 @@ def _parse_jpeg_headers(blob: bytes):
     huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
     width = height = -1
     comps: dict[int, tuple[int, int]] = {}
+    restart_interval = 0
     while pos < len(blob):
         if blob[pos] != 0xFF:
             raise ValueError(f"expected marker at {pos}")
+        while blob[pos + 1] == 0xFF:  # fill bytes before the marker
+            pos += 1
         marker = blob[pos + 1]
         pos += 2
         if marker == 0xD9:  # EOI
             raise ValueError("EOI before SOS")
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            continue  # TEM / RSTn: standalone, no length field
         ln = struct.unpack(">H", blob[pos:pos + 2])[0]
         payload = blob[pos + 2:pos + ln]
         if marker == 0xDB:  # DQT — possibly several tables
@@ -1109,8 +1151,17 @@ def _parse_jpeg_headers(blob: bytes):
             for c in range(ncomp):
                 cid, samp, tq = payload[6 + 3 * c:9 + 3 * c]
                 comps[cid] = (samp, tq)
-        elif marker in (0xC1, 0xC2, 0xC3):
-            raise ValueError("non-baseline SOF unsupported")
+        elif marker == 0xC2:
+            raise ValueError(
+                "progressive JPEG (SOF2) not supported — baseline "
+                "sequential (SOF0) only")
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7,
+                        0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError(
+                f"non-baseline SOF marker 0xFF{marker:02X} unsupported"
+                " — baseline sequential (SOF0) only")
+        elif marker == 0xDD:  # DRI
+            restart_interval = struct.unpack(">H", payload[:2])[0]
         elif marker == 0xC4:  # DHT — possibly several tables
             p = 0
             while p < len(payload):
@@ -1129,7 +1180,8 @@ def _parse_jpeg_headers(blob: bytes):
                 cid = payload[1 + 2 * c]
                 tds = payload[2 + 2 * c]
                 scan.append((cid, tds >> 4, tds & 0xF))
-            return qtables, huff, width, height, comps, scan, pos + ln
+            return (qtables, huff, width, height, comps, scan,
+                    pos + ln, restart_interval)
         pos += ln
     raise ValueError("no SOS marker")
 
@@ -1176,9 +1228,11 @@ def decode_jpeg_gray(blob: bytes) -> np.ndarray:
     (APPn/COM skipped), DQT (multi-table, zigzag→natural), SOF0
     (8-bit, 1 component), generic DHT canonical-code build, SOS, then
     huffman + DC-prediction + dequant + sparse IDCT, floor(x+0.5)
-    rounding, 0-255 clip. Raises on progressive (SOF2), color, or
-    12-bit streams — color goes through :func:`decode_jpeg_color`."""
-    qtables, huff, width, height, comps, scan, epos = \
+    rounding, 0-255 clip. Honors DRI/RSTn restart intervals (DC
+    predictor + bit alignment reset, modulo-8 sequence verified).
+    Raises on progressive (SOF2), color, or 12-bit streams — color
+    goes through :func:`decode_jpeg_color`."""
+    qtables, huff, width, height, comps, scan, epos, ri = \
         _parse_jpeg_headers(blob)
     if len(comps) != 1 or len(scan) != 1:
         raise ValueError(
@@ -1191,8 +1245,16 @@ def decode_jpeg_gray(blob: bytes) -> np.ndarray:
     wb, hb = (width + 7) // 8, (height + 7) // 8
     img = np.zeros((hb * 8, wb * 8), dtype=np.uint8)
     pred = 0
+    mcu = 0
+    rst = 0
     for brow in range(hb):
         for bcol in range(wb):
+            if ri and mcu and mcu % ri == 0:
+                if br_.restart() != rst:
+                    raise ValueError("restart marker out of sequence")
+                rst = (rst + 1) % 8
+                pred = 0
+            mcu += 1
             acc, pred = _read_jpeg_block(br_, dc_tab, ac_tab, pred, qt)
             img[brow * 8:brow * 8 + 8, bcol * 8:bcol * 8 + 8] = \
                 np.clip(np.floor(acc + 0.5), 0, 255).astype(np.uint8)
@@ -1218,7 +1280,7 @@ def decode_jpeg_color(blob: bytes) -> np.ndarray:
     rule the SQL oracle replays; JFIF's centered filter is a
     documented deviation), then JFIF YCbCr→RGB with literal constants
     and one more floor(x+0.5)/clip."""
-    qtables, huff, width, height, comps, scan, epos = \
+    qtables, huff, width, height, comps, scan, epos, ri = \
         _parse_jpeg_headers(blob)
     if len(comps) != 3 or len(scan) != 3:
         raise ValueError("decode_jpeg_color needs a 3-component scan")
@@ -1233,8 +1295,16 @@ def decode_jpeg_color(blob: bytes) -> np.ndarray:
                              mcus_x * 8 * samp[cid][0]), dtype=np.int64)
               for cid, _, _ in scan}
     preds = {cid: 0 for cid, _, _ in scan}
+    mcu = 0
+    rst = 0
     for my in range(mcus_y):
         for mx in range(mcus_x):
+            if ri and mcu and mcu % ri == 0:
+                if br_.restart() != rst:
+                    raise ValueError("restart marker out of sequence")
+                rst = (rst + 1) % 8
+                preds = {cid: 0 for cid, _, _ in scan}
+            mcu += 1
             for cid, td, ta in scan:  # interleaved MCU, scan order
                 h_i, v_i = samp[cid]
                 for by in range(v_i):
@@ -1277,14 +1347,16 @@ def encode_jpeg_color(width: int, height: int,
                       blocks3: list[dict[tuple[int, int],
                                          dict[int, int]]],
                       sampling: tuple = ((1, 1), (1, 1), (1, 1)),
-                      ) -> bytes:
+                      restart_interval: int = 0) -> bytes:
     """Baseline sequential YCbCr JPEG from QUANTIZED coefficients per
     component (``blocks3[c][(br, bc)]`` indexed in each component's
     OWN block grid): Y on quant/huffman table pair 0, chroma on pair
     1, one interleaved scan with per-component DC prediction.
     ``sampling[c] = (h, v)`` — ((1,1),)*3 is 4:4:4,
     ((2,2),(1,1),(1,1)) is 4:2:0; width/height must be multiples of
-    the MCU size (8·hmax, 8·vmax)."""
+    the MCU size (8·hmax, 8·vmax). ``restart_interval`` > 0 emits DRI
+    + RSTm every that many interleaved MCUs (all three DC predictors
+    reset, T.81 F.2.2.4)."""
     import struct
     dc_codes = jpeg_canonical_codes(_JPEG_DC_BITS, _JPEG_DC_SYMS)
     ac_codes = jpeg_canonical_codes(_JPEG_AC_BITS, _JPEG_AC_SYMS)
@@ -1309,11 +1381,21 @@ def encode_jpeg_color(width: int, height: int,
                    + bytes(_JPEG_DC_SYMS))
         out += seg(0xFFC4, bytes([0x10 | th]) + bytes(_JPEG_AC_BITS)
                    + bytes(_JPEG_AC_SYMS))
+    if restart_interval:
+        out += seg(0xFFDD, struct.pack(">H", restart_interval))  # DRI
     out += seg(0xFFDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
     bw = _BitWriter()
     preds = [0, 0, 0]
+    mcu = 0
+    rst = 0
     for my in range(height // (8 * vmax)):
         for mx in range(width // (8 * hmax)):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                bw.flush()
+                bw.out += bytes([0xFF, 0xD0 + rst])
+                rst = (rst + 1) % 8
+                preds = [0, 0, 0]
+            mcu += 1
             for c in range(3):
                 h_i, v_i = sampling[c]
                 for by in range(v_i):
@@ -1387,9 +1469,37 @@ def synth_jpeg_media(docs: DataFrame) -> DataFrame:
         batches, schema="doc_id long, blob binary")
 
 
+def _synth_jpeg_restart_blob(doc_id: int) -> bytes:
+    """Same planted gray lattice, encoded WITH a restart interval of
+    1-4 MCUs (varies per doc so the corpus covers: every-block
+    restarts, uneven tail segments, RST-index wraparound on wide
+    images, and DRI-present-but-no-RST when ri >= block count).
+    Decoded pixels are identical to the restart-free encoding, so the
+    restart query reuses the plain lattice oracle — the hash still
+    pins restart handling, because a missed predictor reset or bit
+    misalignment corrupts every post-RST sum."""
+    w, h, blocks = _jpeg_planted_blocks(doc_id)
+    return encode_jpeg_gray(w, h, blocks,
+                            restart_interval=1 + doc_id % 4)
+
+
+def synth_jpeg_restart_media(docs: DataFrame) -> DataFrame:
+    """Plant one restart-interval baseline JPEG per document (same
+    two-stage mapInPandas shape as synth_jpeg_media)."""
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "blob": [_synth_jpeg_restart_blob(int(d))
+                         for d in pdf["doc_id"]]})
+
+    return docs.select("doc_id").mapInPandas(
+        batches, schema="doc_id long, blob binary")
+
+
 def decode_jpeg(blob: bytes) -> np.ndarray:
-    """Dispatch gray vs 4:4:4 color by the SOF component count."""
-    _q, _h, _w, _ht, comps, _s, _e = _parse_jpeg_headers(blob)
+    """Dispatch gray vs color by the SOF component count."""
+    comps = _parse_jpeg_headers(blob)[4]
     return (decode_jpeg_gray(blob) if len(comps) == 1
             else decode_jpeg_color(blob))
 

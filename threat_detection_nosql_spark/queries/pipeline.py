@@ -2742,6 +2742,27 @@ QUERIES_TAIL["jpeg_decode_stats"] = jpeg_decode_stats
 ORACLES_TAIL["jpeg_decode_stats"] = _jpeg_stats_sql()
 
 
+def jpeg_restart_decode_stats(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """jpeg_decode_stats over a corpus encoded WITH DRI/RSTn restart
+    intervals (1-4 MCUs, varying per doc — every-block restarts,
+    uneven tails, modulo-8 RST wraparound; the T.81 F.2.2.4 structure
+    real camera JPEGs carry, r11 verdict ask #4). Restart markers
+    change the entropy-coded byte stream but not the decoded pixels,
+    so the oracle is the SAME planted-lattice replay as
+    jpeg_decode_stats — the hash pins restart handling because a
+    missed DC-predictor reset or bit misalignment corrupts every
+    post-RST block sum."""
+    from threat_detection_nosql_spark.operators.multimodal import (
+        jpeg_decode_stats as stats, synth_jpeg_restart_media)
+    docs = load_table(spark, sf_dir, "documents")
+    return stats(synth_jpeg_restart_media(docs))
+
+
+QUERIES_TAIL["jpeg_restart_decode_stats"] = jpeg_restart_decode_stats
+ORACLES_TAIL["jpeg_restart_decode_stats"] = _jpeg_stats_sql()
+
+
 # -- D28: exact substring-level dedup (repeated-span extraction) ---------------
 # The training-data op MinHash can't do: document-LEVEL near-dup
 # screens keep a doc that embeds a long verbatim quote of another —
