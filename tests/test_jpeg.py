@@ -311,3 +311,50 @@ def test_restart_out_of_sequence_raises():
     blob[i + 1] = 0xD5
     with pytest.raises(ValueError, match="restart marker"):
         M.decode_jpeg_gray(bytes(blob))
+
+
+def test_sampled_digest_matches_bruteforce():
+    """jpeg_sampled_digest's md5-position rule replayed in pure
+    Python: r = int(md5(str(doc_id))[:6], 16) % 97, positions
+    p % 97 == r over the flat raster — identical to the DuckDB
+    derivation CAST('0x'||substr(md5(...),1,6) AS INT) % 97."""
+    import hashlib
+    for doc_id in (0, 5, 123):
+        img = M.decode_jpeg_color(M._synth_jpeg_color_blob(doc_id))
+        h, w, _ = img.shape
+        r = int(hashlib.md5(
+            str(doc_id).encode()).hexdigest()[:6], 16) % 97
+        flat = img.reshape(-1, 3).astype(int)
+        want = flat[[p for p in range(h * w) if p % 97 == r]]
+        got = flat[np.arange(r, h * w, 97)]
+        assert (got == want).all()
+    import duckdb
+    con = duckdb.connect()
+    for doc_id in (0, 5, 123):
+        sql_r = con.execute(
+            "SELECT CAST(('0x' || substr(md5(CAST(? AS VARCHAR)), 1, 6))"
+            " AS INT) % 97", [doc_id]).fetchone()[0]
+        py_r = int(hashlib.md5(
+            str(doc_id).encode()).hexdigest()[:6], 16) % 97
+        assert sql_r == py_r
+
+
+def test_sampled_digest_spark_kernel(spark):
+    from threat_detection_nosql_spark.operators.multimodal import (
+        jpeg_sampled_digest, synth_jpeg_color_media)
+    import hashlib
+    docs = spark.createDataFrame([(i,) for i in range(6)],
+                                 "doc_id long")
+    rows = {r["doc_id"]: r for r in
+            jpeg_sampled_digest(synth_jpeg_color_media(docs)).collect()}
+    for doc_id in range(6):
+        img = M.decode_jpeg_color(
+            M._synth_jpeg_color_blob(doc_id)).astype(int)
+        h, w, _ = img.shape
+        r = int(hashlib.md5(
+            str(doc_id).encode()).hexdigest()[:6], 16) % 97
+        sel = img.reshape(-1, 3)[np.arange(r, h * w, 97)]
+        row = rows[doc_id]
+        assert row["n_sampled"] == len(sel)
+        assert (row["sum_r"], row["sum_g"], row["sum_b"]) == \
+            tuple(int(sel[:, i].sum()) for i in range(3))

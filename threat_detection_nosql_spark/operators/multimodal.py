@@ -1569,6 +1569,48 @@ def jpeg_color_decode_stats(media: DataFrame) -> DataFrame:
     return media.mapInPandas(batches, schema=JPEG_COLOR_STATS_SCHEMA)
 
 
+JPEG_SAMPLED_SCHEMA = ("doc_id long, width int, height int, "
+                       "n_sampled int, sum_r long, sum_g long, "
+                       "sum_b long")
+
+
+def jpeg_sampled_digest(media: DataFrame, mod: int = 97) -> DataFrame:
+    """Sampled-lattice decode digest (r11 verdict ask #2): decode the
+    FULL color JPEG, but emit channel sums over only the md5-selected
+    ~1/``mod`` raster positions — per doc, positions p with
+    p % mod == r where r = int(md5(str(doc_id))[:6], 16) % mod. The
+    oracle enumerates ONLY those positions (DuckDB stepped range), so
+    a 100x soak gets HASH parity at ~1/mod the per-pixel replay cost
+    that made full-lattice oracles impractical single-box. The Spark
+    side still exercises the complete decode of every blob — the
+    digest is a cheap verifiable projection, not a cheaper decode.
+    mod=97 is prime and coprime to the 8-pixel block period, so
+    successive sampled positions sweep every in-block phase."""
+    import hashlib
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {k: [] for k in ("doc_id", "width", "height",
+                                   "n_sampled", "sum_r", "sum_g",
+                                   "sum_b")}
+            for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
+                img = decode_jpeg_color(bytes(blob)).astype(np.int64)
+                h, w, _ = img.shape
+                r = int(hashlib.md5(
+                    str(int(doc_id)).encode()).hexdigest()[:6],
+                    16) % mod
+                sel = img.reshape(-1, 3)[np.arange(r, h * w, mod)]
+                out["doc_id"].append(doc_id)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["n_sampled"].append(len(sel))
+                for i, ch in enumerate(("sum_r", "sum_g", "sum_b")):
+                    out[ch].append(int(sel[:, i].sum()))
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(batches, schema=JPEG_SAMPLED_SCHEMA)
+
+
 JPEG_STATS_SCHEMA = ("doc_id long, width int, height int, n_px int, "
                      "sum_y long")
 

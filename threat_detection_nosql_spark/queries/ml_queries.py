@@ -179,12 +179,15 @@ ORACLES: dict[str, str] = {  # the detector queries stay rows-only
     "smote_resampled_counts": _smote_counts_sql(),
 }
 
-# added mid-round-4: TAIL keeps the driver's first-50 sampling window
-# stable (see queries/__init__.all_queries)
-QUERIES_TAIL = {
-    "autoencoder_anomalies": autoencoder_anomalies,
-    "ocsvm_anomalies": ocsvm_anomalies,
-}
+# autoencoder_anomalies / ocsvm_anomalies retired from the registry in
+# round 12 (r11 verdict ask #6): both were rows-only purely for
+# RNG-seeded weights and both now have md5-fixed oracle twins
+# (autoencoder_fixed_anomalies / ocsvm_fixed_anomalies below) that
+# hash-verify the full distributed scoring path. The callables,
+# planted-fixture recovery tests and golden-band coverage stay — the
+# same retirement the r11 round applied to ivf_ann_topk /
+# minhash_dedup once their oracle twins landed.
+QUERIES_TAIL = {}
 
 
 # ---------------------------------------------------------------------------
@@ -790,3 +793,223 @@ def tsne_substitute_projection(spark: SparkSession,
 
 
 QUERIES_TAIL["tsne_substitute_projection"] = tsne_substitute_projection
+
+
+# -- Fixed-weights scoring twins for the two RNG-only detectors ----------------
+# (r11 verdict ask #6.) autoencoder_anomalies / ocsvm_anomalies are
+# rows-only PURELY because trained weights depend on RNG streams no
+# SQL engine replays. These twins pin portable md5-derived weights
+# (the e2lsh_params h60 derivation, emitted as driver-side float
+# literals into BOTH plans) and verify the full distributed SCORING
+# path — feature build, exact min-max scaling, the forward pass, the
+# threshold/quantile cut — value-for-value against DuckDB. The
+# activation is softsign x/(1+|x|) rather than tanh/cos: division and
+# abs are correctly-rounded IEEE ops identical across engines, while
+# libm tanh/cos may differ by 1 ulp between the JVM and DuckDB's C
+# runtime (the cross-libm trap the JPEG oracles dodge with literal
+# basis tables).
+
+_AEF_HID = 3
+_OCF_PLANES = 16
+
+
+def _h60(s: str) -> int:
+    import hashlib
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def _u01(s: str) -> float:
+    """md5-derived double in [-1, 1) — the e2lsh_params mapping."""
+    return _h60(s) / float(1 << 59) - 1.0
+
+
+def _aef_weights() -> tuple[list, list]:
+    """Glorot-scaled md5-derived weights for the d->3->d bottleneck
+    (biases zero, the Keras Dense default)."""
+    import math
+    d, h = len(_KF_FEATURES), _AEF_HID
+    lim1 = math.sqrt(6.0 / (d + h))
+    lim2 = math.sqrt(6.0 / (h + d))
+    w1 = [[_u01(f"aef:1:{j}:{k}") * lim1 for k in range(h)]
+          for j in range(d)]
+    w2 = [[_u01(f"aef:2:{k}:{j}") * lim2 for j in range(d)]
+          for k in range(h)]
+    return w1, w2
+
+
+def autoencoder_fixed_anomalies(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """Oracle twin of M6 (autoencoder_anomalies): the A10 feature
+    matrix -> exact min-max scaling -> a FIXED md5-derived d->3->d
+    bottleneck (softsign hidden, linear output) -> per-user
+    reconstruction MSE -> top-ceil(n/10) flagged (rank by MSE desc,
+    user asc — exact integer quota, no float-contamination ceil).
+    Every arithmetic step is IEEE-identical in DuckDB, so the hash
+    pins the whole distributed scoring path; the RNG-trained detector
+    keeps its planted-fixture + golden-band coverage for the TRAINING
+    loop this twin cannot replay."""
+    from pyspark.sql import functions as F
+
+    from threat_detection_nosql_spark.operators.ranking import (
+        with_global_rank)
+
+    d, hdim = len(_KF_FEATURES), _AEF_HID
+    w1, w2 = _aef_weights()
+    vecs = _kf_vectors(spark, sf_dir)
+    x = [F.element_at(F.col("v"), j + 1) for j in range(d)]
+
+    def fold(terms):
+        e = terms[0]
+        for t in terms[1:]:
+            e = e + t
+        return e
+
+    pre = vecs.select(
+        "vec_id", "v",
+        *[fold([x[j] * F.lit(w1[j][k]) for j in range(d)])
+          .alias(f"p{k}") for k in range(hdim)])
+    hid = pre.select(
+        "vec_id", "v",
+        *[(F.col(f"p{k}") / (F.lit(1.0) + F.abs(F.col(f"p{k}"))))
+          .alias(f"h{k}") for k in range(hdim)])
+    rec = hid.select(
+        "vec_id", "v",
+        *[fold([F.col(f"h{k}") * F.lit(w2[k][j]) for k in range(hdim)])
+          .alias(f"r{j}") for j in range(d)])
+    xr = [F.element_at(F.col("v"), j + 1) for j in range(d)]
+    mse = rec.select(
+        "vec_id",
+        (fold([(F.col(f"r{j}") - xr[j]) * (F.col(f"r{j}") - xr[j])
+               for j in range(d)]) / F.lit(float(d))).alias("mse"))
+    ranked = with_global_rank(
+        mse, [F.desc("mse"), F.asc("vec_id")],
+        rank_col="rn", total_col="n")
+    return (ranked.select(
+        F.col("vec_id").alias("user"),
+        F.round("mse", 6).alias("ae_mse"),
+        (F.col("rn") <= F.expr("(n + 9) div 10")).cast("int")
+        .alias("is_anomaly"))
+        .orderBy("user"))
+
+
+def _aef_sql() -> str:
+    d, hdim = len(_KF_FEATURES), _AEF_HID
+    w1, w2 = _aef_weights()
+    feats = _kf_prefix()[0][:5]  # log/base/mm/sc/emb CTEs only
+    pre = ", ".join(
+        " + ".join(f"v[{j + 1}] * {w1[j][k]!r}::DOUBLE"
+                   for j in range(d)) + f" AS p{k}"
+        for k in range(hdim))
+    hid = ", ".join(f"p{k} / (1.0::DOUBLE + abs(p{k})) AS h{k}"
+                    for k in range(hdim))
+    rec = ", ".join(
+        " + ".join(f"h{k} * {w2[k][j]!r}::DOUBLE"
+                   for k in range(hdim)) + f" AS r{j}"
+        for j in range(d))
+    mse = " + ".join(f"(r{j} - v[{j + 1}]) * (r{j} - v[{j + 1}])"
+                     for j in range(d))
+    return ("WITH " + ",\n".join(feats) + f""",
+pre AS (SELECT vec_id, v, {pre} FROM emb),
+hid AS (SELECT vec_id, v, {hid} FROM pre),
+rec AS (SELECT vec_id, v, {rec} FROM hid),
+m AS (SELECT vec_id, ({mse}) / {float(d)!r}::DOUBLE AS mse FROM rec),
+rk AS (SELECT vec_id, mse,
+              row_number() OVER (ORDER BY mse DESC, vec_id) AS rn,
+              count(*) OVER () AS n
+       FROM m)
+SELECT vec_id AS user, round(mse, 6) AS ae_mse,
+       CASE WHEN rn <= (n + 9) // 10 THEN 1 ELSE 0 END AS is_anomaly
+FROM rk ORDER BY user""")
+
+
+QUERIES_TAIL["autoencoder_fixed_anomalies"] = autoencoder_fixed_anomalies
+ORACLES_TAIL["autoencoder_fixed_anomalies"] = _aef_sql()
+
+
+def _ocf_params() -> tuple[list, list, list]:
+    d = len(_KF_FEATURES)
+    planes = [[_u01(f"ocf:{i}:{j}") for j in range(d)]
+              for i in range(_OCF_PLANES)]
+    offs = [_u01(f"ocfb:{i}") for i in range(_OCF_PLANES)]
+    mix = [_u01(f"ocfu:{i}") for i in range(_OCF_PLANES)]
+    return planes, offs, mix
+
+
+def ocsvm_fixed_anomalies(spark: SparkSession,
+                          sf_dir: str) -> DataFrame:
+    """Oracle twin of M3 (ocsvm_anomalies): fixed md5-derived random
+    feature planes z_i = softsign(v·w_i + b_i), margin f = Σ z_i·u_i,
+    and the KKT ν-quantile step the real detector performs — ρ = the
+    ceil(n/10)-th smallest margin (type-1 quantile, rank-extracted
+    identically in both engines) — with the ν lowest-margin users
+    flagged. Verifies the distributed RFF-shaped scoring + exact
+    quantile extraction; the RNG-trained boundary keeps golden-band
+    coverage."""
+    from pyspark.sql import functions as F
+
+    from threat_detection_nosql_spark.operators.ranking import (
+        with_global_rank)
+
+    d = len(_KF_FEATURES)
+    planes, offs, mix = _ocf_params()
+    vecs = _kf_vectors(spark, sf_dir)
+    x = [F.element_at(F.col("v"), j + 1) for j in range(d)]
+
+    def fold(terms):
+        e = terms[0]
+        for t in terms[1:]:
+            e = e + t
+        return e
+
+    pre = vecs.select(
+        "vec_id",
+        *[(fold([x[j] * F.lit(planes[i][j]) for j in range(d)])
+           + F.lit(offs[i])).alias(f"p{i}")
+          for i in range(_OCF_PLANES)])
+    marg = pre.select(
+        "vec_id",
+        fold([(F.col(f"p{i}") / (F.lit(1.0) + F.abs(F.col(f"p{i}"))))
+              * F.lit(mix[i]) for i in range(_OCF_PLANES)])
+        .alias("f"))
+    ranked = with_global_rank(
+        marg, [F.asc("f"), F.asc("vec_id")],
+        rank_col="rn", total_col="n").localCheckpoint()
+    rho = (ranked.filter(F.col("rn") == F.expr("(n + 9) div 10"))
+           .select(F.col("f").alias("rho")))
+    return (ranked.crossJoin(F.broadcast(rho))
+            .select(F.col("vec_id").alias("user"),
+                    F.round("f", 6).alias("ocsvm_margin"),
+                    F.round("rho", 6).alias("rho"),
+                    (F.col("rn") <= F.expr("(n + 9) div 10"))
+                    .cast("int").alias("is_anomaly"))
+            .orderBy("user"))
+
+
+def _ocf_sql() -> str:
+    d = len(_KF_FEATURES)
+    planes, offs, mix = _ocf_params()
+    feats = _kf_prefix()[0][:5]
+    pre = ", ".join(
+        " + ".join(f"v[{j + 1}] * {planes[i][j]!r}::DOUBLE"
+                   for j in range(d))
+        + f" + {offs[i]!r}::DOUBLE AS p{i}"
+        for i in range(_OCF_PLANES))
+    f_expr = " + ".join(
+        f"p{i} / (1.0::DOUBLE + abs(p{i})) * {mix[i]!r}::DOUBLE"
+        for i in range(_OCF_PLANES))
+    return ("WITH " + ",\n".join(feats) + f""",
+pre AS (SELECT vec_id, {pre} FROM emb),
+m AS (SELECT vec_id, {f_expr} AS f FROM pre),
+rk AS (SELECT vec_id, f,
+              row_number() OVER (ORDER BY f, vec_id) AS rn,
+              count(*) OVER () AS n
+       FROM m),
+rho AS (SELECT f AS rho FROM rk WHERE rn = (n + 9) // 10)
+SELECT vec_id AS user, round(f, 6) AS ocsvm_margin,
+       round(rho, 6) AS rho,
+       CASE WHEN rn <= (n + 9) // 10 THEN 1 ELSE 0 END AS is_anomaly
+FROM rk CROSS JOIN rho ORDER BY user""")
+
+
+QUERIES_TAIL["ocsvm_fixed_anomalies"] = ocsvm_fixed_anomalies
+ORACLES_TAIL["ocsvm_fixed_anomalies"] = _ocf_sql()

@@ -2863,6 +2863,8 @@ QUERIES_TAIL["repeated_substring_spans"] = repeated_substring_spans
 ORACLES_TAIL["repeated_substring_spans"] = _SPAN_SQL
 
 
+
+
 # -- D6i: color JPEG decode — interleaved MCUs + YCbCr (round 11) --------------
 
 def jpeg_color_decode_stats(spark: SparkSession,
@@ -3029,3 +3031,114 @@ FROM rgb GROUP BY doc_id, w
 
 QUERIES_TAIL["jpeg420_decode_stats"] = jpeg420_decode_stats
 ORACLES_TAIL["jpeg420_decode_stats"] = _jpeg420_stats_sql()
+
+
+# -- D6k: sampled-lattice decode digests (round 12) ----------------------------
+# The full-lattice color/420 oracles replay EVERY pixel — ~192M rows
+# at the 100x soak, impractical single-box (their 100x records were
+# execution+rowcount only; r11 verdict ask #2). These digest twins
+# decode the SAME blobs completely on the Spark side but emit sums
+# over only the md5-selected ~1/97 raster positions, and the oracle
+# enumerates ONLY those positions via a stepped range — hash parity
+# at 100x for ~1/97 the oracle cost.
+
+def jpeg_color_sampled_digest(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """Position-sampled digest of the 4:4:4 color decode: full
+    interleaved-MCU decode per blob, channel sums over raster
+    positions p % 97 == r, r = int(md5(str(doc_id))[:6], 16) % 97.
+    97 is prime and coprime to the 8-pixel block period so sampled
+    positions sweep every in-block phase; one bad huffman bit still
+    shifts every later code, so the sampled sums collapse the same
+    way the full sums do."""
+    from threat_detection_nosql_spark.operators.multimodal import (
+        jpeg_sampled_digest, synth_jpeg_color_media)
+    docs = load_table(spark, sf_dir, "documents")
+    return jpeg_sampled_digest(synth_jpeg_color_media(docs))
+
+
+def jpeg420_sampled_digest(spark: SparkSession,
+                           sf_dir: str) -> DataFrame:
+    """Position-sampled digest of the 4:2:0 subsampled decode — same
+    md5-position rule as jpeg_color_sampled_digest over the 4:2:0
+    corpus (chroma replication verified at the sampled positions)."""
+    from threat_detection_nosql_spark.operators.multimodal import (
+        jpeg_sampled_digest, synth_jpeg_420_media)
+    docs = load_table(spark, sf_dir, "documents")
+    return jpeg_sampled_digest(synth_jpeg_420_media(docs))
+
+
+def _jpeg_sampled_sql(is420: bool) -> str:
+    """Sampled-position replay: identical per-pixel arithmetic to the
+    full-lattice oracles, but positions come from a stepped range —
+    DuckDB generates ~1/97 of the rows instead of filtering all of
+    them."""
+    from threat_detection_nosql_spark.operators.multimodal import (
+        JPEG_CB_B, JPEG_CB_G, JPEG_CR_G, JPEG_CR_R, jpeg_basis)
+    b0 = jpeg_basis(0, 0)[0][0]
+    c1 = [jpeg_basis(0, 1)[0][x] for x in range(8)]
+    c3 = [jpeg_basis(2, 0)[y][0] for y in range(8)]
+
+    def case(var: str, vals: list[float]) -> str:
+        return ("CASE " + var + " "
+                + " ".join(f"WHEN {i} THEN {vals[i]!r}::DOUBLE"
+                           for i in range(8))
+                + " END")
+
+    def comp(c: int, q0: int, q1: int, q3: int,
+             br: str, bc: str, iy: str, ix: str) -> str:
+        return (
+            f"greatest(0, least(255, CAST(floor(128.0::DOUBLE"
+            f" + ((doc_id + 3 * ({br}) + 5 * ({bc}) + {7 * c}) % 21"
+            f" - 10) * {q0} * {b0!r}::DOUBLE"
+            f" + ((doc_id + ({br}) + 2 * ({bc}) + {3 * c}) % 7 - 3)"
+            f" * {q1} * ({case(ix, c1)})"
+            f" + ((doc_id + 2 * ({br}) + ({bc}) + {5 * c}) % 5 - 2)"
+            f" * {q3} * ({case(iy, c3)})"
+            f" + 0.5::DOUBLE) AS BIGINT)))")
+
+    if is420:
+        width = "16 * (1 + doc_id % 2)"
+        cy, cx = "(y // 2)", "(x // 2)"
+    else:
+        width = "8 * (2 + doc_id % 3)"
+        cy, cx = "y", "x"
+    yv = comp(0, 16, 11, 14, "y // 8", "x // 8", "y % 8", "x % 8")
+    cbv = comp(1, 17, 18, 24, f"{cy} // 8", f"{cx} // 8",
+               f"{cy} % 8", f"{cx} % 8")
+    crv = comp(2, 17, 18, 24, f"{cy} // 8", f"{cx} // 8",
+               f"{cy} % 8", f"{cx} % 8")
+    return f"""
+WITH d AS (SELECT doc_id, {width} AS w,
+                  CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                                       1, 6)) AS INT) % 97 AS r
+           FROM documents),
+pos AS (SELECT doc_id, w, unnest(range(r, 16 * w, 97)) AS p FROM d),
+xy AS (SELECT doc_id, w, p // w AS y, p % w AS x FROM pos),
+ycc AS (SELECT doc_id, w, {yv} AS yv, {cbv} AS cbv, {crv} AS crv
+        FROM xy),
+rgb AS (SELECT doc_id, w,
+  greatest(0, least(255, CAST(floor(
+    yv + {JPEG_CR_R!r}::DOUBLE * (crv - 128.0::DOUBLE)
+       + 0.5::DOUBLE) AS BIGINT))) AS r,
+  greatest(0, least(255, CAST(floor(
+    yv - {JPEG_CB_G!r}::DOUBLE * (cbv - 128.0::DOUBLE)
+       - {JPEG_CR_G!r}::DOUBLE * (crv - 128.0::DOUBLE)
+       + 0.5::DOUBLE) AS BIGINT))) AS g,
+  greatest(0, least(255, CAST(floor(
+    yv + {JPEG_CB_B!r}::DOUBLE * (cbv - 128.0::DOUBLE)
+       + 0.5::DOUBLE) AS BIGINT))) AS b
+  FROM ycc)
+SELECT doc_id, CAST(w AS INT) AS width, CAST(16 AS INT) AS height,
+       CAST(count(*) AS INT) AS n_sampled,
+       CAST(sum(r) AS BIGINT) AS sum_r,
+       CAST(sum(g) AS BIGINT) AS sum_g,
+       CAST(sum(b) AS BIGINT) AS sum_b
+FROM rgb GROUP BY doc_id, w
+"""
+
+
+QUERIES_TAIL["jpeg_color_sampled_digest"] = jpeg_color_sampled_digest
+ORACLES_TAIL["jpeg_color_sampled_digest"] = _jpeg_sampled_sql(False)
+QUERIES_TAIL["jpeg420_sampled_digest"] = jpeg420_sampled_digest
+ORACLES_TAIL["jpeg420_sampled_digest"] = _jpeg_sampled_sql(True)
