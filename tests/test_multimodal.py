@@ -94,3 +94,37 @@ def test_decode_media_dispatch_and_codec_refusal():
         multimodal._synth_jpeg_blob(5), "jpeg").shape == (16, 32)
     with pytest.raises(ValueError, match="no lib-free decoder"):
         multimodal.decode_media(b"\x00\x00\x00\x18ftyp", "mp4")
+
+
+def test_avi_mjpeg_roundtrip_and_alignment():
+    """RIFF walk + per-frame JPEG decode: every frame bit-equal to
+    the still decoder; planted corpus includes odd-length frame
+    chunks so the word-alignment padding path runs."""
+    from threat_detection_nosql_spark.operators import multimodal as M
+    import numpy as np
+    saw_odd = False
+    for doc in range(8):
+        stack = M.decode_avi_mjpeg(M._synth_avi_blob(doc))
+        n, h, w = stack.shape
+        assert (n, h, w) == (2 + doc % 4, 16, 8 * (2 + doc % 3))
+        for f in range(n):
+            frame = M.encode_jpeg_gray(w, 16,
+                                       M._avi_planted_blocks(doc, f))
+            saw_odd = saw_odd or len(frame) % 2 == 1
+            assert (stack[f] == M.decode_jpeg_gray(frame)).all()
+    assert saw_odd  # alignment padding was actually exercised
+
+
+def test_avi_error_paths():
+    from threat_detection_nosql_spark.operators import multimodal as M
+    import pytest
+    with pytest.raises(ValueError, match="RIFF"):
+        M.decode_avi_mjpeg(b"nope" * 8)
+    blob = bytearray(M._synth_avi_blob(1))
+    i = bytes(blob).find(b"MJPG")
+    blob[i:i + 4] = b"cvid"
+    with pytest.raises(ValueError, match="handler"):
+        M.decode_avi_mjpeg(bytes(blob))
+    # decode_media dispatches avi and the stack shape is (n, h, w)
+    stack = M.decode_media(M._synth_avi_blob(5), "avi")
+    assert stack.ndim == 3 and stack.shape[1] == 16

@@ -575,11 +575,14 @@ def decode_media(blob: bytes, media_kind: str):
         return decode_wav(blob)
     if media_kind == "jpeg":
         return decode_jpeg(blob)
+    if media_kind == "avi":
+        return decode_avi_mjpeg(blob)
     raise ValueError(
-        f"no lib-free decoder for {media_kind!r}; MP4/video needs "
-        "pyav, not present in this container (JPEG is covered for "
-        "baseline sequential — gray + 4:4:4/4:2:2/4:2:0 color, "
-        "DRI/RSTn restart intervals; progressive SOF2 raises)")
+        f"no lib-free decoder for {media_kind!r}; MP4 and non-MJPEG "
+        "codecs need pyav, not present in this container (JPEG is "
+        "covered for baseline sequential — gray + 4:4:4/4:2:2/4:2:0 "
+        "color, DRI/RSTn restart intervals; progressive SOF2 raises; "
+        "video is covered for MJPEG-in-AVI — decode_avi_mjpeg)")
 
 
 MEDIA_BLOB_SCHEMA = "doc_id long, media_kind string, blob binary"
@@ -1675,3 +1678,162 @@ def synth_jpeg_420_media(docs: DataFrame) -> DataFrame:
 
     return docs.select("doc_id").mapInPandas(
         batches, schema="doc_id long, blob binary")
+
+
+# ---------------------------------------------------------------------------
+# MJPEG-in-AVI: the one honest decode_media raise left (r11 verdict
+# ask #8). A from-scratch RIFF/AVI container walk over the existing
+# baseline JPEG decoder — no codec libs, public structure (Microsoft
+# AVI RIFF spec: RIFF('AVI ' LIST('hdrl' avih strl(strh strf))
+# LIST('movi' 00dc...) idx1); MJPG frames are plain JPEG streams).
+# ---------------------------------------------------------------------------
+
+
+def _riff_chunk(fourcc: bytes, payload: bytes) -> bytes:
+    import struct
+    pad = b"\x00" if len(payload) % 2 else b""  # RIFF word alignment
+    return fourcc + struct.pack("<I", len(payload)) + payload + pad
+
+
+def encode_avi_mjpeg(frames: list[bytes], width: int, height: int,
+                     fps: int = 10) -> bytes:
+    """Minimal spec-conformant MJPEG AVI: avih + one 'vids'/'MJPG'
+    stream (strh/strf BITMAPINFOHEADER), every frame a '00dc' chunk
+    in the movi LIST, plus an idx1 index. Frames are the baseline
+    JPEG streams this module's encoder emits."""
+    import struct
+    avih = struct.pack(
+        "<14I", 1_000_000 // fps, 0, 0, 0x10, len(frames), 0, 1,
+        max((len(f) for f in frames), default=0), width, height,
+        0, 0, 0, 0)
+    strh = (b"vids" + b"MJPG"
+            + struct.pack("<IHHIIIIIIII4H", 0, 0, 0, 0, 1, fps, 0,
+                          len(frames), 0, 10_000, 0,
+                          0, 0, width, height))
+    strf = struct.pack("<IiiHH4sIiiII", 40, width, height, 1, 24,
+                       b"MJPG", width * height * 3, 0, 0, 0, 0)
+    strl = _riff_chunk(b"LIST", b"strl"
+                       + _riff_chunk(b"strh", strh)
+                       + _riff_chunk(b"strf", strf))
+    hdrl = _riff_chunk(b"LIST", b"hdrl"
+                       + _riff_chunk(b"avih", avih) + strl)
+    movi_payload = b"movi"
+    offsets = []
+    for f in frames:
+        offsets.append(len(movi_payload))  # offset of the 00dc fourcc
+        movi_payload += _riff_chunk(b"00dc", f)
+    movi = _riff_chunk(b"LIST", movi_payload)
+    idx = b"".join(struct.pack("<4sIII", b"00dc", 0x10, off, ln)
+                   for off, ln in zip(offsets, map(len, frames)))
+    body = b"AVI " + hdrl + movi + _riff_chunk(b"idx1", idx)
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_avi_mjpeg(blob: bytes) -> np.ndarray:
+    """Decode an MJPEG AVI to a (n_frames, h, w) luma stack (or
+    (n, h, w, 3) when frames are color): RIFF walk, stream-type
+    verification (vids/MJPG), '00dc'/'00db' chunk extraction honoring
+    word alignment, per-frame baseline JPEG decode. Raises a clean
+    capability error for non-MJPEG streams (cinepak/h264/... need
+    codec libs this container does not have)."""
+    import struct
+    if blob[:4] != b"RIFF" or blob[8:12] != b"AVI ":
+        raise ValueError("not an AVI (no RIFF/'AVI ' header)")
+
+    frames: list[bytes] = []
+    handler = None
+
+    def walk(data: bytes, pos: int, end: int) -> None:
+        nonlocal handler
+        while pos + 8 <= end:
+            fourcc = data[pos:pos + 4]
+            ln = struct.unpack("<I", data[pos + 4:pos + 8])[0]
+            payload_start = pos + 8
+            if fourcc == b"LIST":
+                walk(data, payload_start + 4, payload_start + ln)
+            elif fourcc == b"strh":
+                if data[payload_start:payload_start + 4] == b"vids":
+                    h = data[payload_start + 4:payload_start + 8]
+                    if h not in (b"MJPG", b"mjpg"):
+                        raise ValueError(
+                            f"AVI video handler {h!r} unsupported — "
+                            "only MJPG (per-frame JPEG) decodes "
+                            "without codec libs")
+                    handler = h
+            elif fourcc in (b"00dc", b"00db"):
+                frames.append(data[payload_start:payload_start + ln])
+            pos = payload_start + ln + (ln % 2)  # word alignment
+
+    walk(blob, 12, len(blob))
+    if handler is None:
+        raise ValueError("no 'vids' stream header in AVI")
+    if not frames:
+        raise ValueError("no frame chunks in AVI movi list")
+    return np.stack([decode_jpeg(f) for f in frames])
+
+
+# planted MJPEG lattice: same gray block grid per frame (wb from
+# doc_id so all frames share dimensions), coefficients phase-shifted
+# per frame by 977·(f+1) — the oracle replays the per-frame sums in
+# closed form exactly like the still-JPEG oracle
+def _avi_planted_blocks(doc_id: int, frame: int) -> dict:
+    wb = 2 + doc_id % 3
+    s = doc_id + 977 * (frame + 1)
+    blocks = {}
+    for br in range(2):
+        for bc in range(wb):
+            blocks[(br, bc)] = {
+                0: (s + 3 * br + 5 * bc) % 21 - 10,
+                1: (s + br + 2 * bc) % 7 - 3,
+                3: (s + 2 * br + bc) % 5 - 2,
+            }
+    return blocks
+
+
+def _synth_avi_blob(doc_id: int) -> bytes:
+    wb = 2 + doc_id % 3
+    n_frames = 2 + doc_id % 4
+    frames = [encode_jpeg_gray(wb * 8, 16,
+                               _avi_planted_blocks(doc_id, f))
+              for f in range(n_frames)]
+    return encode_avi_mjpeg(frames, wb * 8, 16)
+
+
+def synth_avi_media(docs: DataFrame) -> DataFrame:
+    """Plant one MJPEG AVI per document (two-stage mapInPandas shape —
+    the container bytes genuinely cross Arrow binary columns)."""
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "blob": [_synth_avi_blob(int(d))
+                         for d in pdf["doc_id"]]})
+
+    return docs.select("doc_id").mapInPandas(
+        batches, schema="doc_id long, blob binary")
+
+
+AVI_STATS_SCHEMA = ("doc_id long, n_frames int, width int, "
+                    "height int, sum_y long")
+
+
+def avi_mjpeg_decode_stats(media: DataFrame) -> DataFrame:
+    """Decode planted MJPEG AVIs (RIFF walk + per-frame JPEG decode)
+    and emit the frame count plus the exact luma sum across ALL
+    frames — one bad frame boundary or huffman bit collapses the
+    total."""
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {k: [] for k in ("doc_id", "n_frames", "width",
+                                   "height", "sum_y")}
+            for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
+                stack = decode_avi_mjpeg(bytes(blob)).astype(np.int64)
+                n, h, w = stack.shape
+                out["doc_id"].append(doc_id)
+                out["n_frames"].append(n)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["sum_y"].append(int(stack.sum()))
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(batches, schema=AVI_STATS_SCHEMA)

@@ -2763,6 +2763,71 @@ QUERIES_TAIL["jpeg_restart_decode_stats"] = jpeg_restart_decode_stats
 ORACLES_TAIL["jpeg_restart_decode_stats"] = _jpeg_stats_sql()
 
 
+def avi_mjpeg_decode_stats(spark: SparkSession,
+                           sf_dir: str) -> DataFrame:
+    """VIDEO end to end — the last decode_media raise closed (r11
+    verdict ask #8): plant one MJPEG AVI per document (2-5 baseline
+    JPEG frames in a spec-conformant RIFF container — avih, vids/MJPG
+    strh/strf, 00dc movi chunks, idx1), ship the container bytes
+    through Arrow, walk the RIFF structure back (word-aligned chunks,
+    handler verification), decode every frame with the from-scratch
+    baseline JPEG decoder, and emit the frame count + exact luma sum
+    across all frames. The oracle replays each frame's planted
+    lattice (coefficients phase-shifted per frame by 977·(f+1)) with
+    the decoder's own basis doubles as literals — one wrong chunk
+    boundary or huffman bit collapses the total."""
+    from threat_detection_nosql_spark.operators.multimodal import (
+        avi_mjpeg_decode_stats as stats, synth_avi_media)
+    docs = load_table(spark, sf_dir, "documents")
+    return stats(synth_avi_media(docs))
+
+
+def _avi_stats_sql() -> str:
+    from threat_detection_nosql_spark.operators.multimodal import (
+        jpeg_basis)
+    b0 = jpeg_basis(0, 0)[0][0]
+    c1 = [jpeg_basis(0, 1)[0][x] for x in range(8)]
+    c3 = [jpeg_basis(2, 0)[y][0] for y in range(8)]
+    case1 = ("CASE x "
+             + " ".join(f"WHEN {x} THEN {c1[x]!r}::DOUBLE"
+                        for x in range(8))
+             + " END")
+    case3 = ("CASE y "
+             + " ".join(f"WHEN {y} THEN {c3[y]!r}::DOUBLE"
+                        for y in range(8))
+             + " END")
+    return f"""
+WITH d AS (SELECT doc_id, 2 + doc_id % 3 AS wb,
+                  2 + doc_id % 4 AS nf FROM documents),
+fr AS (SELECT doc_id, wb, nf,
+              unnest(generate_series(0, nf - 1)) AS f FROM d),
+s AS (SELECT doc_id, wb, nf, doc_id + 977 * (f + 1) AS sd FROM fr),
+blk AS (SELECT doc_id, wb, nf, sd,
+               unnest(generate_series(0, 1)) AS br FROM s),
+blk2 AS (SELECT doc_id, wb, nf, sd, br,
+                unnest(generate_series(0, wb - 1)) AS bc FROM blk),
+py AS (SELECT doc_id, wb, nf, sd, br, bc,
+              unnest(generate_series(0, 7)) AS y FROM blk2),
+px AS (SELECT doc_id, wb, nf, sd, br, bc, y,
+              unnest(generate_series(0, 7)) AS x FROM py),
+val AS (SELECT doc_id, wb, nf,
+  CAST(floor(128.0::DOUBLE
+    + ((sd + 3 * br + 5 * bc) % 21 - 10) * 16 * {b0!r}::DOUBLE
+    + ((sd + br + 2 * bc) % 7 - 3) * 11 * ({case1})
+    + ((sd + 2 * br + bc) % 5 - 2) * 14 * ({case3})
+    + 0.5::DOUBLE) AS BIGINT) AS v
+  FROM px)
+SELECT doc_id, CAST(nf AS INT) AS n_frames,
+       CAST(wb * 8 AS INT) AS width, CAST(16 AS INT) AS height,
+       CAST(sum(v) AS BIGINT) AS sum_y
+FROM val GROUP BY doc_id, wb, nf
+"""
+
+
+QUERIES_TAIL["avi_mjpeg_decode_stats"] = avi_mjpeg_decode_stats
+ORACLES_TAIL["avi_mjpeg_decode_stats"] = _avi_stats_sql()
+
+
 # -- D28: exact substring-level dedup (repeated-span extraction) ---------------
 # The training-data op MinHash can't do: document-LEVEL near-dup
 # screens keep a doc that embeds a long verbatim quote of another —
