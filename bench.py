@@ -339,6 +339,20 @@ ROUND11_COUNT = [
     "repeated_substring_spans",
 ]
 
+# Round-12 wave ("round12_total"): restart-interval JPEG, the
+# md5-position-sampled decode digests, MJPEG-in-AVI video, and the
+# fixed-weights scoring twins for the two RNG detectors.
+ROUND12_COLLECT = [
+    "jpeg_restart_decode_stats",
+    "jpeg_progressive_decode_stats",
+    "jpeg_color_sampled_digest",
+    "jpeg420_sampled_digest",
+    "avi_mjpeg_decode_stats",
+    "autoencoder_fixed_anomalies",
+    "ocsvm_fixed_anomalies",
+]
+ROUND12_COUNT: list = []
+
 # Always isolated-re-measured regardless of in-run rank: queries whose
 # in-run numbers have previously disagreed with quiet-box reruns.
 ISOLATE_ALWAYS = ["stream_topk_users"]
@@ -361,6 +375,7 @@ GROUP_SPECS = [
     ("round8_total", ROUND8_COLLECT, ROUND8_COUNT),
     ("round9_total", ROUND9_COLLECT, ROUND9_COUNT),
     ("round11_total", ROUND11_COLLECT, ROUND11_COUNT),
+    ("round12_total", ROUND12_COLLECT, ROUND12_COUNT),
 ]
 
 

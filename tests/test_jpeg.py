@@ -358,3 +358,61 @@ def test_sampled_digest_spark_kernel(spark):
         assert row["n_sampled"] == len(sel)
         assert (row["sum_r"], row["sum_g"], row["sum_b"]) == \
             tuple(int(sel[:, i].sum()) for i in range(3))
+
+
+def test_progressive_matches_baseline_planted():
+    """Progressive (SOF2) is a lossless reorganization: every planted
+    doc decodes bit-identical to its baseline encoding, through the
+    full scan script (DC first/refine, two AC bands first/refine)."""
+    for doc in range(12):
+        w, h, blocks = M._jpeg_planted_blocks(doc)
+        base = M.decode_jpeg_gray(M.encode_jpeg_gray(w, h, blocks))
+        prog = M.decode_jpeg_progressive(
+            M.encode_jpeg_progressive(w, h, blocks))
+        assert (base == prog).all(), doc
+        # and decode_jpeg dispatches SOF2 automatically
+        assert (M.decode_jpeg(
+            M._synth_jpeg_progressive_blob(doc)) == base).all()
+
+
+def test_progressive_randomized_parity():
+    """Randomized coefficient lattices across Al in {1,2} and three
+    spectral-band splits — exercises EOB-run accumulation/splitting,
+    ZRL in first and refinement scans, woven correction bits, and
+    band-boundary bookkeeping."""
+    import random
+    rng = random.Random(7)
+    full = (M._JPEG_PROG_AC_BITS, M._JPEG_PROG_AC_SYMS)
+    for _ in range(25):
+        wb, hb = rng.randint(1, 5), rng.randint(1, 3)
+        blocks = {}
+        for br in range(hb):
+            for bc in range(wb):
+                coefs = {}
+                if rng.random() < 0.85:
+                    coefs[0] = rng.randint(-10, 10)
+                for zz in rng.sample(range(1, 64), rng.randint(0, 6)):
+                    coefs[zz] = rng.choice([-3, -2, -1, 1, 2, 3])
+                blocks[(br, bc)] = coefs
+        w, h = wb * 8, hb * 8
+        base = M.decode_jpeg_gray(
+            M.encode_jpeg_gray(w, h, blocks, ac_table=full))
+        for al in (1, 2):
+            for bands in (((1, 63),), ((1, 5), (6, 63)),
+                          ((1, 2), (3, 20), (21, 63))):
+                prog = M.decode_jpeg_progressive(M.encode_jpeg_progressive(
+                    w, h, blocks, al=al, ac_bands=bands))
+                assert (base == prog).all(), (al, bands)
+
+
+def test_progressive_long_eob_runs():
+    """A 160-block image with two lone coefficients: EOB runs exceed
+    the 7-bit EOBn category and must split across multiple codes."""
+    import numpy as np
+    full = (M._JPEG_PROG_AC_BITS, M._JPEG_PROG_AC_SYMS)
+    blocks = {(0, 0): {0: 5}, (3, 39): {9: 2}}
+    base = M.decode_jpeg_gray(
+        M.encode_jpeg_gray(320, 32, blocks, ac_table=full))
+    prog = M.decode_jpeg_progressive(
+        M.encode_jpeg_progressive(320, 32, blocks))
+    assert np.array_equal(base, prog)

@@ -581,8 +581,9 @@ def decode_media(blob: bytes, media_kind: str):
         f"no lib-free decoder for {media_kind!r}; MP4 and non-MJPEG "
         "codecs need pyav, not present in this container (JPEG is "
         "covered for baseline sequential — gray + 4:4:4/4:2:2/4:2:0 "
-        "color, DRI/RSTn restart intervals; progressive SOF2 raises; "
-        "video is covered for MJPEG-in-AVI — decode_avi_mjpeg)")
+        "color, DRI/RSTn restart intervals — and grayscale "
+        "progressive SOF2; video is covered for MJPEG-in-AVI — "
+        "decode_avi_mjpeg)")
 
 
 MEDIA_BLOB_SCHEMA = "doc_id long, media_kind string, blob binary"
@@ -977,7 +978,8 @@ def _jpeg_magnitude(v: int) -> tuple[int, int]:
 def encode_jpeg_gray(width: int, height: int,
                      blocks: dict[tuple[int, int], dict[int, int]],
                      qtable: list[int] = JPEG_QTABLE,
-                     restart_interval: int = 0) -> bytes:
+                     restart_interval: int = 0,
+                     ac_table: tuple | None = None) -> bytes:
     """Baseline sequential grayscale JPEG from QUANTIZED coefficients:
     ``blocks[(br, bc)] = {zigzag_index: quantized_value}``. Emits SOI,
     DQT (zigzag order), SOF0, two DHT segments, SOS, the
@@ -985,10 +987,15 @@ def encode_jpeg_gray(width: int, height: int,
     blocks in raster order), EOI. ``restart_interval`` > 0 emits a DRI
     segment and an RSTm marker (m cycling 0-7) after every that many
     MCUs — byte-aligned with 1-bit fill, DC predictor reset — the
-    T.81 F.2.2.4 restart structure camera JPEGs carry."""
+    T.81 F.2.2.4 restart structure camera JPEGs carry. ``ac_table``
+    overrides the minimal AC (bits, syms) pair — the stream carries
+    whatever DHT the encoder uses, so any valid canonical table
+    works (tests use the full-coverage progressive table for
+    randomized coefficients the minimal table can't code)."""
     import struct
+    ac_bits, ac_syms = ac_table or (_JPEG_AC_BITS, _JPEG_AC_SYMS)
     dc_codes = jpeg_canonical_codes(_JPEG_DC_BITS, _JPEG_DC_SYMS)
-    ac_codes = jpeg_canonical_codes(_JPEG_AC_BITS, _JPEG_AC_SYMS)
+    ac_codes = jpeg_canonical_codes(ac_bits, ac_syms)
 
     def seg(marker: int, payload: bytes) -> bytes:
         return struct.pack(">HH", marker, len(payload) + 2) + payload
@@ -1000,8 +1007,8 @@ def encode_jpeg_gray(width: int, height: int,
         ">BHHB", 8, height, width, 1) + bytes([1, 0x11, 0]))
     out += seg(0xFFC4, bytes([0x00]) + bytes(_JPEG_DC_BITS)
                + bytes(_JPEG_DC_SYMS))                  # DHT class0 id0
-    out += seg(0xFFC4, bytes([0x10]) + bytes(_JPEG_AC_BITS)
-               + bytes(_JPEG_AC_SYMS))                  # DHT class1 id0
+    out += seg(0xFFC4, bytes([0x10]) + bytes(ac_bits)
+               + bytes(ac_syms))                        # DHT class1 id0
     if restart_interval:
         out += seg(0xFFDD, struct.pack(">H", restart_interval))  # DRI
     out += seg(0xFFDA, bytes([1, 1, 0x00, 0, 63, 0]))   # SOS
@@ -1500,8 +1507,28 @@ def synth_jpeg_restart_media(docs: DataFrame) -> DataFrame:
         batches, schema="doc_id long, blob binary")
 
 
+def _jpeg_sof_marker(blob: bytes) -> int:
+    """Peek the frame type: walk markers (fill bytes + standalone
+    markers handled) until any SOFn, return its marker byte."""
+    import struct
+    pos = 2
+    while pos + 4 <= len(blob):
+        while blob[pos + 1] == 0xFF:
+            pos += 1
+        marker = blob[pos + 1]
+        pos += 2
+        if marker == 0x01 or 0xD0 <= marker <= 0xD9:
+            continue
+        if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+            return marker
+        pos += struct.unpack(">H", blob[pos:pos + 2])[0]
+    raise ValueError("no SOF marker")
+
+
 def decode_jpeg(blob: bytes) -> np.ndarray:
-    """Dispatch gray vs color by the SOF component count."""
+    """Dispatch: progressive (SOF2) vs baseline, gray vs color."""
+    if _jpeg_sof_marker(blob) == 0xC2:
+        return decode_jpeg_progressive(blob)
     comps = _parse_jpeg_headers(blob)[4]
     return (decode_jpeg_gray(blob) if len(comps) == 1
             else decode_jpeg_color(blob))
@@ -1837,3 +1864,461 @@ def avi_mjpeg_decode_stats(media: DataFrame) -> DataFrame:
             yield pd.DataFrame(out)
 
     return media.mapInPandas(batches, schema=AVI_STATS_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Progressive JPEG (SOF2) — grayscale, full spectral selection +
+# successive approximation + EOB runs, from the public spec (ITU T.81
+# Annex G; scan-structure behaviors cross-checked against the spec's
+# figures G.3-G.7). Progressive transmission is a lossless
+# REORGANIZATION of the same quantized coefficients, so a progressive
+# encoding of the planted lattice decodes to pixels bit-identical to
+# the baseline encoding — the oracle is the same lattice replay, and
+# the hash pins the multi-scan entropy decode end to end.
+# ---------------------------------------------------------------------------
+
+# dedicated AC table for progressive scans: the minimal baseline AC
+# table lacks EOBn symbols (0x10..0x70). 89 symbols, all at code
+# length 7 (89 < 2^7 and the all-ones codeword stays unused, so the
+# canonical build is valid); the stream carries this DHT, the generic
+# decoder builds it like any other.
+_JPEG_PROG_AC_SYMS = ([0x00, 0xF0]
+                      + [r << 4 for r in range(1, 8)]
+                      + [(r << 4) | s for r in range(16)
+                         for s in range(1, 6)])
+_JPEG_PROG_AC_BITS = [0, 0, 0, 0, 0, 0, len(_JPEG_PROG_AC_SYMS),
+                      0, 0, 0, 0, 0, 0, 0, 0, 0]
+
+
+def _pt_ac(v: int, al: int) -> int:
+    """AC successive-approximation point transform: divide by 2^Al
+    truncating toward ZERO (T.81 G.1.2.1 — unlike the DC arithmetic
+    shift, which truncates toward -inf)."""
+    return v // (1 << al) if v >= 0 else -((-v) // (1 << al))
+
+
+def encode_jpeg_progressive(width: int, height: int,
+                            blocks: dict[tuple[int, int],
+                                         dict[int, int]],
+                            qtable: list[int] = JPEG_QTABLE,
+                            al: int = 1,
+                            ac_bands: tuple = ((1, 5), (6, 63)),
+                            ) -> bytes:
+    """Grayscale progressive JPEG from QUANTIZED coefficients. Scan
+    script: DC first (Al=``al``) -> DC refinements down to 0 -> per
+    spectral band: AC first (Al=``al``) -> AC refinements down to 0.
+    AC scans accumulate EOB runs across blocks; refinement scans
+    weave correction bits for already-nonzero coefficients behind the
+    next emitted symbol (code/ZRL/EOBn) exactly as the decoder
+    consumes them."""
+    import struct
+    dc_codes = jpeg_canonical_codes(_JPEG_DC_BITS, _JPEG_DC_SYMS)
+    ac_codes = jpeg_canonical_codes(_JPEG_PROG_AC_BITS,
+                                    _JPEG_PROG_AC_SYMS)
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+    wb, hb = width // 8, height // 8
+    coefs = [[blocks.get((br, bc), {}).get(zz, 0) for zz in range(64)]
+             for br in range(hb) for bc in range(wb)]
+
+    zz_q = bytes(qtable[u * 8 + v] for u, v in JPEG_ZIGZAG)
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xFFDB, b"\x00" + zz_q)
+    out += seg(0xFFC2, struct.pack(                      # SOF2
+        ">BHHB", 8, height, width, 1) + bytes([1, 0x11, 0]))
+    out += seg(0xFFC4, bytes([0x00]) + bytes(_JPEG_DC_BITS)
+               + bytes(_JPEG_DC_SYMS))
+    out += seg(0xFFC4, bytes([0x10]) + bytes(_JPEG_PROG_AC_BITS)
+               + bytes(_JPEG_PROG_AC_SYMS))
+
+    def sos(ss: int, se: int, ah: int, al_: int) -> bytes:
+        return seg(0xFFDA, bytes([1, 1, 0x00, ss, se,
+                                  (ah << 4) | al_]))
+
+    # --- DC first scan: diffs of dc >> al (arithmetic shift) --------
+    out += sos(0, 0, 0, al)
+    bw = _BitWriter()
+    pred = 0
+    for c in coefs:
+        v = c[0] >> al
+        size, bits = _jpeg_magnitude(v - pred)
+        pred = v
+        code, ln = dc_codes[size]
+        bw.put(code, ln)
+        if size:
+            bw.put(bits, size)
+    bw.flush()
+    out += bw.out
+
+    # --- DC refinement scans: one raw bit per block -----------------
+    for a in range(al - 1, -1, -1):
+        out += sos(0, 0, a + 1, a)
+        bw = _BitWriter()
+        for c in coefs:
+            bw.put((c[0] >> a) & 1, 1)
+        bw.flush()
+        out += bw.out
+
+    # --- AC scans per spectral band ---------------------------------
+    for ss, se in ac_bands:
+        # FIRST scan at Al=al (T.81 G.1.2.2): runs count zeros in the
+        # point-transformed band; trailing-zero blocks fold into an
+        # EOB run flushed before the next nonzero block's codes.
+        out += sos(ss, se, 0, al)
+        bw = _BitWriter()
+        eobrun = 0
+
+        def emit_eobrun():
+            nonlocal eobrun
+            while eobrun > 0:
+                r = min(7, eobrun.bit_length() - 1)
+                n = min(eobrun, (1 << (r + 1)) - 1)
+                r = n.bit_length() - 1
+                code, ln = ac_codes[r << 4] if r else ac_codes[0x00]
+                bw.put(code, ln)
+                if r:
+                    bw.put(n - (1 << r), r)
+                eobrun -= n
+
+        for c in coefs:
+            vals = [(k, _pt_ac(c[k], al)) for k in range(ss, se + 1)]
+            nz = [(k, v) for k, v in vals if v != 0]
+            if not nz:
+                eobrun += 1
+                continue
+            emit_eobrun()
+            last = ss - 1
+            for k, v in nz:
+                run = k - last - 1
+                while run > 15:
+                    code, ln = ac_codes[0xF0]
+                    bw.put(code, ln)
+                    run -= 16
+                size, bits = _jpeg_magnitude(v)
+                code, ln = ac_codes[(run << 4) | size]
+                bw.put(code, ln)
+                bw.put(bits, size)
+                last = k
+            if last < se:
+                eobrun += 1
+        emit_eobrun()
+        bw.flush()
+        out += bw.out
+
+        # REFINEMENT scans (T.81 G.1.2.3): walk the band; zero-HISTORY
+        # positions advance the run; nonzero-history positions queue a
+        # correction bit behind whatever symbol is emitted next
+        # (ZRL / newly-nonzero code / EOBn); ZRL fires as soon as the
+        # run exceeds 15 at any nonzero position still left of the
+        # last newly-nonzero coefficient; trailing runs fold into the
+        # EOB run.
+        for a in range(al - 1, -1, -1):
+            out += sos(ss, se, a + 1, a)
+            bw = _BitWriter()
+            eobrun = 0
+            eob_bits: list[int] = []   # correction bits behind EOBn
+
+            def emit_eobrun_r():
+                nonlocal eobrun, eob_bits
+                while eobrun > 0:
+                    r = min(7, eobrun.bit_length() - 1)
+                    n = min(eobrun, (1 << (r + 1)) - 1)
+                    r = n.bit_length() - 1
+                    code, ln = (ac_codes[r << 4] if r
+                                else ac_codes[0x00])
+                    bw.put(code, ln)
+                    if r:
+                        bw.put(n - (1 << r), r)
+                    for b in eob_bits:
+                        bw.put(b, 1)
+                    eob_bits = []
+                    eobrun -= n
+
+            for c in coefs:
+                hist = [_pt_ac(c[k], a + 1) for k in range(64)]
+                now = [_pt_ac(c[k], a) for k in range(64)]
+                newly = [k for k in range(ss, se + 1)
+                         if hist[k] == 0 and now[k] != 0]
+                last_new = newly[-1] if newly else ss - 1
+                run = 0
+                pending: list[int] = []
+                for k in range(ss, se + 1):
+                    if now[k] == 0:
+                        run += 1
+                        continue
+                    while run > 15 and k <= last_new:
+                        emit_eobrun_r()
+                        code, ln = ac_codes[0xF0]
+                        bw.put(code, ln)
+                        run -= 16
+                        for b in pending:
+                            bw.put(b, 1)
+                        pending = []
+                    if hist[k] != 0:       # correction bit only
+                        pending.append(abs(now[k]) & 1)
+                        continue
+                    emit_eobrun_r()
+                    code, ln = ac_codes[(run << 4) | 1]
+                    bw.put(code, ln)
+                    bw.put(1 if now[k] > 0 else 0, 1)
+                    for b in pending:
+                        bw.put(b, 1)
+                    pending = []
+                    run = 0
+                if run > 0 or pending:
+                    eobrun += 1
+                    eob_bits.extend(pending)
+                    if eobrun == 32767:
+                        emit_eobrun_r()
+            emit_eobrun_r()
+            bw.flush()
+            out += bw.out
+
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def decode_jpeg_progressive(blob: bytes) -> np.ndarray:
+    """Decode a GRAYSCALE progressive (SOF2) JPEG: full marker walk
+    across ALL scans (tables may be redefined between scans),
+    per-scan DC first/refine and AC first/refine entropy decode with
+    EOB-run bookkeeping, then one dequant + sparse basis-sum IDCT per
+    block in ascending zigzag order — the identical float sequence
+    the baseline decoder uses, so progressive and baseline encodings
+    of the same coefficients produce bit-identical pixels."""
+    import struct
+    if blob[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (no SOI)")
+    pos = 2
+    qtables: dict[int, list[int]] = {}
+    huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+    width = height = -1
+    comps: dict[int, tuple[int, int]] = {}
+    coefs: list[list[int]] | None = None
+    eobrun = 0
+    while pos < len(blob):
+        if blob[pos] != 0xFF:
+            raise ValueError(f"expected marker at {pos}")
+        while blob[pos + 1] == 0xFF:
+            pos += 1
+        marker = blob[pos + 1]
+        pos += 2
+        if marker == 0xD9:                      # EOI
+            break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            continue
+        ln = struct.unpack(">H", blob[pos:pos + 2])[0]
+        payload = blob[pos + 2:pos + ln]
+        if marker == 0xDB:
+            p = 0
+            while p < len(payload):
+                pq, tq = payload[p] >> 4, payload[p] & 0xF
+                if pq != 0:
+                    raise ValueError("16-bit quant tables unsupported")
+                zz_vals = payload[p + 1:p + 65]
+                nat = [0] * 64
+                for i, (u, v) in enumerate(JPEG_ZIGZAG):
+                    nat[u * 8 + v] = zz_vals[i]
+                qtables[tq] = nat
+                p += 65
+        elif marker == 0xC2:                    # SOF2
+            prec, height, width, ncomp = struct.unpack(
+                ">BHHB", payload[:6])
+            if prec != 8 or ncomp != 1:
+                raise ValueError(
+                    "only 8-bit grayscale progressive supported")
+            cid, samp, tq = payload[6:9]
+            comps[cid] = (samp, tq)
+            coefs = [[0] * 64
+                     for _ in range(((height + 7) // 8)
+                                    * ((width + 7) // 8))]
+        elif marker == 0xC0:
+            raise ValueError(
+                "baseline SOF0 inside progressive walk — use "
+                "decode_jpeg_gray")
+        elif marker == 0xC4:
+            p = 0
+            while p < len(payload):
+                tc, th = payload[p] >> 4, payload[p] & 0xF
+                bits = list(payload[p + 1:p + 17])
+                n = sum(bits)
+                syms = list(payload[p + 17:p + 17 + n])
+                codes = jpeg_canonical_codes(bits, syms)
+                huff[(tc, th)] = {(ln_, code): sym
+                                  for sym, (code, ln_) in codes.items()}
+                p += 17 + n
+        elif marker == 0xDA:                    # one scan
+            if coefs is None:
+                raise ValueError("SOS before SOF2")
+            ns = payload[0]
+            if ns != 1:
+                raise ValueError("interleaved progressive scans "
+                                 "unsupported (grayscale only)")
+            tds = payload[2]
+            ss, se, ahal = payload[3], payload[4], payload[5]
+            ah, al_ = ahal >> 4, ahal & 0xF
+            br_ = _BitReader(blob, pos + ln)
+            eobrun = _decode_prog_scan(
+                br_, coefs, huff, tds >> 4, tds & 0xF,
+                ss, se, ah, al_)
+            # realign to the next marker after the entropy segment
+            pos = br_.pos
+            while pos + 1 < len(blob) and (
+                    blob[pos] != 0xFF or blob[pos + 1] == 0x00):
+                pos += 1
+            continue
+        pos += ln
+    if coefs is None:
+        raise ValueError("no SOF2 frame found")
+    cid = next(iter(comps))
+    qt = qtables[comps[cid][1]]
+    wb, hb = (width + 7) // 8, (height + 7) // 8
+    img = np.zeros((hb * 8, wb * 8), dtype=np.uint8)
+    for i, c in enumerate(coefs):
+        sparse = [(0, c[0])] + [(zz, c[zz]) for zz in range(1, 64)
+                                if c[zz] != 0]
+        acc = np.full((8, 8), 128.0)
+        for zz_i, coef in sparse:
+            u, v = JPEG_ZIGZAG[zz_i]
+            acc += (coef * qt[u * 8 + v]) * _JPEG_BASIS[zz_i]
+        brow, bcol = divmod(i, wb)
+        img[brow * 8:brow * 8 + 8, bcol * 8:bcol * 8 + 8] = \
+            np.clip(np.floor(acc + 0.5), 0, 255).astype(np.uint8)
+    return img[:height, :width]
+
+
+def _decode_prog_scan(br_, coefs, huff, td, ta, ss, se, ah, al_):
+    """One progressive scan over every block (non-interleaved
+    grayscale): dispatch on (spectral band, Ah) to the four scan
+    kinds of T.81 G.2."""
+    def read_sym(table):
+        code, ln_ = 0, 0
+        while ln_ < 17:
+            code = (code << 1) | br_.bit()
+            ln_ += 1
+            if (ln_, code) in table:
+                return table[(ln_, code)]
+        raise ValueError("invalid huffman code")
+
+    p1 = 1 << al_
+    if ss == 0:
+        if ah == 0:                          # DC first
+            dc_tab = huff[(0, td)]
+            pred = 0
+            for c in coefs:
+                size = read_sym(dc_tab)
+                pred += _jpeg_extend(br_.bits(size), size)
+                c[0] = pred << al_
+        else:                                # DC refinement
+            for c in coefs:
+                if br_.bit():
+                    c[0] |= p1
+        return 0
+    ac_tab = huff[(1, ta)]
+    eobrun = 0
+    if ah == 0:                              # AC first
+        for c in coefs:
+            if eobrun > 0:
+                eobrun -= 1
+                continue
+            k = ss
+            while k <= se:
+                rs = read_sym(ac_tab)
+                r, s = rs >> 4, rs & 0xF
+                if s == 0:
+                    if r < 15:
+                        eobrun = (1 << r) - 1
+                        if r:
+                            eobrun += br_.bits(r)
+                        break
+                    k += 16                  # ZRL
+                else:
+                    k += r
+                    c[k] = _jpeg_extend(br_.bits(s), s) << al_
+                    k += 1
+        return eobrun
+    # AC refinement (T.81 G.2, figure G.7 control flow)
+    m1 = -p1
+    for c in coefs:
+        k = ss
+        if eobrun == 0:
+            while k <= se:
+                rs = read_sym(ac_tab)
+                r, s = rs >> 4, rs & 0xF
+                if s == 0:
+                    if r < 15:
+                        eobrun = 1 << r
+                        if r:
+                            eobrun += br_.bits(r)
+                        break
+                    val = 0                  # ZRL: skip 16 zero-history
+                else:
+                    val = p1 if br_.bit() else m1
+                while k <= se:
+                    if c[k] != 0:
+                        if br_.bit() and (c[k] & p1) == 0:
+                            c[k] += p1 if c[k] >= 0 else m1
+                    else:
+                        if r == 0:
+                            break
+                        r -= 1
+                    k += 1
+                if val and k <= se:
+                    c[k] = val
+                k += 1
+        if eobrun > 0:
+            while k <= se:
+                if c[k] != 0:
+                    if br_.bit() and (c[k] & p1) == 0:
+                        c[k] += p1 if c[k] >= 0 else m1
+                k += 1
+            eobrun -= 1
+    return eobrun
+
+
+def _synth_jpeg_progressive_blob(doc_id: int) -> bytes:
+    """Same planted gray lattice, progressive scan script: DC
+    first(Al=1) + DC refine, two spectral AC bands each with first +
+    refinement scans. Decoded pixels are identical to the baseline
+    encoding by construction (progressive reorganizes transmission,
+    not values), so the query reuses the plain lattice oracle."""
+    w, h, blocks = _jpeg_planted_blocks(doc_id)
+    return encode_jpeg_progressive(w, h, blocks)
+
+
+def synth_jpeg_progressive_media(docs: DataFrame) -> DataFrame:
+    """Plant one progressive JPEG per document (two-stage mapInPandas
+    shape)."""
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "blob": [_synth_jpeg_progressive_blob(int(d))
+                         for d in pdf["doc_id"]]})
+
+    return docs.select("doc_id").mapInPandas(
+        batches, schema="doc_id long, blob binary")
+
+
+def jpeg_progressive_decode_stats(media: DataFrame) -> DataFrame:
+    """Decode planted progressive JPEGs (multi-scan marker walk, DC/AC
+    first + refinement entropy decode, EOB runs) and emit the exact
+    luma sum — same digest as the baseline query, same oracle."""
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {k: [] for k in ("doc_id", "width", "height",
+                                   "n_px", "sum_y")}
+            for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
+                img = decode_jpeg_progressive(
+                    bytes(blob)).astype(np.int64)
+                h, w = img.shape
+                out["doc_id"].append(doc_id)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["n_px"].append(h * w)
+                out["sum_y"].append(int(img.sum()))
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(batches, schema=JPEG_STATS_SCHEMA)
