@@ -345,6 +345,8 @@ ROUND11_COUNT = [
 ROUND12_COLLECT = [
     "jpeg_restart_decode_stats",
     "jpeg_progressive_decode_stats",
+    "jpeg_progressive_color_decode_stats",
+    "jpeg_progressive_420_decode_stats",
     "jpeg_color_sampled_digest",
     "jpeg420_sampled_digest",
     "avi_mjpeg_decode_stats",

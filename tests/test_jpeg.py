@@ -416,3 +416,59 @@ def test_progressive_long_eob_runs():
     prog = M.decode_jpeg_progressive(
         M.encode_jpeg_progressive(320, 32, blocks))
     assert np.array_equal(base, prog)
+
+
+def test_progressive_color_matches_baseline():
+    """Color progressive (interleaved DC scans + per-component AC
+    scans) decodes bit-identical to the baseline color decoder for
+    4:4:4 and 4:2:0 planted lattices."""
+    for doc in (0, 1, 5):
+        w, h, b3 = M._jpeg_color_planted_blocks(doc)
+        base = M.decode_jpeg_color(M.encode_jpeg_color(w, h, b3))
+        prog = M.decode_jpeg_progressive(
+            M.encode_jpeg_progressive_color(w, h, b3))
+        assert (base == prog).all(), ("444", doc)
+        w, h, b3 = M._jpeg_420_planted_blocks(doc)
+        s = ((2, 2), (1, 1), (1, 1))
+        base = M.decode_jpeg_color(
+            M.encode_jpeg_color(w, h, b3, sampling=s))
+        prog = M.decode_jpeg_progressive(
+            M.encode_jpeg_progressive_color(w, h, b3, sampling=s))
+        assert (base == prog).all(), ("420", doc)
+
+
+def test_progressive_color_randomized_parity():
+    """Randomized coefficient grids across 4:4:4 / 4:2:0 / 4:2:2-ish
+    samplings and Al in {1,2} — interleaved-DC MCU walk, subsampled
+    AC grids, per-component EOB runs."""
+    import random
+    rng = random.Random(11)
+    full = (M._JPEG_PROG_AC_BITS, M._JPEG_PROG_AC_SYMS)
+    for _ in range(8):
+        for sampling in (((1, 1),) * 3, ((2, 2), (1, 1), (1, 1)),
+                         ((2, 1), (1, 1), (1, 1))):
+            hmax = max(h for h, _ in sampling)
+            vmax = max(v for _, v in sampling)
+            mw, mh = rng.randint(1, 3), rng.randint(1, 2)
+            w, h = mw * 8 * hmax, mh * 8 * vmax
+            b3 = []
+            for c, (h_i, v_i) in enumerate(sampling):
+                grid = {}
+                for br in range(mh * v_i):
+                    for bc in range(mw * h_i):
+                        coefs = {}
+                        if rng.random() < 0.9:
+                            coefs[0] = rng.randint(-10, 10)
+                        for zz in rng.sample(range(1, 64),
+                                             rng.randint(0, 5)):
+                            coefs[zz] = rng.choice(
+                                [-3, -2, -1, 1, 2, 3])
+                        grid[(br, bc)] = coefs
+                b3.append(grid)
+            base = M.decode_jpeg_color(M.encode_jpeg_color(
+                w, h, b3, sampling=sampling, ac_table=full))
+            for al in (1, 2):
+                prog = M.decode_jpeg_progressive(
+                    M.encode_jpeg_progressive_color(
+                        w, h, b3, sampling=sampling, al=al))
+                assert (base == prog).all(), (sampling, al)

@@ -1357,7 +1357,8 @@ def encode_jpeg_color(width: int, height: int,
                       blocks3: list[dict[tuple[int, int],
                                          dict[int, int]]],
                       sampling: tuple = ((1, 1), (1, 1), (1, 1)),
-                      restart_interval: int = 0) -> bytes:
+                      restart_interval: int = 0,
+                      ac_table: tuple | None = None) -> bytes:
     """Baseline sequential YCbCr JPEG from QUANTIZED coefficients per
     component (``blocks3[c][(br, bc)]`` indexed in each component's
     OWN block grid): Y on quant/huffman table pair 0, chroma on pair
@@ -1368,8 +1369,9 @@ def encode_jpeg_color(width: int, height: int,
     + RSTm every that many interleaved MCUs (all three DC predictors
     reset, T.81 F.2.2.4)."""
     import struct
+    ac_bits, ac_syms = ac_table or (_JPEG_AC_BITS, _JPEG_AC_SYMS)
     dc_codes = jpeg_canonical_codes(_JPEG_DC_BITS, _JPEG_DC_SYMS)
-    ac_codes = jpeg_canonical_codes(_JPEG_AC_BITS, _JPEG_AC_SYMS)
+    ac_codes = jpeg_canonical_codes(ac_bits, ac_syms)
     hmax = max(h for h, _ in sampling)
     vmax = max(v for _, v in sampling)
     if width % (8 * hmax) or height % (8 * vmax):
@@ -1389,8 +1391,8 @@ def encode_jpeg_color(width: int, height: int,
     for th in (0, 1):
         out += seg(0xFFC4, bytes([th]) + bytes(_JPEG_DC_BITS)
                    + bytes(_JPEG_DC_SYMS))
-        out += seg(0xFFC4, bytes([0x10 | th]) + bytes(_JPEG_AC_BITS)
-                   + bytes(_JPEG_AC_SYMS))
+        out += seg(0xFFC4, bytes([0x10 | th]) + bytes(ac_bits)
+                   + bytes(ac_syms))
     if restart_interval:
         out += seg(0xFFDD, struct.pack(">H", restart_interval))  # DRI
     out += seg(0xFFDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
@@ -1963,116 +1965,15 @@ def encode_jpeg_progressive(width: int, height: int,
 
     # --- AC scans per spectral band ---------------------------------
     for ss, se in ac_bands:
-        # FIRST scan at Al=al (T.81 G.1.2.2): runs count zeros in the
-        # point-transformed band; trailing-zero blocks fold into an
-        # EOB run flushed before the next nonzero block's codes.
         out += sos(ss, se, 0, al)
         bw = _BitWriter()
-        eobrun = 0
-
-        def emit_eobrun():
-            nonlocal eobrun
-            while eobrun > 0:
-                r = min(7, eobrun.bit_length() - 1)
-                n = min(eobrun, (1 << (r + 1)) - 1)
-                r = n.bit_length() - 1
-                code, ln = ac_codes[r << 4] if r else ac_codes[0x00]
-                bw.put(code, ln)
-                if r:
-                    bw.put(n - (1 << r), r)
-                eobrun -= n
-
-        for c in coefs:
-            vals = [(k, _pt_ac(c[k], al)) for k in range(ss, se + 1)]
-            nz = [(k, v) for k, v in vals if v != 0]
-            if not nz:
-                eobrun += 1
-                continue
-            emit_eobrun()
-            last = ss - 1
-            for k, v in nz:
-                run = k - last - 1
-                while run > 15:
-                    code, ln = ac_codes[0xF0]
-                    bw.put(code, ln)
-                    run -= 16
-                size, bits = _jpeg_magnitude(v)
-                code, ln = ac_codes[(run << 4) | size]
-                bw.put(code, ln)
-                bw.put(bits, size)
-                last = k
-            if last < se:
-                eobrun += 1
-        emit_eobrun()
+        _emit_ac_first_scan(bw, ac_codes, coefs, ss, se, al)
         bw.flush()
         out += bw.out
-
-        # REFINEMENT scans (T.81 G.1.2.3): walk the band; zero-HISTORY
-        # positions advance the run; nonzero-history positions queue a
-        # correction bit behind whatever symbol is emitted next
-        # (ZRL / newly-nonzero code / EOBn); ZRL fires as soon as the
-        # run exceeds 15 at any nonzero position still left of the
-        # last newly-nonzero coefficient; trailing runs fold into the
-        # EOB run.
         for a in range(al - 1, -1, -1):
             out += sos(ss, se, a + 1, a)
             bw = _BitWriter()
-            eobrun = 0
-            eob_bits: list[int] = []   # correction bits behind EOBn
-
-            def emit_eobrun_r():
-                nonlocal eobrun, eob_bits
-                while eobrun > 0:
-                    r = min(7, eobrun.bit_length() - 1)
-                    n = min(eobrun, (1 << (r + 1)) - 1)
-                    r = n.bit_length() - 1
-                    code, ln = (ac_codes[r << 4] if r
-                                else ac_codes[0x00])
-                    bw.put(code, ln)
-                    if r:
-                        bw.put(n - (1 << r), r)
-                    for b in eob_bits:
-                        bw.put(b, 1)
-                    eob_bits = []
-                    eobrun -= n
-
-            for c in coefs:
-                hist = [_pt_ac(c[k], a + 1) for k in range(64)]
-                now = [_pt_ac(c[k], a) for k in range(64)]
-                newly = [k for k in range(ss, se + 1)
-                         if hist[k] == 0 and now[k] != 0]
-                last_new = newly[-1] if newly else ss - 1
-                run = 0
-                pending: list[int] = []
-                for k in range(ss, se + 1):
-                    if now[k] == 0:
-                        run += 1
-                        continue
-                    while run > 15 and k <= last_new:
-                        emit_eobrun_r()
-                        code, ln = ac_codes[0xF0]
-                        bw.put(code, ln)
-                        run -= 16
-                        for b in pending:
-                            bw.put(b, 1)
-                        pending = []
-                    if hist[k] != 0:       # correction bit only
-                        pending.append(abs(now[k]) & 1)
-                        continue
-                    emit_eobrun_r()
-                    code, ln = ac_codes[(run << 4) | 1]
-                    bw.put(code, ln)
-                    bw.put(1 if now[k] > 0 else 0, 1)
-                    for b in pending:
-                        bw.put(b, 1)
-                    pending = []
-                    run = 0
-                if run > 0 or pending:
-                    eobrun += 1
-                    eob_bits.extend(pending)
-                    if eobrun == 32767:
-                        emit_eobrun_r()
-            emit_eobrun_r()
+            _emit_ac_refine_scan(bw, ac_codes, coefs, ss, se, a)
             bw.flush()
             out += bw.out
 
@@ -2080,14 +1981,235 @@ def encode_jpeg_progressive(width: int, height: int,
     return bytes(out)
 
 
+def _emit_ac_first_scan(bw, ac_codes, coefs, ss, se, al) -> None:
+    """AC FIRST scan body at Al=``al`` (T.81 G.1.2.2): runs count
+    zeros in the point-transformed band; trailing-zero blocks fold
+    into an EOB run flushed before the next nonzero block's codes.
+    ``coefs`` is this scan's block sequence (one component, scan
+    order). Shared by the gray and color progressive encoders."""
+    eobrun = 0
+
+    def emit_eobrun():
+        nonlocal eobrun
+        while eobrun > 0:
+            n = min(eobrun, (1 << 8) - 1)   # EOBn category <= 7
+            r = n.bit_length() - 1
+            code, ln = ac_codes[r << 4] if r else ac_codes[0x00]
+            bw.put(code, ln)
+            if r:
+                bw.put(n - (1 << r), r)
+            eobrun -= n
+
+    for c in coefs:
+        nz = [(k, _pt_ac(c[k], al)) for k in range(ss, se + 1)
+              if _pt_ac(c[k], al) != 0]
+        if not nz:
+            eobrun += 1
+            continue
+        emit_eobrun()
+        last = ss - 1
+        for k, v in nz:
+            run = k - last - 1
+            while run > 15:
+                code, ln = ac_codes[0xF0]
+                bw.put(code, ln)
+                run -= 16
+            size, bits = _jpeg_magnitude(v)
+            code, ln = ac_codes[(run << 4) | size]
+            bw.put(code, ln)
+            bw.put(bits, size)
+            last = k
+        if last < se:
+            eobrun += 1
+    emit_eobrun()
+
+
+def _emit_ac_refine_scan(bw, ac_codes, coefs, ss, se, a) -> None:
+    """AC REFINEMENT scan body at Al=``a`` (T.81 G.1.2.3): walk the
+    band; zero-HISTORY positions advance the run; nonzero-history
+    positions queue a correction bit behind whatever symbol is
+    emitted next (ZRL / newly-nonzero code / EOBn); ZRL fires as
+    soon as the run exceeds 15 at any nonzero position still left of
+    the last newly-nonzero coefficient; trailing runs fold into the
+    EOB run."""
+    eobrun = 0
+    eob_bits = []   # correction bits queued behind the pending EOBn
+
+    def emit_eobrun_r():
+        nonlocal eobrun, eob_bits
+        while eobrun > 0:
+            n = min(eobrun, (1 << 8) - 1)
+            r = n.bit_length() - 1
+            code, ln = ac_codes[r << 4] if r else ac_codes[0x00]
+            bw.put(code, ln)
+            if r:
+                bw.put(n - (1 << r), r)
+            for b in eob_bits:
+                bw.put(b, 1)
+            eob_bits = []
+            eobrun -= n
+
+    for c in coefs:
+        hist = [_pt_ac(c[k], a + 1) for k in range(64)]
+        now = [_pt_ac(c[k], a) for k in range(64)]
+        newly = [k for k in range(ss, se + 1)
+                 if hist[k] == 0 and now[k] != 0]
+        last_new = newly[-1] if newly else ss - 1
+        run = 0
+        pending = []
+        for k in range(ss, se + 1):
+            if now[k] == 0:
+                run += 1
+                continue
+            while run > 15 and k <= last_new:
+                emit_eobrun_r()
+                code, ln = ac_codes[0xF0]
+                bw.put(code, ln)
+                run -= 16
+                for b in pending:
+                    bw.put(b, 1)
+                pending = []
+            if hist[k] != 0:       # correction bit only
+                pending.append(abs(now[k]) & 1)
+                continue
+            emit_eobrun_r()
+            code, ln = ac_codes[(run << 4) | 1]
+            bw.put(code, ln)
+            bw.put(1 if now[k] > 0 else 0, 1)
+            for b in pending:
+                bw.put(b, 1)
+            pending = []
+            run = 0
+        if run > 0 or pending:
+            eobrun += 1
+            eob_bits.extend(pending)
+            if eobrun == 32767:
+                emit_eobrun_r()
+    emit_eobrun_r()
+
+
+def encode_jpeg_progressive_color(width: int, height: int,
+                                  blocks3: list,
+                                  sampling: tuple = ((1, 1), (1, 1),
+                                                     (1, 1)),
+                                  al: int = 1,
+                                  ac_bands: tuple = ((1, 5), (6, 63)),
+                                  ) -> bytes:
+    """COLOR progressive JPEG from per-component QUANTIZED
+    coefficient grids (``blocks3[c][(br, bc)]`` in each component's
+    own block grid, like encode_jpeg_color). Scan script: one
+    INTERLEAVED DC first scan (per-component predictors, MCU order —
+    T.81 allows interleave only for DC in progressive) + interleaved
+    DC refinements, then per component x spectral band: AC first +
+    refinements (AC scans must be non-interleaved). Y on quant table
+    0, chroma on 1; all components share the DC/AC huffman pair."""
+    import struct
+    dc_codes = jpeg_canonical_codes(_JPEG_DC_BITS, _JPEG_DC_SYMS)
+    ac_codes = jpeg_canonical_codes(_JPEG_PROG_AC_BITS,
+                                    _JPEG_PROG_AC_SYMS)
+    hmax = max(h for h, _ in sampling)
+    vmax = max(v for _, v in sampling)
+    if width % (8 * hmax) or height % (8 * vmax):
+        raise ValueError("dimensions must be whole MCUs")
+    mcus_x, mcus_y = width // (8 * hmax), height // (8 * vmax)
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+    out = bytearray(b"\xff\xd8")
+    for tq, qt in ((0, JPEG_QTABLE), (1, JPEG_QTABLE_CHROMA)):
+        zz_q = bytes(qt[u * 8 + v] for u, v in JPEG_ZIGZAG)
+        out += seg(0xFFDB, bytes([tq]) + zz_q)
+    sof = bytearray(struct.pack(">BHHB", 8, height, width, 3))
+    for c, (h_i, v_i) in enumerate(sampling):
+        sof += bytes([c + 1, (h_i << 4) | v_i, 0 if c == 0 else 1])
+    out += seg(0xFFC2, bytes(sof))
+    out += seg(0xFFC4, bytes([0x00]) + bytes(_JPEG_DC_BITS)
+               + bytes(_JPEG_DC_SYMS))
+    out += seg(0xFFC4, bytes([0x10]) + bytes(_JPEG_PROG_AC_BITS)
+               + bytes(_JPEG_PROG_AC_SYMS))
+
+    # per-component coef grids, own raster order
+    comp_coefs = []
+    for c, (h_i, v_i) in enumerate(sampling):
+        pw, ph = mcus_x * h_i, mcus_y * v_i
+        comp_coefs.append(
+            [[blocks3[c].get((br, bc), {}).get(zz, 0)
+              for zz in range(64)]
+             for br in range(ph) for bc in range(pw)])
+
+    # --- interleaved DC first scan ----------------------------------
+    sos_hdr = bytearray([3])
+    for c in range(3):
+        sos_hdr += bytes([c + 1, 0x00])
+    out += seg(0xFFDA, bytes(sos_hdr) + bytes([0, 0, al]))
+    bw = _BitWriter()
+    preds = [0, 0, 0]
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            for c, (h_i, v_i) in enumerate(sampling):
+                pw = mcus_x * h_i
+                for by in range(v_i):
+                    for bx in range(h_i):
+                        idx = (my * v_i + by) * pw + mx * h_i + bx
+                        v = comp_coefs[c][idx][0] >> al
+                        size, bits = _jpeg_magnitude(v - preds[c])
+                        preds[c] = v
+                        code, ln = dc_codes[size]
+                        bw.put(code, ln)
+                        if size:
+                            bw.put(bits, size)
+    bw.flush()
+    out += bw.out
+
+    # --- interleaved DC refinement scans ----------------------------
+    for a in range(al - 1, -1, -1):
+        out += seg(0xFFDA, bytes(sos_hdr) + bytes([0, 0,
+                                                   ((a + 1) << 4) | a]))
+        bw = _BitWriter()
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                for c, (h_i, v_i) in enumerate(sampling):
+                    pw = mcus_x * h_i
+                    for by in range(v_i):
+                        for bx in range(h_i):
+                            idx = (my * v_i + by) * pw + mx * h_i + bx
+                            bw.put((comp_coefs[c][idx][0] >> a) & 1, 1)
+        bw.flush()
+        out += bw.out
+
+    # --- per-component AC scans -------------------------------------
+    for c in range(3):
+        for ss, se in ac_bands:
+            out += seg(0xFFDA, bytes([1, c + 1, 0x00, ss, se, al]))
+            bw = _BitWriter()
+            _emit_ac_first_scan(bw, ac_codes, comp_coefs[c], ss, se, al)
+            bw.flush()
+            out += bw.out
+            for a in range(al - 1, -1, -1):
+                out += seg(0xFFDA, bytes([1, c + 1, 0x00, ss, se,
+                                          ((a + 1) << 4) | a]))
+                bw = _BitWriter()
+                _emit_ac_refine_scan(bw, ac_codes, comp_coefs[c],
+                                     ss, se, a)
+                bw.flush()
+                out += bw.out
+
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
 def decode_jpeg_progressive(blob: bytes) -> np.ndarray:
-    """Decode a GRAYSCALE progressive (SOF2) JPEG: full marker walk
-    across ALL scans (tables may be redefined between scans),
-    per-scan DC first/refine and AC first/refine entropy decode with
-    EOB-run bookkeeping, then one dequant + sparse basis-sum IDCT per
-    block in ascending zigzag order — the identical float sequence
-    the baseline decoder uses, so progressive and baseline encodings
-    of the same coefficients produce bit-identical pixels."""
+    """Decode a progressive (SOF2) JPEG — GRAYSCALE or COLOR (4:4:4
+    and subsampled): full marker walk across ALL scans (tables may be
+    redefined between scans), interleaved-DC and non-interleaved
+    AC/DC scan decode with per-scan EOB-run bookkeeping, successive-
+    approximation coefficient reassembly, then one dequant + sparse
+    basis-sum IDCT per block in ascending zigzag order, and for color
+    the SAME integer-plane rounding, nearest-neighbor chroma
+    upsampling and JFIF YCbCr->RGB as the baseline color decoder —
+    so progressive and baseline encodings of identical coefficients
+    produce bit-identical pixels."""
     import struct
     if blob[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (no SOI)")
@@ -2095,9 +2217,10 @@ def decode_jpeg_progressive(blob: bytes) -> np.ndarray:
     qtables: dict[int, list[int]] = {}
     huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
     width = height = -1
-    comps: dict[int, tuple[int, int]] = {}
-    coefs: list[list[int]] | None = None
-    eobrun = 0
+    sof_comps: list[tuple[int, int, int]] = []  # (cid, samp, tq)
+    coefs: dict[int, list[list[int]]] = {}
+    grids: dict[int, tuple[int, int, int, int]] = {}  # pw, ph, cbw, cbh
+    mcus = (0, 0)
     while pos < len(blob):
         if blob[pos] != 0xFF:
             raise ValueError(f"expected marker at {pos}")
@@ -2126,18 +2249,27 @@ def decode_jpeg_progressive(blob: bytes) -> np.ndarray:
         elif marker == 0xC2:                    # SOF2
             prec, height, width, ncomp = struct.unpack(
                 ">BHHB", payload[:6])
-            if prec != 8 or ncomp != 1:
+            if prec != 8 or ncomp not in (1, 3):
                 raise ValueError(
-                    "only 8-bit grayscale progressive supported")
-            cid, samp, tq = payload[6:9]
-            comps[cid] = (samp, tq)
-            coefs = [[0] * 64
-                     for _ in range(((height + 7) // 8)
-                                    * ((width + 7) // 8))]
+                    "only 8-bit 1- or 3-component progressive "
+                    "supported")
+            for c in range(ncomp):
+                cid, samp, tq = payload[6 + 3 * c:9 + 3 * c]
+                sof_comps.append((cid, samp, tq))
+            hmax = max(s >> 4 for _, s, _ in sof_comps)
+            vmax = max(s & 0xF for _, s, _ in sof_comps)
+            mcus = (-(-width // (8 * hmax)), -(-height // (8 * vmax)))
+            for cid, samp, _tq in sof_comps:
+                h_i, v_i = samp >> 4, samp & 0xF
+                pw, ph = mcus[0] * h_i, mcus[1] * v_i
+                cbw = -(-(-(-width * h_i // hmax)) // 8)
+                cbh = -(-(-(-height * v_i // vmax)) // 8)
+                grids[cid] = (pw, ph, cbw, cbh)
+                coefs[cid] = [[0] * 64 for _ in range(pw * ph)]
         elif marker == 0xC0:
             raise ValueError(
                 "baseline SOF0 inside progressive walk — use "
-                "decode_jpeg_gray")
+                "decode_jpeg_gray / decode_jpeg_color")
         elif marker == 0xC4:
             p = 0
             while p < len(payload):
@@ -2150,49 +2282,69 @@ def decode_jpeg_progressive(blob: bytes) -> np.ndarray:
                                   for sym, (code, ln_) in codes.items()}
                 p += 17 + n
         elif marker == 0xDA:                    # one scan
-            if coefs is None:
+            if not sof_comps:
                 raise ValueError("SOS before SOF2")
             ns = payload[0]
-            if ns != 1:
-                raise ValueError("interleaved progressive scans "
-                                 "unsupported (grayscale only)")
-            tds = payload[2]
-            ss, se, ahal = payload[3], payload[4], payload[5]
+            scomps = [(payload[1 + 2 * c], payload[2 + 2 * c])
+                      for c in range(ns)]
+            ss, se, ahal = (payload[1 + 2 * ns], payload[2 + 2 * ns],
+                            payload[3 + 2 * ns])
             ah, al_ = ahal >> 4, ahal & 0xF
             br_ = _BitReader(blob, pos + ln)
-            eobrun = _decode_prog_scan(
-                br_, coefs, huff, tds >> 4, tds & 0xF,
-                ss, se, ah, al_)
-            # realign to the next marker after the entropy segment
+            _decode_prog_scan(br_, coefs, grids, huff, sof_comps,
+                              scomps, mcus, ss, se, ah, al_)
             pos = br_.pos
             while pos + 1 < len(blob) and (
                     blob[pos] != 0xFF or blob[pos + 1] == 0x00):
                 pos += 1
             continue
         pos += ln
-    if coefs is None:
+    if not sof_comps:
         raise ValueError("no SOF2 frame found")
-    cid = next(iter(comps))
-    qt = qtables[comps[cid][1]]
-    wb, hb = (width + 7) // 8, (height + 7) // 8
-    img = np.zeros((hb * 8, wb * 8), dtype=np.uint8)
-    for i, c in enumerate(coefs):
-        sparse = [(0, c[0])] + [(zz, c[zz]) for zz in range(1, 64)
-                                if c[zz] != 0]
-        acc = np.full((8, 8), 128.0)
-        for zz_i, coef in sparse:
-            u, v = JPEG_ZIGZAG[zz_i]
-            acc += (coef * qt[u * 8 + v]) * _JPEG_BASIS[zz_i]
-        brow, bcol = divmod(i, wb)
-        img[brow * 8:brow * 8 + 8, bcol * 8:bcol * 8 + 8] = \
-            np.clip(np.floor(acc + 0.5), 0, 255).astype(np.uint8)
-    return img[:height, :width]
+
+    def idct_plane(cid: int, tq: int) -> np.ndarray:
+        qt = qtables[tq]
+        pw, ph, _cbw, _cbh = grids[cid]
+        plane = np.zeros((ph * 8, pw * 8), dtype=np.int64)
+        for i, c in enumerate(coefs[cid]):
+            sparse = [(0, c[0])] + [(zz, c[zz]) for zz in range(1, 64)
+                                    if c[zz] != 0]
+            acc = np.full((8, 8), 128.0)
+            for zz_i, coef in sparse:
+                u, v = JPEG_ZIGZAG[zz_i]
+                acc += (coef * qt[u * 8 + v]) * _JPEG_BASIS[zz_i]
+            brow, bcol = divmod(i, pw)
+            plane[brow * 8:brow * 8 + 8, bcol * 8:bcol * 8 + 8] = \
+                np.clip(np.floor(acc + 0.5), 0, 255)
+        return plane
+
+    if len(sof_comps) == 1:
+        cid, _samp, tq = sof_comps[0]
+        return idct_plane(cid, tq)[:height, :width].astype(np.uint8)
+    hmax = max(s >> 4 for _, s, _ in sof_comps)
+    vmax = max(s & 0xF for _, s, _ in sof_comps)
+    ys = np.arange(height)
+    xs = np.arange(width)
+    full = []
+    for cid, samp, tq in sof_comps:
+        h_i, v_i = samp >> 4, samp & 0xF
+        plane = idct_plane(cid, tq)[
+            np.ix_(ys * v_i // vmax, xs * h_i // hmax)]
+        full.append(plane.astype(np.float64))
+    y_, cb, cr = full
+    r = y_ + JPEG_CR_R * (cr - 128.0)
+    g = y_ - JPEG_CB_G * (cb - 128.0) - JPEG_CR_G * (cr - 128.0)
+    b = y_ + JPEG_CB_B * (cb - 128.0)
+    rgb = np.stack([r, g, b], axis=2)
+    return np.clip(np.floor(rgb + 0.5), 0, 255).astype(np.uint8)
 
 
-def _decode_prog_scan(br_, coefs, huff, td, ta, ss, se, ah, al_):
-    """One progressive scan over every block (non-interleaved
-    grayscale): dispatch on (spectral band, Ah) to the four scan
-    kinds of T.81 G.2."""
+def _decode_prog_scan(br_, coefs, grids, huff, sof_comps, scomps,
+                      mcus, ss, se, ah, al_):
+    """One progressive scan (T.81 G.2). Interleaved scans (ns > 1)
+    are DC-only and walk MCU order with per-component predictors;
+    non-interleaved scans walk the single component's ACTUAL block
+    grid (cbw x cbh) mapped into its padded coefficient array."""
     def read_sym(table):
         code, ln_ = 0, 0
         while ln_ < 17:
@@ -2203,23 +2355,51 @@ def _decode_prog_scan(br_, coefs, huff, td, ta, ss, se, ah, al_):
         raise ValueError("invalid huffman code")
 
     p1 = 1 << al_
+    samp_of = {cid: (s >> 4, s & 0xF) for cid, s, _ in sof_comps}
+    if len(scomps) > 1:                         # interleaved: DC only
+        if ss != 0:
+            raise ValueError("interleaved AC scan is not legal in "
+                             "progressive JPEG")
+        preds = {cid: 0 for cid, _ in scomps}
+        for my in range(mcus[1]):
+            for mx in range(mcus[0]):
+                for cid, tds in scomps:
+                    h_i, v_i = samp_of[cid]
+                    pw = grids[cid][0]
+                    for by in range(v_i):
+                        for bx in range(h_i):
+                            idx = ((my * v_i + by) * pw
+                                   + mx * h_i + bx)
+                            c = coefs[cid][idx]
+                            if ah == 0:
+                                size = read_sym(huff[(0, tds >> 4)])
+                                preds[cid] += _jpeg_extend(
+                                    br_.bits(size), size)
+                                c[0] = preds[cid] << al_
+                            elif br_.bit():
+                                c[0] |= p1
+        return
+    cid, tds = scomps[0]
+    pw, _ph, cbw, cbh = grids[cid]
+    blocks = [coefs[cid][r * pw + col]
+              for r in range(cbh) for col in range(cbw)]
     if ss == 0:
-        if ah == 0:                          # DC first
-            dc_tab = huff[(0, td)]
+        if ah == 0:                             # DC first
+            dc_tab = huff[(0, tds >> 4)]
             pred = 0
-            for c in coefs:
+            for c in blocks:
                 size = read_sym(dc_tab)
                 pred += _jpeg_extend(br_.bits(size), size)
                 c[0] = pred << al_
-        else:                                # DC refinement
-            for c in coefs:
+        else:                                   # DC refinement
+            for c in blocks:
                 if br_.bit():
                     c[0] |= p1
-        return 0
-    ac_tab = huff[(1, ta)]
+        return
+    ac_tab = huff[(1, tds & 0xF)]
     eobrun = 0
-    if ah == 0:                              # AC first
-        for c in coefs:
+    if ah == 0:                                 # AC first
+        for c in blocks:
             if eobrun > 0:
                 eobrun -= 1
                 continue
@@ -2233,15 +2413,14 @@ def _decode_prog_scan(br_, coefs, huff, td, ta, ss, se, ah, al_):
                         if r:
                             eobrun += br_.bits(r)
                         break
-                    k += 16                  # ZRL
+                    k += 16                     # ZRL
                 else:
                     k += r
                     c[k] = _jpeg_extend(br_.bits(s), s) << al_
                     k += 1
-        return eobrun
-    # AC refinement (T.81 G.2, figure G.7 control flow)
-    m1 = -p1
-    for c in coefs:
+        return
+    m1 = -p1                                    # AC refinement (G.7)
+    for c in blocks:
         k = ss
         if eobrun == 0:
             while k <= se:
@@ -2253,7 +2432,7 @@ def _decode_prog_scan(br_, coefs, huff, td, ta, ss, se, ah, al_):
                         if r:
                             eobrun += br_.bits(r)
                         break
-                    val = 0                  # ZRL: skip 16 zero-history
+                    val = 0                     # ZRL: 16 zero-history
                 else:
                     val = p1 if br_.bit() else m1
                 while k <= se:
@@ -2275,7 +2454,6 @@ def _decode_prog_scan(br_, coefs, huff, td, ta, ss, se, ah, al_):
                         c[k] += p1 if c[k] >= 0 else m1
                 k += 1
             eobrun -= 1
-    return eobrun
 
 
 def _synth_jpeg_progressive_blob(doc_id: int) -> bytes:
@@ -2322,3 +2500,58 @@ def jpeg_progressive_decode_stats(media: DataFrame) -> DataFrame:
             yield pd.DataFrame(out)
 
     return media.mapInPandas(batches, schema=JPEG_STATS_SCHEMA)
+
+
+def _synth_jpeg_progressive_color_blob(doc_id: int) -> bytes:
+    """The 4:4:4 color lattice, progressive scan script (interleaved
+    DC first/refine + per-component spectral-band AC scans)."""
+    w, h, blocks3 = _jpeg_color_planted_blocks(doc_id)
+    return encode_jpeg_progressive_color(w, h, blocks3)
+
+
+def _synth_jpeg_progressive_420_blob(doc_id: int) -> bytes:
+    """The 4:2:0 lattice, progressive — interleaved DC scans walk the
+    6-blocks-per-MCU structure, AC scans each component's own grid."""
+    w, h, blocks3 = _jpeg_420_planted_blocks(doc_id)
+    return encode_jpeg_progressive_color(
+        w, h, blocks3, sampling=((2, 2), (1, 1), (1, 1)))
+
+
+def synth_jpeg_progressive_color_media(docs: DataFrame,
+                                       subsampled: bool = False
+                                       ) -> DataFrame:
+    """Plant one progressive color JPEG per document."""
+    synth = (_synth_jpeg_progressive_420_blob if subsampled
+             else _synth_jpeg_progressive_color_blob)
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "blob": [synth(int(d)) for d in pdf["doc_id"]]})
+
+    return docs.select("doc_id").mapInPandas(
+        batches, schema="doc_id long, blob binary")
+
+
+def jpeg_progressive_color_stats(media: DataFrame) -> DataFrame:
+    """Decode planted progressive color JPEGs and emit exact
+    per-channel sums (same digest/oracle as the baseline color
+    queries — progressive transmission is lossless)."""
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {k: [] for k in ("doc_id", "width", "height", "n_px",
+                                   "sum_r", "sum_g", "sum_b")}
+            for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
+                img = decode_jpeg_progressive(
+                    bytes(blob)).astype(np.int64)
+                h, w, _ = img.shape
+                out["doc_id"].append(doc_id)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["n_px"].append(h * w)
+                for i, ch in enumerate(("sum_r", "sum_g", "sum_b")):
+                    out[ch].append(int(img[:, :, i].sum()))
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(batches, schema=JPEG_COLOR_STATS_SCHEMA)

@@ -2856,6 +2856,8 @@ QUERIES_TAIL["jpeg_progressive_decode_stats"] = \
 ORACLES_TAIL["jpeg_progressive_decode_stats"] = _jpeg_stats_sql()
 
 
+
+
 # -- D28: exact substring-level dedup (repeated-span extraction) ---------------
 # The training-data op MinHash can't do: document-LEVEL near-dup
 # screens keep a doc that embeds a long verbatim quote of another —
@@ -3235,3 +3237,42 @@ QUERIES_TAIL["jpeg_color_sampled_digest"] = jpeg_color_sampled_digest
 ORACLES_TAIL["jpeg_color_sampled_digest"] = _jpeg_sampled_sql(False)
 QUERIES_TAIL["jpeg420_sampled_digest"] = jpeg420_sampled_digest
 ORACLES_TAIL["jpeg420_sampled_digest"] = _jpeg_sampled_sql(True)
+
+
+def jpeg_progressive_color_decode_stats(spark: SparkSession,
+                                        sf_dir: str) -> DataFrame:
+    """Progressive COLOR (4:4:4): one INTERLEAVED DC first scan
+    (per-component predictors over MCU order — T.81 allows
+    interleave only for DC in progressive) + interleaved DC
+    refinements, then per-component spectral-band AC first/refine
+    scans. Same planted lattice and oracle as the baseline color
+    query; parity against the baseline decoder also proven over 180
+    randomized sampling/Al configurations in tests."""
+    from threat_detection_nosql_spark.operators.multimodal import (
+        jpeg_progressive_color_stats as stats,
+        synth_jpeg_progressive_color_media)
+    docs = load_table(spark, sf_dir, "documents")
+    return stats(synth_jpeg_progressive_color_media(docs))
+
+
+def jpeg_progressive_420_decode_stats(spark: SparkSession,
+                                      sf_dir: str) -> DataFrame:
+    """Progressive 4:2:0: the interleaved DC scans walk the
+    6-blocks-per-MCU subsampled structure while AC scans cover each
+    component's own block grid — the combination real progressive
+    photos use. Oracle shared with the baseline 4:2:0 query."""
+    from threat_detection_nosql_spark.operators.multimodal import (
+        jpeg_progressive_color_stats as stats,
+        synth_jpeg_progressive_color_media)
+    docs = load_table(spark, sf_dir, "documents")
+    return stats(synth_jpeg_progressive_color_media(
+        docs, subsampled=True))
+
+
+QUERIES_TAIL["jpeg_progressive_color_decode_stats"] = \
+    jpeg_progressive_color_decode_stats
+ORACLES_TAIL["jpeg_progressive_color_decode_stats"] = \
+    _jpeg_color_stats_sql()
+QUERIES_TAIL["jpeg_progressive_420_decode_stats"] = \
+    jpeg_progressive_420_decode_stats
+ORACLES_TAIL["jpeg_progressive_420_decode_stats"] = _jpeg420_stats_sql()
