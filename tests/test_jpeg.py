@@ -472,3 +472,16 @@ def test_progressive_color_randomized_parity():
                     M.encode_jpeg_progressive_color(
                         w, h, b3, sampling=sampling, al=al))
                 assert (base == prog).all(), (sampling, al)
+
+
+def test_progressive_with_restart_intervals():
+    """DRI in progressive streams: every scan segments at the same
+    interval, the RST counter restarts per scan, DC predictors and
+    EOB runs never cross a boundary."""
+    for doc in (0, 2, 7):
+        w, h, blocks = M._jpeg_planted_blocks(doc)
+        base = M.decode_jpeg_gray(M.encode_jpeg_gray(w, h, blocks))
+        for ri in (1, 2, 3):
+            prog = M.decode_jpeg_progressive(M.encode_jpeg_progressive(
+                w, h, blocks, restart_interval=ri))
+            assert (base == prog).all(), (doc, ri)

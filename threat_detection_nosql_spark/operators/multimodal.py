@@ -1905,14 +1905,17 @@ def encode_jpeg_progressive(width: int, height: int,
                             qtable: list[int] = JPEG_QTABLE,
                             al: int = 1,
                             ac_bands: tuple = ((1, 5), (6, 63)),
-                            ) -> bytes:
+                            restart_interval: int = 0) -> bytes:
     """Grayscale progressive JPEG from QUANTIZED coefficients. Scan
     script: DC first (Al=``al``) -> DC refinements down to 0 -> per
     spectral band: AC first (Al=``al``) -> AC refinements down to 0.
     AC scans accumulate EOB runs across blocks; refinement scans
     weave correction bits for already-nonzero coefficients behind the
     next emitted symbol (code/ZRL/EOBn) exactly as the decoder
-    consumes them."""
+    consumes them. ``restart_interval`` > 0 emits DRI + RSTm every
+    that many blocks in EVERY scan (the RST counter restarts at 0 per
+    scan, T.81 F.2.1.3.1); DC predictors and EOB runs never cross a
+    restart boundary."""
     import struct
     dc_codes = jpeg_canonical_codes(_JPEG_DC_BITS, _JPEG_DC_SYMS)
     ac_codes = jpeg_canonical_codes(_JPEG_PROG_AC_BITS,
@@ -1934,48 +1937,62 @@ def encode_jpeg_progressive(width: int, height: int,
                + bytes(_JPEG_DC_SYMS))
     out += seg(0xFFC4, bytes([0x10]) + bytes(_JPEG_PROG_AC_BITS)
                + bytes(_JPEG_PROG_AC_SYMS))
+    if restart_interval:
+        out += seg(0xFFDD, struct.pack(">H", restart_interval))
 
     def sos(ss: int, se: int, ah: int, al_: int) -> bytes:
         return seg(0xFFDA, bytes([1, 1, 0x00, ss, se,
                                   (ah << 4) | al_]))
 
+    def scan(emit_segment) -> bytes:
+        """Emit one scan's entropy data, restart-segmented: the
+        per-segment emitter gets a fresh bit writer and block slice,
+        so DC predictors / EOB runs reset per restart interval."""
+        body = bytearray()
+        step = restart_interval or len(coefs)
+        rst = 0
+        for i in range(0, len(coefs), step):
+            if i:
+                body += bytes([0xFF, 0xD0 + rst])
+                rst = (rst + 1) % 8
+            bw = _BitWriter()
+            emit_segment(bw, coefs[i:i + step])
+            bw.flush()
+            body += bw.out
+        return bytes(body)
+
     # --- DC first scan: diffs of dc >> al (arithmetic shift) --------
+    def dc_first(bw, seg_coefs):
+        pred = 0
+        for c in seg_coefs:
+            v = c[0] >> al
+            size, bits = _jpeg_magnitude(v - pred)
+            pred = v
+            code, ln = dc_codes[size]
+            bw.put(code, ln)
+            if size:
+                bw.put(bits, size)
+
     out += sos(0, 0, 0, al)
-    bw = _BitWriter()
-    pred = 0
-    for c in coefs:
-        v = c[0] >> al
-        size, bits = _jpeg_magnitude(v - pred)
-        pred = v
-        code, ln = dc_codes[size]
-        bw.put(code, ln)
-        if size:
-            bw.put(bits, size)
-    bw.flush()
-    out += bw.out
+    out += scan(dc_first)
 
     # --- DC refinement scans: one raw bit per block -----------------
     for a in range(al - 1, -1, -1):
         out += sos(0, 0, a + 1, a)
-        bw = _BitWriter()
-        for c in coefs:
-            bw.put((c[0] >> a) & 1, 1)
-        bw.flush()
-        out += bw.out
+        out += scan(lambda bw, seg_coefs, a=a: [
+            bw.put((c[0] >> a) & 1, 1) for c in seg_coefs])
 
     # --- AC scans per spectral band ---------------------------------
     for ss, se in ac_bands:
         out += sos(ss, se, 0, al)
-        bw = _BitWriter()
-        _emit_ac_first_scan(bw, ac_codes, coefs, ss, se, al)
-        bw.flush()
-        out += bw.out
+        out += scan(lambda bw, seg_coefs, ss=ss, se=se:
+                    _emit_ac_first_scan(bw, ac_codes, seg_coefs,
+                                        ss, se, al))
         for a in range(al - 1, -1, -1):
             out += sos(ss, se, a + 1, a)
-            bw = _BitWriter()
-            _emit_ac_refine_scan(bw, ac_codes, coefs, ss, se, a)
-            bw.flush()
-            out += bw.out
+            out += scan(lambda bw, seg_coefs, ss=ss, se=se, a=a:
+                        _emit_ac_refine_scan(bw, ac_codes, seg_coefs,
+                                             ss, se, a))
 
     out += b"\xff\xd9"
     return bytes(out)
@@ -2221,6 +2238,7 @@ def decode_jpeg_progressive(blob: bytes) -> np.ndarray:
     coefs: dict[int, list[list[int]]] = {}
     grids: dict[int, tuple[int, int, int, int]] = {}  # pw, ph, cbw, cbh
     mcus = (0, 0)
+    restart_interval = 0
     while pos < len(blob):
         if blob[pos] != 0xFF:
             raise ValueError(f"expected marker at {pos}")
@@ -2281,6 +2299,9 @@ def decode_jpeg_progressive(blob: bytes) -> np.ndarray:
                 huff[(tc, th)] = {(ln_, code): sym
                                   for sym, (code, ln_) in codes.items()}
                 p += 17 + n
+        elif marker == 0xDD:                    # DRI
+            import struct as _s
+            restart_interval = _s.unpack(">H", payload[:2])[0]
         elif marker == 0xDA:                    # one scan
             if not sof_comps:
                 raise ValueError("SOS before SOF2")
@@ -2292,7 +2313,8 @@ def decode_jpeg_progressive(blob: bytes) -> np.ndarray:
             ah, al_ = ahal >> 4, ahal & 0xF
             br_ = _BitReader(blob, pos + ln)
             _decode_prog_scan(br_, coefs, grids, huff, sof_comps,
-                              scomps, mcus, ss, se, ah, al_)
+                              scomps, mcus, ss, se, ah, al_,
+                              restart_interval)
             pos = br_.pos
             while pos + 1 < len(blob) and (
                     blob[pos] != 0xFF or blob[pos + 1] == 0x00):
@@ -2340,11 +2362,14 @@ def decode_jpeg_progressive(blob: bytes) -> np.ndarray:
 
 
 def _decode_prog_scan(br_, coefs, grids, huff, sof_comps, scomps,
-                      mcus, ss, se, ah, al_):
+                      mcus, ss, se, ah, al_, ri=0):
     """One progressive scan (T.81 G.2). Interleaved scans (ns > 1)
     are DC-only and walk MCU order with per-component predictors;
     non-interleaved scans walk the single component's ACTUAL block
-    grid (cbw x cbh) mapped into its padded coefficient array."""
+    grid (cbw x cbh) mapped into its padded coefficient array.
+    ``ri`` > 0: an RSTm marker every ri MCUs/blocks (sequence
+    verified, counter restarting at 0 per scan) resets DC predictors
+    and EOB runs and realigns the bit reader."""
     def read_sym(table):
         code, ln_ = 0, 0
         while ln_ < 17:
@@ -2361,8 +2386,17 @@ def _decode_prog_scan(br_, coefs, grids, huff, sof_comps, scomps,
             raise ValueError("interleaved AC scan is not legal in "
                              "progressive JPEG")
         preds = {cid: 0 for cid, _ in scomps}
+        mcu = 0
+        rst = 0
         for my in range(mcus[1]):
             for mx in range(mcus[0]):
+                if ri and mcu and mcu % ri == 0:
+                    if br_.restart() != rst:
+                        raise ValueError("restart marker out of "
+                                         "sequence")
+                    rst = (rst + 1) % 8
+                    preds = {cid: 0 for cid, _ in scomps}
+                mcu += 1
                 for cid, tds in scomps:
                     h_i, v_i = samp_of[cid]
                     pw = grids[cid][0]
@@ -2383,23 +2417,39 @@ def _decode_prog_scan(br_, coefs, grids, huff, sof_comps, scomps,
     pw, _ph, cbw, cbh = grids[cid]
     blocks = [coefs[cid][r * pw + col]
               for r in range(cbh) for col in range(cbw)]
+    rst = 0
+
+    def maybe_restart(i: int) -> bool:
+        nonlocal rst
+        if ri and i and i % ri == 0:
+            if br_.restart() != rst:
+                raise ValueError("restart marker out of sequence")
+            rst = (rst + 1) % 8
+            return True
+        return False
+
     if ss == 0:
         if ah == 0:                             # DC first
             dc_tab = huff[(0, tds >> 4)]
             pred = 0
-            for c in blocks:
+            for i, c in enumerate(blocks):
+                if maybe_restart(i):
+                    pred = 0
                 size = read_sym(dc_tab)
                 pred += _jpeg_extend(br_.bits(size), size)
                 c[0] = pred << al_
         else:                                   # DC refinement
-            for c in blocks:
+            for i, c in enumerate(blocks):
+                maybe_restart(i)
                 if br_.bit():
                     c[0] |= p1
         return
     ac_tab = huff[(1, tds & 0xF)]
     eobrun = 0
     if ah == 0:                                 # AC first
-        for c in blocks:
+        for i, c in enumerate(blocks):
+            if maybe_restart(i):
+                eobrun = 0
             if eobrun > 0:
                 eobrun -= 1
                 continue
@@ -2420,7 +2470,9 @@ def _decode_prog_scan(br_, coefs, grids, huff, sof_comps, scomps,
                     k += 1
         return
     m1 = -p1                                    # AC refinement (G.7)
-    for c in blocks:
+    for i, c in enumerate(blocks):
+        if maybe_restart(i):
+            eobrun = 0
         k = ss
         if eobrun == 0:
             while k <= se:
