@@ -350,6 +350,7 @@ ROUND12_COLLECT = [
     "jpeg_color_sampled_digest",
     "jpeg420_sampled_digest",
     "avi_mjpeg_decode_stats",
+    "tiff_decode_stats",
     "autoencoder_fixed_anomalies",
     "ocsvm_fixed_anomalies",
 ]

@@ -128,3 +128,38 @@ def test_avi_error_paths():
     # decode_media dispatches avi and the stack shape is (n, h, w)
     stack = M.decode_media(M._synth_avi_blob(5), "avi")
     assert stack.ndim == 3 and stack.shape[1] == 16
+
+
+def test_tiff_roundtrip_matrix():
+    """TIFF: PackBits + uncompressed, II + MM byte order, 1-4 rows
+    per strip — every combination decodes to the closed-form
+    lattice."""
+    from threat_detection_nosql_spark.operators import multimodal as M
+    import numpy as np
+    for doc in range(18):
+        w, h, base = 8 + doc % 9, 6, doc % 151
+        r, c = np.ogrid[0:h, 0:w]
+        want = ((base + 3 * r + 5 * (c // 4) + (7 * r + c) % 3)
+                % 251).astype(np.uint8)
+        assert np.array_equal(
+            M.decode_tiff_gray(M._synth_tiff_blob(doc)), want), doc
+    # explicit matrix beyond the planted corpus
+    img = (np.arange(7 * 11).reshape(7, 11) % 200).astype(np.uint8)
+    for comp in ("packbits", "none"):
+        for be in (False, True):
+            for rps in (1, 3, 7, 100):
+                blob = M.encode_tiff_gray(img, compression=comp,
+                                          rows_per_strip=rps,
+                                          big_endian=be)
+                assert np.array_equal(M.decode_tiff_gray(blob), img)
+    assert M.decode_media(M._synth_tiff_blob(4), "tiff").shape == (6, 12)
+
+
+def test_tiff_error_paths():
+    from threat_detection_nosql_spark.operators import multimodal as M
+    import pytest
+    with pytest.raises(ValueError, match="II/MM"):
+        M.decode_tiff_gray(b"PK\x03\x04" * 4)
+    # PackBits length mismatch is detected, not silently padded
+    with pytest.raises(ValueError, match="length"):
+        M._packbits_decode(b"\x00\xaa", 5)

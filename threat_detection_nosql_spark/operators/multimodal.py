@@ -577,6 +577,8 @@ def decode_media(blob: bytes, media_kind: str):
         return decode_jpeg(blob)
     if media_kind == "avi":
         return decode_avi_mjpeg(blob)
+    if media_kind == "tiff":
+        return decode_tiff_gray(blob)
     raise ValueError(
         f"no lib-free decoder for {media_kind!r}; MP4 and non-MJPEG "
         "codecs need pyav, not present in this container (JPEG is "
@@ -2607,3 +2609,232 @@ def jpeg_progressive_color_stats(media: DataFrame) -> DataFrame:
             yield pd.DataFrame(out)
 
     return media.mapInPandas(batches, schema=JPEG_COLOR_STATS_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# TIFF — baseline bilevel/gray 8-bit, strip-organized, uncompressed +
+# PackBits (TIFF 6.0 spec, public; PackBits is the Apple RLE also in
+# the spec's Section 9). The scanned-document format a real corpus
+# pipeline meets right after JPEG/PNG.
+# ---------------------------------------------------------------------------
+
+
+def _packbits_encode(row: bytes) -> bytes:
+    """TIFF PackBits: literal runs (n-1) 0..127, repeat runs (1-n)
+    257-n for n in 2..128. Greedy: repeats of >=3 break literals
+    (the spec's recommended encoder)."""
+    out = bytearray()
+    i, n = 0, len(row)
+    while i < n:
+        run = 1
+        while i + run < n and run < 128 and row[i + run] == row[i]:
+            run += 1
+        if run >= 3 or (run == 2 and (i + 2 >= n)):
+            out += bytes([257 - run & 0xFF, row[i]])
+            i += run
+            continue
+        lit = i
+        while i < n and i - lit < 128:
+            nxt = 1
+            while i + nxt < n and nxt < 3 and row[i + nxt] == row[i]:
+                nxt += 1
+            if nxt >= 3:
+                break
+            i += 1
+        out += bytes([i - lit - 1]) + row[lit:i]
+    return bytes(out)
+
+
+def _packbits_decode(data: bytes, expected: int) -> bytes:
+    out = bytearray()
+    i = 0
+    while len(out) < expected and i < len(data):
+        n = data[i]
+        i += 1
+        if n < 128:                       # literal run of n+1
+            out += data[i:i + n + 1]
+            i += n + 1
+        elif n > 128:                     # repeat of 257-n
+            out += bytes([data[i]]) * (257 - n)
+            i += 1
+        # n == 128: no-op per spec
+    if len(out) != expected:
+        raise ValueError("PackBits strip decoded to wrong length")
+    return bytes(out)
+
+
+def encode_tiff_gray(pixels: np.ndarray, compression: str = "packbits",
+                     rows_per_strip: int = 4,
+                     big_endian: bool = False) -> bytes:
+    """Minimal spec-conformant gray 8-bit TIFF: header (II/MM + magic
+    42), strip-organized image data (PackBits or uncompressed), one
+    IFD with the 9 baseline tags readers require."""
+    import struct
+    e = ">" if big_endian else "<"
+    h, w = pixels.shape
+    strips = []
+    for r0 in range(0, h, rows_per_strip):
+        raw = pixels[r0:r0 + rows_per_strip].tobytes()
+        strips.append(_packbits_encode(raw)
+                      if compression == "packbits" else raw)
+    comp_tag = 32773 if compression == "packbits" else 1
+    # layout: header(8) | strip data | strip offset/bytecount arrays |
+    # IFD
+    data_start = 8
+    offs, pos = [], data_start
+    for s in strips:
+        offs.append(pos)
+        pos += len(s)
+    n_str = len(strips)
+
+    def arr(fmt, vals):
+        return b"".join(struct.pack(e + fmt, v) for v in vals)
+
+    off_arr_pos = pos
+    pos += 4 * n_str
+    cnt_arr_pos = pos
+    pos += 4 * n_str
+    ifd_pos = pos
+
+    def entry(tag, typ, cnt, val, inline_fmt=None):
+        # value fits in 4 bytes -> inline, else offset
+        b = struct.pack(e + "HHI", tag, typ, cnt)
+        if inline_fmt:
+            v = struct.pack(e + inline_fmt, val)
+            return b + v + b"\x00" * (4 - len(v))
+        return b + struct.pack(e + "I", val)
+
+    entries = [
+        entry(256, 4, 1, w),                       # ImageWidth LONG
+        entry(257, 4, 1, h),                       # ImageLength
+        entry(258, 3, 1, 8, "H"),                  # BitsPerSample
+        entry(259, 3, 1, comp_tag, "H"),           # Compression
+        entry(262, 3, 1, 1, "H"),                  # BlackIsZero
+        entry(273, 4, n_str,
+              offs[0] if n_str == 1 else off_arr_pos),  # StripOffsets
+        entry(277, 3, 1, 1, "H"),                  # SamplesPerPixel
+        entry(278, 4, 1, rows_per_strip),          # RowsPerStrip
+        entry(279, 4, n_str,
+              len(strips[0]) if n_str == 1 else cnt_arr_pos),
+    ]
+    ifd = (struct.pack(e + "H", len(entries)) + b"".join(entries)
+           + struct.pack(e + "I", 0))
+    out = bytearray()
+    out += (b"MM" if big_endian else b"II") + struct.pack(e + "H", 42)
+    out += struct.pack(e + "I", ifd_pos)
+    for s in strips:
+        out += s
+    out += arr("I", offs)
+    out += arr("I", [len(s) for s in strips])
+    out += ifd
+    return bytes(out)
+
+
+def decode_tiff_gray(blob: bytes) -> np.ndarray:
+    """Decode a gray 8-bit strip-organized TIFF, either byte order,
+    Compression 1 (none) or 32773 (PackBits). Raises a clean
+    capability error for other compressions (G4 fax / LZW / JPEG-in-
+    TIFF) and non-8-bit samples."""
+    import struct
+    if blob[:2] == b"II":
+        e = "<"
+    elif blob[:2] == b"MM":
+        e = ">"
+    else:
+        raise ValueError("not a TIFF (no II/MM byte-order mark)")
+    if struct.unpack(e + "H", blob[2:4])[0] != 42:
+        raise ValueError("bad TIFF magic")
+    ifd_pos = struct.unpack(e + "I", blob[4:8])[0]
+    n = struct.unpack(e + "H", blob[ifd_pos:ifd_pos + 2])[0]
+    tags: dict[int, tuple[int, int, bytes]] = {}
+    for i in range(n):
+        off = ifd_pos + 2 + 12 * i
+        tag, typ, cnt = struct.unpack(e + "HHI", blob[off:off + 8])
+        tags[tag] = (typ, cnt, blob[off + 8:off + 12])
+    sizes = {3: 2, 4: 4}
+
+    def values(tag):
+        typ, cnt, inline = tags[tag]
+        fmt = {3: "H", 4: "I"}[typ]
+        total = sizes[typ] * cnt
+        if total <= 4:
+            raw = inline[:total]
+        else:
+            p = struct.unpack(e + "I", inline)[0]
+            raw = blob[p:p + total]
+        return [struct.unpack(e + fmt, raw[j:j + sizes[typ]])[0]
+                for j in range(0, total, sizes[typ])]
+
+    w, h = values(256)[0], values(257)[0]
+    bits = values(258)[0] if 258 in tags else 1
+    if bits != 8:
+        raise ValueError(f"{bits}-bit TIFF unsupported (8-bit gray "
+                         "only)")
+    comp = values(259)[0] if 259 in tags else 1
+    if comp not in (1, 32773):
+        raise ValueError(
+            f"TIFF compression {comp} unsupported — only 1 (none) "
+            "and 32773 (PackBits) decode lib-free (G4/LZW/JPEG-in-"
+            "TIFF need codec support)")
+    rps = values(278)[0] if 278 in tags else h
+    offs = values(273)
+    cnts = values(279)
+    out = bytearray()
+    for i, (o, c) in enumerate(zip(offs, cnts)):
+        rows = min(rps, h - i * rps)
+        expected = rows * w
+        raw = blob[o:o + c]
+        out += (_packbits_decode(raw, expected) if comp == 32773
+                else raw[:expected])
+    if len(out) != w * h:
+        raise ValueError("TIFF strip data decoded to wrong size")
+    return np.frombuffer(bytes(out), dtype=np.uint8).reshape(h, w)
+
+
+# planted lattice with genuine RLE structure: runs of 4 along x
+# (PackBits repeat runs) broken by a row-varying literal — closed
+# form val = (base + 3*r + 5*(c//4) + (7*r + c) % 3) % 251
+def _synth_tiff_blob(doc_id: int) -> bytes:
+    w, h, base = 8 + doc_id % 9, 6, doc_id % 151
+    r, c = np.ogrid[0:h, 0:w]
+    img = ((base + 3 * r + 5 * (c // 4) + (7 * r + c) % 3) % 251
+           ).astype(np.uint8)
+    return encode_tiff_gray(
+        img,
+        compression="packbits" if doc_id % 2 == 0 else "none",
+        rows_per_strip=1 + doc_id % 4,
+        big_endian=doc_id % 3 == 0)
+
+
+def synth_tiff_media(docs: DataFrame) -> DataFrame:
+    """Plant one gray TIFF per document (strip layout, compression
+    and byte order all vary per doc)."""
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "blob": [_synth_tiff_blob(int(d))
+                         for d in pdf["doc_id"]]})
+
+    return docs.select("doc_id").mapInPandas(
+        batches, schema="doc_id long, blob binary")
+
+
+def tiff_decode_stats(media: DataFrame) -> DataFrame:
+    """Decode planted TIFFs (IFD walk, strips, PackBits) and emit the
+    exact pixel sum per doc."""
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {k: [] for k in ("doc_id", "width", "height",
+                                   "n_px", "sum_y")}
+            for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
+                img = decode_tiff_gray(bytes(blob)).astype(np.int64)
+                h, w = img.shape
+                out["doc_id"].append(doc_id)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["n_px"].append(h * w)
+                out["sum_y"].append(int(img.sum()))
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(batches, schema=JPEG_STATS_SCHEMA)

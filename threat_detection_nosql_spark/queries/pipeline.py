@@ -2856,6 +2856,41 @@ QUERIES_TAIL["jpeg_progressive_decode_stats"] = \
 ORACLES_TAIL["jpeg_progressive_decode_stats"] = _jpeg_stats_sql()
 
 
+def tiff_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIFF end to end — the scanned-document format (TIFF 6.0,
+    public spec): plant one gray 8-bit strip-organized TIFF per
+    document with compression (PackBits RLE vs none), byte order
+    (II vs MM) and rows-per-strip all varying per doc, walk the IFD
+    back (inline vs offset tag values, both endians), decompress
+    every strip and emit the exact pixel sum. The planted lattice
+    has genuine run-length structure (runs of 4 along x broken by a
+    mod-3 literal ripple) so PackBits repeat AND literal paths carry
+    real data; the oracle replays the lattice in closed form — one
+    wrong strip boundary or run count shifts every later byte."""
+    from threat_detection_nosql_spark.operators.multimodal import (
+        synth_tiff_media, tiff_decode_stats as stats)
+    docs = load_table(spark, sf_dir, "documents")
+    return stats(synth_tiff_media(docs))
+
+
+_TIFF_STATS_SQL = """
+WITH d AS (SELECT doc_id, 8 + doc_id % 9 AS w, 6 AS h,
+                  doc_id % 151 AS base FROM documents),
+rws AS (SELECT doc_id, w, base,
+               unnest(generate_series(0, h - 1)) AS r FROM d),
+px AS (SELECT doc_id, w, base, r,
+              unnest(generate_series(0, w - 1)) AS c FROM rws)
+SELECT doc_id, CAST(w AS INT) AS width, CAST(6 AS INT) AS height,
+       CAST(count(*) AS INT) AS n_px,
+       CAST(sum((base + 3 * r + 5 * (c // 4) + (7 * r + c) % 3)
+                % 251) AS BIGINT) AS sum_y
+FROM px GROUP BY doc_id, w
+"""
+
+QUERIES_TAIL["tiff_decode_stats"] = tiff_decode_stats
+ORACLES_TAIL["tiff_decode_stats"] = _TIFF_STATS_SQL
+
+
 
 
 # -- D28: exact substring-level dedup (repeated-span extraction) ---------------
