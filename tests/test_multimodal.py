@@ -163,3 +163,27 @@ def test_tiff_error_paths():
     # PackBits length mismatch is detected, not silently padded
     with pytest.raises(ValueError, match="length"):
         M._packbits_decode(b"\x00\xaa", 5)
+
+
+def test_tiff_lzw_paths():
+    """TIFF LZW (Compression 5): MSB-first codes, early change at
+    510/1022/2046, early clear at 4094 — round-trips across width
+    boundaries, table resets, and KwKwK chains; corpus now cycles
+    packbits/none/lzw per doc with the same closed-form pixels."""
+    import random
+    import numpy as np
+    from threat_detection_nosql_spark.operators import multimodal as M
+    rng = random.Random(3)
+    for n in (40, 500, 3000, 20000, 60000):
+        data = bytes(rng.randrange(256) for _ in range(n))
+        assert M._tiff_lzw_decode(M._tiff_lzw_encode(data), n) == data
+        run = bytes([7]) * n
+        assert M._tiff_lzw_decode(M._tiff_lzw_encode(run), n) == run
+    img = (np.arange(64 * 200).reshape(64, 200) * 7 % 251
+           ).astype(np.uint8)
+    blob = M.encode_tiff_gray(img, compression="lzw",
+                              rows_per_strip=16)
+    assert np.array_equal(M.decode_tiff_gray(blob), img)
+    for doc in (2, 5, 8):   # lzw docs in the planted corpus
+        assert doc % 3 == 2
+        M.decode_tiff_gray(M._synth_tiff_blob(doc))

@@ -2672,12 +2672,12 @@ def encode_tiff_gray(pixels: np.ndarray, compression: str = "packbits",
     import struct
     e = ">" if big_endian else "<"
     h, w = pixels.shape
-    strips = []
-    for r0 in range(0, h, rows_per_strip):
-        raw = pixels[r0:r0 + rows_per_strip].tobytes()
-        strips.append(_packbits_encode(raw)
-                      if compression == "packbits" else raw)
-    comp_tag = 32773 if compression == "packbits" else 1
+    enc = {"packbits": _packbits_encode,
+           "lzw": lambda raw: _tiff_lzw_encode(raw),
+           "none": lambda raw: raw}[compression]
+    strips = [enc(pixels[r0:r0 + rows_per_strip].tobytes())
+              for r0 in range(0, h, rows_per_strip)]
+    comp_tag = {"none": 1, "lzw": 5, "packbits": 32773}[compression]
     # layout: header(8) | strip data | strip offset/bytecount arrays |
     # IFD
     data_start = 8
@@ -2732,9 +2732,10 @@ def encode_tiff_gray(pixels: np.ndarray, compression: str = "packbits",
 
 def decode_tiff_gray(blob: bytes) -> np.ndarray:
     """Decode a gray 8-bit strip-organized TIFF, either byte order,
-    Compression 1 (none) or 32773 (PackBits). Raises a clean
-    capability error for other compressions (G4 fax / LZW / JPEG-in-
-    TIFF) and non-8-bit samples."""
+    Compression 1 (none), 5 (LZW, the TIFF variant: MSB-first
+    codes, early change at 510/1022/2046) or 32773 (PackBits).
+    Raises a clean capability error for other compressions (G4 fax /
+    JPEG-in-TIFF) and non-8-bit samples."""
     import struct
     if blob[:2] == b"II":
         e = "<"
@@ -2771,11 +2772,11 @@ def decode_tiff_gray(blob: bytes) -> np.ndarray:
         raise ValueError(f"{bits}-bit TIFF unsupported (8-bit gray "
                          "only)")
     comp = values(259)[0] if 259 in tags else 1
-    if comp not in (1, 32773):
+    if comp not in (1, 5, 32773):
         raise ValueError(
-            f"TIFF compression {comp} unsupported — only 1 (none) "
-            "and 32773 (PackBits) decode lib-free (G4/LZW/JPEG-in-"
-            "TIFF need codec support)")
+            f"TIFF compression {comp} unsupported — only 1 (none), "
+            "5 (LZW) and 32773 (PackBits) decode lib-free "
+            "(G4/JPEG-in-TIFF need codec support)")
     rps = values(278)[0] if 278 in tags else h
     offs = values(273)
     cnts = values(279)
@@ -2784,8 +2785,12 @@ def decode_tiff_gray(blob: bytes) -> np.ndarray:
         rows = min(rps, h - i * rps)
         expected = rows * w
         raw = blob[o:o + c]
-        out += (_packbits_decode(raw, expected) if comp == 32773
-                else raw[:expected])
+        if comp == 32773:
+            out += _packbits_decode(raw, expected)
+        elif comp == 5:
+            out += _tiff_lzw_decode(raw, expected)
+        else:
+            out += raw[:expected]
     if len(out) != w * h:
         raise ValueError("TIFF strip data decoded to wrong size")
     return np.frombuffer(bytes(out), dtype=np.uint8).reshape(h, w)
@@ -2801,9 +2806,9 @@ def _synth_tiff_blob(doc_id: int) -> bytes:
            ).astype(np.uint8)
     return encode_tiff_gray(
         img,
-        compression="packbits" if doc_id % 2 == 0 else "none",
+        compression=("packbits", "none", "lzw")[doc_id % 3],
         rows_per_strip=1 + doc_id % 4,
-        big_endian=doc_id % 3 == 0)
+        big_endian=doc_id % 2 == 0)
 
 
 def synth_tiff_media(docs: DataFrame) -> DataFrame:
@@ -2838,3 +2843,95 @@ def tiff_decode_stats(media: DataFrame) -> DataFrame:
             yield pd.DataFrame(out)
 
     return media.mapInPandas(batches, schema=JPEG_STATS_SCHEMA)
+
+
+# --- TIFF LZW (Compression 5, TIFF 6.0 Section 13) --------------------------
+# Differs from the GIF LZW above in exactly three spec'd ways: codes
+# pack MSB-first, the alphabet is fixed 8-bit (Clear=256, EOI=257,
+# first width 9), and BOTH sides switch code width one code early
+# (at table index 2^w - 1: 511/1023/2047) because the decoder's
+# table lags one entry; the encoder emits Clear when the next index
+# would be 4094.
+
+
+def _tiff_lzw_encode(data: bytes) -> bytes:
+    clear, eoi = 256, 257
+    out = bytearray()
+    acc = nbits = 0
+
+    def put(code: int, width: int) -> None:
+        nonlocal acc, nbits
+        acc = (acc << width) | code
+        nbits += width
+        while nbits >= 8:
+            out.append((acc >> (nbits - 8)) & 0xFF)
+            nbits -= 8
+            acc &= (1 << nbits) - 1
+
+    table = {bytes([i]): i for i in range(256)}
+    next_code, width = 258, 9
+    put(clear, width)
+    w = b""
+    for b in data:
+        wk = w + bytes([b])
+        if wk in table:
+            w = wk
+            continue
+        put(table[w], width)
+        table[wk] = next_code
+        next_code += 1
+        if next_code == (1 << width) - 1 and width < 12:
+            width += 1
+        if next_code == 4094:           # early clear per spec
+            put(clear, width)
+            table = {bytes([i]): i for i in range(256)}
+            next_code, width = 258, 9
+        w = bytes([b])
+    if w:
+        put(table[w], width)
+    put(eoi, width)
+    if nbits:
+        out.append((acc << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
+def _tiff_lzw_decode(data: bytes, expected: int) -> bytes:
+    clear, eoi = 256, 257
+    acc = nbits = pos = 0
+    width = 9
+    table: list[bytes] = [bytes([i]) for i in range(256)] + [b"", b""]
+    prev: bytes | None = None
+    out = bytearray()
+    while len(out) < expected:
+        while nbits < width:
+            if pos >= len(data):
+                raise ValueError("TIFF LZW stream truncated")
+            acc = (acc << 8) | data[pos]
+            pos += 1
+            nbits += 8
+        code = (acc >> (nbits - width)) & ((1 << width) - 1)
+        nbits -= width
+        if code == clear:
+            table = table[:258]
+            width, prev = 9, None
+            continue
+        if code == eoi:
+            break
+        if code < len(table):
+            entry = table[code]
+        elif code == len(table) and prev is not None:
+            entry = prev + prev[:1]     # KwKwK
+        else:
+            raise ValueError(f"TIFF LZW: invalid code {code}")
+        out.extend(entry)
+        if prev is not None:
+            table.append(prev + entry[:1])
+            # the decoder's table lags the encoder's by ONE entry, so
+            # its early change fires at 2^w - 2 (510/1022/2046) to
+            # stay width-synchronized with the encoder's 2^w - 1
+            if len(table) == (1 << width) - 2 and width < 12:
+                width += 1
+        prev = entry
+    if len(out) != expected:
+        raise ValueError("TIFF LZW strip decoded to wrong length")
+    return bytes(out)
