@@ -187,3 +187,30 @@ def test_tiff_lzw_paths():
     for doc in (2, 5, 8):   # lzw docs in the planted corpus
         assert doc % 3 == 2
         M.decode_tiff_gray(M._synth_tiff_blob(doc))
+
+
+def test_sniff_media_kind_every_format():
+    """Magic-byte sniffing identifies and decode_media_auto decodes
+    every planted format without a kind label — including the
+    RIFF disambiguation (WAV vs AVI) and TIFF's two byte orders."""
+    import numpy as np
+    import pytest
+    from threat_detection_nosql_spark.operators import multimodal as M
+    cases = [
+        ("bmp", M._synth_blob(0)[1]),
+        ("ppm", M._synth_blob(1)[1]),
+        ("wav", M._synth_blob(2)[1]),
+        ("gif", M._synth_gif_blob(3)),
+        ("png", M._synth_png_blob(4)),
+        ("jpeg", M._synth_jpeg_blob(5)),
+        ("jpeg", M._synth_jpeg_progressive_blob(6)),
+        ("tiff", M._synth_tiff_blob(7)),   # MM (doc 7 % 2 != 0 -> II)
+        ("tiff", M._synth_tiff_blob(8)),
+        ("avi", M._synth_avi_blob(9)),
+    ]
+    for want, blob in cases:
+        assert M.sniff_media_kind(blob) == want
+        out = M.decode_media_auto(blob)
+        assert isinstance(out, (np.ndarray, tuple))
+    with pytest.raises(ValueError, match="unrecognized"):
+        M.sniff_media_kind(b"\x00\x01\x02\x03\x04\x05\x06\x07")

@@ -2935,3 +2935,35 @@ def _tiff_lzw_decode(data: bytes, expected: int) -> bytes:
     if len(out) != expected:
         raise ValueError("TIFF LZW strip decoded to wrong length")
     return bytes(out)
+
+
+def sniff_media_kind(blob: bytes) -> str:
+    """Identify a media blob by magic bytes alone — real corpora
+    rarely carry trustworthy MIME labels. Recognizes every format
+    this module decodes; raises for unknown signatures rather than
+    guessing."""
+    if blob[:2] == b"BM":
+        return "bmp"
+    if blob[:2] == b"P6":
+        return "ppm"
+    if blob[:6] in (b"GIF87a", b"GIF89a"):
+        return "gif"
+    if blob[:8] == b"\x89PNG\r\n\x1a\n":
+        return "png"
+    if blob[:2] == b"\xff\xd8":
+        return "jpeg"
+    if blob[:4] in (b"II*\x00", b"MM\x00*"):
+        return "tiff"
+    if blob[:4] == b"RIFF" and blob[8:12] == b"WAVE":
+        return "wav"
+    if blob[:4] == b"RIFF" and blob[8:12] == b"AVI ":
+        return "avi"
+    raise ValueError(
+        f"unrecognized media signature {blob[:8].hex()!r}")
+
+
+def decode_media_auto(blob: bytes):
+    """Sniff-and-decode: :func:`sniff_media_kind` then
+    :func:`decode_media` — the entry point for corpora whose media
+    kind column is absent or untrusted."""
+    return decode_media(blob, sniff_media_kind(blob))
