@@ -31,6 +31,21 @@ MEDIA_HIST_SCHEMA = ("doc_id long, media_kind string, bucket int, "
                      "n_values long")
 
 
+def _spread_ids(docs: DataFrame) -> DataFrame:
+    """doc_id projection, round-robin repartitioned to the cluster's
+    core count before the encode/decode kernel stages.
+
+    The planted-media corpus scans one small parquet split, so without
+    this EVERY Python kernel in the synth→decode chain runs inside a
+    single task while the other cores idle (measured: the whole color
+    JPEG family pinned to one core at sf0.1). Repartitioning only the
+    8-byte id column costs a few KB of shuffle; the kernels then run
+    at full width at any scale, and at real scale (many input splits)
+    the exchange still only ever carries ids, never blobs."""
+    ids = docs.select("doc_id")
+    return ids.repartition(ids.sparkSession.sparkContext.defaultParallelism)
+
+
 def media_value_histogram(media: DataFrame, bucket: int = 32) -> DataFrame:
     """REAL decode → value-histogram feature extraction over the binary
     column: images contribute every decoded pixel byte (all channels),
@@ -705,7 +720,7 @@ def synth_gif_media(docs: DataFrame) -> DataFrame:
                 "doc_id": pdf["doc_id"],
                 "blob": [_synth_gif_blob(int(d)) for d in pdf["doc_id"]]})
 
-    return docs.select("doc_id").mapInPandas(
+    return _spread_ids(docs).mapInPandas(
         batches, schema="doc_id long, blob binary")
 
 
@@ -832,7 +847,7 @@ def synth_png_media(docs: DataFrame) -> DataFrame:
                 "doc_id": pdf["doc_id"],
                 "blob": [_synth_png_blob(int(d)) for d in pdf["doc_id"]]})
 
-    return docs.select("doc_id").mapInPandas(
+    return _spread_ids(docs).mapInPandas(
         batches, schema="doc_id long, blob binary")
 
 
@@ -1479,7 +1494,7 @@ def synth_jpeg_media(docs: DataFrame) -> DataFrame:
                 "doc_id": pdf["doc_id"],
                 "blob": [_synth_jpeg_blob(int(d)) for d in pdf["doc_id"]]})
 
-    return docs.select("doc_id").mapInPandas(
+    return _spread_ids(docs).mapInPandas(
         batches, schema="doc_id long, blob binary")
 
 
@@ -1507,7 +1522,7 @@ def synth_jpeg_restart_media(docs: DataFrame) -> DataFrame:
                 "blob": [_synth_jpeg_restart_blob(int(d))
                          for d in pdf["doc_id"]]})
 
-    return docs.select("doc_id").mapInPandas(
+    return _spread_ids(docs).mapInPandas(
         batches, schema="doc_id long, blob binary")
 
 
@@ -1573,7 +1588,7 @@ def synth_jpeg_color_media(docs: DataFrame) -> DataFrame:
                 "blob": [_synth_jpeg_color_blob(int(d))
                          for d in pdf["doc_id"]]})
 
-    return docs.select("doc_id").mapInPandas(
+    return _spread_ids(docs).mapInPandas(
         batches, schema="doc_id long, blob binary")
 
 
@@ -1707,7 +1722,7 @@ def synth_jpeg_420_media(docs: DataFrame) -> DataFrame:
                 "blob": [_synth_jpeg_420_blob(int(d))
                          for d in pdf["doc_id"]]})
 
-    return docs.select("doc_id").mapInPandas(
+    return _spread_ids(docs).mapInPandas(
         batches, schema="doc_id long, blob binary")
 
 
@@ -1840,7 +1855,7 @@ def synth_avi_media(docs: DataFrame) -> DataFrame:
                 "blob": [_synth_avi_blob(int(d))
                          for d in pdf["doc_id"]]})
 
-    return docs.select("doc_id").mapInPandas(
+    return _spread_ids(docs).mapInPandas(
         batches, schema="doc_id long, blob binary")
 
 
@@ -2530,7 +2545,7 @@ def synth_jpeg_progressive_media(docs: DataFrame) -> DataFrame:
                 "blob": [_synth_jpeg_progressive_blob(int(d))
                          for d in pdf["doc_id"]]})
 
-    return docs.select("doc_id").mapInPandas(
+    return _spread_ids(docs).mapInPandas(
         batches, schema="doc_id long, blob binary")
 
 
@@ -2584,7 +2599,7 @@ def synth_jpeg_progressive_color_media(docs: DataFrame,
                 "doc_id": pdf["doc_id"],
                 "blob": [synth(int(d)) for d in pdf["doc_id"]]})
 
-    return docs.select("doc_id").mapInPandas(
+    return _spread_ids(docs).mapInPandas(
         batches, schema="doc_id long, blob binary")
 
 
@@ -2821,7 +2836,7 @@ def synth_tiff_media(docs: DataFrame) -> DataFrame:
                 "blob": [_synth_tiff_blob(int(d))
                          for d in pdf["doc_id"]]})
 
-    return docs.select("doc_id").mapInPandas(
+    return _spread_ids(docs).mapInPandas(
         batches, schema="doc_id long, blob binary")
 
 
