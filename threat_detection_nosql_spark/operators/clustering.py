@@ -27,43 +27,67 @@ def _sq_dist(a, b):
 
 
 def kmeans_fixed(emb: DataFrame, k: int = 8, n_iters: int = 2,
-                 vec_col: str = "v", id_col: str = "vec_id"
+                 vec_col: str = "v", id_col: str = "vec_id",
+                 group_col: str | None = None, pin_final: bool = True
                  ) -> tuple[DataFrame, DataFrame]:
     """Run ``n_iters`` synchronous Lloyd steps from the deterministic
     seed (vectors with the ``k`` smallest ids). Returns
     ``(assigned, centroids)``: (id, v, cell, dist) with dist = Euclidean
-    distance to the final centroid, and (cell, cv) centroid arrays."""
+    distance to the final centroid, and (cell, cv) centroid arrays.
+
+    ``group_col``: train INDEPENDENT codebooks per group value in ONE
+    Lloyd chain (the PQ subspace trainer) — assignment windows key on
+    (group, id), the update aggregates on (group, cell), and the
+    centroid broadcast becomes an equi-join on the group. Per-group
+    arithmetic is identical to k separate calls (the groups never mix
+    in any aggregate), but the corpus is scanned once per iteration
+    for ALL groups instead of once per iteration per group.
+
+    ``pin_final``: localCheckpoint the FINAL k·|groups|-row centroid
+    table (lazily — materialized inside the first consumer job). The
+    round-9 lazy design replayed the whole
+    iteration lineage once per consumer — fine for a single-consumer
+    query, but multi-consumer compositions (PQ's LUT + codes sides,
+    the silhouette's b-join, the recall harness) re-ran every Lloyd
+    step per reference and their physical plans grew to 96-156
+    Exchange nodes (plans/r12/pq_*_before.txt). Pinning k·dim doubles
+    costs one bounded job and matches how distributed Lloyd ships
+    centroids between iterations at real scale (guide §2.4/§5:
+    truncate multi-consumer lineage at tiny state)."""
+    gcols = [group_col] if group_col else []
     cent = (emb.filter(F.col(id_col) < k)
-            .select(F.col(id_col).cast("int").alias("cell"),
+            .select(*gcols, F.col(id_col).cast("int").alias("cell"),
                     F.col(vec_col).alias("cv")))
 
     def assign(centroids: DataFrame) -> DataFrame:
         d = F.sqrt(_sq_dist(F.col(vec_col), F.col("cv")))
-        w = Window.partitionBy(id_col).orderBy(F.asc("dist"), F.asc("cell"))
-        return (emb.crossJoin(F.broadcast(centroids))
+        w = Window.partitionBy(*gcols, id_col).orderBy(F.asc("dist"),
+                                                       F.asc("cell"))
+        joined = (emb.join(F.broadcast(centroids), group_col)
+                  if group_col else emb.crossJoin(F.broadcast(centroids)))
+        return (joined
                 .withColumn("dist", d)
                 .withColumn("_rn", F.row_number().over(w))
                 .filter(F.col("_rn") == 1)
-                .select(id_col, vec_col, "cell", "dist"))
+                .select(*gcols, id_col, vec_col, "cell", "dist"))
 
     for _ in range(n_iters):
         assigned = assign(cent)
         cent = (assigned
-                .select("cell", F.posexplode(vec_col).alias("pos", "val"))
-                .groupBy("cell", "pos")
+                .select(*gcols, "cell", F.posexplode(vec_col).alias("pos", "val"))
+                .groupBy(*gcols, "cell", "pos")
                 .agg(F.avg("val").alias("w"))
-                .groupBy("cell")
+                .groupBy(*gcols, "cell")
                 .agg(F.transform(
                     F.array_sort(F.collect_list(F.struct("pos", "w"))),
                     lambda s: s["w"]).alias("cv")))
-    # Deliberately fully lazy: the two consumers (final assignment +
-    # query probe) each replay the iteration lineage inside one job,
-    # which measures FASTER at this state size (k·dim doubles) than
-    # collecting centroids per iteration or once at the end — the
-    # duplicated in-job compute is 16k-row crossjoins, while every
-    # collect adds a job round trip (~0.7s measured at sf0.1). On a
-    # real cluster with big k·dim, flip to per-iteration collect like
-    # Spark ML's Lloyd.
+    if pin_final:
+        # eager=False: the checkpoint materializes inside the FIRST
+        # consumer job and is reused by every later one — callers that
+        # discard the centroid table (kmeans_fixed_anomalies) pay
+        # nothing, unlike an eager pin which would run the Lloyd chain
+        # as its own extra job
+        cent = cent.localCheckpoint(eager=False)
     return assign(cent), cent
 
 

@@ -91,12 +91,17 @@ def pagerank_fixed(edges: DataFrame, n_iters: int = 3,
     """
     nodes = (edges.select(F.col("src").alias("node"))
              .unionByName(edges.select(F.col("dst").alias("node")))
-             .distinct())
+             .distinct().localCheckpoint())
     n = nodes.count()
     out_deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
     # pre-divide: contributions need rank/deg; attaching deg once to
-    # the edge list keeps the per-iteration join single-key
-    e = edges.join(out_deg, "src")
+    # the edge list keeps the per-iteration join single-key. Both
+    # loop-invariant frames (node list, degree-attached edges) are
+    # pinned: every iteration joins them, and unpinned each join
+    # replayed the graph-projection lineage (distinct over the fact
+    # scan) once per round — guide §2.4/§5, same rationale as the
+    # teleport pin in pagerank_personalized
+    e = edges.join(out_deg, "src").localCheckpoint(eager=False)
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
     for _ in range(n_iters):
         contrib = (e.join(ranks, e["src"] == ranks["node"])
@@ -287,7 +292,11 @@ def label_propagation_fixed(edges: DataFrame, n_iters: int = 3) -> DataFrame:
     nbr = (edges.select(F.col("src").alias("node"),
                         F.col("dst").alias("nbr"))
            .unionAll(edges.select(F.col("dst").alias("node"),
-                                  F.col("src").alias("nbr"))))
+                                  F.col("src").alias("nbr")))
+           # loop-invariant adjacency: pinned so each round's join
+           # reads it instead of replaying the caller's edge build
+           # (e.g. the co-purchase self-join) once per round
+           .localCheckpoint(eager=False))
     labels = (nbr.select("node").distinct()
               .withColumn("label", F.col("node")))
     w = Window.partitionBy("node").orderBy(F.desc("c"), F.asc("label"))
@@ -318,7 +327,10 @@ def kcore_fixed(edges: DataFrame, k: int = 2,
     nbr = (edges.select(F.col("src").alias("node"),
                         F.col("dst").alias("nbr"))
            .unionAll(edges.select(F.col("dst").alias("node"),
-                                  F.col("src").alias("nbr"))))
+                                  F.col("src").alias("nbr")))
+           # loop-invariant adjacency, consumed by TWO joins per peel
+           # round: pinned for the same reason as `alive` below
+           .localCheckpoint(eager=False))
     alive = nbr.select("node").distinct()
     for _ in range(n_rounds):
         deg = (nbr.join(F.broadcast(alive), "node")
@@ -365,7 +377,10 @@ def pagerank_personalized(edges: DataFrame, seeds: DataFrame,
                     .withColumn("t", F.lit(0.0)))
                 .localCheckpoint(eager=False))
     out_deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
-    e = edges.join(out_deg, "src")
+    # loop-invariant like the teleport vector above: pinned so the
+    # per-iteration contrib join reads the degree-attached edge list
+    # instead of replaying the graph projection every round
+    e = edges.join(out_deg, "src").localCheckpoint(eager=False)
     ranks = teleport.select("node", F.col("t").alias("rank"))
     for _ in range(n_iters):
         contrib = (e.join(ranks, e["src"] == ranks["node"])
@@ -400,17 +415,24 @@ def hyperball_registers(edges: DataFrame, n_iters: int = 2,
     from threat_detection_nosql_spark.operators.sketches import (
         hll_register_cols,
     )
+    # the edge list is loop-invariant and each radius' register table
+    # is consumed TWICE (the next round's grow join + the caller's
+    # per-radius estimator) — pin both, or every consumer replays the
+    # whole earlier-radius lineage (guide §2.4/§5; |nodes|·2^p rows)
+    edges = edges.localCheckpoint(eager=False)
     nodes = (edges.select(F.col("src").alias("node"))
              .unionByName(edges.select(F.col("dst").alias("node")))
              .distinct())
     idx, rho = hll_register_cols(F.col("node"), p=p)
-    regs = nodes.select("node", idx.alias("idx"), rho.alias("r"))
+    regs = (nodes.select("node", idx.alias("idx"), rho.alias("r"))
+            .localCheckpoint(eager=False))
     out = [regs]
     for _ in range(n_iters):
         contrib = (edges.join(regs.withColumnRenamed("node", "dst"),
                               "dst")
                    .select(F.col("src").alias("node"), "idx", "r"))
         regs = (regs.unionByName(contrib)
-                .groupBy("node", "idx").agg(F.max("r").alias("r")))
+                .groupBy("node", "idx").agg(F.max("r").alias("r"))
+                .localCheckpoint(eager=False))
         out.append(regs)
     return out

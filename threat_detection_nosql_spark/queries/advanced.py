@@ -739,18 +739,29 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                   .select((F.col("nq") * (F.col("n") - 1))
                           .cast("long").alias("candidates")))
 
-    # srp budget: the same distinct band-collision pairs the srp query
-    # scores (similarity.srp_lsh_neighbors candidate stage)
+    # srp budget AND top-k from ONE signature build: the round-7 form
+    # called srp_ann_topk() for the top-k, which rebuilt the SRP
+    # signature kernel pass a second time for the same rows — the
+    # pinned (vec_id, band, sig) frame (|emb|·n_bands rows) now feeds
+    # the band-collision budget count and the rescore candidates
+    # (guide §2.4: two consumers, one exchange)
     planes = similarity.srp_planes(_SRP_PLANES, _SRP_DIM)
-    c_sig = similarity.srp_signatures(emb, planes, _SRP_BAND_BITS)
+    c_sig = (similarity.srp_signatures(emb, planes, _SRP_BAND_BITS)
+             .localCheckpoint())
     q_sig = (c_sig.filter(F.col("vec_id") < _N_QUERIES)
              .select(F.col("vec_id").alias("q_id"), "band", "sig"))
     srp_cand = (c_sig.join(q_sig, ["band", "sig"])
                 .filter(F.col("q_id") != F.col("vec_id"))
                 .select("q_id", "vec_id").distinct())
+    # identical rows to srp_ann_topk (same candidate set, same shared
+    # rescore path), without the second signature pass
+    srp_top = (similarity.cosine_topk_from_candidates(
+        emb, qs, srp_cand, k=_RECALL_K).select("q_id", "vec_id"))
 
     # ivf budget: vectors assigned to the probed cells (cells are
-    # disjoint, so no distinct needed)
+    # disjoint, so no distinct needed); the SAME pinned Lloyd chain
+    # feeds the top-k below instead of ivf_fixed_ann_topk() re-training
+    # its own copy of the quantizer
     assigned, cent = clustering.kmeans_fixed(
         emb, k=_IVF_K, n_iters=_IVF_ITERS)
     q_cells = clustering.probe_cells(cent, qs, n_probe=_IVF_PROBE)
@@ -758,9 +769,9 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                     q_cells.select("q_id", "cell")), "cell")
                 .filter(F.col("q_id") != F.col("vec_id"))
                 .select("q_id", "vec_id"))
-
-    srp_top = srp_ann_topk(spark, sf_dir).select("q_id", "vec_id")
-    ivf_top = ivf_fixed_ann_topk(spark, sf_dir).select("q_id", "vec_id")
+    ivf_top = (clustering.ivf_fixed_neighbors(
+        assigned, cent, qs, k=_IVF_TOPK, n_probe=_IVF_PROBE)
+        .select("q_id", "vec_id"))
 
     def count1(cand: DataFrame) -> DataFrame:
         return cand.agg(F.count("*").cast("long").alias("candidates"))
@@ -1298,20 +1309,30 @@ _PQ_DIM = _SRP_DIM // _PQ_M  # 16
 
 
 def _pq_codebooks(spark: SparkSession, sf_dir: str):
-    """Per-subspace (assigned, centroids) from kmeans_fixed over the
-    m-th 16-dim slice — the PQ trainer is M independent replays of the
-    IVF coarse quantizer (operators/clustering.kmeans_fixed:
-    deterministic seed = _PQ_K smallest vec_ids, no RNG), which is
-    what makes the whole codebook SQL-replayable below."""
+    """Fused per-subspace PQ trainer: ONE grouped kmeans_fixed chain
+    over the exploded (m, vec_id, 16-dim slice) frame instead of M
+    independent Lloyd chains (operators/clustering.kmeans_fixed
+    group_col — deterministic seed = _PQ_K smallest vec_ids per
+    subspace, no RNG, per-subspace arithmetic identical because no
+    aggregate ever mixes m values). The round-11 per-book form
+    replayed each book's full Lloyd lineage into every consumer and
+    pq_adc_topk's physical plan carried 156 Exchange nodes
+    (plans/r12/pq_adc_topk_before.txt); fused + final-centroid pin it
+    scans the corpus once per iteration for all M books (guide §2.4).
+    Returns (assigned, cent, qs): (m, vec_id, v, cell, dist) and the
+    pinned (m, cell, cv) codebook table."""
     from threat_detection_nosql_spark.operators import clustering
     emb, qs = _emb_and_queries(spark, sf_dir)
-    books = []
-    for m in range(_PQ_M):
-        sub = emb.select(
-            "vec_id", F.slice("v", m * _PQ_DIM + 1, _PQ_DIM).alias("v"))
-        books.append(clustering.kmeans_fixed(
-            sub, k=_PQ_K, n_iters=_PQ_ITERS))
-    return books, qs
+    sliced = (emb.select(
+        "vec_id",
+        F.explode(F.array(*[
+            F.struct(F.lit(m).alias("m"),
+                     F.slice("v", m * _PQ_DIM + 1, _PQ_DIM).alias("v"))
+            for m in range(_PQ_M)])).alias("s"))
+        .select("vec_id", F.col("s.m").alias("m"), F.col("s.v").alias("v")))
+    assigned, cent = clustering.kmeans_fixed(
+        sliced, k=_PQ_K, n_iters=_PQ_ITERS, group_col="m")
+    return assigned, cent, qs
 
 
 def pq_quantization_report(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1320,22 +1341,15 @@ def pq_quantization_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     audit before swapping a 100 TB float corpus for M-byte codes —
     64 dims × 4 B become 4 code bytes (64× smaller), and this report
     says what that costs in distortion, per subspace."""
-    books, _ = _pq_codebooks(spark, sf_dir)
-    reps = []
-    for m, (assigned, _cent) in enumerate(books):
-        reps.append(
-            assigned.agg(
-                F.count("*").alias("n"),
-                F.countDistinct("cell").alias("n_codes_used"),
-                F.round(F.avg(F.col("dist") * F.col("dist")), 6)
-                 .alias("mse"),
-                F.round(F.max("dist"), 6).alias("max_dist"))
-            .select(F.lit(m).alias("subspace"), "n", "n_codes_used",
+    assigned, _cent, _qs = _pq_codebooks(spark, sf_dir)
+    return (assigned.groupBy("m")
+            .agg(F.count("*").alias("n"),
+                 F.countDistinct("cell").alias("n_codes_used"),
+                 F.round(F.avg(F.col("dist") * F.col("dist")), 6)
+                  .alias("mse"),
+                 F.round(F.max("dist"), 6).alias("max_dist"))
+            .select(F.col("m").alias("subspace"), "n", "n_codes_used",
                     "mse", "max_dist"))
-    out = reps[0]
-    for r in reps[1:]:
-        out = out.unionByName(r)
-    return out
 
 
 def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1352,20 +1366,16 @@ def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window as W
 
     from threat_detection_nosql_spark.operators.clustering import _sq_dist
-    books, qs = _pq_codebooks(spark, sf_dir)
-    codes = None
-    luts = None
-    for m, (assigned, cent) in enumerate(books):
-        c = assigned.select(F.lit(m).alias("m"), "vec_id",
-                            F.col("cell").alias("code"))
-        q_slice = F.slice("v", m * _PQ_DIM + 1, _PQ_DIM)
-        l = (qs.select("q_id", q_slice.alias("qv"))
-             .crossJoin(F.broadcast(cent))
-             .select("q_id", F.lit(m).alias("m"),
-                     F.col("cell").alias("code"),
-                     _sq_dist(F.col("qv"), F.col("cv")).alias("pd")))
-        codes = c if codes is None else codes.unionByName(c)
-        luts = l if luts is None else luts.unionByName(l)
+    assigned, cent, qs = _pq_codebooks(spark, sf_dir)
+    codes = assigned.select("m", "vec_id", F.col("cell").alias("code"))
+    # per-(query, m) LUT rows: the query's m-th slice against the m-th
+    # codebook — one crossJoin of |Q| queries with the pinned
+    # M·K-row codebook table replaces M per-book scans of qs
+    luts = (qs.crossJoin(F.broadcast(cent))
+            .select("q_id", "m", F.col("cell").alias("code"),
+                    _sq_dist(F.slice("v", F.col("m") * _PQ_DIM + 1,
+                                     F.lit(_PQ_DIM)),
+                             F.col("cv")).alias("pd")))
     scored = (codes.join(F.broadcast(luts), ["m", "code"])
               .filter(F.col("vec_id") != F.col("q_id"))
               .groupBy("q_id", "vec_id")

@@ -940,7 +940,14 @@ def dedup_matches_agg(docs_stream: DataFrame,
             for b in range(n_bands)])).alias("bkey"))
 
     xs, sigs = D.minhash_signature_exprs(F.col("text"))
-    new_sig = (docs_stream.withColumn(D.MH_XS_COL, xs)
+    # the file-stream batch arrives as ONE split at test scale, so the
+    # interpreted per-row signature lambdas would run single-core;
+    # round-robin the incoming rows across the cluster first (stateless
+    # repartition — legal pre-state, and a no-op cost next to the
+    # 16-hash array expressions it parallelizes; guide §2)
+    par = docs_stream.sparkSession.sparkContext.defaultParallelism
+    new_sig = (docs_stream.repartition(par)
+               .withColumn(D.MH_XS_COL, xs)
                .select("doc_id", *sigs))
     new_bands = new_sig.select(
         "doc_id", *[f"s{i}" for i in range(n)],
