@@ -638,7 +638,10 @@ def near_dup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     all keyed on component after the closure, so one extra shuffle
     total over the group query."""
     from pyspark.sql.window import Window as W
-    comp = near_dup_groups(spark, sf_dir).select("doc_id", "component")
+    # pinned: BOTH consumers below (metadata join + size roll-up)
+    # otherwise replay the group query's join lineage (guide §2.4)
+    comp = (near_dup_groups(spark, sf_dir).select("doc_id", "component")
+            .localCheckpoint(eager=False))
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
     j = comp.join(docs, "doc_id")
     w = W.partitionBy("component").orderBy(F.desc("n_chars"),

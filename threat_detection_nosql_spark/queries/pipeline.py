@@ -2928,7 +2928,14 @@ def repeated_substring_spans(spark: SparkSession,
     template_prefix_dups convention, identical in DuckDB); md5 is
     byte-identical in both engines; all counts/positions integers."""
     from pyspark.sql.window import Window
-    docs = load_table(spark, sf_dir, "documents")
+
+    from threat_detection_nosql_spark.sources.readers import spread
+    # round 12: the gram build is interpreted zip_with HOFs over every
+    # token — spread the single-split docs scan across cores (guide
+    # §2), and pin the positional-gram frame, which BOTH the
+    # duplicate-gram count and the hit join consume (unpinned, the
+    # whole gram build ran twice — guide §2.4)
+    docs = spread(load_table(spark, sf_dir, "documents"))
     w = F.split(F.col("text"), " ")
     n_g = F.greatest(F.size(w) - _SPAN_K + 1, F.lit(0))
     grams = F.slice(w, 1, n_g)
@@ -2938,7 +2945,8 @@ def repeated_substring_spans(spark: SparkSession,
     pos_grams = (docs.filter(F.size(w) >= _SPAN_K)
                  .select("doc_id", F.posexplode(grams)
                          .alias("pos", "gram"))
-                 .select("doc_id", "pos", F.md5("gram").alias("gh")))
+                 .select("doc_id", "pos", F.md5("gram").alias("gh"))
+                 .localCheckpoint(eager=False))
     dup = (pos_grams.groupBy("gh")
            .agg(F.count("*").alias("n_occ"))
            .filter(F.col("n_occ") >= 2))

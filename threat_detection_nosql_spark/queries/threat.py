@@ -277,23 +277,40 @@ def user_features(spark: SparkSession, sf_dir: str,
                         F.round(F.col("after_hours_activities") / divisor, 6))
             .withColumn("weekend_ratio",
                         F.round(F.col("weekend_activities") / divisor, 6)))
-    # fused entropy path: both entropies derive from ONE pass over the
-    # fact table — a (user, activity, hour) pre-agg whose exchange
-    # Catalyst dedupes via ReuseExchange, then two tiny re-aggregations.
-    # Frequencies (and hence values) are identical to the direct form.
-    from threat_detection_nosql_spark.operators.entropy import (
-        entropy_from_freq,
-    )
+    # fused entropy path, round 12: BOTH entropies from ONE chain. The
+    # r11 form re-aggregated the (user, activity, hour) pre-agg twice
+    # and relied on ReuseExchange to dedupe the shared exchange — the
+    # physical plan shows it did NOT fire (three full scan→agg chains,
+    # plans/r12/user_features_before.txt). An Expand tags each pre-agg
+    # row once per dimension, so one aggregation chain computes both
+    # frequency tables, both entropies (the exact entropy_from_freq
+    # algebra: round(log2(T) − Σf·log2 f / T, 6) over identical
+    # frequencies), and a 2-column pivot — one events scan instead of
+    # two, one join instead of two (guide §2.3/§2.4; measured
+    # 1.03 → 0.84 s at sf0.1).
     g = (log.groupBy("user", "activity", "hour_of_day")
          .agg(F.count("*").alias("c")))
-    act_freq = g.groupBy("user", "activity").agg(F.sum("c").alias("freq"))
-    tmp_freq = g.groupBy("user", "hour_of_day").agg(F.sum("c").alias("freq"))
-    act_ent = entropy_from_freq(act_freq, "user",
-                                out_col="activity_entropy")
-    tmp_ent = entropy_from_freq(tmp_freq, "user",
-                                out_col="temporal_entropy")
-    return (base.join(act_ent, "user", "left")
-                .join(tmp_ent, "user", "left"))
+    dims = (g.select(
+        "user", "c",
+        F.explode(F.array(
+            F.struct(F.lit("a").alias("dim"),
+                     F.col("activity").cast("string").alias("key")),
+            F.struct(F.lit("h").alias("dim"),
+                     F.col("hour_of_day").cast("string").alias("key"))))
+        .alias("dk"))
+        .select("user", "c", F.col("dk.dim").alias("dim"),
+                F.col("dk.key").alias("key")))
+    fr = dims.groupBy("user", "dim", "key").agg(F.sum("c").alias("freq"))
+    ent = (fr.groupBy("user", "dim")
+           .agg(F.round(F.log2(F.sum("freq"))
+                        - F.sum(F.col("freq") * F.log2("freq"))
+                        / F.sum("freq"), 6).alias("e")))
+    piv = ent.groupBy("user").agg(
+        F.max(F.when(F.col("dim") == "a", F.col("e")))
+        .alias("activity_entropy"),
+        F.max(F.when(F.col("dim") == "h", F.col("e")))
+        .alias("temporal_entropy"))
+    return base.join(piv, "user", "left")
 
 
 _USER_FEATURES_SQL = f"""
