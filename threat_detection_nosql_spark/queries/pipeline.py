@@ -1928,6 +1928,10 @@ def containment_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     keep = (sh.groupBy("shingle").agg(F.count("*").alias("df"))
             .filter(F.col("df") <= _CONT_DF_CAP)
             .select("shingle"))
+    # NOT pinned (tried in r12, measured 2.46 -> 3.21 s): the pruned
+    # frame is ~|shingle| string rows, and storing it costs more than
+    # replaying the prune join over the pinned `sh` — pinning pays only
+    # when the replayed lineage exceeds the stored bytes (guide §5)
     pruned = sh.join(keep, "shingle")
     sizes = pruned.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a = pruned.select(F.col("doc_id").alias("doc_a"), "shingle")
