@@ -8,14 +8,15 @@ and ``ORACLES: dict[str, str]`` (DuckDB ANSI SQL). ``all_queries()`` /
 Ordering IS the driver's sampling policy: the correctness gate hashes
 the FIRST 50 queries in merge order each round.  Rounds 1-4 proved the
 threat/relational/pipeline/advanced/graph/metrics families; rounds
-5-11 cleared their pinned 50s (cumulatively, every oracle-backed
+5-12 cleared their pinned 50s (cumulatively, every oracle-backed
 query has at least one driver-green record and every rows-only query
-at least one executed-clean record).  Round 12 rotates the window
-onto the seven round-11 additions the driver has never recorded
-(jpeg family, theta pair, repeated_substring_spans, lsh_ann_topk),
-then least-recently-verified refills, then every other oracle-backed
-query, with the remaining rows-only (engine-RNG / model state)
-queries parked at the registry end.
+at least one executed-clean record).  Round 13 rotates the window
+onto the queries round 12 REWROTE (user_features, PQ/kmeans family,
+iterative graph family, media decode, near_dup_keep_best,
+stream_incremental_dedup) so the driver oracle-verifies the rewritten
+internals, then never-driver-green oracle queries, then
+least-recently-verified refills, with the remaining rows-only
+(engine-RNG / model state) queries parked at the registry end.
 """
 
 from __future__ import annotations
@@ -26,63 +27,65 @@ from pyspark.sql import DataFrame, SparkSession
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
-# Round-12 driver window (r11 verdict ask #1): the 7 round-11
-# additions the driver has never seen (jpeg family, theta pair,
-# repeated_substring_spans, lsh_ann_topk — builder-verified green but
-# absent from the driver ledger), topped up with the 43
-# least-recently-verified oracle greens (rotate_window.py ordering).
+# Round-13 driver window (r12 verdict ask #1): every query whose
+# internals round 12 rewrote sits FIRST so the driver oracle-verifies
+# the rewrites (user_features Expand entropies, fused-group Lloyd /
+# shared SRP+quantizer PQ family, pinned iterative graph family,
+# media-decode spread, near_dup_keep_best pin, stream dedup spread),
+# then the never-driver-green oracle queries, then the
+# least-recently-verified refills (rotate_window.py ordering).
 # NEVER reorder once verified: the driver hashes this exact prefix.
-_WINDOW_R12: tuple[str, ...] = (
-    "lsh_ann_topk",
-    "jpeg_decode_stats",
-    "repeated_substring_spans",
-    "jpeg_color_decode_stats",
-    "jpeg420_decode_stats",
-    "theta_user_overlap",
-    "stream_theta_overlap",
-    "stream_purchase_error_pairs",
-    "stream_after_hours_top10",
-    "order_priority_counts",
-    "promo_revenue_ratio",
-    "top_supplier_by_revenue",
-    "local_supplier_volume",
-    "revenue_change_forecast",
-    "nation_volume_shipping",
-    "nation_market_share",
-    "product_type_profit",
-    "returned_items_top20",
-    "customer_order_distribution",
-    "small_quantity_revenue",
-    "large_volume_customers",
-    "discounted_revenue",
-    "monthly_return_rate",
-    "bpe_merges",
-    "bpe_top_segments",
-    "bpe_subword_freqs",
-    "bpe_encode_part_names",
-    "bigram_logprob_scores",
-    "weighted_doc_sample",
-    "countmin_token_estimates",
-    "hll_portable_distinct_users",
-    "rule_calibration_table",
-    "rule_lift_table",
-    "stream_countmin_user_cells",
-    "stream_drift_psi",
-    "time_to_next_purchase",
-    "activity_heatmap",
-    "late_shipment_priority_counts",
-    "waiting_supplier_top10",
-    "dormant_customer_balance_groups",
-    "feature_drift_psi",
-    "pseudonymized_activity",
-    "orders_profile",
-    "user_features_unpivot",
-    "event_zorder",
-    "temperature_mixture_plan",
-    "temperature_mixture_sample",
-    "length_bucket_batches",
-    "rare_resource_access_top10",
-    "similar_user_pairs_top10",
+_WINDOW_R13: tuple[str, ...] = (
+    "user_features",
+    "pq_adc_topk",
+    "pq_quantization_report",
+    "kmeans_silhouette",
+    "kmeans_fixed_anomalies",
+    "ivfpq_adc_topk",
+    "ivf_fixed_ann_topk",
+    "ann_recall_report",
+    "pagerank_top20",
+    "hyperball_reach_report",
+    "kcore_parts",
+    "copurchase_communities",
+    "risk_propagation_top20",
+    "near_dup_keep_best",
+    "avi_mjpeg_decode_stats",
+    "jpeg_progressive_decode_stats",
+    "jpeg_progressive_420_decode_stats",
+    "jpeg_progressive_color_decode_stats",
+    "stream_incremental_dedup",
+    "link_prediction_top20",
+    "jpeg_restart_decode_stats",
+    "tiff_decode_stats",
+    "jpeg_color_sampled_digest",
+    "jpeg420_sampled_digest",
+    "png_decode_stats",
+    "gif_decode_stats",
+    "autoencoder_fixed_anomalies",
+    "ocsvm_fixed_anomalies",
+    "user_behavior_quadrants",
+    "user_triage_report",
+    "resource_acquisition_weekly",
+    "resource_affinity_top20",
+    "winsorized_order_values",
+    "revenue_pareto",
+    "repurchase_interval_histogram",
+    "open_order_aging",
+    "part_supplier_hhi_top20",
+    "weighted_median_acctbal",
+    "customer_rfm_segments",
+    "discount_band_elasticity",
+    "embedding_ann_near_dups",
+    "dup_span_stats",
+    "bm25_top_terms",
+    "hashed_feature_counts",
+    "doc_novelty_scores",
+    "embedding_norm_audit",
+    "doc_char_entropy",
+    "token_pmi_top20",
+    "stopword_density_scores",
+    "nb_lang_predictions",
 )
 
 
@@ -126,7 +129,7 @@ def all_queries() -> dict[str, QueryFn]:
     queries = _merged("QUERIES", "QUERIES_TAIL")
     oracles = _merged("ORACLES", "ORACLES_TAIL")
     out: dict[str, QueryFn] = {}
-    for name in _WINDOW_R12:  # pinned driver window, positions 1-50
+    for name in _WINDOW_R13:  # pinned driver window, positions 1-50
         out[name] = queries[name]
     for name, fn in queries.items():  # oracle-backed middle, module order
         if name not in out and name in oracles:
