@@ -89,9 +89,12 @@ def pagerank_fixed(edges: DataFrame, n_iters: int = 3,
     fits, and the edge list itself never re-shuffles (its partitioning
     on src is reused across iterations).
     """
+    # lazy pin: the count() below is the first action, so the node
+    # list materializes and pins inside that single driver job instead
+    # of paying an eager-checkpoint job plus the count job
     nodes = (edges.select(F.col("src").alias("node"))
              .unionByName(edges.select(F.col("dst").alias("node")))
-             .distinct().localCheckpoint())
+             .distinct().localCheckpoint(eager=False))
     n = nodes.count()
     out_deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
     # pre-divide: contributions need rank/deg; attaching deg once to

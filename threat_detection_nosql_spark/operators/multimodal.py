@@ -40,10 +40,12 @@ def _spread_ids(docs: DataFrame) -> DataFrame:
     single task while the other cores idle (measured: the whole color
     JPEG family pinned to one core at sf0.1). Repartitioning only the
     8-byte id column costs a few KB of shuffle; the kernels then run
-    at full width at any scale, and at real scale (many input splits)
-    the exchange still only ever carries ids, never blobs."""
-    ids = docs.select("doc_id")
-    return ids.repartition(ids.sparkSession.sparkContext.defaultParallelism)
+    at full width at any scale. Delegates to readers.spread so the
+    exchange only fires when the scan is narrower than the cluster —
+    at real scale (many input splits) it is a no-op instead of an
+    always-on exchange capping the stage at defaultParallelism."""
+    from threat_detection_nosql_spark.sources.readers import spread
+    return spread(docs.select("doc_id"))
 
 
 def media_value_histogram(media: DataFrame, bucket: int = 32) -> DataFrame:

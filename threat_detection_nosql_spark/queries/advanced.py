@@ -712,8 +712,12 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     k = _RECALL_K
     emb, qs = _emb_and_queries(spark, sf_dir)
+    # lazy pin (same rationale as c_sig below): the exact top-k feeds
+    # qset and all three summary branches of one final action — the
+    # pinned partitions materialize once inside that action instead of
+    # in a separate eager job at construction time
     exact = (cosine_topk(spark, sf_dir)
-             .select("q_id", "vec_id").localCheckpoint())
+             .select("q_id", "vec_id").localCheckpoint(eager=False))
     qset = exact.select("q_id").distinct()
 
     def summary(method: str, top: DataFrame,
@@ -749,8 +753,12 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the band-collision budget count and the rescore candidates
     # (guide §2.4: two consumers, one exchange)
     planes = similarity.srp_planes(_SRP_PLANES, _SRP_DIM)
+    # lazy pin: eager would run the full |emb|·n_bands signature job
+    # at DataFrame-construction time (plan dumps, registry walks);
+    # both consumers share the pinned partitions within the first
+    # real action anyway
     c_sig = (similarity.srp_signatures(emb, planes, _SRP_BAND_BITS)
-             .localCheckpoint())
+             .localCheckpoint(eager=False))
     q_sig = (c_sig.filter(F.col("vec_id") < _N_QUERIES)
              .select(F.col("vec_id").alias("q_id"), "band", "sig"))
     srp_cand = (c_sig.join(q_sig, ["band", "sig"])

@@ -172,7 +172,8 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     construction); the 256-row log-ratio table broadcasts onto the
     per-(doc, bucket) counts.  Scoring never reshuffles the corpus by
     anything wider than the 256-bucket key."""
-    docs = load_table(spark, sf_dir, "documents")
+    from threat_detection_nosql_spark.sources.readers import spread
+    docs = spread(load_table(spark, sf_dir, "documents"))
     # pin the filtered split to a column FIRST: referencing split()
     # inside array lambdas re-tokenizes per element access (the
     # doc_novelty_scores O(words²) trap, PLANS.md round-5)
@@ -191,12 +192,22 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
                      .alias("feat")))
     bucket = (F.conv(F.substring(F.md5("feat"), 1, 15), 16, 10)
               .cast("long") % _DSIR_BUCKETS)
-    fb = feats.select(
-        "doc_id", "lang", bucket.alias("bucket"),
-        (F.col("lang") == "en").cast("long").alias("is_t"))
-    stats = (fb.groupBy("bucket")
-             .agg(F.sum("is_t").alias("ct"),
-                  F.sum(F.lit(1) - F.col("is_t")).alias("cs")))
+    fb = feats.select("doc_id", "lang", bucket.alias("bucket"))
+    # ONE pass over the exploded features (guide §2.4): the before-plan
+    # built the explode+md5 chain twice — once for the bucket stats and
+    # once for the per-doc counts. The (doc, lang, bucket) pre-agg is
+    # pinned (≤ |docs|·256 rows) and BOTH the bucket distributions and
+    # the per-doc scoring aggregate from it; per-bucket sums of the
+    # grouped counts are the same exact integers as per-feature sums.
+    dbc = (fb.groupBy("doc_id", "lang", "bucket")
+           .agg(F.count("*").alias("cnt"))
+           .localCheckpoint(eager=False))
+    is_t = (F.col("lang") == "en")
+    stats = (dbc.groupBy("bucket")
+             .agg(F.sum(F.when(is_t, F.col("cnt")).otherwise(F.lit(0)))
+                  .alias("ct"),
+                  F.sum(F.when(is_t, F.lit(0)).otherwise(F.col("cnt")))
+                  .alias("cs")))
     totals = stats.agg(F.sum("ct").alias("nt"), F.sum("cs").alias("ns"))
     b = F.lit(float(_DSIR_BUCKETS))
     lr = F.floor((F.log2((F.col("ct") + F.lit(1.0)) / (F.col("nt") + b))
@@ -204,9 +215,7 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
                  * F.lit(1e9) + F.lit(0.5))
     lrs = (stats.crossJoin(F.broadcast(totals))
            .select("bucket", lr.alias("lr")))
-    perdoc = (fb.groupBy("doc_id", "lang", "bucket")
-              .agg(F.count("*").alias("cnt"))
-              .join(F.broadcast(lrs), "bucket")
+    perdoc = (dbc.join(F.broadcast(lrs), "bucket")
               .groupBy("doc_id", "lang")
               .agg(F.sum("cnt").alias("n_feats"),
                    F.sum(F.col("cnt") * F.col("lr")).alias("units")))

@@ -694,7 +694,7 @@ def markov_transition_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             for item in state.get[1].split("|"):
                 p, a, n = item.split(",")
                 counts[(p, a)] = int(n)
-        for act in chunk["activity"]:
+        for act in chunk["activity"].tolist():  # list, not Series iter
             if last is not None:
                 counts[(last, act)] = counts.get((last, act), 0) + 1
             last = act
@@ -860,11 +860,16 @@ def markov_ordered_agg(ev: DataFrame) -> DataFrame:
                     p, a, n = item.split(",")
                     counts[(p, a)] = int(n)
         for chunk in pdfs:
-            for ts, eid, act in zip(chunk["ts"], chunk["event_id"],
-                                    chunk["activity"]):
-                ms = pd.Timestamp(ts).value // 1_000_000
-                if ms > wm:  # at/below watermark on arrival = late
-                    buffered.append((ms, int(eid), act))
+            # vectorized arrival decode (guide §4.2): the per-row
+            # pd.Timestamp(...).value loop was ~half the batch's Python
+            # time at 100k rows; numpy converts the whole column at once
+            ms_arr = (chunk["ts"].to_numpy(dtype="datetime64[ns]")
+                      .astype("int64") // 1_000_000)
+            live = ms_arr > wm  # at/below watermark on arrival = late
+            buffered.extend(zip(
+                ms_arr[live].tolist(),
+                chunk["event_id"].to_numpy()[live].astype(int).tolist(),
+                chunk["activity"].to_numpy()[live].tolist()))
         buffered.sort()
         drain = [b for b in buffered if b[0] <= wm]
         keep = [b for b in buffered if b[0] > wm]
@@ -885,19 +890,18 @@ def markov_ordered_agg(ev: DataFrame) -> DataFrame:
                for p, a in counts):
             raise ValueError(
                 "transition key contains a state-codec separator")
+        items = sorted(counts.items())  # one sort, shared with the emit
         state.update((
             last or "",
             "|".join(f"{ms},{eid},{act}" for ms, eid, act in keep),
-            "|".join(f"{p},{a},{n}" for (p, a), n in
-                     sorted(counts.items()))))
+            "|".join(f"{p},{a},{n}" for (p, a), n in items)))
         if keep:  # re-fire on the next watermark advance to drain
             state.setTimeoutTimestamp(wm + 1)
         yield pd.DataFrame({
-            "user": pd.array([key[0]] * len(counts), dtype="Int64"),
-            "prev_activity": [p for p, _ in sorted(counts)],
-            "activity": [a for _, a in sorted(counts)],
-            "n": pd.array([counts[k] for k in sorted(counts)],
-                          dtype="Int64"),
+            "user": pd.array([key[0]] * len(items), dtype="Int64"),
+            "prev_activity": [p for (p, _), _ in items],
+            "activity": [a for (_, a), _ in items],
+            "n": pd.array([n for _, n in items], dtype="Int64"),
         })
 
     return ev.groupBy("user").applyInPandasWithState(
@@ -959,7 +963,12 @@ def dedup_matches_agg(docs_stream: DataFrame,
 
     agree = sum((F.col(f"s{i}") == F.col(f"b{i}")).cast("int")
                 for i in range(n))
-    return (new_bands.join(old_bands, "bkey")
+    # broadcast the BATCH side (guide §3.1): the incoming micro-batch
+    # is bounded by the trigger while the corpus side is the whole
+    # persisted index — broadcasting new_bands means the corpus is
+    # never shuffled by bkey (the before-plan shuffled BOTH sides into
+    # a sort-merge join; row-identical, verified hash-equal)
+    return (F.broadcast(new_bands).join(old_bands, "bkey")
             .filter(agree >= F.lit(8))
             .groupBy("doc_id")
             .agg(F.min("old_id").alias("matched_old")))
@@ -1029,11 +1038,14 @@ def peak_concurrency_agg(ev: DataFrame) -> DataFrame:
                     us, delta = item.split(",")
                     buffered.append((int(us), int(delta)))
         for chunk in pdfs:
-            for ts in chunk["ts"]:
-                us = pd.Timestamp(ts).value // 1_000
-                if us // 1_000 > wm:      # at/below watermark = late
-                    buffered.append((us, 1))
-                    buffered.append((us + _PEAK_TTL_US, -1))
+            # vectorized arrival decode (guide §4.2): both sweep
+            # boundaries still derive from the same in-state row, so
+            # the open/close pair stays atomic
+            us_arr = (chunk["ts"].to_numpy(dtype="datetime64[ns]")
+                      .astype("int64") // 1_000)
+            for us in us_arr[us_arr // 1_000 > wm].tolist():
+                buffered.append((us, 1))
+                buffered.append((us + _PEAK_TTL_US, -1))
         buffered.sort()
         keep = []
         for us, delta in buffered:
@@ -1189,11 +1201,16 @@ def funnel_ordered_agg(ev: DataFrame) -> DataFrame:
                     us, eid, act = item.split(",", 2)
                     buffered.append((int(us), int(eid), act))
         for chunk in pdfs:
-            for ts, eid, act in zip(chunk["ts"], chunk["event_id"],
-                                    chunk["activity"]):
-                us = pd.Timestamp(ts).value // 1_000
-                if us // 1_000 > wm:  # at/below watermark = late, drop
-                    buffered.append((us, int(eid), act))
+            # vectorized arrival decode (guide §4.2) — same shape as
+            # markov_ordered_agg: one numpy pass replaces the per-row
+            # pd.Timestamp loop
+            us_arr = (chunk["ts"].to_numpy(dtype="datetime64[ns]")
+                      .astype("int64") // 1_000)
+            live = us_arr // 1_000 > wm  # at/below watermark = late
+            buffered.extend(zip(
+                us_arr[live].tolist(),
+                chunk["event_id"].to_numpy()[live].astype(int).tolist(),
+                chunk["activity"].to_numpy()[live].tolist()))
         buffered.sort()
         keep = []
         for us, eid, act in buffered:
@@ -1294,18 +1311,22 @@ def kmv_quantile_agg(ev: DataFrame, k: int = 256) -> DataFrame:
     mode). Because the bottom-k of a union is the bottom-k of
     per-part bottom-k's, the drained final sample equals the batch
     sketch under ANY batching, so the batch oracle replays every
-    value. The md5 rank is computed with hashlib to the same hex
-    string Spark's md5(CAST(event_id AS VARCHAR)) and DuckDB's
-    md5(...) produce; quantiles use the percentile_disc convention
+    value. The md5 rank is computed pre-state with Spark's
+    md5(CAST(event_id AS STRING)) — the same hex string hashlib and
+    DuckDB's md5(...) produce; quantiles use the percentile_disc convention
     sorted[ceil(q*n)-1] (an OBSERVED value — no interpolation
     arithmetic to diverge). `seq` is a monotone per-group update
     counter so the consumer (and the registered query) can take each
     group's LAST emission from an append-only sink."""
-    import hashlib
     import math
 
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    # the md5 rank is computed pre-state in codegen (guide §4: built-in
+    # over a per-row Python hashlib loop — Spark md5(CAST(event_id AS
+    # STRING)) yields the identical hex string)
+    ev = ev.withColumn("h", F.md5(F.col("event_id").cast("string")))
 
     def update(key, pdfs, state: GroupState):
         seq = 0
@@ -1318,10 +1339,9 @@ def kmv_quantile_agg(ev: DataFrame, k: int = 256) -> DataFrame:
                     h, eid, val = item.split(",", 2)
                     sample.append((h, int(eid), float(val)))
         for chunk in pdfs:
-            for eid, val in zip(chunk["event_id"], chunk["value"]):
-                eid = int(eid)
-                h = hashlib.md5(str(eid).encode()).hexdigest()
-                sample.append((h, eid, float(val)))
+            sample.extend(zip(chunk["h"].tolist(),
+                              chunk["event_id"].tolist(),
+                              chunk["value"].tolist()))
         sample.sort()
         sample = sample[:k]
         seq += 1
@@ -1384,10 +1404,17 @@ def theta_sketch_agg(ev: DataFrame, k: int) -> DataFrame:
     entries). Bottom-k-of-union mergeability makes the drained final
     sketch equal the batch sketch under ANY batching, so the batch
     theta-overlap oracle replays the stream end to end."""
-    import hashlib
-
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from threat_detection_nosql_spark.operators.dedup import (
+        _portable_hash60,
+    )
+
+    # the 60-bit md5 rank is computed pre-state in codegen (guide §4:
+    # built-in over a per-row Python hashlib loop — same value:
+    # conv(substring(md5(x),1,15),16,10) == int(md5(str(uid))[:15],16))
+    ev = ev.withColumn("h", _portable_hash60(F.col("user_id")
+                                             .cast("string")))
 
     def update(key, pdfs, state: GroupState):
         seq = 0
@@ -1399,14 +1426,10 @@ def theta_sketch_agg(ev: DataFrame, k: int) -> DataFrame:
                 sample = [int(x) for x in packed.split(",")]
         have = set(sample)
         for chunk in pdfs:
-            for uid in chunk["user_id"]:
-                h = int(hashlib.md5(
-                    str(int(uid)).encode()).hexdigest()[:15], 16)
-                if h not in have:
-                    have.add(h)
-                    sample.append(h)
-        sample.sort()
-        sample = sample[:k]
+            # sorted-set semantics: dedup + sort + truncate commute,
+            # so a bulk set-union replaces the per-row membership loop
+            have.update(chunk["h"].tolist())
+        sample = sorted(have)[:k]
         seq += 1
         state.update((seq, ",".join(str(h) for h in sample)))
         yield pd.DataFrame({
