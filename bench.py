@@ -12,12 +12,15 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from threat_detection_nosql_spark.queries import advanced  # noqa: E402
 from threat_detection_nosql_spark.queries import all_queries  # noqa: E402
+from threat_detection_nosql_spark.queries import ml_queries  # noqa: E402
 from threat_detection_nosql_spark.session import get_spark  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -401,6 +404,12 @@ def main() -> None:
         fn = queries[name]
         runs = []
         for _ in range(3):
+            # honest medians (r12 verdict ask #4): the ML detector memo
+            # exists for intra-app ensemble consistency, but a timed
+            # run must never measure a cache lookup — clear it so every
+            # rep recomputes from the parquet inputs. (No memoized
+            # query is in a bench group today; this is the guard.)
+            ml_queries._memo.clear()
             start = time.perf_counter()
             df = fn(spark, SF_DIR)
             df.count() if count_it else df.collect()
@@ -409,6 +418,23 @@ def main() -> None:
         spread[name] = [round(runs[0], 3), round(runs[1], 3),
                         round(runs[2], 3)]
         return round(runs[1], 3)
+
+    # one-time COLD-build numbers for the disk-persisted indexes (r12
+    # verdict ask #4): the dedup / IVF-PQ index queries are
+    # build-once/search-only by declared contract, so their steady-state
+    # medians below are warm-index numbers; deleting the index and
+    # timing one invocation records what the first run on a fresh
+    # dataset costs. Runs BEFORE the groups so the in-group reps stay
+    # warm (comparable with every prior round's medians).
+    cold: dict[str, float] = {}
+    for cold_name, path_fn in (
+            ("incremental_corpus_dedup", advanced._dedup_index_path),
+            ("ivfpq_adc_topk", advanced._ivfpq_index_path)):
+        shutil.rmtree(path_fn(SF_DIR), ignore_errors=True)
+        start = time.perf_counter()
+        queries[cold_name](spark, SF_DIR).collect()
+        cold[f"{cold_name}_coldbuild"] = round(
+            time.perf_counter() - start, 3)
 
     timings: dict[str, float] = {}
     for name in HEADLINE_COLLECT + HEADLINE_COUNT:
@@ -458,6 +484,7 @@ def main() -> None:
                    "value_min": total_min, "value_max": total_max,
                    "unit": "sec", "queries": timings,
                    "spread_min_med_max": spread, **groups,
+                   "cold_build": cold,
                    "isolated": isolated, "sf": float(sf)}, fh, indent=1)
     print(json.dumps({
         "metric": "headline_queries_total",
@@ -467,6 +494,7 @@ def main() -> None:
         "unit": "sec",
         "queries": {n: timings[n] for n in HEADLINE_COLLECT + HEADLINE_COUNT},
         **groups,
+        "cold_build": cold,
         "sf": float(sf),
     }))
 

@@ -707,17 +707,9 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate pairs wider than the ANN queries themselves do. The
     exact row's budget is computed as |Q|·(N−1) from two scalar
     counts, not by building the cross join."""
-    from threat_detection_nosql_spark.operators import clustering
-    from threat_detection_nosql_spark.queries.pipeline import cosine_topk
-
     k = _RECALL_K
-    emb, qs = _emb_and_queries(spark, sf_dir)
-    # lazy pin (same rationale as c_sig below): the exact top-k feeds
-    # qset and all three summary branches of one final action — the
-    # pinned partitions materialize once inside that action instead of
-    # in a separate eager job at construction time
-    exact = (cosine_topk(spark, sf_dir)
-             .select("q_id", "vec_id").localCheckpoint(eager=False))
+    parts = _ann_recall_parts(spark, sf_dir)
+    exact = parts["exact"]
     qset = exact.select("q_id").distinct()
 
     def summary(method: str, top: DataFrame,
@@ -737,6 +729,36 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("tot_hits") / (F.col("n_queries") * k), 6)
              .alias("avg_recall"),
             F.round(F.col("min_hits") / k, 6).alias("min_recall")))
+
+    def count1(cand: DataFrame) -> DataFrame:
+        return cand.agg(F.count("*").cast("long").alias("candidates"))
+
+    return (summary("exact", exact, parts["exact_cand"])
+            .unionByName(summary("ivf_fixed", parts["ivf_top"],
+                                 count1(parts["ivf_cand"])))
+            .unionByName(summary("srp", parts["srp_top"],
+                                 count1(parts["srp_cand"])))
+            .orderBy("method"))
+
+
+def _ann_recall_parts(spark: SparkSession,
+                      sf_dir: str) -> dict[str, DataFrame]:
+    """The recall harness's per-method frames, factored so
+    tests/test_round13_parity.py can assert the inline srp/ivf top-k
+    row-equal the standalone oracle-checked queries (the inline chains
+    share the operators but not the code path — the parity test pins
+    them together; r12 ADVICE #4)."""
+    from threat_detection_nosql_spark.operators import clustering
+    from threat_detection_nosql_spark.queries.pipeline import cosine_topk
+
+    emb, qs = _emb_and_queries(spark, sf_dir)
+    # lazy pin (same rationale as c_sig below): the exact top-k feeds
+    # qset and all three summary branches of one final action — the
+    # pinned partitions materialize once inside that action instead of
+    # in a separate eager job at construction time
+    exact = (cosine_topk(spark, sf_dir)
+             .select("q_id", "vec_id").localCheckpoint(eager=False))
+    qset = exact.select("q_id").distinct()
 
     # exact budget: |Q|·(N−1) from two scalar counts — the cross join
     # is never built
@@ -761,6 +783,10 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
              .localCheckpoint(eager=False))
     q_sig = (c_sig.filter(F.col("vec_id") < _N_QUERIES)
              .select(F.col("vec_id").alias("q_id"), "band", "sig"))
+    # NOTE (r13 negative result): pinning this candidate set (eager or
+    # lazy) measured 5.6 -> 7.8 s — the ExistingRDD scan defeats the
+    # planner's broadcast/AQE choices downstream and costs more than
+    # the duplicated band join it saves. Left unpinned deliberately.
     srp_cand = (c_sig.join(q_sig, ["band", "sig"])
                 .filter(F.col("q_id") != F.col("vec_id"))
                 .select("q_id", "vec_id").distinct())
@@ -784,13 +810,9 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         assigned, cent, qs, k=_IVF_TOPK, n_probe=_IVF_PROBE)
         .select("q_id", "vec_id"))
 
-    def count1(cand: DataFrame) -> DataFrame:
-        return cand.agg(F.count("*").cast("long").alias("candidates"))
-
-    return (summary("exact", exact, exact_cand)
-            .unionByName(summary("ivf_fixed", ivf_top, count1(ivf_cand)))
-            .unionByName(summary("srp", srp_top, count1(srp_cand)))
-            .orderBy("method"))
+    return {"exact": exact, "exact_cand": exact_cand,
+            "srp_top": srp_top, "srp_cand": srp_cand,
+            "ivf_top": ivf_top, "ivf_cand": ivf_cand}
 
 
 def _ann_recall_sql() -> str:
