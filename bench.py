@@ -419,13 +419,20 @@ def main() -> None:
                         round(runs[2], 3)]
         return round(runs[1], 3)
 
+    timings: dict[str, float] = {}
+    for name in HEADLINE_COLLECT + HEADLINE_COUNT:
+        timings[name] = median_time(name, name in HEADLINE_COUNT)
+
     # one-time COLD-build numbers for the disk-persisted indexes (r12
     # verdict ask #4): the dedup / IVF-PQ index queries are
     # build-once/search-only by declared contract, so their steady-state
     # medians below are warm-index numbers; deleting the index and
     # timing one invocation records what the first run on a fresh
-    # dataset costs. Runs BEFORE the groups so the in-group reps stay
-    # warm (comparable with every prior round's medians).
+    # dataset costs. Runs AFTER the headline (its 25 s of index-write
+    # work polluted the contract value when it ran first — measured
+    # headline 11.5 in-run vs 9.6 min-sum) and BEFORE the groups, so
+    # the in-group reps stay warm (comparable with every prior round's
+    # medians).
     cold: dict[str, float] = {}
     for cold_name, path_fn in (
             ("incremental_corpus_dedup", advanced._dedup_index_path),
@@ -435,10 +442,6 @@ def main() -> None:
         queries[cold_name](spark, SF_DIR).collect()
         cold[f"{cold_name}_coldbuild"] = round(
             time.perf_counter() - start, 3)
-
-    timings: dict[str, float] = {}
-    for name in HEADLINE_COLLECT + HEADLINE_COUNT:
-        timings[name] = median_time(name, name in HEADLINE_COUNT)
     total = round(sum(timings.values()), 3)
     total_min = round(sum(spread[n][0]
                           for n in HEADLINE_COLLECT + HEADLINE_COUNT), 3)
